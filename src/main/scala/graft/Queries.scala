@@ -1,0 +1,328 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.ref
+import graft.operators.{LatestPerKey, Quality}
+import graft.reports.ReportingLayer
+import graft.sources.Tables
+import graft.staging.{StagingLayer, StagingViews}
+
+/** Spark-side implementations of the driver-gated queries: one per operator
+  * of SURVEY.md §2 plus the full reference pipeline over the [[Derive]]d
+  * inputs, plus analytics/bench queries. Determinism discipline for the
+  * DuckDB hash-match (SURVEY.md §7.4): explicit null ordering, explicit
+  * tie-breakers, decimal casts around double aggregation, timestamps
+  * formatted to strings.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Staged views over the derived reference-shaped inputs. */
+  def stagedViews(s: SparkSession, dir: String): StagingViews = {
+    val acc = Derive.stgAccounts(s, dir)
+    val act = Derive.stgActivities(s, dir)
+    StagingViews(
+      cleanAccounts = StagingLayer.cleanAccounts(acc),
+      primary = StagingLayer.cleanContactsPrimary(act, Seq("src_seq")),
+      field = StagingLayer.cleanContactsField(act, Seq("src_seq")),
+      promise = StagingLayer.cleanContactsPromise(act, Seq("src_seq")),
+      restructure = StagingLayer.cleanContactsRestructure(act, Seq("src_seq")))
+  }
+
+  // ===== §2.1/2.2 scans & expressions =====
+
+  /** S1/P1/P2 — scan + projection + alias + row-level arithmetic. */
+  def s1ScanProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey").as("order_key"),
+      col("l_linenumber").as("line_no"),
+      col("l_quantity").as("qty"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+
+  /** P3 — literal column injection. */
+  def p3Literal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").select(
+      lit("COMPANY_NAME").as("company"),
+      col("r_regionkey").as("region_key"),
+      col("r_name").as("region_name"))
+
+  /** P4 — searched CASE classification with priority prefix (the
+    * reference's channel-classifier pattern, `01_staging_layer.sql:76-83`).
+    */
+  def p4CaseClassification(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("order_key"),
+      when(col("o_orderpriority") === "1-URGENT", "01.URGENT")
+        .when(col("o_orderpriority") === "2-HIGH", "02.HIGH")
+        .when(col("o_orderpriority") === "3-MEDIUM", "03.MEDIUM")
+        .otherwise("UNCLASSIFIED_PRIORITY").as("priority_class"))
+
+  /** P6–P8 — DD/MM/YYYY substring parse incl. malformed → NULL. */
+  def p6DateParse(s: SparkSession, dir: String): DataFrame =
+    Derive.stgActivities(s, dir).select(
+      col("src_seq").as("event_id"),
+      col("activity_date").as("raw_date"),
+      ref.parseDdMmYyyy(col("activity_date")).as("parsed_date"))
+
+  /** P9 — date → ISO string formatting. */
+  def p9DateFormat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("order_key"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date_iso"))
+
+  // ===== §2.3 filters =====
+
+  def f1FilterEq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_no"),
+        col("l_returnflag").as("return_flag"))
+
+  def f2Conjunctive(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "O" &&
+        col("o_totalprice") > 100000 &&
+        col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("order_key"),
+        col("o_totalprice").as("total_price"))
+
+  def f4InList(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey").as("cust_key"), col("c_mktsegment").as("segment"))
+
+  /** F5 — IS NULL filter over the derived activities (NULL phones). */
+  def f5IsNullFilter(s: SparkSession, dir: String): DataFrame =
+    Derive.stgActivities(s, dir)
+      .filter(col("phone_number").isNull)
+      .select(col("src_seq").as("event_id"), col("account_id"))
+
+  // ===== §2.4 joins =====
+
+  /** J1+P5+J4 — LEFT join, COALESCE sentinel, existence flag. */
+  def j1LeftJoinSentinel(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    t(s, dir, "orders")
+      .join(rich, col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("o_orderkey").as("order_key"),
+        col("o_custkey").as("account"),
+        ref.sentinel(col("c_mktsegment"), "NO_SEGMENT").as("segment"),
+        ref.existenceFlag(col("c_custkey")).as("has_rich_customer"))
+  }
+
+  /** Semi join — EXISTS (idiomatic form of the reference's F7 rewrite). */
+  def j2SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49).select("l_orderkey")
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey").as("order_key"), col("o_totalprice").as("total_price"))
+  }
+
+  /** Anti join — NOT EXISTS. */
+  def j3AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49).select("l_orderkey")
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey").as("order_key"), col("o_totalprice").as("total_price"))
+  }
+
+  // ===== §2.5/2.7 windows, sort, limit =====
+
+  /** W1/F6 — latest row per key with pinned tie-break. */
+  def w1LatestPerKey(s: SparkSession, dir: String): DataFrame =
+    LatestPerKey(
+      t(s, dir, "orders"),
+      Seq(col("o_custkey")),
+      Seq(col("o_orderdate").desc_nulls_last, col("o_orderkey").asc_nulls_first))
+      .select(
+        col("o_custkey").as("account"),
+        col("o_orderkey").as("order_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice").as("total_price"))
+
+  /** Top-k per key (k=3) — generalization of the reference's k=1. */
+  def w2TopKPerKey(s: SparkSession, dir: String): DataFrame =
+    LatestPerKey.topK(
+      t(s, dir, "orders"), 3,
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first))
+      .select(
+        col("o_custkey").as("account"),
+        col("o_orderkey").as("order_key"),
+        col("o_totalprice").as("total_price"))
+
+  /** Window aggregate — running total per key (decimal-exact). */
+  def w3RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").select(
+      col("o_custkey").as("account"),
+      col("o_orderkey").as("order_key"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      (sum(round(col("o_totalprice") * 100).cast("long")).over(w)
+        .cast("double") / 100).as("running_total"))
+  }
+
+  /** O1 — deterministic global top-N (sort + limit). */
+  def o1LimitTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+      .limit(10)
+      .select(col("o_orderkey").as("order_key"), col("o_totalprice").as("total_price"))
+
+  // ===== §2.6 aggregations & QA =====
+
+  def a1CountStar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+
+  /** A2 — literal `SELECT DISTINCT(COUNT(*))` (no-op DISTINCT, SURVEY §2 A2). */
+  def a2DistinctCountLiteral(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("n")).distinct()
+
+  /** A3 — GROUP BY + HAVING duplicate detector over derived accounts. */
+  def a3GroupHavingDuplicates(s: SparkSession, dir: String): DataFrame =
+    Quality.duplicateKeys(Derive.stgAccounts(s, dir), col("account_id"))
+
+  /** A4 — filtered count: date-parse failures (reference `README.md:132-136`). */
+  def a4ParseFailureCount(s: SparkSession, dir: String): DataFrame =
+    Derive.stgActivities(s, dir)
+      .filter(ref.parseDdMmYyyy(col("activity_date")).isNull)
+      .agg(count(lit(1)).as("n"))
+
+  /** A1/A2-intent over every staged view in one result. */
+  def qaUniquenessViews(s: SparkSession, dir: String): DataFrame = {
+    val v = stagedViews(s, dir)
+    Seq(
+      "clean_accounts" -> v.cleanAccounts,
+      "clean_contacts_primary" -> v.primary,
+      "clean_contacts_field" -> v.field,
+      "clean_contacts_promise" -> v.promise,
+      "clean_contacts_restructure" -> v.restructure
+    ).map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_rows"), count_distinct(col("account_id")).as("n_accounts"))
+        .select(lit(name).as("view_name"), col("n_rows"), col("n_accounts"))
+    }.reduce(_.unionByName(_))
+  }
+
+  // ===== full pipeline =====
+
+  def pipelineCleanAccounts(s: SparkSession, dir: String): DataFrame =
+    StagingLayer.cleanAccounts(Derive.stgAccounts(s, dir))
+
+  def pipelineContactsPrimary(s: SparkSession, dir: String): DataFrame =
+    StagingLayer.cleanContactsPrimary(Derive.stgActivities(s, dir), Seq("src_seq"))
+
+  def pipelineContactsField(s: SparkSession, dir: String): DataFrame =
+    StagingLayer.cleanContactsField(Derive.stgActivities(s, dir), Seq("src_seq"))
+
+  def pipelineContactsPromise(s: SparkSession, dir: String): DataFrame =
+    StagingLayer.cleanContactsPromise(Derive.stgActivities(s, dir), Seq("src_seq"))
+
+  def pipelineContactsRestructure(s: SparkSession, dir: String): DataFrame =
+    StagingLayer.cleanContactsRestructure(Derive.stgActivities(s, dir), Seq("src_seq"))
+
+  def report1(s: SparkSession, dir: String): DataFrame =
+    ReportingLayer.mortgagePortfolio(stagedViews(s, dir), Seq("operation_number"))
+
+  def report2(s: SparkSession, dir: String): DataFrame =
+    ReportingLayer.restructuringPipeline(stagedViews(s, dir), Seq("operation_number"))
+
+  def report3(s: SparkSession, dir: String): DataFrame =
+    ReportingLayer.commercialPromises(stagedViews(s, dir), Seq("operation_number"))
+
+  // ===== analytics / bench =====
+
+  /** Portable exact money aggregation: round to fixed-point integer per
+    * row (the same IEEE double op in Spark and DuckDB), sum exactly as
+    * longs, divide once at the end. Engine-native double→decimal casts
+    * disagree by 1 ulp per row and drift over large sums — this pattern
+    * is bit-reproducible on any cluster size AND associative (safe under
+    * any partitioning), which is exactly what a 100 TB sum needs.
+    */
+  private def fixedPointSum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f).cast("long")).cast("double") / f
+  }
+
+  /** TPC-H Q1-flavor pricing summary (fixed-point-exact sums). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag").as("return_flag"), col("l_linestatus").as("line_status"))
+      .agg(
+        fixedPointSum(col("l_quantity"), 2).as("sum_qty"),
+        fixedPointSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        fixedPointSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        fixedPointSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 4)
+          .as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-flavor: 3-way join + group + deterministic top-10. */
+  def q3TopkRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(fixedPointSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("l_orderkey").asc_nulls_first)
+      .limit(10)
+      .select(
+        col("l_orderkey").as("order_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority").as("priority"),
+        col("revenue"))
+  }
+
+  /** Multi-join rollup through the dimension chain (broadcast-friendly). */
+  def q5MultijoinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+      .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        fixedPointSum(col("o_totalprice"), 2).as("total_sales"),
+        count(lit(1)).as("n_orders"))
+
+  /** Tumbling-window (hourly) aggregation over the event stream table —
+    * the batch shape of the §7 streaming extension.
+    */
+  def eventsHourlyAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        fixedPointSum(col("value"), 6).as("sum_value"))
+
+  /** Gap-based sessionization (30 min) — lag + cumulative flag-sum. */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    // order by exact ns (matches DuckDB's native TIMESTAMP_NS ordering)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc_nulls_first, col("event_id").asc_nulls_first)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ns").isNull ||
+          (expr("ts_ns DIV 1000000000") - expr("prev_ns DIV 1000000000")) > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+  }
+}

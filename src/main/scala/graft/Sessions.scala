@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's pinned semantics.
+  *
+  * Pinned settings (see SURVEY.md §7.4):
+  *  - `spark.sql.ansi.enabled=false` — the reference relies on SQLite's
+  *    NULL-on-invalid `DATE()` parse (reference `01_staging_layer.sql:64-74`);
+  *    non-ANSI Spark matches (bad parse → NULL, no throw).
+  *  - `spark.sql.session.timeZone=UTC` — oracle parity for timestamp
+  *    formatting (DuckDB operates on naive timestamps).
+  *  - AQE on — runtime join-strategy switches, partition coalescing and
+  *    skew-join splitting; this is the 100 TB story for the reference's
+  *    `CREATE INDEX` (`01_staging_layer.sql:13-14`), which has no Spark
+  *    analog.
+  */
+object Sessions {
+
+  /** Apply the engine's pinned configs to any builder. */
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+      // rejects; read as Long (ns) and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized from SPARK_GRAFT_CPUS (defaults to 32 threads). */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = tuned(
+      SparkSession.builder().master(s"local[$cpus]").appName(appName),
+      shufflePartitions = cpus
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

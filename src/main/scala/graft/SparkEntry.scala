@@ -1,13 +1,358 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * Every key in [[queries]] has a DuckDB-dialect twin in [[oracleSql]]
+  * (when SQL-expressible) run by the driver over the same parquet tables;
+  * the pair must hash-match. Determinism discipline (tie-breakers, pinned
+  * null ordering, decimal casts, string-formatted timestamps) per
+  * SURVEY.md §7.4.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.report1(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1/2.2 scans + expressions
+    "s1_scan_project" -> (Queries.s1ScanProject _),
+    "p3_literal_column" -> (Queries.p3Literal _),
+    "p4_case_classification" -> (Queries.p4CaseClassification _),
+    "p6_date_parse" -> (Queries.p6DateParse _),
+    "p9_date_format" -> (Queries.p9DateFormat _),
+    // §2.3 filters
+    "f1_filter_eq" -> (Queries.f1FilterEq _),
+    "f2_conjunctive_filter" -> (Queries.f2Conjunctive _),
+    "f4_in_list" -> (Queries.f4InList _),
+    "f5_isnull_filter" -> (Queries.f5IsNullFilter _),
+    // §2.4 joins
+    "j1_left_join_sentinel" -> (Queries.j1LeftJoinSentinel _),
+    "j2_semi_join" -> (Queries.j2SemiJoin _),
+    "j3_anti_join" -> (Queries.j3AntiJoin _),
+    // §2.5/2.7 windows / sort / limit
+    "w1_latest_per_key" -> (Queries.w1LatestPerKey _),
+    "w2_topk_per_key" -> (Queries.w2TopKPerKey _),
+    "w3_running_total" -> (Queries.w3RunningTotal _),
+    "o1_limit_topk" -> (Queries.o1LimitTopK _),
+    // §2.6 aggregations / QA
+    "a1_count_star" -> (Queries.a1CountStar _),
+    "a2_distinct_count_literal" -> (Queries.a2DistinctCountLiteral _),
+    "a3_group_having_duplicates" -> (Queries.a3GroupHavingDuplicates _),
+    "a4_parse_failure_count" -> (Queries.a4ParseFailureCount _),
+    "qa_uniqueness_views" -> (Queries.qaUniquenessViews _),
+    // full reference pipeline (staging views + reports)
+    "pipeline_clean_accounts" -> (Queries.pipelineCleanAccounts _),
+    "pipeline_contacts_primary" -> (Queries.pipelineContactsPrimary _),
+    "pipeline_contacts_field" -> (Queries.pipelineContactsField _),
+    "pipeline_contacts_promise" -> (Queries.pipelineContactsPromise _),
+    "pipeline_contacts_restructure" -> (Queries.pipelineContactsRestructure _),
+    "report1_mortgage_portfolio" -> (Queries.report1 _),
+    "report2_restructuring_pipeline" -> (Queries.report2 _),
+    "report3_commercial_promises" -> (Queries.report3 _),
+    // analytics / bench
+    "q1_pricing_summary" -> (Queries.q1PricingSummary _),
+    "q3_topk_revenue" -> (Queries.q3TopkRevenue _),
+    "q5_multijoin_agg" -> (Queries.q5MultijoinAgg _),
+    "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
+    "events_sessionize" -> (Queries.eventsSessionize _),
+    // LLM-data-pipeline extensions
+    "dedup_exact" -> (ExtQueries.dedupExact _),
+    "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
+    "text_token_count" -> (ExtQueries.textTokenCount _),
+    "text_quality_score" -> (ExtQueries.textQualityScore _),
+    "text_lang_id" -> (ExtQueries.textLangId _),
+    "text_fingerprint" -> (ExtQueries.textFingerprint _)
+  )
+
+  /** Subset run by graft.Bench as the headline set. */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_topk_revenue", "q5_multijoin_agg",
+    "w1_latest_per_key", "w3_running_total", "events_hourly_agg",
+    "events_sessionize", "report1_mortgage_portfolio",
+    "report2_restructuring_pipeline", "report3_commercial_promises",
+    "dedup_exact", "dedup_ngram_jaccard", "text_lang_id")
+
+  private val lexValues = ExtQueries.langLexicon
+    .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
+
+  /** DuckDB twins. Pipeline oracles are composed in [[DeriveSql]]. */
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_project" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no, l_quantity AS qty,
+        |       l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem""".stripMargin,
+
+    "p3_literal_column" ->
+      "SELECT 'COMPANY_NAME' AS company, r_regionkey AS region_key, r_name AS region_name FROM region",
+
+    "p4_case_classification" ->
+      """SELECT o_orderkey AS order_key,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN '01.URGENT'
+        |       WHEN o_orderpriority = '2-HIGH' THEN '02.HIGH'
+        |       WHEN o_orderpriority = '3-MEDIUM' THEN '03.MEDIUM'
+        |       ELSE 'UNCLASSIFIED_PRIORITY' END AS priority_class
+        |FROM orders""".stripMargin,
+
+    "p6_date_parse" ->
+      s"""WITH ${DeriveSql.stgActivities}
+         |SELECT src_seq AS event_id, activity_date AS raw_date,
+         |  TRY_CAST(substr(activity_date,7,4) || '-' || substr(activity_date,4,2)
+         |           || '-' || substr(activity_date,1,2) AS DATE) AS parsed_date
+         |FROM stg_activities""".stripMargin,
+
+    "p9_date_format" ->
+      "SELECT o_orderkey AS order_key, strftime(o_orderdate, '%Y-%m-%d') AS order_date_iso FROM orders",
+
+    "f1_filter_eq" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no, l_returnflag AS return_flag
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "f2_conjunctive_filter" ->
+      """SELECT o_orderkey AS order_key, o_totalprice AS total_price
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 100000 AND o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "f4_in_list" ->
+      """SELECT c_custkey AS cust_key, c_mktsegment AS segment
+        |FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')""".stripMargin,
+
+    "f5_isnull_filter" ->
+      s"""WITH ${DeriveSql.stgActivities}
+         |SELECT src_seq AS event_id, account_id
+         |FROM stg_activities WHERE phone_number IS NULL""".stripMargin,
+
+    "j1_left_join_sentinel" ->
+      """SELECT o_orderkey AS order_key, o_custkey AS account,
+        |  COALESCE(c_mktsegment, 'NO_SEGMENT') AS segment,
+        |  CASE WHEN c_custkey IS NOT NULL THEN 'YES' ELSE 'NO' END AS has_rich_customer
+        |FROM orders
+        |LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+        |  ON o_custkey = c_custkey""".stripMargin,
+
+    "j2_semi_join" ->
+      """SELECT o_orderkey AS order_key, o_totalprice AS total_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+
+    "j3_anti_join" ->
+      """SELECT o_orderkey AS order_key, o_totalprice AS total_price
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+
+    "w1_latest_per_key" ->
+      """SELECT o_custkey AS account, o_orderkey AS order_key,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice AS total_price
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
+        |      FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "w2_topk_per_key" ->
+      """SELECT o_custkey AS account, o_orderkey AS order_key, o_totalprice AS total_price
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "w3_running_total" ->
+      """SELECT o_custkey AS account, o_orderkey AS order_key,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total
+        |FROM orders""".stripMargin,
+
+    "o1_limit_topk" ->
+      """SELECT o_orderkey AS order_key, o_totalprice AS total_price
+        |FROM orders ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+        |LIMIT 10""".stripMargin,
+
+    "a1_count_star" -> "SELECT COUNT(*) AS n FROM lineitem",
+
+    "a2_distinct_count_literal" -> "SELECT DISTINCT COUNT(*) AS n FROM lineitem",
+
+    "a3_group_having_duplicates" ->
+      s"""WITH ${DeriveSql.stgAccounts}
+         |SELECT account_id, COUNT(*) AS n_rows
+         |FROM stg_accounts GROUP BY account_id HAVING COUNT(*) > 1""".stripMargin,
+
+    "a4_parse_failure_count" ->
+      s"""WITH ${DeriveSql.stgActivities}
+         |SELECT COUNT(*) AS n FROM stg_activities
+         |WHERE TRY_CAST(substr(activity_date,7,4) || '-' || substr(activity_date,4,2)
+         |               || '-' || substr(activity_date,1,2) AS DATE) IS NULL""".stripMargin,
+
+    "qa_uniqueness_views" -> DeriveSql.withStaging(
+      """SELECT 'clean_accounts' AS view_name, COUNT(*) AS n_rows, COUNT(DISTINCT account_id) AS n_accounts FROM clean_accounts
+        |UNION ALL SELECT 'clean_contacts_primary', COUNT(*), COUNT(DISTINCT account_id) FROM clean_contacts_primary
+        |UNION ALL SELECT 'clean_contacts_field', COUNT(*), COUNT(DISTINCT account_id) FROM clean_contacts_field
+        |UNION ALL SELECT 'clean_contacts_promise', COUNT(*), COUNT(DISTINCT account_id) FROM clean_contacts_promise
+        |UNION ALL SELECT 'clean_contacts_restructure', COUNT(*), COUNT(DISTINCT account_id) FROM clean_contacts_restructure""".stripMargin),
+
+    "pipeline_clean_accounts" ->
+      s"""WITH ${DeriveSql.stgAccounts},
+         |${DeriveSql.cleanAccounts}
+         |SELECT * FROM clean_accounts""".stripMargin,
+
+    "pipeline_contacts_primary" -> DeriveSql.withStaging(
+      s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_primary"),
+
+    "pipeline_contacts_field" -> DeriveSql.withStaging(
+      s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_field"),
+
+    "pipeline_contacts_promise" -> DeriveSql.withStaging(
+      s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_promise"),
+
+    "pipeline_contacts_restructure" -> DeriveSql.withStaging(
+      s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_restructure"),
+
+    "report1_mortgage_portfolio" -> DeriveSql.report1,
+    "report2_restructuring_pipeline" -> DeriveSql.report2,
+    "report3_commercial_promises" -> DeriveSql.report3,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+        |  CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk_revenue" ->
+      """SELECT l_orderkey AS order_key, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority AS priority, revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+        |ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
+        |LIMIT 10""".stripMargin,
+
+    "q5_multijoin_agg" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |  CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales,
+        |  COUNT(*) AS n_orders
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "events_hourly_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR date_diff('second', prev_ts, ts) > 1800
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |s AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id ASC NULLS FIRST) AS rn
+        |  FROM all_docs)
+        |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    (string_split(text, ' '))[6:len(string_split(text, ' '))] AS words
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(words) < 3 THEN []
+        |         ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)] END)) AS sh
+        |  FROM base),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id_1, doc_id_2,
+        |  inter / (s1.n_sh + s2.n_sh - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes s1 ON s1.doc_id = doc_id_1
+        |JOIN sizes s2 ON s2.doc_id = doc_id_2
+        |WHERE inter / (s1.n_sh + s2.n_sh - inter) >= 0.5""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_computed
+        |FROM documents""".stripMargin,
+
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS ws_ratio,
+        |  (CAST(length(text) AS DOUBLE)
+        |     - CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE))
+        |    / (CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) + 1.0)
+        |    AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH lex(word, lex_lang) AS (VALUES $lexValues),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |hits AS (
+         |  SELECT doc_id, lex_lang, COUNT(*) AS hits
+         |  FROM tok JOIN lex USING (word) GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, lex_lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY hits DESC NULLS LAST, lex_lang ASC NULLS FIRST) AS rn
+         |  FROM hits)
+         |SELECT d.doc_id, d.lang AS actual_lang,
+         |  COALESCE(b.lex_lang, 'und') AS predicted_lang
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id, lex_lang FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents"
+  )
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic "latest/best row per key" operator — the reference's single
+  * window pattern `ROW_NUMBER() OVER (PARTITION BY k ORDER BY …) = 1`
+  * (SURVEY.md §2.5 W1–W5, F6; reference `01_staging_layer.sql:124-127` etc.).
+  *
+  * Scale notes (100 TB):
+  *  - Catalyst ≥3.3 rewrites the `row_number = 1` filter into
+  *    `WindowGroupLimit` — a per-partition top-1 pass *before* the shuffle,
+  *    so only one candidate row per key per input partition crosses the
+  *    network (map-side-combine for window dedup).
+  *  - All downstream consumers (joins, further windows on the same key)
+  *    reuse the `hashpartitioning(key)` exchange (`ReuseExchange`).
+  *  - Callers MUST pass a total order: append a tie-breaker column (e.g. a
+  *    source sequence id) or the surviving row is engine-dependent
+  *    (SURVEY.md §7.4 item 1).
+  */
+object LatestPerKey {
+
+  def apply(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "latestPerKey needs an explicit ordering")
+    val rn = "__graft_rn"
+    df.withColumn(rn, row_number().over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)))
+      .filter(col(rn) === 1)
+      .drop(rn)
+  }
+
+  /** Top-k per key generalization (k=1 is the reference's case). */
+  def topK(df: DataFrame, k: Int, partitionCols: Seq[Column], orderCols: Seq[Column]): DataFrame = {
+    val rn = "__graft_rn"
+    df.withColumn(rn, row_number().over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)))
+      .filter(col(rn) <= k)
+      .drop(rn)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LatestPerKey
+
+/** Property-style tests for the latest-per-key operator (SURVEY.md §5.2
+  * item 3): exactly one row per key, output ⊆ input, selected row is
+  * minimal under the declared total order, idempotence. Uses a seeded
+  * generator (the offline cache has no scalatest↔scalacheck bridge).
+  */
+class LatestPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one row per key; min under order; idempotent (20 random sets)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val rows = List.fill(60)((rnd.nextInt(8), rnd.nextInt(6), rnd.nextInt(1000000))).distinct
+      val df = rows.toDF("k", "ord", "seq")
+      val order = Seq(col("ord").desc_nulls_last, col("seq").asc_nulls_first)
+      val out = LatestPerKey(df, Seq(col("k")), order)
+      val got = out.as[(Int, Int, Int)].collect().toSeq.sorted
+      val expected = rows.groupBy(_._1).map { case (_, g) =>
+        g.minBy(r => (-r._2, r._3))
+      }.toSeq.sorted
+      assert(got == expected)
+      val again = LatestPerKey(out, Seq(col("k")), order)
+        .as[(Int, Int, Int)].collect().toSeq.sorted
+      assert(again == got)
+    }
+  }
+
+  test("topK returns at most k per key and includes the top-1") {
+    val df = (1 to 100).map(i => (i % 5, i)).toDF("k", "v")
+    val top3 = LatestPerKey.topK(df, 3, Seq(col("k")), Seq(col("v").desc_nulls_last))
+      .as[(Int, Int)].collect().toSeq
+    assert(top3.groupBy(_._1).forall(_._2.size == 3))
+    val top1 = LatestPerKey(df, Seq(col("k")), Seq(col("v").desc_nulls_last))
+      .as[(Int, Int)].collect().toSet
+    assert(top1.subsetOf(top3.toSet))
+  }
+}
