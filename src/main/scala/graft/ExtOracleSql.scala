@@ -1,0 +1,140 @@
+package graft
+
+/** DuckDB-dialect oracle SQL for the ExtQueries extension operators.
+  *
+  * Portability contract with the Spark implementations:
+  *  - every float reduction is a left fold in array order (`list_reduce`
+  *    here, `aggregate` in Spark) → bit-identical doubles, no epsilon;
+  *  - "hash functions" are md5-hex strings compared lexicographically;
+  *  - DuckDB list slicing `l[a:b]` is 1-based inclusive = Spark
+  *    `slice(l, a, b-a+1)`; `range(a, b)` is end-exclusive = Spark
+  *    `sequence(a, b-1)`.
+  */
+object ExtOracleSql {
+
+  /** (doc_id, words) corpus + near-dup copies of every 10th doc. */
+  private val nearDupCorpus =
+    """nd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    (string_split(text, ' '))[6:len(string_split(text, ' '))] AS words
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  val dedupMinhashLsh: String =
+    s"""WITH $nearDupCorpus,
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS shingles
+       |  FROM nd WHERE len(words) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    [list_min([md5(CAST(i AS VARCHAR) || ':' || s) for s in shingles])
+       |     for i in range(0, 16)] AS sigs
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sigs,
+       |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sigs[b*4+1:b*4+4], '|'))
+       |            for b in range(0, 4)]) AS band
+       |  FROM sig)
+       |SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |  CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 AS est_jaccard
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 >= 0.4""".stripMargin
+
+  val dedupSimhash: String =
+    s"""WITH $nearDupCorpus,
+       |sim AS (
+       |  SELECT doc_id,
+       |    array_to_string(
+       |      [CASE WHEN list_reduce(
+       |              [CASE WHEN substr(md5(w), i, 1) IN ('8','9','a','b','c','d','e','f')
+       |                    THEN 1 ELSE -1 END for w in words],
+       |              (acc, x) -> acc + x) >= 0
+       |            THEN '1' ELSE '0' END for i in range(1, 17)], '') AS simhash
+       |  FROM nd),
+       |b AS (SELECT doc_id, simhash, substr(simhash, 1, 8) AS bucket FROM sim)
+       |SELECT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2, a.simhash AS simhash_1,
+       |  16 - len(list_filter(range(1, 17),
+       |           i -> substr(a.simhash, i, 1) = substr(b2.simhash, i, 1))) AS hamming
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+       |WHERE 16 - len(list_filter(range(1, 17),
+       |        i -> substr(a.simhash, i, 1) = substr(b2.simhash, i, 1))) <= 3""".stripMargin
+
+  val textRollingFingerprint: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(text) = 0 THEN 0
+      |       ELSE list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |                        (acc, x) -> (acc * 31 + x) % 1000000007) END AS rhash
+      |FROM documents""".stripMargin
+
+  val textBpeTokens: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_distinct_tokens
+      |FROM documents""".stripMargin
+
+  /** Shared double-cast corpus + left-fold cosine helper macro text. */
+  private val vecsDouble =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |      FROM embeddings)""".stripMargin
+
+  private def cosine(a: String, b: String): String =
+    s"""(list_reduce([$a[i] * $b[i] for i in range(1, len($a) + 1)], (acc, x) -> acc + x)
+       | / (sqrt(list_reduce(list_transform($a, x -> x * x), (acc, x) -> acc + x))
+       |    * sqrt(list_reduce(list_transform($b, x -> x * x), (acc, x) -> acc + x))))""".stripMargin
+
+  val simCosineTopK: String =
+    s"""WITH $vecsDouble,
+       |q AS (SELECT vec_id AS query_id, vec AS q_vec FROM v WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cosine("q.q_vec", "c.vec")} AS score
+       |  FROM v c JOIN q ON q.query_id <> c.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** 8-bit hyperplane signature: r_j[i] = ((i*31 + j*17) % 7) - 3. */
+  private def signature(v: String): String =
+    s"""array_to_string(
+       |  [CASE WHEN list_reduce(
+       |          [$v[i] * CAST(((i * 31 + j * 17) % 7) - 3 AS DOUBLE)
+       |           for i in range(1, len($v) + 1)],
+       |          (acc, x) -> acc + x) >= 0
+       |        THEN '1' ELSE '0' END for j in range(0, 8)], '')""".stripMargin
+
+  val simAnnLshTopK: String =
+    s"""WITH $vecsDouble,
+       |s AS (SELECT vec_id, vec, ${signature("vec")} AS bucket FROM v),
+       |q AS (SELECT vec_id AS query_id, vec AS q_vec, bucket FROM s WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cosine("q.q_vec", "c.vec")} AS score
+       |  FROM s c JOIN q ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  val dedupEmbeddingCosine: String =
+    s"""WITH $vecsDouble,
+       |all_v AS (
+       |  SELECT vec_id, vec FROM v
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    [vec[i] + CAST((i % 5) - 2 AS DOUBLE) * 0.01 for i in range(1, len(vec) + 1)] AS vec
+       |  FROM v WHERE vec_id % 10 = 0),
+       |s AS (SELECT vec_id AS id, vec, ${signature("vec")} AS bucket FROM all_v)
+       |SELECT a.id AS id_1, b.id AS id_2,
+       |  round(${cosine("a.vec", "b.vec")}, 6) AS cosine
+       |FROM s a JOIN s b ON a.bucket = b.bucket AND a.id < b.id
+       |WHERE ${cosine("a.vec", "b.vec")} >= 0.95""".stripMargin
+}

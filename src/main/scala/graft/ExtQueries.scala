@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.LatestPerKey
+import graft.functions.TextFunctions
+import graft.operators.{LatestPerKey, Similarity}
 import graft.sources.Tables
 
 /** Spark-side implementations of the LLM-data-pipeline extension queries
@@ -123,4 +124,106 @@ object ExtQueries {
     docs(s, dir).select(
       col("doc_id"),
       md5(lower(col("text")).cast("binary")).as("fingerprint"))
+
+  /** Corpus + near-duplicate copies (first 5 words dropped) of every 10th
+    * doc, as (doc_id, words) — shared input for the near-dup detectors.
+    */
+  private def withNearDups(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), split(col("text"), " ").as("words"))
+    base.unionByName(base.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      expr("slice(words, 6, greatest(size(words) - 5, 0))").as("words")))
+  }
+
+  /** MinHash + LSH near-dup detection: 16-slot signature, 4 bands × 4
+    * rows, candidates = docs sharing a band key, kept when the signature
+    * Jaccard estimate ≥ 0.4. The whole signature+banding stage is
+    * per-row HOF work (one scan, no explode of shingles); only the tiny
+    * (doc_id, band) pairs shuffle — that's the 100 TB shape: bytes across
+    * the wire ∝ docs × bands, not docs × shingles.
+    */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val k = 16; val bands = 4; val rows = 4
+    val sig = withNearDups(docs(s, dir))
+      .withColumn("sh", TextFunctions.shingles(col("words"), 3))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sigs", TextFunctions.minhashSignature(array_distinct(col("sh")), k))
+      .select(col("doc_id"), col("sigs"),
+        TextFunctions.lshBands(col("sigs"), bands, rows).as("bandkeys"))
+    val banded = sig.select(col("doc_id"), col("sigs"), explode(col("bandkeys")).as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        TextFunctions.signatureSimilarity(col("a.sigs"), col("b.sigs"), k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.4)
+  }
+
+  /** SimHash near-dup detection: 16-bit simhash per doc (single-pass HOF,
+    * no shuffle), candidate pairs bucketed by the 8-bit prefix, kept when
+    * hamming ≤ 3. Prefix bucketing is the standard hamming-space block
+    * trick: a pair within distance d shares at least one of d+1 equal
+    * blocks, so few-bit-different docs collide with high probability.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sim = withNearDups(docs(s, dir))
+      .select(col("doc_id"), TextFunctions.simhash16(col("words")).as("simhash"))
+      .withColumn("bucket", col("simhash").substr(1, 8))
+    sim.as("a").join(sim.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("a.simhash").as("simhash_1"),
+        TextFunctions.hammingDistance(col("a.simhash"), col("b.simhash"), 16).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Polynomial rolling-hash fingerprint per document. */
+  def textRollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.rollingHash(col("text")).as("rhash"))
+
+  /** BPE-flavored tokenization stats (letter/digit/punct token runs). */
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(TextFunctions.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+      size(array_distinct(TextFunctions.bpeTokens(col("text")))).cast("long").as("n_distinct_tokens"))
+
+  // ===== embedding similarity =====
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Every 25th vector is a query; exact brute-force cosine top-5. */
+  def simCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    Similarity.bruteForceTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5)
+  }
+
+  /** Same query set through the hyperplane-LSH bucketed (approximate)
+    * path — the scale formulation: candidates shrink to the query's
+    * bucket, so the scan is corpus-size, not corpus × queries.
+    */
+  def simAnnLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    Similarity.lshTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5, nBits = 8)
+  }
+
+  /** Embedding near-dup: every 10th vector re-appears deterministically
+    * perturbed (index-patterned additive noise — cosine is scale-invariant
+    * so a multiplicative copy would be a degenerate test); pairs with
+    * cosine ≥ 0.95 among LSH-bucket candidates survive.
+    */
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir).select(col("vec_id"), col("embedding"))
+    val pert = base.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(sequence(lit(1), size(col("embedding"))),
+        i => element_at(col("embedding"), i).cast("double") +
+          (i % 5 - 2).cast("double") * 0.01).as("embedding"))
+    val all = base.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("embedding")).unionByName(pert)
+    Similarity.nearDupPairs(all, threshold = 0.95, nBits = 8)
+  }
 }

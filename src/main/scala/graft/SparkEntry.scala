@@ -62,10 +62,17 @@ object SparkEntry {
     // LLM-data-pipeline extensions
     "dedup_exact" -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (ExtQueries.dedupMinhashLsh _),
+    "dedup_simhash" -> (ExtQueries.dedupSimhash _),
+    "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
     "text_quality_score" -> (ExtQueries.textQualityScore _),
     "text_lang_id" -> (ExtQueries.textLangId _),
-    "text_fingerprint" -> (ExtQueries.textFingerprint _)
+    "text_fingerprint" -> (ExtQueries.textFingerprint _),
+    "text_rolling_fingerprint" -> (ExtQueries.textRollingFingerprint _),
+    "text_bpe_tokens" -> (ExtQueries.textBpeTokens _),
+    "sim_cosine_topk" -> (ExtQueries.simCosineTopK _),
+    "sim_ann_lsh_topk" -> (ExtQueries.simAnnLshTopK _)
   )
 
   /** Subset run by graft.Bench as the headline set. */
@@ -74,7 +81,8 @@ object SparkEntry {
     "w1_latest_per_key", "w3_running_total", "events_hourly_agg",
     "events_sessionize", "report1_mortgage_portfolio",
     "report2_restructuring_pipeline", "report3_commercial_promises",
-    "dedup_exact", "dedup_ngram_jaccard", "text_lang_id")
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "text_lang_id", "sim_cosine_topk", "sim_ann_lsh_topk")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -353,6 +361,14 @@ object SparkEntry {
          |LEFT JOIN (SELECT doc_id, lex_lang FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
 
     "text_fingerprint" ->
-      "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents"
+      "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+
+    "dedup_minhash_lsh" -> ExtOracleSql.dedupMinhashLsh,
+    "dedup_simhash" -> ExtOracleSql.dedupSimhash,
+    "dedup_embedding_cosine" -> ExtOracleSql.dedupEmbeddingCosine,
+    "text_rolling_fingerprint" -> ExtOracleSql.textRollingFingerprint,
+    "text_bpe_tokens" -> ExtOracleSql.textBpeTokens,
+    "sim_cosine_topk" -> ExtOracleSql.simCosineTopK,
+    "sim_ann_lsh_topk" -> ExtOracleSql.simAnnLshTopK
   )
 }

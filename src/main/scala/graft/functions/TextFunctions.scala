@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for LLM-scale dedup/fingerprinting, built
+  * entirely from codegen'd higher-order functions — no UDFs, so every
+  * expression stays inside WholeStageCodegen and is portable to the
+  * DuckDB oracle (md5 + lexicographic min + integer folds are
+  * engine-independent by construction).
+  */
+object TextFunctions {
+
+  private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** Word n-gram shingles (space-joined), empty array for short docs. */
+  def shingles(words: Column, n: Int): Column =
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+
+  /** MinHash signature: k independent "hash functions" realized as
+    * md5(i ':' shingle) with the lexicographic minimum per slot — string
+    * min over 32-hex-char digests is uniform and identical in any engine
+    * (no 64-bit hash library needed). One pass over the shingle array,
+    * no explode, no shuffle (cf. Broder 1997 resemblance sketches).
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol,
+        sh => md5(concat(i.cast("string"), lit(":"), sh).cast("binary")))))
+
+  /** LSH band keys: digest of each band of `rowsPerBand` signature slots.
+    * Docs sharing any band key become candidate pairs — the classic
+    * banding construction (Leskovec/Rajaraman/Ullman MMDS ch.3).
+    */
+  def lshBands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => md5(concat(b.cast("string"), lit("|"),
+        array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "|")).cast("binary")))
+
+  /** Fraction of equal signature slots — the MinHash Jaccard estimate. */
+  def signatureSimilarity(s1: Column, s2: Column, k: Int): Column =
+    size(filter(zip_with(s1, s2, (a, b) => a === b), x => x)).cast("double") / k
+
+  /** 16-bit SimHash over the token multiset: per bit position i, sum +1/-1
+    * by the high bit of hex digit i of each token's md5; the sign is the
+    * simhash bit (Charikar 2002). Returned as a "0"/"1" string so prefix
+    * bucketing and per-position hamming are plain string ops.
+    */
+  def simhash16(words: Column): Column = {
+    val hashes = transform(words, w => md5(w.cast("binary")))
+    array_join(
+      transform(sequence(lit(1), lit(16)), i =>
+        when(aggregate(hashes, lit(0),
+          (acc, h) => acc + when(h.substr(i, lit(1)).isin(hexHigh: _*), 1).otherwise(-1)
+        ) >= 0, lit("1")).otherwise(lit("0"))),
+      "")
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hammingDistance(s1: Column, s2: Column, bits: Int): Column =
+    lit(bits) - size(filter(sequence(lit(1), lit(bits)),
+      i => s1.substr(i, lit(1)) === s2.substr(i, lit(1))))
+
+  /** Polynomial rolling hash (base 31, mod 1e9+7) over the characters —
+    * a portable document fingerprint computed as a left fold (seed 0 ==
+    * seed-first semantics because 0*31+c == c).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+
+  /** BPE-flavored subword-ish tokenizer: letter runs, digit runs, and
+    * single punctuation marks as separate tokens (the GPT-2 pre-tokenizer
+    * regex family, simplified to an engine-portable character-class form).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+}

@@ -36,4 +36,11 @@ object LatestPerKey {
       .filter(col(rn) <= k)
       .drop(rn)
   }
+
+  /** Top-k keeping the 1-based rank as `rankCol`. */
+  def topKRanked(df: DataFrame, k: Int, partitionCols: Seq[Column], orderCols: Seq[Column],
+                 rankCol: String = "rank"): DataFrame =
+    df.withColumn(rankCol,
+        row_number().over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)))
+      .filter(col(rankCol) <= k)
 }

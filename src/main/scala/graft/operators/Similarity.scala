@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `ARRAY<FLOAT>` columns.
+  *
+  * Determinism contract (the DuckDB hash-match gate): every floating-point
+  * reduction is a LEFT FOLD in array-index order (`aggregate` here,
+  * `list_reduce` in the oracle), so dot products and norms are
+  * bit-identical across engines — no rounding epsilon needed.
+  *
+  * Scale design (100 TB): the query set is broadcast (small side); the
+  * corpus is scanned once. Brute force is the exact baseline; the
+  * hyperplane-LSH variant prunes the corpus to matching buckets first, so
+  * the cross product shrinks from |Q|×|C| to per-bucket blocks and the
+  * top-k window shuffles only (query_id) partitions.
+  */
+object Similarity {
+
+  /** Element-wise double view of a float-array column. */
+  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Left-fold dot product — bit-reproducible on any cluster layout
+    * because the fold order is the array order, not partition order.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (brute force baseline).
+    * `queries` must be small enough to broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    LatestPerKey.topKRanked(scored, k, Seq(col("query_id")),
+        Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Deterministic integer hyperplane component: r_j[i] = ((i*31+j*17) mod 7) - 3.
+    * Pseudo-random enough to split buckets, trivially reproducible in any
+    * engine (no RNG, no hash library).
+    */
+  private def hyperplaneBit(v: Column, j: Int): Column = {
+    val proj = aggregate(
+      zip_with(asDouble(v), transform(sequence(lit(1), size(v)),
+        i => ((i * 31 + lit(j * 17)) % 7 - 3).cast("double")), _ * _),
+      lit(0.0), _ + _)
+    when(proj >= 0, lit("1")).otherwise(lit("0"))
+  }
+
+  /** nBits-character "0"/"1" bucket signature via random-hyperplane LSH
+    * (Charikar 2002 §3 — sign of projection preserves cosine locality).
+    */
+  def hyperplaneSignature(v: Column, nBits: Int): Column =
+    concat((0 until nBits).map(j => hyperplaneBit(v, j)): _*)
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket.
+    * At scale the bucket column becomes the shuffle/partition key — each
+    * bucket is an independent block, so skewless buckets parallelize the
+    * search with no global cross join.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    LatestPerKey.topKRanked(scored, k, Seq(col("query_id")),
+        Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Near-duplicate vector pairs: LSH-bucket candidates, then exact cosine
+    * ≥ threshold. The bucket join replaces the O(n²) cross product — the
+    * same posting-list trick as n-gram Jaccard dedup, in embedding space.
+    */
+  def nearDupPairs(vectors: DataFrame, threshold: Double, nBits: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        cosine(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_1"), col("id_2"), round(col("cos"), 6).as("cosine"))
+  }
+}

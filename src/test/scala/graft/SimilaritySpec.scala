@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Similarity
+
+/** Unit tests for the embedding-similarity and text-dedup primitives. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      ("same", Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      ("orth", Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      ("anti", Seq(1f, 2f, 0f), Seq(-1f, -2f, 0f))
+    ).toDF("name", "a", "b")
+      .select(col("name"), round(Similarity.cosine(col("a"), col("b")), 9).as("cos"))
+      .as[(String, Double)].collect().toMap
+    assert(df("same") == 1.0 && df("orth") == 0.0 && df("anti") == -1.0)
+  }
+
+  test("bruteForceTopK: k rows per query, self excluded, rank ordered by score") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 3), k = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 4)
+      assert(rows.forall(_._3 != q), "self must be excluded")
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.head >= p.last), "scores descend with rank")
+    }
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with same scores") {
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.tabulate(16)(d => math.sin(i * 1.7 + d).toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 10 === 0)
+    val brute = Similarity.bruteForceTopK(vecs, q, k = 50)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    val approx = Similarity.lshTopK(vecs, q, k = 5, nBits = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (qid, _, nid, score) =>
+      assert(brute((qid, nid)) == score, "LSH score must equal exact score for the same pair")
+    }
+  }
+
+  test("minhash signature similarity: identical sets → 1.0; disjoint → low") {
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h"),
+      ("a b c d e f g h", "q r s t u v w x")
+    ).toDF("t1", "t2")
+      .select(
+        TextFunctions.signatureSimilarity(
+          TextFunctions.minhashSignature(TextFunctions.shingles(split(col("t1"), " "), 3), 16),
+          TextFunctions.minhashSignature(TextFunctions.shingles(split(col("t2"), " "), 3), 16),
+          16).as("sim"))
+      .as[Double].collect()
+    assert(df(0) == 1.0)
+    assert(df(1) < 0.3)
+  }
+
+  test("simhash: equal docs → hamming 0; near-dup docs → small hamming") {
+    val words = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = words.split(" ").drop(2).mkString(" ")
+    val far = "zz yy xx ww vv uu tt ss rr qq pp oo nn"
+    val sims = Seq(words, near, far).toDF("text")
+      .select(TextFunctions.simhash16(split(col("text"), " ")).as("sh"))
+      .as[String].collect()
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(ham(sims(0), sims(0)) == 0)
+    assert(ham(sims(0), sims(1)) <= 4, s"near dup should be close: ${sims(0)} vs ${sims(1)}")
+    assert(ham(sims(0), sims(2)) >= 3, "unrelated docs should differ")
+  }
+
+  test("rolling hash matches a local fold and ignores nothing") {
+    val texts = Seq("hello world", "", "a")
+    val got = texts.toDF("text")
+      .select(TextFunctions.rollingHash(col("text")).as("h")).as[Long].collect()
+    val expected = texts.map(_.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L))
+    assert(got.toSeq == expected)
+  }
+
+  test("bpe tokens split letter runs, digit runs, punctuation") {
+    val out = Seq("abc12 de! x9").toDF("text")
+      .select(TextFunctions.bpeTokens(col("text")).as("t")).as[Seq[String]].head()
+    assert(out == Seq("abc", "12", "de", "!", "x", "9"))
+  }
+}
