@@ -124,6 +124,19 @@ object ExtOracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
 
+  val multimodalFeatures: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CASE WHEN length(text) = 0 THEN 0
+      |       ELSE list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |                        (acc, x) -> (acc + x) % 1000000007) END AS byte_sum,
+      |  sha256(text) AS sha256_hex,
+      |  64 + (ascii(substr(sha256(text), 1, 1)) % 8) * 16 AS width,
+      |  64 + (ascii(substr(sha256(text), 2, 1)) % 8) * 16 AS height,
+      |  (64 + (ascii(substr(sha256(text), 1, 1)) % 8) * 16) // 2 AS thumb_w,
+      |  (64 + (ascii(substr(sha256(text), 2, 1)) % 8) * 16) // 2 AS thumb_h
+      |FROM documents""".stripMargin
+
   val dedupEmbeddingCosine: String =
     s"""WITH $vecsDouble,
        |all_v AS (

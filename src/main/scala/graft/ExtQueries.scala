@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{LatestPerKey, Similarity}
+import graft.operators.{LatestPerKey, Multimodal, Similarity}
 import graft.sources.Tables
+import graft.streaming.StreamingStage
 
 /** Spark-side implementations of the LLM-data-pipeline extension queries
   * (dedup, text analysis) over the `documents` table. Each has a DuckDB
@@ -226,4 +227,20 @@ object ExtQueries {
       transform(col("embedding"), _.cast("double")).as("embedding")).unionByName(pert)
     Similarity.nearDupPairs(all, threshold = 0.95, nBits = 8)
   }
+
+  // ===== multimodal & streaming =====
+
+  /** Binary-payload feature extraction (stubbed decode — see Multimodal). */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.documentFeatures(docs(s, dir))
+
+  /** Streaming (AvailableNow) hourly window agg — must equal the batch
+    * `events_hourly_agg` result exactly.
+    */
+  def streamingHourlyAgg(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingHourlyAgg(s, dir)
+
+  /** Streaming dedup of a duplicated stream — must equal the base table. */
+  def streamingDedupEvents(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingDedupEvents(s, dir)
 }

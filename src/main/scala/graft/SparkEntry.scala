@@ -72,7 +72,10 @@ object SparkEntry {
     "text_rolling_fingerprint" -> (ExtQueries.textRollingFingerprint _),
     "text_bpe_tokens" -> (ExtQueries.textBpeTokens _),
     "sim_cosine_topk" -> (ExtQueries.simCosineTopK _),
-    "sim_ann_lsh_topk" -> (ExtQueries.simAnnLshTopK _)
+    "sim_ann_lsh_topk" -> (ExtQueries.simAnnLshTopK _),
+    "multimodal_features" -> (ExtQueries.multimodalFeatures _),
+    "streaming_hourly_agg" -> (ExtQueries.streamingHourlyAgg _),
+    "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _)
   )
 
   /** Subset run by graft.Bench as the headline set. */
@@ -369,6 +372,22 @@ object SparkEntry {
     "text_rolling_fingerprint" -> ExtOracleSql.textRollingFingerprint,
     "text_bpe_tokens" -> ExtOracleSql.textBpeTokens,
     "sim_cosine_topk" -> ExtOracleSql.simCosineTopK,
-    "sim_ann_lsh_topk" -> ExtOracleSql.simAnnLshTopK
+    "sim_ann_lsh_topk" -> ExtOracleSql.simAnnLshTopK,
+    "multimodal_features" -> ExtOracleSql.multimodalFeatures,
+
+    // streaming twins: the oracle is the BATCH semantics — streaming
+    // (AvailableNow) must converge to the same result.
+    "streaming_hourly_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "streaming_dedup_events" ->
+      """SELECT event_id, user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, value, props
+        |FROM events""".stripMargin
   )
 }

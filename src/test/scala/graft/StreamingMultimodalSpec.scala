@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.streaming.StreamingStage
+
+/** Streaming batch-equivalence and multimodal plumbing tests. */
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly agg equals batch hourly agg") {
+    val streamed = StreamingStage.streamingHourlyAgg(spark, sfSmoke)
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = Queries.eventsHourlyAgg(spark, sfSmoke)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup of a doubled stream equals the base table") {
+    val deduped = StreamingStage.streamingDedupEvents(spark, sfSmoke)
+    val base = sources.Tables.events(spark, sfSmoke)
+    assert(deduped.count() == base.count())
+    assert(deduped.select("event_id").distinct().count() == base.count())
+  }
+
+  test("multimodal features: deterministic, digest-consistent, full coverage") {
+    val docs = sources.Tables.load(spark, sfSmoke, "documents")
+    val feats = Multimodal.documentFeatures(docs)
+    assert(feats.count() == docs.count())
+    val row = feats.filter(col("doc_id") === 0).head()
+    // sha256 must match Spark's own built-in over the same bytes
+    val expectedSha = docs.filter(col("doc_id") === 0)
+      .select(sha2(col("text").cast("binary"), 256)).as[String].head()
+    assert(row.getAs[String]("sha256_hex") == expectedSha)
+    assert(row.getAs[Long]("n_bytes") > 0)
+    val w = row.getAs[Int]("width"); val h = row.getAs[Int]("height")
+    assert(w >= 64 && w <= 176 && h >= 64 && h <= 176)
+    assert(row.getAs[Int]("thumb_w") == w / 2 && row.getAs[Int]("thumb_h") == h / 2)
+    // deterministic across runs
+    val again = Multimodal.documentFeatures(docs).filter(col("doc_id") === 0).head()
+    assert(again == row)
+  }
+}
