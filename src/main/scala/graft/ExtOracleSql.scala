@@ -42,23 +42,33 @@ object ExtOracleSql {
        |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
        |WHERE CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 >= 0.4""".stripMargin
 
+  private val simhashBitSums: String = (0 until 64).map { j =>
+    val i = j / 4 + 1; val b = j % 4
+    s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1) >> $b) & 1) = 1" +
+      s" THEN 1 ELSE -1 END) AS b$j"
+  }.mkString(",\n    ")
+
+  private val simhashConcat: String =
+    (0 until 64).map(j => s"(CASE WHEN b$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
   val dedupSimhash: String =
     s"""WITH $nearDupCorpus,
-       |sim AS (
+       |tok AS (SELECT doc_id, unnest(words) AS w FROM nd),
+       |bitsums AS (
        |  SELECT doc_id,
-       |    array_to_string(
-       |      [CASE WHEN list_reduce(
-       |              [CASE WHEN substr(md5(w), i, 1) IN ('8','9','a','b','c','d','e','f')
-       |                    THEN 1 ELSE -1 END for w in words],
-       |              (acc, x) -> acc + x) >= 0
-       |            THEN '1' ELSE '0' END for i in range(1, 17)], '') AS simhash
-       |  FROM nd),
-       |b AS (SELECT doc_id, simhash, substr(simhash, 1, 8) AS bucket FROM sim)
-       |SELECT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2, a.simhash AS simhash_1,
-       |  16 - len(list_filter(range(1, 17),
+       |    $simhashBitSums
+       |  FROM tok GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simhashConcat AS simhash FROM bitsums),
+       |blocks AS (
+       |  SELECT doc_id, simhash,
+       |    unnest([CAST(j AS VARCHAR) || '|' || substr(simhash, 1 + j*16, 16)
+       |            for j in range(0, 4)]) AS block
+       |  FROM sim)
+       |SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2, a.simhash AS simhash_1,
+       |  64 - len(list_filter(range(1, 65),
        |           i -> substr(a.simhash, i, 1) = substr(b2.simhash, i, 1))) AS hamming
-       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
-       |WHERE 16 - len(list_filter(range(1, 17),
+       |FROM blocks a JOIN blocks b2 ON a.block = b2.block AND a.doc_id < b2.doc_id
+       |WHERE 64 - len(list_filter(range(1, 65),
        |        i -> substr(a.simhash, i, 1) = substr(b2.simhash, i, 1))) <= 3""".stripMargin
 
   val textRollingFingerprint: String =

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+
+import graft.functions.VectorSumAgg
+
+/** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
+  * or `builder.withExtensions(new GraftExtensions)`): registers the
+  * custom Catalyst functions so they are addressable from SQL text and
+  * `expr(...)` exactly like built-ins.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      VectorSumAgg.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorSumAgg(children.head).toAggregateExpression()))
+  }
+}

@@ -19,12 +19,18 @@ object Sessions {
 
   /** Apply the engine's pinned configs to any builder. */
   def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.ansi.enabled", "false")
+    b.withExtensions(new GraftExtensions)
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // TypedImperativeAggregate (vec_sum) runs in ObjectHashAggregate,
+      // whose default sort-based fallback (128 keys/partition) is
+      // catastrophic for many-group sketch tallies; buffers are small
+      // fixed-size arrays, so keep it hash-based.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
       // rejects; read as Long (ns) and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -85,6 +85,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("vec_sum custom aggregate sums long arrays element-wise") {
+    val df = Seq((1, Seq(1L, 2L, 3L)), (1, Seq(10L, 20L, 30L)), (2, Seq(5L, 5L, 5L)))
+      .toDF("k", "v")
+    val got = df.groupBy("k").agg(expr("vec_sum(v)").as("s"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(got(1) == Seq(11L, 22L, 33L) && got(2) == Seq(5L, 5L, 5L))
+    // also addressable from pure SQL via the extension registration
+    df.createOrReplaceTempView("vecsum_in")
+    val sql = spark.sql("SELECT k, vec_sum(v) AS s FROM vecsum_in GROUP BY k")
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(sql == got)
+  }
+
   test("bpe tokens split letter runs, digit runs, punctuation") {
     val out = Seq("abc12 de! x9").toDF("text")
       .select(TextFunctions.bpeTokens(col("text")).as("t")).as[Seq[String]].head()
