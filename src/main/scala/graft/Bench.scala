@@ -16,6 +16,11 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Unmeasured warm-up: first query otherwise pays one-time JVM/
+    // codegen/parquet-footer costs (~2s) that say nothing about the plan.
+    try SparkEntry.queries(SparkEntry.benchQueries.head)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -57,14 +57,23 @@ object ExtQueries {
       (col("doc_id") + lit(1000000L)).as("doc_id"),
       expr("slice(words, 6, greatest(size(words) - 5, 0))").as("words"))
     val all = base.unionByName(pert)
-    val sh = all
-      .withColumn("sh", explode(array_distinct(expr(shingleExpr))))
-      .select("doc_id", "sh")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+    // Inverted index as ONE groupBy(shingle) + in-bucket pair expansion:
+    // a posting-list self-join would shuffle the exploded shingle table
+    // twice and recompute its pipeline per side; here only (shingle ->
+    // doc list) shuffles once, singleton shingles (the vast majority)
+    // are pruned before any pair exists, and per-doc set sizes come from
+    // a doc-level projection (no second explode); AQE broadcasts that
+    // side when it is small and falls back to shuffle join at scale.
+    val sh = all.select(col("doc_id"), explode(array_distinct(expr(shingleExpr))).as("sh"))
+    val pairs = sh.groupBy("sh")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, a ->
+          |  transform(filter(ds, b -> b > a), b -> struct(a AS doc_id_1, b AS doc_id_2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"))
       .agg(count(lit(1)).as("inter"))
+    val sizes = all.select(col("doc_id"), size(array_distinct(expr(shingleExpr))).as("n_sh"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("n_sh", "n1"), "doc_id_1")
       .join(sizes.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("n_sh", "n2"), "doc_id_2")
