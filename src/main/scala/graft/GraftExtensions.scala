@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 
-import graft.functions.VectorSumAgg
+import graft.functions.{CosineSimilarity, VectorSumAgg}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
   * or `builder.withExtensions(new GraftExtensions)`): registers the
@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       VectorSumAgg.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorSumAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      CosineSimilarity.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(children(0), children(1))))
   }
 }

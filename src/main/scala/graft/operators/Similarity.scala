@@ -31,7 +31,16 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed-HOF cosine — the reference formulation the oracle mirrors;
+    * kept for the bitwise-equivalence test against the native expression.
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity via the
+    * GraftExtensions registry) — bit-identical to [[cosineHof]], one
+    * fused loop instead of three HOF folds.
+    */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Exact top-k neighbors for each query vector (brute force baseline).
     * `queries` must be small enough to broadcast.

@@ -85,6 +85,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("native cosine_sim is bit-identical to the composed HOF cosine") {
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.tabulate(64)(d => (math.sin(i * 2.3 + d * 0.7) * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val both = vecs.as("a").crossJoin(vecs.limit(5).as("b"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.length == 1000)
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+    // length mismatch -> null, mirroring zip_with padding semantics
+    val m = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).collect()(0)
+    assert(m.isNullAt(0))
+  }
+
   test("vec_sum custom aggregate sums long arrays element-wise") {
     val df = Seq((1, Seq(1L, 2L, 3L)), (1, Seq(10L, 20L, 30L)), (2, Seq(5L, 5L, 5L)))
       .toDF("k", "v")
