@@ -307,6 +307,15 @@ object Queries {
         count(lit(1)).as("n_events"),
         fixedPointSum(col("value"), 6).as("sum_value"))
 
+  /** JSON extraction from the event props payload (schema-on-read for
+    * semi-structured columns — get_json_object stays codegen'd).
+    */
+  def eventsJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
+
   /** Gap-based sessionization (30 min) — lag + cumulative flag-sum. */
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     // order by exact ns (matches DuckDB's native TIMESTAMP_NS ordering)

@@ -59,6 +59,7 @@ object SparkEntry {
     "q5_multijoin_agg" -> (Queries.q5MultijoinAgg _),
     "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
     "events_sessionize" -> (Queries.eventsSessionize _),
+    "events_json_extract" -> (Queries.eventsJsonExtract _),
     // LLM-data-pipeline extensions
     "dedup_exact" -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
@@ -293,6 +294,12 @@ object SparkEntry {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "events_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+        |FROM events""".stripMargin,
 
     "dedup_exact" ->
       """WITH all_docs AS (
