@@ -307,4 +307,10 @@ object ExtQueries {
   /** Streaming dedup of a duplicated stream — must equal the base table. */
   def streamingDedupEvents(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingDedupEvents(s, dir)
+
+  /** Stateful streaming sessionization (flatMapGroupsWithState) — must
+    * equal the batch window-function sessionization.
+    */
+  def streamingSessionize(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingSessionize(s, dir)
 }

@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming mode for the engine — the incremental capability
   * the reference lacks entirely (its views are batch-only; SURVEY.md §7.1
@@ -109,5 +113,99 @@ object StreamingStage {
     val s1 = eventsStream(spark, dir)
     val s2 = eventsStream(spark, dir)
     runToTable(dedupEvents(s1.unionByName(s2)), "streaming_dedup_events", "append")
+  }
+
+  // ===== custom-state sessionization (flatMapGroupsWithState) =====
+
+  /** Event as seen by the sessionizer (ns timestamp is the exact order
+    * key; `ts` is the µs watermark column).
+    */
+  final case class SessEvent(user_id: Long, event_id: Long, ts_ns: Long,
+                             ts: java.sql.Timestamp)
+
+  /** Open-session state kept per user between micro-batches. */
+  final case class OpenSession(idx: Long, startNs: Long, lastNs: Long, n: Long)
+
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              session_start: String, session_end: String)
+
+  private val tsFmt: DateTimeFormatter =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+
+  private def fmtNs(ns: Long): String =
+    tsFmt.format(java.time.Instant.ofEpochSecond(ns / 1000000000L))
+
+  /** Gap-based sessionization as keyed streaming state: events extend the
+    * open session; a gap > `gapSec` (in whole seconds, matching the batch
+    * formulation) closes it and emits; the event-time timeout (watermark
+    * past last event + gap) flushes the final open session. Incremental
+    * form of `Queries.eventsSessionize` — identical output by the oracle
+    * gate.
+    *
+    * Scale: state is one tiny fixed-size record per ACTIVE user (not per
+    * event) in the keyed state store; watermark eviction bounds it to
+    * users seen within the lateness horizon.
+    */
+  def sessionize(events: Dataset[SessEvent], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSec * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.idx, s.n, fmtNs(s.startNs), fmtNs(s.lastNs)))
+          } else {
+            // within-batch arrival order is not time order: sort by the
+            // same total order as the batch window (ts_ns, event_id)
+            val evs = it.toArray.sortBy(e => (e.ts_ns, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur match {
+                case None =>
+                  cur = Some(OpenSession(1, e.ts_ns, e.ts_ns, 1))
+                case Some(s) if (e.ts_ns / 1000000000L) - (s.lastNs / 1000000000L) > gapSec =>
+                  out += SessionOut(userId, s.idx, s.n, fmtNs(s.startNs), fmtNs(s.lastNs))
+                  cur = Some(OpenSession(s.idx + 1, e.ts_ns, e.ts_ns, 1))
+                case Some(s) =>
+                  cur = Some(s.copy(lastNs = math.max(s.lastNs, e.ts_ns), n = s.n + 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastNs / 1000000L + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming sessionization run to completion. A far-future sentinel
+    * event (from a MemoryStream, `user_id = -1`, filtered from output)
+    * advances the final watermark past every open session so the
+    * event-time timeouts flush — without it, AvailableNow would end with
+    * the last sessions still open in state.
+    */
+  def streamingSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxNs = graft.sources.Tables.events(spark, dir)
+      .agg(max(col("ts_ns"))).head().getLong(0)
+    val sentinelNs = maxNs + 30L * 24 * 3600 * 1000000000L
+    val sentinel = MemoryStream[SessEvent](spark)
+    sentinel.addData(SessEvent(-1L, -1L, sentinelNs,
+      new java.sql.Timestamp(sentinelNs / 1000000L)))
+    val real = eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts_ns").cast("long").as("ts_ns"), col("ts"))
+      .as[SessEvent]
+    val sessions = sessionize(real.unionByName(sentinel.toDS()))
+      .filter(col("user_id") >= 0)
+    runToTable(sessions.toDF(), "streaming_sessionize", "append")
   }
 }

@@ -23,6 +23,15 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(deduped.select("event_id").distinct().count() == base.count())
   }
 
+  test("stateful streaming sessionize equals batch window sessionize") {
+    val streamed = StreamingStage.streamingSessionize(spark, sfSmoke)
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    val batch = Queries.eventsSessionize(spark, sfSmoke)
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("multimodal features: deterministic, digest-consistent, full coverage") {
     val docs = sources.Tables.load(spark, sfSmoke, "documents")
     val feats = Multimodal.documentFeatures(docs)
