@@ -307,6 +307,28 @@ object Queries {
         count(lit(1)).as("n_events"),
         fixedPointSum(col("value"), 6).as("sum_value"))
 
+  /** As-of join: each purchase event picks up the latest prior (or
+    * simultaneous) view event of the same user — union+window operator
+    * (see operators.AsofJoin), oracled against DuckDB's native ASOF JOIN.
+    */
+  def eventsAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // µs granularity at the interface: DuckDB loads TIMESTAMP(NANOS)
+    // parquet as µs, and µs epochs (~1.7e15) stay exact through the
+    // gate's float64 normalization where ns (~1.7e18 > 2^53) would not.
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns DIV 1000").as("ts_us"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+        expr("ts_ns DIV 1000").as("view_ts_us"), col("value").as("view_value"))
+    operators.AsofJoin.backward(
+      purchases, views,
+      keyCols = Seq("user_id"), timeCol = "ts_us",
+      valueCols = Seq("view_ts_us", "view_value"))
+  }
+
   /** JSON extraction from the event props payload (schema-on-read for
     * semi-structured columns — get_json_object stays codegen'd).
     */

@@ -60,6 +60,7 @@ object SparkEntry {
     "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
     "events_sessionize" -> (Queries.eventsSessionize _),
     "events_json_extract" -> (Queries.eventsJsonExtract _),
+    "events_asof_join" -> (Queries.eventsAsofJoin _),
     // LLM-data-pipeline extensions
     "dedup_exact" -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
@@ -295,6 +296,14 @@ object SparkEntry {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "events_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  epoch_us(v.ts) AS view_ts_us, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
 
     "events_json_extract" ->
       """SELECT event_id,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for every left row, attach the latest right row
+  * with `time <= left.time` on the same key (the time-series join Spark
+  * has no native operator for).
+  *
+  * Implementation is the scalable union+window formulation, not a range
+  * self-join: tag both sides, union, and carry each right value forward
+  * with `last(value, ignoreNulls)` over (key, time) — right rows sort
+  * before left rows at equal time so `<=` matches. Cost: ONE shuffle on
+  * the key + one per-partition sort; no |L|×|R| candidate blow-up, no
+  * per-key collect. Skewed keys fall under the same AQE/salting toolbox
+  * as any single-key window (cf. LatestPerKey).
+  *
+  * Determinism: callers must ensure right (key, time) pairs are unique
+  * (dedupe first with LatestPerKey) or pass a tie-break in `rightOrder`;
+  * otherwise the surviving right row is engine-dependent.
+  */
+object AsofJoin {
+
+  /** @param valueCols right-side columns to attach (aliased as given)
+    * @param rightOrder extra right-side tie-break columns (ascending,
+    *                   later wins) applied at equal time
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCols: Seq[String],
+      rightOrder: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val marker = "__graft_is_left"
+    val tieCols = rightOrder.map(c => s"__graft_tie_$c")
+
+    val taggedLeft = left
+      .withColumn(marker, lit(1))
+      .select(leftCols.map(col) ++
+        valueCols.map(c => lit(null).as(s"__graft_v_$c")) ++
+        tieCols.map(c => lit(null).cast("long").as(c)) :+ col(marker): _*)
+    val taggedRight = right
+      .withColumn(marker, lit(0))
+      .select(keyCols.map(col) ++ Seq(col(timeCol)) ++
+        leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__graft_v_$c")) ++
+        rightOrder.zip(tieCols).map { case (c, t) => col(c).cast("long").as(t) } :+
+        col(marker): _*)
+
+    // right rows (marker 0) sort before left rows at equal time -> the
+    // carried value includes right rows with time == left.time (<=).
+    val order = (col(timeCol).asc_nulls_first +: col(marker).asc_nulls_first +:
+      tieCols.map(col(_).asc_nulls_first)).toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    valueCols.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
+        df.withColumn(c, last(col(s"__graft_v_$c"), ignoreNulls = true).over(w))
+      }
+      .filter(col(marker) === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+}
