@@ -295,6 +295,33 @@ object Queries {
         fixedPointSum(col("o_totalprice"), 2).as("total_sales"),
         count(lit(1)).as("n_orders"))
 
+  /** Hierarchical ROLLUP totals through the region→nation dimension
+    * chain (subtotal + grand-total rows with NULL markers).
+    */
+  def qRollupSales(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+      .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .select(col("r_name").as("region_name"), col("n_name").as("nation_name"),
+        col("o_totalprice"))
+      .rollup(col("region_name"), col("nation_name"))
+      .agg(
+        fixedPointSum(col("o_totalprice"), 2).as("total_sales"),
+        count(lit(1)).as("n_orders"))
+
+  /** Set operations: customers partitioned by open-orders membership vs
+    * big-order membership (INTERSECT / EXCEPT both ways, tagged).
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("cust_key"))
+    val b = o.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("cust_key"))
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("open_only")))
+      .unionByName(b.except(a).withColumn("tag", lit("big_only")))
+  }
+
   /** Tumbling-window (hourly) aggregation over the event stream table —
     * the batch shape of the §7 streaming extension.
     */

@@ -57,6 +57,8 @@ object SparkEntry {
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_topk_revenue" -> (Queries.q3TopkRevenue _),
     "q5_multijoin_agg" -> (Queries.q5MultijoinAgg _),
+    "q_rollup_sales" -> (Queries.qRollupSales _),
+    "q_set_ops" -> (Queries.qSetOps _),
     "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
     "events_sessionize" -> (Queries.eventsSessionize _),
     "events_json_extract" -> (Queries.eventsJsonExtract _),
@@ -267,6 +269,32 @@ object SparkEntry {
         |JOIN customer ON n_nationkey = c_nationkey
         |JOIN orders ON c_custkey = o_custkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_rollup_sales" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |  CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales,
+        |  COUNT(*) AS n_orders
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |GROUP BY ROLLUP(region_name, nation_name)""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT cust_key, 'both' AS tag FROM (
+        |  SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |UNION ALL
+        |SELECT cust_key, 'open_only' AS tag FROM (
+        |  SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |UNION ALL
+        |SELECT cust_key, 'big_only' AS tag FROM (
+        |  SELECT o_custkey AS cust_key FROM orders WHERE o_totalprice > 150000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
 
     "events_hourly_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
