@@ -147,6 +147,35 @@ object ExtOracleSql {
       |  (64 + (ascii(substr(sha256(text), 2, 1)) % 8) * 16) // 2 AS thumb_h
       |FROM documents""".stripMargin
 
+  val simIvfTopK: String =
+    s"""WITH $vecsDouble,
+       |c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 8),
+       |lists AS (
+       |  SELECT vec_id AS neighbor_id, vec AS c_vec, cid FROM (
+       |    SELECT x.vec_id, x.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${cosine("x.vec", "c.cvec")} DESC NULLS LAST, c.cid ASC NULLS FIRST) AS rn
+       |    FROM v x CROSS JOIN c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, q_vec, cid FROM (
+       |    SELECT q.vec_id AS query_id, q.vec AS q_vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosine("q.vec", "c.cvec")} DESC NULLS LAST, c.cid ASC NULLS FIRST) AS rn
+       |    FROM v q CROSS JOIN c WHERE q.vec_id % 25 = 0)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, l.neighbor_id, ${cosine("p.q_vec", "l.c_vec")} AS score
+       |  FROM lists l JOIN probes p USING (cid)
+       |  WHERE p.query_id <> l.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
   val dedupEmbeddingCosine: String =
     s"""WITH $vecsDouble,
        |all_v AS (

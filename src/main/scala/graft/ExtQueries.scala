@@ -275,6 +275,14 @@ object ExtQueries {
     Similarity.lshTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5, nBits = 8)
   }
 
+  /** Same query set through the IVF inverted-list path (coarse quantize →
+    * probe nprobe lists → exact scoring).
+    */
+  def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    Similarity.ivfTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5)
+  }
+
   /** Embedding near-dup: every 10th vector re-appears deterministically
     * perturbed (index-patterned additive noise — cosine is scale-invariant
     * so a multiplicative copy would be a degenerate test); pairs with

@@ -77,6 +77,7 @@ object SparkEntry {
     "text_bpe_tokens" -> (ExtQueries.textBpeTokens _),
     "sim_cosine_topk" -> (ExtQueries.simCosineTopK _),
     "sim_ann_lsh_topk" -> (ExtQueries.simAnnLshTopK _),
+    "sim_ivf_topk" -> (ExtQueries.simIvfTopK _),
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
     "streaming_hourly_agg" -> (ExtQueries.streamingHourlyAgg _),
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
@@ -418,6 +419,7 @@ object SparkEntry {
     "text_bpe_tokens" -> ExtOracleSql.textBpeTokens,
     "sim_cosine_topk" -> ExtOracleSql.simCosineTopK,
     "sim_ann_lsh_topk" -> ExtOracleSql.simAnnLshTopK,
+    "sim_ivf_topk" -> ExtOracleSql.simIvfTopK,
     "multimodal_features" -> ExtOracleSql.multimodalFeatures,
 
     // streaming twins: the oracle is the BATCH semantics — streaming

@@ -95,6 +95,46 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into `nlist` inverted
+    * lists (nearest centroid by cosine, ties → lowest centroid id);
+    * queries probe their `nprobe` nearest lists and score exactly
+    * within them (IVFFlat structure, cf. Jégou et al. 2011 §III).
+    *
+    * Centroids here are a deterministic stand-in ("train" = take the
+    * `nlist` lowest-id vectors); production would plug in offline
+    * k-means centroids — the list-assignment/probe plumbing is
+    * identical. Scale: assignment is a broadcast of `nlist` centroids +
+    * one corpus scan; the probe join shuffles on list id, so each list
+    * is an independent block (same property as the LSH buckets).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 8, nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("c_centroid"))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
+      LatestPerKey.topKRanked(
+        df.crossJoin(broadcast(centroids))
+          .withColumn("c_score", cosine(col(vec), col("c_centroid"))),
+        keep, Seq(col(id)),
+        Seq(col("c_score").desc_nulls_last, col("cid").asc_nulls_first))
+        .select(col(id), col(vec), col("cid"))
+    val lists = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "neighbor_id", "c_vec", keep = 1)
+    val probes = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", keep = nprobe)
+    val scored = lists.join(probes, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .dropDuplicates("query_id", "neighbor_id")
+    LatestPerKey.topKRanked(scored, k, Seq(col("query_id")),
+        Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Near-duplicate vector pairs: LSH-bucket candidates, then exact cosine
     * ≥ threshold. The bucket join replaces the O(n²) cross product — the
     * same posting-list trick as n-gram Jaccard dedup, in embedding space.

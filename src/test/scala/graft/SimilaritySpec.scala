@@ -49,6 +49,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK scores equal exact scores; top-1 recall is sane") {
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Seq.tabulate(16)(d => math.cos(i * 0.9 + d * 1.3).toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 20 === 0)
+    val brute = Similarity.bruteForceTopK(vecs, q, k = 100)
+      .as[(Long, Long, Long, Double)].collect()
+    val bruteScores = brute.map(r => (r._1, r._3) -> r._4).toMap
+    val bruteTop1 = brute.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val ivf = Similarity.ivfTopK(vecs, q, k = 5, nlist = 4, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (qid, _, nid, score) =>
+      assert(bruteScores((qid, nid)) == score, "IVF score must equal exact score")
+    }
+    // probing 2 of 4 lists should usually keep the true top-1
+    val ivfTop1 = ivf.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val recall = ivfTop1.count { case (qid, nid) => bruteTop1(qid) == nid }.toDouble / ivfTop1.size
+    assert(recall >= 0.5, s"top-1 recall $recall suspiciously low")
+  }
+
   test("minhash signature similarity: identical sets → 1.0; disjoint → low") {
     val df = Seq(
       ("a b c d e f g h", "a b c d e f g h"),
