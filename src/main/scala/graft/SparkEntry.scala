@@ -91,7 +91,8 @@ object SparkEntry {
     "events_sessionize", "report1_mortgage_portfolio",
     "report2_restructuring_pipeline", "report3_commercial_promises",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "text_lang_id", "sim_cosine_topk", "sim_ann_lsh_topk")
+    "dedup_simhash", "text_lang_id", "sim_cosine_topk", "sim_ann_lsh_topk",
+    "sim_ivf_topk", "events_asof_join")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
