@@ -283,6 +283,31 @@ object ExtQueries {
     Similarity.ivfTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5)
   }
 
+  /** IVF with TRAINED centroids: deterministic distributed k-means
+    * (operators.KMeans, fixed-point vec_sum centroid updates) as the
+    * coarse quantizer. k-means is not SQL-expressible, so this entry has
+    * no oracle twin — the driver records the weaker rows-only check; the
+    * algorithm itself is covered by KMeansSpec (purity, determinism,
+    * monotone cost).
+    */
+  def simIvfKmeansTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeans
+    val all = vecs(s, dir)
+    val centroids = KMeans.fit(all, k = 8, iterations = 3)
+    val lists = KMeans.probe(all, centroids, nprobe = 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
+    val probes = KMeans.probe(all.filter(col("vec_id") % 25 === 0), centroids, nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
+    val scored = lists.join(probes, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
+      .dropDuplicates("query_id", "neighbor_id")
+    LatestPerKey.topKRanked(scored, 5, Seq(col("query_id")),
+        Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Embedding near-dup: every 10th vector re-appears deterministically
     * perturbed (index-patterned additive noise — cosine is scale-invariant
     * so a multiplicative copy would be a degenerate test); pairs with

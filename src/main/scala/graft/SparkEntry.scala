@@ -78,6 +78,7 @@ object SparkEntry {
     "sim_cosine_topk" -> (ExtQueries.simCosineTopK _),
     "sim_ann_lsh_topk" -> (ExtQueries.simAnnLshTopK _),
     "sim_ivf_topk" -> (ExtQueries.simIvfTopK _),
+    "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
     "streaming_hourly_agg" -> (ExtQueries.streamingHourlyAgg _),
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
