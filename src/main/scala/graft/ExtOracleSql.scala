@@ -29,7 +29,8 @@ object ExtOracleSql {
        |  FROM nd WHERE len(words) >= 3),
        |sig AS (
        |  SELECT doc_id,
-       |    [list_min([md5(CAST(i AS VARCHAR) || ':' || s) for s in shingles])
+       |    [list_min([substr(md5(CAST((i // 4) AS VARCHAR) || ':' || s), (i % 4) * 8 + 1, 8)
+       |               for s in shingles])
        |     for i in range(0, 16)] AS sigs
        |  FROM sh),
        |banded AS (

@@ -160,12 +160,21 @@ object ExtQueries {
     // 16×|shingles| md5 work several times over (~80× slower at sf0.1).
     // Exploding first means one md5 per (shingle, slot), and the groupBy
     // min() aggregates map-side — only (doc_id, 16 digests) shuffle.
+    // 4 independent 32-bit-ish slots per digest (8 hex chars each): 4
+    // md5 calls per shingle yield all 16 slots — md5 is the dominant
+    // cost, substring slicing is nearly free. Slot q*4+r = chunk r of
+    // md5(q ':' shingle).
     val sh = withNearDups(docs(s, dir))
       .select(col("doc_id"),
         explode(array_distinct(TextFunctions.shingles(col("words"), 3))).as("sh"))
-    val sigSlots = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")).cast("binary"))).as(s"_s$i"))
-    val sig = sh.groupBy("doc_id")
+    val hashed = (0 until k / 4).foldLeft(sh) { (df, q) =>
+      df.withColumn(s"_h$q", md5(concat(lit(s"$q:"), col("sh")).cast("binary")))
+    }
+    val sigSlots = (0 until k).map { i =>
+      val q = i / 4; val r = i % 4
+      min(substring(col(s"_h$q"), r * 8 + 1, 8)).as(s"_s$i")
+    }
+    val sig = hashed.groupBy("doc_id")
       .agg(sigSlots.head, sigSlots.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"_s$i")): _*).as("sigs"))
     val banded = sig.select(col("doc_id"), col("sigs"),
@@ -191,20 +200,29 @@ object ExtQueries {
     * from sub-bit (j%4) of hex digit (j/4) of the token digest.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // Per token: decode the 16 hex values once; tally the 64 bits as 64
-    // sum(CASE) aggregate columns. 64 parallel sums look clumsy but stay
-    // inside whole-stage-codegen HashAggregate — measured 12× faster than
-    // a TypedImperativeAggregate tally, because an object-hash aggregate
-    // expels the whole stage (incl. the explode+md5 projection) from
-    // codegen. See functions.VectorSumAgg for the measured tradeoff.
-    val tok = withNearDups(docs(s, dir))
+    // Token digests are computed once per DISTINCT word, not per
+    // occurrence: the corpus has ~10³ vocabulary words but ~10⁶ token
+    // occurrences, so hash the vocabulary, broadcast it back onto
+    // per-doc occurrence counts, and tally bit j as sum(±count). The 64
+    // sums stay as parallel codegen'd sum(CASE) aggregate columns —
+    // measured 12× faster than a TypedImperativeAggregate tally, which
+    // expels the whole stage (incl. this projection) from codegen; see
+    // functions.VectorSumAgg for the tradeoff record.
+    val wc = withNearDups(docs(s, dir))
       .select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val vocab = wc.select("w").distinct()
       .withColumn("h", md5(col("w").cast("binary")))
       .withColumn("hv", expr(
         "transform(sequence(1, 16), i -> instr('0123456789abcdef', substring(h, i, 1)) - 1)"))
+      .select("w", "hv")
+    // no broadcast hint: AQE broadcasts the vocab when it fits and falls
+    // back to a shuffle join for web-scale vocabularies
+    val tok = wc.join(vocab, "w")
     val bitSums = (0 until 64).map { j =>
       val i = j / 4 + 1; val b = j % 4
-      sum(when(expr(s"((shiftright(element_at(hv, $i), $b) & 1) = 1)"), 1).otherwise(-1)).as(s"_b$j")
+      sum(when(expr(s"((shiftright(element_at(hv, $i), $b) & 1) = 1)"), col("c"))
+        .otherwise(-col("c"))).as(s"_b$j")
     }
     val sim = tok.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
