@@ -101,6 +101,32 @@ object ExtQueries {
       ((len - spaces.cast("double")) / (spaces.cast("double") + lit(1.0))).as("avg_token_len"))
   }
 
+  /** Composite document-quality filter (Gopher-rule flavor, Rae et al.
+    * 2021 §A1.1): token-count window, mean-token-length window, alpha
+    * ratio, and stopword presence — each rule a column, `passes` their
+    * conjunction, so downstream can both filter and audit reject
+    * reasons. Pure column expressions, no shuffle.
+    */
+  def textQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "data", "order", "key", "value")
+    val words = split(col("text"), " ")
+    val nTok = size(words).cast("long")
+    val len = length(col("text")).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / len
+    val meanTokLen = (len - (nTok - 1).cast("double")) / nTok.cast("double")
+    val stopHits = size(filter(words, w => w.isin(stop: _*))).cast("long")
+    docs(s, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (stopHits.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      alpha.as("alpha_ratio"),
+      meanTokLen.as("mean_token_len"),
+      (nTok >= 10 && nTok <= 100000 &&
+        meanTokLen >= 2.0 && meanTokLen <= 12.0 &&
+        alpha >= 0.5 &&
+        stopHits >= 1).as("passes"))
+  }
+
   /** Stopword-lexicon language id: tokenize → lexicon hit counts per lang →
     * argmax (ties broken by lang name). The lexicon is tiny → broadcast.
     */

@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
     "text_quality_score" -> (ExtQueries.textQualityScore _),
+    "text_quality_filter" -> (ExtQueries.textQualityFilter _),
     "text_lang_id" -> (ExtQueries.textLangId _),
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
     "text_rolling_fingerprint" -> (ExtQueries.textRollingFingerprint _),
@@ -394,6 +395,27 @@ object SparkEntry {
         |     - CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE))
         |    / (CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) + 1.0)
         |    AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "text_quality_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       w -> w IN ('the','data','order','key','value'))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |  (CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+        |  (len(string_split(text, ' ')) >= 10 AND len(string_split(text, ' ')) <= 100000
+        |   AND (CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2.0
+        |   AND (CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
+        |   AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE) >= 0.5
+        |   AND len(list_filter(string_split(text, ' '),
+        |         w -> w IN ('the','data','order','key','value'))) >= 1) AS passes
         |FROM documents""".stripMargin,
 
     "text_lang_id" ->
