@@ -51,7 +51,14 @@ object Derive {
     * `README.md:118`). Carries `src_seq` for deterministic tie-breaking.
     */
   def stgActivities(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    activitiesFrom(Tables.events(spark, dir))
+
+  /** The same projection over any events-shaped input (batch table or
+    * stream); `extraCols` are appended verbatim (e.g. `ts` so a stream
+    * keeps its watermark column).
+    */
+  def activitiesFrom(events: DataFrame, extraCols: Seq[String] = Nil): DataFrame =
+    events.select(Seq(
       col("user_id").cast("string").as("account_id"),
       when(col("event_id") % 19 === 0, "99/99/9999")
         .otherwise(date_format(col("ts"), "dd/MM/yyyy")).as("activity_date"),
@@ -84,5 +91,5 @@ object Derive {
       concat(lit("DEPT_"), (col("event_id") % 3).cast("string")).as("department"),
       when(col("event_id") % 7 === 0, "AUTO_DIALER")
         .otherwise(concat(lit("AGENT_"), (col("event_id") % 7).cast("string"))).as("agent_name"),
-      col("event_id").as("src_seq"))
+      col("event_id").as("src_seq")) ++ extraCols.map(col): _*)
 }

@@ -390,4 +390,10 @@ object ExtQueries {
     */
   def streamingSessionize(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingSessionize(s, dir)
+
+  /** Incremental staging: clean_contacts_primary maintained as keyed
+    * streaming state — must equal the batch staged view.
+    */
+  def streamingLatestContact(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingLatestContact(s, dir)
 }

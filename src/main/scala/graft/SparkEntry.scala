@@ -83,7 +83,8 @@ object SparkEntry {
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
     "streaming_hourly_agg" -> (ExtQueries.streamingHourlyAgg _),
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
-    "streaming_sessionize" -> (ExtQueries.streamingSessionize _)
+    "streaming_sessionize" -> (ExtQueries.streamingSessionize _),
+    "streaming_latest_contact" -> (ExtQueries.streamingLatestContact _)
   )
 
   /** Subset run by graft.Bench as the headline set. */
@@ -222,6 +223,10 @@ object SparkEntry {
          |SELECT * FROM clean_accounts""".stripMargin,
 
     "pipeline_contacts_primary" -> DeriveSql.withStaging(
+      s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_primary"),
+
+    // incremental staging must converge to the identical batch view
+    "streaming_latest_contact" -> DeriveSql.withStaging(
       s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_primary"),
 
     "pipeline_contacts_field" -> DeriveSql.withStaging(

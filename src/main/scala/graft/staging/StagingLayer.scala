@@ -69,16 +69,23 @@ object StagingLayer {
       order ++ tieCols.map(c => col(c).asc_nulls_first)
     ).select(viewCols.map(col): _*)
 
+  /** Primary-contact preprocessing without the dedup — public so the
+    * STREAMING staging mode can apply the identical expressions and do
+    * its latest-per-key in keyed state instead of a window.
+    */
+  def preprocessPrimary(activities: DataFrame, extraCols: Seq[String] = Nil): DataFrame =
+    preprocess(
+      activities,
+      channelPriority(col("collection_channel")),
+      normalizeContactType(col("contact_type"), col("collection_channel"), col("agent_name")),
+      extraCols)
+
   /** View 2 — clean_contacts_primary (`01_staging_layer.sql:59-146`):
     * latest relevant contact per account; priority prefix makes
     * (channel ASC, type ASC) a business-priority sort, then recency.
     */
   def cleanContactsPrimary(activities: DataFrame, tieCols: Seq[String] = Nil): DataFrame = {
-    val pre = preprocess(
-      activities,
-      channelPriority(col("collection_channel")),
-      normalizeContactType(col("contact_type"), col("collection_channel"), col("agent_name")),
-      tieCols)
+    val pre = preprocessPrimary(activities, tieCols)
     dedupToView(pre, Seq(
       col("collection_channel").asc_nulls_first,
       col("contact_type").asc_nulls_first,

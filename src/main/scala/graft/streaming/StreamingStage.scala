@@ -185,6 +185,91 @@ object StreamingStage {
       }
   }
 
+  // ===== incremental staging: streaming clean_contacts_primary =====
+
+  /** One preprocessed contact row (the staged-view schema + tie-breaker
+    * + watermark column).
+    */
+  final case class ContactRow(
+      account_id: String,
+      activity_date: Option[java.sql.Date], activity_time: String,
+      next_activity_date: Option[java.sql.Date],
+      collection_channel: String, contact_type: String,
+      contact_outcome: String, non_payment_reason: String,
+      contact_location: String, next_action: String,
+      notes: Option[String], phone_number: Option[String],
+      department: String, agent_name: String,
+      src_seq: Long, ts: java.sql.Timestamp)
+
+  /** The staged view's window order as a comparator: channel ASC, type
+    * ASC, activity_date DESC NULLS LAST, src_seq ASC (reference
+    * `01_staging_layer.sql:124-127` + the engine's tie-breaker).
+    */
+  private def contactBeats(a: ContactRow, b: ContactRow): Boolean = {
+    val ch = a.collection_channel.compareTo(b.collection_channel)
+    if (ch != 0) return ch < 0
+    val ct = a.contact_type.compareTo(b.contact_type)
+    if (ct != 0) return ct < 0
+    (a.activity_date, b.activity_date) match {
+      case (Some(x), Some(y)) if x.getTime != y.getTime => x.getTime > y.getTime
+      case (Some(_), None) => true
+      case (None, Some(_)) => false
+      case _ => a.src_seq < b.src_seq
+    }
+  }
+
+  /** Incremental clean_contacts_primary: the reference's latest-contact
+    * view maintained as keyed streaming state (one best row per account)
+    * instead of a batch window — the staging layer's streaming mode
+    * (SURVEY.md §7.1.7d). Event-time timeout emits the final row per
+    * account once the watermark passes.
+    */
+  def latestContactStream(rows: org.apache.spark.sql.Dataset[ContactRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.account_id)
+      .flatMapGroupsWithState[ContactRow, ContactRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[ContactRow], state: GroupState[ContactRow]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            val best = state.get; state.remove(); Iterator(best)
+          } else {
+            var best = state.getOption.orNull
+            var maxTs = 0L
+            it.foreach { r =>
+              if (best == null || contactBeats(r, best)) best = r
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+            }
+            state.update(best)
+            state.setTimeoutTimestamp(maxTs + 60000)
+            Iterator.empty
+          }
+      }
+      .toDF()
+      .select(graft.staging.StagingLayer.viewCols.map(col): _*)
+  }
+
+  /** Run the incremental staging view to completion over the events
+    * stream; must equal the batch `clean_contacts_primary`.
+    */
+  def streamingLatestContact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val act = graft.staging.StagingLayer.preprocessPrimary(
+      graft.Derive.activitiesFrom(eventsStream(spark, dir), extraCols = Seq("ts")),
+      extraCols = Seq("src_seq", "ts"))
+      .as[ContactRow]
+    val maxNs = graft.sources.Tables.events(spark, dir)
+      .agg(max(col("ts_ns"))).head().getLong(0)
+    val sentinel = MemoryStream[ContactRow](spark)
+    sentinel.addData(ContactRow("__sentinel", None, "", None, "", "", "", "", "", "",
+      None, None, "", "", -1L,
+      new java.sql.Timestamp(maxNs / 1000000L + 30L * 24 * 3600 * 1000)))
+    val out = latestContactStream(act.unionByName(sentinel.toDS()))
+      .filter(col("account_id") =!= "__sentinel")
+    runToTable(out, "streaming_latest_contact", "append")
+  }
+
   /** Streaming sessionization run to completion. A far-future sentinel
     * event (from a MemoryStream, `user_id = -1`, filtered from output)
     * advances the final watermark past every open session so the
