@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{AsofJoin, LatestPerKey, Similarity}
+
+/** Degenerate-input behavior: empty inputs, all-null order keys, single
+  * rows — operators must return empty/identity results, not throw.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LatestPerKey: empty input -> empty; single row -> itself; null order keys survive") {
+    val empty = Seq.empty[(Int, Int)].toDF("k", "v")
+    assert(LatestPerKey(empty, Seq(col("k")), Seq(col("v").desc_nulls_last)).count() == 0)
+    val one = Seq((1, 2)).toDF("k", "v")
+    assert(LatestPerKey(one, Seq(col("k")), Seq(col("v").desc_nulls_last)).collect().toSeq
+      == Seq(org.apache.spark.sql.Row(1, 2)))
+    val nulls = Seq((1, Some(5)), (1, None), (2, None)).toDF("k", "v")
+    val got = LatestPerKey(nulls, Seq(col("k")),
+      Seq(col("v").desc_nulls_last, col("k").asc_nulls_first))
+      .as[(Int, Option[Int])].collect().toMap
+    assert(got == Map(1 -> Some(5), 2 -> None))
+  }
+
+  test("AsofJoin: empty right keeps all left rows with null values") {
+    val left = Seq((1L, 10L, 100L)).toDF("lid", "k", "t")
+    val right = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", Seq("v"))
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq((1L, 10L, 100L, None)))
+  }
+
+  test("similarity: empty query set -> empty result; zero vector -> NaN cosine not emitted as top hit") {
+    val vecs = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val emptyQ = vecs.filter(col("vec_id") < 0)
+    assert(Similarity.bruteForceTopK(vecs, emptyQ, 3).count() == 0)
+    // zero vector: cosine = 0/0 = NaN; desc_nulls_last still ranks real
+    // scores first because NaN sorts greatest in Spark — document via test
+    val withZero = vecs.unionByName(Seq((99L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(withZero, withZero.filter(col("vec_id") === 0), 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.length == 3)
+  }
+
+  test("text functions: empty and single-word docs") {
+    val df = Seq("", "word", "a b").toDF("text")
+    val sh = df.select(size(TextFunctions.shingles(split(col("text"), " "), 3)).as("n"))
+      .as[Int].collect().toSeq
+    assert(sh == Seq(0, 0, 0))
+    val rh = df.select(TextFunctions.rollingHash(col("text"))).as[Long].collect()
+    assert(rh(0) == 0L) // empty fold
+    val bpe = df.select(size(TextFunctions.bpeTokens(col("text")))).as[Int].collect().toSeq
+    assert(bpe == Seq(0, 1, 2))
+  }
+}
