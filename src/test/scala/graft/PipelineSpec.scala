@@ -22,6 +22,23 @@ class PipelineSpec extends SparkSpec {
       res.views.promise, res.views.restructure).foreach(_.unpersist())
   }
 
+  test("partitioned staging write enables partition pruning (PartitionFilters)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Derive.stgAccounts(spark, sfSmoke).write
+      .partitionBy("business_division").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("business_division") === "RETAIL")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(business_division"),
+      s"partition filter must prune directories:\n$scan")
+    assert(scan.contains("business_division#") && scan.contains("= RETAIL)"),
+      s"equality predicate must be a partition filter, not a data filter:\n$scan")
+    // the filter is NOT pushed as a data filter — it prunes directories
+    assert(!scan.contains("PushedFilters: [IsNotNull(business_division)"))
+    val expected = Derive.stgAccounts(spark, sfSmoke)
+      .filter(col("business_division") === "RETAIL").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
   test("bucketed staging tables join without a shuffle (the CREATE INDEX analog)") {
     val s = spark
     val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
