@@ -95,7 +95,8 @@ object SparkEntry {
     "report2_restructuring_pipeline", "report3_commercial_promises",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "text_lang_id", "sim_cosine_topk", "sim_ann_lsh_topk",
-    "sim_ivf_topk", "events_asof_join")
+    "sim_ivf_topk", "events_asof_join", "q_rollup_sales",
+    "events_json_extract", "text_quality_filter", "multimodal_features")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
