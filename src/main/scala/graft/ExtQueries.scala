@@ -205,10 +205,18 @@ object ExtQueries {
       .select(col("doc_id"), array((0 until k).map(i => col(s"_s$i")): _*).as("sigs"))
     val banded = sig.select(col("doc_id"), col("sigs"),
       explode(TextFunctions.lshBands(col("sigs"), bands, rows)).as("band"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
-        TextFunctions.signatureSimilarity(col("a.sigs"), col("b.sigs"), k).as("est_jaccard"))
+    // one-pass bucket expansion (same rationale as dedupSimhash: a band
+    // self-join would compute the signature pipeline once per side)
+    banded
+      .groupBy("band")
+      .agg(collect_list(struct(col("doc_id"), col("sigs"))).as("members"))
+      .select(explode(expr(
+        s"""flatten(transform(members, a ->
+           |  transform(filter(members, b -> b.doc_id > a.doc_id),
+           |    b -> struct(a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           |                CAST(size(filter(zip_with(a.sigs, b.sigs, (x, y) -> x = y), p -> p)) AS DOUBLE) / $k
+           |                  AS est_jaccard))))""".stripMargin)).as("p"))
+      .select(col("p.doc_id_1"), col("p.doc_id_2"), col("p.est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= 0.4)
   }
