@@ -64,10 +64,16 @@ object ExtQueries {
     // are pruned before any pair exists, and per-doc set sizes come from
     // a doc-level projection (no second explode); AQE broadcasts that
     // side when it is small and falls back to shuffle join at scale.
+    // Stop-shingle cap: postings longer than this are dropped from
+    // CANDIDATE GENERATION (denominators stay exact). At web scale a
+    // ubiquitous 3-gram ("one of the") otherwise contributes a quadratic
+    // pair blow-up while carrying no similarity signal; near-dup pairs
+    // at jaccard ≥ 0.5 still collide on their many rare shingles.
+    val maxPosting = 500
     val sh = all.select(col("doc_id"), explode(array_distinct(expr(shingleExpr))).as("sh"))
     val pairs = sh.groupBy("sh")
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxPosting)
       .select(explode(expr(
         """flatten(transform(ds, a ->
           |  transform(filter(ds, b -> b > a), b -> struct(a AS doc_id_1, b AS doc_id_2))))""".stripMargin)).as("p"))

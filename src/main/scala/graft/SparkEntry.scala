@@ -374,9 +374,12 @@ object SparkEntry {
         |         ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)] END)) AS sh
         |  FROM base),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |counts AS (SELECT sh, COUNT(*) AS c FROM sh GROUP BY sh),
+        |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN counts USING (sh)
+        |        WHERE c BETWEEN 2 AND 500),
         |pairs AS (
         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_id_1, doc_id_2,
         |  inter / (s1.n_sh + s2.n_sh - inter) AS jaccard
