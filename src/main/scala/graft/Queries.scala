@@ -172,6 +172,34 @@ object Queries {
         .cast("double") / 100).as("running_total"))
   }
 
+  /** Window-function suite beyond the reference's ROW_NUMBER: rank,
+    * dense_rank, lag/lead, ntile, percent_rank over a pinned total order.
+    */
+  def wWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    t(s, dir, "orders").select(
+      col("o_custkey").as("account"),
+      col("o_orderkey").as("order_key"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"))
+  }
+
+  /** Stats aggregates per group (min/max exact; avg via fixed-point). */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100 /
+          count(lit(1)).cast("double")).as("avg_price"),
+        count_distinct(col("o_custkey")).as("n_customers"))
+
   /** O1 — deterministic global top-N (sort + limit). */
   def o1LimitTopK(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

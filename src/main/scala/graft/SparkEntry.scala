@@ -37,6 +37,8 @@ object SparkEntry {
     "w1_latest_per_key" -> (Queries.w1LatestPerKey _),
     "w2_topk_per_key" -> (Queries.w2TopKPerKey _),
     "w3_running_total" -> (Queries.w3RunningTotal _),
+    "w4_window_suite" -> (Queries.wWindowSuite _),
+    "agg_stats" -> (Queries.aggStats _),
     "o1_limit_topk" -> (Queries.o1LimitTopK _),
     // §2.6 aggregations / QA
     "a1_count_star" -> (Queries.a1CountStar _),
@@ -190,6 +192,27 @@ object SparkEntry {
         |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total
         |FROM orders""".stripMargin,
+
+    "w4_window_suite" ->
+      """SELECT o_custkey AS account, o_orderkey AS order_key,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT o_orderpriority AS priority,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "o1_limit_topk" ->
       """SELECT o_orderkey AS order_key, o_totalprice AS total_price
