@@ -200,6 +200,39 @@ object Queries {
           count(lit(1)).cast("double")).as("avg_price"),
         count_distinct(col("o_custkey")).as("n_customers"))
 
+  /** Array aggregation + higher-order ops (deterministic via sort;
+    * array output serialized to string for cross-engine comparison).
+    */
+  def qArrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("account"))
+      .agg(
+        array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("order_keys"),
+        count(lit(1)).as("n_orders"))
+
+  /** Date/time function surface over the order dates. */
+  def qDatetimeFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("order_key"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      date_format(date_add(col("o_orderdate"), 7), "yyyy-MM-dd").as("plus7"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+      datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("days_since_95"))
+
+  /** String function surface over customer names/segments. */
+  def qStringFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey").as("cust_key"),
+      upper(col("c_name")).as("name_upper"),
+      length(trim(col("c_name"))).cast("long").as("name_len"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+      regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("segment_masked"),
+      levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("seg_dist"),
+      substring(col("c_name"), 1, 8).as("name_prefix"))
+
   /** O1 — deterministic global top-N (sort + limit). */
   def o1LimitTopK(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

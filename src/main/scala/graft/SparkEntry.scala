@@ -39,6 +39,9 @@ object SparkEntry {
     "w3_running_total" -> (Queries.w3RunningTotal _),
     "w4_window_suite" -> (Queries.wWindowSuite _),
     "agg_stats" -> (Queries.aggStats _),
+    "q_array_agg" -> (Queries.qArrayAgg _),
+    "q_datetime_fns" -> (Queries.qDatetimeFns _),
+    "q_string_fns" -> (Queries.qStringFns _),
     "o1_limit_topk" -> (Queries.o1LimitTopK _),
     // §2.6 aggregations / QA
     "a1_count_star" -> (Queries.a1CountStar _),
@@ -204,6 +207,33 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT o_custkey AS account,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q_datetime_fns" ->
+      """SELECT o_orderkey AS order_key,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+        |FROM orders""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT c_custkey AS cust_key,
+        |  upper(c_name) AS name_upper,
+        |  CAST(length(trim(c_name)) AS BIGINT) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS segment_masked,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_dist,
+        |  substr(c_name, 1, 8) AS name_prefix
+        |FROM customer""".stripMargin,
 
     "agg_stats" ->
       """SELECT o_orderpriority AS priority,
