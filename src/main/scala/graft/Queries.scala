@@ -233,6 +233,24 @@ object Queries {
       levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("seg_dist"),
       substring(col("c_name"), 1, 8).as("name_prefix"))
 
+  /** Correlated scalar subquery (the construct the reference's README
+    * brags about avoiding — supported regardless): orders above twice
+    * their customer's average, with a fixed-point-exact average so the
+    * threshold comparison is engine-independent. Catalyst rewrites the
+    * subquery to an aggregate + join (`RewriteCorrelatedScalarSubquery`).
+    */
+  def qCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o.o_orderkey AS order_key, o.o_custkey AS account,
+        |       o.o_totalprice AS total_price
+        |FROM orders o
+        |WHERE o.o_totalprice > 2.0 * (
+        |  SELECT (CAST(SUM(CAST(round(o2.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+        |           / CAST(COUNT(*) AS DOUBLE)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   /** O1 — deterministic global top-N (sort + limit). */
   def o1LimitTopK(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -40,6 +40,7 @@ object SparkEntry {
     "w4_window_suite" -> (Queries.wWindowSuite _),
     "agg_stats" -> (Queries.aggStats _),
     "q_array_agg" -> (Queries.qArrayAgg _),
+    "q_correlated_subquery" -> (Queries.qCorrelatedSubquery _),
     "q_datetime_fns" -> (Queries.qDatetimeFns _),
     "q_string_fns" -> (Queries.qStringFns _),
     "o1_limit_topk" -> (Queries.o1LimitTopK _),
@@ -207,6 +208,15 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)""".stripMargin,
+
+    "q_correlated_subquery" ->
+      """SELECT o.o_orderkey AS order_key, o.o_custkey AS account,
+        |       o.o_totalprice AS total_price
+        |FROM orders o
+        |WHERE o.o_totalprice > 2.0 * (
+        |  SELECT (CAST(SUM(CAST(round(o2.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+        |           / CAST(COUNT(*) AS DOUBLE)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
 
     "q_array_agg" ->
       """SELECT o_custkey AS account,
