@@ -50,6 +50,8 @@ def main():
             status.append(f"rows {len(got)} vs {len(exp)}")
         if list(got.columns) != list(exp.columns):
             status.append(f"cols {list(got.columns)} vs {list(exp.columns)}")
+        elif len(got) != len(exp):
+            pass  # row-count mismatch already recorded; frames not comparable
         elif not got.equals(exp):
             diff = (got != exp)
             bad_cols = [c for c in got.columns if diff[c].any()]

@@ -40,23 +40,12 @@ object ExtQueries {
       Seq(col("doc_id").asc_nulls_first))
       .select("doc_id", "lang", "source", "n_chars")
 
-  /** Word 3-gram shingle set per doc (guarded for short docs). */
-  private val shingleExpr =
-    """CASE WHEN size(words) < 3 THEN CAST(array() AS ARRAY<STRING>)
-      |     ELSE transform(sequence(1, size(words) - 2),
-      |                    i -> array_join(slice(words, i, 3), ' ')) END""".stripMargin
-
   /** N-gram Jaccard near-duplicate pairs: shingle → inverted index →
-    * shared-shingle counts → Jaccard ≥ 0.5. The posting-list self-join is
-    * the scalable formulation (no O(n²) document cross join); rare word
-    * 3-grams keep posting lists short.
+    * shared-shingle counts → Jaccard ≥ 0.5.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("words"))
-    val pert = base.filter(col("doc_id") % 10 === 0).select(
-      (col("doc_id") + lit(1000000L)).as("doc_id"),
-      expr("slice(words, 6, greatest(size(words) - 5, 0))").as("words"))
-    val all = base.unionByName(pert)
+    val all = withNearDups(docs(s, dir))
+    val distinctShingles = array_distinct(TextFunctions.shingles(col("words"), 3))
     // Inverted index as ONE groupBy(shingle) + in-bucket pair expansion:
     // a posting-list self-join would shuffle the exploded shingle table
     // twice and recompute its pipeline per side; here only (shingle ->
@@ -70,7 +59,7 @@ object ExtQueries {
     // pair blow-up while carrying no similarity signal; near-dup pairs
     // at jaccard ≥ 0.5 still collide on their many rare shingles.
     val maxPosting = 500
-    val sh = all.select(col("doc_id"), explode(array_distinct(expr(shingleExpr))).as("sh"))
+    val sh = all.select(col("doc_id"), explode(distinctShingles).as("sh"))
     val pairs = sh.groupBy("sh")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxPosting)
@@ -79,7 +68,7 @@ object ExtQueries {
           |  transform(filter(ds, b -> b > a), b -> struct(a AS doc_id_1, b AS doc_id_2))))""".stripMargin)).as("p"))
       .groupBy(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = all.select(col("doc_id"), size(array_distinct(expr(shingleExpr))).as("n_sh"))
+    val sizes = all.select(col("doc_id"), size(distinctShingles).as("n_sh"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("n_sh", "n1"), "doc_id_1")
       .join(sizes.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("n_sh", "n2"), "doc_id_2")
@@ -227,12 +216,6 @@ object ExtQueries {
       .filter(col("est_jaccard") >= 0.4)
   }
 
-  /** SimHash near-dup detection: 16-bit simhash per doc (single-pass HOF,
-    * no shuffle), candidate pairs bucketed by the 8-bit prefix, kept when
-    * hamming ≤ 3. Prefix bucketing is the standard hamming-space block
-    * trick: a pair within distance d shares at least one of d+1 equal
-    * blocks, so few-bit-different docs collide with high probability.
-    */
   /** 64-bit SimHash near-dup detection with the standard 4×16-bit block
     * LSH (a pair within hamming ≤ 3 must share one of 4 equal blocks —
     * pigeonhole ⇒ exact recall at that radius). Explode+agg shape: one

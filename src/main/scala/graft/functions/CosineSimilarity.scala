@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * a,0,acc+x*x)) * sqrt(...))` used by the DuckDB oracle — fusing the
   * three folds into one loop does not reorder any individual fold.
   * Length mismatch → null (mirrors zip_with null padding); null/absent
-  * arrays → null. Array elements are assumed non-null (embeddings).
+  * arrays → null; zero-norm input → null (matching Spark's non-ANSI
+  * Divide and DuckDB, which both yield NULL on /0 — raw Java would give
+  * NaN, which sorts GREATEST under a descending sort and would rank a
+  * zero vector as every query's top hit). Array elements are assumed
+  * non-null (embeddings).
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -51,7 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
         dot += xv * yv; na += xv * xv; nb += yv * yv
         i += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null else dot / denom
     }
   }
 
@@ -66,6 +71,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -77,7 +83,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
          |    final double $yv = ${getter(right, b, i)};
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
          |}
        """.stripMargin
     })

@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param valueCols right-side columns to attach (aliased as given)
+  /** @param valueCols right-side columns to attach (aliased as given).
+    *        They are carried as ONE struct so the attached values always
+    *        come from the SAME right row — per-column carry with
+    *        ignoreNulls would skip legitimately-NULL values and stitch
+    *        columns from different right rows together.
     * @param rightOrder extra right-side tie-break columns (ascending,
-    *                   later wins) applied at equal time
+    *                   later wins, kept in their original type) applied
+    *                   at equal time
     */
   def backward(
       left: DataFrame,
@@ -35,33 +40,39 @@ object AsofJoin {
       rightOrder: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     val marker = "__graft_is_left"
+    val bundle = "__graft_v"
     val tieCols = rightOrder.map(c => s"__graft_tie_$c")
+    val bundleType = right.select(struct(valueCols.map(col): _*)).schema.head.dataType
 
     val taggedLeft = left
       .withColumn(marker, lit(1))
       .select(leftCols.map(col) ++
-        valueCols.map(c => lit(null).as(s"__graft_v_$c")) ++
-        tieCols.map(c => lit(null).cast("long").as(c)) :+ col(marker): _*)
+        Seq(lit(null).cast(bundleType).as(bundle)) ++
+        rightOrder.zip(tieCols).map { case (c, t) =>
+          lit(null).cast(right.schema(c).dataType).as(t)
+        } :+ col(marker): _*)
     val taggedRight = right
       .withColumn(marker, lit(0))
       .select(keyCols.map(col) ++ Seq(col(timeCol)) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__graft_v_$c")) ++
-        rightOrder.zip(tieCols).map { case (c, t) => col(c).cast("long").as(t) } :+
+        Seq(struct(valueCols.map(col): _*).as(bundle)) ++
+        rightOrder.zip(tieCols).map { case (c, t) => col(c).as(t) } :+
         col(marker): _*)
 
     // right rows (marker 0) sort before left rows at equal time -> the
     // carried value includes right rows with time == left.time (<=).
+    // The struct itself is non-null for every right row, so
+    // last(ignoreNulls) picks the latest right ROW atomically even when
+    // individual value fields are null.
     val order = (col(timeCol).asc_nulls_first +: col(marker).asc_nulls_first +:
       tieCols.map(col(_).asc_nulls_first)).toSeq
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    valueCols.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
-        df.withColumn(c, last(col(s"__graft_v_$c"), ignoreNulls = true).over(w))
-      }
+    taggedLeft.unionByName(taggedRight)
+      .withColumn(bundle, last(col(bundle), ignoreNulls = true).over(w))
       .filter(col(marker) === 1)
-      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"$bundle.$c").as(c)): _*)
   }
 }

@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** (cid, centroid) DataFrame from trained centroids — one definition so
+    * fit/probe/assign cannot drift schemas.
+    */
+  private def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+                          centroids: Seq[(Int, Array[Double])]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(centroids.map { case (cid, c) => Row(cid, c.toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+
+
   private val Scale = 1e6
 
   /** @return (cluster_id, centroid) rows, cluster_id = 0..k-1 */
@@ -34,14 +49,7 @@ object KMeans {
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toSeq
 
     (1 to iterations).foreach { _ =>
-      val cdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(centroids.map { case (cid, c) => Row(cid, c.toSeq) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cid",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("centroid",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+      val cdf = centroidsDF(spark, centroids)
       // assign: nearest centroid by squared L2 (left-fold, deterministic;
       // ties → lowest cid)
       val assigned = LatestPerKey(
@@ -75,14 +83,7 @@ object KMeans {
   def probe(vectors: DataFrame, centroids: Seq[(Int, Array[Double])], nprobe: Int,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
-    val cdf = spark.createDataFrame(
-      spark.sparkContext.parallelize(centroids.map { case (cid, c) => Row(cid, c.toSeq) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("centroid",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+    val cdf = centroidsDF(spark, centroids)
     LatestPerKey.topKRanked(
       vectors.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
         .crossJoin(broadcast(cdf))
@@ -98,14 +99,7 @@ object KMeans {
   def assign(vectors: DataFrame, centroids: Seq[(Int, Array[Double])],
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
-    val cdf = spark.createDataFrame(
-      spark.sparkContext.parallelize(centroids.map { case (cid, c) => Row(cid, c.toSeq) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("centroid",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+    val cdf = centroidsDF(spark, centroids)
     LatestPerKey(
       vectors.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
         .crossJoin(broadcast(cdf))

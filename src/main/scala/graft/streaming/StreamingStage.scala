@@ -41,8 +41,14 @@ object StreamingStage {
   private def stageAsDir(file: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(file)
+    // key on a real digest of the path (hashCode collides) AND the
+    // source size+mtime, so a regenerated input at the same path gets a
+    // fresh staging dir instead of silently serving the old snapshot
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pathKey = md.digest(file.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val stamp = s"${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
     val dirPath = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-stream-" + Integer.toHexString(file.hashCode))
+      s"graft-stream-$pathKey-$stamp")
     val dst = dirPath.resolve(src.getFileName)
     if (!Files.exists(dst)) {
       Files.createDirectories(dirPath)

@@ -10,6 +10,18 @@ import graft.operators.AsofJoin
 class AsofJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  test("NULL right values attach atomically (no mixing of right rows)") {
+    // right rows: (t=3, rt=3, v=1.0) then (t=5, rt=5, v=NULL); a left row
+    // at t=6 must get the LATEST right row whole: (5, NULL) — never a
+    // franken-row (5, 1.0) stitched from both
+    val left = Seq((1L, 7L, 6L)).toDF("lid", "k", "t")
+    val right = Seq((7L, 3L, 3L, Some(1.0)), (7L, 5L, 5L, Option.empty[Double]))
+      .toDF("k", "t", "rt", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", Seq("rt", "v"))
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+    assert(out.toSeq == Seq((1L, 7L, 6L, Some(5L), None)))
+  }
+
   test("backward as-of join matches brute force (incl. no-match and ties on time)") {
     val rnd = new scala.util.Random(7)
     val leftRows = List.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(50).toLong, rnd.nextInt(100000)))

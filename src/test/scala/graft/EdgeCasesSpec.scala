@@ -31,17 +31,23 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 10L, 100L, None)))
   }
 
-  test("similarity: empty query set -> empty result; zero vector -> NaN cosine not emitted as top hit") {
+  test("similarity: empty query set -> empty result; zero vector -> NULL cosine ranks last") {
     val vecs = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d).toFloat)))
       .toDF("vec_id", "embedding")
     val emptyQ = vecs.filter(col("vec_id") < 0)
     assert(Similarity.bruteForceTopK(vecs, emptyQ, 3).count() == 0)
-    // zero vector: cosine = 0/0 = NaN; desc_nulls_last still ranks real
-    // scores first because NaN sorts greatest in Spark — document via test
+    // zero-norm vector: cosine_sim yields NULL (matching non-ANSI Divide
+    // and DuckDB /0 semantics — NOT raw-Java NaN, which sorts greatest
+    // under DESC and would make the zero vector every query's top hit);
+    // desc_nulls_last ranks it after all real scores
     val withZero = vecs.unionByName(Seq((99L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
     val top = Similarity.bruteForceTopK(withZero, withZero.filter(col("vec_id") === 0), 3)
       .as[(Long, Long, Long, Double)].collect()
     assert(top.length == 3)
+    assert(!top.exists(_._3 == 99L), "zero vector must not outrank real scores")
+    val zeroCos = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).collect()(0)
+    assert(zeroCos.isNullAt(0), "zero-norm cosine must be NULL, not NaN")
   }
 
   test("text functions: empty and single-word docs") {
