@@ -232,6 +232,22 @@ object Queries {
       levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("seg_dist"),
       substring(col("c_name"), 1, 8).as("name_prefix"))
 
+  /** Pivot: order counts and fixed-point sales per nation, one column
+    * per order priority (explicit value list keeps the schema static —
+    * the scalable form; dynamic pivot would need a values scan first).
+    */
+  def qPivotSales(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    t(s, dir, "nation")
+      .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .pivot("o_orderpriority", priorities)
+      .agg(fixedPointSum(col("o_totalprice"), 2))
+      .select(col("nation_name") +: priorities.map(p =>
+        coalesce(col(s"`$p`"), lit(0.0)).as("p_" + p.takeWhile(_ != '-'))): _*)
+  }
+
   /** Correlated scalar subquery (the construct the reference's README
     * brags about avoiding — supported regardless): orders above twice
     * their customer's average, with a fixed-point-exact average so the

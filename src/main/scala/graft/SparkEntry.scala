@@ -41,6 +41,7 @@ object SparkEntry {
     "agg_stats" -> (Queries.aggStats _),
     "q_array_agg" -> (Queries.qArrayAgg _),
     "q_correlated_subquery" -> (Queries.qCorrelatedSubquery _),
+    "q_pivot_sales" -> (Queries.qPivotSales _),
     "q_datetime_fns" -> (Queries.qDatetimeFns _),
     "q_string_fns" -> (Queries.qStringFns _),
     "o1_limit_topk" -> (Queries.o1LimitTopK _),
@@ -208,6 +209,18 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)""".stripMargin,
+
+    "q_pivot_sales" ->
+      """SELECT n_name AS nation_name,
+        |  COALESCE(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END) AS DOUBLE) / 100.0, 0.0) AS p_1,
+        |  COALESCE(CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END) AS DOUBLE) / 100.0, 0.0) AS p_2,
+        |  COALESCE(CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END) AS DOUBLE) / 100.0, 0.0) AS p_3,
+        |  COALESCE(CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END) AS DOUBLE) / 100.0, 0.0) AS p_4,
+        |  COALESCE(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END) AS DOUBLE) / 100.0, 0.0) AS p_5
+        |FROM nation
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |GROUP BY n_name""".stripMargin,
 
     "q_correlated_subquery" ->
       """SELECT o.o_orderkey AS order_key, o.o_custkey AS account,
