@@ -32,6 +32,33 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drops data later than the horizon (late-data semantics)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def ts(min: Int) = new java.sql.Timestamp(3600000L * 100 + min * 60000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val agg = ms.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes")).count()
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("count"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData((1L, ts(0)), (2L, ts(1)))   // window 00:00-05
+      q.processAllAvailable()
+      ms.addData((3L, ts(30)))               // advances watermark to 00:20
+      q.processAllAvailable()
+      ms.addData((4L, ts(2)))                // LATE: event-time < watermark
+      ms.addData((5L, ts(60)))               // closes everything
+      q.processAllAvailable()
+      val got = spark.table("late_test").as[(String, Long)].collect().toMap
+      // base ts = epoch+100h = 04:00 UTC; that window emitted with count
+      // 2 — the late id=4 was dropped by the watermark
+      assert(got.getOrElse("04:00", 0L) == 2L, s"late event must be dropped: $got")
+      assert(got.getOrElse("04:30", 0L) == 1L)
+    } finally q.stop()
+  }
+
   test("multimodal features: deterministic, digest-consistent, full coverage") {
     val docs = sources.Tables.load(spark, sfSmoke, "documents")
     val feats = Multimodal.documentFeatures(docs)
