@@ -248,6 +248,21 @@ object Queries {
         coalesce(col(s"`$p`"), lit(0.0)).as("p_" + p.takeWhile(_ != '-'))): _*)
   }
 
+  /** Unpivot (melt): wide per-priority metrics → long (priority, metric,
+    * value) form — the inverse of [[qPivotSales]].
+    */
+  def qUnpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        fixedPointSum(col("o_totalprice"), 2).as("total_sales"),
+        min(col("o_totalprice")).as("min_price"))
+      .unpivot(
+        Array(col("priority")),
+        Array(col("n_orders"), col("total_sales"), col("min_price")),
+        "metric", "value")
+
   /** Correlated scalar subquery (the construct the reference's README
     * brags about avoiding — supported regardless): orders above twice
     * their customer's average, with a fixed-point-exact average so the

@@ -42,6 +42,7 @@ object SparkEntry {
     "q_array_agg" -> (Queries.qArrayAgg _),
     "q_correlated_subquery" -> (Queries.qCorrelatedSubquery _),
     "q_pivot_sales" -> (Queries.qPivotSales _),
+    "q_unpivot_metrics" -> (Queries.qUnpivotMetrics _),
     "q_datetime_fns" -> (Queries.qDatetimeFns _),
     "q_string_fns" -> (Queries.qStringFns _),
     "o1_limit_topk" -> (Queries.o1LimitTopK _),
@@ -209,6 +210,17 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)""".stripMargin,
+
+    "q_unpivot_metrics" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        |    CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales,
+        |    MIN(o_totalprice) AS min_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT priority, 'n_orders' AS metric, n_orders AS value FROM b
+        |UNION ALL SELECT priority, 'total_sales', total_sales FROM b
+        |UNION ALL SELECT priority, 'min_price', min_price FROM b""".stripMargin,
 
     "q_pivot_sales" ->
       """SELECT n_name AS nation_name,
