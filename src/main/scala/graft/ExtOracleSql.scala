@@ -135,6 +135,26 @@ object ExtOracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
 
+  private val activityCols = Seq(
+    "account_id", "activity_date", "activity_time", "next_activity_date",
+    "collection_channel", "contact_type", "contact_outcome", "non_payment_reason",
+    "contact_location", "next_action", "notes", "phone_number", "department",
+    "agent_name", "src_seq")
+
+  val qaProfileActivities: String = {
+    val aggs = activityCols.map(c =>
+      s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c, COUNT(DISTINCT $c) AS dist_$c")
+      .mkString(",\n  ")
+    val arms = activityCols.map(c =>
+      s"SELECT '$c' AS column_name, n AS n_rows, nulls_$c AS n_nulls, dist_$c AS n_distinct FROM b")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${DeriveSql.stgActivities},
+       |b AS (SELECT COUNT(*) AS n,
+       |  $aggs
+       |  FROM stg_activities)
+       |$arms""".stripMargin
+  }
+
   val multimodalFeatures: String =
     """SELECT doc_id,
       |  CAST(length(text) AS BIGINT) AS n_bytes,

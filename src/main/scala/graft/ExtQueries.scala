@@ -393,4 +393,10 @@ object ExtQueries {
     */
   def streamingLatestContact(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingLatestContact(s, dir)
+
+  /** One-pass data profile of the derived activities (the QA tool a
+    * pipeline runs before trusting a new input drop).
+    */
+  def qaProfileActivities(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(Derive.stgActivities(s, dir))
 }

@@ -52,6 +52,7 @@ object SparkEntry {
     "a3_group_having_duplicates" -> (Queries.a3GroupHavingDuplicates _),
     "a4_parse_failure_count" -> (Queries.a4ParseFailureCount _),
     "qa_uniqueness_views" -> (Queries.qaUniquenessViews _),
+    "qa_profile_activities" -> (ExtQueries.qaProfileActivities _),
     // full reference pipeline (staging views + reports)
     "pipeline_clean_accounts" -> (Queries.pipelineCleanAccounts _),
     "pipeline_contacts_primary" -> (Queries.pipelineContactsPrimary _),
@@ -298,6 +299,8 @@ object SparkEntry {
          |SELECT COUNT(*) AS n FROM stg_activities
          |WHERE TRY_CAST(substr(activity_date,7,4) || '-' || substr(activity_date,4,2)
          |               || '-' || substr(activity_date,1,2) AS DATE) IS NULL""".stripMargin,
+
+    "qa_profile_activities" -> ExtOracleSql.qaProfileActivities,
 
     "qa_uniqueness_views" -> DeriveSql.withStaging(
       """SELECT 'clean_accounts' AS view_name, COUNT(*) AS n_rows, COUNT(DISTINCT account_id) AS n_accounts FROM clean_accounts
