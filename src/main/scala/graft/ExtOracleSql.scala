@@ -197,6 +197,87 @@ object ExtOracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** Squared-L2 as a left fold in array order — bit-identical to Spark's
+    * `aggregate(zip_with(v, c, (x,y) -> (x-y)*(x-y)), 0.0, _+_)` (the
+    * 0.0 init is exact, so fold-without-init matches).
+    */
+  private def sqDist(a: String, b: String): String =
+    s"""list_reduce([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, len($a) + 1)],
+       |     (acc, x) -> acc + x)""".stripMargin
+
+  /** One unrolled Lloyd iteration (operators.KMeans.fit is deterministic —
+    * fixed init, left-fold distances, fixed-point means — so each
+    * iteration is plain SQL):
+    * assign aN = arg-min d2 over centroids c(N-1), ties -> lowest cid;
+    * update cN = (SUM(CAST(round(x*1e6) AS BIGINT)) / n) / 1e6 per
+    * component (empty clusters keep their previous centroid).
+    */
+  private def kmeansIter(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS (
+       |  SELECT id, vec, cid FROM (
+       |    SELECT x.vec_id AS id, x.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v x CROSS JOIN $prev c)
+       |  WHERE rn = 1),
+       |u$i AS (
+       |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY idx) AS centroid
+       |  FROM (
+       |    SELECT cid, idx, SUM(fx) AS s
+       |    FROM (SELECT cid,
+       |            unnest(range(1, len(vec) + 1)) AS idx,
+       |            unnest(list_transform(vec, x -> CAST(round(x * 1000000.0) AS BIGINT))) AS fx
+       |          FROM a$i)
+       |    GROUP BY cid, idx)
+       |  JOIN (SELECT cid, COUNT(*) AS n FROM a$i GROUP BY cid) USING (cid)
+       |  GROUP BY cid),
+       |c$i AS (
+       |  SELECT p.cid, COALESCE(u.centroid, p.centroid) AS centroid
+       |  FROM $prev p LEFT JOIN u$i u USING (cid))""".stripMargin
+  }
+
+  /** sim_ivf_kmeans_topk twin: 3 unrolled Lloyd iterations (init = the 8
+    * lowest-id vectors, cid = rank order), then the IVF probe/score shape
+    * of simIvfTopK but with L2 probe ranking and the TRAINED c3 centroids
+    * (mirrors KMeans.probe: nprobe=1 lists, nprobe=2 queries).
+    */
+  val simIvfKmeansTopK: String =
+    s"""WITH $vecsDouble,
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter).mkString(",\n")},
+       |lists AS (
+       |  SELECT id AS neighbor_id, vec AS c_vec, cid FROM (
+       |    SELECT x.vec_id AS id, x.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v x CROSS JOIN c3 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT id AS query_id, vec AS q_vec, cid FROM (
+       |    SELECT q.vec_id AS id, q.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqDist("q.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v q CROSS JOIN c3 c WHERE q.vec_id % 25 = 0)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, l.neighbor_id, ${cosine("p.q_vec", "l.c_vec")} AS score
+       |  FROM lists l JOIN probes p USING (cid)
+       |  WHERE p.query_id <> l.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
   val dedupEmbeddingCosine: String =
     s"""WITH $vecsDouble,
        |all_v AS (

@@ -326,10 +326,11 @@ object ExtQueries {
 
   /** IVF with TRAINED centroids: deterministic distributed k-means
     * (operators.KMeans, fixed-point vec_sum centroid updates) as the
-    * coarse quantizer. k-means is not SQL-expressible, so this entry has
-    * no oracle twin — the driver records the weaker rows-only check; the
-    * algorithm itself is covered by KMeansSpec (purity, determinism,
-    * monotone cost).
+    * coarse quantizer. Because fit is fully deterministic (fixed init,
+    * left-fold distances, fixed-point means, no RNG), the 3 Lloyd
+    * iterations ARE SQL-expressible — ExtOracleSql.simIvfKmeansTopK
+    * unrolls them as CTE stages, so this entry hash-gates like any other;
+    * KMeansSpec additionally covers purity/determinism/monotone cost.
     */
   def simIvfKmeansTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.KMeans

@@ -456,9 +456,18 @@ object Queries {
       .select(col("event_id"), col("user_id"),
         expr("ts_ns DIV 1000").as("ts_us"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
-        expr("ts_ns DIV 1000").as("view_ts_us"), col("value").as("view_value"))
+    // AsofJoin's determinism contract: right (key, time) pairs must be
+    // unique. Two 'view' events of one user can share a µs, so keep only
+    // the max-event_id row per (user, µs) — the same dedup the oracle
+    // applies — making the matched view engine-independent.
+    val views = operators.LatestPerKey(
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+          col("event_id"), col("value")),
+      Seq(col("user_id"), col("ts_us")),
+      Seq(col("event_id").desc_nulls_last))
+      .select(col("user_id"), col("ts_us"),
+        col("ts_us").as("view_ts_us"), col("value").as("view_value"))
     operators.AsofJoin.backward(
       purchases, views,
       keyCols = Seq("user_id"), timeCol = "ts_us",

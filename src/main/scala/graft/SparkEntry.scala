@@ -426,13 +426,24 @@ object SparkEntry {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
+    // compare at µs on BOTH engines (Spark truncates ts_ns DIV 1000, so
+    // the oracle must not compare raw ns), and pin equal-µs view ties to
+    // the max event_id — same dedup as the Spark side.
     "events_asof_join" ->
-      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-        |  epoch_us(v.ts) AS view_ts_us, v.value AS view_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |  FROM events WHERE event_type = 'purchase'),
+        |vr AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+        |      ORDER BY event_id DESC NULLS LAST) AS rn
+        |  FROM events WHERE event_type = 'view'),
+        |v1 AS (SELECT user_id, ts_us, ts_us AS view_ts_us, value AS view_value
+        |       FROM vr WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts_us, p.ts_str, v.view_ts_us, v.view_value
+        |FROM p ASOF LEFT JOIN v1 v
+        |  ON p.user_id = v.user_id AND v.ts_us <= p.ts_us""".stripMargin,
 
     "events_json_extract" ->
       """SELECT event_id,
@@ -544,6 +555,7 @@ object SparkEntry {
     "sim_cosine_topk" -> ExtOracleSql.simCosineTopK,
     "sim_ann_lsh_topk" -> ExtOracleSql.simAnnLshTopK,
     "sim_ivf_topk" -> ExtOracleSql.simIvfTopK,
+    "sim_ivf_kmeans_topk" -> ExtOracleSql.simIvfKmeansTopK,
     "multimodal_features" -> ExtOracleSql.multimodalFeatures,
 
     // streaming twins: the oracle is the BATCH semantics — streaming

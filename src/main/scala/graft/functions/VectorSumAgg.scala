@@ -71,6 +71,11 @@ case class VectorSumAgg(
     if (b1.length == 0) b2
     else if (b2.length == 0) b1
     else {
+      // update() enforces equal lengths within a partition; two partitions
+      // that each fixed a different length must fail here too, not
+      // silently truncate b2 (or index past it).
+      require(b1.length == b2.length,
+        s"vec_sum: ragged buffers (${b1.length} vs ${b2.length})")
       var i = 0
       while (i < b1.length) { b1(i) += b2(i); i += 1 }
       b1

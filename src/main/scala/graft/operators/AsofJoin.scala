@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   * Determinism: callers must ensure right (key, time) pairs are unique
   * (dedupe first with LatestPerKey) or pass a tie-break in `rightOrder`;
   * otherwise the surviving right row is engine-dependent.
+  *
+  * Null-time right rows never satisfy `time <= left.time` and are dropped
+  * here (without the filter they would sort asc_nulls_first and be
+  * carried into every left row as a spurious "match").
   */
 object AsofJoin {
 
@@ -52,6 +56,7 @@ object AsofJoin {
           lit(null).cast(right.schema(c).dataType).as(t)
         } :+ col(marker): _*)
     val taggedRight = right
+      .filter(col(timeCol).isNotNull)
       .withColumn(marker, lit(0))
       .select(keyCols.map(col) ++ Seq(col(timeCol)) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)
