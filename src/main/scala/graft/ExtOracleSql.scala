@@ -37,10 +37,14 @@ object ExtOracleSql {
        |  SELECT doc_id, sigs,
        |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sigs[b*4+1:b*4+4], '|'))
        |            for b in range(0, 4)]) AS band
-       |  FROM sig)
+       |  FROM sig),
+       |-- same bounded-bucket candidate generation as operators.Buckets:
+       |-- degenerate band values (> 500 members) are dropped on BOTH engines
+       |bc AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 500)
        |SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        |  CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 AS est_jaccard
        |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       |JOIN bc ON a.band = bc.band
        |WHERE CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 >= 0.4""".stripMargin
 
   private val simhashBitSums: String = (0 until 64).map { j =>
@@ -64,11 +68,15 @@ object ExtOracleSql {
        |  SELECT doc_id, simhash,
        |    unnest([CAST(j AS VARCHAR) || '|' || substr(simhash, 1 + j*16, 16)
        |            for j in range(0, 4)]) AS block
-       |  FROM sim)
+       |  FROM sim),
+       |-- same bounded-bucket candidate generation as operators.Buckets:
+       |-- degenerate block values (> 500 members) are dropped on BOTH engines
+       |bc AS (SELECT block FROM blocks GROUP BY block HAVING COUNT(*) BETWEEN 2 AND 500)
        |SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2, a.simhash AS simhash_1,
        |  64 - len(list_filter(range(1, 65),
        |           i -> substr(a.simhash, i, 1) = substr(b2.simhash, i, 1))) AS hamming
        |FROM blocks a JOIN blocks b2 ON a.block = b2.block AND a.doc_id < b2.doc_id
+       |JOIN bc ON a.block = bc.block
        |WHERE 64 - len(list_filter(range(1, 65),
        |        i -> substr(a.simhash, i, 1) = substr(b2.simhash, i, 1))) <= 3""".stripMargin
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{LatestPerKey, Multimodal, Similarity}
+import graft.operators.{Buckets, LatestPerKey, Multimodal, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingStage
 
@@ -58,7 +58,7 @@ object ExtQueries {
     // ubiquitous 3-gram ("one of the") otherwise contributes a quadratic
     // pair blow-up while carrying no similarity signal; near-dup pairs
     // at jaccard ≥ 0.5 still collide on their many rare shingles.
-    val maxPosting = 500
+    val maxPosting = Buckets.DefaultCap
     val sh = all.select(col("doc_id"), explode(distinctShingles).as("sh"))
     val pairs = sh.groupBy("sh")
       .agg(collect_list(col("doc_id")).as("ds"))
@@ -201,10 +201,11 @@ object ExtQueries {
     val banded = sig.select(col("doc_id"), col("sigs"),
       explode(TextFunctions.lshBands(col("sigs"), bands, rows)).as("band"))
     // one-pass bucket expansion (same rationale as dedupSimhash: a band
-    // self-join would compute the signature pipeline once per side)
-    banded
-      .groupBy("band")
-      .agg(collect_list(struct(col("doc_id"), col("sigs"))).as("members"))
+    // self-join would compute the signature pipeline once per side);
+    // Buckets.boundedMembers caps degenerate band values so no single
+    // task ever expands an unbounded |B|² pair list (oracle twin applies
+    // the identical count cap).
+    Buckets.boundedMembers(banded, col("band"), struct(col("doc_id"), col("sigs")))
       .select(explode(expr(
         s"""flatten(transform(members, a ->
            |  transform(filter(members, b -> b.doc_id > a.doc_id),
@@ -267,11 +268,10 @@ object ExtQueries {
     // does not dedupe a shuffle stage consumed once streamed and once
     // broadcast — observed 2× runtime). groupBy(block) shuffles only
     // (doc_id, 64-char sketch) and pairs expand inside each bucket task;
-    // bucket skew is the documented scale risk (cap/salt if a block value
-    // degenerates).
-    val pairs = blocks
-      .groupBy("block")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"), col("bi"))).as("members"))
+    // Buckets.boundedMembers drops degenerate block values (short docs
+    // collapsing to identical 16-bit blocks) so the expansion is bounded.
+    val pairs = Buckets.boundedMembers(
+        blocks, col("block"), struct(col("doc_id"), col("simhash"), col("bi")))
       .select(explode(expr(
         """flatten(transform(members, a ->
           |  transform(filter(members, b -> b.doc_id > a.doc_id),

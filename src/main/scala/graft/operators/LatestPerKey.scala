@@ -43,4 +43,32 @@ object LatestPerKey {
     df.withColumn(rankCol,
         row_number().over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)))
       .filter(col(rankCol) <= k)
+
+  /** Skewed-key escape hatch: two-phase salted top-k.
+    *
+    * `WindowGroupLimit` already bounds what crosses the wire (top-k per
+    * input partition), but the final per-key group still lands in ONE
+    * reducer task — a hot key (50% of a 100 TB table) is a straggler AQE
+    * will not split (its skew handling covers joins, not windows). Salting
+    * splits the hot key over `numSalts` reducers: phase 1 takes top-k per
+    * (key, salt), phase 2 reduces the ≤ numSalts×k survivors per key.
+    *
+    * Because callers pass a TOTAL order (the LatestPerKey contract),
+    * top-k is an associative tournament: the union of per-salt top-k
+    * contains the global top-k, so the result is identical to the
+    * unsalted form for ANY assignment of rows to salts — the salt can be
+    * (and is) the physical partition id, costing no hash of row content.
+    * Opt in when a key histogram says so; the default plan stays the
+    * single-window form, which is cheaper for unskewed keys.
+    */
+  def salted(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+             numSalts: Int, k: Int = 1): DataFrame = {
+    require(numSalts > 0, "salted: numSalts must be positive")
+    val saltCol = "__graft_salt"
+    val phase1 = topK(
+      df.withColumn(saltCol, pmod(spark_partition_id(), lit(numSalts))),
+      k, partitionCols :+ col(saltCol), orderCols)
+      .drop(saltCol)
+    topK(phase1, k, partitionCols, orderCols)
+  }
 }

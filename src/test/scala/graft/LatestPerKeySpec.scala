@@ -29,6 +29,26 @@ class LatestPerKeySpec extends SparkSpec {
     }
   }
 
+  test("salted ≡ unsalted on random data including a 50%-hot key") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { round =>
+      // half the rows land on hot key 0, rest spread over keys 1..7
+      val rows = List.fill(400) {
+        val k = if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(7)
+        (k, rnd.nextInt(50), rnd.nextInt(1000000))
+      }.distinct
+      val df = rows.toDF("k", "ord", "seq").repartition(8)
+      val order = Seq(col("ord").desc_nulls_last, col("seq").asc_nulls_first)
+      for (salts <- Seq(1, 4, 16); k <- Seq(1, 3)) {
+        val plain = LatestPerKey.topK(df, k, Seq(col("k")), order)
+          .as[(Int, Int, Int)].collect().toSeq.sorted
+        val salted = LatestPerKey.salted(df, Seq(col("k")), order, salts, k)
+          .as[(Int, Int, Int)].collect().toSeq.sorted
+        assert(salted == plain, s"round=$round salts=$salts k=$k")
+      }
+    }
+  }
+
   test("topK returns at most k per key and includes the top-1") {
     val df = (1 to 100).map(i => (i % 5, i)).toDF("k", "v")
     val top3 = LatestPerKey.topK(df, 3, Seq(col("k")), Seq(col("v").desc_nulls_last))
