@@ -163,12 +163,20 @@ object ExtOracleSql {
        |$arms""".stripMargin
   }
 
+  /** Parity contract (holds for non-ASCII input): n_bytes = UTF-8 byte
+    * length via octet_length(encode(...)), cp_sum folds code points
+    * (ascii(c) = code point of a 1-char string), sha256 hashes UTF-8
+    * bytes on both engines. width/height replay the PNG fixture
+    * GENERATOR's digest contract — Spark reports them from an actual
+    * ImageIO decode of the rendered image, so a match proves the codec
+    * round trip recovered the generated dimensions.
+    */
   val multimodalFeatures: String =
     """SELECT doc_id,
-      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  CASE WHEN length(text) = 0 THEN 0
       |       ELSE list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-      |                        (acc, x) -> (acc + x) % 1000000007) END AS byte_sum,
+      |                        (acc, x) -> (acc + x) % 1000000007) END AS cp_sum,
       |  sha256(text) AS sha256_hex,
       |  64 + (ascii(substr(sha256(text), 1, 1)) % 8) * 16 AS width,
       |  64 + (ascii(substr(sha256(text), 2, 1)) % 8) * 16 AS height,

@@ -8,54 +8,103 @@ import org.apache.spark.sql.functions._
   * pattern for image/audio/video processing in a 100 TB training-data
   * pipeline.
   *
-  * The decode step is a **deterministic stub**: this container has no
-  * image/audio codecs, so "decoding" computes byte-level features
-  * (checksum, digest, digest-derived dimensions). The Spark-side plumbing
-  * is the real thing — binary columns, typed Dataset rows, mapPartitions
-  * batch iteration (one codec init per partition, the expensive part in a
-  * real decoder), and a schema that survives the oracle gate.
+  * The image payload is a REAL PNG: `packDocuments` renders a
+  * deterministic fixture image per document (dimensions derived from the
+  * content digest, solid fill from the digest bytes) with `ImageIO`, and
+  * `extractFeatures` decodes it back through a per-partition
+  * `ImageReader` — a genuine encode → binary column → shuffle → decode
+  * round trip, so the reported width/height come from the codec, not a
+  * formula. The DuckDB oracle predicts those dimensions independently
+  * from the digest (the generator's contract), which gates that the
+  * decoder really recovered them.
+  *
+  * Cross-engine parity contract for the text-side features (holds for
+  * non-ASCII input too): `n_bytes` is the UTF-8 byte length (DuckDB
+  * `octet_length(encode(text))`), `cp_sum` folds Unicode code points
+  * (DuckDB `ascii(c)` per character), `sha256_hex` hashes the UTF-8
+  * bytes on both engines.
   */
 object Multimodal {
 
-  /** A media row: opaque payload + minimal typed metadata. */
-  final case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
+  /** A media row: opaque payload + rendered image + typed metadata. */
+  final case class MediaRecord(
+      doc_id: Long, payload: Array[Byte], image: Array[Byte], media_type: String)
 
-  /** Extracted features — everything deterministic from the bytes. */
+  /** Extracted features — text stats from the payload bytes, dimensions
+    * from actually decoding the image column.
+    */
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, byte_sum: Long, sha256_hex: String,
+      doc_id: Long, n_bytes: Long, cp_sum: Long, sha256_hex: String,
       width: Int, height: Int, thumb_w: Int, thumb_h: Int)
 
-  /** Pack a text corpus into media rows (UTF-8 payload). In production
-    * the payload column would come straight from parquet BinaryType.
+  // public: Spark's generated deserializer cannot touch a private class
+  final case class Doc(doc_id: Long, text: String)
+
+  private def sha256Hex(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
+  /** Fixture dimensions from the digest — the generator's contract the
+    * oracle replays: 64 + (hexChar % 8) * 16, so 64..176 px.
+    */
+  private def dims(hex: String): (Int, Int) =
+    (64 + (hex.charAt(0).toInt % 8) * 16, 64 + (hex.charAt(1).toInt % 8) * 16)
+
+  /** Render the deterministic PNG fixture for a text payload. */
+  private[graft] def renderPng(textBytes: Array[Byte]): Array[Byte] = {
+    val hex = sha256Hex(textBytes)
+    val (w, h) = dims(hex)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = ((hex.charAt(2) & 0xff) << 16) | ((hex.charAt(3) & 0xff) << 8) |
+      (hex.charAt(4) & 0xff)
+    val g = img.getGraphics
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Pack a text corpus into media rows: UTF-8 payload + rendered PNG.
+    * In production both binary columns would come straight from parquet
+    * BinaryType; the in-code render is the deterministic stand-in for
+    * this codec-less container's missing source images.
     */
   def packDocuments(docs: DataFrame): Dataset[MediaRecord] =
-    docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      lit("text/plain").as("media_type"))
-      .as(Encoders.product[MediaRecord])
+    docs.select(col("doc_id"), col("text"))
+      .as(Encoders.product[Doc])
+      .map { d =>
+        val payload = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRecord(d.doc_id, payload, renderPng(payload), "image/png")
+      }(Encoders.product[MediaRecord])
 
-  /** Per-partition "decode" + feature extraction. Real codecs would be
-    * initialized once per partition here (`// codec = ImageIO...`); the
-    * stub derives dimensions from the content digest so every value is
-    * reproducible in any engine.
+  /** Per-partition decode + feature extraction: ONE ImageReader per
+    * partition (codec init is the expensive part in a real decoder),
+    * then a streamed decode per record.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
     media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       it.map { rec =>
         val bytes = rec.payload
-        val sum = bytes.foldLeft(0L)((acc, b) => (acc + (b & 0xff)) % 1000000007L)
+        val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        var cpSum = 0L
+        text.codePoints().forEach { c => cpSum = (cpSum + c) % 1000000007L }
         md.reset()
         val hex = md.digest(bytes).map("%02x".format(_)).mkString
-        // digest-derived stand-ins for decoded media dimensions
-        val w = 64 + (hex.charAt(0).toInt % 8) * 16
-        val h = 64 + (hex.charAt(1).toInt % 8) * 16
-        MediaFeatures(rec.doc_id, bytes.length.toLong, sum, hex, w, h, w / 2, h / 2)
+        // REAL decode: dimensions come from the PNG header via the codec
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(rec.image)))
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        MediaFeatures(rec.doc_id, bytes.length.toLong, cpSum, hex, w, h, w / 2, h / 2)
       }
     }(Encoders.product[MediaFeatures])
 
-  /** End-to-end: corpus → binary payloads → per-partition features. */
+  /** End-to-end: corpus → binary payload + PNG → per-partition features. */
   def documentFeatures(docs: DataFrame): DataFrame =
     extractFeatures(packDocuments(docs)).toDF()
 }
