@@ -307,6 +307,20 @@ object Queries {
       .filter(ref.parseDdMmYyyy(col("activity_date")).isNull)
       .agg(count(lit(1)).as("n"))
 
+  /** QA sample of failed date parses surviving into the staged view —
+    * the reference's exact debugging query (`README.md:132-136`:
+    * `SELECT activity_date FROM clean_contacts_primary WHERE
+    * activity_date IS NULL LIMIT 10`), made deterministic by a total
+    * order on the view's unique key before the LIMIT, and carrying
+    * account_id so the sample is actionable.
+    */
+  def qaParseFailureSample(s: SparkSession, dir: String): DataFrame =
+    stagedViews(s, dir).primary
+      .filter(col("activity_date").isNull)
+      .orderBy(col("account_id").asc_nulls_first)
+      .limit(10)
+      .select(col("account_id"), col("activity_date"))
+
   /** A1/A2-intent over every staged view in one result. */
   def qaUniquenessViews(s: SparkSession, dir: String): DataFrame = {
     val v = stagedViews(s, dir)

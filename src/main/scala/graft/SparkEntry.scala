@@ -52,6 +52,7 @@ object SparkEntry {
     "a3_group_having_duplicates" -> (Queries.a3GroupHavingDuplicates _),
     "a4_parse_failure_count" -> (Queries.a4ParseFailureCount _),
     "qa_uniqueness_views" -> (Queries.qaUniquenessViews _),
+    "qa_parse_failure_sample" -> (Queries.qaParseFailureSample _),
     "qa_profile_activities" -> (ExtQueries.qaProfileActivities _),
     // full reference pipeline (staging views + reports)
     "pipeline_clean_accounts" -> (Queries.pipelineCleanAccounts _),
@@ -301,6 +302,11 @@ object SparkEntry {
          |               || '-' || substr(activity_date,1,2) AS DATE) IS NULL""".stripMargin,
 
     "qa_profile_activities" -> ExtOracleSql.qaProfileActivities,
+
+    "qa_parse_failure_sample" -> DeriveSql.withStaging(
+      """SELECT account_id, activity_date FROM clean_contacts_primary
+        |WHERE activity_date IS NULL
+        |ORDER BY account_id ASC NULLS FIRST LIMIT 10""".stripMargin),
 
     "qa_uniqueness_views" -> DeriveSql.withStaging(
       """SELECT 'clean_accounts' AS view_name, COUNT(*) AS n_rows, COUNT(DISTINCT account_id) AS n_accounts FROM clean_accounts
