@@ -35,6 +35,47 @@ object Pipeline {
     v
   }
 
+  private def stagedTableNames(prefix: String): Seq[String] = Seq(
+    s"${prefix}_clean_accounts", s"${prefix}_contacts_primary",
+    s"${prefix}_contacts_field", s"${prefix}_contacts_promise",
+    s"${prefix}_contacts_restructure")
+
+  /** Durable bucketed staging artifact — the cross-job analog of the
+    * reference's `CREATE INDEX idx_stg_accounts_account_id`
+    * (`01_staging_layer.sql:13-14`). [[stageAndPersist]] covers runs that
+    * share one SparkSession; this writes the 5 staged views as
+    * `account_id`-bucketed, bucket-sorted Parquet TABLES so any LATER
+    * session (the catalog keeps the bucket spec; a plain parquet re-read
+    * would lose it) joins or aggregates them on account_id with no
+    * exchange on the staged side — the staging shuffle is paid once at
+    * write time, then amortized over every downstream report run.
+    *
+    * nBuckets sizes the parallelism floor at read time: pick ≈ the
+    * cluster's target partition count for the staged size (buckets are
+    * not splittable — too few caps parallelism, too many makes small
+    * files).
+    */
+  def writeStagedBucketed(v: StagingViews, basePath: String, nBuckets: Int,
+                          prefix: String = "staged"): Unit =
+    stagedTableNames(prefix)
+      .zip(Seq(v.cleanAccounts, v.primary, v.field, v.promise, v.restructure))
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite")
+          .format("parquet")
+          .option("path", s"$basePath/$name")
+          .bucketBy(nBuckets, "account_id")
+          .sortBy("account_id")
+          .saveAsTable(name)
+      }
+
+  /** Reread the bucketed staging artifact (from any session sharing the
+    * catalog) as a StagingViews ready for the reporting layer.
+    */
+  def readStagedBucketed(spark: SparkSession, prefix: String = "staged"): StagingViews = {
+    val Seq(a, p, f, pr, r) = stagedTableNames(prefix).map(spark.table)
+    StagingViews(a, p, f, pr, r)
+  }
+
   /** The reference's §5.1 data-quality checks, as hard assertions. */
   def qa(v: StagingViews): Unit = {
     Seq("clean_contacts_primary" -> v.primary, "clean_contacts_field" -> v.field,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** PLANS.md's audited invariants as assertions — a reordered filter, a
+  * lost pushdown, or a window that stops planning its partial pass now
+  * fails CI instead of silently regressing 100 TB behavior.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private def staticPlan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def planLines(plan: String, needle: String): Seq[String] =
+    plan.linesIterator.filter(_.contains(needle)).toSeq
+
+  /** Count shuffle exchanges in a formatted plan (tree labels nodes as
+    * `Exchange (N)`; details carry the hashpartitioning arguments).
+    */
+  private def countExchanges(plan: String): Int =
+    "Exchange \\(\\d+\\)".r.findAllIn(plan).size
+
+  test("q3: every table filter is pushed to its parquet scan") {
+    val plan = staticPlan(Queries.q3TopkRevenue(spark, sfSmoke))
+    val pushed = planLines(plan, "PushedFilters")
+    assert(pushed.exists(_.contains("EqualTo(c_mktsegment,BUILDING)")), plan.take(4000))
+    assert(pushed.exists(_.contains("LessThan(o_orderdate")), plan.take(4000))
+    assert(pushed.exists(_.contains("GreaterThan(l_shipdate")), plan.take(4000))
+  }
+
+  test("s1: column pruning reaches the scan (no unread columns in ReadSchema)") {
+    val plan = staticPlan(Queries.s1ScanProject(spark, sfSmoke))
+    val schemas = planLines(plan, "ReadSchema")
+    assert(schemas.nonEmpty && schemas.forall(l =>
+      !l.contains("l_comment") && !l.contains("l_shipinstruct")), schemas.mkString("\n"))
+  }
+
+  test("w1: row_number=1 plans WindowGroupLimit partial+final around the exchange") {
+    val plan = staticPlan(Queries.w1LatestPerKey(spark, sfSmoke))
+    assert("WindowGroupLimit \\(\\d+\\)".r.findAllIn(plan).size >= 2, plan.take(4000))
+    assert(countExchanges(plan) == 1, plan.take(4000))
+    assert(planLines(plan, "hashpartitioning").nonEmpty, plan.take(4000))
+  }
+
+  test("report1: contact views broadcast at runtime; window partial pass present") {
+    val df = Queries.report1(spark, sfSmoke)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(4000))
+  }
+
+  test("sessionize: exactly one shuffle on the key (agg reuses the window's partitioning)") {
+    val plan = staticPlan(Queries.eventsSessionize(spark, sfSmoke))
+    val n = countExchanges(plan)
+    assert(n == 1, s"expected 1 key shuffle, found $n:\n${plan.take(4000)}")
+  }
+
+  test("q1: aggregation pipeline stays inside WholeStageCodegen") {
+    // codegen spans only show on the executed plan, as `*(n)` stage
+    // markers (AQE's static formatted plan omits the annotation)
+    val plan = finalPlan(Queries.q1PricingSummary(spark, sfSmoke))
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(plan).isDefined, plan.take(2000))
+    assert("\\*\\(\\d+\\) Filter".r.findFirstIn(plan).isDefined, plan.take(2000))
+  }
+}
