@@ -97,7 +97,10 @@ object SparkEntry {
     "streaming_latest_contact" -> (ExtQueries.streamingLatestContact _)
   )
 
-  /** Subset run by graft.Bench as the headline set. */
+  /** Subset run by graft.Bench as the headline set (r02: widened so
+    * pivot, the window suite, streaming, profiling, embedding dedup and
+    * trained-kmeans IVF are timed, not just correctness-gated).
+    */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_topk_revenue", "q5_multijoin_agg",
     "w1_latest_per_key", "w3_running_total", "events_hourly_agg",
@@ -106,7 +109,9 @@ object SparkEntry {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "text_lang_id", "sim_cosine_topk", "sim_ann_lsh_topk",
     "sim_ivf_topk", "events_asof_join", "q_rollup_sales",
-    "events_json_extract", "text_quality_filter", "multimodal_features")
+    "events_json_extract", "text_quality_filter", "multimodal_features",
+    "q_pivot_sales", "w4_window_suite", "streaming_hourly_agg",
+    "qa_profile_activities", "dedup_embedding_cosine", "sim_ivf_kmeans_topk")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")

@@ -53,6 +53,9 @@ object Multimodal {
 
   /** Render the deterministic PNG fixture for a text payload. */
   private[graft] def renderPng(textBytes: Array[Byte]): Array[Byte] = {
+    // ImageIO's default stream cache is a TEMP FILE per encode/decode —
+    // measured dominant cost at sf0.1; keep streams in memory.
+    javax.imageio.ImageIO.setUseCache(false)
     val hex = sha256Hex(textBytes)
     val (w, h) = dims(hex)
     val img = new java.awt.image.BufferedImage(
@@ -86,6 +89,7 @@ object Multimodal {
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
     media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-backed streams
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       it.map { rec =>
