@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf1-equivalent scale smoke for the sketch-dedup family (VERDICT r01
+  * item 9): synthesize a 10× documents corpus from sf0.1 (each copy gets
+  * a distinct suffix token and shifted doc_id, so copies of one doc are
+  * near-duplicates of each other — a dedup-shaped workload, not just
+  * bigger bytes), run E2/E3/E4 once, and record wall time plus per-task
+  * byte skew. The balance gate: max task bytes ≤ 2× median — proving
+  * the Buckets cap keeps the bucket-expansion stage balanced when every
+  * doc has 9 near-identical twins colliding in its buckets.
+  *
+  * Usage: `sbt "runMain graft.ScaleSmoke [workDir]"` — prints one
+  * markdown table (captured into SCALE_SMOKE.md).
+  */
+object ScaleSmoke {
+
+  /** Shuffle-read bytes per reducer task, keyed by stage — the balance
+    * signal for the bucket-expansion stages. Scan tasks are excluded
+    * (sized by file layout, not key skew), and ratios are computed
+    * WITHIN a stage: AQE deliberately varies task sizes ACROSS stages
+    * (coalescing toward its advisory size), so a cross-stage max/median
+    * reads as skew when none exists.
+    */
+  private final class TaskBytes extends SparkListener {
+    val byStage = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+      val m = e.taskMetrics
+      if (m != null && m.shuffleReadMetrics.totalBytesRead > 0)
+        byStage.getOrElseUpdate(e.stageId, scala.collection.mutable.ArrayBuffer[Long]()) +=
+          m.shuffleReadMetrics.totalBytesRead
+    }
+    /** (worst within-stage max/median ratio, that stage's median MB, max MB, n tasks). */
+    def worstStage: (Double, Double, Double, Int) = synchronized {
+      val stats = byStage.values.filter(_.size >= 4).map { b =>
+        val s = b.sorted
+        val med = s(s.size / 2).max(1L)
+        (s.last.toDouble / med, med / 1e6, s.last / 1e6, s.size)
+      }
+      if (stats.isEmpty) (0.0, 0.0, 0.0, 0) else stats.maxBy(_._1)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("/tmp/graft_scale")
+    val copies = 10
+    val spark = Sessions.local("graft-scale-smoke")
+
+    val base = sources.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    (0 until copies).map { c =>
+      base.select(
+        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" copytoken$c")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .repartition(32) // scan parallelism at read time
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+
+    val queries = Seq(
+      "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
+      "dedup_minhash_lsh" -> (ExtQueries.dedupMinhashLsh _),
+      "dedup_simhash" -> (ExtQueries.dedupSimhash _))
+
+    println(s"| query | rows | sec | worst-stage tasks | median MB | max MB | max/median |")
+    println(s"| --- | --- | --- | --- | --- | --- | --- |")
+    queries.foreach { case (name, fn) =>
+      val listener = new TaskBytes
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val rows = fn(spark, work).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      val (ratio, medMb, maxMb, n) = listener.worstStage
+      println(f"| $name | $rows | $sec%.1f | $n | $medMb%.1f | $maxMb%.1f | $ratio%.1f |")
+    }
+    spark.stop()
+  }
+}
