@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Deterministic distributed k-means (Lloyd's algorithm) over an
@@ -37,77 +37,96 @@ object KMeans {
 
   private val Scale = 1e6
 
+  /** Nearest centroid as ONE folded higher-order expression over a
+    * centroid array literal — zero shuffle, zero join: each row scores
+    * the k centroids in cid order and a strict-`<` left fold keeps the
+    * first minimum, so ties resolve to the lowest cid exactly like the
+    * window form (`d2 asc, cid asc, rn=1`). The crossJoin+window
+    * alternative shuffles N×k rows per call — at 1B vectors × k=1024
+    * that is 10¹² rows across the wire; this is the 100 TB shape.
+    * d2 is the same left fold (`init 0.0, (x-y)²` in array order) the
+    * DuckDB oracle replays, so bit-parity is preserved.
+    */
+  private def nearest(centroids: Seq[(Int, Array[Double])]): Column = {
+    val arr = array(centroids.sortBy(_._1).map { case (cid, c) =>
+      struct(lit(cid).as("cid"), array(c.map(lit(_)): _*).as("c"))
+    }: _*)
+    val scored = transform(arr, ctr => struct(
+      aggregate(zip_with(col("v"), ctr.getField("c"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _).as("d2"),
+      ctr.getField("cid").as("cid")))
+    aggregate(
+      slice(scored, 2, centroids.size - 1),
+      element_at(scored, 1),
+      (best, x) => when(x.getField("d2") < best.getField("d2"), x).otherwise(best))
+  }
+
   /** @return (cluster_id, centroid) rows, cluster_id = 0..k-1 */
   def fit(vectors: DataFrame, k: Int, iterations: Int,
           idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Array[Double])] = {
-    val spark = vectors.sparkSession
     val corpus = vectors
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[(Int, Array[Double])] =
+        corpus.orderBy(col("id").asc_nulls_first).limit(k).collect()
+          .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toSeq
 
-    var centroids: Seq[(Int, Array[Double])] =
-      corpus.orderBy(col("id").asc_nulls_first).limit(k).collect()
-        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toSeq
+      (1 to iterations).foreach { _ =>
+        // assign: shuffle-free nearest-centroid expression; then
+        // recompute: fixed-point component sums via vec_sum → exact mean.
+        // Per iteration: one cached-corpus scan + one k-group aggregate.
+        val sums = corpus
+          .withColumn("cid", nearest(centroids).getField("cid"))
+          .withColumn("vfp", expr(s"transform(v, x -> CAST(round(x * $Scale) AS BIGINT))"))
+          .groupBy("cid")
+          .agg(expr("vec_sum(vfp)").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val updated = sums.map { r =>
+          val cid = r.getInt(0)
+          val s = r.getSeq[Long](1)
+          val n = r.getLong(2)
+          cid -> s.map(x => (x.toDouble / n) / Scale).toArray
+        }.toMap
+        // empty clusters keep their previous centroid
+        centroids = centroids.map { case (cid, c) => cid -> updated.getOrElse(cid, c) }
+      }
+      centroids
+    } finally { corpus.unpersist(); () }
+  }
 
-    (1 to iterations).foreach { _ =>
-      val cdf = centroidsDF(spark, centroids)
-      // assign: nearest centroid by squared L2 (left-fold, deterministic;
-      // ties → lowest cid)
-      val assigned = LatestPerKey(
+  /** Top-`nprobe` nearest centroids per vector (the IVF probe set),
+    * ranked; keeps the vector column as `v`. nprobe=1 (the whole-corpus
+    * list-build side) takes the shuffle-free [[nearest]] expression;
+    * nprobe>1 (typically only the small query side) keeps the
+    * crossJoin+window form, whose N×k cost is paid on queries, not the
+    * corpus.
+    */
+  def probe(vectors: DataFrame, centroids: Seq[(Int, Array[Double])], nprobe: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = vectors.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+    if (nprobe == 1)
+      corpus.withColumn("cid", nearest(centroids).getField("cid"))
+        .select(col(idCol), col("v"), col("cid"))
+    else {
+      val cdf = centroidsDF(vectors.sparkSession, centroids)
+      LatestPerKey.topKRanked(
         corpus.crossJoin(broadcast(cdf))
           .withColumn("d2", aggregate(
             zip_with(col("v"), col("centroid"), (x, y) => (x - y) * (x - y)),
             lit(0.0), _ + _)),
-        Seq(col("id")),
+        nprobe, Seq(col(idCol)),
         Seq(col("d2").asc_nulls_last, col("cid").asc_nulls_first))
-      // recompute: fixed-point component sums via vec_sum → exact mean
-      val sums = assigned
-        .withColumn("vfp", expr(s"transform(v, x -> CAST(round(x * $Scale) AS BIGINT))"))
-        .groupBy("cid")
-        .agg(expr("vec_sum(vfp)").as("s"), count(lit(1)).as("n"))
-        .collect()
-      val updated = sums.map { r =>
-        val cid = r.getInt(0)
-        val s = r.getSeq[Long](1)
-        val n = r.getLong(2)
-        cid -> s.map(x => (x.toDouble / n) / Scale).toArray
-      }.toMap
-      // empty clusters keep their previous centroid
-      centroids = centroids.map { case (cid, c) => cid -> updated.getOrElse(cid, c) }
+        .select(col(idCol), col("v"), col("cid"))
     }
-    centroids
   }
 
-  /** Top-`nprobe` nearest centroids per vector (the IVF probe set),
-    * ranked; keeps the vector column as `v`.
-    */
-  def probe(vectors: DataFrame, centroids: Seq[(Int, Array[Double])], nprobe: Int,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = vectors.sparkSession
-    val cdf = centroidsDF(spark, centroids)
-    LatestPerKey.topKRanked(
-      vectors.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
-        .crossJoin(broadcast(cdf))
-        .withColumn("d2", aggregate(
-          zip_with(col("v"), col("centroid"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _)),
-      nprobe, Seq(col(idCol)),
-      Seq(col("d2").asc_nulls_last, col("cid").asc_nulls_first))
-      .select(col(idCol), col("v"), col("cid"))
-  }
-
-  /** Assign each vector to its nearest trained centroid. */
+  /** Assign each vector to its nearest trained centroid — shuffle-free. */
   def assign(vectors: DataFrame, centroids: Seq[(Int, Array[Double])],
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = vectors.sparkSession
-    val cdf = centroidsDF(spark, centroids)
-    LatestPerKey(
-      vectors.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
-        .crossJoin(broadcast(cdf))
-        .withColumn("d2", aggregate(
-          zip_with(col("v"), col("centroid"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _)),
-      Seq(col(idCol)),
-      Seq(col("d2").asc_nulls_last, col("cid").asc_nulls_first))
-      .select(col(idCol), col("cid"), col("d2"))
+    val n = nearest(centroids)
+    vectors.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("nearest", n)
+      .select(col(idCol), col("nearest.cid").as("cid"), col("nearest.d2").as("d2"))
   }
 }
