@@ -344,6 +344,20 @@ object Queries {
   def pipelineContactsPrimary(s: SparkSession, dir: String): DataFrame =
     StagingLayer.cleanContactsPrimary(Derive.stgActivities(s, dir), Seq("src_seq"))
 
+  /** Incremental batch staging: split the activity log into a "history"
+    * and a "new batch" (deterministically, on src_seq), build state from
+    * history, fold the batch in, publish — must equal the one-shot batch
+    * view exactly (the oracle twin IS the batch view's SQL).
+    */
+  def pipelineIncrementalPrimary(s: SparkSession, dir: String): DataFrame = {
+    val acts = Derive.stgActivities(s, dir)
+    val state0 = StagingLayer.primaryState(
+      acts.filter(col("src_seq") % 3 =!= 0), Seq("src_seq"))
+    StagingLayer.stateToView(
+      StagingLayer.incrementPrimary(state0,
+        acts.filter(col("src_seq") % 3 === 0), Seq("src_seq")))
+  }
+
   def pipelineContactsField(s: SparkSession, dir: String): DataFrame =
     StagingLayer.cleanContactsField(Derive.stgActivities(s, dir), Seq("src_seq"))
 

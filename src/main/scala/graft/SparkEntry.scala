@@ -57,6 +57,7 @@ object SparkEntry {
     // full reference pipeline (staging views + reports)
     "pipeline_clean_accounts" -> (Queries.pipelineCleanAccounts _),
     "pipeline_contacts_primary" -> (Queries.pipelineContactsPrimary _),
+    "pipeline_incremental_primary" -> (Queries.pipelineIncrementalPrimary _),
     "pipeline_contacts_field" -> (Queries.pipelineContactsField _),
     "pipeline_contacts_promise" -> (Queries.pipelineContactsPromise _),
     "pipeline_contacts_restructure" -> (Queries.pipelineContactsRestructure _),
@@ -330,6 +331,11 @@ object SparkEntry {
 
     // incremental staging must converge to the identical batch view
     "streaming_latest_contact" -> DeriveSql.withStaging(
+      s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_primary"),
+
+    // batch-incremental staging (history + folded delta) must equal the
+    // one-shot batch view too
+    "pipeline_incremental_primary" -> DeriveSql.withStaging(
       s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_primary"),
 
     "pipeline_contacts_field" -> DeriveSql.withStaging(

@@ -80,17 +80,55 @@ object StagingLayer {
       normalizeContactType(col("contact_type"), col("collection_channel"), col("agent_name")),
       extraCols)
 
+  /** Business-priority-then-recency order of the primary view (shared by
+    * the batch, incremental, and streaming formulations so they cannot
+    * drift).
+    */
+  private def primaryOrder: Seq[Column] = Seq(
+    col("collection_channel").asc_nulls_first,
+    col("contact_type").asc_nulls_first,
+    col("activity_date").desc_nulls_last)
+
   /** View 2 — clean_contacts_primary (`01_staging_layer.sql:59-146`):
     * latest relevant contact per account; priority prefix makes
     * (channel ASC, type ASC) a business-priority sort, then recency.
     */
-  def cleanContactsPrimary(activities: DataFrame, tieCols: Seq[String] = Nil): DataFrame = {
-    val pre = preprocessPrimary(activities, tieCols)
-    dedupToView(pre, Seq(
-      col("collection_channel").asc_nulls_first,
-      col("contact_type").asc_nulls_first,
-      col("activity_date").desc_nulls_last), tieCols)
-  }
+  def cleanContactsPrimary(activities: DataFrame, tieCols: Seq[String] = Nil): DataFrame =
+    dedupToView(preprocessPrimary(activities, tieCols), primaryOrder, tieCols)
+
+  // ===== incremental batch staging (the MERGE/upsert form of view 2) =====
+  //
+  // The state row set keeps the ranking + tie columns that the published
+  // view drops, so a later batch can rank old vs new rows under the
+  // IDENTICAL total order. Top-1 per key under a total order is an
+  // associative tournament, so folding daily batches in any grouping is
+  // exactly the full recompute — verified by the
+  // `pipeline_incremental_primary` oracle gate, whose twin is the SAME
+  // SQL as the batch view. At 100 TB each increment shuffles only
+  // |state| + |delta| (one best row per account + the new batch), never
+  // rescanning the activity history.
+
+  /** Initial incremental state from a history batch: one best row per
+    * account, ranking columns retained.
+    */
+  def primaryState(activities: DataFrame, tieCols: Seq[String]): DataFrame =
+    LatestPerKey(
+      preprocessPrimary(activities, tieCols),
+      Seq(col("account_id")),
+      primaryOrder ++ tieCols.map(c => col(c).asc_nulls_first))
+
+  /** Fold one new raw-activity batch into the state (same shape in and
+    * out, so increments chain).
+    */
+  def incrementPrimary(state: DataFrame, newActivities: DataFrame,
+                       tieCols: Seq[String]): DataFrame =
+    LatestPerKey(
+      state.unionByName(preprocessPrimary(newActivities, tieCols)),
+      Seq(col("account_id")),
+      primaryOrder ++ tieCols.map(c => col(c).asc_nulls_first))
+
+  /** Publish the incremental state as the view schema. */
+  def stateToView(state: DataFrame): DataFrame = state.select(viewCols.map(col): _*)
 
   /** View 3 — clean_contacts_field (`01_staging_layer.sql:157-230`):
     * latest field visit per account (source filter pushes to the scan).
