@@ -150,6 +150,22 @@ object ExtQueries {
         coalesce(col("lex_lang"), lit("und")).as("predicted_lang"))
   }
 
+  /** Corpus vocabulary heavy hitters: top-20 words by occurrence count
+    * (ties → lexicographic) with document frequency — the corpus-stats
+    * pass a tokenizer-training pipeline runs first. Scale shape: the
+    * word groupBy partial-aggregates map-side (vocabulary ≪ token
+    * count crosses the wire), and the top-k is `TakeOrdered`, not a
+    * full sort.
+    */
+  def textVocabTopK(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc_nulls_last, col("word").asc_nulls_first)
+      .limit(20)
+
   /** Content fingerprint (md5 of normalized text) — portable digest. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

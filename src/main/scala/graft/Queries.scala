@@ -147,6 +147,22 @@ object Queries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_totalprice").as("total_price"))
 
+  /** W1 through the hot-key escape hatch (LatestPerKey.salted): gated
+    * against the SAME oracle SQL as w1 — the driver gate itself proves
+    * the two-phase salted form is row-identical to the single window.
+    */
+  def w1LatestPerKeySalted(s: SparkSession, dir: String): DataFrame =
+    LatestPerKey.salted(
+      t(s, dir, "orders"),
+      Seq(col("o_custkey")),
+      Seq(col("o_orderdate").desc_nulls_last, col("o_orderkey").asc_nulls_first),
+      numSalts = 8)
+      .select(
+        col("o_custkey").as("account"),
+        col("o_orderkey").as("order_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice").as("total_price"))
+
   /** Top-k per key (k=3) — generalization of the reference's k=1. */
   def w2TopKPerKey(s: SparkSession, dir: String): DataFrame =
     LatestPerKey.topK(
@@ -463,13 +479,52 @@ object Queries {
     * the batch shape of the §7 streaming extension.
     */
   def eventsHourlyAgg(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(
+    hourlyAgg(Tables.events(s, dir))
+
+  private def hourlyAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         fixedPointSum(col("value"), 6).as("sum_value"))
+
+  // ===== source/sink fidelity roundtrips =====
+
+  private val eventsRtSchema =
+    "event_id BIGINT, user_id BIGINT, event_type STRING, ts_ns BIGINT, value DOUBLE, props STRING"
+
+  /** JSON-lines sink → schema-on-read source → hourly agg, gated against
+    * the PARQUET-based oracle: any drift in the JSON writer/reader
+    * (double formatting, null encoding, escaping of the nested JSON
+    * `props` payload) breaks the hash. ns epochs ride as BIGINT — JSON
+    * has no timestamp type — and convert to µs timestamps after the trip
+    * exactly like the parquet reader does.
+    */
+  def sourceJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_json_rt").toString
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_ns"), col("value"), col("props"))
+      .write.mode("overwrite").json(out)
+    hourlyAgg(s.read.schema(eventsRtSchema).json(out)
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000"))))
+  }
+
+  /** Same fidelity gate through the CSV sink/source (the reference's
+    * export format): quoting/escaping of the comma-and-quote-laden
+    * `props` column and double round-tripping must be lossless.
+    */
+  def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    Tables.writeCsv(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_ns"), col("value"), col("props")),
+      out)
+    hourlyAgg(s.read.option("header", "true").schema(eventsRtSchema).csv(out)
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000"))))
+  }
 
   /** As-of join: each purchase event picks up the latest prior (or
     * simultaneous) view event of the same user — union+window operator

@@ -35,6 +35,7 @@ object SparkEntry {
     "j3_anti_join" -> (Queries.j3AntiJoin _),
     // §2.5/2.7 windows / sort / limit
     "w1_latest_per_key" -> (Queries.w1LatestPerKey _),
+    "w1_latest_per_key_salted" -> (Queries.w1LatestPerKeySalted _),
     "w2_topk_per_key" -> (Queries.w2TopKPerKey _),
     "w3_running_total" -> (Queries.w3RunningTotal _),
     "w4_window_suite" -> (Queries.wWindowSuite _),
@@ -71,6 +72,8 @@ object SparkEntry {
     "q_rollup_sales" -> (Queries.qRollupSales _),
     "q_set_ops" -> (Queries.qSetOps _),
     "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
+    "source_json_roundtrip" -> (Queries.sourceJsonRoundtrip _),
+    "source_csv_roundtrip" -> (Queries.sourceCsvRoundtrip _),
     "events_sessionize" -> (Queries.eventsSessionize _),
     "events_json_extract" -> (Queries.eventsJsonExtract _),
     "events_asof_join" -> (Queries.eventsAsofJoin _),
@@ -85,6 +88,7 @@ object SparkEntry {
     "text_quality_filter" -> (ExtQueries.textQualityFilter _),
     "text_lang_id" -> (ExtQueries.textLangId _),
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
+    "text_vocab_topk" -> (ExtQueries.textVocabTopK _),
     "text_rolling_fingerprint" -> (ExtQueries.textRollingFingerprint _),
     "text_bpe_tokens" -> (ExtQueries.textBpeTokens _),
     "sim_cosine_topk" -> (ExtQueries.simCosineTopK _),
@@ -184,6 +188,16 @@ object SparkEntry {
         |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
 
     "w1_latest_per_key" ->
+      """SELECT o_custkey AS account, o_orderkey AS order_key,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice AS total_price
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
+        |      FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    // identical oracle as w1: the driver gate itself proves the salted
+    // two-phase form is row-identical to the single window
+    "w1_latest_per_key_salted" ->
       """SELECT o_custkey AS account, o_orderkey AS order_key,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice AS total_price
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -422,6 +436,25 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
+    // source/sink roundtrips: the SPARK side goes parquet → JSON/CSV →
+    // schema-on-read → agg; the oracle aggregates the parquet directly,
+    // so any sink/source infidelity breaks the hash
+    "source_json_roundtrip" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "source_csv_roundtrip" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
     "events_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
@@ -563,6 +596,14 @@ object SparkEntry {
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+
+    "text_vocab_topk" ->
+      """SELECT word, n_occurrences, n_docs FROM (
+        |  SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)
+        |ORDER BY n_occurrences DESC NULLS LAST, word ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
 
     "dedup_minhash_lsh" -> ExtOracleSql.dedupMinhashLsh,
     "dedup_simhash" -> ExtOracleSql.dedupSimhash,
