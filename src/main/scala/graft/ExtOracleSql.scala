@@ -294,6 +294,34 @@ object ExtOracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** Int8-quantization twin: q = round(x / (max|x|/127)) as exact-integer
+    * doubles (every product/sum < 2^53, so the double folds are
+    * bit-identical to Spark's tinyint→double scoring path).
+    */
+  val simQuantizedTopK: String =
+    s"""WITH $vecsDouble,
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(vec, x -> CAST(CAST(round(x / s) AS BIGINT) AS DOUBLE)) AS q
+       |  FROM (
+       |    SELECT vec_id, vec,
+       |      CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS s
+       |    FROM (SELECT vec_id, vec,
+       |            list_reduce(list_transform(vec, x -> abs(x)), (a, b) -> greatest(a, b)) AS m
+       |          FROM v))),
+       |qq AS (SELECT vec_id AS query_id, q AS q_vec FROM qz WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT qq.query_id, c.vec_id AS neighbor_id,
+       |    ${cosine("qq.q_vec", "c.q")} AS score
+       |  FROM qz c JOIN qq ON qq.query_id <> c.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
   val dedupEmbeddingCosine: String =
     s"""WITH $vecsDouble,
        |all_v AS (

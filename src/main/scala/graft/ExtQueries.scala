@@ -366,6 +366,20 @@ object ExtQueries {
         round(col("score"), 6).as("score"))
   }
 
+  /** Top-k over int8-quantized vectors (Similarity.quantizeInt8): the
+    * scoring runs entirely on the TINYINT codes (integer dot products —
+    * the SIMD-friendly form real int8 ANN uses); per-vector scale
+    * cancels in cosine, so ranks match dequantized scoring exactly.
+    */
+  def simQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    // the tinyint codes are the stored form; scoring takes a double view
+    // (every term is an exact integer < 2^53, so this is lossless)
+    val qz = Similarity.quantizeInt8(vecs(s, dir))
+      .withColumn("qd", transform(col("q"), _.cast("double")))
+    Similarity.bruteForceTopK(
+      qz, qz.filter(col("vec_id") % 25 === 0), k = 5, vecCol = "qd")
+  }
+
   /** Embedding near-dup: every 10th vector re-appears deterministically
     * perturbed (index-patterned additive noise — cosine is scale-invariant
     * so a multiplicative copy would be a degenerate test); pairs with

@@ -95,6 +95,7 @@ object SparkEntry {
     "sim_ann_lsh_topk" -> (ExtQueries.simAnnLshTopK _),
     "sim_ivf_topk" -> (ExtQueries.simIvfTopK _),
     "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
+    "sim_quantized_topk" -> (ExtQueries.simQuantizedTopK _),
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
     "streaming_hourly_agg" -> (ExtQueries.streamingHourlyAgg _),
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
@@ -614,6 +615,7 @@ object SparkEntry {
     "sim_ann_lsh_topk" -> ExtOracleSql.simAnnLshTopK,
     "sim_ivf_topk" -> ExtOracleSql.simIvfTopK,
     "sim_ivf_kmeans_topk" -> ExtOracleSql.simIvfKmeansTopK,
+    "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
     "multimodal_features" -> ExtOracleSql.multimodalFeatures,
 
     // streaming twins: the oracle is the BATCH semantics — streaming

@@ -42,6 +42,24 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
+  /** Symmetric per-vector int8 scalar quantization — the 100 TB storage
+    * path for vector search: `scale = max|x| / 127`,
+    * `q = round(x / scale) ∈ [-127, 127]` stored as `ARRAY<TINYINT>`
+    * (4× smaller than float32, 8× than float64), `scale` kept as
+    * reconstruction metadata. Cosine over the integer codes equals
+    * cosine over the dequantized vectors exactly (per-vector scale
+    * cancels), and because |q|≤127 every dot/norm term is an exact
+    * integer below 2^53, the double fold is bit-identical to the
+    * oracle's. Zero vectors take scale=1 so quantization is total.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__m", aggregate(col("__v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("scale", when(col("__m") === 0.0, lit(1.0)).otherwise(col("__m") / lit(127.0)))
+      .withColumn("q", transform(col("__v"), x => round(x / col("scale")).cast("tinyint")))
+      .select(col(idCol), col("q"), col("scale"))
+
   /** Exact top-k neighbors for each query vector (brute force baseline).
     * `queries` must be small enough to broadcast.
     */
