@@ -463,6 +463,34 @@ object Queries {
         fixedPointSum(col("o_totalprice"), 2).as("total_sales"),
         count(lit(1)).as("n_orders"))
 
+  /** CUBE over (priority, status) with grouping_id so every subtotal
+    * level is distinguishable — completes the grouping-set surface next
+    * to ROLLUP (same partial-agg scale shape: one shuffle, grouping-set
+    * expansion map-side).
+    */
+  def qCubeSales(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"), col("o_totalprice"))
+      .cube(col("priority"), col("status"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        fixedPointSum(col("o_totalprice"), 2).as("total_sales"),
+        count(lit(1)).as("n_orders"))
+
+  /** The full reference report 1 executed against the durable BUCKETED
+    * staging artifact (write → catalog reread → report), gated with the
+    * same oracle as report1: proves the bucketed path is semantics-
+    * preserving end-to-end, not just exchange-free.
+    */
+  def report1FromBucketed(s: SparkSession, dir: String): DataFrame = {
+    val v = stagedViews(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_r1b").toString
+    Pipeline.writeStagedBucketed(v, base, nBuckets = 8, prefix = "vr1b")
+    ReportingLayer.mortgagePortfolio(
+      Pipeline.readStagedBucketed(s, prefix = "vr1b"), Seq("operation_number"))
+  }
+
   /** Set operations: customers partitioned by open-orders membership vs
     * big-order membership (INTERSECT / EXCEPT both ways, tagged).
     */

@@ -70,6 +70,8 @@ object SparkEntry {
     "q3_topk_revenue" -> (Queries.q3TopkRevenue _),
     "q5_multijoin_agg" -> (Queries.q5MultijoinAgg _),
     "q_rollup_sales" -> (Queries.qRollupSales _),
+    "q_cube_sales" -> (Queries.qCubeSales _),
+    "report1_from_bucketed" -> (Queries.report1FromBucketed _),
     "q_set_ops" -> (Queries.qSetOps _),
     "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
     "source_json_roundtrip" -> (Queries.sourceJsonRoundtrip _),
@@ -363,6 +365,17 @@ object SparkEntry {
       s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_restructure"),
 
     "report1_mortgage_portfolio" -> DeriveSql.report1,
+    // the bucketed-artifact path must reproduce the report EXACTLY
+    "report1_from_bucketed" -> DeriveSql.report1,
+
+    "q_cube_sales" ->
+      """WITH b AS (SELECT o_orderpriority AS priority, o_orderstatus AS status, o_totalprice
+        |           FROM orders)
+        |SELECT priority, status,
+        |  CAST(GROUPING_ID(priority, status) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales,
+        |  COUNT(*) AS n_orders
+        |FROM b GROUP BY CUBE(priority, status)""".stripMargin,
     "report2_restructuring_pipeline" -> DeriveSql.report2,
     "report3_commercial_promises" -> DeriveSql.report3,
 
