@@ -166,6 +166,34 @@ object ExtQueries {
       .orderBy(col("n_occurrences").desc_nulls_last, col("word").asc_nulls_first)
       .limit(20)
 
+  /** Deterministic content-hash Bernoulli sample (~10%): keep a doc iff
+    * the first 4 hex chars of md5(text) land under the threshold. The
+    * pipeline-correct way to sample at 100 TB — reproducible across
+    * engines, runs, and cluster layouts (unlike `df.sample`, whose RNG
+    * is partition-seeded), and content-keyed so re-ingested duplicates
+    * sample identically.
+    */
+  def sampleDigestBernoulli(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("h", conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10).cast("long"))
+      .filter(col("h") < lit((65536 * 0.10).toInt))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Deterministic train/val/test split (~80/10/10) by content digest —
+    * the standard data-mix assignment, stable under re-partitioning and
+    * dedup reruns. Emits the full assignment so the gate checks every
+    * row's split, not just counts.
+    */
+  def pipelineTrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 10
+    docs(s, dir).select(
+      col("doc_id"),
+      when(bucket < 8, lit("train"))
+        .when(bucket === 8, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — portable digest. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

@@ -91,6 +91,8 @@ object SparkEntry {
     "text_lang_id" -> (ExtQueries.textLangId _),
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
     "text_vocab_topk" -> (ExtQueries.textVocabTopK _),
+    "sample_digest_bernoulli" -> (ExtQueries.sampleDigestBernoulli _),
+    "pipeline_train_split" -> (ExtQueries.pipelineTrainSplit _),
     "text_rolling_fingerprint" -> (ExtQueries.textRollingFingerprint _),
     "text_bpe_tokens" -> (ExtQueries.textBpeTokens _),
     "sim_cosine_topk" -> (ExtQueries.simCosineTopK _),
@@ -610,6 +612,17 @@ object SparkEntry {
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+
+    "sample_digest_bernoulli" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(text), 1, 4))::UBIGINT AS BIGINT) < 6553""".stripMargin,
+
+    "pipeline_train_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(text), 1, 4))::UBIGINT AS BIGINT) % 10 AS b
+        |      FROM documents)""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT word, n_occurrences, n_docs FROM (
