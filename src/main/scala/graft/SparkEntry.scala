@@ -121,7 +121,9 @@ object SparkEntry {
     "sim_ivf_topk", "events_asof_join", "q_rollup_sales",
     "events_json_extract", "text_quality_filter", "multimodal_features",
     "q_pivot_sales", "w4_window_suite", "streaming_hourly_agg",
-    "qa_profile_activities", "dedup_embedding_cosine", "sim_ivf_kmeans_topk")
+    "qa_profile_activities", "dedup_embedding_cosine", "sim_ivf_kmeans_topk",
+    "sim_quantized_topk", "text_vocab_topk", "q_cube_sales",
+    "w1_latest_per_key_salted", "pipeline_incremental_primary")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
