@@ -463,6 +463,47 @@ object Queries {
         fixedPointSum(col("o_totalprice"), 2).as("total_sales"),
         count(lit(1)).as("n_orders"))
 
+  /** Exact quartiles per group WITHOUT interpolation: the value at rank
+    * ceil(p·n) under a total order — the discrete-percentile definition
+    * both engines can compute bit-identically (percentile_cont
+    * interpolation arithmetic differs across engines; this doesn't).
+    * Scale note: exact quantiles cost one full per-group sort; at 100 TB
+    * prefer approx_percentile unless exactness is contractual.
+    */
+  def aggQuartilesManual(s: SparkSession, dir: String): DataFrame = {
+    val byP = Window.partitionBy(col("priority"))
+    val w = byP.orderBy(col("o_totalprice").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    def at(p: Double) = col("rn") === ceil(col("n") * lit(p))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byP))
+      .groupBy(col("priority"))
+      .agg(
+        max(when(at(0.25), col("o_totalprice"))).as("q1"),
+        max(when(at(0.50), col("o_totalprice"))).as("median"),
+        max(when(at(0.75), col("o_totalprice"))).as("q3"))
+  }
+
+  /** FULL OUTER join: per-customer order counts against the rich-customer
+    * subset — unmatched rows survive on BOTH sides with COALESCE
+    * sentinels (completes the join surface next to left/semi/anti).
+    */
+  def j5FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(c, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("cust_key"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("c_mktsegment"), lit("NO_SEGMENT")).as("segment"),
+        when(col("o_custkey").isNull, "customer_only")
+          .when(col("c_custkey").isNull, "orders_only")
+          .otherwise("both").as("side"))
+  }
+
   /** CUBE over (priority, status) with grouping_id so every subtotal
     * level is distinguishable — completes the grouping-set surface next
     * to ROLLUP (same partial-agg scale shape: one shuffle, grouping-set

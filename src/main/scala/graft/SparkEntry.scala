@@ -33,6 +33,8 @@ object SparkEntry {
     "j1_left_join_sentinel" -> (Queries.j1LeftJoinSentinel _),
     "j2_semi_join" -> (Queries.j2SemiJoin _),
     "j3_anti_join" -> (Queries.j3AntiJoin _),
+    "j5_full_outer" -> (Queries.j5FullOuter _),
+    "agg_quartiles_manual" -> (Queries.aggQuartilesManual _),
     // §2.5/2.7 windows / sort / limit
     "w1_latest_per_key" -> (Queries.w1LatestPerKey _),
     "w1_latest_per_key_salted" -> (Queries.w1LatestPerKeySalted _),
@@ -193,6 +195,30 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+
+    "j5_full_outer" ->
+      """SELECT COALESCE(o_custkey, c_custkey) AS cust_key,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(c_mktsegment, 'NO_SEGMENT') AS segment,
+        |  CASE WHEN o_custkey IS NULL THEN 'customer_only'
+        |       WHEN c_custkey IS NULL THEN 'orders_only'
+        |       ELSE 'both' END AS side
+        |FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        |FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000) c
+        |  ON o_custkey = c_custkey""".stripMargin,
+
+    "agg_quartiles_manual" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS priority, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT priority,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN o_totalprice END) AS q1,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN o_totalprice END) AS median,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN o_totalprice END) AS q3
+        |FROM r GROUP BY priority""".stripMargin,
 
     "w1_latest_per_key" ->
       """SELECT o_custkey AS account, o_orderkey AS order_key,
