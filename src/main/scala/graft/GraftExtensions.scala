@@ -23,5 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    // whole-operator extension: native two-phase top-k-per-key
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKey.Strategy)
   }
 }

@@ -463,6 +463,23 @@ object Queries {
         fixedPointSum(col("o_totalprice"), 2).as("total_sales"),
         count(lit(1)).as("n_orders"))
 
+  /** W2 through the NATIVE whole-operator top-k (plans.TopKPerKey:
+    * LogicalPlan + Strategy + SparkPlan, bounded per-key heaps, partial
+    * pass before the shuffle, no sort) — gated with w2's own oracle, so
+    * the driver proves the custom physical operator is row-identical to
+    * the window form.
+    */
+  def w2TopKPerKeyNative(s: SparkSession, dir: String): DataFrame =
+    plans.TopKPerKey(
+      t(s, dir, "orders"),
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first),
+      k = 3)
+      .select(
+        col("o_custkey").as("account"),
+        col("o_orderkey").as("order_key"),
+        col("o_totalprice").as("total_price"))
+
   /** Exact quartiles per group WITHOUT interpolation: the value at rank
     * ceil(p·n) under a total order — the discrete-percentile definition
     * both engines can compute bit-identically (percentile_cont

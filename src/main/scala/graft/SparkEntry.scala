@@ -39,6 +39,7 @@ object SparkEntry {
     "w1_latest_per_key" -> (Queries.w1LatestPerKey _),
     "w1_latest_per_key_salted" -> (Queries.w1LatestPerKeySalted _),
     "w2_topk_per_key" -> (Queries.w2TopKPerKey _),
+    "w2_topk_native" -> (Queries.w2TopKPerKeyNative _),
     "w3_running_total" -> (Queries.w3RunningTotal _),
     "w4_window_suite" -> (Queries.wWindowSuite _),
     "agg_stats" -> (Queries.aggStats _),
@@ -239,6 +240,15 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
 
     "w2_topk_per_key" ->
+      """SELECT o_custkey AS account, o_orderkey AS order_key, o_totalprice AS total_price
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    // w2's oracle verbatim: the native whole-operator must be
+    // row-identical to the window form
+    "w2_topk_native" ->
       """SELECT o_custkey AS account, o_orderkey AS order_key, o_totalprice AS total_price
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
         |        ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn

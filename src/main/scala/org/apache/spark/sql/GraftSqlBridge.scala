@@ -1,0 +1,24 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` surfaces that custom whole-operator
+  * extensions need (Spark 4 hides `Column → Expression` and
+  * `Dataset.ofRows` from user packages; a `LogicalPlan`-level operator
+  * cannot be built without both). Standard extension-library pattern:
+  * the object lives in the `org.apache.spark.sql` package solely to
+  * satisfy the access qualifier — it adds no behavior.
+  */
+object GraftSqlBridge {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Fully-converted Catalyst expression (ColumnNode → Expression via the
+    * session converter — `ExpressionUtils.expression` would only wrap the
+    * node lazily, which never resolves inside a custom plan node).
+    */
+  def expression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+}
