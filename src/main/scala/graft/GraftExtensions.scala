@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children(0), children(1))))
     // whole-operator extension: native two-phase top-k-per-key
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKey.Strategy)
+    // optimizer rewrite: row_number<=k filters take the native operator
+    // engine-wide (kill switch: spark.graft.nativeTopK.enabled=false)
+    ext.injectOptimizerRule(_ => new graft.plans.NativeTopKRule)
   }
 }

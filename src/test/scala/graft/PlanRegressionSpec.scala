@@ -41,19 +41,31 @@ class PlanRegressionSpec extends SparkSpec {
       !l.contains("l_comment") && !l.contains("l_shipinstruct")), schemas.mkString("\n"))
   }
 
-  test("w1: row_number=1 plans WindowGroupLimit partial+final around the exchange") {
+  test("w1: row_number=1 takes the native top-k (partial+final around one exchange)") {
+    // NativeTopKRule rewrites the pattern to TopKPerKeyExec; the
+    // partial instance bounds what crosses the wire, like
+    // WindowGroupLimit did on the stock path
     val plan = staticPlan(Queries.w1LatestPerKey(spark, sfSmoke))
-    assert("WindowGroupLimit \\(\\d+\\)".r.findAllIn(plan).size >= 2, plan.take(4000))
+    assert("TopKPerKey \\(\\d+\\)".r.findAllIn(plan).size >= 2, plan.take(4000))
     assert(countExchanges(plan) == 1, plan.take(4000))
     assert(planLines(plan, "hashpartitioning").nonEmpty, plan.take(4000))
+    assert(!plan.contains("Sort ("), plan.take(4000))
   }
 
-  test("report1: contact views broadcast at runtime; window partial pass present") {
+  test("w1 stock path survives behind the kill switch") {
+    spark.conf.set("spark.graft.nativeTopK.enabled", "false")
+    try {
+      val plan = staticPlan(Queries.w1LatestPerKey(spark, sfSmoke))
+      assert("WindowGroupLimit \\(\\d+\\)".r.findAllIn(plan).size >= 2, plan.take(4000))
+    } finally spark.conf.set("spark.graft.nativeTopK.enabled", "true")
+  }
+
+  test("report1: contact views broadcast at runtime; native top-k dedup present") {
     val df = Queries.report1(spark, sfSmoke)
     val plan = finalPlan(df)
     assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
-    assert(plan.contains("WindowGroupLimit"), plan.take(4000))
+    assert(plan.contains("TopKPerKey"), plan.take(4000))
   }
 
   test("sessionize: exactly one shuffle on the key (agg reuses the window's partitioning)") {
