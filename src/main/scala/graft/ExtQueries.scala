@@ -437,6 +437,12 @@ object ExtQueries {
   def streamingHourlyAgg(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingHourlyAgg(s, dir)
 
+  /** Stream–static join: event stream enriched with the customer
+    * dimension, aggregated per segment — must equal the batch join+agg.
+    */
+  def streamingEnrichStatic(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingEnrichStatic(s, dir)
+
   /** Streaming dedup of a duplicated stream — must equal the base table. */
   def streamingDedupEvents(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingDedupEvents(s, dir)

@@ -106,6 +106,7 @@ object SparkEntry {
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
     "streaming_hourly_agg" -> (ExtQueries.streamingHourlyAgg _),
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
+    "streaming_enrich_static" -> (ExtQueries.streamingEnrichStatic _),
     "streaming_sessionize" -> (ExtQueries.streamingSessionize _),
     "streaming_latest_contact" -> (ExtQueries.streamingLatestContact _)
   )
@@ -690,6 +691,14 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
         |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    // stream-static join must equal the batch join+agg
+    "streaming_enrich_static" ->
+      """SELECT COALESCE(c_mktsegment, 'NO_SEGMENT') AS segment, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
 
     "streaming_dedup_events" ->

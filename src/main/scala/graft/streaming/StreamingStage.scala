@@ -112,6 +112,29 @@ object StreamingStage {
   def streamingHourlyAgg(spark: SparkSession, dir: String): DataFrame =
     runToTable(hourlyAgg(eventsStream(spark, dir)), "streaming_hourly_agg", "complete")
 
+  /** Stream–static join enrichment: the event stream joined to the
+    * static customer dimension, then aggregated per (segment,
+    * event_type) — the standard streaming-enrichment shape. The static
+    * side is re-planned per micro-batch under the same broadcast rules
+    * as batch (at 100 TB: broadcast a dim, or pre-bucket both sides);
+    * unmatched users keep the COALESCE sentinel like the batch reports.
+    */
+  def streamingEnrichStatic(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.sources.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val agg = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .join(cust, Seq("user_id"), "left")
+      .groupBy(coalesce(col("segment"), lit("NO_SEGMENT")).as("segment"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000000).cast("long")).as("sum_fp"))
+      .select(col("segment"), col("event_type"), col("n_events"),
+        (col("sum_fp").cast("double") / 1000000).as("sum_value"))
+    runToTable(agg, "streaming_enrich_static", "complete")
+  }
+
   /** Streaming dedup over a deliberately duplicated stream (the source
     * unioned with itself) — output must equal the distinct base table.
     */
