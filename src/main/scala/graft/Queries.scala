@@ -360,6 +360,27 @@ object Queries {
   def pipelineContactsPrimary(s: SparkSession, dir: String): DataFrame =
     StagingLayer.cleanContactsPrimary(Derive.stgActivities(s, dir), Seq("src_seq"))
 
+  /** SCD2-style contact history: every activity row becomes a versioned
+    * record with a validity range derived from the NEXT activity of the
+    * same account (lead window) and a current-row flag — the
+    * slowly-changing-dimension companion to the latest-row views (which
+    * are exactly the `is_current` slice). One key shuffle, no self-join.
+    */
+  def pipelineContactHistoryScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("account_id"))
+      .orderBy(ref.parseDdMmYyyy(col("activity_date")).asc_nulls_first,
+        col("src_seq").asc_nulls_first)
+    Derive.stgActivities(s, dir)
+      .withColumn("next_seq", lead(col("src_seq"), 1).over(w))
+      .select(
+        col("account_id"),
+        col("src_seq").as("valid_from_seq"),
+        col("next_seq").as("valid_to_seq"),
+        ref.parseDdMmYyyy(col("activity_date")).as("activity_date"),
+        col("contact_outcome"),
+        col("next_seq").isNull.as("is_current"))
+  }
+
   /** Incremental batch staging: split the activity log into a "history"
     * and a "new batch" (deterministically, on src_seq), build state from
     * history, fold the batch in, publish — must equal the one-shot batch

@@ -62,6 +62,7 @@ object SparkEntry {
     "pipeline_clean_accounts" -> (Queries.pipelineCleanAccounts _),
     "pipeline_contacts_primary" -> (Queries.pipelineContactsPrimary _),
     "pipeline_incremental_primary" -> (Queries.pipelineIncrementalPrimary _),
+    "pipeline_history_scd2" -> (Queries.pipelineContactHistoryScd2 _),
     "pipeline_contacts_field" -> (Queries.pipelineContactsField _),
     "pipeline_contacts_promise" -> (Queries.pipelineContactsPromise _),
     "pipeline_contacts_restructure" -> (Queries.pipelineContactsRestructure _),
@@ -390,6 +391,21 @@ object SparkEntry {
     // incremental staging must converge to the identical batch view
     "streaming_latest_contact" -> DeriveSql.withStaging(
       s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_primary"),
+
+    "pipeline_history_scd2" ->
+      s"""WITH ${DeriveSql.stgActivities}
+         |SELECT account_id,
+         |  src_seq AS valid_from_seq,
+         |  lead(src_seq, 1) OVER w AS valid_to_seq,
+         |  TRY_CAST(substr(activity_date,7,4) || '-' || substr(activity_date,4,2)
+         |           || '-' || substr(activity_date,1,2) AS DATE) AS activity_date,
+         |  contact_outcome,
+         |  (lead(src_seq, 1) OVER w IS NULL) AS is_current
+         |FROM stg_activities
+         |WINDOW w AS (PARTITION BY account_id
+         |  ORDER BY TRY_CAST(substr(activity_date,7,4) || '-' || substr(activity_date,4,2)
+         |             || '-' || substr(activity_date,1,2) AS DATE) ASC NULLS FIRST,
+         |           src_seq ASC NULLS FIRST)""".stripMargin,
 
     // batch-incremental staging (history + folded delta) must equal the
     // one-shot batch view too
