@@ -52,6 +52,26 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!plan.contains("Sort ("), plan.take(4000))
   }
 
+  test("native rewrite fires for SQL text too; rank-consuming queries keep their Window") {
+    sources.Tables.registerAll(spark, sfSmoke)
+    val sqlPlan = staticPlan(spark.sql(
+      """SELECT account, order_key FROM (
+        |  SELECT o_custkey AS account, o_orderkey AS order_key,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin))
+    assert(sqlPlan.contains("TopKPerKey"), sqlPlan.take(3000))
+
+    // topKRanked keeps the rank column -> the guard must leave the Window
+    val ranked = staticPlan(graft.operators.LatestPerKey.topKRanked(
+      spark.table("orders"), 3,
+      Seq(org.apache.spark.sql.functions.col("o_custkey")),
+      Seq(org.apache.spark.sql.functions.col("o_totalprice").desc_nulls_last,
+        org.apache.spark.sql.functions.col("o_orderkey").asc_nulls_first)))
+    assert(!ranked.contains("TopKPerKey"), ranked.take(3000))
+    assert(ranked.contains("Window"), ranked.take(3000))
+  }
+
   test("w1 stock path survives behind the kill switch") {
     spark.conf.set("spark.graft.nativeTopK.enabled", "false")
     try {
