@@ -50,8 +50,29 @@ object TopKPerKey {
     }
   }
 
-  /** Physical: one streamed pass, one bounded k-heap per key (heap head =
-    * worst retained row; replace when a better row arrives).
+  /** Flush threshold for the PARTIAL phase's group map: when the number
+    * of tracked keys exceeds this, current heaps are emitted and the map
+    * cleared — correct because the final phase re-reduces, and exactly
+    * the graceful degradation wanted for near-unique keys (where a
+    * partial top-k cannot reduce anything anyway). Bounds memory the
+    * same way partial hash aggregation's fallback does; an unbounded
+    * map here would be the same flaw as an uncapped collect_list.
+    */
+  val PartialFlushGroups = 1 << 17
+
+  /** Physical operator.
+    *
+    * Partial (map-side, any distribution): one bounded k-heap per key
+    * (heap head = worst retained; replace when a better row arrives),
+    * flushed whenever the map tracks more than [[PartialFlushGroups]]
+    * keys — memory is bounded by min(keys, cap)×k rows.
+    *
+    * Final (post-shuffle): requires the child SORTED by (keys, order) —
+    * EnsureRequirements plans a spillable SortExec over the
+    * partial-reduced candidate set (small for reducible keys; for
+    * near-unique keys this equals the stock plan's sort, never worse) —
+    * then streams group-contiguous rows emitting the first k per key
+    * with O(k) memory and no buffering.
     */
   final case class TopKPerKeyExec(
       keys: Seq[Expression], order: Seq[SortOrder], k: Int, partial: Boolean,
@@ -60,6 +81,9 @@ object TopKPerKey {
     override def outputPartitioning: Partitioning = child.outputPartitioning
     override def requiredChildDistribution: Seq[Distribution] =
       if (partial) UnspecifiedDistribution :: Nil else ClusteredDistribution(keys) :: Nil
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+      if (partial) Seq(Nil)
+      else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
     override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
       copy(child = newChild)
 
@@ -68,27 +92,76 @@ object TopKPerKey {
       val keyExprs = keys
       val sortOrder = order
       val limit = k
+      val isPartial = partial
+      val flushGroups = conf.getConfString(
+        "spark.graft.nativeTopK.partialFlushGroups", PartialFlushGroups.toString).toInt
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(keyExprs, schema)
-        val ord = new LazilyGeneratedOrdering(sortOrder, schema)
-        // PriorityQueue dequeues the MAX under its ordering = the worst
-        // retained row under the caller's order ("top" = smallest).
-        val groups = new java.util.LinkedHashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
-        while (iter.hasNext) {
-          val row = iter.next()
-          val key = keyProj(row)
-          var heap = groups.get(key)
-          if (heap == null) {
-            heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
-            groups.put(key.copy(), heap)
+        if (isPartial) {
+          val ord = new LazilyGeneratedOrdering(sortOrder, schema)
+          // Chunked heap-map: fill one map up to PartialFlushGroups
+          // keys, stream its contents out, repeat. Memory is bounded to
+          // one chunk regardless of key cardinality; the row that would
+          // open key cap+1 is carried (copied) into the next chunk.
+          new Iterator[InternalRow] {
+            private var carry: InternalRow = null
+            private var out: Iterator[InternalRow] = Iterator.empty
+            private def process(groups: java.util.LinkedHashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]],
+                                row: InternalRow): Boolean = {
+              val key = keyProj(row)
+              var heap = groups.get(key)
+              if (heap == null) {
+                if (groups.size() >= flushGroups) { carry = row.copy(); return false }
+                heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+                groups.put(key.copy(), heap)
+              }
+              // heap head = MAX under the caller's order = worst retained
+              if (heap.size < limit) heap.enqueue(row.copy())
+              else if (ord.compare(row, heap.head) < 0) {
+                heap.dequeue(); heap.enqueue(row.copy())
+              }
+              true
+            }
+            private def refill(): Unit = {
+              val groups = new java.util.LinkedHashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+              if (carry != null) { val c = carry; carry = null; process(groups, c) }
+              var open = true
+              while (open && iter.hasNext) open = process(groups, iter.next())
+              out = scala.jdk.CollectionConverters.IteratorHasAsScala(groups.values().iterator())
+                .asScala.flatMap(_.dequeueAll.reverseIterator)
+            }
+            override def hasNext: Boolean = {
+              while (!out.hasNext && (carry != null || iter.hasNext)) refill()
+              out.hasNext
+            }
+            override def next(): InternalRow = { hasNext; out.next() }
           }
-          if (heap.size < limit) heap.enqueue(row.copy())
-          else if (ord.compare(row, heap.head) < 0) {
-            heap.dequeue(); heap.enqueue(row.copy())
+        } else {
+          // sorted input: rows of a key are contiguous and already in
+          // the caller's order — emit the first k per key, O(k) memory.
+          // Lazy advance: the underlying iterator may reuse row buffers,
+          // so never read ahead before the consumer is done with a row.
+          new Iterator[InternalRow] {
+            private var current: UnsafeRow = null
+            private var emitted = 0
+            private var pending: InternalRow = null
+            private var ready = false
+            private def findNext(): Unit = {
+              pending = null
+              while (pending == null && iter.hasNext) {
+                val row = iter.next()
+                val key = keyProj(row)
+                if (current == null || key != current) {
+                  current = key.copy(); emitted = 0
+                }
+                if (emitted < limit) { emitted += 1; pending = row }
+              }
+              ready = true
+            }
+            override def hasNext: Boolean = { if (!ready) findNext(); pending != null }
+            override def next(): InternalRow = { if (!ready) findNext(); ready = false; pending }
           }
         }
-        scala.jdk.CollectionConverters.IteratorHasAsScala(groups.values().iterator()).asScala
-          .flatMap(_.dequeueAll.reverseIterator)
       }, preservesPartitioning = true)
     }
   }

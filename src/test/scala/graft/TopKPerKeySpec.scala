@@ -35,7 +35,7 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out == Set((1, 10), (1, 20), (2, 30)))
   }
 
-  test("physical plan: partial and final TopKPerKeyExec around one exchange, no sort") {
+  test("physical plan: partial/final around one exchange; full-input sort avoided") {
     val df = TopKPerKey(
       spark.read.parquet(s"$sfSmoke/orders.parquet"),
       Seq(col("o_custkey")),
@@ -45,6 +45,29 @@ class TopKPerKeySpec extends SparkSpec {
     // nodeName strips the Exec suffix; partial=true/false show as args
     assert("TopKPerKey \\[".r.findAllIn(plan).size >= 2, plan.take(3000))
     assert(plan.contains("Exchange hashpartitioning(o_custkey"), plan.take(3000))
-    assert(!plan.contains("Sort "), plan.take(3000))
+    // the only sort is the final phase's spillable sort of the
+    // partial-REDUCED candidates (above the exchange); the map side
+    // below the exchange streams with heaps, no sort of the full input
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val belowExchange = finalSection.substring(
+      finalSection.indexOf("Exchange hashpartitioning"))
+    assert(!belowExchange.contains("Sort "), plan.take(3000))
+  }
+
+  test("partial flush cap preserves exactness under high key cardinality") {
+    // cap of 2 tracked keys forces constant chunk flushes; the final
+    // phase must still reduce to exactly the window form's rows
+    spark.conf.set("spark.graft.nativeTopK.partialFlushGroups", "2")
+    try {
+      val rnd = new scala.util.Random(23)
+      val rows = List.fill(500)((rnd.nextInt(50), rnd.nextInt(40), rnd.nextInt(1000000))).distinct
+      val df = rows.toDF("k", "ord", "seq").repartition(6)
+      val order = Seq(col("ord").desc_nulls_last, col("seq").asc_nulls_first)
+      val window = LatestPerKey.topK(df, 2, Seq(col("k")), order)
+        .as[(Int, Int, Int)].collect().toSet
+      val native = TopKPerKey(df, Seq(col("k")), order, 2)
+        .as[(Int, Int, Int)].collect().toSet
+      assert(native == window)
+    } finally spark.conf.unset("spark.graft.nativeTopK.partialFlushGroups")
   }
 }
