@@ -570,6 +570,41 @@ object Queries {
       Pipeline.readStagedBucketed(s, prefix = "vr1b"), Seq("operation_number"))
   }
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * exactly (priority), (status), and () subtotals, nothing else, with
+    * grouping_id disambiguating levels. Same one-shuffle partial-agg
+    * scale shape as ROLLUP.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").select(
+      col("o_orderpriority").as("priority"),
+      col("o_orderstatus").as("status"), col("o_totalprice"))
+      .createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT priority, status,
+        |  CAST(grouping_id() AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales,
+        |  COUNT(*) AS n_orders
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((priority), (status), ())""".stripMargin)
+  }
+
+  /** Sliding-window aggregation (2 h window, 1 h slide): each event
+    * contributes to TWO overlapping windows — the built-in `window()`
+    * generator, scale shape = explode×(window/slide) then one partial-agg
+    * shuffle on (window_start, type).
+    */
+  def eventsSlidingAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        window(col("ts"), "2 hours", "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        fixedPointSum(col("value"), 6).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Set operations: customers partitioned by open-orders membership vs
     * big-order membership (INTERSECT / EXCEPT both ways, tagged).
     */

@@ -75,6 +75,8 @@ object SparkEntry {
     "q5_multijoin_agg" -> (Queries.q5MultijoinAgg _),
     "q_rollup_sales" -> (Queries.qRollupSales _),
     "q_cube_sales" -> (Queries.qCubeSales _),
+    "q_grouping_sets" -> (Queries.qGroupingSets _),
+    "events_sliding_agg" -> (Queries.eventsSlidingAgg _),
     "report1_from_bucketed" -> (Queries.report1FromBucketed _),
     "q_set_ops" -> (Queries.qSetOps _),
     "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
@@ -406,6 +408,28 @@ object SparkEntry {
          |  ORDER BY TRY_CAST(substr(activity_date,7,4) || '-' || substr(activity_date,4,2)
          |             || '-' || substr(activity_date,1,2) AS DATE) ASC NULLS FIRST,
          |           src_seq ASC NULLS FIRST)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """WITH b AS (SELECT o_orderpriority AS priority, o_orderstatus AS status, o_totalprice
+        |           FROM orders)
+        |SELECT priority, status,
+        |  CAST(GROUPING_ID(priority, status) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales,
+        |  COUNT(*) AS n_orders
+        |FROM b GROUP BY GROUPING SETS ((priority), (status), ())""".stripMargin,
+
+    // every event lands in the two 2h-long windows starting at its hour
+    // and the hour before (slide = 1h, epoch-aligned on both engines)
+    "events_sliding_agg" ->
+      """WITH w AS (
+        |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                 date_trunc('hour', ts)]) AS win_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     // batch-incremental staging (history + folded delta) must equal the
     // one-shot batch view too
