@@ -118,14 +118,14 @@ object ExtOracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
 
-  /** 8-bit hyperplane signature: r_j[i] = ((i*31 + j*17) % 7) - 3. */
-  private def signature(v: String): String =
+  /** nBits hyperplane signature: r_j[i] = ((i*31 + j*17) % 7) - 3. */
+  private def signature(v: String, nBits: Int = 8): String =
     s"""array_to_string(
        |  [CASE WHEN list_reduce(
        |          [$v[i] * CAST(((i * 31 + j * 17) % 7) - 3 AS DOUBLE)
        |           for i in range(1, len($v) + 1)],
        |          (acc, x) -> acc + x) >= 0
-       |        THEN '1' ELSE '0' END for j in range(0, 8)], '')""".stripMargin
+       |        THEN '1' ELSE '0' END for j in range(0, $nBits)], '')""".stripMargin
 
   val simAnnLshTopK: String =
     s"""WITH $vecsDouble,
@@ -322,6 +322,11 @@ object ExtOracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** Banded twin of Similarity.nearDupPairs (4 bands × 4 bits of a
+    * 16-bit hyperplane signature, bucket count cap 2..500 mirroring
+    * Buckets.boundedMembers, DISTINCT because a pair may collide in
+    * several bands).
+    */
   val dedupEmbeddingCosine: String =
     s"""WITH $vecsDouble,
        |all_v AS (
@@ -330,9 +335,18 @@ object ExtOracleSql {
        |  SELECT vec_id + 1000000 AS vec_id,
        |    [vec[i] + CAST((i % 5) - 2 AS DOUBLE) * 0.01 for i in range(1, len(vec) + 1)] AS vec
        |  FROM v WHERE vec_id % 10 = 0),
-       |s AS (SELECT vec_id AS id, vec, ${signature("vec")} AS bucket FROM all_v)
-       |SELECT a.id AS id_1, b.id AS id_2,
+       |s AS (SELECT vec_id AS id, vec, ${signature("vec", 16)} AS sig FROM all_v),
+       |blocks AS (
+       |  SELECT id, vec,
+       |    unnest([CAST(b AS VARCHAR) || '|' || substr(sig, 1 + b * 4, 4)
+       |            for b in range(0, 4)]) AS band
+       |  FROM s),
+       |-- same bounded-bucket candidate generation as operators.Buckets:
+       |-- degenerate band values (> 500 members) are dropped on BOTH engines
+       |bc AS (SELECT band FROM blocks GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 500)
+       |SELECT DISTINCT a.id AS id_1, b.id AS id_2,
        |  round(${cosine("a.vec", "b.vec")}, 6) AS cosine
-       |FROM s a JOIN s b ON a.bucket = b.bucket AND a.id < b.id
+       |FROM blocks a JOIN blocks b ON a.band = b.band AND a.id < b.id
+       |JOIN bc ON a.band = bc.band
        |WHERE ${cosine("a.vec", "b.vec")} >= 0.95""".stripMargin
 }

@@ -411,7 +411,9 @@ object ExtQueries {
   /** Embedding near-dup: every 10th vector re-appears deterministically
     * perturbed (index-patterned additive noise — cosine is scale-invariant
     * so a multiplicative copy would be a degenerate test); pairs with
-    * cosine ≥ 0.95 among LSH-bucket candidates survive.
+    * cosine ≥ 0.95 among banded-LSH candidates (4 bands × 4 bits, bucket
+    * cap via Buckets.boundedMembers — same recall/scale shape as the
+    * minhash/simhash dedups) survive.
     */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
     val base = vecs(s, dir).select(col("vec_id"), col("embedding"))
@@ -422,12 +424,14 @@ object ExtQueries {
           (i % 5 - 2).cast("double") * 0.01).as("embedding"))
     val all = base.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("embedding")).unionByName(pert)
-    Similarity.nearDupPairs(all, threshold = 0.95, nBits = 8)
+    Similarity.nearDupPairs(all, threshold = 0.95, nBits = 16, bands = 4)
   }
 
   // ===== multimodal & streaming =====
 
-  /** Binary-payload feature extraction (stubbed decode — see Multimodal). */
+  /** Binary-payload feature extraction over a real ImageIO encode→decode
+    * round trip (see Multimodal.documentFeatures).
+    */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(docs(s, dir))
 

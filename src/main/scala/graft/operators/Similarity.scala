@@ -93,6 +93,19 @@ object Similarity {
   def hyperplaneSignature(v: Column, nBits: Int): Column =
     concat((0 until nBits).map(j => hyperplaneBit(v, j)): _*)
 
+  /** Banded hyperplane keys: band b = "b|" + bits [b·r, (b+1)·r) of the
+    * hyperplane signature, as an array of `bands` strings. Built directly
+    * from the per-bit folds (never materializing the full signature) so
+    * each of the bands×rows projections is evaluated exactly once per
+    * row — a full-signature column re-sliced per band would be inlined
+    * into every consumer by CollapseProject and recomputed `bands` times
+    * (the measured minhash trap, ExtQueries.dedupMinhashLsh).
+    */
+  def hyperplaneBands(v: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      concat(lit(s"$b|") +:
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => hyperplaneBit(v, j)): _*)): _*)
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * At scale the bucket column becomes the shuffle/partition key — each
     * bucket is an independent block, so skewless buckets parallelize the
@@ -153,19 +166,36 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
-  /** Near-duplicate vector pairs: LSH-bucket candidates, then exact cosine
-    * ≥ threshold. The bucket join replaces the O(n²) cross product — the
-    * same posting-list trick as n-gram Jaccard dedup, in embedding space.
+  /** Near-duplicate vector pairs: BANDED hyperplane-LSH candidates, then
+    * exact cosine ≥ threshold — the same banding-for-recall shape as the
+    * minhash/simhash dedups (a pair is a candidate when ANY band's bits
+    * all agree, so one flipped hyperplane no longer hides a ~cos-0.95
+    * pair the way a single full-width signature did).
+    *
+    * Scale shape (100 TB): explode to (band, member) → one groupBy(band)
+    * shuffle → in-bucket pair expansion, with `Buckets.boundedMembers`
+    * dropping degenerate buckets (> cap members) so no task ever expands
+    * an unbounded |B|² pair list — this replaces the old self-join on a
+    * 2^nBits-key bucket column (≤256-way parallelism, quadratic in-task
+    * expansion, signature pipeline computed twice). Parallelism is now
+    * bands × 2^rowsPerBand buckets and bounded ≤ cap²/2 pairs per task.
+    * Oracles must apply the identical banding + count cap.
     */
-  def nearDupPairs(vectors: DataFrame, threshold: Double, nBits: Int,
+  def nearDupPairs(vectors: DataFrame, threshold: Double, nBits: Int = 16,
+                   bands: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
-    sig.as("a").join(sig.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
-        cosine(col("a.vec"), col("b.vec")).as("cos"))
+    require(bands > 0 && nBits % bands == 0, "nearDupPairs: bands must divide nBits")
+    val banded = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(hyperplaneBands(col(vecCol), bands, nBits / bands)).as("band"))
+    Buckets.boundedMembers(banded, col("band"), struct(col("id"), col("vec")))
+      .select(explode(expr(
+        """flatten(transform(members, a ->
+          |  transform(filter(members, b -> b.id > a.id),
+          |    b -> struct(a.id AS id_1, b.id AS id_2,
+          |                cosine_sim(a.vec, b.vec) AS cos))))""".stripMargin)).as("p"))
+      .select(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"), col("p.cos").as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
       .select(col("id_1"), col("id_2"), round(col("cos"), 6).as("cosine"))
   }
 }

@@ -69,6 +69,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"top-1 recall $recall suspiciously low")
   }
 
+  test("nearDupPairs: every planted near-dup pair is found (banded recall)") {
+    // 40 well-separated base vectors, each with a tiny-perturbed copy at
+    // id+1000 — every (i, i+1000) pair has cosine ≈ 1 and must survive
+    // the banded candidate generation (any one agreeing band suffices).
+    val base = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(16)(d => math.sin(i * 1.7 + d * 0.9))))
+    val pert = base.map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, d) => x + (d % 3 - 1) * 0.001 }) }
+    val df = (base ++ pert).toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(df, threshold = 0.95)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    (0 until 40).foreach { i =>
+      assert(got.contains((i.toLong, i + 1000L)), s"planted pair $i missed")
+    }
+  }
+
+  test("nearDupPairs: degenerate hot bucket is capped, not expanded") {
+    // 600 identical vectors land every one of their bands in the same
+    // bucket (> cap 500) — all dropped from candidate generation, so the
+    // clones yield NO pairs; a separated planted pair elsewhere survives.
+    val clone = Seq.tabulate(16)(d => math.cos(d * 1.3))
+    val clones = (0 until 600).map(i => (i.toLong, clone))
+    val planted = Seq(
+      (5000L, Seq.tabulate(16)(d => math.sin(d * 2.1) * 2 - 1)),
+      (5001L, Seq.tabulate(16)(d => math.sin(d * 2.1) * 2 - 1 + (d % 3 - 1) * 0.001)))
+    val df = (clones ++ planted).toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(df, threshold = 0.95)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(got.contains((5000L, 5001L)), "planted pair must survive")
+    assert(got.forall { case (a, b) => a >= 5000L && b >= 5000L },
+      s"clone pairs must be dropped by the bucket cap, got ${got.size} pairs")
+  }
+
   test("minhash signature similarity: identical sets → 1.0; disjoint → low") {
     val df = Seq(
       ("a b c d e f g h", "a b c d e f g h"),
