@@ -118,23 +118,39 @@ object ExtOracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
 
-  /** nBits hyperplane signature: r_j[i] = ((i*31 + j*17) % 7) - 3. */
+  /** nBits hyperplane signature: r_j[i] = ((i*31 + j*17) % 61) - 30
+    * (modulus must exceed the widest signature — the family is periodic
+    * in j with period = modulus, so mod 7 gave only 7 distinct planes).
+    */
   private def signature(v: String, nBits: Int = 8): String =
     s"""array_to_string(
        |  [CASE WHEN list_reduce(
-       |          [$v[i] * CAST(((i * 31 + j * 17) % 7) - 3 AS DOUBLE)
+       |          [$v[i] * CAST(((i * 31 + j * 17) % 61) - 30 AS DOUBLE)
        |           for i in range(1, len($v) + 1)],
        |          (acc, x) -> acc + x) >= 0
        |        THEN '1' ELSE '0' END for j in range(0, $nBits)], '')""".stripMargin
 
+  /** Banded-LSH ANN twin (8 bands × 3 bits, candidate = any band match,
+    * DISTINCT before the exact re-score — mirrors Similarity.lshTopK).
+    */
   val simAnnLshTopK: String =
     s"""WITH $vecsDouble,
-       |s AS (SELECT vec_id, vec, ${signature("vec")} AS bucket FROM v),
-       |q AS (SELECT vec_id AS query_id, vec AS q_vec, bucket FROM s WHERE vec_id % 25 = 0),
+       |s AS (SELECT vec_id, vec, ${signature("vec", 24)} AS sig FROM v),
+       |blocks AS (
+       |  SELECT vec_id, vec,
+       |    unnest([CAST(b AS VARCHAR) || '|' || substr(sig, 1 + b * 3, 3)
+       |            for b in range(0, 8)]) AS band
+       |  FROM s),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM blocks c JOIN blocks q
+       |    ON q.band = c.band AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id),
        |scored AS (
-       |  SELECT q.query_id, c.vec_id AS neighbor_id,
-       |    ${cosine("q.q_vec", "c.vec")} AS score
-       |  FROM s c JOIN q ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosine("q.vec", "c.vec")} AS score
+       |  FROM cand
+       |  JOIN v q ON q.vec_id = cand.query_id
+       |  JOIN v c ON c.vec_id = cand.neighbor_id),
        |r AS (
        |  SELECT query_id, neighbor_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -321,6 +337,26 @@ object ExtOracleSql {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Recall@5 twin: re-states the exact and approximate top-k queries as
+    * subqueries and counts overlap per query — `n_hits` exact-integer,
+    * `recall_at_5` the same single IEEE divide Spark performs.
+    */
+  val simAnnRecall: String = {
+    def recallOf(method: String, approxSql: String): String =
+      s"""SELECT '$method' AS method, query_id, n_hits,
+         |  CAST(n_hits AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM (
+         |  SELECT e.query_id,
+         |    CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM ($simCosineTopK) e
+         |  LEFT JOIN ($approxSql) a
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |  GROUP BY e.query_id)""".stripMargin
+    s"""${recallOf("lsh", simAnnLshTopK)}
+       |UNION ALL
+       |${recallOf("ivf", simIvfTopK)}""".stripMargin
+  }
 
   /** Banded twin of Similarity.nearDupPairs (4 bands × 4 bits of a
     * 16-bit hyperplane signature, bucket count cap 2..500 mirroring

@@ -351,13 +351,19 @@ object ExtQueries {
     Similarity.bruteForceTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5)
   }
 
-  /** Same query set through the hyperplane-LSH bucketed (approximate)
-    * path — the scale formulation: candidates shrink to the query's
-    * bucket, so the scan is corpus-size, not corpus × queries.
+  /** Same query set through the banded hyperplane-LSH (approximate)
+    * path — the scale formulation: candidates shrink to band-bucket
+    * matches, so the scan is corpus-size, not corpus × queries. 8 bands
+    * × 3 bits measures 0.69 recall@5 at ~56% candidate rate on the
+    * near-random bench embeddings (where any sublinear method's recall
+    * ≈ its candidate fraction — there is no cluster structure to
+    * exploit); on clustered corpora the same setting is near-exhaustive
+    * (SimilaritySpec's clustered fixture holds it ≥ 0.8).
     */
   def simAnnLshTopK(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
-    Similarity.lshTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5, nBits = 8)
+    Similarity.lshTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5,
+      bands = 8, rowsPerBand = 3)
   }
 
   /** Same query set through the IVF inverted-list path (coarse quantize →
@@ -406,6 +412,29 @@ object ExtQueries {
       .withColumn("qd", transform(col("q"), _.cast("double")))
     Similarity.bruteForceTopK(
       qz, qz.filter(col("vec_id") % 25 === 0), k = 5, vecCol = "qd")
+  }
+
+  /** Recall@5 of each approximate ANN path (hyperplane-LSH, IVF) against
+    * the exact brute-force baseline, per query — the quality gate the
+    * per-query hash-match cannot provide (each approximate query only
+    * matches its own oracle's identical approximation; a silent recall
+    * regression would still hash-match). Scale shape: the exact and
+    * approximate top-k sets are tiny (queries × k rows), so the join is
+    * a broadcast and the whole metric costs one extra corpus scan per
+    * method.
+    */
+  def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = simCosineTopK(s, dir).select("query_id", "neighbor_id")
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(method).as("method"), col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5.0).as("recall_at_5"))
+    recallOf("lsh", simAnnLshTopK(s, dir))
+      .unionByName(recallOf("ivf", simIvfTopK(s, dir)))
   }
 
   /** Embedding near-dup: every 10th vector re-appears deterministically
@@ -464,8 +493,16 @@ object ExtQueries {
     StreamingStage.streamingLatestContact(s, dir)
 
   /** One-pass data profile of the derived activities (the QA tool a
-    * pipeline runs before trusting a new input drop).
+    * pipeline runs before trusting a new input drop) — HLL distinct
+    * counts (the 100 TB default; engine-specific estimates → rows-only
+    * gate).
     */
   def qaProfileActivities(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profiling.profile(Derive.stgActivities(s, dir))
+
+  /** Exact-distinct profile variant (opt-in; plans Spark's multi-distinct
+    * Expand — fine at QA scale, hash-gated against the DuckDB oracle).
+    */
+  def qaProfileActivitiesExact(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(Derive.stgActivities(s, dir), approxDistinct = false)
 }

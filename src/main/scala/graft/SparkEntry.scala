@@ -58,6 +58,7 @@ object SparkEntry {
     "qa_uniqueness_views" -> (Queries.qaUniquenessViews _),
     "qa_parse_failure_sample" -> (Queries.qaParseFailureSample _),
     "qa_profile_activities" -> (ExtQueries.qaProfileActivities _),
+    "qa_profile_activities_exact" -> (ExtQueries.qaProfileActivitiesExact _),
     // full reference pipeline (staging views + reports)
     "pipeline_clean_accounts" -> (Queries.pipelineCleanAccounts _),
     "pipeline_contacts_primary" -> (Queries.pipelineContactsPrimary _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "sim_ivf_topk" -> (ExtQueries.simIvfTopK _),
     "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
     "sim_quantized_topk" -> (ExtQueries.simQuantizedTopK _),
+    "sim_ann_recall" -> (ExtQueries.simAnnRecall _),
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
     "streaming_hourly_agg" -> (ExtQueries.streamingHourlyAgg _),
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
@@ -368,7 +370,9 @@ object SparkEntry {
          |WHERE TRY_CAST(substr(activity_date,7,4) || '-' || substr(activity_date,4,2)
          |               || '-' || substr(activity_date,1,2) AS DATE) IS NULL""".stripMargin,
 
-    "qa_profile_activities" -> ExtOracleSql.qaProfileActivities,
+    // qa_profile_activities itself has NO oracle: its HLL distinct counts
+    // are engine-specific (rows-only gate); the exact variant hash-gates.
+    "qa_profile_activities_exact" -> ExtOracleSql.qaProfileActivities,
 
     "qa_parse_failure_sample" -> DeriveSql.withStaging(
       """SELECT account_id, activity_date FROM clean_contacts_primary
@@ -721,6 +725,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ExtOracleSql.simIvfTopK,
     "sim_ivf_kmeans_topk" -> ExtOracleSql.simIvfKmeansTopK,
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
+    "sim_ann_recall" -> ExtOracleSql.simAnnRecall,
     "multimodal_features" -> ExtOracleSql.multimodalFeatures,
 
     // streaming twins: the oracle is the BATCH semantics — streaming

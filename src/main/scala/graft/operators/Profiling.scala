@@ -8,14 +8,19 @@ import org.apache.spark.sql.functions._
   * HashAggregate — no per-column jobs), emitted in long form so the
   * result schema is table-independent.
   *
-  * The exact `count_distinct` keeps the oracle hash-matchable;
-  * `approxDistinct` swaps in HyperLogLog (`approx_count_distinct`) for
-  * the 100 TB profile where exact distinct would shuffle every value —
-  * rows-only checkable since HLL estimates are engine-specific.
+  * HyperLogLog (`approx_count_distinct`) is the DEFAULT: N exact
+  * `count_distinct` columns in one agg trigger Spark's multi-distinct
+  * rewrite, whose `Expand` multiplies every input row ×(N+1) before the
+  * first HashAggregate and shuffles every distinct value of every
+  * column — measured ×17 on the 16-column activities table. HLL keeps
+  * the profile a single pass of constant-size sketches merged map-side,
+  * the only shape that survives 100 TB. `approxDistinct = false` is the
+  * opt-in exact mode (hash-matchable against an oracle, engine-portable)
+  * for small/verification tables.
   */
 object Profiling {
 
-  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+  def profile(df: DataFrame, approxDistinct: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val total = count(lit(1)).as("__n")
     val perCol = df.columns.flatMap { c =>

@@ -75,14 +75,19 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
-  /** Deterministic integer hyperplane component: r_j[i] = ((i*31+j*17) mod 7) - 3.
+  /** Deterministic integer hyperplane component: r_j[i] = ((i*31+j*17) mod 61) - 30.
     * Pseudo-random enough to split buckets, trivially reproducible in any
-    * engine (no RNG, no hash library).
+    * engine (no RNG, no hash library). The modulus must comfortably exceed
+    * the widest signature: the family is periodic in j with period = the
+    * modulus (j and j+m yield the SAME hyperplane), so the original mod-7
+    * variant silently produced only 7 distinct hyperplanes — every
+    * signature bit past the 7th repeated an earlier one, which the ANN
+    * recall gate exposed (recall stopped improving as bands were added).
     */
   private def hyperplaneBit(v: Column, j: Int): Column = {
     val proj = aggregate(
       zip_with(asDouble(v), transform(sequence(lit(1), size(v)),
-        i => ((i * 31 + lit(j * 17)) % 7 - 3).cast("double")), _ * _),
+        i => ((i * 31 + lit(j * 17)) % 61 - 30).cast("double")), _ * _),
       lit(0.0), _ + _)
     when(proj >= 0, lit("1")).otherwise(lit("0"))
   }
@@ -106,19 +111,34 @@ object Similarity {
       concat(lit(s"$b|") +:
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => hyperplaneBit(v, j)): _*)): _*)
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket.
-    * At scale the bucket column becomes the shuffle/partition key — each
-    * bucket is an independent block, so skewless buckets parallelize the
-    * search with no global cross join.
+  /** Approximate top-k via BANDED hyperplane LSH (OR-amplification): a
+    * corpus vector is a candidate when ANY of its `bands` band keys
+    * matches the query's — the AND-only single-signature form (all nBits
+    * agreeing) had recall@5 of 0.03 on the near-random bench embeddings,
+    * which the recall gate exposed; banding trades candidate-set size for
+    * recall exactly like the minhash/simhash dedups.
+    *
+    * Scale shape (100 TB): queries are exploded ×bands but stay the small
+    * broadcast side; the corpus is scanned once (its ×bands explode feeds
+    * a broadcast join — no corpus shuffle). Only the surviving candidate
+    * pairs shuffle (for the (query,neighbor) dedup, carrying c_vec once,
+    * before the exact re-score), and the final top-k shuffles (query_id)
+    * partitions. Candidates are deduped BEFORE scoring so each pair pays
+    * one cosine even when it collides in several bands.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int,
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bands: Int = 8, rowsPerBand: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qb = queries.select(col(idCol).as("query_id"),
+      explode(hyperplaneBands(col(vecCol), bands, rowsPerBand)).as("band"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      explode(hyperplaneBands(col(vecCol), bands, rowsPerBand)).as("band"))
+    val cands = c.join(broadcast(qb), Seq("band"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("c_vec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.join(broadcast(q), Seq("query_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
     LatestPerKey.topKRanked(scored, k, Seq(col("query_id")),
         Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))

@@ -96,6 +96,17 @@ class PlanRegressionSpec extends SparkSpec {
     assert(n == 1, s"expected 1 key shuffle, found $n:\n${plan.take(4000)}")
   }
 
+  test("default profile plans no Expand (HLL sketches, not multi-distinct rewrite)") {
+    // exact count_distinct × N columns triggers the multi-distinct
+    // rewrite: Expand multiplies every input row ×(N+1) before the first
+    // HashAggregate — the HLL default must keep a plain one-pass agg
+    val approx = staticPlan(ExtQueries.qaProfileActivities(spark, sfSmoke))
+    assert(!approx.contains("Expand"), approx.take(4000))
+    // the exact opt-in variant is ALLOWED its Expand (oracle-gated)
+    val exact = staticPlan(ExtQueries.qaProfileActivitiesExact(spark, sfSmoke))
+    assert(exact.contains("Expand"), exact.take(4000))
+  }
+
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
     // codegen spans only show on the executed plan, as `*(n)` stage
     // markers (AQE's static formatted plan omits the annotation)

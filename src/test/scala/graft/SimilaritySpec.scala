@@ -41,7 +41,7 @@ class SimilaritySpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(vecs, q, k = 50)
       .as[(Long, Long, Long, Double)].collect()
       .map(r => (r._1, r._3) -> r._4).toMap
-    val approx = Similarity.lshTopK(vecs, q, k = 5, nBits = 4)
+    val approx = Similarity.lshTopK(vecs, q, k = 5, bands = 2, rowsPerBand = 2)
       .as[(Long, Long, Long, Double)].collect()
     assert(approx.nonEmpty)
     approx.foreach { case (qid, _, nid, score) =>
@@ -100,6 +100,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains((5000L, 5001L)), "planted pair must survive")
     assert(got.forall { case (a, b) => a >= 5000L && b >= 5000L },
       s"clone pairs must be dropped by the bucket cap, got ${got.size} pairs")
+  }
+
+  test("simAnnRecall: floors on the near-random bench corpus hold") {
+    // the regression floor the hash-match gate cannot provide — each
+    // approximate query only matches its own oracle's identical
+    // approximation, so a silent recall collapse would still hash-match.
+    // The bench embeddings are near-random (exact top-5 cosine ≈ 0.33),
+    // so ANY sublinear method's recall ≈ its candidate fraction; the
+    // measured values are lsh 0.69 (56% candidates), ivf 0.45 (24%).
+    // Floors sit just under those deterministic values — this is what
+    // caught the single-signature LSH at 0.03 and the period-7
+    // hyperplane-family bug.
+    val recalls = ExtQueries.simAnnRecall(spark, sfSmoke)
+      .groupBy("method").agg(avg("recall_at_5").as("mean_recall"))
+      .as[(String, Double)].collect().toMap
+    assert(recalls.keySet == Set("lsh", "ivf"))
+    assert(recalls("lsh") >= 0.6, s"lsh mean recall@5 dropped to ${recalls("lsh")}")
+    assert(recalls("ivf") >= 0.4, s"ivf mean recall@5 dropped to ${recalls("ivf")}")
+  }
+
+  test("clustered corpus: lsh and ivf recall@5 >= 0.8 where structure exists") {
+    // 8 well-separated clusters × 30 near-identical members; bases get
+    // ids 0..7 so ivfTopK's deterministic "centroids = lowest nlist ids"
+    // coarse quantizer is exactly the cluster bases. On data with real
+    // cluster structure (the case ANN exists for) both approximate paths
+    // must be near-exhaustive.
+    val bases = (0 until 8).map(c => Seq.tabulate(16)(d => math.sin(c * 2.1 + d * 1.7) * 2))
+    val members = for { c <- 0 until 8; m <- 0 until 30 } yield
+      (8 + c * 30 + m.toLong,
+        bases(c).zipWithIndex.map { case (x, d) => x + ((m * 7 + d) % 5 - 2) * 0.01 })
+    val df = (bases.zipWithIndex.map { case (v, c) => (c.toLong, v) } ++ members)
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id").isin(8L, 38L, 68L, 98L, 128L, 158L, 188L, 218L))
+    def pairs(res: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      res.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(df, queries, k = 5))
+    val lsh = pairs(Similarity.lshTopK(df, queries, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(df, queries, k = 5))
+    val lshRecall = (exact intersect lsh).size.toDouble / exact.size
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    assert(lshRecall >= 0.8, s"clustered lsh recall $lshRecall")
+    assert(ivfRecall >= 0.8, s"clustered ivf recall $ivfRecall")
   }
 
   test("minhash signature similarity: identical sets → 1.0; disjoint → low") {
