@@ -6,11 +6,19 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
   * Each query is fully materialized via the noop sink (forces every
   * expression/shuffle, unlike count() which lets Catalyst prune work).
+  *
+  * Each query is timed SPARK_GRAFT_REPS times (default 3) and the
+  * per-query MEDIAN is reported: single-shot numbers on a shared box
+  * drifted 1.2-1.3x between rounds with no plan change (SCALE_SMOKE
+  * records ±2x box variance), and a median of 3 suppresses exactly that
+  * one-off noise. Reps run back-to-back per query (interleaving rounds
+  * would thrash the page cache the real pipeline would keep warm).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = Sessions.tuned(
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt
@@ -23,15 +31,21 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          // -1 marks a failure in the JSON — a crashed query must not
+          // look like a fast one
+          -1.0
         }
-      // -1 marks a failure in the JSON — a crashed query must not look
-      // like a fast one
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.length / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
