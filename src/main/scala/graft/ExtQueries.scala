@@ -150,6 +150,46 @@ object ExtQueries {
         coalesce(col("lex_lang"), lit("und")).as("predicted_lang"))
   }
 
+  /** Signed sentiment lexicon (word → weight), tiny → broadcast. The
+    * operator shape is textLangId's lexicon join with a signed SUM in
+    * place of the argmax, and applies to any tokenized string column;
+    * the gated query scores the `documents` corpus like the rest of the
+    * text family (SURVEY §7b's "sentiment lexicon scoring") — the
+    * reference pipeline's `notes` column carries JSON payloads in the
+    * bench data, whose analysis path is `events_json_extract`.
+    */
+  val sentimentLexicon: Seq[(String, Int)] = Seq(
+    "fast" -> 2, "spark" -> 2, "value" -> 1, "merge" -> 1, "big" -> 1,
+    "slow" -> -2, "dup" -> -2, "small" -> -1, "filter" -> -1, "scan" -> -1)
+
+  /** Per-document sentiment: sum of signed lexicon weights over tokens,
+    * plus hit count and a sign label; docs with no lexicon hit score 0 /
+    * neutral. Scale shape: one token explode → broadcast lexicon join
+    * (non-lexicon tokens drop BEFORE the shuffle) → one doc_id groupBy,
+    * then a broadcast-sized join back to the doc spine for the zero-hit
+    * rows.
+    */
+  def textSentiment(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val lex = sentimentLexicon.toDF("word", "weight")
+    val d = docs(s, dir)
+    val scores = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(lex), "word")
+      .groupBy("doc_id")
+      .agg(sum(col("weight")).as("sentiment_score"),
+        count(lit(1)).as("n_sentiment_words"))
+    val score = coalesce(col("sentiment_score"), lit(0L))
+    d.select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        score.as("sentiment_score"),
+        coalesce(col("n_sentiment_words"), lit(0L)).as("n_sentiment_words"),
+        when(score > 0, lit("positive"))
+          .when(score < 0, lit("negative"))
+          .otherwise(lit("neutral")).as("sentiment_label"))
+  }
+
   /** Corpus vocabulary heavy hitters: top-20 words by occurrence count
     * (ties → lexicographic) with document frequency — the corpus-stats
     * pass a tokenizer-training pipeline runs first. Scale shape: the

@@ -96,6 +96,7 @@ object SparkEntry {
     "text_quality_score" -> (ExtQueries.textQualityScore _),
     "text_quality_filter" -> (ExtQueries.textQualityFilter _),
     "text_lang_id" -> (ExtQueries.textLangId _),
+    "text_sentiment" -> (ExtQueries.textSentiment _),
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
     "text_vocab_topk" -> (ExtQueries.textVocabTopK _),
     "sample_digest_bernoulli" -> (ExtQueries.sampleDigestBernoulli _),
@@ -136,6 +137,9 @@ object SparkEntry {
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
+
+  private val sentLexValues = ExtQueries.sentimentLexicon
+    .map { case (w, wt) => s"('$w',$wt)" }.mkString(", ")
 
   /** DuckDB twins. Pipeline oracles are composed in [[DeriveSql]]. */
   def oracleSql: Map[String, String] = Map(
@@ -692,6 +696,21 @@ object SparkEntry {
          |  COALESCE(b.lex_lang, 'und') AS predicted_lang
          |FROM documents d
          |LEFT JOIN (SELECT doc_id, lex_lang FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+
+    "text_sentiment" ->
+      s"""WITH lex(word, weight) AS (VALUES $sentLexValues),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |sc AS (
+         |  SELECT doc_id, CAST(SUM(weight) AS BIGINT) AS sentiment_score,
+         |    COUNT(*) AS n_sentiment_words
+         |  FROM tok JOIN lex USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(sc.sentiment_score, 0) AS sentiment_score,
+         |  COALESCE(sc.n_sentiment_words, 0) AS n_sentiment_words,
+         |  CASE WHEN COALESCE(sc.sentiment_score, 0) > 0 THEN 'positive'
+         |       WHEN COALESCE(sc.sentiment_score, 0) < 0 THEN 'negative'
+         |       ELSE 'neutral' END AS sentiment_label
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",

@@ -23,6 +23,22 @@ class Round2OpsSpec extends SparkSpec {
     assert(out(2L)._1 == Seq[Byte](0, 0, 0) && out(2L)._2 == 1.0)
   }
 
+  test("textSentiment: signed sums, zero-hit docs neutral, label = sign") {
+    val out = ExtQueries.textSentiment(spark, sfSmoke)
+      .select("doc_id", "sentiment_score", "n_sentiment_words", "sentiment_label")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, score, hits, label) =>
+      val expected = if (score > 0) "positive" else if (score < 0) "negative" else "neutral"
+      assert(label == expected, s"doc $id: score $score labeled $label")
+      if (hits == 0) assert(score == 0, s"doc $id: no lexicon hits but score $score")
+    }
+    // the lexicon words appear throughout the corpus — both polarities
+    // must actually occur, or the lexicon has drifted from the vocabulary
+    val labels = out.map(_._4).toSet
+    assert(labels.contains("positive") && labels.contains("negative"), labels.toString)
+  }
+
   test("digest sampling & split are invariant under repartitioning") {
     val a = ExtQueries.pipelineTrainSplit(spark, sfSmoke)
       .collect().map(_.toString).sorted.toSeq
