@@ -71,4 +71,34 @@ object LatestPerKey {
       .drop(saltCol)
     topK(phase1, k, partitionCols, orderCols)
   }
+
+  /** Auto-trigger for [[salted]]: measures the heaviest key's share of a
+    * seeded key sample (one cheap count-per-key aggregation — map-side
+    * combined, only distinct sampled keys shuffle) and routes through
+    * the salted two-phase form when that share reaches `hotKeyShare`;
+    * otherwise plans the stock single-window form, which is cheaper for
+    * unskewed keys. Opt-in because the histogram costs an eager job at
+    * plan time — the shape AQE cannot provide for windows (its skew
+    * handling splits join partitions, not window groups).
+    *
+    * The OUTPUT is identical on both routes — [[salted]] ≡ unsalted for
+    * any salt assignment because top-k under the caller's total order is
+    * an associative tournament — so the sampled histogram influences
+    * only the physical plan, never the result (sampling nondeterminism
+    * cannot leak into query output, keeping the oracle contract).
+    */
+  def adaptive(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+               k: Int = 1, hotKeyShare: Double = 0.25, numSalts: Int = 16,
+               sampleFraction: Double = 0.05): DataFrame = {
+    require(hotKeyShare > 0 && hotKeyShare <= 1, "adaptive: hotKeyShare in (0, 1]")
+    val stats = df.select(partitionCols: _*)
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(partitionCols: _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__max"), sum(col("__n")).as("__tot"))
+      .head()
+    val isHot = !stats.isNullAt(0) && stats.getLong(1) > 0 &&
+      stats.getLong(0).toDouble / stats.getLong(1).toDouble >= hotKeyShare
+    if (isHot) salted(df, partitionCols, orderCols, numSalts, k)
+    else topK(df, k, partitionCols, orderCols)
+  }
 }

@@ -49,6 +49,29 @@ class LatestPerKeySpec extends SparkSpec {
     }
   }
 
+  test("adaptive: salted plan engages on a 50%-hot key, stock plan when uniform") {
+    val order = Seq(col("ord").desc_nulls_last, col("seq").asc_nulls_first)
+    // 50% of rows on one key → the sampled histogram must route salted
+    val hotRows = (1 to 900).map(i => ("hot", i % 97, i)) ++
+      (1 to 900).map(i => (s"k${i % 90}", i % 97, i + 10000))
+    val hot = hotRows.toDF("k", "ord", "seq").repartition(8)
+    val auto = LatestPerKey.adaptive(hot, Seq(col("k")), order,
+      k = 1, hotKeyShare = 0.25, numSalts = 4, sampleFraction = 1.0)
+    assert(auto.queryExecution.analyzed.toString.toLowerCase.contains("spark_partition_id"),
+      "hot-key fixture must take the salted route")
+    val stock = LatestPerKey(hot, Seq(col("k")), order)
+      .as[(String, Int, Int)].collect().toSeq.sorted
+    val got = auto.as[(String, Int, Int)].collect().toSeq.sorted
+    assert(got == stock, "salted route must match the unsalted oracle")
+    // uniform keys (max share 1%) → the stock single-window plan
+    val flat = (1 to 1000).map(i => (s"k${i % 100}", i % 97, i))
+      .toDF("k", "ord", "seq").repartition(8)
+    val auto2 = LatestPerKey.adaptive(flat, Seq(col("k")), order,
+      k = 1, hotKeyShare = 0.25, numSalts = 4, sampleFraction = 1.0)
+    assert(!auto2.queryExecution.analyzed.toString.toLowerCase.contains("spark_partition_id"),
+      "uniform fixture must keep the stock plan")
+  }
+
   test("topK returns at most k per key and includes the top-1") {
     val df = (1 to 100).map(i => (i % 5, i)).toDF("k", "v")
     val top3 = LatestPerKey.topK(df, 3, Seq(col("k")), Seq(col("v").desc_nulls_last))
