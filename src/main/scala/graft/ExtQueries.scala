@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -189,6 +189,80 @@ object ExtQueries {
           .when(score < 0, lit("negative"))
           .otherwise(lit("neutral")).as("sentiment_label"))
   }
+
+  /** Intra-document repetition signals (the Gopher repetition filters,
+    * Rae et al. 2021 §A1.1): duplicate-token and duplicate-n-gram
+    * fractions per document. Pure array expressions over the token
+    * array — O(tokens) per row, NO shuffle and no explode — the signals
+    * a 100 TB quality pass computes alongside the E9/E21 ratios in the
+    * same scan.
+    */
+  def repetitionSignals(d: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    def dupFrac(arr: Column): Column =
+      when(size(arr) === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+    d.select(
+      col("doc_id"),
+      size(words).cast("long").as("n_tokens"),
+      dupFrac(words).as("dup_token_frac"),
+      dupFrac(TextFunctions.shingles(words, 2)).as("dup_2gram_frac"),
+      dupFrac(TextFunctions.shingles(words, 3)).as("dup_3gram_frac"))
+  }
+
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    repetitionSignals(docs(s, dir))
+
+  /** PII scrubbing: count then redact email/phone patterns per document,
+    * emitting audit counts + the digest of the redacted text (the digest
+    * keeps the gate row narrow; the redacted payload itself would go to
+    * the sink in a real run). Deterministic PII is INJECTED into every
+    * 5th document (derived from doc_id, mirrored by the oracle) so the
+    * gate proves both the hit and the no-hit path on the real corpus —
+    * the same planted-fixture pattern as the near-dup detectors.
+    * Scale: pure regexp column expressions, no shuffle.
+    */
+  val piiEmailPattern = "[a-z0-9._]+@[a-z0-9.]+"
+  val piiPhonePattern = "555-[0-9]{4}"
+
+  def piiRedactOf(d: DataFrame): DataFrame = {
+    val injected = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or "),
+        lit("555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    ).otherwise(col("text"))
+    val cleaned = regexp_replace(
+      regexp_replace(injected, piiEmailPattern, "<EMAIL>"),
+      piiPhonePattern, "<PHONE>")
+    d.select(
+      col("doc_id"),
+      regexp_count(injected, lit(piiEmailPattern)).cast("long").as("n_emails"),
+      regexp_count(injected, lit(piiPhonePattern)).cast("long").as("n_phones"),
+      md5(cleaned.cast("binary")).as("clean_md5"))
+  }
+
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedactOf(docs(s, dir))
+
+  /** Deterministic per-source quota sample: the top 10 documents per
+    * source by content digest (ties → doc_id) — the data-mix allocation
+    * op that caps each domain's contribution regardless of its size,
+    * reproducible across engines, runs and partitionings (a rate-based
+    * sample caps nothing; a RNG sample reproduces nowhere). Because the
+    * rank is part of the output (the allocation order), this keeps the
+    * stock WindowGroupLimit plan — still a per-partition group-limit
+    * BEFORE the shuffle, so ≤10 rows per (source, input partition)
+    * cross the wire; the rank-unused form would ride the native top-k.
+    */
+  def sampleSourceQuota(s: SparkSession, dir: String): DataFrame =
+    LatestPerKey.topKRanked(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("digest")),
+      10, Seq(col("source")),
+      Seq(col("digest").asc_nulls_first, col("doc_id").asc_nulls_first))
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("digest"))
 
   /** Corpus vocabulary heavy hitters: top-20 words by occurrence count
     * (ties → lexicographic) with document frequency — the corpus-stats

@@ -97,6 +97,9 @@ object SparkEntry {
     "text_quality_filter" -> (ExtQueries.textQualityFilter _),
     "text_lang_id" -> (ExtQueries.textLangId _),
     "text_sentiment" -> (ExtQueries.textSentiment _),
+    "text_repetition" -> (ExtQueries.textRepetition _),
+    "text_pii_redact" -> (ExtQueries.piiRedact _),
+    "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
     "text_vocab_topk" -> (ExtQueries.textVocabTopK _),
     "sample_digest_bernoulli" -> (ExtQueries.sampleDigestBernoulli _),
@@ -711,6 +714,52 @@ object SparkEntry {
          |       WHEN COALESCE(sc.sentiment_score, 0) < 0 THEN 'negative'
          |       ELSE 'neutral' END AS sentiment_label
          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "text_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        |  END AS dup_token_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+        |  END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+        |  END AS dup_3gram_frac
+        |FROM (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+        |         ELSE [w[i] || ' ' || w[i + 1] for i in range(1, len(w))] END AS g2,
+        |    CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+        |         ELSE [w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+        |               for i in range(1, len(w) - 1)] END AS g3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
+
+    "text_pii_redact" ->
+      s"""WITH injected AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |              || '@example.com or 555-'
+         |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${ExtQueries.piiEmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${ExtQueries.piiPhonePattern}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(
+         |        regexp_replace(t, '${ExtQueries.piiEmailPattern}', '<EMAIL>', 'g'),
+         |        '${ExtQueries.piiPhonePattern}', '<PHONE>', 'g')) AS clean_md5
+         |FROM injected""".stripMargin,
+
+    "sample_source_quota" ->
+      """SELECT source, rank, doc_id, digest FROM (
+        |  SELECT source, doc_id, md5(text) AS digest,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(text) ASC NULLS FIRST, doc_id ASC NULLS FIRST) AS rank
+        |  FROM documents)
+        |WHERE rank <= 10""".stripMargin,
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
