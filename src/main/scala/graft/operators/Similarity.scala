@@ -120,26 +120,29 @@ object Similarity {
     *
     * Scale shape (100 TB): queries are exploded ×bands but stay the small
     * broadcast side; the corpus is scanned once (its ×bands explode feeds
-    * a broadcast join — no corpus shuffle). Only the surviving candidate
-    * pairs shuffle (for the (query,neighbor) dedup, carrying c_vec once,
-    * before the exact re-score), and the final top-k shuffles (query_id)
-    * partitions. Candidates are deduped BEFORE scoring so each pair pays
-    * one cosine even when it collides in several bands.
+    * a broadcast join — no corpus shuffle). Scoring happens BEFORE the
+    * (query, neighbor) dedup: every band collision of a pair yields the
+    * SAME score, so `first(score)` is deterministic, the dedup plans as a
+    * codegen'd partial+final HashAggregate on two longs (duplicates
+    * collapse map-side), and the shuffle carries (q, n, score) scalars —
+    * deduping first would drag the c_vec array through a SortAggregate
+    * (two sorts + vector-width shuffle rows, observed in the plan). The
+    * recomputed cosine on multi-band collisions is the cheaper side of
+    * that trade: most colliding pairs share exactly one band.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bands: Int = 8, rowsPerBand: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val qb = queries.select(col(idCol).as("query_id"),
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       explode(hyperplaneBands(col(vecCol), bands, rowsPerBand)).as("band"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       explode(hyperplaneBands(col(vecCol), bands, rowsPerBand)).as("band"))
-    val cands = c.join(broadcast(qb), Seq("band"))
+    val scored = c.join(broadcast(qb), Seq("band"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("c_vec"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cands.join(broadcast(q), Seq("query_id"))
-      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("score"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first(col("score")).as("score"))
     LatestPerKey.topKRanked(scored, k, Seq(col("query_id")),
         Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),

@@ -96,6 +96,22 @@ class PlanRegressionSpec extends SparkSpec {
     assert(n == 1, s"expected 1 key shuffle, found $n:\n${plan.take(4000)}")
   }
 
+  test("banded LSH ANN: hash-agg dedup, broadcast candidates, no cartesian/sort-agg") {
+    // the (query, neighbor) dedup must stay a partial+final HashAggregate
+    // on two longs (score computed BEFORE dedup) — deduping rows that
+    // carry the vector array regresses to SortAggregate with two sorts
+    // and vector-width shuffle rows; and the corpus side must reach the
+    // candidate join via broadcast, never a shuffle or cross product
+    val plan = staticPlan(ExtQueries.simAnnLshTopK(spark, sfSmoke))
+    assert(!plan.contains("SortAggregate"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(planLines(plan, "BroadcastHashJoin").nonEmpty, plan.take(4000))
+    assert("HashAggregate \\(\\d+\\)".r.findAllIn(plan).size >= 2, plan.take(4000))
+    // exactly two shuffles (the pair dedup and the final top-k window);
+    // lookbehind excludes BroadcastExchange from the shuffle count
+    assert("(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(plan).size == 2, plan.take(4000))
+  }
+
   test("default profile plans no Expand (HLL sketches, not multi-distinct rewrite)") {
     // exact count_distinct × N columns triggers the multi-distinct
     // rewrite: Expand multiplies every input row ×(N+1) before the first
