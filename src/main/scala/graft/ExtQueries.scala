@@ -606,6 +606,9 @@ object ExtQueries {
   def streamingLatestContact(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingLatestContact(s, dir)
 
+  def streamingIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamStreamAttribution(s, dir)
+
   /** One-pass data profile of the derived activities (the QA tool a
     * pipeline runs before trusting a new input drop) — HLL distinct
     * counts (the 100 TB default; engine-specific estimates → rows-only

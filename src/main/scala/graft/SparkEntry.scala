@@ -117,7 +117,8 @@ object SparkEntry {
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
     "streaming_enrich_static" -> (ExtQueries.streamingEnrichStatic _),
     "streaming_sessionize" -> (ExtQueries.streamingSessionize _),
-    "streaming_latest_contact" -> (ExtQueries.streamingLatestContact _)
+    "streaming_latest_contact" -> (ExtQueries.streamingLatestContact _),
+    "streaming_interval_join" -> (ExtQueries.streamingIntervalJoin _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -404,6 +405,18 @@ object SparkEntry {
     // incremental staging must converge to the identical batch view
     "streaming_latest_contact" -> DeriveSql.withStaging(
       s"SELECT ${DeriveSql.viewCols} FROM clean_contacts_primary"),
+
+    // stream-stream interval join ≡ the batch interval join (µs epochs;
+    // 6 h = 21_600_000_000 µs)
+    "streaming_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        |  b.us - a.us AS lag_us
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.us >= a.us AND b.us <= a.us + 21600000000""".stripMargin,
 
     "pipeline_history_scd2" ->
       s"""WITH ${DeriveSql.stgActivities}

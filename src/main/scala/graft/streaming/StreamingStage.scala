@@ -135,6 +135,43 @@ object StreamingStage {
     runToTable(agg, "streaming_enrich_static", "complete")
   }
 
+  /** Stream–stream interval join (click → purchase attribution): each
+    * click joined to the same user's purchases within the following 6
+    * hours. Both sides carry watermarks AND the join condition bounds
+    * event time on the watermarked timestamp columns — that is what
+    * lets the state store evict buffered rows as the watermarks advance
+    * (the same predicate on raw epoch longs would join correctly but
+    * Spark could not derive state bounds, leaving both sides buffered
+    * forever). Inner matches emit as soon as both sides arrive, so
+    * AvailableNow needs no watermark-advancing sentinel.
+    *
+    * Determinism: the µs lag is computed from the truncated-µs epochs
+    * the engine exposes (`ts_ns DIV 1000` ≡ DuckDB `epoch_us`), and the
+    * interval bound compares the same truncated values on both engines.
+    *
+    * Scale: per-side state ≈ (interval + lateness horizon) of rows per
+    * user partition, keyed and shuffled on user_id exactly like the
+    * batch join; output streams out incrementally.
+    */
+  def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"), expr("ts_ns DIV 1000").as("click_us"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"), expr("ts_ns DIV 1000").as("purchase_us"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"))
+    runToTable(joined, "streaming_interval_join", "append")
+  }
+
   /** Streaming dedup over a deliberately duplicated stream (the source
     * unioned with itself) — output must equal the distinct base table.
     */

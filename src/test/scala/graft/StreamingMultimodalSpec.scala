@@ -32,6 +32,26 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = StreamingStage.streamStreamAttribution(spark, sfSmoke)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = graft.sources.Tables.events(spark, sfSmoke)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("us"))
+    val batch = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") === lit("click") &&
+          col("b.event_type") === lit("purchase") &&
+          col("b.us") >= col("a.us") &&
+          col("b.us") <= col("a.us") + lit(21600000000L))
+      .select(col("a.user_id"), col("a.event_id"), col("b.event_id"),
+        (col("b.us") - col("a.us")).as("lag_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // every lag respects the interval bound
+    assert(streamed.forall { case (_, _, _, lag) => lag >= 0 && lag <= 21600000000L })
+  }
+
   test("watermark drops data later than the horizon (late-data semantics)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
