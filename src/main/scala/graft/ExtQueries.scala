@@ -280,6 +280,55 @@ object ExtQueries {
       .orderBy(col("n_occurrences").desc_nulls_last, col("word").asc_nulls_first)
       .limit(20)
 
+  /** Top-3 TF-IDF terms per document. The idf factor is the log-free
+    * rational `N / df` (ranking-equivalent to the classic log form for
+    * fixed N: x ↦ ln is monotone), so the score is ONE double division
+    * of exact integers — bit-identical across engines, where `ln` would
+    * hinge on libm rounding. Scale shape: tf = one (doc, word) groupBy;
+    * df derived FROM tf (vocabulary-sized, broadcast back); top-3 via
+    * the per-doc window. Nothing document-sized shuffles twice.
+    */
+  def textTfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "word")
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+    LatestPerKey.topKRanked(scored, 3, Seq(col("doc_id")),
+        Seq(col("score").desc_nulls_last, col("word").asc_nulls_first))
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("word"),
+        col("tf"), col("df"), round(col("score"), 6).as("score"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-8-gram with the held-out benchmark slice (every 50th doc) —
+    * the standard eval-leakage sweep a pretraining pipeline runs before
+    * training. Scale shape: the benchmark's DISTINCT shingles broadcast
+    * (eval sets are small by construction); the corpus explodes its
+    * shingles once, the join drops non-colliding shingles before the
+    * per-doc count; clean docs rejoin via the doc spine with 0.
+    */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(TextFunctions.shingles(split(col("text"), " "), 8)).as("shingle"))
+    val benchShingles = shingled(d.filter(col("doc_id") % 50 === 0))
+      .select("shingle").distinct()
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    val hits = shingled(train)
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("shingle")).as("n_overlap"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap_8grams"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Deterministic content-hash Bernoulli sample (~10%): keep a doc iff
     * the first 4 hex chars of md5(text) land under the threshold. The
     * pipeline-correct way to sample at 100 TB — reproducible across

@@ -98,6 +98,8 @@ object SparkEntry {
     "text_lang_id" -> (ExtQueries.textLangId _),
     "text_sentiment" -> (ExtQueries.textSentiment _),
     "text_repetition" -> (ExtQueries.textRepetition _),
+    "text_tfidf_topk" -> (ExtQueries.textTfidfTopK _),
+    "text_decontaminate" -> (ExtQueries.textDecontaminate _),
     "text_pii_redact" -> (ExtQueries.piiRedact _),
     "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
@@ -765,6 +767,42 @@ object SparkEntry {
          |        regexp_replace(t, '${ExtQueries.piiEmailPattern}', '<EMAIL>', 'g'),
          |        '${ExtQueries.piiPhonePattern}', '<PHONE>', 'g')) AS clean_md5
          |FROM injected""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word, tf, df, CAST(tf * n AS DOUBLE) / df AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, word, tf, df, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC NULLS LAST, word ASC NULLS FIRST) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, word, tf, df, round(score, 6) AS score
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(words) < 8 THEN []::VARCHAR[]
+        |                ELSE [array_to_string(words[i:i+7], ' ')
+        |                      for i in range(1, len(words) - 6)] END) AS shingle
+        |  FROM w),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_overlap
+        |  FROM sh s JOIN bench b USING (shingle)
+        |  WHERE s.doc_id % 50 <> 0
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(h.n_overlap, 0) AS n_overlap_8grams,
+        |  COALESCE(h.n_overlap, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
 
     "sample_source_quota" ->
       """SELECT source, rank, doc_id, digest FROM (

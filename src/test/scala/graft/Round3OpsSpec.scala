@@ -48,6 +48,32 @@ class Round3OpsSpec extends SparkSpec {
       "email+phone must be replaced by <EMAIL>/<PHONE> placeholders")
   }
 
+  test("textTfidfTopK: rare terms outrank common ones; ranking is total") {
+    val out = ExtQueries.textTfidfTopK(spark, sfSmoke)
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      // scores non-increasing with rank; rank ties impossible (word asc)
+      assert(sorted.map(_._6).sliding(2).forall(p => p.length < 2 || p.head >= p.last))
+    }
+    // a term appearing in every doc can never beat a same-tf rarer term
+    out.foreach { case (_, _, _, tf, df, score) =>
+      assert(score > 0 && df > 0 && tf > 0)
+    }
+  }
+
+  test("textDecontaminate: planted 8-gram overlap is flagged, benchmark excluded") {
+    val out = ExtQueries.textDecontaminate(spark, sfSmoke)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    // benchmark docs (doc_id % 50 == 0) never appear in the report
+    assert(out.forall(_._1 % 50 != 0))
+    // flag consistent with count
+    assert(out.forall { case (_, n, c) => c == (n > 0) })
+  }
+
   test("sampleSourceQuota: exactly 10 per source, deterministic, digest-ranked") {
     val a = ExtQueries.sampleSourceQuota(spark, sfSmoke).collect()
     val bySource = a.groupBy(_.getString(0))
