@@ -329,6 +329,46 @@ object ExtQueries {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Sequence packing: assign documents to token-budget bins (512
+    * whitespace tokens) for pretraining batch assembly. True greedy
+    * packing is inherently sequential, so the scale form partitions the
+    * corpus into 16 digest-prefix groups (embarrassingly parallel) and
+    * packs WITHIN each group by running token sum over digest order:
+    * bin = floor(exclusive-cumsum / budget) — the streaming "fractional"
+    * approximation (a bin may exceed the budget by at most one doc).
+    * Deterministic: digest order, no RNG. One window shuffle on the
+    * 16-way group key; at 100 TB widen the prefix for more parallelism.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(col("text").cast("binary")).as("digest"))
+      .withColumn("pack_group", conv(substring(col("digest"), 1, 1), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("pack_group"))
+      .orderBy(col("digest").asc_nulls_first, col("doc_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("pack_group"),
+        floor(col("cum_before") / budget).cast("long").as("pack_bin"),
+        col("n_tokens"))
+  }
+
+  /** Weighted epoch mix: replicate each document `weight` times (weight
+    * = deterministic per-source policy here; production supplies a mix
+    * table) with an explicit copy index — the upsampling step that turns
+    * mix ratios into a concrete training epoch. Map-side explode, no
+    * shuffle, reproducible row set under any partitioning.
+    */
+  def mixUpsample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("weight",
+        conv(substring(md5(col("source").cast("binary")), 1, 2), 16, 10).cast("long") % 3 + 1)
+      .select(col("doc_id"), col("source"), col("weight"),
+        explode(sequence(lit(1L), col("weight"))).as("copy_idx"))
+
   /** Deterministic content-hash Bernoulli sample (~10%): keep a doc iff
     * the first 4 hex chars of md5(text) land under the threshold. The
     * pipeline-correct way to sample at 100 TB — reproducible across

@@ -102,6 +102,8 @@ object SparkEntry {
     "text_decontaminate" -> (ExtQueries.textDecontaminate _),
     "text_pii_redact" -> (ExtQueries.piiRedact _),
     "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
+    "pack_sequences" -> (ExtQueries.packSequences _),
+    "mix_upsample" -> (ExtQueries.mixUpsample _),
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
     "text_vocab_topk" -> (ExtQueries.textVocabTopK _),
     "sample_digest_bernoulli" -> (ExtQueries.sampleDigestBernoulli _),
@@ -811,6 +813,29 @@ object SparkEntry {
         |      ORDER BY md5(text) ASC NULLS FIRST, doc_id ASC NULLS FIRST) AS rank
         |  FROM documents)
         |WHERE rank <= 10""".stripMargin,
+
+    "pack_sequences" ->
+      """SELECT doc_id, pack_group,
+        |  CAST(floor(cum_before / 512) AS BIGINT) AS pack_bin, n_tokens
+        |FROM (
+        |  SELECT doc_id, pack_group, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group
+        |      ORDER BY digest ASC NULLS FIRST, doc_id ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |      md5(text) AS digest,
+        |      CAST(('0x' || substr(md5(text), 1, 1))::UBIGINT AS BIGINT) AS pack_group
+        |    FROM documents))""".stripMargin,
+
+    "mix_upsample" ->
+      """SELECT doc_id, source, weight,
+        |  unnest(range(1, weight + 1)) AS copy_idx
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(source), 1, 2))::UBIGINT AS BIGINT) % 3 + 1 AS weight
+        |  FROM documents)""".stripMargin,
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",

@@ -74,6 +74,36 @@ class Round3OpsSpec extends SparkSpec {
     assert(out.forall { case (_, n, c) => c == (n > 0) })
   }
 
+  test("packSequences: fractional-packing invariant per group") {
+    val out = ExtQueries.packSequences(spark, sfSmoke)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (grp, rows) =>
+      val bins = rows.map(_._3)
+      assert(bins.min == 0, s"group $grp bins must start at 0")
+      // exclusive-cumsum binning: all bins below the last are "full" —
+      // the docs assigned to bins 0..b cover at least b*512 tokens
+      val byBin = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+      (0L until bins.max).foreach { b =>
+        val below = (0L to b).map(byBin.getOrElse(_, 0L)).sum
+        assert(below >= (b + 1) * 512 - 511,
+          s"group $grp: bins 0..$b hold only $below tokens")
+      }
+    }
+  }
+
+  test("mixUpsample: copies per doc equal its weight, weights in 1..3") {
+    val out = ExtQueries.mixUpsample(spark, sfSmoke)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (doc, rows) =>
+      val w = rows.head._3
+      assert(w >= 1 && w <= 3)
+      assert(rows.length == w, s"doc $doc: ${rows.length} copies for weight $w")
+      assert(rows.map(_._4).sorted.toSeq == (1L to w), s"doc $doc copy indices")
+    }
+  }
+
   test("sampleSourceQuota: exactly 10 per source, deterministic, digest-ranked") {
     val a = ExtQueries.sampleSourceQuota(spark, sfSmoke).collect()
     val bySource = a.groupBy(_.getString(0))
