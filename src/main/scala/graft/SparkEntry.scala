@@ -141,7 +141,8 @@ object SparkEntry {
     "q_pivot_sales", "w4_window_suite", "streaming_hourly_agg",
     "qa_profile_activities", "dedup_embedding_cosine", "sim_ivf_kmeans_topk",
     "sim_quantized_topk", "text_vocab_topk", "q_cube_sales",
-    "w1_latest_per_key_salted", "pipeline_incremental_primary")
+    "w1_latest_per_key_salted", "pipeline_incremental_primary",
+    "text_tfidf_topk", "text_decontaminate", "streaming_interval_join")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
