@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 
-import graft.functions.{CosineSimilarity, VectorSumAgg}
+import graft.functions.{CosineSimilarity, HyperplaneBands, VectorSumAgg}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
   * or `builder.withExtensions(new GraftExtensions)`): registers the
@@ -23,6 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bands"),
+      HyperplaneBands.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def lit(i: Int): Int = children(i) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e => throw new IllegalArgumentException(
+            s"hyperplane_bands: bands/rowsPerBand must be literals, got $e")
+        }
+        HyperplaneBands(children.head, lit(1), lit(2))
+      }))
     // whole-operator extension: native two-phase top-k-per-key
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKey.Strategy)
     // optimizer rewrite: row_number<=k filters take the native operator

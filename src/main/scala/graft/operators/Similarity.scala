@@ -99,17 +99,23 @@ object Similarity {
     concat((0 until nBits).map(j => hyperplaneBit(v, j)): _*)
 
   /** Banded hyperplane keys: band b = "b|" + bits [b·r, (b+1)·r) of the
-    * hyperplane signature, as an array of `bands` strings. Built directly
-    * from the per-bit folds (never materializing the full signature) so
-    * each of the bands×rows projections is evaluated exactly once per
-    * row — a full-signature column re-sliced per band would be inlined
-    * into every consumer by CollapseProject and recomputed `bands` times
-    * (the measured minhash trap, ExtQueries.dedupMinhashLsh).
+    * hyperplane signature, as an array of `bands` strings. Composed-HOF
+    * form, kept as the oracle-shaped reference for the bitwise-
+    * equivalence test against the native expression (like cosineHof).
     */
-  def hyperplaneBands(v: Column, bands: Int, rowsPerBand: Int): Column =
+  def hyperplaneBandsHof(v: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map(b =>
       concat(lit(s"$b|") +:
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => hyperplaneBit(v, j)): _*)): _*)
+
+  /** Native fused banded keys (graft.functions.HyperplaneBands): all
+    * bands×rows projections in ONE traversal of the vector — the HOF
+    * form re-walks the array once per bit (24 traversals for the 8×3
+    * ANN signature). Bit-identical to [[hyperplaneBandsHof]]: each
+    * projection stays an independent left fold in array-index order.
+    */
+  def hyperplaneBands(v: Column, bands: Int, rowsPerBand: Int): Column =
+    call_function("hyperplane_bands", v, lit(bands), lit(rowsPerBand))
 
   /** Approximate top-k via BANDED hyperplane LSH (OR-amplification): a
     * corpus vector is a candidate when ANY of its `bands` band keys

@@ -199,6 +199,28 @@ class SimilaritySpec extends SparkSpec {
     assert(m.isNullAt(0))
   }
 
+  test("native hyperplane_bands is bit-identical to the composed HOF form") {
+    // positives, negatives, zeros, zero vector, varying magnitudes —
+    // every band key must match the HOF fold exactly (the oracle mirrors
+    // the HOF shape, so this equivalence IS the gate's soundness)
+    val vecs = ((0 until 200).map(i =>
+      (i.toLong, Seq.tabulate(64)(d => (math.sin(i * 2.3 + d * 0.7) * 3).toFloat))) :+
+      (999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+    for ((b, r) <- Seq((8, 3), (4, 4), (2, 2), (1, 1))) {
+      val rows = vecs.select(
+        Similarity.hyperplaneBands(col("embedding"), b, r).as("native"),
+        Similarity.hyperplaneBandsHof(col("embedding"), b, r).as("hof"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (n, h) => assert(n == h, s"bands=$b rows=$r") }
+    }
+    // addressable from SQL text through the extension registration
+    vecs.createOrReplaceTempView("hb_in")
+    val viaSql = spark.sql(
+      "SELECT hyperplane_bands(embedding, 2, 3) FROM hb_in WHERE vec_id = 0")
+      .as[Seq[String]].head()
+    assert(viaSql.length == 2 && viaSql.forall(_.length == 5))
+  }
+
   test("vec_sum custom aggregate sums long arrays element-wise") {
     val df = Seq((1, Seq(1L, 2L, 3L)), (1, Seq(10L, 20L, 30L)), (2, Seq(5L, 5L, 5L)))
       .toDF("k", "v")
