@@ -369,6 +369,35 @@ object ExtQueries {
       .select(col("doc_id"), col("source"), col("weight"),
         explode(sequence(lit(1L), col("weight"))).as("copy_idx"))
 
+  /** End-to-end corpus preparation as ONE declarative plan: quality
+    * filter (Gopher rules) → exact dedup (lowest id per content digest)
+    * → benchmark exclusion + decontamination → deterministic split
+    * assignment. The composition is what the engine exists for — each
+    * stage is the already-gated operator, fused by Catalyst into a
+    * single job: the quality predicate evaluates in the scan stage, the
+    * dedup shuffles 16-byte digests, the contamination anti-join
+    * broadcasts the (small) flagged-id set, and the split adds no
+    * shuffle at all.
+    */
+  def pipelinePrepareCorpus(s: SparkSession, dir: String): DataFrame = {
+    val passing = textQualityFilter(s, dir).filter(col("passes")).select("doc_id")
+    val train = docs(s, dir).filter(col("doc_id") % 50 =!= 0)
+      .join(passing, "doc_id")
+    val deduped = LatestPerKey(train,
+      Seq(md5(col("text").cast("binary"))),
+      Seq(col("doc_id").asc_nulls_first))
+    val contaminated = textDecontaminate(s, dir)
+      .filter(col("contaminated")).select("doc_id")
+    val bucket = conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 10
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fingerprint"),
+        when(bucket < 8, lit("train"))
+          .when(bucket === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   /** Deterministic content-hash Bernoulli sample (~10%): keep a doc iff
     * the first 4 hex chars of md5(text) land under the threshold. The
     * pipeline-correct way to sample at 100 TB — reproducible across

@@ -163,6 +163,25 @@ object Queries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_totalprice").as("total_price"))
 
+  /** W1 through the sampled-histogram auto-router (LatestPerKey
+    * .adaptive, default 25% hot-key threshold): orders' custkey
+    * distribution is uniform, so the histogram routes the STOCK
+    * single-window plan — gated with w1's own oracle, proving the
+    * routing job cannot perturb results (the hot route is property-
+    * tested in LatestPerKeySpec; salted ≡ unsalted by associativity
+    * either way).
+    */
+  def w1LatestPerKeyAdaptive(s: SparkSession, dir: String): DataFrame =
+    LatestPerKey.adaptive(
+      t(s, dir, "orders"),
+      Seq(col("o_custkey")),
+      Seq(col("o_orderdate").desc_nulls_last, col("o_orderkey").asc_nulls_first))
+      .select(
+        col("o_custkey").as("account"),
+        col("o_orderkey").as("order_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice").as("total_price"))
+
   /** Top-k per key (k=3) — generalization of the reference's k=1. */
   def w2TopKPerKey(s: SparkSession, dir: String): DataFrame =
     LatestPerKey.topK(

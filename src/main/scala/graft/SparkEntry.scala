@@ -38,6 +38,7 @@ object SparkEntry {
     // §2.5/2.7 windows / sort / limit
     "w1_latest_per_key" -> (Queries.w1LatestPerKey _),
     "w1_latest_per_key_salted" -> (Queries.w1LatestPerKeySalted _),
+    "w1_latest_per_key_adaptive" -> (Queries.w1LatestPerKeyAdaptive _),
     "w2_topk_per_key" -> (Queries.w2TopKPerKey _),
     "w2_topk_native" -> (Queries.w2TopKPerKeyNative _),
     "w3_running_total" -> (Queries.w3RunningTotal _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
     "pack_sequences" -> (ExtQueries.packSequences _),
     "mix_upsample" -> (ExtQueries.mixUpsample _),
+    "pipeline_prepare_corpus" -> (ExtQueries.pipelinePrepareCorpus _),
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
     "text_vocab_topk" -> (ExtQueries.textVocabTopK _),
     "sample_digest_bernoulli" -> (ExtQueries.sampleDigestBernoulli _),
@@ -251,6 +253,16 @@ object SparkEntry {
     // identical oracle as w1: the driver gate itself proves the salted
     // two-phase form is row-identical to the single window
     "w1_latest_per_key_salted" ->
+      """SELECT o_custkey AS account, o_orderkey AS order_key,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice AS total_price
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
+        |      FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    // identical oracle again: the sampled-histogram router must be
+    // invisible in the output whichever plan it picks
+    "w1_latest_per_key_adaptive" ->
       """SELECT o_custkey AS account, o_orderkey AS order_key,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice AS total_price
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -829,6 +841,46 @@ object SparkEntry {
         |      md5(text) AS digest,
         |      CAST(('0x' || substr(md5(text), 1, 1))::UBIGINT AS BIGINT) AS pack_group
         |    FROM documents))""".stripMargin,
+
+    // composed corpus prep: quality rules -> exact dedup -> benchmark
+    // exclusion + decontamination -> split (restates the gated stages)
+    "pipeline_prepare_corpus" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS nt,
+        |    (CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mtl,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS ar,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','data','order','key','value'))) AS sw
+        |  FROM documents),
+        |keep AS (
+        |  SELECT doc_id, text FROM base
+        |  WHERE doc_id % 50 <> 0 AND nt >= 10 AND nt <= 100000
+        |    AND mtl >= 2.0 AND mtl <= 12.0 AND ar >= 0.5 AND sw >= 1),
+        |dedup AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id ASC NULLS FIRST) AS rn FROM keep)
+        |  WHERE rn = 1),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(words) < 8 THEN []::VARCHAR[]
+        |                ELSE [array_to_string(words[i:i+7], ' ')
+        |                      for i in range(1, len(words) - 6)] END) AS shingle
+        |  FROM w),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+        |  WHERE s.doc_id % 50 <> 0)
+        |SELECT doc_id, md5(text) AS fingerprint,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, text,
+        |        CAST(('0x' || substr(md5(text), 1, 4))::UBIGINT AS BIGINT) % 10 AS b
+        |      FROM dedup)
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
 
     "mix_upsample" ->
       """SELECT doc_id, source, weight,
