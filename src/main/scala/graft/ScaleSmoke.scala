@@ -59,10 +59,25 @@ object ScaleSmoke {
       .repartition(32) // scan parallelism at read time
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
 
+    // 10× embeddings: each copy is the base vector nudged by a per-copy
+    // constant, so the 10 copies of one vector are mutual near-dups that
+    // collide in the same LSH band buckets — the hot-bucket workload the
+    // Buckets cap must keep balanced
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    (0 until copies).map { c =>
+      emb.select(
+        (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(c * 0.001f)).as("embedding"))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+
     val queries = Seq(
       "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
       "dedup_minhash_lsh" -> (ExtQueries.dedupMinhashLsh _),
-      "dedup_simhash" -> (ExtQueries.dedupSimhash _))
+      "dedup_simhash" -> (ExtQueries.dedupSimhash _),
+      "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
+      "text_decontaminate" -> (ExtQueries.textDecontaminate _))
 
     println(s"| query | rows | sec | worst-stage tasks | median MB | max MB | max/median |")
     println(s"| --- | --- | --- | --- | --- | --- | --- |")
