@@ -31,20 +31,26 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var rep = 0
+      // stop at the first failure — re-running an identical failing plan
+      // for the remaining reps would just multiply the time to crash
+      while (rep < reps && !failed) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9 }
+              times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          // -1 marks a failure in the JSON — a crashed query must not
-          // look like a fast one
-          -1.0
+          failed = true
         }
+        rep += 1
       }
+      // -1 marks a failure in the JSON — a crashed query must not look
+      // like a fast one. Even rep counts take the LOWER middle, so the
+      // reported number never exceeds the true median.
       val median =
-        if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(times.length / 2)
+        if (failed) -1.0 else times.sorted.apply((times.length - 1) / 2)
       name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -290,12 +290,17 @@ object ExtQueries {
     */
   def textTfidfTopK(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val n = d.count()
+    // N composed lazily as a broadcast 1-row cross join (like the
+    // oracle's CROSS JOIN n) — an eager d.count() here would hide a
+    // full corpus scan inside query CONSTRUCTION, paid on every plan
+    // build and breaking one-plan composability
+    val n = d.agg(count(lit(1)).as("__n"))
     val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "word")
-      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("__n")).cast("double") / col("df"))
     LatestPerKey.topKRanked(scored, 3, Seq(col("doc_id")),
         Seq(col("score").desc_nulls_last, col("word").asc_nulls_first))
       .select(col("doc_id"), col("rank").cast("long").as("rank"), col("word"),

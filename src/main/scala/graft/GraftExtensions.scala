@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_bands"),
       HyperplaneBands.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"hyperplane_bands(vec, bands, rowsPerBand) takes 3 arguments, got ${children.length}")
         def lit(i: Int): Int = children(i) match {
           case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
           case e => throw new IllegalArgumentException(

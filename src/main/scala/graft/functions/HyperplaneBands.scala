@@ -52,9 +52,10 @@ case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int)
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val proj = new Array[Double](nBits)
+    val f = isFloat // hoisted: a dataType match per element would dominate the loop
     var i = 0
     while (i < n) {
-      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val x = if (f) arr.getFloat(i).toDouble else arr.getDouble(i)
       var j = 0
       while (j < nBits) {
         proj(j) += x * ((((i + 1) * 31 + j * 17) % 61) - 30)

@@ -91,9 +91,14 @@ object LatestPerKey {
                k: Int = 1, hotKeyShare: Double = 0.25, numSalts: Int = 16,
                sampleFraction: Double = 0.05): DataFrame = {
     require(hotKeyShare > 0 && hotKeyShare <= 1, "adaptive: hotKeyShare in (0, 1]")
-    val stats = df.select(partitionCols: _*)
+    // alias the keys before sampling: grouping by the original Column
+    // objects would re-resolve their source columns against the projected
+    // frame and fail for expression-valued keys (e.g. md5(col("text")))
+    // that topK/salted accept
+    val keyNames = partitionCols.indices.map(i => s"__graft_k$i")
+    val stats = df.select(partitionCols.zip(keyNames).map { case (c, n) => c.as(n) }: _*)
       .sample(withReplacement = false, sampleFraction, seed = 42L)
-      .groupBy(partitionCols: _*).agg(count(lit(1)).as("__n"))
+      .groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("__n"))
       .agg(max(col("__n")).as("__max"), sum(col("__n")).as("__tot"))
       .head()
     val isHot = !stats.isNullAt(0) && stats.getLong(1) > 0 &&

@@ -92,12 +92,6 @@ object Similarity {
     when(proj >= 0, lit("1")).otherwise(lit("0"))
   }
 
-  /** nBits-character "0"/"1" bucket signature via random-hyperplane LSH
-    * (Charikar 2002 §3 — sign of projection preserves cosine locality).
-    */
-  def hyperplaneSignature(v: Column, nBits: Int): Column =
-    concat((0 until nBits).map(j => hyperplaneBit(v, j)): _*)
-
   /** Banded hyperplane keys: band b = "b|" + bits [b·r, (b+1)·r) of the
     * hyperplane signature, as an array of `bands` strings. Composed-HOF
     * form, kept as the oracle-shaped reference for the bitwise-

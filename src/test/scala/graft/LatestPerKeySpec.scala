@@ -72,6 +72,19 @@ class LatestPerKeySpec extends SparkSpec {
       "uniform fixture must keep the stock plan")
   }
 
+  test("adaptive accepts expression-valued keys like topK/salted do") {
+    // regression: the histogram used to re-resolve the key expression
+    // against a projected frame and throw AnalysisException for
+    // md5(col(...))-style keys
+    val df = (1 to 200).map(i => (s"t${i % 9}", i)).toDF("text", "seq")
+    val out = LatestPerKey.adaptive(df, Seq(md5(col("text").cast("binary"))),
+      Seq(col("seq").desc_nulls_last), k = 1, sampleFraction = 1.0)
+      .as[(String, Int)].collect()
+    val expected = LatestPerKey(df, Seq(md5(col("text").cast("binary"))),
+      Seq(col("seq").desc_nulls_last)).as[(String, Int)].collect()
+    assert(out.sorted.toSeq == expected.sorted.toSeq && out.length == 9)
+  }
+
   test("topK returns at most k per key and includes the top-1") {
     val df = (1 to 100).map(i => (i % 5, i)).toDF("k", "v")
     val top3 = LatestPerKey.topK(df, 3, Seq(col("k")), Seq(col("v").desc_nulls_last))
