@@ -144,7 +144,8 @@ object SparkEntry {
     "qa_profile_activities", "dedup_embedding_cosine", "sim_ivf_kmeans_topk",
     "sim_quantized_topk", "text_vocab_topk", "q_cube_sales",
     "w1_latest_per_key_salted", "pipeline_incremental_primary",
-    "text_tfidf_topk", "text_decontaminate", "streaming_interval_join")
+    "text_tfidf_topk", "text_decontaminate", "streaming_interval_join",
+    "pipeline_prepare_corpus")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
