@@ -687,6 +687,29 @@ object Queries {
       .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000"))))
   }
 
+  /** Partitioned-layout roundtrip: documents written `partitionBy(lang)`
+    * with in-file digest sort (Tables.writePartitioned — the 100 TB
+    * table-layout op), read back filtered to ONE partition and
+    * aggregated, gated against the original-parquet oracle. The
+    * read-back filter must prune at the DIRECTORY level — the plan
+    * shows it under `PartitionFilters`, with only the matching
+    * partition's files listed as input (asserted in
+    * PlanRegressionSpec), where an unpartitioned layout would scan
+    * everything and row-filter.
+    */
+  def sourcePartitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_part_rt").toString
+    Tables.writePartitioned(
+      Tables.load(s, dir, "documents")
+        .withColumn("digest", md5(col("text").cast("binary"))),
+      out, partCol = "lang", sortCol = "digest")
+    s.read.parquet(out).filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("digest")).as("min_digest"))
+  }
+
   /** As-of join: each purchase event picks up the latest prior (or
     * simultaneous) view event of the same user — union+window operator
     * (see operators.AsofJoin), oracled against DuckDB's native ASOF JOIN.

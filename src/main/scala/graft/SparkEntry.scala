@@ -84,6 +84,7 @@ object SparkEntry {
     "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
     "source_json_roundtrip" -> (Queries.sourceJsonRoundtrip _),
     "source_csv_roundtrip" -> (Queries.sourceCsvRoundtrip _),
+    "source_partitioned_roundtrip" -> (Queries.sourcePartitionedRoundtrip _),
     "events_sessionize" -> (Queries.eventsSessionize _),
     "events_json_extract" -> (Queries.eventsJsonExtract _),
     "events_asof_join" -> (Queries.eventsAsofJoin _),
@@ -591,6 +592,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    // the partitioned-layout roundtrip must reproduce the original
+    // table's per-source stats for the filtered partition exactly
+    "source_partitioned_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  min(md5(text)) AS min_digest
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source""".stripMargin,
 
     "events_sessionize" ->
       """WITH g AS (

@@ -57,4 +57,19 @@ object Tables {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Hive-style partitioned layout: one directory per value of
+    * `partCol`, rows within each file sorted by `sortCol`. The 100 TB
+    * table-layout op — a reader filtering on the partition column scans
+    * ONLY the matching directories (partition pruning, visible as
+    * `PartitionFilters` in the plan with the non-matching files never
+    * listed as input), and the in-file sort keeps column chunks
+    * min/max-tight for digest-range skipping.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String,
+                       sortCol: String): Unit =
+    df.sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .partitionBy(partCol)
+      .parquet(path)
 }

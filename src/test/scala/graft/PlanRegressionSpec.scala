@@ -112,6 +112,17 @@ class PlanRegressionSpec extends SparkSpec {
     assert("(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(plan).size == 2, plan.take(4000))
   }
 
+  test("partitioned layout: lang filter prunes directories, not rows") {
+    // partitionBy(lang) layout + filter(lang = 'en') must land in
+    // PartitionFilters (directory-level pruning — non-matching
+    // partitions never become scan input); a row-level PushedFilters
+    // entry for lang would mean the layout is being scanned in full
+    val plan = staticPlan(Queries.sourcePartitionedRoundtrip(spark, sfSmoke))
+    val pf = planLines(plan, "PartitionFilters")
+    assert(pf.exists(_.contains("lang")), plan.take(4000))
+    assert(!planLines(plan, "PushedFilters").exists(_.contains("lang")), plan.take(4000))
+  }
+
   test("default profile plans no Expand (HLL sketches, not multi-distinct rewrite)") {
     // exact count_distinct × N columns triggers the multi-distinct
     // rewrite: Expand multiplies every input row ×(N+1) before the first
