@@ -542,6 +542,41 @@ object Queries {
         max(when(at(0.75), col("o_totalprice"))).as("q3"))
   }
 
+  /** Long-form EXACT numeric profile (n/min/max/fixed-point mean/
+    * discrete quartiles per column) — the numeric half of the QA surface
+    * next to qa_profile_activities' null/distinct stats. One `stack`
+    * melt + ONE window keyed by column_name: a per-column loop would run
+    * a job per column. Scale note: exact quantiles sort each column's
+    * values inside its single column_name partition — the right QA shape
+    * for contractual exactness on a sampled/filtered slice; at 100 TB
+    * full-table width, swap in approx_percentile (same long form, rows-
+    * only gate) exactly as profiling does for distincts.
+    */
+  def qaProfileNumeric(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val stacked = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      expr(s"stack(${cols.length}, ${cols.map(c => s"'$c', $c").mkString(", ")})")
+        .as(Seq("column_name", "value")))
+    val byC = Window.partitionBy(col("column_name"))
+    val w = byC.orderBy(col("value").asc_nulls_first,
+      col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+    def at(p: Double) = col("rn") === ceil(col("n") * lit(p))
+    stacked
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byC))
+      .groupBy(col("column_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        (sum(round(col("value") * 1000000).cast("long")).cast("double")
+          / lit(1000000.0) / count(lit(1))).as("mean_v"),
+        max(when(at(0.25), col("value"))).as("q1"),
+        max(when(at(0.50), col("value"))).as("median"),
+        max(when(at(0.75), col("value"))).as("q3"))
+  }
+
   /** FULL OUTER join: per-customer order counts against the rich-customer
     * subset — unmatched rows survive on BOTH sides with COALESCE
     * sentinels (completes the join surface next to left/semi/anti).

@@ -35,6 +35,7 @@ object SparkEntry {
     "j3_anti_join" -> (Queries.j3AntiJoin _),
     "j5_full_outer" -> (Queries.j5FullOuter _),
     "agg_quartiles_manual" -> (Queries.aggQuartilesManual _),
+    "qa_profile_numeric" -> (Queries.qaProfileNumeric _),
     // §2.5/2.7 windows / sort / limit
     "w1_latest_per_key" -> (Queries.w1LatestPerKey _),
     "w1_latest_per_key_salted" -> (Queries.w1LatestPerKeySalted _),
@@ -243,6 +244,28 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN o_totalprice END) AS median,
         |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN o_totalprice END) AS q3
         |FROM r GROUP BY priority""".stripMargin,
+
+    "qa_profile_numeric" ->
+      """WITH stacked AS (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS column_name, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem),
+        |r AS (
+        |  SELECT column_name, value,
+        |    ROW_NUMBER() OVER (PARTITION BY column_name
+        |      ORDER BY value ASC NULLS FIRST, l_orderkey ASC NULLS FIRST,
+        |               l_linenumber ASC NULLS FIRST) AS rn,
+        |    COUNT(*) OVER (PARTITION BY column_name) AS n
+        |  FROM stacked)
+        |SELECT column_name, COUNT(*) AS n_rows,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 / COUNT(*) AS mean_v,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN value END) AS q1,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN value END) AS median,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN value END) AS q3
+        |FROM r GROUP BY column_name""".stripMargin,
 
     "w1_latest_per_key" ->
       """SELECT o_custkey AS account, o_orderkey AS order_key,
