@@ -289,6 +289,7 @@ object ExtQueries {
     * the per-doc window. Nothing document-sized shuffles twice.
     */
   def textTfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     // N composed lazily as a broadcast 1-row cross join (like the
     // oracle's CROSS JOIN n) — an eager d.count() here would hide a
@@ -297,8 +298,13 @@ object ExtQueries {
     val n = d.agg(count(lit(1)).as("__n"))
     val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "word")
+    // df as a window count over tf, NOT groupBy+join-back: Spark does
+    // not reuse a shuffle stage consumed through a BroadcastExchange
+    // (PLANS.md lesson 2), so the join form re-scanned and re-tokenized
+    // the whole corpus for the df leg — the window keeps it ONE scan,
+    // trading the vocabulary broadcast for one |tf| shuffle on word
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+    val scored = withDf
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("__n")).cast("double") / col("df"))
     LatestPerKey.topKRanked(scored, 3, Seq(col("doc_id")),

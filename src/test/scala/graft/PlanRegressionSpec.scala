@@ -112,6 +112,29 @@ class PlanRegressionSpec extends SparkSpec {
     assert("(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(plan).size == 2, plan.take(4000))
   }
 
+  test("tfidf: ONE corpus scan; window df; no cartesian of big sides") {
+    // df via window-over-tf instead of groupBy+broadcast-join-back:
+    // Spark does not reuse a shuffle consumed through a
+    // BroadcastExchange, so the join form re-scanned and re-tokenized
+    // the corpus for the df leg — exactly one parquet scan may appear
+    val plan = staticPlan(ExtQueries.textTfidfTopK(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    // one tokenize (Generate) leg; the only other scan is N's
+    // column-less row count (metadata-sized, no explode behind it)
+    assert("Generate \\(\\d+\\)".r.findAllIn(plan).size == 1, plan.take(4000))
+    // count detail headers "(n) Scan parquet" — one per node (the tree
+    // line AND the detail section would double-count a loose pattern)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size <= 2, plan.take(4000))
+    assert("(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(plan).size <= 4, plan.take(4000))
+  }
+
+  test("prepare_corpus: contamination anti-join broadcasts; no cartesian") {
+    val plan = staticPlan(ExtQueries.pipelinePrepareCorpus(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(planLines(plan, "BroadcastHashJoin").exists(_.contains("LeftAnti")),
+      plan.take(4000))
+  }
+
   test("partitioned layout: lang filter prunes directories, not rows") {
     // partitionBy(lang) layout + filter(lang = 'en') must land in
     // PartitionFilters (directory-level pruning — non-matching
