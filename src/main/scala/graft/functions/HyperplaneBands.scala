@@ -20,8 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * i 1-based; fusing the j-loops into one i-loop does not reorder any
   * individual fold, so every projection — and therefore every sign bit —
   * is bit-identical to the HOF/oracle form. Band key b =
-  * `"<b>|" + bits[b*rowsPerBand, (b+1)*rowsPerBand)`. Null array → null;
-  * array elements are assumed non-null (embeddings), like cosine_sim.
+  * `"<b>|" + bits[b*rowsPerBand, (b+1)*rowsPerBand)`. Null OR EMPTY
+  * array → null — an empty vector has no signature, and a null key
+  * array explodes to zero rows, so such rows cleanly drop out of
+  * banding (the HOF form's all-'0' keys on empties are an artifact of
+  * `sequence(1, 0)` descending + null-padded zip_with, and the DuckDB
+  * oracle's init-less `list_reduce` errors on them outright — no
+  * engine has meaningful empty-vector behavior to preserve). Array
+  * elements are assumed non-null (embeddings), like cosine_sim.
   */
 case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int)
   extends UnaryExpression {
@@ -33,7 +39,7 @@ case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int)
   private def nBits: Int = bands * rowsPerBand
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true // null input OR empty array
   override def prettyName: String = "hyperplane_bands"
 
   private def isFloat: Boolean =
@@ -51,6 +57,7 @@ case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return null
     val proj = new Array[Double](nBits)
     val f = isFloat // hoisted: a dataType match per element would dominate the loop
     var i = 0
@@ -92,23 +99,27 @@ case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int)
       val sb = ctx.freshName("sb")
       s"""
          |final int $n = $a.numElements();
-         |final double[] $proj = new double[$nBits];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = (double) $a.$getter($i);
-         |  for (int $j = 0; $j < $nBits; $j++) {
-         |    $proj[$j] += $x * (((($i + 1) * 31 + $j * 17) % 61) - 30);
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $proj = new double[$nBits];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = (double) $a.$getter($i);
+         |    for (int $j = 0; $j < $nBits; $j++) {
+         |      $proj[$j] += $x * (((($i + 1) * 31 + $j * 17) % 61) - 30);
+         |    }
          |  }
-         |}
-         |final UTF8String[] $out = new UTF8String[$bands];
-         |for (int $b = 0; $b < $bands; $b++) {
-         |  final java.lang.StringBuilder $sb = new java.lang.StringBuilder(4 + $rowsPerBand);
-         |  $sb.append($b).append('|');
-         |  for (int $j = $b * $rowsPerBand; $j < ($b + 1) * $rowsPerBand; $j++) {
-         |    $sb.append($proj[$j] >= 0 ? '1' : '0');
+         |  final UTF8String[] $out = new UTF8String[$bands];
+         |  for (int $b = 0; $b < $bands; $b++) {
+         |    final java.lang.StringBuilder $sb = new java.lang.StringBuilder(4 + $rowsPerBand);
+         |    $sb.append($b).append('|');
+         |    for (int $j = $b * $rowsPerBand; $j < ($b + 1) * $rowsPerBand; $j++) {
+         |      $sb.append($proj[$j] >= 0 ? '1' : '0');
+         |    }
+         |    $out[$b] = UTF8String.fromString($sb.toString());
          |  }
-         |  $out[$b] = UTF8String.fromString($sb.toString());
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

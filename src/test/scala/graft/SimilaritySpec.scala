@@ -205,7 +205,8 @@ class SimilaritySpec extends SparkSpec {
     // the HOF shape, so this equivalence IS the gate's soundness)
     val vecs = ((0 until 200).map(i =>
       (i.toLong, Seq.tabulate(64)(d => (math.sin(i * 2.3 + d * 0.7) * 3).toFloat))) :+
-      (999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+      (999L, Seq.fill(64)(0f)))            // zero vector: all projections 0.0 → all bits '1'
+      .toDF("vec_id", "embedding")
     for ((b, r) <- Seq((8, 3), (4, 4), (2, 2), (1, 1))) {
       val rows = vecs.select(
         Similarity.hyperplaneBands(col("embedding"), b, r).as("native"),
@@ -213,6 +214,13 @@ class SimilaritySpec extends SparkSpec {
         .as[(Seq[String], Seq[String])].collect()
       rows.foreach { case (n, h) => assert(n == h, s"bands=$b rows=$r") }
     }
+    // empty vector → NULL keys (no signature; the row drops out of
+    // banding when the key array explodes) — the HOF's all-'0' keys on
+    // empties are a sequence(1,0)-descending artifact, and the oracle's
+    // init-less list_reduce errors, so null is the defined behavior
+    val empty = Seq((1L, Seq.empty[Float])).toDF("vec_id", "embedding")
+      .select(Similarity.hyperplaneBands(col("embedding"), 4, 2)).collect()(0)
+    assert(empty.isNullAt(0))
     // addressable from SQL text through the extension registration
     vecs.createOrReplaceTempView("hb_in")
     val viaSql = spark.sql(
