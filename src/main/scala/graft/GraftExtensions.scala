@@ -30,9 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.length != 3) throw new IllegalArgumentException(
           s"hyperplane_bands(vec, bands, rowsPerBand) takes 3 arguments, got ${children.length}")
         def lit(i: Int): Int = children(i) match {
-          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e if e.foldable && e.eval() != null =>
+            e.eval().asInstanceOf[Number].intValue()
           case e => throw new IllegalArgumentException(
-            s"hyperplane_bands: bands/rowsPerBand must be literals, got $e")
+            s"hyperplane_bands: bands/rowsPerBand must be non-null literals, got $e")
         }
         HyperplaneBands(children.head, lit(1), lit(2))
       }))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -527,19 +527,35 @@ object Queries {
     * Scale note: exact quantiles cost one full per-group sort; at 100 TB
     * prefer approx_percentile unless exactness is contractual.
     */
-  def aggQuartilesManual(s: SparkSession, dir: String): DataFrame = {
-    val byP = Window.partitionBy(col("priority"))
-    val w = byP.orderBy(col("o_totalprice").asc_nulls_first, col("o_orderkey").asc_nulls_first)
-    def at(p: Double) = col("rn") === ceil(col("n") * lit(p))
-    t(s, dir, "orders")
-      .select(col("o_orderpriority").as("priority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("rn", row_number().over(w))
+  /** Shared discrete-percentile scaffold (aggQuartilesManual,
+    * qaProfileNumeric): adds `rn`/`n` over (part, order), and the
+    * value-at-rank `ceil(p·n)` quartile aggregates — the percentile
+    * DEFINITION lives here once, so both gated queries (and their
+    * oracle twins) cannot silently diverge.
+    */
+  private def withQuartileRanks(df: DataFrame, part: Column,
+                                order: Seq[Column]): DataFrame = {
+    val byP = Window.partitionBy(part)
+    df.withColumn("rn", row_number().over(byP.orderBy(order: _*)))
       .withColumn("n", count(lit(1)).over(byP))
+  }
+
+  private def quartileAggs(value: Column): Seq[Column] = {
+    def at(p: Double) = col("rn") === ceil(col("n") * lit(p))
+    Seq(max(when(at(0.25), value)).as("q1"),
+      max(when(at(0.50), value)).as("median"),
+      max(when(at(0.75), value)).as("q3"))
+  }
+
+  def aggQuartilesManual(s: SparkSession, dir: String): DataFrame = {
+    val qs = quartileAggs(col("o_totalprice"))
+    withQuartileRanks(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority"), col("o_totalprice"), col("o_orderkey")),
+      col("priority"),
+      Seq(col("o_totalprice").asc_nulls_first, col("o_orderkey").asc_nulls_first))
       .groupBy(col("priority"))
-      .agg(
-        max(when(at(0.25), col("o_totalprice"))).as("q1"),
-        max(when(at(0.50), col("o_totalprice"))).as("median"),
-        max(when(at(0.75), col("o_totalprice"))).as("q3"))
+      .agg(qs.head, qs.tail: _*)
   }
 
   /** Long-form EXACT numeric profile (n/min/max/fixed-point mean/
@@ -558,23 +574,18 @@ object Queries {
       col("l_orderkey"), col("l_linenumber"),
       expr(s"stack(${cols.length}, ${cols.map(c => s"'$c', $c").mkString(", ")})")
         .as(Seq("column_name", "value")))
-    val byC = Window.partitionBy(col("column_name"))
-    val w = byC.orderBy(col("value").asc_nulls_first,
-      col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
-    def at(p: Double) = col("rn") === ceil(col("n") * lit(p))
-    stacked
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(byC))
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      min(col("value")).as("min_v"),
+      max(col("value")).as("max_v"),
+      (sum(round(col("value") * 1000000).cast("long")).cast("double")
+        / lit(1000000.0) / count(lit(1))).as("mean_v")) ++
+      quartileAggs(col("value"))
+    withQuartileRanks(stacked, col("column_name"),
+      Seq(col("value").asc_nulls_first,
+        col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first))
       .groupBy(col("column_name"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min(col("value")).as("min_v"),
-        max(col("value")).as("max_v"),
-        (sum(round(col("value") * 1000000).cast("long")).cast("double")
-          / lit(1000000.0) / count(lit(1))).as("mean_v"),
-        max(when(at(0.25), col("value"))).as("q1"),
-        max(when(at(0.50), col("value"))).as("median"),
-        max(when(at(0.75), col("value"))).as("q3"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** FULL OUTER join: per-customer order counts against the rich-customer

@@ -68,7 +68,16 @@ object Tables {
     */
   def writePartitioned(df: DataFrame, path: String, partCol: String,
                        sortCol: String): Unit =
-    df.sortWithinPartitions(sortCol)
+    // the partition column LEADS the sort: a partitionBy write requires
+    // ordering by the partition column, so the planner inserts its own
+    // Sort(partCol) and EliminateSorts silently DROPS a caller sort
+    // that doesn't satisfy it (verified: sortWithinPartitions(sortCol)
+    // alone left files in input order) — prefixing partCol satisfies
+    // the writer's requirement, so no extra Sort is inserted and the
+    // secondary sortCol order actually reaches the files
+    df.sortWithinPartitions(
+        org.apache.spark.sql.functions.col(partCol),
+        org.apache.spark.sql.functions.col(sortCol))
       .write.mode("overwrite")
       .partitionBy(partCol)
       .parquet(path)
