@@ -87,20 +87,37 @@ object StreamingStage {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
         col("value"), col("props"))
 
+  /** Streaming state partition count: every stateful operator opens one
+    * state store (stream-stream joins: four) per shuffle partition, and
+    * the count is frozen into the checkpoint at query start — so size it
+    * to ACTIVE-state volume, not the batch shuffle width. At bench scale
+    * inheriting 32 was pure store-init/maintenance overhead (interval
+    * join measured 8.2 s → 2.8 s at 8). A 100 TB deployment raises this
+    * with its state volume; a restarted query must keep its original
+    * value.
+    */
+  val StatePartitions = 8
+
   /** Run a streaming DataFrame to completion over the static input
     * (Trigger.AvailableNow) into an in-memory table and return the
     * result — the batch-equivalence harness for the oracle gate. Memory
     * sink is test-scale only; production would writeStream to
-    * parquet/kafka with the identical plan.
+    * parquet/kafka with the identical plan. Applies [[StatePartitions]]
+    * for the duration of the query start (the value is captured at
+    * start, so restoring immediately after is safe).
     */
   def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    val q =
+      try df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     spark.table(name)
   }
@@ -154,20 +171,6 @@ object StreamingStage {
     * batch join; output streams out incrementally.
     */
   def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
-    // Stream-stream joins run FOUR state stores per shuffle partition
-    // (left/right × keyToNumValues/keyWithIndexToValue); the partition
-    // count is frozen into the checkpoint at query start, so size it to
-    // the ACTIVE-state volume (interval × arrival rate), not to the
-    // batch shuffle width — at bench scale 32 partitions were pure
-    // store-init overhead (measured 8.2 s → 2.8 s at 8). A 100 TB
-    // deployment sizes this up with its state volume.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamStreamAttributionInner(spark, dir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
-
-  private def streamStreamAttributionInner(spark: SparkSession, dir: String): DataFrame = {
     val clicks = eventsStream(spark, dir).filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
         col("ts").as("click_ts"), expr("ts_ns DIV 1000").as("click_us"))
