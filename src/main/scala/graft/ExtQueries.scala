@@ -707,6 +707,14 @@ object ExtQueries {
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(docs(s, dir))
 
+  /** Audio-modality twin: WAV binary column → per-partition header
+    * decode via the JDK's javax.sound codec (see Multimodal
+    * .audioFeatures) — the oracle predicts rate/samples/duration from
+    * the digest contract, so a match proves the codec round trip.
+    */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(docs(s, dir))
+
   /** Streaming (AvailableNow) hourly window agg — must equal the batch
     * `events_hourly_agg` result exactly.
     */

@@ -121,6 +121,7 @@ object SparkEntry {
     "sim_quantized_topk" -> (ExtQueries.simQuantizedTopK _),
     "sim_ann_recall" -> (ExtQueries.simAnnRecall _),
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
+    "multimodal_audio" -> (ExtQueries.multimodalAudio _),
     "streaming_hourly_agg" -> (ExtQueries.streamingHourlyAgg _),
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
     "streaming_enrich_static" -> (ExtQueries.streamingEnrichStatic _),
@@ -958,6 +959,16 @@ object SparkEntry {
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
     "sim_ann_recall" -> ExtOracleSql.simAnnRecall,
     "multimodal_features" -> ExtOracleSql.multimodalFeatures,
+
+    // audio digest contract: 8 kHz fixed; n_samples = 800 + (hex0 % 8)·400
+    // (always a multiple of 8, so duration_ms = n·1000 // 8000 is exact)
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(800 + (ascii(substr(sha256(text), 1, 1)) % 8) * 400 AS BIGINT) AS n_samples,
+        |  CAST((800 + (ascii(substr(sha256(text), 1, 1)) % 8) * 400) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  sha256(text) AS sha256_hex
+        |FROM documents""".stripMargin,
 
     // streaming twins: the oracle is the BATCH semantics — streaming
     // (AvailableNow) must converge to the same result.

@@ -111,4 +111,80 @@ object Multimodal {
   /** End-to-end: corpus → binary payload + PNG → per-partition features. */
   def documentFeatures(docs: DataFrame): DataFrame =
     extractFeatures(packDocuments(docs)).toDF()
+
+  // ===== audio modality (javax.sound — a REAL codec in the JDK) =====
+
+  final case class AudioRecord(
+      doc_id: Long, payload: Array[Byte], audio: Array[Byte], media_type: String)
+
+  /** sample_rate / n_samples come from actually parsing the WAV header
+    * through `AudioSystem`, not from a formula — same proof shape as the
+    * image path.
+    */
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Long, n_samples: Long, duration_ms: Long,
+      sha256_hex: String)
+
+  /** Generator's contract the oracle replays: 800 + (hexChar % 8) × 400
+    * samples at a fixed 8 kHz — 0.1 s to 0.45 s clips; every count is a
+    * multiple of 8 so `duration_ms = n·1000/8000` is exact integer
+    * division on both engines.
+    */
+  private def audioSamples(hex: String): Int = 800 + (hex.charAt(0).toInt % 8) * 400
+
+  /** Render the deterministic 16-bit mono little-endian PCM WAV fixture
+    * (sawtooth-ish wave patterned from the digest).
+    */
+  private[graft] def renderWav(textBytes: Array[Byte]): Array[Byte] = {
+    val hex = sha256Hex(textBytes)
+    val n = audioSamples(hex)
+    val freqStep = 3 + (hex.charAt(2).toInt % 5)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((i * freqStep) % 256) - 128) * 64
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  def packAudio(docs: DataFrame): Dataset[AudioRecord] =
+    docs.select(col("doc_id"), col("text"))
+      .as(Encoders.product[Doc])
+      .map { d =>
+        val payload = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        AudioRecord(d.doc_id, payload, renderWav(payload), "audio/wav")
+      }(Encoders.product[AudioRecord])
+
+  /** Per-partition WAV header decode: `AudioSystem.getAudioInputStream`
+    * parses the RIFF/fmt chunks, so the reported rate and frame count
+    * come from the codec — a drifted writer or corrupted binary column
+    * breaks the gate.
+    */
+  def extractAudioFeatures(media: Dataset[AudioRecord]): Dataset[AudioFeatures] =
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { rec =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(rec.audio))
+        val rate = ais.getFormat.getSampleRate.toLong
+        val n = ais.getFrameLength
+        ais.close()
+        md.reset()
+        val hex = md.digest(rec.payload).map("%02x".format(_)).mkString
+        AudioFeatures(rec.doc_id, rate, n, n * 1000L / rate, hex)
+      }
+    }(Encoders.product[AudioFeatures])
+
+  /** End-to-end: corpus → WAV binary column → per-partition header decode. */
+  def audioFeatures(docs: DataFrame): DataFrame =
+    extractAudioFeatures(packAudio(docs)).toDF()
 }

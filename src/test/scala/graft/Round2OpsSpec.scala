@@ -49,6 +49,23 @@ class Round2OpsSpec extends SparkSpec {
     assert(Set("train]", "val]", "test]").subsetOf(splits))
   }
 
+  test("renderWav → AudioSystem decode recovers the digest-contract shape") {
+    val payload = "some audio-bearing document".getBytes("UTF-8")
+    val wav = Multimodal.renderWav(payload)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val expectedSamples = 800 + (hex.charAt(0).toInt % 8) * 400
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 8000f)
+    assert(ais.getFormat.getSampleSizeInBits == 16 && ais.getFormat.getChannels == 1)
+    assert(ais.getFrameLength == expectedSamples)
+    ais.close()
+    // RIFF/WAVE magic — it really is a WAV container, not raw PCM
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+  }
+
   test("renderPng → ImageIO decode recovers the digest-contract dimensions") {
     val payload = "some document text".getBytes("UTF-8")
     val png = Multimodal.renderPng(payload)
