@@ -25,12 +25,16 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (local iteration
+    // loop); the driver never sets it, so the recorded bench is full.
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq).getOrElse(SparkEntry.benchQueries)
     // Unmeasured warm-up: first query otherwise pays one-time JVM/
     // codegen/parquet-footer costs (~2s) that say nothing about the plan.
-    try SparkEntry.queries(SparkEntry.benchQueries.head)(spark, sfDir)
+    try SparkEntry.queries(selected.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.benchQueries.map { name =>
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false

@@ -358,6 +358,88 @@ object ExtOracleSql {
        |${recallOf("ivf", simIvfTopK)}""".stripMargin
   }
 
+  /** One min-label propagation round over the symmetric+self-loop edge
+    * list `sym` — the unrolled twin of ConnectedComponents.labelPropagate
+    * (self-loops carry each vertex's own label, so a round is exactly
+    * one join + MIN group).
+    */
+  private def ccIter(i: Int): String =
+    s"""l$i AS (
+       |  SELECT s.src AS id, MIN(l.component) AS component
+       |  FROM sym s JOIN l${i - 1} l ON l.id = s.dst
+       |  GROUP BY s.src)""".stripMargin
+
+  /** dedup_clusters twin: 32/16 word chunking, shared-8-gram edges with
+    * the 2..500 bucket cap, 7 unrolled propagation rounds (≥ the chunk
+    * graph diameter: ≤ 100-word docs → ≤ 7 chunks/doc path).
+    */
+  val dedupClusters: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |ch AS (SELECT doc_id, unnest(range(0, ((len(words) - 1) // 16) + 1)) AS chunk_idx, words
+       |       FROM w),
+       |c2 AS (SELECT doc_id, chunk_idx, doc_id * 10000 + chunk_idx AS id,
+       |              words[chunk_idx * 16 + 1 : chunk_idx * 16 + 32] AS cw
+       |       FROM ch),
+       |sh AS (SELECT DISTINCT id, sh FROM (
+       |  SELECT id, unnest([array_to_string(cw[i:i+7], ' ') for i in range(1, len(cw) - 6)]) AS sh
+       |  FROM c2 WHERE len(cw) >= 8)),
+       |-- same bounded-bucket candidate generation as operators.Buckets
+       |bc AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 500),
+       |e AS (SELECT DISTINCT a.id AS src, b.id AS dst
+       |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+       |      JOIN bc ON a.sh = bc.sh),
+       |sym AS (SELECT src, dst FROM e
+       |        UNION SELECT dst AS src, src AS dst FROM e
+       |        UNION SELECT id AS src, id AS dst FROM c2),
+       |l0 AS (SELECT id, id AS component FROM c2),
+       |${(1 to 7).map(ccIter).mkString(",\n")}
+       |SELECT c2.doc_id, c2.chunk_idx, l7.component
+       |FROM c2 JOIN l7 ON l7.id = c2.id""".stripMargin
+
+  /** dedup_semantic twin (SemDeDup): 3 unrolled Lloyd iterations over
+    * the perturbed corpus (same fixture as dedupEmbeddingCosine), final
+    * assignment under the trained c3 centroids, (cid, band)-bucketed
+    * candidates with the 2..500 cap, cosine ≥ 0.95 ⇒ the higher id is a
+    * duplicate (keep = lowest-id-per-group).
+    */
+  val dedupSemantic: String =
+    s"""WITH vb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |            FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, vec FROM vb
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    [vec[i] + CAST((i % 5) - 2 AS DOUBLE) * 0.01 for i in range(1, len(vec) + 1)] AS vec
+       |  FROM vb WHERE vec_id % 10 = 0),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter).mkString(",\n")},
+       |asg AS (
+       |  SELECT id, vec, cid FROM (
+       |    SELECT x.vec_id AS id, x.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v x CROSS JOIN c3 c)
+       |  WHERE rn = 1),
+       |sg AS (SELECT id, vec, cid, ${signature("vec", 16)} AS sig FROM asg),
+       |blocks AS (
+       |  SELECT id, vec, cid,
+       |    unnest([CAST(cid AS VARCHAR) || '|' || CAST(b AS VARCHAR) || '|' || substr(sig, 1 + b * 4, 4)
+       |            for b in range(0, 4)]) AS band
+       |  FROM sg),
+       |-- same bounded-bucket candidate generation as operators.Buckets
+       |bc AS (SELECT band FROM blocks GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 500),
+       |dup AS (
+       |  SELECT DISTINCT b2.id AS id
+       |  FROM blocks a JOIN blocks b2 ON a.band = b2.band AND a.id < b2.id
+       |  JOIN bc ON a.band = bc.band
+       |  WHERE ${cosine("a.vec", "b2.vec")} >= 0.95)
+       |SELECT asg.id AS vec_id, asg.cid, (dup.id IS NULL) AS keep
+       |FROM asg LEFT JOIN dup ON dup.id = asg.id""".stripMargin
+
   /** Banded twin of Similarity.nearDupPairs (4 bands × 4 bits of a
     * 16-bit hyperplane signature, bucket count cap 2..500 mirroring
     * Buckets.boundedMembers, DISTINCT because a pair may collide in

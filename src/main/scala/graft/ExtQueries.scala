@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Buckets, LatestPerKey, Multimodal, Similarity}
+import graft.operators.{Buckets, ConnectedComponents, KMeans, LatestPerKey, Multimodal, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingStage
 
@@ -570,6 +570,124 @@ object ExtQueries {
     pairs.distinct().filter(col("hamming") <= 3)
   }
 
+  // ===== chunking & graph clustering =====
+
+  /** Chunking geometry: 32-word windows every 16 words — adjacent chunks
+    * overlap by 16 words, so they share word-8-grams; non-adjacent chunks
+    * of a (repetition-free) doc share none. A doc's chunks thus form a
+    * path in the shared-8-gram graph — the fixture [[dedupClusters]]
+    * reassembles with connected components.
+    */
+  private val ChunkSize = 32
+  private val ChunkStride = 16
+
+  /** (doc_id, chunk_idx, cwords): overlapping word windows per document.
+    * One chunk per start offset 0, stride, 2·stride, … while the offset
+    * is inside the doc (trailing chunks may be shorter than ChunkSize).
+    * Map-side explode — no shuffle; ∝ 1/stride row amplification.
+    */
+  private def chunked(d: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    d.select(col("doc_id"), words.as("words"))
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(0L), floor((size(col("words")) - 1) / ChunkStride))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("words"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize)).as("cwords"))
+  }
+
+  /** Context-window chunking for RAG / training-sequence prep: overlapping
+    * word-window chunks with a per-chunk digest (the payload column in a
+    * real pipeline; the digest keeps the gate row narrow).
+    */
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    chunked(docs(s, dir)).select(
+      col("doc_id"), col("chunk_idx"),
+      size(col("cwords")).cast("long").as("n_chunk_words"),
+      md5(array_join(col("cwords"), " ").cast("binary")).as("chunk_md5"))
+
+  /** Near-dup clusters via connected components: vertices = chunks,
+    * edges = chunk pairs sharing any word-8-gram (the shared-shingle
+    * inverted index with the bounded-bucket cap, exactly the E2/decontam
+    * shape), components via 7-round min-label propagation (≥ the chunk
+    * graph's diameter: ≤ 100-word docs → ≤ 7 chunks → diameter ≤ 6).
+    * component = min chunk id ⇒ the canonical-representative rule every
+    * pair-emitting dedup needs to actually DROP rows. Scale: see
+    * ConnectedComponents scaladoc; the edge build shuffles (shingle →
+    * chunk ids) once, each round is one join+agg on chunk id.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersOf(docs(s, dir))
+
+  /** [[dedupClusters]] over an explicit (doc_id, text) frame (fixture entry). */
+  def dedupClustersOf(d: DataFrame): DataFrame = {
+    val c = chunked(d)
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("doc_id") * 10000 + col("chunk_idx")).as("id"), col("cwords"))
+    val verts = c.select(col("id"))
+    val sh = c.filter(size(col("cwords")) >= 8)
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.shingles(col("cwords"), 8))).as("sh"))
+    val edges = Buckets.boundedMembers(sh, col("sh"), col("id"))
+      .select(explode(expr(
+        """flatten(transform(members, a ->
+          |  transform(filter(members, b -> b > a), b -> struct(a AS src, b AS dst))))""".stripMargin)).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .distinct()
+    ConnectedComponents.labelPropagate(verts, edges, iterations = 7)
+      .select(expr("id DIV 10000").as("doc_id"), (col("id") % 10000).as("chunk_idx"),
+        col("component"))
+  }
+
+  /** Corpus + deterministically perturbed copies of every 10th vector —
+    * the planted near-dup fixture shared by [[dedupEmbeddingCosine]] and
+    * [[dedupSemantic]] (index-patterned additive noise; cosine is
+    * scale-invariant so a multiplicative copy would be degenerate).
+    */
+  private def withPerturbedVecs(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir).select(col("vec_id"), col("embedding"))
+    val pert = base.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(sequence(lit(1), size(col("embedding"))),
+        i => element_at(col("embedding"), i).cast("double") +
+          (i % 5 - 2).cast("double") * 0.01).as("embedding"))
+    base.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("embedding")).unionByName(pert)
+  }
+
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): k-means
+    * clusters partition the embedding space; fine-grained candidates are
+    * same-cluster vectors sharing a hyperplane-LSH band; pairs with
+    * cosine ≥ 0.95 mark the HIGHER id as a duplicate, so `keep` is the
+    * lowest-id-per-dup-group rule the exact dedup uses. Scale: the
+    * (cid, band) composite bucket key means parallelism is clusters ×
+    * bands × 2^bits — NOT the k-way-only partitioning a raw
+    * within-cluster self-join would give — and Buckets.boundedMembers
+    * caps degenerate buckets; at 100 TB k grows ∝ corpus (SemDeDup uses
+    * k ≈ √N) while each task stays ≤ cap² pairs.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val all = withPerturbedVecs(s, dir)
+    val centroids = KMeans.fit(all, k = 8, iterations = 3)
+    val assigned = KMeans.probe(all, centroids, nprobe = 1)
+    val banded = assigned.select(col("vec_id").as("id"), col("v").as("vec"), col("cid"),
+      explode(Similarity.hyperplaneBands(col("v"), 4, 4)).as("band"))
+    val dupIds = Buckets.boundedMembers(banded,
+        concat(col("cid").cast("string"), lit("|"), col("band")),
+        struct(col("id"), col("vec")))
+      .select(explode(expr(
+        """flatten(transform(members, a ->
+          |  transform(filter(members, b -> b.id > a.id),
+          |    b -> struct(b.id AS id, cosine_sim(a.vec, b.vec) AS cos))))""".stripMargin)).as("p"))
+      .filter(col("p.cos") >= 0.95)
+      .select(col("p.id").as("vec_id"))
+      .distinct()
+      .withColumn("__dup", lit(1))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dupIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("__dup").isNull.as("keep"))
+  }
+
   /** Polynomial rolling-hash fingerprint per document. */
   def textRollingFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -687,17 +805,8 @@ object ExtQueries {
     * cap via Buckets.boundedMembers — same recall/scale shape as the
     * minhash/simhash dedups) survive.
     */
-  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
-    val base = vecs(s, dir).select(col("vec_id"), col("embedding"))
-    val pert = base.filter(col("vec_id") % 10 === 0).select(
-      (col("vec_id") + lit(1000000L)).as("vec_id"),
-      transform(sequence(lit(1), size(col("embedding"))),
-        i => element_at(col("embedding"), i).cast("double") +
-          (i % 5 - 2).cast("double") * 0.01).as("embedding"))
-    val all = base.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("embedding")).unionByName(pert)
-    Similarity.nearDupPairs(all, threshold = 0.95, nBits = 16, bands = 4)
-  }
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(withPerturbedVecs(s, dir), threshold = 0.95, nBits = 16, bands = 4)
 
   // ===== multimodal & streaming =====
 

@@ -718,6 +718,22 @@ object Queries {
       .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000"))))
   }
 
+  /** Same fidelity gate through the ORC sink/source — Spark's second
+    * native columnar format (type-preserving, so unlike JSON/CSV this
+    * checks the binary encoder path: BIGINT/DOUBLE pass through without
+    * text formatting, and the nested-JSON `props` string must survive
+    * ORC string encoding byte-for-byte).
+    */
+  def sourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc_rt").toString
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_ns"), col("value"), col("props"))
+      .write.mode("overwrite").orc(out)
+    hourlyAgg(s.read.schema(eventsRtSchema).orc(out)
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000"))))
+  }
+
   /** Same fidelity gate through the CSV sink/source (the reference's
     * export format): quoting/escaping of the comma-and-quote-laden
     * `props` column and double round-tripping must be lossless.

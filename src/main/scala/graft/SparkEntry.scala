@@ -84,6 +84,7 @@ object SparkEntry {
     "q_set_ops" -> (Queries.qSetOps _),
     "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
     "source_json_roundtrip" -> (Queries.sourceJsonRoundtrip _),
+    "source_orc_roundtrip" -> (Queries.sourceOrcRoundtrip _),
     "source_csv_roundtrip" -> (Queries.sourceCsvRoundtrip _),
     "source_partitioned_roundtrip" -> (Queries.sourcePartitionedRoundtrip _),
     "events_sessionize" -> (Queries.eventsSessionize _),
@@ -95,6 +96,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (ExtQueries.dedupMinhashLsh _),
     "dedup_simhash" -> (ExtQueries.dedupSimhash _),
     "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
+    "dedup_clusters" -> (ExtQueries.dedupClusters _),
+    "dedup_semantic" -> (ExtQueries.dedupSemantic _),
+    "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
     "text_quality_score" -> (ExtQueries.textQualityScore _),
     "text_quality_filter" -> (ExtQueries.textQualityFilter _),
@@ -148,7 +152,7 @@ object SparkEntry {
     "sim_quantized_topk", "text_vocab_topk", "q_cube_sales",
     "w1_latest_per_key_salted", "pipeline_incremental_primary",
     "text_tfidf_topk", "text_decontaminate", "streaming_interval_join",
-    "pipeline_prepare_corpus")
+    "pipeline_prepare_corpus", "dedup_clusters", "dedup_semantic")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -609,6 +613,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
+    "source_orc_roundtrip" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
     "source_csv_roundtrip" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type,
@@ -948,6 +960,18 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "dedup_minhash_lsh" -> ExtOracleSql.dedupMinhashLsh,
+    "dedup_clusters" -> ExtOracleSql.dedupClusters,
+    "dedup_semantic" -> ExtOracleSql.dedupSemantic,
+
+    // 32/16 word chunking — same geometry as dedup_clusters' vertices
+    "text_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |ch AS (SELECT doc_id, unnest(range(0, ((len(words) - 1) // 16) + 1)) AS chunk_idx, words
+        |       FROM w)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(words[chunk_idx * 16 + 1 : chunk_idx * 16 + 32]) AS BIGINT) AS n_chunk_words,
+        |  md5(array_to_string(words[chunk_idx * 16 + 1 : chunk_idx * 16 + 32], ' ')) AS chunk_md5
+        |FROM ch""".stripMargin,
     "dedup_simhash" -> ExtOracleSql.dedupSimhash,
     "dedup_embedding_cosine" -> ExtOracleSql.dedupEmbeddingCosine,
     "text_rolling_fingerprint" -> ExtOracleSql.textRollingFingerprint,

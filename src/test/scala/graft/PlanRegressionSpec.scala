@@ -157,6 +157,18 @@ class PlanRegressionSpec extends SparkSpec {
     assert(exact.contains("Expand"), exact.take(4000))
   }
 
+  test("dedup_clusters: the edge-build pipeline is reused across propagation rounds") {
+    // labelPropagate consumes the (expensive) chunk→shingle→pair edge
+    // subtree once per round; AQE exchange reuse must materialize it
+    // ONCE and feed rounds 2..7 a ReusedExchange — without it the query
+    // would re-scan and re-shingle the corpus per round (≈7× the cost,
+    // measured: rounds cost ~0.3 s each on top of a ~1.8 s edge build)
+    val df = ExtQueries.dedupClusters(spark, sfSmoke)
+    val plan = finalPlan(df)
+    assert("ReusedExchange".r.findAllIn(plan).size >= 6, plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
     // codegen spans only show on the executed plan, as `*(n)` stage
     // markers (AQE's static formatted plan omits the annotation)

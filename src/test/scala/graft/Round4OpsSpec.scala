@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+
+/** Round-4 operators: connected components (fixed-round and converged
+  * variants), chunking geometry, chunk-graph clustering on controlled
+  * fixtures, semantic dedup's planted-duplicate recovery, and the ORC
+  * roundtrip's batch-twin equality.
+  */
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)], iterations: Int) =
+    ConnectedComponents.labelPropagate(
+        vertices.toDF("id"), edges.toDF("src", "dst"), iterations)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagate: path graph needs diameter rounds, then is exact") {
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 9L)
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    // after 1 round the min label has only travelled one hop
+    val r1 = cc(verts, edges, 1)
+    assert(r1(2L) == 1L && r1(5L) == 4L)
+    // diameter (4) rounds make every path vertex exact; isolated stays itself
+    val r4 = cc(verts, edges, 4)
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(r4(_) == 1L))
+    assert(r4(9L) == 9L)
+    // extra rounds are a no-op at the fixed point
+    assert(cc(verts, edges, 7) == r4)
+  }
+
+  test("labelPropagate: separate components keep separate minima") {
+    val r = cc(Seq(1L, 2L, 3L, 10L, 11L, 12L),
+      Seq(1L -> 2L, 2L -> 3L, 11L -> 10L, 11L -> 12L), 3)
+    assert(r(1L) == 1L && r(2L) == 1L && r(3L) == 1L)
+    assert(r(10L) == 10L && r(11L) == 10L && r(12L) == 10L)
+  }
+
+  test("labelPropagate: no edges -> every vertex is its own component") {
+    val r = cc(Seq(4L, 7L, 2L), Seq.empty, 2)
+    assert(r == Map(4L -> 4L, 7L -> 7L, 2L -> 2L))
+  }
+
+  test("run (convergence-checked) equals fixed-round propagation at the fixed point") {
+    // two chains + a triangle + an isolate, mixed orientations
+    val verts = (1L to 12L).toSeq
+    val edges = Seq(1L -> 2L, 3L -> 2L, 3L -> 4L, 4L -> 5L,
+      7L -> 6L, 7L -> 8L, 10L -> 11L, 11L -> 12L, 12L -> 10L)
+    val fixed = cc(verts, edges, verts.size)
+    val converged = ConnectedComponents.run(verts.toDF("id"), edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(converged == fixed)
+  }
+
+  test("textChunks: 32/16 window geometry on the smoke corpus") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+      .as[(Long, Long)].collect().toMap
+    val chunks = ExtQueries.textChunks(spark, sfSmoke)
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (docId, rows) =>
+      val n = docs(docId)
+      val idxs = rows.map(_._2).sorted
+      // one chunk per stride offset inside the doc, contiguous from 0
+      assert(idxs.toSeq == (0L to (n - 1) / 16).toSeq)
+      rows.foreach { case (_, idx, nw, _) =>
+        // window holds min(32, words remaining after the offset)
+        assert(nw == math.min(32L, n - idx * 16))
+      }
+    }
+  }
+
+  test("dedupClustersOf: a doc's overlapping chunks form one component via multi-hop propagation") {
+    // 112 words -> 7 chunks (offsets 0,16,...,96), every chunk >= 8 words:
+    // a path of diameter 6, so exactness NEEDS >= 6 propagation rounds —
+    // this is the multi-hop case that distinguishes components from pairs.
+    // Disjoint vocabularies keep the two docs in distinct components.
+    val docA = (1 to 112).map(i => s"a$i").mkString(" ")
+    val docB = (1 to 80).map(i => s"b$i").mkString(" ")
+    val out = ExtQueries.dedupClustersOf(Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+    val compsA = out.filter(_._1 == 1L).map(_._3).distinct
+    val compsB = out.filter(_._1 == 2L).map(_._3).distinct
+    assert(out.filter(_._1 == 1L).length == 7)
+    assert(compsA.toSeq == Seq(1L * 10000 + 0), "all 7 chunks of doc 1 collapse to the min chunk id")
+    assert(compsB.toSeq == Seq(2L * 10000 + 0))
+  }
+
+  test("dedupClustersOf: sub-8-word tail chunk is its own singleton component") {
+    // 36 words -> chunks at 0 (32w), 16 (20w), 32 (4w): the 4-word tail
+    // has no 8-gram, so it stays isolated — the documented artifact.
+    val doc = (1 to 36).map(i => s"w$i").mkString(" ")
+    val out = ExtQueries.dedupClustersOf(Seq((5L, doc)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(out == Map(0L -> 50000L, 1L -> 50000L, 2L -> 50002L))
+  }
+
+  test("dedupClustersOf: identical docs merge into one cross-doc component") {
+    val doc = (1 to 40).map(i => s"t$i").mkString(" ")
+    val out = ExtQueries.dedupClustersOf(Seq((1L, doc), (2L, doc)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+    // every >=8-word chunk of BOTH docs lands in doc 1's component
+    val big = out.filter(_._2 <= 1L)
+    assert(big.nonEmpty && big.forall(_._3 == 10000L))
+  }
+
+  test("dedupSemantic: same-cluster planted copies removed, bases never removed") {
+    val out = ExtQueries.dedupSemantic(spark, sfSmoke)
+      .as[(Long, Int, Boolean)].collect()
+    val (planted, base) = out.partition(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    assert(base.forall(_._3), "no base vector may be removed (corpus has no natural dups)")
+    // a copy can only escape by straddling a cluster boundary (the
+    // inherent SemDeDup approximation — the coarse quantizer is the
+    // recall/cost trade); every copy that shares its base's cluster
+    // must be caught by the in-cluster banding
+    val baseCid = base.map(r => r._1 -> r._2).toMap
+    val (sameCluster, boundary) = planted.partition(r => baseCid(r._1 - 1000000L) == r._2)
+    assert(sameCluster.forall(!_._3), "same-cluster perturbed copies must be removed")
+    assert(boundary.length <= planted.length / 10,
+      s"cluster-boundary escapes should be rare (got ${boundary.length}/${planted.length})")
+  }
+
+  test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
+    val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
+      .as[(String, String, Long, Double)].collect().toSet
+    val direct = Queries.eventsHourlyAgg(spark, sfSmoke)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(viaOrc == direct)
+  }
+}
