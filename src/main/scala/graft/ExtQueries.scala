@@ -461,32 +461,27 @@ object ExtQueries {
     * the wire ∝ docs × bands, not docs × shingles.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val k = 16; val bands = 4; val rows = 4
-    // Explode + partial-aggregation shape, NOT the single-pass HOF form:
-    // Catalyst's CollapseProject inlines a HOF signature expression into
-    // every consumer (each band key, each output column), recomputing the
-    // 16×|shingles| md5 work several times over (~80× slower at sf0.1).
-    // Exploding first means one md5 per (shingle, slot), and the groupBy
-    // min() aggregates map-side — only (doc_id, 16 digests) shuffle.
-    // 4 independent 32-bit-ish slots per digest (8 hex chars each): 4
-    // md5 calls per shingle yield all 16 slots — md5 is the dominant
-    // cost, substring slicing is nearly free. Slot q*4+r = chunk r of
-    // md5(q ':' shingle).
-    val sh = withNearDups(docs(s, dir))
-      .select(col("doc_id"),
-        explode(array_distinct(TextFunctions.shingles(col("words"), 3))).as("sh"))
-    val hashed = (0 until k / 4).foldLeft(sh) { (df, q) =>
-      df.withColumn(s"_h$q", md5(concat(lit(s"$q:"), col("sh")).cast("binary")))
-    }
-    val sigSlots = (0 until k).map { i =>
-      val q = i / 4; val r = i % 4
-      min(substring(col(s"_h$q"), r * 8 + 1, 8)).as(s"_s$i")
-    }
-    val sig = hashed.groupBy("doc_id")
-      .agg(sigSlots.head, sigSlots.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"_s$i")): _*).as("sigs"))
-    val banded = sig.select(col("doc_id"), col("sigs"),
-      explode(TextFunctions.lshBands(col("sigs"), bands, rows)).as("band"))
+    val k = 16; val bands = 4
+    // The whole signature+banding stage is ONE native expression
+    // (functions.MinhashBands): all 16 slot minima + 4 band keys in a
+    // single pass over the shingle array — no generated rows, no
+    // aggregation hash table, no shuffle before banding. History: the
+    // composed-HOF form was ~80× slower (CollapseProject inlines the
+    // signature into every consumer); r1–r3 used explode + groupBy(min)
+    // (one md5 per (shingle, digest-quarter) row, map-side combine);
+    // the fused expression removes that stage's row machinery and
+    // measured 1.8× on the query at sf0.1. The expression sits under a
+    // single Generate (explode of its band slice), so it evaluates once
+    // per document. Slot q*4+r = hex chunk r of md5(q ':' shingle);
+    // band b = md5(b '|' slots[b*4..b*4+3] joined '|') — bit-identical
+    // to TextFunctions.minhashSignature/lshBands (spec-asserted) and
+    // the DuckDB oracle.
+    val mb = call_function("minhash_bands",
+      array_distinct(TextFunctions.shingles(col("words"), 3)), lit(k), lit(bands))
+    val banded = withNearDups(docs(s, dir))
+      .select(col("doc_id"), mb.as("mb"))
+      .select(col("doc_id"), slice(col("mb"), 1, k).as("sigs"),
+        explode(slice(col("mb"), k + 1, bands)).as("band"))
     // one-pass bucket expansion (same rationale as dedupSimhash: a band
     // self-join would compute the signature pipeline once per side);
     // Buckets.boundedMembers caps degenerate band values so no single

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 
-import graft.functions.{CosineSimilarity, HyperplaneBands, VectorSumAgg}
+import graft.functions.{CosineSimilarity, HyperplaneBands, MinhashBands, VectorSumAgg}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
   * or `builder.withExtensions(new GraftExtensions)`): registers the
@@ -36,6 +36,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"hyperplane_bands: bands/rowsPerBand must be non-null literals, got $e")
         }
         HyperplaneBands(children.head, lit(1), lit(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      MinhashBands.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"minhash_bands(shingles, k, bands) takes 3 arguments, got ${children.length}")
+        def lit(i: Int): Int = children(i) match {
+          case e if e.foldable && e.eval() != null =>
+            e.eval().asInstanceOf[Number].intValue()
+          case e => throw new IllegalArgumentException(
+            s"minhash_bands: k/bands must be non-null literals, got $e")
+        }
+        MinhashBands(children.head, lit(1), lit(2))
       }))
     // whole-operator extension: native two-phase top-k-per-key
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKey.Strategy)

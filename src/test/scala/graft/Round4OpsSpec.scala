@@ -125,6 +125,44 @@ class Round4OpsSpec extends SparkSpec {
       s"cluster-boundary escapes should be rare (got ${boundary.length}/${planted.length})")
   }
 
+  test("minhash_bands: native fused expression == composed column-expression form") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w${i % 13}").mkString(" ")), // repeated shingles
+      (2L, "one two three four five six"),
+      (3L, "a b"), // shorter than the shingle width -> empty -> null
+      (4L, (1 to 7).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val shingleArr = array_distinct(TextFunctions.shingles(split(col("text"), " "), 3))
+    // the query's chunked-md5 scheme (slot q*4+r = hex chunk r of
+    // md5(q ':' shingle)) as plain column expressions, as r1-r3 computed
+    // it via explode+groupBy and as the DuckDB oracle still states it
+    val refSigs = array((0 until 16).map { i =>
+      array_min(transform(shingleArr, sh =>
+        substring(md5(concat(lit(s"${i / 4}:"), sh).cast("binary")), (i % 4) * 8 + 1, 8)))
+    }: _*)
+    val out = docs.select(
+        col("doc_id"),
+        call_function("minhash_bands", shingleArr, lit(16), lit(4)).as("mb"),
+        when(size(shingleArr) === 0, lit(null).cast("array<string>"))
+          .otherwise(concat(refSigs, TextFunctions.lshBands(refSigs, 4, 4))).as("ref"))
+      .as[(Long, Option[Seq[String]], Option[Seq[String]])].collect()
+    out.foreach { case (id, native, ref) =>
+      assert(native == ref, s"doc $id: native $native != reference $ref")
+    }
+    assert(out.find(_._1 == 3L).get._2.isEmpty, "no-shingle doc must yield null")
+  }
+
+  test("dedup_minhash_lsh plan evaluates minhash_bands once per union branch") {
+    // projection pushdown clones the expression into each of the two
+    // corpus union branches (base + planted near-dups); within a branch
+    // it must appear exactly once — a second copy would mean
+    // CollapseProject inlined it into multiple consumers
+    val plan = ExtQueries.dedupMinhashLsh(spark, sfSmoke)
+      .queryExecution.optimizedPlan.toString
+    assert("minhash_bands".r.findAllIn(plan).size == 2, plan.take(4000))
+  }
+
   test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
     val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
       .as[(String, String, Long, Double)].collect().toSet
