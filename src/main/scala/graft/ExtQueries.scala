@@ -850,6 +850,13 @@ object ExtQueries {
   def streamingIntervalJoin(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamStreamAttribution(s, dir)
 
+  /** LEFT OUTER stream-stream interval join (watermark-sentinel flush —
+    * see StreamingStage.streamStreamAttributionOuter); equals the batch
+    * LEFT JOIN exactly.
+    */
+  def streamingIntervalJoinOuter(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamStreamAttributionOuter(s, dir)
+
   /** One-pass data profile of the derived activities (the QA tool a
     * pipeline runs before trusting a new input drop) — HLL distinct
     * counts (the 100 TB default; engine-specific estimates → rows-only

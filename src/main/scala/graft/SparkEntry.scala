@@ -131,7 +131,8 @@ object SparkEntry {
     "streaming_enrich_static" -> (ExtQueries.streamingEnrichStatic _),
     "streaming_sessionize" -> (ExtQueries.streamingSessionize _),
     "streaming_latest_contact" -> (ExtQueries.streamingLatestContact _),
-    "streaming_interval_join" -> (ExtQueries.streamingIntervalJoin _)
+    "streaming_interval_join" -> (ExtQueries.streamingIntervalJoin _),
+    "streaming_interval_join_outer" -> (ExtQueries.streamingIntervalJoinOuter _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -152,7 +153,8 @@ object SparkEntry {
     "sim_quantized_topk", "text_vocab_topk", "q_cube_sales",
     "w1_latest_per_key_salted", "pipeline_incremental_primary",
     "text_tfidf_topk", "text_decontaminate", "streaming_interval_join",
-    "pipeline_prepare_corpus", "dedup_clusters", "dedup_semantic")
+    "pipeline_prepare_corpus", "dedup_clusters", "dedup_semantic",
+    "streaming_interval_join_outer")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -463,6 +465,16 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.us >= a.us AND b.us <= a.us + 21600000000""".stripMargin,
+
+    "streaming_interval_join_outer" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        |  b.us - a.us AS lag_us
+        |FROM (SELECT * FROM e WHERE event_type = 'click') a
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
         | AND b.us >= a.us AND b.us <= a.us + 21600000000""".stripMargin,
 
     "pipeline_history_scd2" ->

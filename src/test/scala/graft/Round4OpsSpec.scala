@@ -163,6 +163,30 @@ class Round4OpsSpec extends SparkSpec {
     assert("minhash_bands".r.findAllIn(plan).size == 2, plan.take(4000))
   }
 
+  test("streaming outer interval join equals the batch LEFT JOIN (sentinel flushes the tail)") {
+    val streaming = ExtQueries.streamingIntervalJoinOuter(spark, sfSmoke)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    val ev = spark.read.parquet(s"$sfSmoke/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("us").as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us").as("purchase_us"))
+    val batchProper = clicks.join(
+        purchases.withColumnRenamed("user_id", "p_user"),
+        col("user_id") === col("p_user") &&
+          col("purchase_us") >= col("click_us") &&
+          col("purchase_us") <= col("click_us") + 21600000000L,
+        "left")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(streaming == batchProper)
+    assert(streaming.exists(_._3.isEmpty), "unmatched clicks must appear null-extended")
+    assert(streaming.forall(_._1 >= 0), "sentinel rows must not leak into the result")
+  }
+
   test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
     val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
       .as[(String, String, Long, Double)].collect().toSet
