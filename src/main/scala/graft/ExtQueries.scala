@@ -819,6 +819,15 @@ object ExtQueries {
   def multimodalAudio(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioFeatures(docs(s, dir))
 
+  /** Video-modality twin: GVID container binary column → header parse +
+    * every-4th-frame sampled decode (see Multimodal.videoFeatures) —
+    * the oracle predicts header fields and frame dims from the digest
+    * contract, so a match proves the container round trip AND that the
+    * sampled frames really decoded.
+    */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFeatures(docs(s, dir))
+
   /** Streaming (AvailableNow) hourly window agg — must equal the batch
     * `events_hourly_agg` result exactly.
     */

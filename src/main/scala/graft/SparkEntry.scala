@@ -126,6 +126,7 @@ object SparkEntry {
     "sim_ann_recall" -> (ExtQueries.simAnnRecall _),
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
     "multimodal_audio" -> (ExtQueries.multimodalAudio _),
+    "multimodal_video" -> (ExtQueries.multimodalVideo _),
     "streaming_hourly_agg" -> (ExtQueries.streamingHourlyAgg _),
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
     "streaming_enrich_static" -> (ExtQueries.streamingEnrichStatic _),
@@ -154,7 +155,7 @@ object SparkEntry {
     "w1_latest_per_key_salted", "pipeline_incremental_primary",
     "text_tfidf_topk", "text_decontaminate", "streaming_interval_join",
     "pipeline_prepare_corpus", "dedup_clusters", "dedup_semantic",
-    "streaming_interval_join_outer")
+    "streaming_interval_join_outer", "multimodal_video")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -995,6 +996,27 @@ object SparkEntry {
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
     "sim_ann_recall" -> ExtOracleSql.simAnnRecall,
     "multimodal_features" -> ExtOracleSql.multimodalFeatures,
+
+    // digest-contract twin: header fields + frame dims + the sampled-
+    // frame pixel sum, all derived from sha256(text) like the generator
+    "multimodal_video" ->
+      """WITH p AS (
+        |  SELECT doc_id, sha256(text) AS hex,
+        |    4 + (ascii(substr(sha256(text), 1, 1)) % 8) AS n_frames,
+        |    list_extract([4, 5, 8, 10], (ascii(substr(sha256(text), 2, 1)) % 4) + 1) AS fps,
+        |    64 + (ascii(substr(sha256(text), 1, 1)) % 8) * 16 AS width,
+        |    64 + (ascii(substr(sha256(text), 2, 1)) % 8) * 16 AS height
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(fps AS BIGINT) AS fps,
+        |  CAST(n_frames * (1000 // fps) AS BIGINT) AS duration_ms,
+        |  CAST((n_frames + 3) // 4 AS BIGINT) AS n_sampled,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(((n_frames + 3) // 4) * width * height AS BIGINT) AS sum_frame_px,
+        |  hex AS sha256_hex
+        |FROM p""".stripMargin,
 
     // audio digest contract: 8 kHz fixed; n_samples = 800 + (hex0 % 8)·400
     // (always a multiple of 8, so duration_ms = n·1000 // 8000 is exact)

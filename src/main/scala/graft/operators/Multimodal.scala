@@ -187,4 +187,114 @@ object Multimodal {
   /** End-to-end: corpus → WAV binary column → per-partition header decode. */
   def audioFeatures(docs: DataFrame): DataFrame =
     extractAudioFeatures(packAudio(docs)).toDF()
+
+  // ===== video modality (deterministic container, REAL sampled-frame decode) =====
+  //
+  // The JDK ships no video codec, so the CONTAINER is a deterministic
+  // stand-in ("GVID": magic, u16 fps, u16 n_frames, then length-prefixed
+  // PNG frames) — but the Spark-side plumbing is real and so is the
+  // per-frame work: the extractor walks the frame index, SKIPS unsampled
+  // frames without decoding them (the point of frame-sampling at 100 TB:
+  // IO-skip dominates decode cost), and pushes every sampled frame
+  // through the same per-partition ImageReader as the image path. A real
+  // codec (ffmpeg via JNI or a container-format library) would slot into
+  // renderVideo/the frame loop with no change to the Spark shape.
+
+  final case class VideoRecord(
+      doc_id: Long, payload: Array[Byte], video: Array[Byte], media_type: String)
+
+  /** n_frames/fps parsed from the container header; width/height/
+    * sum_frame_px from actually decoding the sampled frames.
+    */
+  final case class VideoFeatures(
+      doc_id: Long, n_frames: Long, fps: Long, duration_ms: Long,
+      n_sampled: Long, width: Int, height: Int, sum_frame_px: Long,
+      sha256_hex: String)
+
+  private val VideoMagic = Array[Byte]('G', 'V', 'I', 'D')
+
+  /** fps table of exact divisors of 1000 so duration_ms is exact integer
+    * arithmetic on both engines.
+    */
+  private val VideoFpsTable = Array(4, 5, 8, 10)
+
+  /** Decode every 4th frame (keyframe-ish sampling). */
+  val VideoSampleStride = 4
+
+  /** Generator's contract the oracle replays: 4..11 frames (hex char 0),
+    * fps from [[VideoFpsTable]] (hex char 1), frame dims = the image
+    * fixture's [[dims]].
+    */
+  private def videoFrames(hex: String): Int = 4 + (hex.charAt(0).toInt % 8)
+  private def videoFps(hex: String): Int = VideoFpsTable(hex.charAt(1).toInt % 4)
+
+  /** Render the deterministic container. The fixture reuses one encoded
+    * frame image n times (a real source carries distinct frames; the
+    * decode path is indifferent).
+    */
+  private[graft] def renderVideo(textBytes: Array[Byte]): Array[Byte] = {
+    val hex = sha256Hex(textBytes)
+    val n = videoFrames(hex)
+    val frame = renderPng(textBytes)
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(VideoMagic)
+    dos.writeShort(videoFps(hex))
+    dos.writeShort(n)
+    (0 until n).foreach { _ => dos.writeInt(frame.length); dos.write(frame) }
+    dos.flush()
+    out.toByteArray
+  }
+
+  def packVideo(docs: DataFrame): Dataset[VideoRecord] =
+    docs.select(col("doc_id"), col("text"))
+      .as(Encoders.product[Doc])
+      .map { d =>
+        val payload = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        VideoRecord(d.doc_id, payload, renderVideo(payload), "video/x-gvid")
+      }(Encoders.product[VideoRecord])
+
+  /** Per-partition container walk + sampled-frame decode: header fields
+    * come from parsing the binary column, dimensions from the codec on
+    * each SAMPLED frame (unsampled frames are skipped, never decoded).
+    */
+  def extractVideoFeatures(media: Dataset[VideoRecord]): Dataset[VideoFeatures] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      it.map { rec =>
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(rec.video))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        require(java.util.Arrays.equals(magic, VideoMagic),
+          s"doc ${rec.doc_id}: bad video container magic")
+        val fps = in.readShort().toInt
+        val n = in.readShort().toInt
+        var f = 0; var nSampled = 0L; var sumPx = 0L; var w = 0; var h = 0
+        while (f < n) {
+          val len = in.readInt()
+          if (f % VideoSampleStride == 0) {
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes)))
+            w = reader.getWidth(0)
+            h = reader.getHeight(0)
+            sumPx += w.toLong * h
+            nSampled += 1
+          } else in.skipNBytes(len.toLong)
+          f += 1
+        }
+        md.reset()
+        val hex = md.digest(rec.payload).map("%02x".format(_)).mkString
+        VideoFeatures(rec.doc_id, n.toLong, fps.toLong, n.toLong * (1000L / fps),
+          nSampled, w, h, sumPx, hex)
+      }
+    }(Encoders.product[VideoFeatures])
+
+  /** End-to-end: corpus → GVID binary column → sampled-frame features. */
+  def videoFeatures(docs: DataFrame): DataFrame =
+    extractVideoFeatures(packVideo(docs)).toDF()
 }

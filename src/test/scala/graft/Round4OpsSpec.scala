@@ -187,6 +187,24 @@ class Round4OpsSpec extends SparkSpec {
     assert(streaming.forall(_._1 >= 0), "sentinel rows must not leak into the result")
   }
 
+  test("video modality: container round trip, frame sampling skips undecoded frames") {
+    import graft.operators.Multimodal
+    val out = Multimodal.videoFeatures(
+        Seq((1L, "hello video world"), (2L, "x")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long, Int, Int, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    out.values.foreach { case (id, n, fps, durMs, nSampled, w, h, sumPx, hex) =>
+      assert(n >= 4 && n <= 11, s"doc $id frames $n")
+      assert(Seq(4L, 5L, 8L, 10L).contains(fps))
+      assert(durMs == n * (1000 / fps))
+      // stride-4 sampling: ceil(n/4) frames decoded, each w×h
+      assert(nSampled == (n + 3) / 4)
+      assert(sumPx == nSampled * w.toLong * h)
+      assert(w >= 64 && w <= 176 && h >= 64 && h <= 176)
+      assert(hex.length == 64)
+    }
+  }
+
   test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
     val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
       .as[(String, String, Long, Double)].collect().toSet
