@@ -402,15 +402,48 @@ object ExtOracleSql {
     * candidates with the 2..500 cap, cosine ≥ 0.95 ⇒ the higher id is a
     * duplicate (keep = lowest-id-per-group).
     */
+  /** Perturbed-duplicate corpus (ExtQueries.withPerturbedVecs's twin),
+    * shared by the semantic-dedup and contrastive-mining oracles.
+    */
+  private val perturbedVecs: String =
+    """vb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |       FROM embeddings),
+      |v AS (
+      |  SELECT vec_id, vec FROM vb
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    [vec[i] + CAST((i % 5) - 2 AS DOUBLE) * 0.01 for i in range(1, len(vec) + 1)] AS vec
+      |  FROM vb WHERE vec_id % 10 = 0)""".stripMargin
+
+  /** mine_contrastive_pairs twin: per anchor the top near-dup (cos ≥
+    * 0.95) and top non-dup, ROW_NUMBER with the same (cos desc, id asc)
+    * total order the struct-max argmax encodes.
+    */
+  val mineContrastivePairs: String =
+    s"""WITH $perturbedVecs,
+       |a AS (SELECT vec_id AS anchor_id, vec AS a_vec FROM v WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT a.anchor_id, c.vec_id AS cand_id, ${cosine("a.a_vec", "c.vec")} AS cos
+       |  FROM v c JOIN a ON a.anchor_id <> c.vec_id),
+       |pos AS (
+       |  SELECT anchor_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos DESC NULLS LAST, cand_id ASC NULLS FIRST) AS rn
+       |  FROM scored WHERE cos >= 0.95),
+       |neg AS (
+       |  SELECT anchor_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos DESC NULLS LAST, cand_id ASC NULLS FIRST) AS rn
+       |  FROM scored WHERE cos < 0.95)
+       |SELECT a.anchor_id,
+       |  p.cand_id AS positive_id, round(p.cos, 6) AS pos_cos,
+       |  n.cand_id AS negative_id, round(n.cos, 6) AS neg_cos
+       |FROM a
+       |LEFT JOIN (SELECT * FROM pos WHERE rn = 1) p USING (anchor_id)
+       |LEFT JOIN (SELECT * FROM neg WHERE rn = 1) n USING (anchor_id)""".stripMargin
+
   val dedupSemantic: String =
-    s"""WITH vb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-       |            FROM embeddings),
-       |v AS (
-       |  SELECT vec_id, vec FROM vb
-       |  UNION ALL
-       |  SELECT vec_id + 1000000 AS vec_id,
-       |    [vec[i] + CAST((i % 5) - 2 AS DOUBLE) * 0.01 for i in range(1, len(vec) + 1)] AS vec
-       |  FROM vb WHERE vec_id % 10 = 0),
+    s"""WITH $perturbedVecs,
        |c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
        |         vec AS centroid

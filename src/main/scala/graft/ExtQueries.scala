@@ -650,6 +650,37 @@ object ExtQueries {
       transform(col("embedding"), _.cast("double")).as("embedding")).unionByName(pert)
   }
 
+  /** Contrastive-pair mining for embedding-model training: per anchor
+    * (every 25th vector), the highest-cosine near-duplicate (cos ≥
+    * 0.95) as the POSITIVE and the highest-cosine non-duplicate as the
+    * HARD NEGATIVE — the standard hard-negative mining step. Anchors
+    * without a planted duplicate emit a null positive (both paths
+    * gated). Scale shape: anchors broadcast, corpus scanned once
+    * (exactly the exact-ANN baseline's cost); the per-anchor argmax is
+    * ONE aggregate — max over struct(cos, -id, id) is the
+    * deterministic argmax (highest cos, ties → lowest id), no window,
+    * partial-aggregating map-side so only (anchor × 2 structs) rows
+    * shuffle. At 100 TB the corpus side swaps in the banded-LSH or IVF
+    * candidate generator like the ANN queries.
+    */
+  def mineContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val all = withPerturbedVecs(s, dir)
+    val anchors = all.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_vec"))
+    val scored = all.select(col("vec_id").as("cand_id"), col("embedding").as("c_vec"))
+      .join(broadcast(anchors), col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        Similarity.cosine(col("a_vec"), col("c_vec")).as("cos"))
+    def argmax(cond: Column): Column =
+      max(when(cond, struct(col("cos"), (-col("cand_id")).as("nid"), col("cand_id"))))
+    val agg = scored.groupBy("anchor_id").agg(
+      argmax(col("cos") >= 0.95).as("pos"),
+      argmax(col("cos") < 0.95).as("neg"))
+    agg.select(col("anchor_id"),
+      col("pos.cand_id").as("positive_id"), round(col("pos.cos"), 6).as("pos_cos"),
+      col("neg.cand_id").as("negative_id"), round(col("neg.cos"), 6).as("neg_cos"))
+  }
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): k-means
     * clusters partition the embedding space; fine-grained candidates are
     * same-cluster vectors sharing a hyperplane-LSH band; pairs with

@@ -124,6 +124,7 @@ object SparkEntry {
     "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
     "sim_quantized_topk" -> (ExtQueries.simQuantizedTopK _),
     "sim_ann_recall" -> (ExtQueries.simAnnRecall _),
+    "mine_contrastive_pairs" -> (ExtQueries.mineContrastivePairs _),
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
     "multimodal_audio" -> (ExtQueries.multimodalAudio _),
     "multimodal_video" -> (ExtQueries.multimodalVideo _),
@@ -155,7 +156,8 @@ object SparkEntry {
     "w1_latest_per_key_salted", "pipeline_incremental_primary",
     "text_tfidf_topk", "text_decontaminate", "streaming_interval_join",
     "pipeline_prepare_corpus", "dedup_clusters", "dedup_semantic",
-    "streaming_interval_join_outer", "multimodal_video")
+    "streaming_interval_join_outer", "multimodal_video",
+    "mine_contrastive_pairs")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -995,6 +997,7 @@ object SparkEntry {
     "sim_ivf_kmeans_topk" -> ExtOracleSql.simIvfKmeansTopK,
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
     "sim_ann_recall" -> ExtOracleSql.simAnnRecall,
+    "mine_contrastive_pairs" -> ExtOracleSql.mineContrastivePairs,
     "multimodal_features" -> ExtOracleSql.multimodalFeatures,
 
     // digest-contract twin: header fields + frame dims + the sampled-

@@ -205,6 +205,23 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("mineContrastivePairs: planted dups surface as positives, negatives always mined") {
+    val out = ExtQueries.mineContrastivePairs(spark, sfSmoke)
+      .as[(Long, Option[Long], Option[Double], Option[Long], Option[Double])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (anchor, posId, posCos, negId, negCos) =>
+      assert(negId.nonEmpty && negCos.exists(_ < 0.95),
+        s"anchor $anchor: hard negative must exist below the dup threshold")
+      // anchors at %50==0 have a planted perturbed copy (%10 fixture ∩
+      // %25 anchors); the copy must surface as the positive
+      if (anchor % 50 == 0 && anchor < 1000000L)
+        assert(posId.contains(anchor + 1000000L) && posCos.exists(_ >= 0.95),
+          s"anchor $anchor: planted copy must be the mined positive, got $posId")
+      posCos.foreach(c => assert(c >= 0.95))
+    }
+    assert(out.exists(_._2.isEmpty), "anchors without a planted dup emit a null positive")
+  }
+
   test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
     val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
       .as[(String, String, Long, Double)].collect().toSet
