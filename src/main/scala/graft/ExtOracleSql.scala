@@ -80,6 +80,32 @@ object ExtOracleSql {
        |WHERE 64 - len(list_filter(range(1, 65),
        |        i -> substr(a.simhash, i, 1) = substr(b2.simhash, i, 1))) <= 3""".stripMargin
 
+  /** text_bigram_lm twin: same rational N/count terms, same
+    * position-ordered fold (`list_transform` then init-less
+    * `list_reduce` ≡ Spark's 0.0-init left fold — first term 0.0 + x
+    * is exact).
+    */
+  val textBigramLm: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |b2 AS (
+      |  SELECT doc_id, u.pos AS pos, u.bg AS bg FROM (
+      |    SELECT doc_id,
+      |      unnest([{'pos': i, 'bg': array_to_string(words[i:i+1], ' ')}
+      |              for i in range(1, len(words))]) AS u
+      |    FROM w)),
+      |wc AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY bg) AS c FROM b2),
+      |n AS (SELECT CAST(SUM(greatest(len(words) - 1, 0)) AS DOUBLE) AS n FROM w),
+      |lst AS (
+      |  SELECT doc_id, list(c ORDER BY pos) AS cs, COUNT(*) AS n_bigrams
+      |  FROM wc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(l.n_bigrams, 0) AS n_bigrams,
+      |  round(list_reduce(list_transform(l.cs, c -> n.n / c), (a, b) -> a + b)
+      |        / l.n_bigrams, 6) AS mean_inv_freq
+      |FROM documents d
+      |LEFT JOIN lst l USING (doc_id)
+      |CROSS JOIN n""".stripMargin
+
   val textRollingFingerprint: String =
     """SELECT doc_id,
       |  CASE WHEN length(text) = 0 THEN 0
@@ -402,6 +428,20 @@ object ExtOracleSql {
     * candidates with the 2..500 cap, cosine ≥ 0.95 ⇒ the higher id is a
     * duplicate (keep = lowest-id-per-group).
     */
+  /** pipeline_dedup_canonical twin: the minhash query nested as a CTE,
+    * symmetric+self-loop edges over the full dup corpus, 4 unrolled
+    * propagation rounds, keep = (id = component).
+    */
+  val pipelineDedupCanonical: String =
+    s"""WITH pairs AS ($dedupMinhashLsh),
+       |$nearDupCorpus,
+       |sym AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+       |        UNION SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+       |        UNION SELECT doc_id AS src, doc_id AS dst FROM nd),
+       |l0 AS (SELECT doc_id AS id, doc_id AS component FROM nd),
+       |${(1 to 4).map(ccIter).mkString(",\n")}
+       |SELECT id AS doc_id, component, (id = component) AS keep FROM l4""".stripMargin
+
   /** Perturbed-duplicate corpus (ExtQueries.withPerturbedVecs's twin),
     * shared by the semantic-dedup and contrastive-mining oracles.
     */

@@ -313,6 +313,41 @@ object ExtQueries {
         col("tf"), col("df"), round(col("score"), 6).as("score"))
   }
 
+  /** Statistical LM quality proxy: mean inverse corpus bigram frequency
+    * per document — a KenLM-style fluency signal (documents made of
+    * corpus-typical bigrams score low; rare-bigram salads score high)
+    * without the log: each term is the rational `N_bigrams / count(bg)`,
+    * one exact divide, so the score hash-gates where `ln`-based
+    * perplexity would hinge on libm rounding (the TF-IDF lesson).
+    * Determinism: the per-doc sum is a LEFT FOLD in bigram-position
+    * order over the collected (pos, count) list — never a
+    * partition-order double sum. Scale shape: one bigram explode; the
+    * count comes from a window over the same shuffle (no join-back
+    * re-scan — the TF-IDF lesson again); the corpus total N comes from
+    * a direct base-table scan (cheap) instead of a third pass over the
+    * exploded bigrams.
+    */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val words = split(col("text"), " ")
+    val bg = d.select(col("doc_id"),
+      posexplode(TextFunctions.shingles(words, 2)).as(Seq("pos", "bg")))
+    val withC = bg.withColumn("c", count(lit(1)).over(Window.partitionBy("bg")))
+    val n = d.agg(sum(greatest(size(words) - 1, lit(0))).cast("double").as("__n"))
+    val folded = withC.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("lst"),
+        count(lit(1)).as("n_bigrams"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(aggregate(col("lst"), lit(0.0),
+            (acc, x) => acc + col("__n") / x.getField("c").cast("double"))
+          / col("n_bigrams").cast("double"), 6).as("mean_inv_freq"))
+    d.select(col("doc_id")).join(folded, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_inv_freq"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word-8-gram with the held-out benchmark slice (every 50th doc) —
     * the standard eval-leakage sweep a pretraining pipeline runs before
@@ -632,6 +667,25 @@ object ExtQueries {
     ConnectedComponents.labelPropagate(verts, edges, iterations = 7)
       .select(expr("id DIV 10000").as("doc_id"), (col("id") % 10000).as("chunk_idx"),
         col("component"))
+  }
+
+  /** The full near-dup dedup path as ONE plan: MinHash-LSH pairs →
+    * connected components (4 rounds ≥ the dup-graph diameter) →
+    * canonical = lowest doc id per cluster — the composition every
+    * pair-emitting detector exists to feed. Output keeps ALL docs with
+    * their cluster label and a keep flag, so downstream can either
+    * filter (`keep`) or audit cluster sizes. Scale: the pair stage is
+    * the gated minhash query; propagation adds one join+agg per round
+    * over the (tiny) pair set + doc spine.
+    */
+  def pipelineDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir)
+    val verts = withNearDups(docs(s, dir)).select(col("doc_id").as("id"))
+    ConnectedComponents.labelPropagate(verts,
+        pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")),
+        iterations = 4)
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("component")).as("keep"))
   }
 
   /** Corpus + deterministically perturbed copies of every 10th vector —

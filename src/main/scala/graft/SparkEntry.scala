@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
     "dedup_clusters" -> (ExtQueries.dedupClusters _),
     "dedup_semantic" -> (ExtQueries.dedupSemantic _),
+    "pipeline_dedup_canonical" -> (ExtQueries.pipelineDedupCanonical _),
     "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
     "text_quality_score" -> (ExtQueries.textQualityScore _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "text_sentiment" -> (ExtQueries.textSentiment _),
     "text_repetition" -> (ExtQueries.textRepetition _),
     "text_tfidf_topk" -> (ExtQueries.textTfidfTopK _),
+    "text_bigram_lm" -> (ExtQueries.textBigramLm _),
     "text_decontaminate" -> (ExtQueries.textDecontaminate _),
     "text_pii_redact" -> (ExtQueries.piiRedact _),
     "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
@@ -157,7 +159,7 @@ object SparkEntry {
     "text_tfidf_topk", "text_decontaminate", "streaming_interval_join",
     "pipeline_prepare_corpus", "dedup_clusters", "dedup_semantic",
     "streaming_interval_join_outer", "multimodal_video",
-    "mine_contrastive_pairs")
+    "mine_contrastive_pairs", "pipeline_dedup_canonical", "text_bigram_lm")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -977,6 +979,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ExtOracleSql.dedupMinhashLsh,
     "dedup_clusters" -> ExtOracleSql.dedupClusters,
     "dedup_semantic" -> ExtOracleSql.dedupSemantic,
+    "pipeline_dedup_canonical" -> ExtOracleSql.pipelineDedupCanonical,
 
     // 32/16 word chunking — same geometry as dedup_clusters' vertices
     "text_chunks" ->
@@ -998,6 +1001,7 @@ object SparkEntry {
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
     "sim_ann_recall" -> ExtOracleSql.simAnnRecall,
     "mine_contrastive_pairs" -> ExtOracleSql.mineContrastivePairs,
+    "text_bigram_lm" -> ExtOracleSql.textBigramLm,
     "multimodal_features" -> ExtOracleSql.multimodalFeatures,
 
     // digest-contract twin: header fields + frame dims + the sampled-

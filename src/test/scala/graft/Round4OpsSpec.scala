@@ -222,6 +222,43 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.exists(_._2.isEmpty), "anchors without a planted dup emit a null positive")
   }
 
+  test("pipelineDedupCanonical: planted copies collapse to their base, bases kept") {
+    val out = ExtQueries.pipelineDedupCanonical(spark, sfSmoke)
+      .as[(Long, Long, Boolean)].collect()
+    val comp = out.map(r => r._1 -> r._2).toMap
+    val removed = out.filter(!_._3)
+    assert(removed.nonEmpty, "the planted near-dups must produce removals")
+    // canonical rule: removed docs collapse to a strictly lower id;
+    // keep <=> being one's own component minimum
+    removed.foreach { case (id, c, _) => assert(c < id, s"doc $id -> $c") }
+    out.filter(_._3).foreach { case (id, c, _) => assert(c == id) }
+    // cluster consistency: every detected pair agrees on its component
+    // (the detector may also find NATURAL near-dups between base docs —
+    // the tiny synthetic vocabulary makes jaccard>=0.4 base pairs real)
+    ExtQueries.dedupMinhashLsh(spark, sfSmoke)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+      }
+    // every planted copy whose pair the detector surfaced is removed
+    val plantedRemoved = removed.count(_._1 >= 1000000L)
+    assert(plantedRemoved > 0, "planted copies must appear among removals")
+  }
+
+  test("textBigramLm: inverse-frequency scores are >= 1, no-bigram docs score null") {
+    val out = ExtQueries.textBigramLm(spark, sfSmoke)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nBg, score) =>
+      if (nBg == 0) assert(score.isEmpty, s"doc $id")
+      else {
+        // every term is N/c with c <= N, so the mean is >= 1; a doc of
+        // corpus-unique bigrams scores exactly N/1 = N-ish (rarity)
+        assert(score.exists(_ >= 1.0), s"doc $id score $score")
+      }
+    }
+  }
+
   test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
     val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
       .as[(String, String, Long, Double)].collect().toSet
