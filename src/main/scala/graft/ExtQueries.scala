@@ -944,6 +944,10 @@ object ExtQueries {
   def streamingIntervalJoin(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamStreamAttribution(s, dir)
 
+  /** Native session_window sessionization (see StreamingStage). */
+  def streamingSessionWindow(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingSessionWindow(s, dir)
+
   /** LEFT OUTER stream-stream interval join (watermark-sentinel flush —
     * see StreamingStage.streamStreamAttributionOuter); equals the batch
     * LEFT JOIN exactly.

@@ -134,6 +134,7 @@ object SparkEntry {
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
     "streaming_enrich_static" -> (ExtQueries.streamingEnrichStatic _),
     "streaming_sessionize" -> (ExtQueries.streamingSessionize _),
+    "streaming_session_window" -> (ExtQueries.streamingSessionWindow _),
     "streaming_latest_contact" -> (ExtQueries.streamingLatestContact _),
     "streaming_interval_join" -> (ExtQueries.streamingIntervalJoin _),
     "streaming_interval_join_outer" -> (ExtQueries.streamingIntervalJoinOuter _)
@@ -159,7 +160,8 @@ object SparkEntry {
     "text_tfidf_topk", "text_decontaminate", "streaming_interval_join",
     "pipeline_prepare_corpus", "dedup_clusters", "dedup_semantic",
     "streaming_interval_join_outer", "multimodal_video",
-    "mine_contrastive_pairs", "pipeline_dedup_canonical", "text_bigram_lm")
+    "mine_contrastive_pairs", "pipeline_dedup_canonical", "text_bigram_lm",
+    "streaming_session_window")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -471,6 +473,29 @@ object SparkEntry {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.us >= a.us AND b.us <= a.us + 21600000000""".stripMargin,
+
+    // session_window semantics: new session iff the µs gap >= 30 min
+    // (touching windows do not overlap); window end = last event + gap
+    "streaming_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |  strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(make_timestamp(MAX(us) + 1800000000), '%Y-%m-%d %H:%M:%S') AS session_end_gap,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "streaming_interval_join_outer" ->
       """WITH e AS (

@@ -170,6 +170,27 @@ object StreamingStage {
     * user partition, keyed and shuffled on user_id exactly like the
     * batch join; output streams out incrementally.
     */
+  /** Declarative sessionization via Spark's native `session_window`
+    * (dynamic-gap merging inside the aggregation operator) — the
+    * built-in sibling of the flatMapGroupsWithState sessionizer
+    * [[streamingSessionize]]: same 30-minute gap rule, no custom state
+    * class, sessions merge as the state store absorbs events.
+    * Semantics gated cross-engine: a new session starts iff the µs gap
+    * ≥ 30 min (touching windows do not overlap), session_end is
+    * last-event + gap (the operator's window end).
+    */
+  def streamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end_gap"),
+        col("n_events"))
+    runToTable(agg, "streaming_session_window", "complete")
+  }
+
   /** Far-future watermark-sentinel stream (one row per joined
     * event_type, user_id < 0, ts = 2100-01-01): with Trigger
     * .AvailableNow the final watermark stops `delay` behind max(event
