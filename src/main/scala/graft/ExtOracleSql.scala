@@ -205,6 +205,38 @@ object ExtOracleSql {
        |$arms""".stripMargin
   }
 
+  /** qa_profile_activities (KMV default) twin: per column, the k=64
+    * smallest distinct 13-hex md5 prefixes; exact count when < k,
+    * else 63 / (v_k / 2^52) with v_k from a digit-Horner fold — the
+    * identical arithmetic KmvDistinctAgg performs, so the APPROXIMATE
+    * profile hash-gates (HLL could not).
+    */
+  val qaProfileActivitiesKmv: String = {
+    val nullAggs = activityCols.map(c =>
+      s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c")
+      .mkString(",\n  ")
+    val dCtes = activityCols.map(c =>
+      s"""d_$c AS (SELECT DISTINCT substr(md5(CAST($c AS VARCHAR)), 1, 13) AS p
+         |  FROM stg_activities WHERE $c IS NOT NULL)""".stripMargin).mkString(",\n")
+    val arms = activityCols.map { c =>
+      s"""SELECT '$c' AS column_name, n AS n_rows, nulls_$c AS n_nulls,
+         |  (CASE WHEN (SELECT COUNT(*) FROM d_$c) < 64
+         |        THEN CAST((SELECT COUNT(*) FROM d_$c) AS DOUBLE)
+         |        ELSE 63.0 / (CAST((
+         |          SELECT list_reduce([strpos('0123456789abcdef', substr(p, i, 1)) - 1
+         |                              for i in range(1, 14)], (a, d) -> a * 16 + d)
+         |          FROM d_$c ORDER BY p LIMIT 1 OFFSET 63) AS DOUBLE) / 4503599627370496.0)
+         |   END) AS n_distinct_est
+         |FROM b""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${DeriveSql.stgActivities},
+       |b AS (SELECT COUNT(*) AS n,
+       |  $nullAggs
+       |  FROM stg_activities),
+       |$dCtes
+       |$arms""".stripMargin
+  }
+
   /** Parity contract (holds for non-ASCII input): n_bytes = UTF-8 byte
     * length via octet_length(encode(...)), cp_sum folds code points
     * (ascii(c) = code point of a 1-char string), sha256 hashes UTF-8

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 
-import graft.functions.{CosineSimilarity, HyperplaneBands, MinhashBands, VectorSumAgg}
+import graft.functions.{CosineSimilarity, HyperplaneBands, KmvDistinctAgg, MinhashBands, VectorSumAgg}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
   * or `builder.withExtensions(new GraftExtensions)`): registers the
@@ -36,6 +36,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"hyperplane_bands: bands/rowsPerBand must be non-null literals, got $e")
         }
         HyperplaneBands(children.head, lit(1), lit(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      KmvDistinctAgg.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"kmv_distinct(col, k) takes 2 arguments, got ${children.length}")
+        val k = children(1) match {
+          case e if e.foldable && e.eval() != null =>
+            e.eval().asInstanceOf[Number].intValue()
+          case e => throw new IllegalArgumentException(
+            s"kmv_distinct: k must be a non-null literal, got $e")
+        }
+        KmvDistinctAgg(children.head, k).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),

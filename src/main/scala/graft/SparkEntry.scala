@@ -436,6 +436,7 @@ object SparkEntry {
 
     // qa_profile_activities itself has NO oracle: its HLL distinct counts
     // are engine-specific (rows-only gate); the exact variant hash-gates.
+    "qa_profile_activities" -> ExtOracleSql.qaProfileActivitiesKmv,
     "qa_profile_activities_exact" -> ExtOracleSql.qaProfileActivities,
 
     "qa_parse_failure_sample" -> DeriveSql.withStaging(

@@ -259,6 +259,21 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("kmv_distinct: exact below k, ~12% estimates above, partition-invariant") {
+    val small = (1 to 40).map(i => s"v$i") ++ (1 to 40).map(i => s"v$i") // dups collapse
+    val big = (1 to 5000).map(i => s"x$i")
+    def estimate(vals: Seq[String], parts: Int): Double =
+      vals.toDF("v").repartition(parts)
+        .agg(expr("kmv_distinct(v, 64)").as("e")).as[Double].head()
+    // fewer than k distinct -> exact regardless of duplicates
+    assert(estimate(small, 3) == 40.0)
+    // above k -> estimate within the ~1/sqrt(k) error band
+    val est = estimate(big, 7)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.35, s"estimate $est")
+    // min-k merge is associative: any partitioning gives the SAME value
+    assert(estimate(big, 1) == est && estimate(big, 32) == est)
+  }
+
   test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
     val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
       .as[(String, String, Long, Double)].collect().toSet
