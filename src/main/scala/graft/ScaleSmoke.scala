@@ -77,7 +77,15 @@ object ScaleSmoke {
       "dedup_minhash_lsh" -> (ExtQueries.dedupMinhashLsh _),
       "dedup_simhash" -> (ExtQueries.dedupSimhash _),
       "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
-      "text_decontaminate" -> (ExtQueries.textDecontaminate _))
+      "text_decontaminate" -> (ExtQueries.textDecontaminate _),
+      // round 4: graph clustering + semantic dedup at 10× dup density —
+      // every chunk has ~10 twins colliding in its 8-gram buckets, and
+      // every embedding 10 same-cluster near-dups in its (cid, band)
+      // buckets; the balance gate must hold through the propagation
+      // rounds and the in-cluster pair expansion
+      "dedup_clusters" -> (ExtQueries.dedupClusters _),
+      "pipeline_dedup_canonical" -> (ExtQueries.pipelineDedupCanonical _),
+      "dedup_semantic" -> (ExtQueries.dedupSemantic _))
 
     println(s"| query | rows | sec | worst-stage tasks | median MB | max MB | max/median |")
     println(s"| --- | --- | --- | --- | --- | --- | --- |")
