@@ -670,6 +670,63 @@ object Queries {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Calendar gap-fill + forward-fill: hourly counts per event_type over
+    * a COMPLETE generated hour spine (missing hours emit 0 events and
+    * carry the last observed sum_value forward) — the time-series
+    * regularization step reporting/feature pipelines need before
+    * windowed models. Scale notes: the spine is generated (hours ×
+    * types, tiny vs events); the fill window partitions by event_type —
+    * at production cardinalities partition by (type, calendar chunk) so
+    * one type's history never serializes into a single task.
+    */
+  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), fixedPointSum(col("value"), 6).as("sum_value"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+      .crossJoin(ev.select("event_type").distinct())
+    val fill = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour_ts").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("hour_ts", "event_type"), "left")
+      .select(col("event_type"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("sum_value"), ignoreNulls = true).over(fill).as("filled_value"))
+  }
+
+  /** User-growth accounting: per day, distinct active users, NEW users
+    * (first-ever event that day, via the latest-per-key operator run
+    * backwards), and the cumulative user base — the standard
+    * growth-dashboard triple, all exact. The cumulative sum's global
+    * window runs over day-grain rows only (the spine is tiny by
+    * construction; the heavy work — first-seen per user — shuffles by
+    * user like any dedup).
+    */
+  def eventsUserGrowth(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val day = date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+    val firstSeen = graft.operators.LatestPerKey(
+      ev.select(col("user_id"), col("ts"), col("event_id")),
+      Seq(col("user_id")),
+      Seq(col("ts").asc_nulls_first, col("event_id").asc_nulls_first))
+    val news = firstSeen.groupBy(day.as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val daily = ev.groupBy(day.as("day"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    val cum = Window.orderBy(col("day").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(news, Seq("day"), "left")
+      .select(col("day"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(cum))
+  }
+
   /** Set operations: customers partitioned by open-orders membership vs
     * big-order membership (INTERSECT / EXCEPT both ways, tagged).
     */

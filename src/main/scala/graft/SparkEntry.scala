@@ -80,6 +80,8 @@ object SparkEntry {
     "q_cube_sales" -> (Queries.qCubeSales _),
     "q_grouping_sets" -> (Queries.qGroupingSets _),
     "events_sliding_agg" -> (Queries.eventsSlidingAgg _),
+    "events_gap_fill" -> (Queries.eventsGapFill _),
+    "events_user_growth" -> (Queries.eventsUserGrowth _),
     "report1_from_bucketed" -> (Queries.report1FromBucketed _),
     "q_set_ops" -> (Queries.qSetOps _),
     "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
@@ -474,6 +476,42 @@ object SparkEntry {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.us >= a.us AND b.us <= a.us + 21600000000""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        |      FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts, event_type
+        |  FROM b CROSS JOIN (SELECT DISTINCT event_type FROM events))
+        |SELECT s.event_type, strftime(s.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  last_value(h.sum_value IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |    ORDER BY s.hour_ts ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM spine s LEFT JOIN hourly h USING (hour_ts, event_type)""".stripMargin,
+
+    "events_user_growth" ->
+      """WITH fs AS (
+        |  SELECT user_id, ts, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS rn
+        |  FROM events),
+        |news AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS new_users
+        |  FROM fs WHERE rn = 1 GROUP BY 1),
+        |daily AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    COUNT(DISTINCT user_id) AS dau
+        |  FROM events GROUP BY 1)
+        |SELECT d.day, d.dau, COALESCE(n.new_users, 0) AS new_users,
+        |  CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM daily d LEFT JOIN news n USING (day)""".stripMargin,
 
     // session_window semantics: new session iff the µs gap >= 30 min
     // (touching windows do not overlap); window end = last event + gap
