@@ -258,6 +258,24 @@ object ExtOracleSql {
       |  (64 + (ascii(substr(sha256(text), 2, 1)) % 8) * 16) // 2 AS thumb_h
       |FROM documents""".stripMargin
 
+  /** Matryoshka twin: the exact-top-k query over vec[1:8]. */
+  val simMatryoshkaTopK: String =
+    s"""WITH v AS (SELECT vec_id,
+       |             (list_transform(embedding, x -> CAST(x AS DOUBLE)))[1:8] AS vec
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, vec AS q_vec FROM v WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cosine("q.q_vec", "c.vec")} AS score
+       |  FROM v c JOIN q ON q.query_id <> c.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
   val simIvfTopK: String =
     s"""WITH $vecsDouble,
        |c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 8),

@@ -855,6 +855,19 @@ object ExtQueries {
       qz, qz.filter(col("vec_id") % 25 === 0), k = 5, vecCol = "qd")
   }
 
+  /** Matryoshka-truncated search (MRL, Kusupati et al. 2022): top-k over
+    * the FIRST 8 dimensions only — the cheap-first-pass form
+    * matryoshka-trained embeddings enable (prefix dims carry the
+    * coarse signal; full-dim re-rank follows on the shortlist). Scale:
+    * 8/64 of the dot-product FLOPs and bytes of the exact baseline,
+    * same broadcast-scan shape.
+    */
+  def simMatryoshkaTopK(s: SparkSession, dir: String): DataFrame = {
+    val tr = vecs(s, dir).select(col("vec_id"),
+      slice(transform(col("embedding"), _.cast("double")), 1, 8).as("embedding"))
+    Similarity.bruteForceTopK(tr, tr.filter(col("vec_id") % 25 === 0), k = 5)
+  }
+
   /** Recall@5 of each approximate ANN path (hyperplane-LSH, IVF) against
     * the exact brute-force baseline, per query — the quality gate the
     * per-query hash-match cannot provide (each approximate query only

@@ -727,6 +727,46 @@ object Queries {
       .withColumn("cum_users", sum(col("new_users")).over(cum))
   }
 
+  /** Cohort retention matrix: users grouped by first-seen day, counted
+    * per 7-day offset in which they were active again — the standard
+    * growth-analytics retention triangle, exact. Shapes: first-seen =
+    * one user-keyed agg; activity de-dups to (user, day) before the
+    * cohort join, so the join input is bounded by users × active days.
+    */
+  def eventsCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
+    ev.distinct()
+      .join(first, "user_id")
+      .groupBy(
+        date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        expr("CAST(datediff(day, d0) DIV 7 AS BIGINT)").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active_users"))
+  }
+
+  /** Ordered funnel: view → click-after-view → purchase-after-click per
+    * user, within the whole horizon — stage timestamps must strictly
+    * follow the previous stage's FIRST occurrence (the standard funnel
+    * rule). Two user-keyed joins; all three stages reuse the same
+    * hash-partitioning, and the output is one row of stage counts.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts_ns DIV 1000").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min(col("us")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
+  }
+
   /** Set operations: customers partitioned by open-orders membership vs
     * big-order membership (INTERSECT / EXCEPT both ways, tagged).
     */

@@ -82,6 +82,8 @@ object SparkEntry {
     "events_sliding_agg" -> (Queries.eventsSlidingAgg _),
     "events_gap_fill" -> (Queries.eventsGapFill _),
     "events_user_growth" -> (Queries.eventsUserGrowth _),
+    "events_cohort_retention" -> (Queries.eventsCohortRetention _),
+    "events_funnel" -> (Queries.eventsFunnel _),
     "report1_from_bucketed" -> (Queries.report1FromBucketed _),
     "q_set_ops" -> (Queries.qSetOps _),
     "events_hourly_agg" -> (Queries.eventsHourlyAgg _),
@@ -127,6 +129,7 @@ object SparkEntry {
     "sim_ivf_topk" -> (ExtQueries.simIvfTopK _),
     "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
     "sim_quantized_topk" -> (ExtQueries.simQuantizedTopK _),
+    "sim_matryoshka_topk" -> (ExtQueries.simMatryoshkaTopK _),
     "sim_ann_recall" -> (ExtQueries.simAnnRecall _),
     "mine_contrastive_pairs" -> (ExtQueries.mineContrastivePairs _),
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
@@ -512,6 +515,32 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day ASC NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM daily d LEFT JOIN news n USING (day)""".stripMargin,
+
+    "events_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', f.d0, a.day) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_active_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM ev WHERE event_type = 'view'
+        |      GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.us) AS c_us
+        |      FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.us) AS p_us
+        |      FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+        |  (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+        |  (SELECT COUNT(*) FROM p) AS n_purchased_after_click""".stripMargin,
 
     // session_window semantics: new session iff the µs gap >= 30 min
     // (touching windows do not overlap); window end = last event + gap
@@ -1063,6 +1092,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ExtOracleSql.simIvfTopK,
     "sim_ivf_kmeans_topk" -> ExtOracleSql.simIvfKmeansTopK,
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
+    "sim_matryoshka_topk" -> ExtOracleSql.simMatryoshkaTopK,
     "sim_ann_recall" -> ExtOracleSql.simAnnRecall,
     "mine_contrastive_pairs" -> ExtOracleSql.mineContrastivePairs,
     "text_bigram_lm" -> ExtOracleSql.textBigramLm,
