@@ -31,6 +31,46 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 10L, 100L, None)))
   }
 
+  test("chunking + clustering degenerate docs: empty text, one word, exactly 8 words") {
+    val out = ExtQueries.dedupClustersOf(
+        Seq((1L, ""), (2L, "solo"), (3L, (1 to 8).map(i => s"e$i").mkString(" ")))
+          .toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+    // every doc yields its chunk-0 vertex; none have shared 8-grams, so
+    // each is its own singleton component (the empty doc chunks to [""])
+    assert(out.sortBy(_._1).toSeq ==
+      Seq((1L, 0L, 10000L), (2L, 0L, 20000L), (3L, 0L, 30000L)))
+  }
+
+  test("minhash_bands: single-shingle doc has a valid signature; null text path") {
+    val out = Seq((1L, Some("a b c")), (2L, None))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), call_function("minhash_bands",
+        array_distinct(TextFunctions.shingles(split(col("text"), " "), 3)),
+        lit(16), lit(4)).as("mb"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    val sig = out(1L).get
+    assert(sig.length == 20 && sig.take(16).forall(_.length == 8)
+      && sig.drop(16).forall(_.length == 32))
+    assert(out(2L).isEmpty, "null text -> null split -> null bands")
+  }
+
+  test("kmv_distinct: all-null column -> 0.0; duplicates never inflate") {
+    val allNull = Seq.fill(10)(Option.empty[String]).toDF("v")
+    assert(allNull.agg(expr("kmv_distinct(v, 64)")).as[Double].head() == 0.0)
+    val dups = Seq.fill(1000)("same").toDF("v")
+    assert(dups.agg(expr("kmv_distinct(v, 64)")).as[Double].head() == 1.0)
+  }
+
+  test("connected components: self-loop edge and duplicate edges are harmless") {
+    import graft.operators.ConnectedComponents
+    val out = ConnectedComponents.labelPropagate(
+        Seq(1L, 2L).toDF("id"),
+        Seq(1L -> 1L, 1L -> 2L, 2L -> 1L, 1L -> 2L).toDF("src", "dst"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("similarity: empty query set -> empty result; zero vector -> NULL cosine ranks last") {
     val vecs = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d).toFloat)))
       .toDF("vec_id", "embedding")
