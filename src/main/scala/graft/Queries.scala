@@ -727,6 +727,25 @@ object Queries {
       .withColumn("cum_users", sum(col("new_users")).over(cum))
   }
 
+  /** Salted-join skew escape hatch, gated end-to-end: a deliberately
+    * skewed event stream (a third of all traffic collapses onto one
+    * user — the planted-hot-key fixture pattern) LEFT-joins the
+    * customer dimension through operators.SaltedJoin, then aggregates
+    * per segment; the oracle is the PLAIN join, so the gate proves
+    * replicate-and-salt is row-exact, not just balanced.
+    */
+  def j6SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      when(col("user_id") % 3 === 0, 1L).otherwise(col("user_id")).as("user_id"),
+      col("value"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    graft.operators.SaltedJoin(ev, cust, Seq("user_id"), numSalts = 8, "left")
+      .groupBy(coalesce(col("segment"), lit("NO_SEGMENT")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        fixedPointSum(col("value"), 6).as("sum_value"))
+  }
+
   /** Cohort retention matrix: users grouped by first-seen day, counted
     * per 7-day offset in which they were active again — the standard
     * growth-analytics retention triangle, exact. Shapes: first-seen =

@@ -34,6 +34,7 @@ object SparkEntry {
     "j2_semi_join" -> (Queries.j2SemiJoin _),
     "j3_anti_join" -> (Queries.j3AntiJoin _),
     "j5_full_outer" -> (Queries.j5FullOuter _),
+    "j6_salted_join" -> (Queries.j6SaltedJoin _),
     "agg_quartiles_manual" -> (Queries.aggQuartilesManual _),
     "qa_profile_numeric" -> (Queries.qaProfileNumeric _),
     // §2.5/2.7 windows / sort / limit
@@ -515,6 +516,18 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day ASC NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM daily d LEFT JOIN news n USING (day)""".stripMargin,
+
+    // the oracle is the PLAIN join — proving replicate-and-salt exactness
+    "j6_salted_join" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE user_id END AS user_id, value
+        |  FROM events),
+        |c AS (SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer)
+        |SELECT COALESCE(segment, 'NO_SEGMENT') AS segment,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM ev LEFT JOIN c USING (user_id)
+        |GROUP BY 1""".stripMargin,
 
     "events_cohort_retention" ->
       """WITH ev AS (

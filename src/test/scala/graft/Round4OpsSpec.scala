@@ -274,6 +274,30 @@ class Round4OpsSpec extends SparkSpec {
     assert(estimate(big, 1) == est && estimate(big, 32) == est)
   }
 
+  test("SaltedJoin: row-identical to the plain join under a forced shuffle join") {
+    import graft.operators.SaltedJoin
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // exercise the SMJ path
+    try {
+      // hot key 1 (half the left side), duplicate right keys, unmatched
+      // left rows — every exactness hazard at once
+      val left = ((1 to 500).map(_ => (1L, "hot")) ++
+        (2 to 100).map(i => (i.toLong, s"v$i")) ++ Seq((9999L, "orphan")))
+        .toDF("k", "payload").repartition(13)
+      val right = (Seq((1L, "a"), (1L, "b")) ++ (2 to 80).map(i => (i.toLong, s"r$i")))
+        .toDF("k", "rv")
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, String, Option[String])].collect().sortBy(r => (r._1, r._2, r._3))
+      val salted = sorted(SaltedJoin(left, right, Seq("k"), numSalts = 8, "left"))
+      val plain = sorted(left.join(right, Seq("k"), "left"))
+      assert(salted.toSeq == plain.toSeq)
+      assert(salted.exists(_._3.isEmpty), "unmatched left rows survive null-extended")
+      intercept[IllegalArgumentException] {
+        SaltedJoin(left, right, Seq("k"), 8, "full_outer")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
     val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
       .as[(String, String, Long, Double)].collect().toSet
