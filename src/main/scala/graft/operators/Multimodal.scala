@@ -85,7 +85,11 @@ object Multimodal {
 
   /** Per-partition decode + feature extraction: ONE ImageReader per
     * partition (codec init is the expensive part in a real decoder),
-    * then a streamed decode per record.
+    * then a streamed decode per record. The thumbnail is a REAL resize
+    * op — decode the full image, scale to half size through Graphics2D,
+    * re-encode, decode the thumbnail bytes and report THEIR
+    * codec-parsed dimensions (the oracle's `// 2` contract then gates
+    * an actual image-resize round trip, not integer arithmetic).
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
     media.mapPartitions { it =>
@@ -100,11 +104,24 @@ object Multimodal {
         md.reset()
         val hex = md.digest(bytes).map("%02x".format(_)).mkString
         // REAL decode: dimensions come from the PNG header via the codec
+        val full = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.image))
+        val w = full.getWidth
+        val h = full.getHeight
+        // REAL resize: scale to half, re-encode, decode the result
+        val thumb = new java.awt.image.BufferedImage(
+          math.max(w / 2, 1), math.max(h / 2, 1),
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = thumb.createGraphics()
+        try g.drawImage(full, 0, 0, thumb.getWidth, thumb.getHeight, null)
+        finally g.dispose()
+        val tOut = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(thumb, "png", tOut)
         reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(rec.image)))
-        val w = reader.getWidth(0)
-        val h = reader.getHeight(0)
-        MediaFeatures(rec.doc_id, bytes.length.toLong, cpSum, hex, w, h, w / 2, h / 2)
+          new java.io.ByteArrayInputStream(tOut.toByteArray)))
+        val tw = reader.getWidth(0)
+        val th = reader.getHeight(0)
+        MediaFeatures(rec.doc_id, bytes.length.toLong, cpSum, hex, w, h, tw, th)
       }
     }(Encoders.product[MediaFeatures])
 
