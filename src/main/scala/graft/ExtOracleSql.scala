@@ -47,6 +47,48 @@ object ExtOracleSql {
        |JOIN bc ON a.band = bc.band
        |WHERE CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 >= 0.4""".stripMargin
 
+  /** text_decontaminate_fuzzy twin: the minhash signature/band CTEs over
+    * the dup corpus, split into eval (every 50th base doc) vs train,
+    * band join + signature-Jaccard ≥ 0.4, best eval match per doc (est
+    * desc, ref asc — the struct-max argmax's order).
+    */
+  val textDecontaminateFuzzy: String =
+    s"""WITH $nearDupCorpus,
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS shingles
+       |  FROM nd WHERE len(words) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    [list_min([substr(md5(CAST((i // 4) AS VARCHAR) || ':' || s), (i % 4) * 8 + 1, 8)
+       |               for s in shingles])
+       |     for i in range(0, 16)] AS sigs
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sigs,
+       |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sigs[b*4+1:b*4+4], '|'))
+       |            for b in range(0, 4)]) AS band
+       |  FROM sig),
+       |ref AS (SELECT doc_id AS ref_id, sigs AS ref_sigs, band FROM banded
+       |        WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+       |tr AS (SELECT * FROM banded
+       |       WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)),
+       |cand AS (
+       |  SELECT tr.doc_id, ref.ref_id,
+       |    CAST(len(list_filter(range(1, 17), i -> tr.sigs[i] = ref.ref_sigs[i])) AS DOUBLE) / 16 AS est
+       |  FROM tr JOIN ref USING (band)
+       |  WHERE CAST(len(list_filter(range(1, 17), i -> tr.sigs[i] = ref.ref_sigs[i])) AS DOUBLE) / 16 >= 0.4),
+       |best AS (
+       |  SELECT doc_id, ref_id, est FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY est DESC NULLS LAST, ref_id ASC NULLS FIRST) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1)
+       |SELECT t.doc_id, (b.ref_id IS NOT NULL) AS contaminated,
+       |  b.ref_id, round(b.est, 6) AS est_jaccard
+       |FROM (SELECT doc_id FROM nd WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)) t
+       |LEFT JOIN best b USING (doc_id)""".stripMargin
+
   private val simhashBitSums: String = (0 until 64).map { j =>
     val i = j / 4 + 1; val b = j % 4
     s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1) >> $b) & 1) = 1" +

@@ -375,6 +375,43 @@ object ExtQueries {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** FUZZY decontamination: training docs NEAR-duplicate (not just
+    * 8-gram-overlapping) to the held-out slice, via cross-corpus
+    * MinHash — band-colliding (train, eval) pairs whose signature
+    * Jaccard estimate ≥ 0.4 flag the training doc, keeping the best
+    * matching eval doc (struct-max argmax). The planted copies of eval
+    * docs (every 50th doc is a 10th doc, so each eval doc has a +1M
+    * near-dup copy in the training side) are the fixture. Scale shape:
+    * the eval side is small by construction → its banded signatures
+    * broadcast; the training corpus computes `minhash_bands` in one
+    * map-side pass and only band-colliding pairs materialize — an
+    * asymmetric join bounded by |eval| per band, no bucket expansion.
+    */
+  def textDecontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val mb = call_function("minhash_bands",
+      array_distinct(TextFunctions.shingles(col("words"), 3)), lit(16), lit(4))
+    def banded(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), mb.as("mb"))
+      .select(col("doc_id"), slice(col("mb"), 1, 16).as("sigs"),
+        explode(slice(col("mb"), 17, 4)).as("band"))
+    val all = withNearDups(docs(s, dir))
+    val isEval = col("doc_id") % 50 === 0 && col("doc_id") < 1000000L
+    val ref = banded(all.filter(isEval))
+      .select(col("doc_id").as("ref_id"), col("sigs").as("ref_sigs"), col("band"))
+    val train = all.filter(!isEval)
+    val est = expr(
+      "CAST(size(filter(zip_with(sigs, ref_sigs, (x, y) -> x = y), p -> p)) AS DOUBLE) / 16")
+    val best = banded(train).join(broadcast(ref), "band")
+      .select(col("doc_id"), col("ref_id"), est.as("est"))
+      .filter(col("est") >= 0.4)
+      .groupBy("doc_id")
+      .agg(max(struct(col("est"), (-col("ref_id")).as("nid"), col("ref_id"))).as("b"))
+    train.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("b").isNotNull.as("contaminated"),
+        col("b.ref_id").as("ref_id"), round(col("b.est"), 6).as("est_jaccard"))
+  }
+
   /** Sequence packing: assign documents to token-budget bins (512
     * whitespace tokens) for pretraining batch assembly. True greedy
     * packing is inherently sequential, so the scale form partitions the

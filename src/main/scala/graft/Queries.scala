@@ -679,7 +679,11 @@ object Queries {
     * at production cardinalities partition by (type, calendar chunk) so
     * one type's history never serializes into a single task.
     */
-  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+  /** Complete (hour_ts, event_type) spine with per-hour aggregates left-
+    * joined on — n_events/sum_value are NULL for silent hours. Shared by
+    * [[eventsGapFill]] and [[eventsAnomalyZscore]].
+    */
+  private def hourlySpine(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val hourly = ev
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
@@ -687,17 +691,53 @@ object Queries {
     val bounds = ev.agg(
       date_trunc("hour", min(col("ts"))).as("lo"),
       date_trunc("hour", max(col("ts"))).as("hi"))
-    val spine = bounds
+    bounds
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
       .crossJoin(ev.select("event_type").distinct())
+      .join(hourly, Seq("hour_ts", "event_type"), "left")
+  }
+
+  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
     val fill = Window.partitionBy(col("event_type"))
       .orderBy(col("hour_ts").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("hour_ts", "event_type"), "left")
+    hourlySpine(s, dir)
       .select(col("event_type"),
         date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("sum_value"), ignoreNulls = true).over(fill).as("filled_value"))
+  }
+
+  /** Trailing-window anomaly score: each hour's event count against the
+    * mean/σ of the PREVIOUS 24 spine hours (per event_type) — the
+    * monitoring pass that flags traffic anomalies. Emits a z-score only
+    * for hours with a full trailing window and non-zero variance. All
+    * window sums are exact longs; mean/variance/σ are a pinned sequence
+    * of IEEE ops (two divides, multiply, subtract, sqrt — sqrt is
+    * correctly rounded, so the oracle reproduces the score bit-exactly).
+    */
+  def eventsAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour_ts").asc_nulls_first)
+      .rowsBetween(-24, -1)
+    val n = coalesce(col("n_events"), lit(0L))
+    val base = hourlySpine(s, dir)
+      .select(col("event_type"), col("hour_ts"), n.as("n"))
+    val sumN = sum(col("n")).over(w)
+    val sumSq = sum(col("n") * col("n")).over(w)
+    val cnt = count(lit(1)).over(w)
+    val mean = sumN.cast("double") / cnt
+    val m2 = sumSq.cast("double") / cnt
+    val variance = m2 - mean * mean
+    base
+      .withColumn("mean24", mean)
+      .withColumn("var24", variance)
+      .withColumn("win_n", cnt)
+      .select(col("event_type"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n").as("n_events"),
+        round(when(col("win_n") === 24 && col("var24") > 0,
+          (col("n").cast("double") - col("mean24")) / sqrt(col("var24"))), 6).as("zscore"))
   }
 
   /** User-growth accounting: per day, distinct active users, NEW users

@@ -83,6 +83,7 @@ object SparkEntry {
     "events_sliding_agg" -> (Queries.eventsSlidingAgg _),
     "events_gap_fill" -> (Queries.eventsGapFill _),
     "events_user_growth" -> (Queries.eventsUserGrowth _),
+    "events_anomaly_zscore" -> (Queries.eventsAnomalyZscore _),
     "events_cohort_retention" -> (Queries.eventsCohortRetention _),
     "events_funnel" -> (Queries.eventsFunnel _),
     "report1_from_bucketed" -> (Queries.report1FromBucketed _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "text_tfidf_topk" -> (ExtQueries.textTfidfTopK _),
     "text_bigram_lm" -> (ExtQueries.textBigramLm _),
     "text_decontaminate" -> (ExtQueries.textDecontaminate _),
+    "text_decontaminate_fuzzy" -> (ExtQueries.textDecontaminateFuzzy _),
     "text_pii_redact" -> (ExtQueries.piiRedact _),
     "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
     "pack_sequences" -> (ExtQueries.packSequences _),
@@ -516,6 +518,40 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day ASC NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM daily d LEFT JOIN news n USING (day)""".stripMargin,
+
+    // mean/var/σ as the identical pinned IEEE op sequence (sqrt is
+    // correctly rounded, so the z-score is bit-exact cross-engine)
+    "events_anomaly_zscore" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type, value FROM events),
+        |hourly AS (
+        |  SELECT h AS hour_ts, event_type, COUNT(*) AS n_events
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        |      FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts, event_type
+        |  FROM b CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+        |base AS (
+        |  SELECT s.event_type, s.hour_ts, COALESCE(h.n_events, 0) AS n
+        |  FROM spine s LEFT JOIN hourly h USING (hour_ts, event_type)),
+        |win AS (
+        |  SELECT event_type, hour_ts, n,
+        |    SUM(n) OVER tw AS sum_n,
+        |    SUM(n * n) OVER tw AS sum_sq,
+        |    COUNT(*) OVER tw AS win_n
+        |  FROM base
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_ts ASC NULLS FIRST
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(n AS BIGINT) AS n_events,
+        |  round(CASE WHEN win_n = 24
+        |              AND (CAST(sum_sq AS DOUBLE) / win_n
+        |                   - (CAST(sum_n AS DOUBLE) / win_n) * (CAST(sum_n AS DOUBLE) / win_n)) > 0
+        |             THEN (CAST(n AS DOUBLE) - CAST(sum_n AS DOUBLE) / win_n)
+        |                  / sqrt(CAST(sum_sq AS DOUBLE) / win_n
+        |                         - (CAST(sum_n AS DOUBLE) / win_n) * (CAST(sum_n AS DOUBLE) / win_n))
+        |        END, 6) AS zscore
+        |FROM win""".stripMargin,
 
     // the oracle is the PLAIN join — proving replicate-and-salt exactness
     "j6_salted_join" ->
@@ -1109,6 +1145,7 @@ object SparkEntry {
     "sim_ann_recall" -> ExtOracleSql.simAnnRecall,
     "mine_contrastive_pairs" -> ExtOracleSql.mineContrastivePairs,
     "text_bigram_lm" -> ExtOracleSql.textBigramLm,
+    "text_decontaminate_fuzzy" -> ExtOracleSql.textDecontaminateFuzzy,
     "multimodal_features" -> ExtOracleSql.multimodalFeatures,
 
     // digest-contract twin: header fields + frame dims + the sampled-

@@ -298,6 +298,38 @@ class Round4OpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("textDecontaminateFuzzy: planted eval copies flagged with their base as best match") {
+    val out = ExtQueries.textDecontaminateFuzzy(spark, sfSmoke)
+      .as[(Long, Boolean, Option[Long], Option[Double])].collect()
+    // every +1M copy of an eval doc (base % 50 == 0) must be flagged and
+    // matched back to exactly its base; copies of non-eval docs may only
+    // be flagged if they have a NATURAL near-dup in the eval slice
+    val planted = out.filter(r => r._1 >= 1000000L && (r._1 - 1000000L) % 50 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, contaminated, ref, est) =>
+      assert(contaminated, s"copy $id must be flagged")
+      assert(est.exists(_ >= 0.4))
+    }
+    // the best match is usually the copy's own base, but a NATURAL eval
+    // near-dup with an equal estimate can win the lowest-id tie-break —
+    // require the majority to map exactly home
+    val home = planted.count(r => r._3.contains(r._1 - 1000000L))
+    assert(home * 2 > planted.length, s"only $home/${planted.length} mapped to their base")
+    assert(out.exists(!_._2), "clean training docs must exist")
+  }
+
+  test("eventsAnomalyZscore: full-window hours score, warm-up hours are null") {
+    val out = Queries.eventsAnomalyZscore(spark, sfSmoke)
+      .as[(String, String, Long, Option[Double])].collect()
+    val byType = out.groupBy(_._1)
+    byType.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      // the first 24 spine hours have no full trailing window
+      assert(sorted.take(24).forall(_._4.isEmpty))
+      assert(sorted.drop(24).exists(_._4.nonEmpty), "scores must appear after warm-up")
+    }
+  }
+
   test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
     val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
       .as[(String, String, Long, Double)].collect().toSet
