@@ -169,7 +169,8 @@ object SparkEntry {
     "pipeline_prepare_corpus", "dedup_clusters", "dedup_semantic",
     "streaming_interval_join_outer", "multimodal_video",
     "mine_contrastive_pairs", "pipeline_dedup_canonical", "text_bigram_lm",
-    "streaming_session_window")
+    "streaming_session_window", "text_decontaminate_fuzzy",
+    "events_anomaly_zscore", "j6_salted_join", "events_gap_fill")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
