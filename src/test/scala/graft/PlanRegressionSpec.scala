@@ -169,6 +169,29 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("fuzzy decontamination: eval side broadcasts; no cartesian anywhere") {
+    val plan = staticPlan(ExtQueries.textDecontaminateFuzzy(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(planLines(plan, "BroadcastHashJoin").nonEmpty, plan.take(4000))
+  }
+
+  test("salted join: right side replicates through a Generate, no cartesian") {
+    val plan = staticPlan(Queries.j6SaltedJoin(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(planLines(plan, "Generate").nonEmpty, "salt replication must be an explode")
+  }
+
+  test("gap-fill / anomaly spine: generated hours never plan a CartesianProduct") {
+    // the spine crossJoins a derived 1-row bounds frame and the tiny
+    // type list — those must plan as broadcast nested loops, not
+    // cartesian shuffles
+    Seq(Queries.eventsGapFill(spark, sfSmoke),
+        Queries.eventsAnomalyZscore(spark, sfSmoke)).foreach { df =>
+      val plan = staticPlan(df)
+      assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    }
+  }
+
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
     // codegen spans only show on the executed plan, as `*(n)` stage
     // markers (AQE's static formatted plan omits the annotation)
