@@ -332,6 +332,54 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagate == in-memory union-find on random graphs (15 rounds)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 15).foreach { round =>
+      val nVerts = 5 + rnd.nextInt(40)
+      val verts = (0 until nVerts).map(_.toLong)
+      val edges = List.fill(rnd.nextInt(60))(
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+      // reference: plain union-find with path compression
+      val parent = Array.tabulate(nVerts)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = verts.map(v => v ->
+        verts.filter(u => find(u.toInt) == find(v.toInt)).min).toMap
+      // nVerts rounds >= any diameter -> exact components
+      val got = cc(verts, edges, nVerts)
+      assert(got == expected, s"round=$round verts=$nVerts edges=${edges.length}")
+    }
+  }
+
+  test("SaltedJoin == plain join on random skewed data (inner and left, 6 rounds)") {
+    import graft.operators.SaltedJoin
+    val rnd = new scala.util.Random(23)
+    (1 to 6).foreach { round =>
+      val left = List.fill(150) {
+        val k = if (rnd.nextBoolean()) 0L else rnd.nextInt(30).toLong
+        (k, rnd.nextInt(1000))
+      }.toDF("k", "lv").repartition(1 + rnd.nextInt(10))
+      val right = List.fill(40)((rnd.nextInt(40).toLong, rnd.nextInt(1000)))
+        .toDF("k", "rv")
+      for (jt <- Seq("inner", "left"); salts <- Seq(1, 7)) {
+        val salted = SaltedJoin(left, right, Seq("k"), salts, jt)
+          .as[(Long, Int, Option[Int])].collect().toSeq.sorted
+        val plain = left.join(right, Seq("k"), jt)
+          .as[(Long, Int, Option[Int])].collect().toSeq.sorted
+        assert(salted == plain, s"round=$round jt=$jt salts=$salts")
+      }
+    }
+  }
+
   test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
     val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
       .as[(String, String, Long, Double)].collect().toSet
