@@ -59,7 +59,9 @@ object ConnectedComponents {
     * propagation round at a time, materializing each round, and stops
     * when no label changed (or at `maxIterations`). Each round costs one
     * action; use this operationally, [[labelPropagate]] for one-plan
-    * composition.
+    * composition. The returned frame is PERSISTED (it is the converged
+    * state — recomputing it would replay every round); the caller owns
+    * the `unpersist()` when done.
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIterations: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
