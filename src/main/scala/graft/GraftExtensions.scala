@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 
-import graft.functions.{CosineSimilarity, HyperplaneBands, KmvDistinctAgg, MinhashBands, VectorSumAgg}
+import graft.functions.{CosineSimilarity, HyperplaneBands, KmvDistinctAgg, MinhashBands, NearestCentroid, VectorSumAgg}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
   * or `builder.withExtensions(new GraftExtensions)`): registers the
@@ -50,6 +50,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"kmv_distinct: k must be a non-null literal, got $e")
         }
         KmvDistinctAgg(children.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroid"),
+      NearestCentroid.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"nearest_centroid(v, centroids) takes 2 arguments, got ${children.length}")
+        val m = children(1) match {
+          case e if e.foldable && e.eval() != null =>
+            val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            IndexedSeq.tabulate(ad.numElements()) { i =>
+              val row = ad.getArray(i)
+              IndexedSeq.tabulate(row.numElements())(row.getDouble)
+            }
+          case e => throw new IllegalArgumentException(
+            s"nearest_centroid: centroids must be a literal matrix, got $e")
+        }
+        NearestCentroid(children.head, m)
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),

@@ -37,17 +37,30 @@ object KMeans {
 
   private val Scale = 1e6
 
-  /** Nearest centroid as ONE folded higher-order expression over a
-    * centroid array literal — zero shuffle, zero join: each row scores
-    * the k centroids in cid order and a strict-`<` left fold keeps the
-    * first minimum, so ties resolve to the lowest cid exactly like the
-    * window form (`d2 asc, cid asc, rn=1`). The crossJoin+window
-    * alternative shuffles N×k rows per call — at 1B vectors × k=1024
-    * that is 10¹² rows across the wire; this is the 100 TB shape.
-    * d2 is the same left fold (`init 0.0, (x-y)²` in array order) the
-    * DuckDB oracle replays, so bit-parity is preserved.
+  /** Nearest centroid as ONE native expression over a baked-in centroid
+    * matrix (functions.NearestCentroid) — zero shuffle, zero join. The
+    * crossJoin+window alternative shuffles N×k rows per call — at 1B
+    * vectors × k=1024 that is 10¹² rows across the wire; this is the
+    * 100 TB shape. d2 is the same left fold (`init 0.0, (x-y)²` in
+    * array order) the DuckDB oracle replays and ties keep the lowest
+    * cid (strict-< first-min), so bit-parity is preserved — asserted
+    * against [[nearestHof]] in KMeansSpec. The native form replaced the
+    * composed-HOF fold because interpreted per-element boxing made the
+    * k×dim scoring dominate fit (measured 4.7 s → 1.7 s for 3 Lloyd
+    * iterations at sf0.1).
     */
   private def nearest(centroids: Seq[(Int, Array[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "nearest: centroid ids must be dense 0..k-1")
+    call_function("nearest_centroid", col("v"),
+      array(sorted.map { case (_, c) => array(c.map(lit(_)): _*) }: _*))
+  }
+
+  /** The composed-HOF reference form of [[nearest]] (oracle-shaped),
+    * kept for the bitwise-equivalence spec like cosineHof.
+    */
+  private[graft] def nearestHof(centroids: Seq[(Int, Array[Double])]): Column = {
     val arr = array(centroids.sortBy(_._1).map { case (cid, c) =>
       struct(lit(cid).as("cid"), array(c.map(lit(_)): _*).as("c"))
     }: _*)

@@ -380,6 +380,27 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("nearest_centroid: native argmin bit-identical to the composed-HOF fold") {
+    import graft.operators.KMeans
+    val rnd = new scala.util.Random(31)
+    val centroids = (0 until 5).map(c => c -> Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "v")
+    val native = vecs.select(col("vec_id"),
+        call_function("nearest_centroid", col("v"),
+          array(centroids.map { case (_, c) => array(c.map(lit(_)): _*) }: _*)).as("n"))
+      .select(col("vec_id"), col("n.d2"), col("n.cid"))
+      .as[(Long, Double, Int)].collect().sortBy(_._1)
+    val hof = vecs.select(col("vec_id"), KMeans.nearestHof(centroids).as("n"))
+      .select(col("vec_id"), col("n.d2"), col("n.cid"))
+      .as[(Long, Double, Int)].collect().sortBy(_._1)
+    native.zip(hof).foreach { case ((id, d2n, cn), (_, d2h, ch)) =>
+      assert(cn == ch, s"vec $id cid")
+      assert(java.lang.Double.doubleToLongBits(d2n) == java.lang.Double.doubleToLongBits(d2h),
+        s"vec $id d2 bits")
+    }
+  }
+
   test("sourceOrcRoundtrip equals the direct parquet hourly aggregation") {
     val viaOrc = Queries.sourceOrcRoundtrip(spark, sfSmoke)
       .as[(String, String, Long, Double)].collect().toSet
