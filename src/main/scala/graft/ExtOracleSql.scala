@@ -460,6 +460,49 @@ object ExtOracleSql {
     * subqueries and counts overlap per query — `n_hits` exact-integer,
     * `recall_at_5` the same single IEEE divide Spark performs.
     */
+  /** sim_pq_topk twin: PQ encode (per-(vector, subspace) argmin over the
+    * 16 lowest-id codebook subvectors, ties → lowest code — rn=1 over
+    * `ORDER BY d2, c` replays nearest_centroid's strict-< first-min) and
+    * ADC scoring. Bit-parity: dot_j / n2_j are left folds in array-index
+    * order; the j-sums fold in j order via `list(x ORDER BY j)` (Spark's
+    * exact-0.0-init fold equals the init-free list_reduce); the final
+    * divide is dot / (q_norm · sqrt(n2)) in that op order.
+    */
+  val simPqTopK: String =
+    s"""WITH $vecsDouble,
+       |cb AS (SELECT vec_id AS c, vec FROM v WHERE vec_id < 16),
+       |sv AS (SELECT c, j, vec[j*8+1 : j*8+8] AS sub FROM cb CROSS JOIN range(0, 8) r(j)),
+       |xs AS (SELECT vec_id, j, vec[j*8+1 : j*8+8] AS sub FROM v CROSS JOIN range(0, 8) r(j)),
+       |codes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT x.vec_id, x.j, s.c AS code,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.j
+       |        ORDER BY ${sqDist("x.sub", "s.sub")} ASC NULLS LAST, s.c ASC NULLS FIRST) AS rn
+       |    FROM xs x JOIN sv s ON s.j = x.j) WHERE rn = 1),
+       |qn AS (
+       |  SELECT vec_id AS query_id, vec AS q_vec,
+       |    sqrt(list_reduce(list_transform(vec, x -> x * x), (a, x) -> a + x)) AS q_norm
+       |  FROM v WHERE vec_id % 25 = 0),
+       |parts AS (
+       |  SELECT qn.query_id, k.vec_id AS neighbor_id, k.j, qn.q_norm,
+       |    list_reduce([qn.q_vec[k.j*8 + i] * s.sub[i] for i in range(1, 9)],
+       |                (a, x) -> a + x) AS dot_j,
+       |    list_reduce(list_transform(s.sub, x -> x * x), (a, x) -> a + x) AS n2_j
+       |  FROM codes k JOIN sv s ON s.j = k.j AND s.c = k.code
+       |  CROSS JOIN qn WHERE qn.query_id <> k.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_reduce(list(dot_j ORDER BY j), (a, x) -> a + x)
+       |      / (MIN(q_norm) * sqrt(list_reduce(list(n2_j ORDER BY j), (a, x) -> a + x))) AS score
+       |  FROM parts GROUP BY query_id, neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
   val simAnnRecall: String = {
     def recallOf(method: String, approxSql: String): String =
       s"""SELECT '$method' AS method, query_id, n_hits,
@@ -473,7 +516,9 @@ object ExtOracleSql {
          |  GROUP BY e.query_id)""".stripMargin
     s"""${recallOf("lsh", simAnnLshTopK)}
        |UNION ALL
-       |${recallOf("ivf", simIvfTopK)}""".stripMargin
+       |${recallOf("ivf", simIvfTopK)}
+       |UNION ALL
+       |${recallOf("pq", simPqTopK)}""".stripMargin
   }
 
   /** One min-label propagation round over the symmetric+self-loop edge

@@ -905,6 +905,18 @@ object ExtQueries {
     Similarity.bruteForceTopK(tr, tr.filter(col("vec_id") % 25 === 0), k = 5)
   }
 
+  /** Product-quantized (ADC) top-k: corpus stored as ONE packed BIGINT of
+    * 8×4-bit subspace codes (32× less than float32 at D=64); queries
+    * score codes against per-query lookup tables — no D-dim arithmetic
+    * per corpus row, no corpus shuffle (Similarity.pqTopK; Jégou 2011).
+    * The deterministic codebook stand-in mirrors simIvfTopK's centroid
+    * convention, so the whole encode→ADC pipeline hash-gates.
+    */
+  def simPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    Similarity.pqTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5)
+  }
+
   /** Recall@5 of each approximate ANN path (hyperplane-LSH, IVF) against
     * the exact brute-force baseline, per query — the quality gate the
     * per-query hash-match cannot provide (each approximate query only
@@ -926,6 +938,7 @@ object ExtQueries {
           (col("n_hits").cast("double") / 5.0).as("recall_at_5"))
     recallOf("lsh", simAnnLshTopK(s, dir))
       .unionByName(recallOf("ivf", simIvfTopK(s, dir)))
+      .unionByName(recallOf("pq", simPqTopK(s, dir)))
   }
 
   /** Embedding near-dup: every 10th vector re-appears deterministically

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 
-import graft.functions.{CosineSimilarity, HyperplaneBands, KmvDistinctAgg, MinhashBands, NearestCentroid, VectorSumAgg}
+import graft.functions.{CosineSimilarity, HyperplaneBands, KmvDistinctAgg, MinhashBands, NearestCentroid, PqAdcScore, PqAdcSum, PqLut, VectorSumAgg}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
   * or `builder.withExtensions(new GraftExtensions)`): registers the
@@ -82,6 +82,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_bands: k/bands must be non-null literals, got $e")
         }
         MinhashBands(children.head, lit(1), lit(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_lut"),
+      PqLut.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"pq_lut(q, codebooks) takes 2 arguments, got ${children.length}")
+        val m = children(1) match {
+          case e if e.foldable && e.eval() != null =>
+            val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            IndexedSeq.tabulate(ad.numElements()) { j =>
+              val sub = ad.getArray(j)
+              IndexedSeq.tabulate(sub.numElements()) { c =>
+                val cw = sub.getArray(c)
+                IndexedSeq.tabulate(cw.numElements())(cw.getDouble)
+              }
+            }
+          case e => throw new IllegalArgumentException(
+            s"pq_lut: codebooks must be a literal 3-level matrix, got $e")
+        }
+        PqLut(children.head, m)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_sum"),
+      PqAdcSum.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"pq_adc_sum(packed, table, ksub) takes 3 arguments, got ${children.length}")
+        val ksub = children(2) match {
+          case e if e.foldable && e.eval() != null =>
+            e.eval().asInstanceOf[Number].intValue()
+          case e => throw new IllegalArgumentException(
+            s"pq_adc_sum: ksub must be a non-null literal, got $e")
+        }
+        PqAdcSum(children(0), children(1), ksub)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_score"),
+      PqAdcScore.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 5) throw new IllegalArgumentException(
+          s"pq_adc_score(packed, lut, q_norm, n2, ksub) takes 5 arguments, got ${children.length}")
+        val n2 = children(3) match {
+          case e if e.foldable && e.eval() != null =>
+            val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            IndexedSeq.tabulate(ad.numElements())(ad.getDouble)
+          case e => throw new IllegalArgumentException(
+            s"pq_adc_score: n2 must be a literal array, got $e")
+        }
+        val ksub = children(4) match {
+          case e if e.foldable && e.eval() != null =>
+            e.eval().asInstanceOf[Number].intValue()
+          case e => throw new IllegalArgumentException(
+            s"pq_adc_score: ksub must be a non-null literal, got $e")
+        }
+        PqAdcScore(children(0), children(1), children(2), n2, ksub)
       }))
     // whole-operator extension: native two-phase top-k-per-key
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKey.Strategy)

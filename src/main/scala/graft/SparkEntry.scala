@@ -133,6 +133,7 @@ object SparkEntry {
     "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
     "sim_quantized_topk" -> (ExtQueries.simQuantizedTopK _),
     "sim_matryoshka_topk" -> (ExtQueries.simMatryoshkaTopK _),
+    "sim_pq_topk" -> (ExtQueries.simPqTopK _),
     "sim_ann_recall" -> (ExtQueries.simAnnRecall _),
     "mine_contrastive_pairs" -> (ExtQueries.mineContrastivePairs _),
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
@@ -163,7 +164,7 @@ object SparkEntry {
     "events_json_extract", "text_quality_filter", "multimodal_features",
     "q_pivot_sales", "w4_window_suite", "streaming_hourly_agg",
     "qa_profile_activities", "dedup_embedding_cosine", "sim_ivf_kmeans_topk",
-    "sim_quantized_topk", "text_vocab_topk", "q_cube_sales",
+    "sim_quantized_topk", "sim_pq_topk", "text_vocab_topk", "q_cube_sales",
     "w1_latest_per_key_salted", "pipeline_incremental_primary",
     "text_tfidf_topk", "text_decontaminate", "streaming_interval_join",
     "pipeline_prepare_corpus", "dedup_clusters", "dedup_semantic",
@@ -1143,6 +1144,7 @@ object SparkEntry {
     "sim_ivf_kmeans_topk" -> ExtOracleSql.simIvfKmeansTopK,
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
     "sim_matryoshka_topk" -> ExtOracleSql.simMatryoshkaTopK,
+    "sim_pq_topk" -> ExtOracleSql.simPqTopK,
     "sim_ann_recall" -> ExtOracleSql.simAnnRecall,
     "mine_contrastive_pairs" -> ExtOracleSql.mineContrastivePairs,
     "text_bigram_lm" -> ExtOracleSql.textBigramLm,

@@ -189,6 +189,151 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011 §II): the D-dim
+    * space splits into `m` contiguous subspaces of `dsub` dims; subspace
+    * j's codebook is the j-th subvector of the `ksub` lowest-id corpus
+    * vectors — the same deterministic "train" stand-in [[ivfTopK]]
+    * documents (production plugs per-subspace k-means centroids into the
+    * identical encode/score plumbing; `KMeans.fit` over `slice(v, ...)`
+    * IS that trainer). Driver holds only m×ksub×dsub doubles — same
+    * footprint class as the k-means centroid pulls.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rows = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol).asc_nulls_first).limit(ksub)
+      .collect()
+    require(rows.length == ksub, s"pqCodebooks: corpus has < $ksub vectors")
+    val base = rows.map(_.getSeq[Double](1).toArray)
+    val dsub = base.head.length / m
+    require(base.head.length == m * dsub, s"pqCodebooks: dim ${base.head.length} not divisible by m=$m")
+    (0 until m).map(j => (0 until ksub).map(c => base(c).slice(j * dsub, (j + 1) * dsub)).toIndexedSeq)
+  }
+
+  /** PQ-encode the corpus: per subspace, argmin squared-L2 against the
+    * codebook via the native `nearest_centroid` expression (one fused
+    * loop per subspace, zero shuffle — the same 100 TB shape as the
+    * k-means assignment), then pack the m 4-bit codes into ONE BIGINT.
+    * The packed word is the stored form: 8 bytes per vector where the
+    * float32 original is 4·D — a 32× compression at D=64, which is the
+    * entire point of PQ at 100 TB (the corpus never re-materializes its
+    * vectors at query time; scoring runs on codes + per-query lookup
+    * tables). Ties keep the lowest code (strict-< first-min), matching
+    * the oracle's `ORDER BY d2, c` rn=1.
+    *
+    * The ADC fold itself is the native `pq_adc_sum` expression (the
+    * composed-HOF `aggregate(sequence(...), acc + element_at(...))`
+    * form ran interpreted in the corpus×queries hot loop and measured
+    * 1.87 s vs the exact scan's 0.52 s at sf0.1 — [[pqAdcSumHof]] keeps
+    * that form as the bit-parity reference, like cosineHof).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: IndexedSeq[IndexedSeq[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    require(ksub <= 16, s"pqEncode: 4-bit packing requires ksub <= 16, got $ksub")
+    val dsub = codebooks.head.head.length
+    val codes = (0 until m).map { j =>
+      call_function("nearest_centroid",
+        slice(col("__v"), j * dsub + 1, dsub),
+        array(codebooks(j).map(c => array(c.map(lit(_)): _*)): _*))
+        .getField("cid")
+    }
+    // disjoint 4-bit lanes: + is exactly | here, and the oracle replays
+    // it as SUM(code * 2^(4j)) in exact integer arithmetic
+    val packed = codes.zipWithIndex
+      .map { case (c, j) => shiftleft(c.cast("long"), 4 * j) }
+      .reduce(_ + _)
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("packed", packed)
+      .select(col(idCol), col("packed"))
+  }
+
+  /** The composed-HOF reference form of the per-query PQ dot table
+    * (oracle-shaped), kept for the bitwise-equivalence spec like
+    * cosineHof/nearestHof.
+    */
+  private[graft] def pqLutHof(qVec: Column, cb: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
+    val dsub = cb.head.head.length
+    array(cb.indices.flatMap { j =>
+      val sub = slice(qVec, j * dsub + 1, dsub)
+      cb(j).map(c =>
+        aggregate(zip_with(sub, array(c.map(lit(_)): _*), _ * _), lit(0.0), _ + _))
+    }: _*)
+  }
+
+  /** The composed-HOF reference form of the ADC fold (oracle-shaped),
+    * kept for the bitwise-equivalence spec like cosineHof/nearestHof.
+    */
+  private[graft] def pqAdcSumHof(packedCol: String, tableCol: String, m: Int, ksub: Int): Column =
+    expr(
+      s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+         |  (acc, j) -> acc + element_at($tableCol,
+         |      j * $ksub + CAST(shiftright($packedCol, 4 * j) & 15 AS INT) + 1))""".stripMargin)
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
+    * m×ksub lookup table of subspace dot products against the codebook
+    * (plus the query-independent reconstruction-norm table), and a corpus
+    * "vector" is scored as score = Σ_j lut[j][code_j] /
+    * (‖q‖ · sqrt(Σ_j n2[j][code_j])) — cosine against the RECONSTRUCTED
+    * corpus vector, computed without ever touching it (Jégou 2011 §III).
+    *
+    * Scale shape (100 TB): the corpus side carries only (id, packed
+    * BIGINT); queries (with their LUTs — m·ksub doubles each) broadcast;
+    * per corpus row the score is an m-step fold of table lookups — no
+    * D-dim arithmetic, no corpus shuffle, and 32× less corpus IO than
+    * the exact scan. Bit-parity contract with the DuckDB twin: every
+    * per-subspace dot/norm is a left fold in array-index order, the
+    * j-summations fold in j order with exact 0.0 init, and the final
+    * divide is `dot / (normq · sqrt(n2))` in exactly that op order.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebooks(corpus, m, ksub, idCol, vecCol)
+    val encoded = pqEncode(corpus, cb, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("packed"))
+    // per-query dot table as ONE native expression with the codebook
+    // baked in — the composed-HOF table (m·ksub aggregate/zip_with/slice
+    // folds) was ~8k Catalyst nodes that optimizer+codegen re-walked
+    // every run (see PqLut scaladoc; pqLutHof keeps the reference form).
+    // Both tables are FLAT row-major m×ksub arrays (PqAdcSum scaladoc:
+    // nested tables cost one ArrayData view alloc per subspace per row).
+    val lut = call_function("pq_lut", col("q_vec"),
+      typedLit(cb.map(_.map(_.toIndexedSeq))))
+    // reconstruction-norm table: Σ c_i² per codeword, folded i-ascending
+    // from exact 0.0 on the DRIVER — query-independent, so it is baked
+    // into the pq_adc_score expression as a primitive double[]; the op
+    // sequence is identical IEEE arithmetic to the oracle's list_reduce
+    // fold
+    val n2flat = cb.flatMap(_.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    })
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("lut", lut)
+      .withColumn("q_norm", norm(col("q_vec")))
+      .select(col("query_id"), col("lut"), col("q_norm"))
+    // project to (query_id, neighbor_id, score) BEFORE the top-k: the
+    // rank shuffle must carry three scalars per row, not the m·ksub·2
+    // lookup tables scoring already consumed (lesson of PLANS.md #7).
+    // The score is ONE fused native call (pq_adc_score) — the composed
+    // two-pq_adc_sum form paid a boxed-literal lookup + an extra
+    // dispatch per row (see PqAdcScore scaladoc; the composition stays
+    // spec-asserted bit-identical).
+    val scored = encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("pq_adc_score", col("packed"), col("lut"), col("q_norm"),
+          typedLit(n2flat), lit(ksub)).as("score"))
+    LatestPerKey.topKRanked(scored, k, Seq(col("query_id")),
+        Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Near-duplicate vector pairs: BANDED hyperplane-LSH candidates, then
     * exact cosine ≥ threshold — the same banding-for-recall shape as the
     * minhash/simhash dedups (a pair is a candidate when ANY band's bits

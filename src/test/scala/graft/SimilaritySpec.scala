@@ -115,9 +115,15 @@ class SimilaritySpec extends SparkSpec {
     val recalls = ExtQueries.simAnnRecall(spark, sfSmoke)
       .groupBy("method").agg(avg("recall_at_5").as("mean_recall"))
       .as[(String, Double)].collect().toMap
-    assert(recalls.keySet == Set("lsh", "ivf"))
+    assert(recalls.keySet == Set("lsh", "ivf", "pq"))
     assert(recalls("lsh") >= 0.6, s"lsh mean recall@5 dropped to ${recalls("lsh")}")
     assert(recalls("ivf") >= 0.4, s"ivf mean recall@5 dropped to ${recalls("ivf")}")
+    // PQ's loss is pure quantization DISTORTION (it scores every corpus
+    // vector — no candidate pruning): 4 bits/subspace with the untrained
+    // lowest-16-id codebook stand-in measures 0.18 on near-random
+    // vectors, where quantization noise swamps the tiny cosine spreads.
+    // The clustered-corpus test below is where PQ's real quality shows.
+    assert(recalls("pq") >= 0.1, s"pq mean recall@5 dropped to ${recalls("pq")}")
   }
 
   test("clustered corpus: lsh and ivf recall@5 >= 0.8 where structure exists") {
@@ -142,6 +148,116 @@ class SimilaritySpec extends SparkSpec {
     val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
     assert(lshRecall >= 0.8, s"clustered lsh recall $lshRecall")
     assert(ivfRecall >= 0.8, s"clustered ivf recall $ivfRecall")
+    // PQ's codebook stand-in (lowest 16 ids = the 8 cluster bases + 8
+    // near-base members) quantizes every member close to its own
+    // cluster's subvectors, so ADC ranking must recover the true
+    // neighborhoods where cluster structure exists.
+    val pq = pairs(Similarity.pqTopK(df, queries, k = 5, m = 8, ksub = 16))
+    val pqRecall = (exact intersect pq).size.toDouble / exact.size
+    assert(pqRecall >= 0.8, s"clustered pq recall $pqRecall")
+  }
+
+  test("pqEncode: packed codes equal a driver-computed argmin, nibble-packed") {
+    // 12 deterministic 8-dim vectors, m=4 subspaces of 2 dims, codebook =
+    // lowest 16... ksub must be <= corpus; use ksub=8 here (3-bit codes
+    // still pack in 4-bit lanes). Expected codes computed in plain Scala
+    // with the same left-fold d2 + strict-< first-min rule.
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => math.cos(i * 1.3 + d * 0.7) * 3))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, m = 4, ksub = 8)
+    assert(cb.length == 4 && cb.forall(_.length == 8) && cb.forall(_.forall(_.length == 2)))
+    // driver reference: per subspace argmin of left-fold squared L2
+    def code(v: Seq[Double], j: Int): Int = {
+      val sub = v.slice(j * 2, j * 2 + 2)
+      var best = -1; var bestD2 = 0.0
+      for (c <- 0 until 8) {
+        var acc = 0.0
+        for (i <- 0 until 2) { val d = sub(i) - cb(j)(c)(i); acc += d * d }
+        if (best < 0 || acc < bestD2) { best = c; bestD2 = acc }
+      }
+      best
+    }
+    val expected = vecs.map { case (id, v) =>
+      id -> (0 until 4).map(j => code(v, j).toLong << (4 * j)).sum
+    }.toMap
+    val got = Similarity.pqEncode(df, cb)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, s"packed codes diverge: ${got.toSeq.sorted} vs ${expected.toSeq.sorted}")
+    // every nibble is a valid code
+    assert(got.values.forall { p => (0 until 4).forall(j => ((p >> (4 * j)) & 15) < 8) })
+  }
+
+  test("native pq_adc_sum is bit-identical to the composed HOF fold") {
+    // random-ish packed words + tables; doubleToLongBits equality, the
+    // same contract as cosine_sim/nearest_centroid vs their HOF forms
+    // flat row-major m×ksub tables (the layout the hot loop indexes)
+    val rows = (0 until 50).map { i =>
+      val packed = (0 until 8).map(j => ((i * 13 + j * 7) % 16).toLong << (4 * j)).sum
+      val table = (for { j <- 0 until 8; c <- 0 until 16 }
+        yield math.sin(i + j * 2.3 + c * 0.9) * 5).toSeq
+      (packed, table)
+    }
+    val df = rows.toDF("packed", "lut")
+    val got = df.select(
+        call_function("pq_adc_sum", col("packed"), col("lut"), lit(16)).as("native"),
+        Similarity.pqAdcSumHof("packed", "lut", 8, 16).as("hof"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h),
+        s"pq_adc_sum diverges: native=$n hof=$h")
+    }
+  }
+
+  test("fused pq_adc_score is bit-identical to the composed pq_adc_sum form") {
+    val n2 = (for { j <- 0 until 8; c <- 0 until 16 }
+      yield math.abs(math.cos(j * 1.1 + c * 0.5)) + 0.1).toIndexedSeq
+    val rows = (0 until 40).map { i =>
+      val packed = (0 until 8).map(j => ((i * 11 + j * 5) % 16).toLong << (4 * j)).sum
+      val lut = (for { j <- 0 until 8; c <- 0 until 16 }
+        yield math.sin(i + j * 1.7 + c * 0.4) * 3).toSeq
+      val qnorm = 0.5 + (i % 7) * 0.3
+      (packed, lut, qnorm)
+    }
+    val df = rows.toDF("packed", "lut", "q_norm")
+    val got = df.select(
+        call_function("pq_adc_score", col("packed"), col("lut"), col("q_norm"),
+          typedLit(n2), lit(16)).as("fused"),
+        (call_function("pq_adc_sum", col("packed"), col("lut"), lit(16)) /
+          (col("q_norm") * sqrt(call_function("pq_adc_sum", col("packed"),
+            typedLit(n2), lit(16))))).as("composed"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (f, c) =>
+      assert(java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(c),
+        s"pq_adc_score diverges: fused=$f composed=$c")
+    }
+  }
+
+  test("native pq_lut is bit-identical to the composed HOF dot table") {
+    val cb = IndexedSeq.tabulate(4, 8)((j, c) =>
+      Array.tabulate(4)(i => math.cos(j * 1.9 + c * 0.8 + i * 0.3) * 2)).map(_.toIndexedSeq)
+    val df = (0 until 30).map(i => Tuple1(Seq.tabulate(16)(d => math.sin(i * 0.9 + d) * 3)))
+      .toDF("q_vec")
+      .select(expr("transform(q_vec, x -> CAST(x AS DOUBLE))").as("q_vec"))
+    val got = df.select(
+        call_function("pq_lut", col("q_vec"),
+          typedLit(cb.map(_.map(_.toIndexedSeq)))).as("native"),
+        Similarity.pqLutHof(col("q_vec"), cb).as("hof"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    got.foreach { case (n, h) =>
+      assert(n.map(java.lang.Double.doubleToLongBits) ==
+             h.map(java.lang.Double.doubleToLongBits),
+        s"pq_lut diverges: $n vs $h")
+    }
+  }
+
+  test("pqTopK is deterministic across runs and repartitionings") {
+    val base = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val q = base.filter(col("vec_id") % 25 === 0)
+    val a = Similarity.pqTopK(base, q, k = 5).collect().toSeq
+    val b = Similarity.pqTopK(base.repartition(7), q, k = 5).collect().toSeq
+    assert(a.toSet == b.toSet && a.size == b.size)
   }
 
   test("minhash signature similarity: identical sets → 1.0; disjoint → low") {
