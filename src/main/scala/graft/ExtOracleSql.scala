@@ -503,6 +503,38 @@ object ExtOracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** text_substring_spans twin: duplicated 8-word windows (md5-keyed,
+    * like the Spark shuffle) → per-doc gaps-and-islands merge. The
+    * NULL-lag CASE falls to the ELSE branch on the first row in both
+    * engines (NULL ≤ 8 is not true), so island numbering matches.
+    */
+  val textSubstringSpans: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |wins0 AS (
+      |  SELECT doc_id,
+      |    unnest([{'p': p, 'dig': md5(array_to_string(w[p : p+7], ' '))}
+      |            for p in range(1, len(w) - 6)]) AS s
+      |  FROM toks WHERE len(w) >= 8),
+      |wins AS (SELECT doc_id, s.p AS p, s.dig AS dig FROM wins0),
+      |dup AS (SELECT dig FROM wins GROUP BY dig HAVING COUNT(*) >= 2),
+      |marked AS (SELECT doc_id, p FROM wins JOIN dup USING (dig)),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM marked),
+      |isl2 AS (
+      |  SELECT doc_id, p,
+      |    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_idx
+      |  FROM isl),
+      |sp AS (
+      |  SELECT doc_id, span_idx, MIN(p) AS start_pos, MAX(p) + 7 AS end_pos
+      |  FROM isl2 GROUP BY doc_id, span_idx)
+      |SELECT doc_id, span_idx, start_pos, end_pos,
+      |  end_pos - start_pos + 1 AS n_words
+      |FROM sp""".stripMargin
+
   val simAnnRecall: String = {
     def recallOf(method: String, approxSql: String): String =
       s"""SELECT '$method' AS method, query_id, n_hits,

@@ -348,6 +348,50 @@ object ExtQueries {
         col("mean_inv_freq"))
   }
 
+  /** Repeated-substring spans (the substring-level dedup of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better",
+    * at word-window granularity): an 8-word window occurring at ≥ 2
+    * distinct (doc, position) sites corpus-wide is "duplicated"; per
+    * doc, overlapping/adjacent duplicated windows merge into MAXIMAL
+    * repeated spans (gaps-and-islands over window positions) — the
+    * span list a pipeline would cut or down-weight, finer-grained than
+    * whole-doc near-dup removal.
+    *
+    * Scale shape (100 TB): stride-1 windows amplify rows ×L, but only
+    * (16-byte digest, doc_id, position) triples shuffle — the digest
+    * groupBy is the same shape as the E2/E38 shingle shuffles, with
+    * map-side partial counts; the island merge is one doc-keyed window
+    * over the SURVIVING positions only (duplicated ones), not the
+    * corpus.
+    */
+  def textSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpans(docs(s, dir))
+
+  /** Core of [[textSubstringSpans]] over any (doc_id, text) frame. */
+  def substringSpans(d: DataFrame, W: Int = 8): DataFrame = {
+    val toks = d
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= W)
+    val wins = toks.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${W - 1}),
+           |  p -> struct(p AS p, md5(array_join(slice(w, p, $W), ' ')) AS dig))""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.p").cast("long").as("p"), col("s.dig").as("dig"))
+    val dup = wins.groupBy("dig").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("dig")
+    val marked = wins.join(dup, Seq("dig")).select("doc_id", "p")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("p")
+    // island break when the previous duplicated window can no longer
+    // overlap/touch this one (gap > W); NULL lag (first row) breaks too
+    val isl = marked
+      .withColumn("brk", when(col("p") - lag("p", 1).over(byDoc) <= W, lit(0L)).otherwise(lit(1L)))
+      .withColumn("span_idx", sum("brk").over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    isl.groupBy(col("doc_id"), col("span_idx"))
+      .agg(min("p").as("start_pos"), (max("p") + lit(W - 1)).as("end_pos"))
+      .withColumn("n_words", col("end_pos") - col("start_pos") + 1)
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word-8-gram with the held-out benchmark slice (every 50th doc) —
     * the standard eval-leakage sweep a pretraining pipeline runs before

@@ -115,6 +115,7 @@ object SparkEntry {
     "text_tfidf_topk" -> (ExtQueries.textTfidfTopK _),
     "text_bigram_lm" -> (ExtQueries.textBigramLm _),
     "text_decontaminate" -> (ExtQueries.textDecontaminate _),
+    "text_substring_spans" -> (ExtQueries.textSubstringSpans _),
     "text_decontaminate_fuzzy" -> (ExtQueries.textDecontaminateFuzzy _),
     "text_pii_redact" -> (ExtQueries.piiRedact _),
     "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
@@ -1007,6 +1008,7 @@ object SparkEntry {
         |SELECT doc_id, rank, word, tf, df, round(score, 6) AS score
         |FROM r WHERE rank <= 3""".stripMargin,
 
+    "text_substring_spans" -> ExtOracleSql.textSubstringSpans,
     "text_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |sh AS (

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-5 operators (repeated-substring span dedup, ...). */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("substringSpans: a shared 12-word run becomes ONE merged span per doc") {
+    // docs 1 and 2 share words s0..s11 (positions 6..17 in doc 1,
+    // 1..12 in doc 2); all other words are unique corpus-wide. The
+    // shared run yields duplicated 8-windows at 5 consecutive positions
+    // which must merge into exactly one 12-word span per doc.
+    val shared = words("s", 12)
+    val d = Seq(
+      (1L, words("a", 5) + " " + shared + " " + words("b", 6)),
+      (2L, shared + " " + words("c", 9)),
+      (3L, words("u", 30))
+    ).toDF("doc_id", "text")
+    val got = ExtQueries.substringSpans(d)
+      .select("doc_id", "span_idx", "start_pos", "end_pos", "n_words")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 6L, 17L, 12L), (2L, 1L, 1L, 12L, 12L)),
+      s"unexpected spans: $got")
+  }
+
+  test("substringSpans: unique corpus yields no spans; short docs ignored") {
+    val d = Seq(
+      (1L, words("x", 40)),
+      (2L, words("y", 40)),
+      (3L, "too short for windows")
+    ).toDF("doc_id", "text")
+    assert(ExtQueries.substringSpans(d).count() == 0)
+  }
+
+  test("substringSpans: within-doc repetition yields two separated spans") {
+    // the same 8-word phrase occurs twice in one doc, separated by 20
+    // unique words — far enough (> W gap) that the spans must NOT merge
+    val phrase = words("p", 8)
+    val d = Seq(
+      (7L, phrase + " " + words("m", 20) + " " + phrase + " " + words("n", 10))
+    ).toDF("doc_id", "text")
+    val got = ExtQueries.substringSpans(d)
+      .select("span_idx", "start_pos", "end_pos", "n_words")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 8L, 8L), (2L, 29L, 36L, 8L)),
+      s"unexpected spans: $got")
+  }
+
+  test("substringSpans: result is identical across repartitionings") {
+    val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val a = ExtQueries.substringSpans(base).collect().toSet
+    val b = ExtQueries.substringSpans(base.repartition(13)).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
