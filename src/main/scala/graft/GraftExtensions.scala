@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 
-import graft.functions.{CosineSimilarity, HyperplaneBands, KmvDistinctAgg, MinhashBands, NearestCentroid, PqAdcScore, PqAdcSum, PqLut, VectorSumAgg}
+import graft.functions.{BloomFilterAgg, CosineSimilarity, HyperplaneBands, KmvDistinctAgg, MinhashBands, NearestCentroid, PqAdcScore, PqAdcSum, PqLut, VectorSumAgg}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
   * or `builder.withExtensions(new GraftExtensions)`): registers the
@@ -82,6 +82,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_bands: k/bands must be non-null literals, got $e")
         }
         MinhashBands(children.head, lit(1), lit(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      BloomFilterAgg.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"bloom_agg(col, m_bits) takes 2 arguments, got ${children.length}")
+        val m = children(1) match {
+          case e if e.foldable && e.eval() != null =>
+            e.eval().asInstanceOf[Number].intValue()
+          case e => throw new IllegalArgumentException(
+            s"bloom_agg: m_bits must be a non-null literal, got $e")
+        }
+        BloomFilterAgg(children.head, m).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("pq_lut"),

@@ -125,6 +125,24 @@ object Queries {
       .select(col("o_orderkey").as("order_key"), col("o_totalprice").as("total_price"))
   }
 
+  /** Bloom-pruned semi-join (operators.BloomPrune): lineitem rows whose
+    * order is URGENT and high-value, with the big side pre-filtered by
+    * a deterministic Bloom bitmap built over the small side's keys in
+    * ONE aggregate. Gated against the PLAIN semi-join oracle — Bloom
+    * false positives are removed by the exact join, so the hash match
+    * proves the pruned plan is exact, not just plausible.
+    */
+  def j7BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+      .select("o_orderkey")
+    graft.operators.BloomPrune.semiJoin(
+        t(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey")
+      .select(col("l_orderkey").as("order_key"),
+        col("l_linenumber").cast("long").as("line_number"),
+        col("l_quantity").as("quantity"))
+  }
+
   /** Anti join — NOT EXISTS. */
   def j3AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49).select("l_orderkey")

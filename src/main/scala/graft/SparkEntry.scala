@@ -33,6 +33,7 @@ object SparkEntry {
     "j1_left_join_sentinel" -> (Queries.j1LeftJoinSentinel _),
     "j2_semi_join" -> (Queries.j2SemiJoin _),
     "j3_anti_join" -> (Queries.j3AntiJoin _),
+    "j7_bloom_prune" -> (Queries.j7BloomPrune _),
     "j5_full_outer" -> (Queries.j5FullOuter _),
     "j6_salted_join" -> (Queries.j6SaltedJoin _),
     "agg_quartiles_manual" -> (Queries.aggQuartilesManual _),
@@ -165,7 +166,7 @@ object SparkEntry {
     "events_json_extract", "text_quality_filter", "multimodal_features",
     "q_pivot_sales", "w4_window_suite", "streaming_hourly_agg",
     "qa_profile_activities", "dedup_embedding_cosine", "sim_ivf_kmeans_topk",
-    "sim_quantized_topk", "sim_pq_topk", "text_vocab_topk", "q_cube_sales",
+    "sim_quantized_topk", "sim_pq_topk", "j7_bloom_prune", "text_vocab_topk", "q_cube_sales",
     "w1_latest_per_key_salted", "pipeline_incremental_primary",
     "text_tfidf_topk", "text_decontaminate", "streaming_interval_join",
     "pipeline_prepare_corpus", "dedup_clusters", "dedup_semantic",
@@ -239,6 +240,16 @@ object SparkEntry {
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+
+    "j7_bloom_prune" ->
+      """SELECT l_orderkey AS order_key,
+        |  CAST(l_linenumber AS BIGINT) AS line_number,
+        |  l_quantity AS quantity
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey
+        |                AND o_orderpriority = '1-URGENT'
+        |                AND o_totalprice > 150000.0)""".stripMargin,
 
     "j3_anti_join" ->
       """SELECT o_orderkey AS order_key, o_totalprice AS total_price

@@ -50,6 +50,50 @@ class Round5OpsSpec extends SparkSpec {
       s"unexpected spans: $got")
   }
 
+  test("bloom: no false negatives — every inserted key passes both test paths") {
+    val mBits = 4096
+    val keys = (0 until 500).map(i => s"key_$i")
+    val df = keys.toDF("k")
+    val words = df.agg(call_function("bloom_agg", col("k"), lit(mBits)).as("bm"))
+      .head().getSeq[Long](0)
+    // Scala-side test
+    keys.foreach { k =>
+      assert(graft.functions.BloomFilterAgg.mightContain(
+        words.toArray, mBits, k.getBytes("UTF-8")), s"false negative (scala): $k")
+    }
+    // Column-side test (the conv/substring/md5 arithmetic must address
+    // the SAME bits as the aggregate's byte arithmetic)
+    val passed = df.filter(graft.operators.BloomPrune.mightContain(col("k"), words, mBits))
+      .count()
+    assert(passed == keys.length, s"column-side test lost keys: $passed/${keys.length}")
+  }
+
+  test("bloom: bitmap is partition-invariant and FP rate is sane") {
+    val mBits = 1 << 16
+    val keys = (0 until 2000).map(i => s"present_$i")
+    val a = keys.toDF("k").agg(call_function("bloom_agg", col("k"), lit(mBits)))
+      .head().getSeq[Long](0)
+    val b = keys.toDF("k").repartition(17)
+      .agg(call_function("bloom_agg", col("k"), lit(mBits)))
+      .head().getSeq[Long](0)
+    assert(a == b, "bitmap differs across partitionings (OR-merge must be associative)")
+    // 2000 keys × 4 bits in 65536 bits ⇒ theoretical FP ≈ (1-e^(-8000/65536))^4 ≈ 1.7e-4
+    val absent = (0 until 5000).map(i => s"absent_$i")
+    val fps = absent.count(k => graft.functions.BloomFilterAgg.mightContain(
+      a.toArray, mBits, k.getBytes("UTF-8")))
+    assert(fps <= 25, s"false-positive rate too high: $fps/5000")
+  }
+
+  test("bloom-pruned semi-join equals the plain semi-join") {
+    val big = (0L until 3000L).map(i => (i, s"payload_$i")).toDF("id", "payload")
+    val small = (0L until 3000L by 97).map(i => Tuple1(i)).toDF("sid")
+    val pruned = graft.operators.BloomPrune.semiJoin(big, small, "id", "sid")
+      .as[(Long, String)].collect().toSet
+    val plain = big.join(small, col("id") === col("sid"), "left_semi")
+      .as[(Long, String)].collect().toSet
+    assert(pruned == plain && plain.nonEmpty)
+  }
+
   test("substringSpans: result is identical across repartitionings") {
     val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
     val a = ExtQueries.substringSpans(base).collect().toSet
