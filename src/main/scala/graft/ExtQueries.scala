@@ -1042,6 +1042,15 @@ object ExtQueries {
   def streamingSessionize(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingSessionize(s, dir)
 
+  /** The same sessionization through Spark 4's transformWithState
+    * (StatefulProcessor + explicit timers + RocksDB state store) —
+    * gated against the identical batch oracle, proving the
+    * flatMapGroupsWithState -> transformWithState migration changes
+    * nothing.
+    */
+  def streamingSessionizeTws(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingSessionizeTws(s, dir)
+
   /** Incremental staging: clean_contacts_primary maintained as keyed
     * streaming state — must equal the batch staged view.
     */

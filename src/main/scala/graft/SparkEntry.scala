@@ -145,6 +145,7 @@ object SparkEntry {
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
     "streaming_enrich_static" -> (ExtQueries.streamingEnrichStatic _),
     "streaming_sessionize" -> (ExtQueries.streamingSessionize _),
+    "streaming_sessionize_tws" -> (ExtQueries.streamingSessionizeTws _),
     "streaming_session_window" -> (ExtQueries.streamingSessionWindow _),
     "streaming_latest_contact" -> (ExtQueries.streamingLatestContact _),
     "streaming_interval_join" -> (ExtQueries.streamingIntervalJoin _),
@@ -1220,6 +1221,27 @@ object SparkEntry {
 
     // identical to the batch events_sessionize oracle: the stateful
     // streaming path must converge to the batch window-function result
+    "streaming_sessionize_tws" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR date_diff('second', prev_ts, ts) > 1800
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |s AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
     "streaming_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

@@ -363,6 +363,118 @@ object StreamingStage {
       }
   }
 
+  // ===== sessionization via transformWithState (StatefulProcessor) =====
+
+  /** The same gap-sessionization as [[sessionize]] through Spark 4's
+    * `transformWithState` operator (StatefulProcessor + explicit
+    * event-time timers + named ValueState) — the modern arbitrary-state
+    * API the old flatMapGroupsWithState form will eventually migrate
+    * to. Both forms are gated against the SAME batch oracle, so the
+    * migration equivalence is proven, not assumed.
+    *
+    * Timer discipline: exactly one live timer per key (the previous
+    * timer is deleted before the new one is registered — stale timers
+    * would otherwise fire and close sessions early). State: the same
+    * one fixed-size OpenSession record per ACTIVE user as E15, in the
+    * RocksDB state store transformWithState requires.
+    */
+  private class SessionTwsProcessor(gapSec: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, SessionOut] {
+
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def expiryOf(s: OpenSession): Long = s.lastNs / 1000000L + gapSec * 1000
+
+    override def handleInputRows(
+        userId: Long, it: Iterator[SessEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      // within-batch arrival order is not time order: sort by the same
+      // total order as the batch window (ts_ns, event_id)
+      val evs = it.toArray.sortBy(e => (e.ts_ns, e.event_id))
+      if (evs.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = Option(open.get())
+      cur.foreach(s => getHandle.deleteTimer(expiryOf(s)))
+      evs.foreach { e =>
+        cur match {
+          case None =>
+            cur = Some(OpenSession(1, e.ts_ns, e.ts_ns, 1))
+          case Some(s) if (e.ts_ns / 1000000000L) - (s.lastNs / 1000000000L) > gapSec =>
+            out += SessionOut(userId, s.idx, s.n, fmtNs(s.startNs), fmtNs(s.lastNs))
+            cur = Some(OpenSession(s.idx + 1, e.ts_ns, e.ts_ns, 1))
+          case Some(s) =>
+            cur = Some(s.copy(lastNs = math.max(s.lastNs, e.ts_ns), n = s.n + 1))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        getHandle.registerTimer(expiryOf(s))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val s = open.get()
+      if (s == null || expiryOf(s) != expired.getExpiryTimeInMs) Iterator.empty
+      else {
+        open.clear()
+        Iterator(SessionOut(userId, s.idx, s.n, fmtNs(s.startNs), fmtNs(s.lastNs)))
+      }
+    }
+  }
+
+  /** [[sessionize]]'s output through the transformWithState operator. */
+  def sessionizeTws(events: Dataset[SessEvent], gapSec: Long = 1800): Dataset[SessionOut] = {
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(
+        new SessionTwsProcessor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())(org.apache.spark.sql.Encoders.product[SessionOut])
+  }
+
+  /** Streaming tws-sessionization run to completion — the same sentinel
+    * flush pattern as [[streamingSessionize]]; transformWithState
+    * requires the RocksDB state store provider, set for this query and
+    * restored after.
+    */
+  def streamingSessionizeTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxNs = graft.sources.Tables.events(spark, dir)
+      .agg(max(col("ts_ns"))).head().getLong(0)
+    val sentinelNs = maxNs + 30L * 24 * 3600 * 1000000000L
+    val sentinel = MemoryStream[SessEvent](spark)
+    sentinel.addData(SessEvent(-1L, -1L, sentinelNs,
+      new java.sql.Timestamp(sentinelNs / 1000000L)))
+    val real = eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts_ns").cast("long").as("ts_ns"), col("ts"))
+      .as[SessEvent]
+    val sessions = sessionizeTws(real.unionByName(sentinel.toDS()))
+      .filter(col("user_id") >= 0)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToTable(sessions.toDF(), "streaming_sessionize_tws", "append")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   // ===== incremental staging: streaming clean_contacts_primary =====
 
   /** One preprocessed contact row (the staged-view schema + tie-breaker

@@ -94,6 +94,15 @@ class Round5OpsSpec extends SparkSpec {
     assert(pruned == plain && plain.nonEmpty)
   }
 
+  test("transformWithState sessionizer equals the flatMapGroupsWithState one and batch") {
+    val tws = ExtQueries.streamingSessionizeTws(spark, sfSmoke).collect().toSet
+    val fmg = ExtQueries.streamingSessionize(spark, sfSmoke).collect().toSet
+    val batch = Queries.eventsSessionize(spark, sfSmoke).collect().toSet
+    assert(tws == fmg, "tws and flatMapGroupsWithState sessionizers diverge")
+    assert(tws == batch, "tws sessionizer diverges from the batch window form")
+    assert(tws.nonEmpty)
+  }
+
   test("substringSpans: result is identical across repartitionings") {
     val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
     val a = ExtQueries.substringSpans(base).collect().toSet
