@@ -862,6 +862,27 @@ object Queries {
   def eventsHourlyAgg(s: SparkSession, dir: String): DataFrame =
     hourlyAgg(Tables.events(s, dir))
 
+  /** Point-in-interval join through the bin-bucketed range join
+    * (operators.RangeJoin) — 100 deterministic "maintenance window"
+    * intervals (7h stride, 1-7h lengths, derived from min(ts) so both
+    * engines construct the identical set), each aggregating the events
+    * it contains. The naive formulation is a nested-loop join on the
+    * BETWEEN predicate; binning makes it an equi-join on the hour bin
+    * (see RangeJoin scaladoc). Oracle states the plain BETWEEN join.
+    */
+  def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val H = 3600L * 1000000000L
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts_ns"), col("value"))
+    val minNs = ev.agg(min(col("ts_ns"))).head().getLong(0)
+    val iv = s.range(0, 100).select(
+      col("id").as("interval_id"),
+      (lit(minNs) + col("id") * lit(7 * H) + (col("id") % 5) * lit(H)).as("iv_start"))
+      .withColumn("iv_end", col("iv_start") + ((col("interval_id") % 7) + 1) * lit(H))
+    graft.operators.RangeJoin.pointInInterval(ev, "ts_ns", iv, "iv_start", "iv_end", H)
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n_events"), fixedPointSum(col("value"), 6).as("sum_value"))
+  }
+
   private def hourlyAgg(ev: DataFrame): DataFrame =
     ev.groupBy(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),

@@ -97,6 +97,7 @@ object SparkEntry {
     "events_sessionize" -> (Queries.eventsSessionize _),
     "events_json_extract" -> (Queries.eventsJsonExtract _),
     "events_asof_join" -> (Queries.eventsAsofJoin _),
+    "events_interval_join" -> (Queries.eventsIntervalJoin _),
     // LLM-data-pipeline extensions
     "dedup_exact" -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
@@ -767,6 +768,22 @@ object SparkEntry {
         |  SELECT o_custkey AS cust_key FROM orders WHERE o_totalprice > 150000
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+
+    "events_interval_join" ->
+      """WITH m AS (SELECT min(epoch_ns(ts)) AS mn FROM events),
+        |iv AS (
+        |  SELECT r.i AS interval_id,
+        |    mn + r.i * 25200000000000 + (r.i % 5) * 3600000000000 AS s,
+        |    mn + r.i * 25200000000000 + (r.i % 5) * 3600000000000
+        |       + ((r.i % 7) + 1) * 3600000000000 AS e
+        |  FROM m CROSS JOIN range(0, 100) r(i)),
+        |j AS (
+        |  SELECT iv.interval_id, ev.value
+        |  FROM events ev JOIN iv
+        |    ON epoch_ns(ev.ts) >= iv.s AND epoch_ns(ev.ts) < iv.e)
+        |SELECT interval_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM j GROUP BY interval_id""".stripMargin,
 
     "events_hourly_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -103,6 +103,38 @@ class Round5OpsSpec extends SparkSpec {
     assert(tws.nonEmpty)
   }
 
+  test("rangeJoin: half-open semantics, multi-bin intervals, overlap multiplicity") {
+    val pts = Seq((1L, 100L), (2L, 150L), (3L, 200L), (4L, 250L), (5L, 999L))
+      .toDF("pid", "t")
+    val ivs = Seq(
+      (10L, 100L, 200L),   // covers t=100,150 (200 excluded: half-open)
+      (11L, 140L, 260L),   // covers 150,200,250 — overlaps interval 10
+      (12L, 0L, 50L)       // empty of points
+    ).toDF("iid", "s", "e")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(pts, "t", ivs, "s", "e", binWidth = 64L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L)),
+      s"unexpected matches: $got")
+  }
+
+  test("rangeJoin equals the naive BETWEEN join and plans an equi-join") {
+    val pts = (0L until 2000L).map(i => (i, i * 37L % 10000L)).toDF("pid", "t")
+    val ivs = (0L until 50L).map(i => (i, i * 190L, i * 190L + (i % 13) * 29L + 1L))
+      .toDF("iid", "s", "e")
+    val binned = graft.operators.RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", 128L)
+      .select("pid", "iid")
+    val naive = pts.join(ivs, col("s") <= col("t") && col("t") < col("e"))
+      .select("pid", "iid")
+    assert(binned.as[(Long, Long)].collect().toSet ==
+           naive.as[(Long, Long)].collect().toSet)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"binned range join fell back to nested loop:\n$plan")
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("NestedLoop"),
+      "fixture no longer demonstrates the nested-loop baseline")
+  }
+
   test("substringSpans: result is identical across repartitionings") {
     val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
     val a = ExtQueries.substringSpans(base).collect().toSet
