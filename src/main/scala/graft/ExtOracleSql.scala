@@ -535,6 +535,40 @@ object ExtOracleSql {
       |  end_pos - start_pos + 1 AS n_words
       |FROM sp""".stripMargin
 
+  /** qa_sketch_reagg twin: the per-source and global KMV estimates via
+    * the same min-k + 63/(v_64/2^52) arithmetic as the engine
+    * (qaProfileActivitiesKmv precedent). The oracle computes __merged
+    * and __direct from the SAME global distinct set — they must be
+    * equal by min-k associativity, which is exactly what the gate
+    * proves about the engine's sketch-merge path.
+    */
+  val qaSketchReagg: String = {
+    def horner(expr: String): String =
+      s"""CAST(list_reduce([strpos('0123456789abcdef', substr($expr, i, 1)) - 1
+         |                  for i in range(1, 14)], (a, d) -> a * 16 + d) AS DOUBLE)""".stripMargin
+    s"""WITH h AS (SELECT DISTINCT source, substr(md5(text), 1, 13) AS p FROM documents),
+       |r AS (SELECT source, p,
+       |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY p) AS rn,
+       |        COUNT(*) OVER (PARTITION BY source) AS n
+       |      FROM h),
+       |per_source AS (
+       |  SELECT source AS scope,
+       |    CASE WHEN MAX(n) < 64 THEN CAST(MAX(n) AS DOUBLE)
+       |         ELSE 63.0 / (${horner("MAX(CASE WHEN rn = 64 THEN p END)")} / 4503599627370496.0)
+       |    END AS n_distinct_est
+       |  FROM r GROUP BY source),
+       |g AS (SELECT DISTINCT p FROM h),
+       |gr AS (SELECT p, ROW_NUMBER() OVER (ORDER BY p) AS rn, COUNT(*) OVER () AS n FROM g),
+       |gkmv AS (
+       |  SELECT CASE WHEN MAX(n) < 64 THEN CAST(MAX(n) AS DOUBLE)
+       |              ELSE 63.0 / (${horner("MAX(CASE WHEN rn = 64 THEN p END)")} / 4503599627370496.0)
+       |         END AS n_distinct_est
+       |  FROM gr)
+       |SELECT scope, n_distinct_est FROM per_source
+       |UNION ALL SELECT '__merged' AS scope, n_distinct_est FROM gkmv
+       |UNION ALL SELECT '__direct' AS scope, n_distinct_est FROM gkmv""".stripMargin
+  }
+
   val simAnnRecall: String = {
     def recallOf(method: String, approxSql: String): String =
       s"""SELECT '$method' AS method, query_id, n_hits,

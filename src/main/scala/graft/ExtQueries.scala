@@ -392,6 +392,42 @@ object ExtQueries {
       .withColumn("n_words", col("end_pos") - col("start_pos") + 1)
   }
 
+  /** KMV estimate from a stored sketch as PLAIN column arithmetic —
+    * the same two IEEE divides KmvDistinctAgg.eval performs, so an
+    * estimate computed from a materialized sketch equals the direct
+    * aggregate bit-for-bit.
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (element_at(sketch, k).cast("double") / lit(graft.functions.KmvDistinctAgg.HashSpace)))
+
+  /** Re-aggregatable distinct-count sketches: materialize one KMV
+    * sketch per source (`kmv_sketch` — the ≤ k smallest distinct
+    * hashes as a tiny array VALUE), then (a) estimate per source from
+    * the stored sketches, (b) merge the stored sketches into a global
+    * estimate WITHOUT rescanning (`kmv_merge`), and (c) recompute the
+    * global estimate directly from the raw data (`kmv_distinct`). The
+    * hash gate proves (b) == (c) — re-aggregation is lossless — which
+    * is the 100 TB pattern: scan each day/partition once, store k
+    * longs per group, answer every later rollup from the sketches.
+    */
+  def qaSketchReagg(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val d = docs(s, dir)
+    val sketches = d.groupBy(col("source"))
+      .agg(call_function("kmv_sketch", col("text"), lit(k)).as("sk"))
+    val perSource = sketches.select(col("source").as("scope"),
+      kmvEstimate(col("sk"), k).as("n_distinct_est"))
+    val merged = sketches
+      .agg(call_function("kmv_merge", col("sk"), lit(k)).as("msk"))
+      .select(lit("__merged").as("scope"), kmvEstimate(col("msk"), k).as("n_distinct_est"))
+    val direct = d
+      .agg(call_function("kmv_distinct", col("text"), lit(k)).as("n_distinct_est"))
+      .select(lit("__direct").as("scope"), col("n_distinct_est"))
+    perSource.unionByName(merged).unionByName(direct)
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word-8-gram with the held-out benchmark slice (every 50th doc) —
     * the standard eval-leakage sweep a pretraining pipeline runs before

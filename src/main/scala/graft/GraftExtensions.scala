@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 
-import graft.functions.{BloomFilterAgg, CosineSimilarity, HyperplaneBands, KmvDistinctAgg, MinhashBands, NearestCentroid, PqAdcScore, PqAdcSum, PqLut, VectorSumAgg}
+import graft.functions.{BloomFilterAgg, CosineSimilarity, HyperplaneBands, KmvDistinctAgg, KmvMergeAgg, KmvSketchAgg, MinhashBands, NearestCentroid, PqAdcScore, PqAdcSum, PqLut, VectorSumAgg}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
   * or `builder.withExtensions(new GraftExtensions)`): registers the
@@ -82,6 +82,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_bands: k/bands must be non-null literals, got $e")
         }
         MinhashBands(children.head, lit(1), lit(2))
+      }))
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
+      e match {
+        case x if x.foldable && x.eval() != null =>
+          x.eval().asInstanceOf[Number].intValue()
+        case x => throw new IllegalArgumentException(
+          s"$name must be a non-null literal, got $x")
+      }
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      KmvSketchAgg.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"kmv_sketch(col, k) takes 2 arguments, got ${children.length}")
+        KmvSketchAgg(children.head, litInt(children(1), "kmv_sketch: k")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_merge"),
+      KmvMergeAgg.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"kmv_merge(sketch, k) takes 2 arguments, got ${children.length}")
+        KmvMergeAgg(children.head, litInt(children(1), "kmv_merge: k")).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("bloom_agg"),

@@ -118,6 +118,7 @@ object SparkEntry {
     "text_bigram_lm" -> (ExtQueries.textBigramLm _),
     "text_decontaminate" -> (ExtQueries.textDecontaminate _),
     "text_substring_spans" -> (ExtQueries.textSubstringSpans _),
+    "qa_sketch_reagg" -> (ExtQueries.qaSketchReagg _),
     "text_decontaminate_fuzzy" -> (ExtQueries.textDecontaminateFuzzy _),
     "text_pii_redact" -> (ExtQueries.piiRedact _),
     "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
@@ -1038,6 +1039,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 3""".stripMargin,
 
     "text_substring_spans" -> ExtOracleSql.textSubstringSpans,
+    "qa_sketch_reagg" -> ExtOracleSql.qaSketchReagg,
     "text_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |sh AS (

@@ -135,6 +135,28 @@ class Round5OpsSpec extends SparkSpec {
       "fixture no longer demonstrates the nested-loop baseline")
   }
 
+  test("kmv sketch re-aggregation is lossless and partition-invariant") {
+    val rows = ExtQueries.qaSketchReagg(spark, sfSmoke)
+      .as[(String, Double)].collect().toMap
+    // the whole point: merging stored per-source sketches must equal
+    // the direct aggregate over the raw data, bit-for-bit
+    assert(java.lang.Double.doubleToLongBits(rows("__merged")) ==
+           java.lang.Double.doubleToLongBits(rows("__direct")),
+      s"sketch merge lost information: merged=${rows("__merged")} direct=${rows("__direct")}")
+    // sketches are partition-invariant (min-k is associative+commutative)
+    val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val a = d.agg(call_function("kmv_sketch", col("text"), lit(64))).head().getSeq[Long](0)
+    val b = d.repartition(11).agg(call_function("kmv_sketch", col("text"), lit(64)))
+      .head().getSeq[Long](0)
+    assert(a == b)
+    // estimate-from-sketch equals the direct kmv_distinct estimate
+    val est = d.agg(call_function("kmv_distinct", col("text"), lit(64))).head().getDouble(0)
+    val fromSketch = d.agg(call_function("kmv_sketch", col("text"), lit(64)).as("sk"))
+      .select(ExtQueries.kmvEstimate(col("sk"), 64)).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(est) ==
+           java.lang.Double.doubleToLongBits(fromSketch))
+  }
+
   test("substringSpans: result is identical across repartitionings") {
     val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
     val a = ExtQueries.substringSpans(base).collect().toSet
