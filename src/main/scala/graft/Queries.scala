@@ -862,6 +862,44 @@ object Queries {
   def eventsHourlyAgg(s: SparkSession, dir: String): DataFrame =
     hourlyAgg(Tables.events(s, dir))
 
+  /** Per-group OLS trend: regress hourly event count (y) on the
+    * absolute hour index (x = ts_ns div 1h) per event_type — slope,
+    * intercept, r² from the classic sum formulation. Every sum term
+    * (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT int64 (counts × hour
+    * indexes — magnitudes bounded well under 2^63), so the only
+    * floating-point ops are the final divides/multiplies in a pinned
+    * order — the regression hash-gates bit-exactly, no epsilon. Scale:
+    * two shuffles (hourly pre-agg keyed by (type, hour) with map-side
+    * combine, then the 6-sum rollup per type); nothing row-sized
+    * reaches the second stage.
+    */
+  def eventsRegression(s: SparkSession, dir: String): DataFrame =
+    olsTrend(Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("x"))
+      .agg(count(lit(1)).as("y")))
+
+  /** Core of [[eventsRegression]]: OLS over any (event_type, x, y)
+    * long-typed frame.
+    */
+  def olsTrend(hourly: DataFrame): DataFrame = {
+    val sums = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / den
+    sums.select(
+      col("event_type"), col("n"),
+      slope.as("slope"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n").cast("double")).as("intercept"),
+      ((num * num) / (den * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+        .as("r2"))
+  }
+
   /** Point-in-interval join through the bin-bucketed range join
     * (operators.RangeJoin) — 100 deterministic "maintenance window"
     * intervals (7h stride, 1-7h lengths, derived from min(ts) so both

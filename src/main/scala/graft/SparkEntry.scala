@@ -98,6 +98,7 @@ object SparkEntry {
     "events_json_extract" -> (Queries.eventsJsonExtract _),
     "events_asof_join" -> (Queries.eventsAsofJoin _),
     "events_interval_join" -> (Queries.eventsIntervalJoin _),
+    "events_regression" -> (Queries.eventsRegression _),
     // LLM-data-pipeline extensions
     "dedup_exact" -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
@@ -769,6 +770,25 @@ object SparkEntry {
         |  SELECT o_custkey AS cust_key FROM orders WHERE o_totalprice > 150000
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+
+    "events_regression" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS x, COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        |  (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+        |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS r2
+        |FROM a""".stripMargin,
 
     "events_interval_join" ->
       """WITH m AS (SELECT min(epoch_ns(ts)) AS mn FROM events),

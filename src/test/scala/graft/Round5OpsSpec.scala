@@ -157,6 +157,17 @@ class Round5OpsSpec extends SparkSpec {
            java.lang.Double.doubleToLongBits(fromSketch))
   }
 
+  test("olsTrend: exact line recovered exactly; r2 = 1") {
+    val pts = (0L until 100L).map(x => ("a", x, 3 * x + 7)) ++
+      (0L until 50L).map(x => ("b", x, 1000L - 2 * x))
+    val got = Queries.olsTrend(pts.toDF("event_type", "x", "y"))
+      .select("event_type", "slope", "intercept", "r2")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3.0, 7.0, 1.0)), s"line a misfit: ${got("a")}")
+    assert(got("b") == ((-2.0, 1000.0, 1.0)), s"line b misfit: ${got("b")}")
+  }
+
   test("substringSpans: result is identical across repartitionings") {
     val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
     val a = ExtQueries.substringSpans(base).collect().toSet
