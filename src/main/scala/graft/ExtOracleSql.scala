@@ -569,6 +569,67 @@ object ExtOracleSql {
        |UNION ALL SELECT '__direct' AS scope, n_distinct_est FROM gkmv""".stripMargin
   }
 
+  /** sim_ivfpq_topk twin: simIvfTopK's coarse lists/probes composed
+    * with simPqTopK's codes + ADC scoring — both approximation layers
+    * replayed. Candidates = probed (cid) matches; score = the PQ
+    * asymmetric-distance cosine with the same fold orders.
+    */
+  val simIvfpqTopK: String =
+    s"""WITH $vecsDouble,
+       |cb AS (SELECT vec_id AS c, vec FROM v WHERE vec_id < 16),
+       |sv AS (SELECT c, j, vec[j*8+1 : j*8+8] AS sub FROM cb CROSS JOIN range(0, 8) r(j)),
+       |xs AS (SELECT vec_id, j, vec[j*8+1 : j*8+8] AS sub FROM v CROSS JOIN range(0, 8) r(j)),
+       |codes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT x.vec_id, x.j, s.c AS code,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.j
+       |        ORDER BY ${sqDist("x.sub", "s.sub")} ASC NULLS LAST, s.c ASC NULLS FIRST) AS rn
+       |    FROM xs x JOIN sv s ON s.j = x.j) WHERE rn = 1),
+       |cc AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 8),
+       |lists AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM (
+       |    SELECT x.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${cosine("x.vec", "c.cvec")} DESC NULLS LAST, c.cid ASC NULLS FIRST) AS rn
+       |    FROM v x CROSS JOIN cc c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosine("q.vec", "c.cvec")} DESC NULLS LAST, c.cid ASC NULLS FIRST) AS rn
+       |    FROM v q CROSS JOIN cc c WHERE q.vec_id % 25 = 0)
+       |  WHERE rn <= 2),
+       |qn AS (
+       |  SELECT vec_id AS query_id, vec AS q_vec,
+       |    sqrt(list_reduce(list_transform(vec, x -> x * x), (a, x) -> a + x)) AS q_norm
+       |  FROM v WHERE vec_id % 25 = 0),
+       |cand AS (
+       |  SELECT p.query_id, l.neighbor_id
+       |  FROM probes p JOIN lists l USING (cid)
+       |  WHERE p.query_id <> l.neighbor_id),
+       |parts AS (
+       |  SELECT cand.query_id, cand.neighbor_id, k.j, qn.q_norm,
+       |    list_reduce([qn.q_vec[k.j*8 + i] * s.sub[i] for i in range(1, 9)],
+       |                (a, x) -> a + x) AS dot_j,
+       |    list_reduce(list_transform(s.sub, x -> x * x), (a, x) -> a + x) AS n2_j
+       |  FROM cand
+       |  JOIN codes k ON k.vec_id = cand.neighbor_id
+       |  JOIN sv s ON s.j = k.j AND s.c = k.code
+       |  JOIN qn ON qn.query_id = cand.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_reduce(list(dot_j ORDER BY j), (a, x) -> a + x)
+       |      / (MIN(q_norm) * sqrt(list_reduce(list(n2_j ORDER BY j), (a, x) -> a + x))) AS score
+       |  FROM parts GROUP BY query_id, neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
   val simAnnRecall: String = {
     def recallOf(method: String, approxSql: String): String =
       s"""SELECT '$method' AS method, query_id, n_hits,
@@ -584,7 +645,9 @@ object ExtOracleSql {
        |UNION ALL
        |${recallOf("ivf", simIvfTopK)}
        |UNION ALL
-       |${recallOf("pq", simPqTopK)}""".stripMargin
+       |${recallOf("pq", simPqTopK)}
+       |UNION ALL
+       |${recallOf("ivfpq", simIvfpqTopK)}""".stripMargin
   }
 
   /** One min-label propagation round over the symmetric+self-loop edge

@@ -997,6 +997,15 @@ object ExtQueries {
     Similarity.pqTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5)
   }
 
+  /** IVF-PQ: probed inverted lists × packed PQ codes with ADC scoring —
+    * the composed production ANN architecture (Similarity.ivfPqTopK);
+    * both approximation layers replayed by the DuckDB twin.
+    */
+  def simIvfpqTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    Similarity.ivfPqTopK(all, all.filter(col("vec_id") % 25 === 0), k = 5)
+  }
+
   /** Recall@5 of each approximate ANN path (hyperplane-LSH, IVF) against
     * the exact brute-force baseline, per query — the quality gate the
     * per-query hash-match cannot provide (each approximate query only
@@ -1019,6 +1028,7 @@ object ExtQueries {
     recallOf("lsh", simAnnLshTopK(s, dir))
       .unionByName(recallOf("ivf", simIvfTopK(s, dir)))
       .unionByName(recallOf("pq", simPqTopK(s, dir)))
+      .unionByName(recallOf("ivfpq", simIvfpqTopK(s, dir)))
   }
 
   /** Embedding near-dup: every 10th vector re-appears deterministically

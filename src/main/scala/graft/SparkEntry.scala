@@ -139,6 +139,7 @@ object SparkEntry {
     "sim_quantized_topk" -> (ExtQueries.simQuantizedTopK _),
     "sim_matryoshka_topk" -> (ExtQueries.simMatryoshkaTopK _),
     "sim_pq_topk" -> (ExtQueries.simPqTopK _),
+    "sim_ivfpq_topk" -> (ExtQueries.simIvfpqTopK _),
     "sim_ann_recall" -> (ExtQueries.simAnnRecall _),
     "mine_contrastive_pairs" -> (ExtQueries.mineContrastivePairs _),
     "multimodal_features" -> (ExtQueries.multimodalFeatures _),
@@ -1198,6 +1199,7 @@ object SparkEntry {
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
     "sim_matryoshka_topk" -> ExtOracleSql.simMatryoshkaTopK,
     "sim_pq_topk" -> ExtOracleSql.simPqTopK,
+    "sim_ivfpq_topk" -> ExtOracleSql.simIvfpqTopK,
     "sim_ann_recall" -> ExtOracleSql.simAnnRecall,
     "mine_contrastive_pairs" -> ExtOracleSql.mineContrastivePairs,
     "text_bigram_lm" -> ExtOracleSql.textBigramLm,

@@ -161,18 +161,25 @@ object Similarity {
     * one corpus scan; the probe join shuffles on list id, so each list
     * is an independent block (same property as the LSH buckets).
     */
+  /** Cosine-nearest coarse-centroid assignment (IVF list build / probe):
+    * keep the top-`keep` centroids per vector, ties → lowest cid.
+    */
+  private[graft] def ivfAssign(df: DataFrame, centroids: DataFrame,
+                               id: String, vec: String, keep: Int): DataFrame =
+    LatestPerKey.topKRanked(
+      df.crossJoin(broadcast(centroids))
+        .withColumn("c_score", cosine(col(vec), col("c_centroid"))),
+      keep, Seq(col(id)),
+      Seq(col("c_score").desc_nulls_last, col("cid").asc_nulls_first))
+      .select(col(id), col(vec), col("cid"))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 8, nprobe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).as("cid"), col(vecCol).as("c_centroid"))
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
-      LatestPerKey.topKRanked(
-        df.crossJoin(broadcast(centroids))
-          .withColumn("c_score", cosine(col(vec), col("c_centroid"))),
-        keep, Seq(col(id)),
-        Seq(col("c_score").desc_nulls_last, col("cid").asc_nulls_first))
-        .select(col(id), col(vec), col("cid"))
+      ivfAssign(df, centroids, id, vec, keep)
     val lists = assign(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "neighbor_id", "c_vec", keep = 1)
@@ -325,6 +332,56 @@ object Similarity {
     // dispatch per row (see PqAdcScore scaladoc; the composition stays
     // spec-asserted bit-identical).
     val scored = encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("pq_adc_score", col("packed"), col("lut"), col("q_norm"),
+          typedLit(n2flat), lit(ksub)).as("score"))
+    LatestPerKey.topKRanked(scored, k, Seq(col("query_id")),
+        Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** IVF-PQ: the full production ANN architecture (Jégou 2011) —
+    * coarse-quantize the corpus into `nlist` inverted lists (the
+    * [[ivfTopK]] convention), store each vector as ONE packed PQ code
+    * word, and answer queries by probing `nprobe` lists with ADC
+    * scoring (the [[pqTopK]] machinery) — candidates shrink to the
+    * probed lists AND the corpus is stored 32× smaller; the two
+    * approximations compose.
+    *
+    * Scale shape (100 TB): list build + encode are one corpus scan
+    * each (offline in production); the query join shuffles on list id
+    * so each list is an independent block, and the per-candidate work
+    * is the m-step primitive lookup fold — no D-dim arithmetic
+    * anywhere on the query path.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 8, nprobe: Int = 2, m: Int = 8, ksub: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("c_centroid"))
+    val cb = pqCodebooks(corpus, m, ksub, idCol, vecCol)
+    val lists = ivfAssign(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        centroids, "neighbor_id", "c_vec", keep = 1)
+      .select(col("neighbor_id"), col("cid"))
+      .join(pqEncode(corpus, cb, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("packed")), Seq("neighbor_id"))
+    val n2flat = cb.flatMap(_.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    })
+    val probes = ivfAssign(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        centroids, "query_id", "q_vec", keep = nprobe)
+      .withColumn("q_vec", asDouble(col("q_vec")))
+      .withColumn("lut", call_function("pq_lut", col("q_vec"),
+        typedLit(cb.map(_.map(_.toIndexedSeq)))))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .select(col("query_id"), col("cid"), col("lut"), col("q_norm"))
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         call_function("pq_adc_score", col("packed"), col("lut"), col("q_norm"),
           typedLit(n2flat), lit(ksub)).as("score"))

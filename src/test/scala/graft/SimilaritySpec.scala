@@ -115,7 +115,7 @@ class SimilaritySpec extends SparkSpec {
     val recalls = ExtQueries.simAnnRecall(spark, sfSmoke)
       .groupBy("method").agg(avg("recall_at_5").as("mean_recall"))
       .as[(String, Double)].collect().toMap
-    assert(recalls.keySet == Set("lsh", "ivf", "pq"))
+    assert(recalls.keySet == Set("lsh", "ivf", "pq", "ivfpq"))
     assert(recalls("lsh") >= 0.6, s"lsh mean recall@5 dropped to ${recalls("lsh")}")
     assert(recalls("ivf") >= 0.4, s"ivf mean recall@5 dropped to ${recalls("ivf")}")
     // PQ's loss is pure quantization DISTORTION (it scores every corpus
@@ -155,6 +155,9 @@ class SimilaritySpec extends SparkSpec {
     val pq = pairs(Similarity.pqTopK(df, queries, k = 5, m = 8, ksub = 16))
     val pqRecall = (exact intersect pq).size.toDouble / exact.size
     assert(pqRecall >= 0.8, s"clustered pq recall $pqRecall")
+    val ivfpq = pairs(Similarity.ivfPqTopK(df, queries, k = 5))
+    val ivfpqRecall = (exact intersect ivfpq).size.toDouble / exact.size
+    assert(ivfpqRecall >= 0.8, s"clustered ivfpq recall $ivfpqRecall")
   }
 
   test("pqEncode: packed codes equal a driver-computed argmin, nibble-packed") {
