@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 
-import graft.functions.{BloomFilterAgg, CosineSimilarity, HyperplaneBands, KmvDistinctAgg, KmvMergeAgg, KmvSketchAgg, MinhashBands, NearestCentroid, PqAdcScore, PqAdcSum, PqLut, VectorSumAgg}
+import graft.functions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, HyperplaneBands, KmvDistinctAgg, KmvMergeAgg, KmvSketchAgg, MinhashBands, NearestCentroid, PqAdcScore, PqAdcSum, PqLut, VectorSumAgg}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
   * or `builder.withExtensions(new GraftExtensions)`): registers the
@@ -119,6 +119,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bloom_agg: m_bits must be a non-null literal, got $e")
         }
         BloomFilterAgg(children.head, m).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      BloomMightContain.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"bloom_might_contain(key, words, m_bits) takes 3 arguments, got ${children.length}")
+        val words = children(1) match {
+          case e if e.foldable && e.eval() != null =>
+            val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            IndexedSeq.tabulate(ad.numElements())(ad.getLong)
+          case e => throw new IllegalArgumentException(
+            s"bloom_might_contain: words must be a literal array, got $e")
+        }
+        BloomMightContain(children(0), words, litInt(children(2), "bloom_might_contain: m_bits"))
       }))
     ext.injectFunction((
       FunctionIdentifier("pq_lut"),

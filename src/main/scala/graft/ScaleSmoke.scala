@@ -85,7 +85,12 @@ object ScaleSmoke {
       // rounds and the in-cluster pair expansion
       "dedup_clusters" -> (ExtQueries.dedupClusters _),
       "pipeline_dedup_canonical" -> (ExtQueries.pipelineDedupCanonical _),
-      "dedup_semantic" -> (ExtQueries.dedupSemantic _))
+      "dedup_semantic" -> (ExtQueries.dedupSemantic _),
+      // round 5: substring-span dedup at 10× dup density — every 8-word
+      // window of every doc has ~10 corpus-wide twins, so essentially
+      // ALL positions survive the duplicate filter and the island merge
+      // runs at full width; the digest groupBy must stay balanced
+      "text_substring_spans" -> (ExtQueries.textSubstringSpans _))
 
     println(s"| query | rows | sec | worst-stage tasks | median MB | max MB | max/median |")
     println(s"| --- | --- | --- | --- | --- | --- | --- |")

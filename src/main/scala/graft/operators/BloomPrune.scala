@@ -29,13 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
-  /** Membership test as a pure column expression: for each of the 4
-    * md5-derived positions (the same arithmetic BloomFilterAgg.insert
-    * uses), test the bit in the broadcast bitmap literal. Arithmetic
-    * shift is fine: `(w >> s) & 1` equals the logical-shift test for
-    * s in 0..63.
+  /** Membership test as ONE native expression (functions.
+    * BloomMightContain): digest bytes → 4 positions → 4 bit probes on
+    * a baked-in primitive long[]. The composed-column form below is
+    * the SQL-stated reference; it paid four hex-string round-trips
+    * (md5 → substring → conv) per row — measured 2.9 s for the filter
+    * alone on sf0.1 lineitem, which inverted the whole point of
+    * pruning (PLANS.md #13).
     */
-  def mightContain(key: Column, words: Seq[Long], mBits: Int): Column = {
+  def mightContain(key: Column, words: Seq[Long], mBits: Int): Column =
+    call_function("bloom_might_contain", key,
+      typedLit(words.toIndexedSeq), lit(mBits))
+
+  /** The pure-column reference form (the arithmetic the scaladocs and
+    * parity spec state): for each of the 4 md5-derived positions —
+    * `conv(substring(md5(key), 1+8i, 8), 16, 10) % mBits`, the same
+    * as BloomFilterAgg.insert — test the bit in the bitmap literal.
+    * Arithmetic shift is fine: `(w >> s) & 1` equals the logical-shift
+    * test for s in 0..63.
+    */
+  private[graft] def mightContainSql(key: Column, words: Seq[Long], mBits: Int): Column = {
     require(words.length == mBits / 64, s"bitmap length ${words.length} != $mBits/64")
     val hex = md5(key.cast("binary"))
     (0 until graft.functions.BloomFilterAgg.NumHashes).map { i =>

@@ -192,6 +192,26 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("round-5 ops: no cartesian, binned range join is an equi-join, bloom filters pre-join") {
+    // range join: the bin key must make this an equi-join (hash or SMJ),
+    // never a nested loop over the BETWEEN predicate
+    val rj = staticPlan(Queries.eventsIntervalJoin(spark, sfSmoke))
+    assert(!rj.contains("NestedLoop") && !rj.contains("CartesianProduct"), rj.take(4000))
+    // bloom prune: the membership test is a Filter BELOW the semi-join
+    // (scan-stage pruning), and the join stays a real semi-join
+    val bp = staticPlan(Queries.j7BloomPrune(spark, sfSmoke))
+    assert(planLines(bp, "LeftSemi").nonEmpty, bp.take(4000))
+    assert(bp.contains("bloom_might_contain"), "bloom membership filter missing from the plan")
+    // substring spans: exactly two exchanges feed the island window —
+    // the digest groupBy and the doc-keyed window (plus AQE reuse)
+    val sp = staticPlan(ExtQueries.textSubstringSpans(spark, sfSmoke))
+    assert(!sp.contains("CartesianProduct"), sp.take(4000))
+    // PQ ADC scoring: corpus side must carry ONLY (id, packed) into the
+    // scoring join — no embedding array on the stream side of the join
+    val pq = staticPlan(ExtQueries.simPqTopK(spark, sfSmoke))
+    assert(!pq.contains("CartesianProduct"), pq.take(4000))
+  }
+
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
     // codegen spans only show on the executed plan, as `*(n)` stage
     // markers (AQE's static formatted plan omits the annotation)

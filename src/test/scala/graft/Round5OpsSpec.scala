@@ -61,11 +61,21 @@ class Round5OpsSpec extends SparkSpec {
       assert(graft.functions.BloomFilterAgg.mightContain(
         words.toArray, mBits, k.getBytes("UTF-8")), s"false negative (scala): $k")
     }
-    // Column-side test (the conv/substring/md5 arithmetic must address
-    // the SAME bits as the aggregate's byte arithmetic)
-    val passed = df.filter(graft.operators.BloomPrune.mightContain(col("k"), words, mBits))
-      .count()
-    assert(passed == keys.length, s"column-side test lost keys: $passed/${keys.length}")
+    // native expression AND the SQL-stated conv/substring/md5 reference
+    // must both address the SAME bits as the aggregate's byte arithmetic
+    val passedNative = df.filter(
+      graft.operators.BloomPrune.mightContain(col("k"), words, mBits)).count()
+    val passedSql = df.filter(
+      graft.operators.BloomPrune.mightContainSql(col("k"), words, mBits)).count()
+    assert(passedNative == keys.length, s"native test lost keys: $passedNative/${keys.length}")
+    assert(passedSql == keys.length, s"sql-form test lost keys: $passedSql/${keys.length}")
+    // and they agree on non-members too (bit-addressing parity on 5000 probes)
+    val probes = (0 until 5000).map(i => s"probe_$i").toDF("k")
+    val nSet = probes.filter(graft.operators.BloomPrune.mightContain(col("k"), words, mBits))
+      .as[String].collect().toSet
+    val sSet = probes.filter(graft.operators.BloomPrune.mightContainSql(col("k"), words, mBits))
+      .as[String].collect().toSet
+    assert(nSet == sSet, "native and SQL membership tests diverge")
   }
 
   test("bloom: bitmap is partition-invariant and FP rate is sane") {
