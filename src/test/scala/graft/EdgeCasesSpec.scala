@@ -100,4 +100,61 @@ class EdgeCasesSpec extends SparkSpec {
     val bpe = df.select(size(TextFunctions.bpeTokens(col("text")))).as[Int].collect().toSeq
     assert(bpe == Seq(0, 1, 2))
   }
+
+  test("bloom semi-join: null keys never match; empty small side prunes everything") {
+    import spark.implicits._
+    val big = Seq((Some(1L), "a"), (None, "b"), (Some(99L), "c"))
+      .toDF("id", "payload")
+    val small = Seq(1L).toDF("sid")
+    val got = graft.operators.BloomPrune.semiJoin(big, small, "id", "sid")
+      .select("payload").as[String].collect().toSet
+    assert(got == Set("a"), s"null/non-member keys must be pruned: $got")
+    val empty = small.filter(col("sid") < 0)
+    assert(graft.operators.BloomPrune.semiJoin(big, empty, "id", "sid").count() == 0)
+  }
+
+  test("range join: empty intervals side and out-of-range points yield empty") {
+    import spark.implicits._
+    val pts = Seq((1L, 100L)).toDF("pid", "t")
+    val ivs = Seq((1L, 200L, 300L)).toDF("iid", "s", "e")
+    assert(graft.operators.RangeJoin
+      .pointInInterval(pts, "t", ivs.filter(col("iid") < 0), "s", "e", 64L).count() == 0)
+    assert(graft.operators.RangeJoin
+      .pointInInterval(pts, "t", ivs, "s", "e", 64L).count() == 0)
+  }
+
+  test("substringSpans: null text and whitespace-only docs are ignored") {
+    import spark.implicits._
+    val d = Seq((1L, Option("")), (2L, None), (3L, Option("   ")),
+        (4L, Option((0 until 20).map(i => s"w$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    assert(ExtQueries.substringSpans(d).count() == 0)
+  }
+
+  test("pq: corpus exactly ksub vectors encodes to self-codes; tiny query set works") {
+    import spark.implicits._
+    val df = (0 until 16).map(i =>
+      (i.toLong, Seq.tabulate(16)(d => math.sin(i * 2.7 + d) * 3))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, m = 4, ksub = 16)
+    // every corpus vector IS a codeword per subspace -> its code must be
+    // its own index (d2 = 0 beats every other codeword on these vectors)
+    val packed = Similarity.pqEncode(df, cb).as[(Long, Long)].collect().toMap
+    (0 until 16).foreach { i =>
+      val expect = (0 until 4).map(j => i.toLong << (4 * j)).sum
+      assert(packed(i.toLong) == expect, s"vector $i not self-coded: ${packed(i.toLong)}")
+    }
+    val topk = Similarity.pqTopK(df, df.filter(col("vec_id") === 0), k = 3)
+    assert(topk.count() == 3)
+  }
+
+  test("kmv sketch: empty input -> empty sketch, estimate 0; merge of empties is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("k")
+    val sk = empty.agg(call_function("kmv_sketch", col("k"), lit(8))).head().getSeq[Long](0)
+    assert(sk.isEmpty)
+    val est = Seq(Tuple1(Seq.empty[Long])).toDF("sk")
+      .agg(call_function("kmv_merge", col("sk"), lit(8)).as("m"))
+      .select(ExtQueries.kmvEstimate(col("m"), 8)).head().getDouble(0)
+    assert(est == 0.0)
+  }
 }
