@@ -535,6 +535,124 @@ object ExtOracleSql {
       |  end_pos - start_pos + 1 AS n_words
       |FROM sp""".stripMargin
 
+  /** text_segment_dedup twin: 10-word segments (list-comprehension
+    * unnest, the textSubstringSpans precedent), cross-doc duplication
+    * as MIN(doc_id) <> MAX(doc_id) over the segment partition (the
+    * same O(1)-state window the engine plans), reassembly via ordered
+    * string_agg. The +2M planted copies drop their first 10 words, so
+    * copy segment j == original segment j+1 (mirrored plant).
+    */
+  val textSegmentDedup: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |         array_to_string(ws[11:len(ws)], ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE doc_id % 10 = 0),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+      |segs0 AS (
+      |  SELECT doc_id,
+      |    unnest([{'i': i, 'seg': array_to_string(w[(i*10+1):(i*10+10)], ' ')}
+      |            for i in range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))]) AS s
+      |  FROM toks),
+      |segs AS (SELECT doc_id, s.i AS seg_idx, s.seg AS seg FROM segs0),
+      |m AS (SELECT doc_id, seg_idx, seg,
+      |        MIN(doc_id) OVER (PARTITION BY seg)
+      |          <> MAX(doc_id) OVER (PARTITION BY seg) AS xdoc
+      |      FROM segs),
+      |rebuilt AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      |  FROM m WHERE NOT xdoc GROUP BY doc_id),
+      |nseg AS (SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_segments
+      |         FROM toks)
+      |SELECT n.doc_id, n.n_segments,
+      |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(n.n_segments - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+      |  md5(COALESCE(r.clean_text, '')) AS clean_md5
+      |FROM nseg n LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
+  /** layout_zorder twin: the Morton interleave as unrolled shift/mask
+    * terms — disjoint bit positions, so `+` equals the engine's OR.
+    */
+  val layoutZorder: String = {
+    val terms = (0 until 21).flatMap(i => Seq(
+      s"(((l_partkey >> $i) & 1) << ${2 * i + 1})",
+      s"(((l_suppkey >> $i) & 1) << ${2 * i})"))
+    s"""SELECT l_orderkey AS order_key, CAST(l_linenumber AS BIGINT) AS line_no,
+       |  l_partkey AS part_key, l_suppkey AS supp_key,
+       |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+       |FROM lineitem""".stripMargin
+  }
+
+  /** agg_quantile_sketch twin: the bottom-k row sample replayed as
+    * ORDER BY the 13-hex md5 prefix of the row key (fixed-length hex
+    * sorts like the engine's numeric hash52), quantiles as index picks
+    * off the sorted sample. Both scopes come from the same sample
+    * because min-k merge is lossless — which is exactly the property
+    * the engine's merged-vs-direct pair proves. The dk CTE states the
+    * sketch's distinct-key contract: the synthetic lineitem carries
+    * duplicate (orderkey, linenumber) pairs (~6% of rows), and the
+    * engine keeps one entry per hash with the MINIMUM value — rank
+    * raw rows instead and the samples diverge (caught by this gate's
+    * first run).
+    */
+  val aggQuantileSketch: String =
+    """WITH keyed AS (
+      |  SELECT l_returnflag AS rf,
+      |    substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+      |               || CAST(l_linenumber AS VARCHAR)), 1, 13) AS h,
+      |    CAST(l_extendedprice AS DOUBLE) AS v
+      |  FROM lineitem),
+      |dk AS (SELECT rf, h, MIN(v) AS v FROM keyed GROUP BY rf, h),
+      |r AS (SELECT rf, v,
+      |        ROW_NUMBER() OVER (PARTITION BY rf ORDER BY h) AS rn
+      |      FROM dk),
+      |samp AS (SELECT rf, list_sort(list(v)) AS vs
+      |         FROM r WHERE rn <= 128 GROUP BY rf),
+      |est AS (SELECT rf, CAST(len(vs) AS BIGINT) AS n_sample,
+      |         vs[CAST(floor(0.25 * (len(vs) - 1)) AS BIGINT) + 1] AS p25,
+      |         vs[CAST(floor(0.50 * (len(vs) - 1)) AS BIGINT) + 1] AS p50,
+      |         vs[CAST(floor(0.75 * (len(vs) - 1)) AS BIGINT) + 1] AS p75
+      |        FROM samp)
+      |SELECT rf || '|merged' AS scope, n_sample, p25, p50, p75 FROM est
+      |UNION ALL
+      |SELECT rf || '|direct' AS scope, n_sample, p25, p50, p75 FROM est""".stripMargin
+
+  /** graph_pagerank twin: the 3 damped updates unrolled as CTEs (the
+    * k-means Lloyd precedent) in the identical fixed-point arithmetic —
+    * `//` here, `div` in the engine; both truncate, and every operand
+    * is positive. Integer sums are order-free, so the hash gate holds
+    * under any partitioning.
+    */
+  val graphPageRank: String = {
+    val S = graft.operators.PageRank.Scale
+    val iters = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |    CAST(SUM(r${i - 1}.r // o.out_deg) AS BIGINT) AS contrib
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |         JOIN outdeg o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT nodes.node,
+         |    ((15 * $S // 100) // nn.n)
+         |      + (85 * COALESCE(c$i.contrib, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM cs
+       |      UNION ALL SELECT b AS src, a AS dst FROM cs),
+       |outdeg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $S // n AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT r3.node, o.out_deg, CAST(r3.r AS BIGINT) AS rank_fp
+       |FROM r3 JOIN outdeg o ON r3.node = o.src""".stripMargin
+  }
+
   /** qa_sketch_reagg twin: the per-source and global KMV estimates via
     * the same min-k + 63/(v_64/2^52) arithmetic as the engine
     * (qaProfileActivitiesKmv precedent). The oracle computes __merged

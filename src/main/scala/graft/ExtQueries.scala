@@ -428,6 +428,131 @@ object ExtQueries {
     perSource.unionByName(merged).unionByName(direct)
   }
 
+  /** Corpus-level duplicated-SEGMENT removal with document reassembly
+    * (the C4/RefinedWeb "remove lines duplicated across documents"
+    * cleaning pass, at fixed 10-word segment granularity since the
+    * corpus has no newlines): a segment whose exact text occurs in ≥ 2
+    * DISTINCT documents is cut from every document carrying it; the
+    * survivors reassemble in position order. Differs from
+    * [[textSubstringSpans]] (a detector emitting span coordinates):
+    * this op REWRITES the corpus — the gate row carries the cleaned
+    * text's md5 (the payload itself would go to the sink).
+    *
+    * Planted fixture: every 10th doc re-appears shifted LEFT by exactly
+    * one segment width (first 10 words dropped), so copy segment j ==
+    * original segment j+1 — the original keeps only its first segment,
+    * the copy loses everything: both the partial- and full-removal
+    * paths run on the real corpus (oracle mirrors the plant).
+    *
+    * Scale shape (100 TB): segments shuffle ONCE, partitioned by their
+    * 16-byte digest (a groupBy(dig)+join-back would re-scan and
+    * re-segment the corpus for the probe side — the TF-IDF lesson);
+    * cross-doc duplication is min(doc_id) != max(doc_id) over that
+    * window — O(1) state per key even for a segment present in
+    * millions of docs, where collect_set would OOM the hot key.
+    * Reassembly is one doc-keyed groupBy whose state is bounded by
+    * document length (documents are bounded; corpora are not).
+    */
+  def segmentDedup(d: DataFrame, W: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = d
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(w) / ${W}.0) AS INT) - 1),
+           |  i -> struct(CAST(i AS BIGINT) AS seg_idx,
+           |              array_join(slice(w, i * $W + 1, $W), ' ') AS seg))""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
+    val byDig = Window.partitionBy(md5(col("seg").cast("binary")))
+    val kept = segs
+      .withColumn("xdoc",
+        min(col("doc_id")).over(byDig) =!= max(col("doc_id")).over(byDig))
+      .filter(!col("xdoc"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x.getField("seg")), " ").as("clean_text"))
+    d.select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / lit(W.toDouble)).cast("long").as("n_segments"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit("")).cast("binary")).as("clean_md5"))
+  }
+
+  def textSegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val aug = d.select(col("doc_id"), col("text")).unionByName(
+      d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"),
+        array_join(expr(
+          "slice(split(text, ' '), 11, greatest(size(split(text, ' ')) - 10, 0))"),
+          " ").as("text")))
+    segmentDedup(aug)
+  }
+
+  /** Z-order (Morton) clustering key over (part, supplier) — the
+    * layout column [[graft.operators.Layout.zorderLayout]] range-
+    * partitions and sorts by so box predicates prune files on parquet
+    * min/max stats in BOTH dimensions. The gate pins the interleave
+    * arithmetic; LayoutSpec proves the pruning win (fewer partition
+    * bounding boxes intersect a box query than under a linear sort).
+    */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem").select(
+      col("l_orderkey").as("order_key"),
+      col("l_linenumber").cast("long").as("line_no"),
+      col("l_partkey").as("part_key"),
+      col("l_suppkey").as("supp_key"),
+      graft.operators.Layout.zorderKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+
+  /** Quantile read-off from a stored row-sample sketch, as PLAIN column
+    * arithmetic: sort the sampled values, pick index floor(q·(n-1)) —
+    * no interpolation, so the estimate is an actual data value and
+    * hash-gates exactly.
+    */
+  def sampleQuantile(sketch: Column, q: Double): Column = {
+    val vals = array_sort(transform(sketch, x => x.getField("v")))
+    when(size(vals) === 0, lit(null).cast("double"))
+      .otherwise(element_at(vals,
+        (floor(lit(q) * (size(vals) - 1)) + 1).cast("int")))
+  }
+
+  /** Re-aggregatable QUANTILE sketches (the third sketch family next to
+    * KMV distinct counts and Bloom membership): one bottom-k-by-hash
+    * row sample per (returnflag, linestatus) group, merged per
+    * returnflag WITHOUT rescanning (`sample_merge`), vs the same
+    * sketch computed directly from the raw rows — p25/p50/p75 read off
+    * both. Min-k by content hash makes merge lossless, so merged ==
+    * direct row-for-row; the DuckDB oracle states the selection as
+    * ORDER BY md5-prefix and both scopes from the same sample, so a
+    * broken merge path breaks the hash gate. The 100 TB pattern:
+    * scan each day/partition once, store k (hash, value) pairs per
+    * group, answer later quantile rollups from the sketches alone.
+    */
+  def aggQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val keyed = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("key"),
+      col("l_extendedprice").cast("double").as("v"))
+    val perLs = keyed.groupBy("rf", "ls")
+      .agg(call_function("sample_sketch", col("key"), col("v"), lit(k)).as("sk"))
+    val merged = perLs.groupBy("rf")
+      .agg(call_function("sample_merge", col("sk"), lit(k)).as("sk"))
+    val direct = keyed.groupBy("rf")
+      .agg(call_function("sample_sketch", col("key"), col("v"), lit(k)).as("sk"))
+    def est(d: DataFrame, tag: String): DataFrame = d.select(
+      concat(col("rf"), lit("|" + tag)).as("scope"),
+      size(col("sk")).cast("long").as("n_sample"),
+      sampleQuantile(col("sk"), 0.25).as("p25"),
+      sampleQuantile(col("sk"), 0.50).as("p50"),
+      sampleQuantile(col("sk"), 0.75).as("p75"))
+    est(merged, "merged").unionByName(est(direct, "direct"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word-8-gram with the held-out benchmark slice (every 50th doc) —
     * the standard eval-leakage sweep a pretraining pipeline runs before
@@ -766,6 +891,27 @@ object ExtQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClustersOf(docs(s, dir))
 
+  /** PageRank over the customer–supplier transaction graph (who trades
+    * with whom, via orders ⋈ lineitem), 3 damped iterations in
+    * fixed-point arithmetic — see [[graft.operators.PageRank]] for the
+    * determinism and scale rationale. The symmetric closure makes the
+    * bipartite graph undirected (and dangling-free); suppliers serving
+    * many customers and customers spread across many suppliers
+    * accumulate rank.
+    */
+  def graphPageRank(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    val cs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edges = cs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(cs.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.PageRank.run(edges, iterations = 3)
+  }
+
   /** [[dedupClusters]] over an explicit (doc_id, text) frame (fixture entry). */
   def dedupClustersOf(d: DataFrame): DataFrame = {
     val c = chunked(d)
@@ -964,10 +1110,22 @@ object ExtQueries {
     * cancels in cosine, so ranks match dequantized scoring exactly.
     */
   def simQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
-    // the tinyint codes are the stored form; scoring takes a double view
-    // (every term is an exact integer < 2^53, so this is lossless)
-    val qz = Similarity.quantizeInt8(vecs(s, dir))
-      .withColumn("qd", transform(col("q"), _.cast("double")))
+    // int8 codes as a double view (every term is an exact integer
+    // < 2^53, so integer-code cosine is lossless and engine-portable).
+    // quantize_i8d is the native fused quantizer (the composed-HOF
+    // form stays in Similarity.quantizeInt8 as the tinyint STORAGE
+    // path and the spec-asserted reference). The repartition is a
+    // MATERIALIZATION BARRIER, not a distribution choice: codegen
+    // defers a stream-side projection into the broadcast-join pair
+    // loop, so without it the quantizer re-runs per (query, corpus)
+    // PAIR — measured 2.5 s vs 0.5 s exact at sf0.1; with the codes
+    // materialized through the exchange the loop streams stored
+    // values (0.6 s). Production reads codes pre-encoded from
+    // storage; the bench-only re-encode pays one tiny exchange of
+    // the 32×-compressed codes (PLANS.md lesson 12/18).
+    val qz = vecs(s, dir).select(col("vec_id"),
+      call_function("quantize_i8d", col("embedding")).as("qd"))
+      .repartition(col("vec_id"))
     Similarity.bruteForceTopK(
       qz, qz.filter(col("vec_id") % 25 === 0), k = 5, vecCol = "qd")
   }

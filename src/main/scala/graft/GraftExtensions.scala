@@ -107,6 +107,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvMergeAgg(children.head, litInt(children(1), "kmv_merge: k")).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("quantize_i8d"),
+      graft.functions.QuantizeInt8.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"quantize_i8d(vec) takes 1 argument, got ${children.length}")
+        graft.functions.QuantizeInt8(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sample_sketch"),
+      graft.functions.SampleSketchAgg.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"sample_sketch(key, value, k) takes 3 arguments, got ${children.length}")
+        graft.functions.SampleSketchAgg(children(0), children(1),
+          litInt(children(2), "sample_sketch: k")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sample_merge"),
+      graft.functions.SampleMergeAgg.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"sample_merge(sketch, k) takes 2 arguments, got ${children.length}")
+        graft.functions.SampleMergeAgg(children.head,
+          litInt(children(1), "sample_merge: k")).toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("bloom_agg"),
       BloomFilterAgg.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

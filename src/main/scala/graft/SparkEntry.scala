@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_simhash" -> (ExtQueries.dedupSimhash _),
     "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
     "dedup_clusters" -> (ExtQueries.dedupClusters _),
+    "graph_pagerank" -> (ExtQueries.graphPageRank _),
     "dedup_semantic" -> (ExtQueries.dedupSemantic _),
     "pipeline_dedup_canonical" -> (ExtQueries.pipelineDedupCanonical _),
     "text_chunks" -> (ExtQueries.textChunks _),
@@ -119,7 +120,10 @@ object SparkEntry {
     "text_bigram_lm" -> (ExtQueries.textBigramLm _),
     "text_decontaminate" -> (ExtQueries.textDecontaminate _),
     "text_substring_spans" -> (ExtQueries.textSubstringSpans _),
+    "text_segment_dedup" -> (ExtQueries.textSegmentDedup _),
     "qa_sketch_reagg" -> (ExtQueries.qaSketchReagg _),
+    "agg_quantile_sketch" -> (ExtQueries.aggQuantileSketch _),
+    "layout_zorder" -> (ExtQueries.layoutZorder _),
     "text_decontaminate_fuzzy" -> (ExtQueries.textDecontaminateFuzzy _),
     "text_pii_redact" -> (ExtQueries.piiRedact _),
     "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
@@ -178,7 +182,9 @@ object SparkEntry {
     "streaming_interval_join_outer", "multimodal_video",
     "mine_contrastive_pairs", "pipeline_dedup_canonical", "text_bigram_lm",
     "streaming_session_window", "text_decontaminate_fuzzy",
-    "events_anomaly_zscore", "j6_salted_join", "events_gap_fill")
+    "events_anomaly_zscore", "j6_salted_join", "events_gap_fill",
+    "text_segment_dedup", "graph_pagerank", "agg_quantile_sketch",
+    "layout_zorder")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1060,7 +1066,10 @@ object SparkEntry {
         |FROM r WHERE rank <= 3""".stripMargin,
 
     "text_substring_spans" -> ExtOracleSql.textSubstringSpans,
+    "text_segment_dedup" -> ExtOracleSql.textSegmentDedup,
     "qa_sketch_reagg" -> ExtOracleSql.qaSketchReagg,
+    "agg_quantile_sketch" -> ExtOracleSql.aggQuantileSketch,
+    "layout_zorder" -> ExtOracleSql.layoutZorder,
     "text_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |sh AS (
@@ -1176,6 +1185,7 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> ExtOracleSql.dedupMinhashLsh,
     "dedup_clusters" -> ExtOracleSql.dedupClusters,
+    "graph_pagerank" -> ExtOracleSql.graphPageRank,
     "dedup_semantic" -> ExtOracleSql.dedupSemantic,
     "pipeline_dedup_canonical" -> ExtOracleSql.pipelineDedupCanonical,
 

@@ -212,6 +212,30 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!pq.contains("CartesianProduct"), pq.take(4000))
   }
 
+  test("round-6 ops: segment dedup shuffles once per stage, pagerank joins stay equi, zkey is pure codegen") {
+    // segment dedup: ONE digest-partitioned window (no groupBy+join-back
+    // double scan) then the doc-keyed reassembly; no cartesian anywhere
+    val sd = staticPlan(ExtQueries.textSegmentDedup(spark, sfSmoke))
+    assert(!sd.contains("CartesianProduct"), sd.take(4000))
+    assert("Window \\(\\d+\\)".r.findAllIn(sd).size == 1,
+      "segment dedup must mark duplication in ONE window pass:\n" + sd.take(4000))
+    // pagerank: every per-iteration join is hash/SMJ on the node key —
+    // a nested loop would be quadratic in |V| at scale
+    val pr = staticPlan(ExtQueries.graphPageRank(spark, sfSmoke))
+    assert(!pr.contains("NestedLoop") && !pr.contains("CartesianProduct"),
+      pr.take(4000))
+    // z-order key: pure bit arithmetic in the scan stage — the whole
+    // query is scan + project, zero exchanges
+    val zk = staticPlan(ExtQueries.layoutZorder(spark, sfSmoke))
+    assert(countExchanges(zk) == 0, zk.take(3000))
+    assert(!zk.contains("BatchEvalPython") && !zk.contains("Generate"), zk.take(3000))
+    // quantile sketch: partial+final hash aggregation around the group
+    // exchange (the typed-imperative agg must keep map-side partials)
+    val qs = staticPlan(ExtQueries.aggQuantileSketch(spark, sfSmoke))
+    assert(planLines(qs, "sample_sketch").nonEmpty, qs.take(3000))
+    assert(!qs.contains("CartesianProduct"), qs.take(3000))
+  }
+
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
     // codegen spans only show on the executed plan, as `*(n)` stage
     // markers (AQE's static formatted plan omits the annotation)

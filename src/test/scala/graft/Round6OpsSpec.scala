@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-6 operators (segment dedup, PageRank, sample
+  * quantile sketch, z-order layout).
+  */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("segmentDedup: shifted copy removes all but the original's head segment") {
+    // doc 2 = doc 1 minus its first 10 words: copy segment j aligns
+    // with original segment j+1, so the original keeps ONLY segment 0
+    // and the copy keeps nothing. doc 3 is untouched.
+    val orig = words("a", 30)
+    val copy = orig.split(" ").drop(10).mkString(" ")
+    val d = Seq(
+      (1L, orig), (2L, copy), (3L, words("u", 25))
+    ).toDF("doc_id", "text")
+    val got = ExtQueries.segmentDedup(d)
+      .select("doc_id", "n_segments", "n_kept", "n_removed")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 1L, 2L), (2L, 2L, 0L, 2L), (3L, 3L, 3L, 0L)),
+      s"unexpected: $got")
+  }
+
+  test("segmentDedup: unique corpus is untouched and reassembles to the input text") {
+    val t1 = words("x", 25)
+    val d = Seq((1L, t1), (2L, words("y", 12))).toDF("doc_id", "text")
+    val got = ExtQueries.segmentDedup(d)
+      .filter($"doc_id" === 1L)
+      .select("n_removed", "clean_md5").as[(Long, String)].head()
+    val expectMd5 = spark.range(1)
+      .select(md5(lit(t1).cast("binary"))).as[String].head()
+    assert(got == ((0L, expectMd5)), s"unexpected: $got")
+  }
+
+  test("segmentDedup: WITHIN-doc repetition is kept (cross-doc only, like RefinedWeb)") {
+    // one doc repeats its own first segment; no other doc shares it
+    val seg = words("r", 10)
+    val d = Seq(
+      (1L, seg + " " + seg),
+      (2L, words("z", 15))
+    ).toDF("doc_id", "text")
+    val got = ExtQueries.segmentDedup(d)
+      .filter($"doc_id" === 1L)
+      .select("n_kept", "n_removed").as[(Long, Long)].head()
+    assert(got == ((2L, 0L)), s"within-doc repeat must survive: $got")
+  }
+
+  test("pageRank: symmetric 2-cycle is the fixed point — each node holds S/2 forever") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val got = operators.PageRank.run(edges, iterations = 3)
+      .select("node", "rank_fp").as[(String, Long)].collect().toMap
+    val half = operators.PageRank.Scale / 2
+    assert(got == Map("a" -> half, "b" -> half), s"unexpected: $got")
+  }
+
+  test("pageRank: 3-leaf star, one iteration, hand-computed fixed-point values") {
+    // N=4, r0 = S/4. hub gets 3 whole leaf ranks; each leaf gets
+    // (S/4) div 3 from the hub. base = (15*S div 100) div 4.
+    val edges = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"),
+      ("l1", "h"), ("l2", "h"), ("l3", "h")).toDF("src", "dst")
+    val got = operators.PageRank.run(edges, iterations = 1)
+      .select("node", "out_deg", "rank_fp").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val s = operators.PageRank.Scale
+    val base = (15 * s / 100) / 4
+    val hub = base + 85 * (3 * (s / 4)) / 100
+    val leaf = base + 85 * ((s / 4) / 3) / 100
+    assert(got == Map(
+      "h" -> ((3L, hub)), "l1" -> ((1L, leaf)),
+      "l2" -> ((1L, leaf)), "l3" -> ((1L, leaf))), s"unexpected: $got")
+  }
+
+  test("pageRank: total mass is conserved up to truncation loss") {
+    val got = ExtQueries.graphPageRank(spark, sfSmoke)
+      .agg(sum("rank_fp"), count(lit(1)), sum("out_deg"))
+      .as[(Long, Long, Long)].head()
+    val (total, n, e) = got
+    val s = operators.PageRank.Scale
+    // truncation loses < 1 unit per contrib div (one per edge per
+    // round), < 1 per damped-product div (one per node per round),
+    // plus < n on the initial split — bound by 3 rounds of (e + n) + n
+    assert(total <= s && total >= s - (3 * (e + n) + n),
+      s"mass $total of $s over $n nodes / $e edges")
+  }
+
+  test("sampleQuantile: k larger than the data makes the sketch exact") {
+    // 101 rows, k=128 → the "sample" is the whole dataset, so the
+    // index-pick quantiles are the exact order statistics
+    val d = (0 to 100).map(i => (s"k$i", i.toDouble)).toDF("key", "v")
+    val sk = d.agg(call_function("sample_sketch", $"key", $"v", lit(128)).as("sk"))
+    val got = sk.select(
+      ExtQueries.sampleQuantile($"sk", 0.25),
+      ExtQueries.sampleQuantile($"sk", 0.5),
+      ExtQueries.sampleQuantile($"sk", 0.75)).as[(Double, Double, Double)].head()
+    assert(got == ((25.0, 50.0, 75.0)), s"unexpected: $got")
+  }
+
+  test("sample_merge of group sketches equals the direct sketch (lossless re-agg)") {
+    val d = (0 until 1000).map(i => (i % 7, s"key$i", (i * 37 % 997).toDouble))
+      .toDF("g", "key", "v")
+    val k = 32
+    val merged = d.groupBy("g")
+      .agg(call_function("sample_sketch", $"key", $"v", lit(k)).as("sk"))
+      .agg(call_function("sample_merge", $"sk", lit(k)).as("sk"))
+    val direct = d.agg(call_function("sample_sketch", $"key", $"v", lit(k)).as("sk"))
+    val m = merged.select(to_json($"sk")).as[String].head()
+    val dd = direct.select(to_json($"sk")).as[String].head()
+    assert(m == dd, s"merged $m != direct $dd")
+  }
+
+  test("sample_sketch keeps exactly the k smallest row-key hashes") {
+    val d = (0 until 500).map(i => (s"row$i", i.toDouble)).toDF("key", "v")
+    val n = d.agg(call_function("sample_sketch", $"key", $"v", lit(64)).as("sk"))
+      .select(size($"sk")).as[Int].head()
+    assert(n == 64)
+  }
+
+  test("quantize_i8d is bit-identical to the composed-HOF quantization pipeline") {
+    val v = sources.Tables.load(spark, sfSmoke, "embeddings")
+    val hof = operators.Similarity.quantizeInt8(v)
+      .select($"vec_id", transform($"q", _.cast("double")).as("qd"))
+    val native = v.select($"vec_id",
+      call_function("quantize_i8d", $"embedding").as("qd"))
+    val joined = hof.join(native.withColumnRenamed("qd", "qn"), "vec_id")
+      .select($"vec_id",
+        zip_with($"qd", $"qn", (a, b) => a =!= b).as("diff"))
+      .filter(exists($"diff", x => x))
+    assert(joined.count() == 0, "native quantizer diverged from the HOF reference")
+    // zero vector: scale falls back to 1, codes all 0.0
+    val z = Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+      .select(call_function("quantize_i8d", $"embedding")).as[Seq[Double]].head()
+    assert(z == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("zorderKey: interleaves bits (hand-checked values) and is monotone in both dims") {
+    val d = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 5L))
+      .toDF("a", "b")
+    val got = d.select(operators.Layout.zorderKey($"a", $"b")).as[Long].collect().toSeq
+    // a bits at odd positions, b bits at even: z(1,0)=2, z(0,1)=1,
+    // z(1,1)=3, z(2,2)=12, z(3,5)=27 (a=011 -> 0_1_1 at odd, b=101 ->
+    // 1_0_1 at even: 011011b = 27)
+    assert(got == Seq(0L, 2L, 1L, 3L, 12L, 27L), s"unexpected: $got")
+  }
+
+  test("zorderLayout: a box query intersects fewer partition bounding boxes than linear sort") {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    // 64x64 grid; box query = 8x8 corner region
+    val grid = spark.range(64L * 64L).select(
+      (col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    def touched(laidOut: org.apache.spark.sql.DataFrame): Long = {
+      val boxes = laidOut
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(fmin($"x").as("x0"), fmax($"x").as("x1"),
+          fmin($"y").as("y0"), fmax($"y").as("y1"))
+      boxes.filter($"x1" >= 24 && $"x0" <= 31 && $"y1" >= 24 && $"y0" <= 31).count()
+    }
+    // 64 partitions of ~64 rows: under z-order a partition is ~one
+    // aligned 8x8 tile, so the aligned 8x8 box lands in ~1 partition;
+    // under linear (x, y) sort a partition is ~one x-column with full
+    // y-extent, so the box's 8 x-columns touch ~8 partitions
+    val z = touched(operators.Layout.zorderLayout(grid, 64, $"x", $"y"))
+    val linear = touched(
+      grid.repartitionByRange(64, $"x", $"y").sortWithinPartitions($"x", $"y"))
+    assert(z < linear, s"zorder touched $z, linear $linear")
+    assert(z <= 4, s"zorder should localize the box into few partitions, got $z")
+  }
+
+  test("segmentDedup: a doc losing every segment reassembles to the empty digest") {
+    val shared = words("s", 20)
+    val d = Seq(
+      (1L, shared + " " + words("t", 10)),
+      (2L, shared)
+    ).toDF("doc_id", "text")
+    val empty = spark.range(1)
+      .select(md5(lit("").cast("binary"))).as[String].head()
+    val got = ExtQueries.segmentDedup(d)
+      .filter($"doc_id" === 2L)
+      .select("n_kept", "clean_md5").as[(Long, String)].head()
+    assert(got == ((0L, empty)), s"unexpected: $got")
+  }
+}
