@@ -620,6 +620,40 @@ object ExtOracleSql {
       |UNION ALL
       |SELECT rf || '|direct' AS scope, n_sample, p25, p50, p75 FROM est""".stripMargin
 
+  /** qa_cms_freq twin: rebuild the probed Count-Min CELLS from exact
+    * word counts — for each (probe, row) the cell value is the summed
+    * count of every word whose row-hash lands in the probe's bucket,
+    * and the estimate is the min over rows. Same md5("r|key") hash as
+    * the engine (Horner fold, mod w), so update, vec_sum merge and
+    * bucket layout are all under the gate. merged == direct by
+    * integer-vector-add associativity; the oracle states them from
+    * one definition.
+    */
+  val qaCmsFreq: String = {
+    def horner(expr: String): String =
+      s"""CAST(list_reduce([strpos('0123456789abcdef', substr($expr, i, 1)) - 1
+         |                  for i in range(1, 14)], (a, d) -> a * 16 + d) AS BIGINT)""".stripMargin
+    val probeList = Seq("the", "data", "key", "fast", "table", "row", "join", "spark")
+      .map(q => s"'$q'").mkString(", ")
+    s"""WITH wrd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wrd GROUP BY w),
+       |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+       |bk AS (SELECT r, w, c,
+       |         ${horner("md5(CAST(r AS VARCHAR) || '|' || w)")} % 64 AS b
+       |       FROM wc CROSS JOIN rws),
+       |probes AS (SELECT unnest([$probeList]) AS q),
+       |pb AS (SELECT q, r,
+       |         ${horner("md5(CAST(r AS VARCHAR) || '|' || q)")} % 64 AS b
+       |       FROM probes CROSS JOIN rws),
+       |cell AS (SELECT pb.q, pb.r, CAST(COALESCE(SUM(bk.c), 0) AS BIGINT) AS cnt
+       |         FROM pb LEFT JOIN bk ON bk.r = pb.r AND bk.b = pb.b
+       |         GROUP BY pb.q, pb.r),
+       |est AS (SELECT q, MIN(cnt) AS est FROM cell GROUP BY q)
+       |SELECT est.q AS word, CAST(COALESCE(wc.c, 0) AS BIGINT) AS n_exact,
+       |  est.est AS est_merged, est.est AS est_direct
+       |FROM est LEFT JOIN wc ON wc.w = est.q""".stripMargin
+  }
+
   /** graph_pagerank twin: the 3 damped updates unrolled as CTEs (the
     * k-means Lloyd precedent) in the identical fixed-point arithmetic —
     * `//` here, `div` in the engine; both truncate, and every operand

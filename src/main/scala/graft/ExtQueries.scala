@@ -553,6 +553,74 @@ object ExtQueries {
     est(merged, "merged").unionByName(est(direct, "direct"))
   }
 
+  /** Join-key skew profile: the top-10 heaviest `user_id` keys of the
+    * events stream with their row share and multiple-of-average load,
+    * in parts-per-million fixed point (integer div — hash-gates
+    * exactly). This is the diagnostic that DECIDES the engine's skew
+    * mitigations — a key at ≫ 1e6 x_avg_fp is what j6_salted_join and
+    * the adaptive salted window exist for. Scale shape: one
+    * partial-agg groupBy over the key + a TakeOrdered top-10; the
+    * summary row (total/distinct) broadcasts back as a 1-row cross
+    * join.
+    */
+  def qaKeySkew(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "events")
+      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__t"), count(lit(1)).as("__k"))
+    counts.orderBy(col("n_rows").desc_nulls_last, col("key").asc_nulls_first)
+      .limit(10)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n_rows"),
+        expr("(n_rows * 1000000) div __t").as("share_ppm"),
+        expr("(n_rows * __k * 1000000) div __t").as("x_avg_fp"))
+  }
+
+  /** Point-frequency estimate from a stored CMS sketch for a LITERAL
+    * probe key: bucket indices are plan-time constants (the hash runs
+    * on the driver at plan construction), so the read-off is pure
+    * `element_at` + `least` column arithmetic — no per-row hashing.
+    */
+  def cmsEstimate(sk: Column, q: String, d: Int, w: Int): Column =
+    least((0 until d).map(r =>
+      element_at(sk, lit(r * w + graft.functions.CmsSketchAgg.bucket(r, q, w) + 1))): _*)
+
+  /** Re-aggregatable FREQUENCY sketches (the fourth sketch family:
+    * distinct → KMV, membership → Bloom, quantiles → bottom-k sample,
+    * frequency → Count-Min): one CMS per source over the word stream,
+    * merged globally with the existing `vec_sum` aggregate (counter
+    * arrays add element-wise — no bespoke merge function), vs the CMS
+    * computed directly from the raw stream; point estimates for a
+    * fixed probe vocabulary read off both, next to the exact counts.
+    * CMS guarantees est ≥ exact (asserted in the spec); the DuckDB
+    * oracle rebuilds the probed CELLS from word counts + the same
+    * md5-row-hash, so a broken update, merge, or bucket layout breaks
+    * the gate. 100 TB pattern: one scan per day/source stores d·w
+    * longs per group; every later "how often does X appear"
+    * — per slice or globally — is answered from the sketches.
+    */
+  def qaCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 64
+    val probes = Seq("the", "data", "key", "fast", "table", "row", "join", "spark")
+    val words = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val perSource = words.groupBy("source")
+      .agg(call_function("cms_sketch", col("word"), lit(d), lit(w)).as("sk"))
+    val merged = perSource.agg(call_function("vec_sum", col("sk")).as("msk"))
+    val direct = words
+      .agg(call_function("cms_sketch", col("word"), lit(d), lit(w)).as("dsk"))
+    val exact = words.filter(col("word").isin(probes: _*))
+      .groupBy("word").agg(count(lit(1)).as("n_exact"))
+    val sks = merged.crossJoin(direct)
+    val perProbe = probes.map { q =>
+      sks.select(lit(q).as("word"),
+        cmsEstimate(col("msk"), q, d, w).as("est_merged"),
+        cmsEstimate(col("dsk"), q, d, w).as("est_direct"))
+    }.reduce(_ unionByName _)
+    perProbe.join(exact, Seq("word"), "left")
+      .select(col("word"), coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("est_merged"), col("est_direct"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word-8-gram with the held-out benchmark slice (every 50th doc) —
     * the standard eval-leakage sweep a pretraining pipeline runs before

@@ -107,6 +107,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvMergeAgg(children.head, litInt(children(1), "kmv_merge: k")).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      graft.functions.CmsSketchAgg.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"cms_sketch(key, d, w) takes 3 arguments, got ${children.length}")
+        graft.functions.CmsSketchAgg(children.head,
+          litInt(children(1), "cms_sketch: d"),
+          litInt(children(2), "cms_sketch: w")).toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("quantize_i8d"),
       graft.functions.QuantizeInt8.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

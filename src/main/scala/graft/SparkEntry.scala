@@ -123,6 +123,8 @@ object SparkEntry {
     "text_segment_dedup" -> (ExtQueries.textSegmentDedup _),
     "qa_sketch_reagg" -> (ExtQueries.qaSketchReagg _),
     "agg_quantile_sketch" -> (ExtQueries.aggQuantileSketch _),
+    "qa_cms_freq" -> (ExtQueries.qaCmsFreq _),
+    "qa_key_skew" -> (ExtQueries.qaKeySkew _),
     "layout_zorder" -> (ExtQueries.layoutZorder _),
     "text_decontaminate_fuzzy" -> (ExtQueries.textDecontaminateFuzzy _),
     "text_pii_redact" -> (ExtQueries.piiRedact _),
@@ -184,7 +186,7 @@ object SparkEntry {
     "streaming_session_window", "text_decontaminate_fuzzy",
     "events_anomaly_zscore", "j6_salted_join", "events_gap_fill",
     "text_segment_dedup", "graph_pagerank", "agg_quantile_sketch",
-    "layout_zorder")
+    "layout_zorder", "qa_cms_freq", "qa_key_skew")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1069,6 +1071,18 @@ object SparkEntry {
     "text_segment_dedup" -> ExtOracleSql.textSegmentDedup,
     "qa_sketch_reagg" -> ExtOracleSql.qaSketchReagg,
     "agg_quantile_sketch" -> ExtOracleSql.aggQuantileSketch,
+    "qa_cms_freq" -> ExtOracleSql.qaCmsFreq,
+    "qa_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tt,
+        |             CAST(COUNT(*) AS BIGINT) AS kk FROM c),
+        |top AS (SELECT key, n_rows FROM c
+        |        ORDER BY n_rows DESC, key ASC LIMIT 10)
+        |SELECT key, n_rows,
+        |  (n_rows * 1000000) // tt AS share_ppm,
+        |  (n_rows * kk * 1000000) // tt AS x_avg_fp
+        |FROM top CROSS JOIN t""".stripMargin,
     "layout_zorder" -> ExtOracleSql.layoutZorder,
     "text_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -121,6 +121,53 @@ class Round6OpsSpec extends SparkSpec {
     assert(n == 64)
   }
 
+  test("cms_sketch array equals a driver-side simulation of the same updates") {
+    val data = Seq("a", "b", "a", "c", "a", "b")
+    val (d, w) = (4, 16)
+    val got = data.toDF("k")
+      .agg(call_function("cms_sketch", $"k", lit(d), lit(w)))
+      .as[Seq[Long]].head()
+    val sim = new Array[Long](d * w)
+    for (k <- data; r <- 0 until d)
+      sim(r * w + functions.CmsSketchAgg.bucket(r, k, w)) += 1L
+    assert(got == sim.toSeq, s"engine sketch diverged from simulation")
+  }
+
+  test("cms vec_sum merge of group sketches equals the direct sketch; est >= exact") {
+    val data = (0 until 600).map(i => (i % 5, s"w${i % 37}")).toDF("g", "k")
+    val merged = data.groupBy("g")
+      .agg(call_function("cms_sketch", $"k", lit(4), lit(64)).as("sk"))
+      .agg(call_function("vec_sum", $"sk")).as[Seq[Long]].head()
+    val direct = data.agg(call_function("cms_sketch", $"k", lit(4), lit(64)))
+      .as[Seq[Long]].head()
+    assert(merged == direct, "vec_sum merge diverged from the direct sketch")
+    // CMS one-sided error: estimate never undercounts
+    val est = ExtQueries.qaCmsFreq(spark, sfSmoke)
+      .select($"word", $"n_exact", $"est_merged", $"est_direct")
+      .as[(String, Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (wd, ex, em, ed) =>
+      assert(em >= ex && ed >= ex, s"CMS undercounted $wd: exact $ex, est $em/$ed")
+      assert(em == ed, s"merged/direct estimates diverged for $wd")
+    }
+  }
+
+  test("qaKeySkew: top-10 shares are weight-ordered, bounded, and above average") {
+    // qaKeySkew reads the real events table; assert the invariants:
+    // exactly 10 rows, ppm shares sum below 1e6, weight-descending
+    // order, and every top-10 key at least the average key load
+    val rows = ExtQueries.qaKeySkew(spark, sfSmoke)
+      .select($"n_rows", $"share_ppm", $"x_avg_fp")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    assert(rows.map(_._2).sum <= 1000000L)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sortBy(-_).toSeq, "not weight-ordered")
+    // only the HEAVIEST key is mathematically >= the mean (near-uniform
+    // synthetic keys hover around it); integer div can shave 1 ppm
+    assert(rows.head._3 >= 999999L, s"heaviest key below average: ${rows.head}")
+    assert(rows.forall(_._3 > 0L))
+  }
+
   test("quantize_i8d is bit-identical to the composed-HOF quantization pipeline") {
     val v = sources.Tables.load(spark, sfSmoke, "embeddings")
     val hof = operators.Similarity.quantizeInt8(v)
