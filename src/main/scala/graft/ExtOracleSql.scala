@@ -620,6 +620,44 @@ object ExtOracleSql {
       |UNION ALL
       |SELECT rf || '|direct' AS scope, n_sample, p25, p50, p75 FROM est""".stripMargin
 
+  /** events_rolling_distinct twin: per (type, hour) the frame is the
+    * current + 2 previous OBSERVED hours (row frame over existing
+    * hourly rows, like the engine's rowsBetween(-2, 0)); the estimate
+    * is min-k over the frame's DISTINCT user md5 prefixes with the
+    * same 63/(v_64/2^52) arithmetic — equal to the engine's
+    * merge-of-stored-sketches by min-k associativity.
+    */
+  val eventsRollingDistinct: String = {
+    def horner(expr: String): String =
+      s"""CAST(list_reduce([strpos('0123456789abcdef', substr($expr, i, 1)) - 1
+         |                  for i in range(1, 14)], (a, d) -> a * 16 + d) AS DOUBLE)""".stripMargin
+    s"""WITH hrs AS (SELECT event_type,
+       |    epoch_ns(ts) // 3600000000000 AS hr,
+       |    CAST(user_id AS VARCHAR) AS uk FROM events),
+       |grp AS (SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n_events
+       |        FROM hrs GROUP BY event_type, hr),
+       |ranked AS (SELECT event_type, hr,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+       |  FROM grp),
+       |frame AS (SELECT a.event_type, a.hr, b.hr AS src_hr
+       |  FROM ranked a JOIN ranked b
+       |    ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 2 AND a.rn),
+       |dp AS (SELECT DISTINCT f.event_type, f.hr, substr(md5(h.uk), 1, 13) AS p
+       |  FROM frame f JOIN hrs h
+       |    ON h.event_type = f.event_type AND h.hr = f.src_hr),
+       |r AS (SELECT event_type, hr, p,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type, hr ORDER BY p) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type, hr) AS n
+       |  FROM dp),
+       |est AS (SELECT event_type, hr,
+       |    CASE WHEN MAX(n) < 64 THEN CAST(MAX(n) AS DOUBLE)
+       |         ELSE 63.0 / (${horner("MAX(CASE WHEN rn = 64 THEN p END)")} / 4503599627370496.0)
+       |    END AS est
+       |  FROM r GROUP BY event_type, hr)
+       |SELECT g.event_type, g.hr, g.n_events, round(est.est, 6) AS n_users_3h_est
+       |FROM grp g JOIN est ON est.event_type = g.event_type AND est.hr = g.hr""".stripMargin
+  }
+
   /** qa_cms_freq twin: rebuild the probed Count-Min CELLS from exact
     * word counts — for each (probe, row) the cell value is the summed
     * count of every word whose row-hash lands in the probe's bucket,

@@ -60,14 +60,22 @@ object ExtQueries {
     // at jaccard ≥ 0.5 still collide on their many rare shingles.
     val maxPosting = Buckets.DefaultCap
     val sh = all.select(col("doc_id"), explode(distinctShingles).as("sh"))
+    // Pairs are PACKED into one BIGINT (a·2^32 + b; ids < 2^31 — swap
+    // to struct keys past that) for the expansion + intersection
+    // count: the pair stream is the volume hot spot (Σ|posting|²/2
+    // rows — 167M at the 10× smoke), and a packed long makes each row
+    // one primitive instead of a 2-field struct allocation and gives
+    // the count a single-long hash key. Measured 1.8× on the smoke's
+    // pair-count stage (160 → 90 s under load; see SCALE_SMOKE.md).
     val pairs = sh.groupBy("sh")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxPosting)
       .select(explode(expr(
         """flatten(transform(ds, a ->
-          |  transform(filter(ds, b -> b > a), b -> struct(a AS doc_id_1, b AS doc_id_2))))""".stripMargin)).as("p"))
-      .groupBy(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"))
-      .agg(count(lit(1)).as("inter"))
+          |  transform(filter(ds, b -> b > a), b -> a * 4294967296L + b)))""".stripMargin)).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("inter"))
+      .select(shiftright(col("pk"), 32).as("doc_id_1"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("doc_id_2"), col("inter"))
     val sizes = all.select(col("doc_id"), size(distinctShingles).as("n_sh"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("n_sh", "n1"), "doc_id_1")
@@ -551,6 +559,66 @@ object ExtQueries {
       sampleQuantile(col("sk"), 0.50).as("p50"),
       sampleQuantile(col("sk"), 0.75).as("p75"))
     est(merged, "merged").unionByName(est(direct, "direct"))
+  }
+
+  /** Rolling distinct users per event type — KMV sketches COMPOSED with
+    * window frames: one `kmv_sketch` per (type, hour), then `kmv_merge`
+    * OVER a 3-observed-hour sliding frame, estimate read off the merged
+    * sketch. This is the streaming-dashboard shape ("unique users,
+    * trailing window") that exact distinct cannot sustain at 100 TB:
+    * the window state is k longs per hour instead of the hour's user
+    * set, and merge-over-frame is lossless by min-k associativity, so
+    * the estimate equals a from-scratch sketch of the frame's union —
+    * which is exactly what the DuckDB twin states (per-frame distinct
+    * set → min-k → the same two-divide arithmetic). Hours are integer
+    * epoch-hour indexes (ns div 3.6e12, the OLS-trend convention).
+    */
+  def eventsRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("ts_ns div 3600000000000").as("hr"),
+      col("user_id").cast("string").as("uk"))
+    val sk = e.groupBy("event_type", "hr")
+      .agg(call_function("kmv_sketch", col("uk"), lit(k)).as("sk"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-2, 0)
+    sk.select(col("event_type"), col("hr"), col("n_events"),
+      round(kmvEstimate(
+        call_function("kmv_merge", col("sk"), lit(k)).over(w), k), 6)
+        .as("n_users_3h_est"))
+  }
+
+  /** Corpus snapshot diff (dataset-version CDC): classify every doc_id
+    * across two corpus versions as added / removed / changed /
+    * unchanged by comparing content digests over a full-outer join on
+    * the id. The v2 snapshot is a deterministic perturbation of v1
+    * (every 17th doc dropped, every remaining 13th edited, a new doc
+    * per 29th), mirrored by the oracle, so all four branches run on
+    * the real corpus. Scale shape: only (id, 16-byte digest) pairs
+    * shuffle — never document payloads — so diffing two 100 TB
+    * snapshots moves ~32 bytes/doc plus ids; the digests would come
+    * from stored metadata in production (computed here because the
+    * fixture has none).
+    */
+  def pipelineSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val v1 = d.select(col("doc_id"), md5(col("text").cast("binary")).as("old_md5"))
+    val v2base = d.filter(col("doc_id") % 17 =!= 0).select(col("doc_id"),
+      when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+        .otherwise(col("text")).as("text"))
+    val v2 = v2base.unionByName(
+      d.filter(col("doc_id") % 29 === 0).select(
+        (col("doc_id") + lit(3000000L)).as("doc_id"),
+        concat(lit("new "), col("text")).as("text")))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("new_md5"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_md5"), col("new_md5"))
   }
 
   /** Join-key skew profile: the top-10 heaviest `user_id` keys of the

@@ -90,17 +90,33 @@ object ScaleSmoke {
       // window of every doc has ~10 corpus-wide twins, so essentially
       // ALL positions survive the duplicate filter and the island merge
       // runs at full width; the digest groupBy must stay balanced
-      "text_substring_spans" -> (ExtQueries.textSubstringSpans _))
+      "text_substring_spans" -> (ExtQueries.textSubstringSpans _),
+      // round 6: segment dedup at 10× dup density — every 10-word
+      // segment has ~10 corpus-wide twins (each copy differs only in
+      // its final suffix token), so nearly every segment is cut and
+      // the reassembly groupBy runs at full width; the digest window
+      // must stay balanced with duplicate groups ~10 deep
+      "text_segment_dedup" -> (ExtQueries.textSegmentDedup _))
 
     println(s"| query | rows | sec | worst-stage tasks | median MB | max MB | max/median |")
     println(s"| --- | --- | --- | --- | --- | --- | --- |")
     queries.foreach { case (name, fn) =>
       val listener = new TaskBytes
       spark.sparkContext.addSparkListener(listener)
+      // Time a noop WRITE, not count(): count() lets the optimizer
+      // eliminate work — e.g. a left outer join whose right side
+      // aggregates on the join key contributes nothing to the row
+      // count and is removed wholesale, so segment dedup "measured"
+      // 0.3 s of nothing. The persist keeps the untimed row count
+      // from re-running the full pipeline.
+      val df = fn(spark, work)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
-      val rows = fn(spark, work).count()
+      df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
+      val rows = df.count()
+      df.unpersist()
       val (ratio, medMb, maxMb, n) = listener.worstStage
       println(f"| $name | $rows | $sec%.1f | $n | $medMb%.1f | $maxMb%.1f | $ratio%.1f |")
     }

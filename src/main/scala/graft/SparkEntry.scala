@@ -125,6 +125,8 @@ object SparkEntry {
     "agg_quantile_sketch" -> (ExtQueries.aggQuantileSketch _),
     "qa_cms_freq" -> (ExtQueries.qaCmsFreq _),
     "qa_key_skew" -> (ExtQueries.qaKeySkew _),
+    "pipeline_snapshot_diff" -> (ExtQueries.pipelineSnapshotDiff _),
+    "events_rolling_distinct" -> (ExtQueries.eventsRollingDistinct _),
     "layout_zorder" -> (ExtQueries.layoutZorder _),
     "text_decontaminate_fuzzy" -> (ExtQueries.textDecontaminateFuzzy _),
     "text_pii_redact" -> (ExtQueries.piiRedact _),
@@ -1072,6 +1074,23 @@ object SparkEntry {
     "qa_sketch_reagg" -> ExtOracleSql.qaSketchReagg,
     "agg_quantile_sketch" -> ExtOracleSql.aggQuantileSketch,
     "qa_cms_freq" -> ExtOracleSql.qaCmsFreq,
+    "events_rolling_distinct" -> ExtOracleSql.eventsRollingDistinct,
+    "pipeline_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS new_md5
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, md5('new ' || text) AS new_md5
+        |  FROM documents WHERE doc_id % 29 = 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.old_md5 IS NULL THEN 'added'
+        |       WHEN v2.new_md5 IS NULL THEN 'removed'
+        |       WHEN v1.old_md5 <> v2.new_md5 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  v1.old_md5, v2.new_md5
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
     "qa_key_skew" ->
       """WITH c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
         |           FROM events GROUP BY user_id),

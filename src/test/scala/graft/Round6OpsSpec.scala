@@ -168,6 +168,41 @@ class Round6OpsSpec extends SparkSpec {
     assert(rows.forall(_._3 > 0L))
   }
 
+  test("rollingDistinct: estimate is EXACT wherever the 3-hour frame holds < k users") {
+    import org.apache.spark.sql.expressions.Window
+    val got = ExtQueries.eventsRollingDistinct(spark, sfSmoke)
+    // exact rolling distinct over the same observed-hour frame
+    val e = sources.Tables.events(spark, sfSmoke).select($"event_type",
+      expr("ts_ns div 3600000000000").as("hr"), $"user_id".cast("string").as("uk"))
+    val w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-2, 0)
+    val exact = e.groupBy("event_type", "hr")
+      .agg(collect_set($"uk").as("us"))
+      .select($"event_type", $"hr",
+        size(array_distinct(flatten(collect_list($"us").over(w)))).as("n_exact"))
+    val joined = got.join(exact, Seq("event_type", "hr"))
+      .select($"n_users_3h_est", $"n_exact".cast("double"))
+      .as[(Double, Double)].collect()
+    val small = joined.filter(_._2 < 64)
+    assert(small.nonEmpty, "fixture should have frames below k=64 distinct users")
+    small.foreach { case (est, ex) =>
+      assert(est == ex, s"sub-k frame must be exact: est $est != exact $ex")
+    }
+  }
+
+  test("snapshotDiff: every doc lands in exactly the status its perturbation implies") {
+    val ids = sources.Tables.load(spark, sfSmoke, "documents")
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = Map(
+      "removed" -> ids.count(_ % 17 == 0).toLong,
+      "added" -> ids.count(_ % 29 == 0).toLong,
+      "changed" -> ids.count(i => i % 13 == 0 && i % 17 != 0).toLong,
+      "unchanged" -> ids.count(i => i % 13 != 0 && i % 17 != 0).toLong)
+    val got = ExtQueries.pipelineSnapshotDiff(spark, sfSmoke)
+      .groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("quantize_i8d is bit-identical to the composed-HOF quantization pipeline") {
     val v = sources.Tables.load(spark, sfSmoke, "embeddings")
     val hof = operators.Similarity.quantizeInt8(v)
