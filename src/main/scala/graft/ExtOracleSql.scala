@@ -658,6 +658,33 @@ object ExtOracleSql {
        |FROM grp g JOIN est ON est.event_type = g.event_type AND est.hr = g.hr""".stripMargin
   }
 
+  /** streaming_distinct_users twin: per (hour, type) min-k over the
+    * hour's distinct user md5 prefixes — the streaming sketch equals
+    * this because micro-batch increments merge by the same min-k path
+    * as batch partials.
+    */
+  val streamingDistinctUsers: String = {
+    def horner(expr: String): String =
+      s"""CAST(list_reduce([strpos('0123456789abcdef', substr($expr, i, 1)) - 1
+         |                  for i in range(1, 14)], (a, d) -> a * 16 + d) AS DOUBLE)""".stripMargin
+    s"""WITH hrs AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       |    event_type, CAST(user_id AS VARCHAR) AS uk FROM events),
+       |grp AS (SELECT hour, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+       |        FROM hrs GROUP BY hour, event_type),
+       |dp AS (SELECT DISTINCT hour, event_type, substr(md5(uk), 1, 13) AS p FROM hrs),
+       |r AS (SELECT hour, event_type, p,
+       |    ROW_NUMBER() OVER (PARTITION BY hour, event_type ORDER BY p) AS rn,
+       |    COUNT(*) OVER (PARTITION BY hour, event_type) AS n
+       |  FROM dp),
+       |est AS (SELECT hour, event_type,
+       |    CASE WHEN MAX(n) < 64 THEN CAST(MAX(n) AS DOUBLE)
+       |         ELSE 63.0 / (${horner("MAX(CASE WHEN rn = 64 THEN p END)")} / 4503599627370496.0)
+       |    END AS est
+       |  FROM r GROUP BY hour, event_type)
+       |SELECT g.hour, g.event_type, g.n_events, round(est.est, 6) AS n_users_est
+       |FROM grp g JOIN est ON est.hour = g.hour AND est.event_type = g.event_type""".stripMargin
+  }
+
   /** qa_cms_freq twin: rebuild the probed Count-Min CELLS from exact
     * word counts — for each (probe, row) the cell value is the summed
     * count of every word whose row-hash lands in the probe's bucket,

@@ -1372,6 +1372,12 @@ object ExtQueries {
   def streamingEnrichStatic(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingEnrichStatic(s, dir)
 
+  /** Streaming hourly distinct-user KMV estimates — the sketch as
+    * bounded streaming state (see StreamingStage.streamingDistinctUsers).
+    */
+  def streamingDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingDistinctUsers(s, dir)
+
   /** Streaming dedup of a duplicated stream — must equal the base table. */
   def streamingDedupEvents(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingDedupEvents(s, dir)

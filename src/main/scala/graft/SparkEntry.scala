@@ -156,6 +156,7 @@ object SparkEntry {
     "streaming_hourly_agg" -> (ExtQueries.streamingHourlyAgg _),
     "streaming_dedup_events" -> (ExtQueries.streamingDedupEvents _),
     "streaming_enrich_static" -> (ExtQueries.streamingEnrichStatic _),
+    "streaming_distinct_users" -> (ExtQueries.streamingDistinctUsers _),
     "streaming_sessionize" -> (ExtQueries.streamingSessionize _),
     "streaming_sessionize_tws" -> (ExtQueries.streamingSessionizeTws _),
     "streaming_session_window" -> (ExtQueries.streamingSessionWindow _),
@@ -1289,6 +1290,8 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    "streaming_distinct_users" -> ExtOracleSql.streamingDistinctUsers,
 
     // stream-static join must equal the batch join+agg
     "streaming_enrich_static" ->

@@ -129,6 +129,29 @@ object StreamingStage {
   def streamingHourlyAgg(spark: SparkSession, dir: String): DataFrame =
     runToTable(hourlyAgg(eventsStream(spark, dir)), "streaming_hourly_agg", "complete")
 
+  /** Streaming hourly DISTINCT-USER estimates: the KMV sketch aggregate
+    * running INSIDE a watermarked streaming aggregation — the sketch
+    * buffer (≤ k longs) is the state-store value per (hour, type)
+    * group, so "unique users per hour" streams with bounded state
+    * where exact streaming distinct would hold every user id seen.
+    * Micro-batch increments merge into the stored sketch by the same
+    * min-k path as batch partial aggregation, so the final estimate
+    * equals the batch computation — which is what lets the DuckDB twin
+    * (the standard min-k arithmetic over each hour's distinct set)
+    * hash-gate a STREAMING query.
+    */
+  def streamingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(call_function("kmv_sketch", col("user_id").cast("string"), lit(64)).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"),
+        round(graft.ExtQueries.kmvEstimate(col("sk"), 64), 6).as("n_users_est"))
+    runToTable(agg, "streaming_distinct_users", "complete")
+  }
+
   /** Stream–static join enrichment: the event stream joined to the
     * static customer dimension, then aggregated per (segment,
     * event_type) — the standard streaming-enrichment shape. The static

@@ -168,6 +168,19 @@ class Round6OpsSpec extends SparkSpec {
     assert(rows.forall(_._3 > 0L))
   }
 
+  test("streamingDistinctUsers equals the batch KMV computation row-for-row") {
+    val streamed = ExtQueries.streamingDistinctUsers(spark, sfSmoke)
+    val batch = sources.Tables.events(spark, sfSmoke)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(call_function("kmv_sketch", $"user_id".cast("string"), lit(64)).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type", $"n_events",
+        round(ExtQueries.kmvEstimate($"sk", 64), 6).as("n_users_est"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming sketch state diverged from the batch aggregation")
+  }
+
   test("rollingDistinct: estimate is EXACT wherever the 3-hour frame holds < k users") {
     import org.apache.spark.sql.expressions.Window
     val got = ExtQueries.eventsRollingDistinct(spark, sfSmoke)
