@@ -658,6 +658,58 @@ object ExtOracleSql {
        |FROM grp g JOIN est ON est.event_type = g.event_type AND est.hr = g.hr""".stripMargin
   }
 
+  /** pipeline_curriculum_bins twin: the k=128 row sample replayed as
+    * ORDER BY md5(doc_id) prefix, quartile thresholds as index picks,
+    * then the labeling scan with the identical <= boundary contract.
+    */
+  val pipelineCurriculumBins: String =
+    """WITH sc AS (SELECT doc_id,
+      |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS score FROM documents),
+      |keyed AS (SELECT doc_id, score,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS h FROM sc),
+      |r AS (SELECT score, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM keyed),
+      |samp AS (SELECT list_sort(list(score)) AS vs FROM r WHERE rn <= 128),
+      |th AS (SELECT vs[CAST(floor(0.25 * (len(vs) - 1)) AS BIGINT) + 1] AS p25,
+      |              vs[CAST(floor(0.50 * (len(vs) - 1)) AS BIGINT) + 1] AS p50,
+      |              vs[CAST(floor(0.75 * (len(vs) - 1)) AS BIGINT) + 1] AS p75
+      |       FROM samp)
+      |SELECT doc_id, round(score, 6) AS score,
+      |  CASE WHEN score <= p25 THEN 'Q1' WHEN score <= p50 THEN 'Q2'
+      |       WHEN score <= p75 THEN 'Q3' ELSE 'Q4' END AS bin
+      |FROM sc CROSS JOIN th""".stripMargin
+
+  /** qa_sketch_set_algebra twin: per-source and 'shared' min-64
+    * sketches as sorted 13-hex prefix lists, union as concat →
+    * distinct → sort → first 64 (exactly the engine's pure-column
+    * merge), estimates via the standard min-k arithmetic and
+    * inclusion–exclusion.
+    */
+  val qaSketchSetAlgebra: String = {
+    def horner(expr: String): String =
+      s"""CAST(list_reduce([strpos('0123456789abcdef', substr($expr, i, 1)) - 1
+         |                  for i in range(1, 14)], (a, d) -> a * 16 + d) AS DOUBLE)""".stripMargin
+    def est(ps: String): String =
+      s"""CASE WHEN len($ps) < 64 THEN CAST(len($ps) AS DOUBLE)
+         |     ELSE 63.0 / (${horner(s"$ps[64]")} / 4503599627370496.0) END""".stripMargin
+    s"""WITH aug AS (SELECT source, text FROM documents
+       |  UNION ALL SELECT 'shared' AS source, text FROM documents WHERE doc_id % 4 = 0),
+       |h AS (SELECT DISTINCT source, substr(md5(text), 1, 13) AS p FROM aug),
+       |rr AS (SELECT source, p,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY p) AS rn FROM h),
+       |sk AS (SELECT source, list_sort(list(p)) AS ps FROM rr WHERE rn <= 64
+       |       GROUP BY source),
+       |pairs AS (SELECT a.source, a.ps AS aps, b.ps AS bps,
+       |    list_sort(list_distinct(a.ps || b.ps))[1:64] AS ups
+       |  FROM sk a CROSS JOIN (SELECT ps FROM sk WHERE source = 'shared') b
+       |  WHERE a.source <> 'shared')
+       |SELECT source,
+       |  round(${est("aps")}, 6) AS est_n,
+       |  round(${est("ups")}, 6) AS est_union,
+       |  round((${est("aps")}) + (${est("bps")}) - (${est("ups")}), 6) AS est_inter
+       |FROM pairs""".stripMargin
+  }
+
   /** streaming_distinct_users twin: per (hour, type) min-k over the
     * hour's distinct user md5 prefixes — the streaming sketch equals
     * this because micro-batch increments merge by the same min-k path

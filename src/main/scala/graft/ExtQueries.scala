@@ -589,6 +589,69 @@ object ExtQueries {
         .as("n_users_3h_est"))
   }
 
+  /** Curriculum quality bins: label every document with its quality
+    * QUARTILE (Q1..Q4 by alpha ratio) using thresholds read off the
+    * deterministic row-sample sketch — the curriculum-ordering pass a
+    * training pipeline runs to schedule low→high-quality data. Two
+    * stages, both bounded: ONE corpus scan builds the k=128 sample
+    * (the thresholds are approximate but deterministic and
+    * oracle-replayable — an exact global quantile would SORT the
+    * corpus), then the 3-value threshold row broadcasts back for the
+    * labeling scan. Boundary contract: score <= p_q ⇒ the lower bin,
+    * stated identically in the oracle.
+    */
+  def pipelineCurriculumBins(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val score = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+      length(col("text")).cast("double")
+    val scored = docs(s, dir).select(col("doc_id"), score.as("score"))
+    val sk = scored.agg(call_function("sample_sketch",
+      col("doc_id").cast("string"), col("score"), lit(k)).as("sk"))
+    val th = sk.select(
+      sampleQuantile(col("sk"), 0.25).as("p25"),
+      sampleQuantile(col("sk"), 0.50).as("p50"),
+      sampleQuantile(col("sk"), 0.75).as("p75"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), round(col("score"), 6).as("score"),
+        when(col("score") <= col("p25"), lit("Q1"))
+          .when(col("score") <= col("p50"), lit("Q2"))
+          .when(col("score") <= col("p75"), lit("Q3"))
+          .otherwise(lit("Q4")).as("bin"))
+  }
+
+  /** Sketch SET ALGEBRA: union, intersection and Jaccard estimates
+    * between each source and a planted 'shared' pseudo-source, all
+    * from STORED sketches — union as a pure-column min-k merge of two
+    * sketch arrays (sort-distinct-truncate), intersection by
+    * inclusion–exclusion, no rescan of either side. The 100 TB use:
+    * "how much does corpus A overlap corpus B" answered from k longs
+    * per corpus. Estimates can go slightly negative on disjoint pairs
+    * (inclusion–exclusion noise) — they are emitted as-is;
+    * deterministic, and the oracle states the identical arithmetic.
+    */
+  def qaSketchSetAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val d = docs(s, dir)
+    // every 4th doc is ALSO attributed to the 'shared' pseudo-source,
+    // so each (source, shared) pair has real, deterministic overlap
+    val aug = d.select(col("source"), col("text")).unionByName(
+      d.filter(col("doc_id") % 4 === 0)
+        .select(lit("shared").as("source"), col("text")))
+    val sketches = aug.groupBy("source")
+      .agg(call_function("kmv_sketch", col("text"), lit(k)).as("sk"))
+    val shared = sketches.filter(col("source") === "shared")
+      .select(col("sk").as("shared_sk"))
+    val unionSk = slice(array_sort(array_distinct(
+      concat(col("sk"), col("shared_sk")))), 1, k)
+    sketches.filter(col("source") =!= "shared")
+      .crossJoin(broadcast(shared))
+      .select(col("source"),
+        round(kmvEstimate(col("sk"), k), 6).as("est_n"),
+        round(kmvEstimate(unionSk, k), 6).as("est_union"),
+        round(kmvEstimate(col("sk"), k) + kmvEstimate(col("shared_sk"), k)
+          - kmvEstimate(unionSk, k), 6).as("est_inter"))
+  }
+
   /** Corpus snapshot diff (dataset-version CDC): classify every doc_id
     * across two corpus versions as added / removed / changed /
     * unchanged by comparing content digests over a full-outer join on

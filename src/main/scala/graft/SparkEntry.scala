@@ -126,6 +126,8 @@ object SparkEntry {
     "qa_cms_freq" -> (ExtQueries.qaCmsFreq _),
     "qa_key_skew" -> (ExtQueries.qaKeySkew _),
     "pipeline_snapshot_diff" -> (ExtQueries.pipelineSnapshotDiff _),
+    "pipeline_curriculum_bins" -> (ExtQueries.pipelineCurriculumBins _),
+    "qa_sketch_set_algebra" -> (ExtQueries.qaSketchSetAlgebra _),
     "events_rolling_distinct" -> (ExtQueries.eventsRollingDistinct _),
     "layout_zorder" -> (ExtQueries.layoutZorder _),
     "text_decontaminate_fuzzy" -> (ExtQueries.textDecontaminateFuzzy _),
@@ -189,7 +191,9 @@ object SparkEntry {
     "streaming_session_window", "text_decontaminate_fuzzy",
     "events_anomaly_zscore", "j6_salted_join", "events_gap_fill",
     "text_segment_dedup", "graph_pagerank", "agg_quantile_sketch",
-    "layout_zorder", "qa_cms_freq", "qa_key_skew")
+    "layout_zorder", "qa_cms_freq", "qa_key_skew",
+    "events_rolling_distinct", "pipeline_snapshot_diff",
+    "pipeline_curriculum_bins", "streaming_distinct_users")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1076,6 +1080,8 @@ object SparkEntry {
     "agg_quantile_sketch" -> ExtOracleSql.aggQuantileSketch,
     "qa_cms_freq" -> ExtOracleSql.qaCmsFreq,
     "events_rolling_distinct" -> ExtOracleSql.eventsRollingDistinct,
+    "pipeline_curriculum_bins" -> ExtOracleSql.pipelineCurriculumBins,
+    "qa_sketch_set_algebra" -> ExtOracleSql.qaSketchSetAlgebra,
     "pipeline_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
         |v2 AS (

@@ -168,6 +168,38 @@ class Round6OpsSpec extends SparkSpec {
     assert(rows.forall(_._3 > 0L))
   }
 
+  test("curriculumBins: bins partition the corpus and are score-ordered") {
+    val rows = ExtQueries.pipelineCurriculumBins(spark, sfSmoke)
+      .select($"bin", $"score").as[(String, Double)].collect()
+    val byBin = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBin.keySet == Set("Q1", "Q2", "Q3", "Q4"), s"bins: ${byBin.keySet}")
+    // every doc gets exactly one bin (total preserved)
+    assert(rows.length == sources.Tables.load(spark, sfSmoke, "documents").count())
+    // bin boundaries are ordered: max(Q1) <= min(Q3), max(Q2) <= min(Q4)
+    assert(byBin("Q1").max <= byBin("Q3").min)
+    assert(byBin("Q2").max <= byBin("Q4").min)
+    // the 128-sample thresholds keep the quartiles roughly balanced
+    byBin.values.foreach(v =>
+      assert(v.length > rows.length / 10 && v.length < rows.length / 2,
+        s"unbalanced bins: ${byBin.view.mapValues(_.length).toMap}"))
+  }
+
+  test("sketchSetAlgebra: sub-k sketches are exact; planted overlap is recovered on average") {
+    val rows = ExtQueries.qaSketchSetAlgebra(spark, sfSmoke)
+      .select($"est_n", $"est_union", $"est_inter")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.length == 20)
+    // every source holds 25 distinct docs < k=64 -> the sketch is exact
+    rows.foreach { case (n, u, _) =>
+      assert(n == 25.0, s"sub-k sketch must be exact, got $n")
+      assert(u >= n, "union estimate below one of its sides")
+    }
+    // true per-source overlap with 'shared' is ~6.25 docs; individual
+    // inclusion-exclusion estimates are noisy but the mean converges
+    val meanInter = rows.map(_._3).sum / rows.length
+    assert(meanInter > 0 && meanInter < 15, s"mean intersection $meanInter")
+  }
+
   test("streamingDistinctUsers equals the batch KMV computation row-for-row") {
     val streamed = ExtQueries.streamingDistinctUsers(spark, sfSmoke)
     val batch = sources.Tables.events(spark, sfSmoke)
