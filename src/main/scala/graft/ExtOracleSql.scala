@@ -977,6 +977,35 @@ object ExtOracleSql {
        |${(1 to 4).map(ccIter).mkString(",\n")}
        |SELECT id AS doc_id, component, (id = component) AS keep FROM l4""".stripMargin
 
+  /** pipeline_dedup_weights twin: the canonical-dedup cluster CTEs plus
+    * a component-size count and the ppm fixed-point weight.
+    */
+  val pipelineDedupWeights: String =
+    s"""WITH pairs AS ($dedupMinhashLsh),
+       |$nearDupCorpus,
+       |sym AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+       |        UNION SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+       |        UNION SELECT doc_id AS src, doc_id AS dst FROM nd),
+       |l0 AS (SELECT doc_id AS id, doc_id AS component FROM nd),
+       |${(1 to 4).map(ccIter).mkString(",\n")},
+       |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM l4 GROUP BY component)
+       |SELECT l4.id AS doc_id, l4.component, sz.cluster_size,
+       |  1000000 // sz.cluster_size AS weight_ppm
+       |FROM l4 JOIN sz ON l4.component = sz.component""".stripMargin
+
+  /** text_bpe_merges twin: adjacent char pairs within words via
+    * list-comprehension unnest; same (count desc, pair asc) total
+    * order.
+    */
+  val textBpeMerges: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |p AS (SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+      |      FROM w WHERE len(w) >= 2)
+      |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM p GROUP BY pair
+      |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
   /** Perturbed-duplicate corpus (ExtQueries.withPerturbedVecs's twin),
     * shared by the semantic-dedup and contrastive-mining oracles.
     */

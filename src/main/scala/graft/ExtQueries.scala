@@ -1150,6 +1150,41 @@ object ExtQueries {
         (col("id") === col("component")).as("keep"))
   }
 
+  /** Soft-dedup WEIGHTING (the down-weighting alternative to removal,
+    * cf. SemDeDup's discussion of duplication-aware sampling): instead
+    * of dropping near-duplicates, weight every document by
+    * 1/|its dedup cluster| in parts-per-million fixed point, so a
+    * cluster of 10 near-copies contributes one document's worth of
+    * training mass. Same cluster assignment as
+    * [[pipelineDedupCanonical]] (minhash pairs → connected
+    * components); one extra component-keyed count + rejoin.
+    */
+  def pipelineDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val labeled = pipelineDedupCanonical(s, dir).select("doc_id", "component")
+    val sizes = labeled.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_ppm"))
+  }
+
+  /** One BPE TRAINING iteration's counting step at character level:
+    * adjacent character-pair frequencies within words, top-20 merge
+    * candidates (ties → lexicographic) — the statistic a distributed
+    * tokenizer trainer computes per merge round (Sennrich et al.
+    * 2016). Scale shape: pairs partial-aggregate map-side (the pair
+    * alphabet ≪ the pair stream), top-k is TakeOrdered — the
+    * text_vocab_topk shape one level below words.
+    */
+  def textBpeMerges(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc_nulls_last, col("pair").asc_nulls_first)
+      .limit(20)
+
   /** Corpus + deterministically perturbed copies of every 10th vector —
     * the planted near-dup fixture shared by [[dedupEmbeddingCosine]] and
     * [[dedupSemantic]] (index-patterned additive noise; cosine is

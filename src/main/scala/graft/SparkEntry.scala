@@ -109,6 +109,8 @@ object SparkEntry {
     "graph_pagerank" -> (ExtQueries.graphPageRank _),
     "dedup_semantic" -> (ExtQueries.dedupSemantic _),
     "pipeline_dedup_canonical" -> (ExtQueries.pipelineDedupCanonical _),
+    "pipeline_dedup_weights" -> (ExtQueries.pipelineDedupWeights _),
+    "text_bpe_merges" -> (ExtQueries.textBpeMerges _),
     "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
     "text_quality_score" -> (ExtQueries.textQualityScore _),
@@ -193,7 +195,8 @@ object SparkEntry {
     "text_segment_dedup", "graph_pagerank", "agg_quantile_sketch",
     "layout_zorder", "qa_cms_freq", "qa_key_skew",
     "events_rolling_distinct", "pipeline_snapshot_diff",
-    "pipeline_curriculum_bins", "streaming_distinct_users")
+    "pipeline_curriculum_bins", "streaming_distinct_users",
+    "pipeline_dedup_weights", "text_bpe_merges")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1228,6 +1231,8 @@ object SparkEntry {
     "graph_pagerank" -> ExtOracleSql.graphPageRank,
     "dedup_semantic" -> ExtOracleSql.dedupSemantic,
     "pipeline_dedup_canonical" -> ExtOracleSql.pipelineDedupCanonical,
+    "pipeline_dedup_weights" -> ExtOracleSql.pipelineDedupWeights,
+    "text_bpe_merges" -> ExtOracleSql.textBpeMerges,
 
     // 32/16 word chunking — same geometry as dedup_clusters' vertices
     "text_chunks" ->

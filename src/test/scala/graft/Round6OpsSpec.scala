@@ -200,6 +200,32 @@ class Round6OpsSpec extends SparkSpec {
     assert(meanInter > 0 && meanInter < 15, s"mean intersection $meanInter")
   }
 
+  test("dedupWeights: planted near-dup pairs weigh 500k ppm, singletons 1M") {
+    val rows = ExtQueries.pipelineDedupWeights(spark, sfSmoke)
+      .select($"doc_id", $"cluster_size", $"weight_ppm")
+      .as[(Long, Long, Long)].collect()
+    val copies = rows.filter(_._1 >= 1000000L)
+    // minhash banding is a recall≈1 heuristic, not a guarantee — assert
+    // the floor, not perfection (the fuzzy-decontamination precedent)
+    val clustered = copies.count(_._2 >= 2)
+    assert(copies.nonEmpty && clustered >= (copies.length * 0.85).toInt,
+      s"only $clustered/${copies.length} planted copies clustered")
+    rows.foreach { case (_, size, w) =>
+      assert(w == 1000000L / size, s"weight $w != 1e6/$size")
+    }
+    // cluster mass: weights within a cluster sum to ~1e6 (truncation)
+    val mass = rows.groupBy(r => r._1).size // sanity: ids unique
+    assert(mass == rows.length)
+  }
+
+  test("bpeMerges: top-20 adjacent char pairs, weight-ordered, all length 2") {
+    val rows = ExtQueries.textBpeMerges(spark, sfSmoke)
+      .as[(String, Long)].collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_._1.length == 2))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("streamingDistinctUsers equals the batch KMV computation row-for-row") {
     val streamed = ExtQueries.streamingDistinctUsers(spark, sfSmoke)
     val batch = sources.Tables.events(spark, sfSmoke)
