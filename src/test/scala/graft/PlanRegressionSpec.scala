@@ -236,6 +236,26 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!qs.contains("CartesianProduct"), qs.take(3000))
   }
 
+  test("round-6 tail: curriculum avoids a global sort, set algebra broadcasts, rolling distinct keeps one agg shuffle") {
+    // curriculum bins: thresholds come from the bounded sample sketch —
+    // a global Sort of the corpus (the exact-quantile shape) must NOT
+    // appear; the threshold row joins back as a broadcast
+    val cb = staticPlan(ExtQueries.pipelineCurriculumBins(spark, sfSmoke))
+    assert(!"Sort \\(\\d+\\)".r.findFirstIn(cb).isDefined,
+      "curriculum bins must not sort the corpus:\n" + cb.take(3000))
+    assert(cb.contains("BroadcastNestedLoopJoin") || cb.contains("BroadcastExchange"),
+      cb.take(3000))
+    // sketch set algebra: the shared sketch is a 1-row broadcast; no
+    // cartesian of corpus-sized sides
+    val sa = staticPlan(ExtQueries.qaSketchSetAlgebra(spark, sfSmoke))
+    assert(!sa.contains("CartesianProduct"), sa.take(3000))
+    // rolling distinct: one groupBy exchange + one window exchange on
+    // the same key family — no join-back re-scan of events
+    val rd = staticPlan(ExtQueries.eventsRollingDistinct(spark, sfSmoke))
+    assert(planLines(rd, "Location: InMemoryFileIndex").size == 1,
+      "rolling distinct must scan events exactly once:\n" + rd.take(3000))
+  }
+
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
     // codegen spans only show on the executed plan, as `*(n)` stage
     // markers (AQE's static formatted plan omits the annotation)
