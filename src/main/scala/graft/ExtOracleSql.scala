@@ -547,7 +547,11 @@ object ExtOracleSql {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 2000000 AS doc_id,
-      |         array_to_string(ws[11:len(ws)], ' ') AS text
+      |         -- COALESCE: array_to_string([]) is NULL in DuckDB where
+      |         -- Spark's array_join gives '' (short docs whose copy
+      |         -- drops every word — surfaced by the sf0.1 gate only,
+      |         -- sf0.01 has no <= 10-word doc among the planted ids)
+      |         COALESCE(array_to_string(ws[11:len(ws)], ' '), '') AS text
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |  WHERE doc_id % 10 = 0),
       |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
