@@ -15,6 +15,14 @@ import org.apache.spark.sql.SparkSession
   * would thrash the page cache the real pipeline would keep warm).
   */
 object Bench {
+
+  /** 1-minute load average from /proc/loadavg; -1 if unreadable. */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,6 +44,16 @@ object Bench {
     catch { case _: Throwable => () }
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
+      // Hygiene between queries: any cache a query strands must not
+      // subsidize (or crowd) the next one — each query's number is the
+      // cold-plan cost, which is what a 100 TB reader wants.
+      spark.catalog.clearCache()
+      // Stamp the 1-minute load average alongside each timing so a
+      // reader can tell box contention from a plan regression (r4's
+      // BENCH recorded a 22× phantom on graph_pagerank under load avg
+      // 13-20; the solo re-measure was 3 s — the JSON itself must
+      // carry the exculpatory evidence).
+      val load = loadAvg()
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var rep = 0
@@ -56,12 +74,14 @@ object Bench {
       // reported number never exceeds the true median.
       val median =
         if (failed) -1.0 else times.sorted.apply((times.length - 1) / 2)
-      name -> median
+      (name, median, load)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val loads = results.map { case (k, _, l) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load":$loads,"load_end":${loadAvg()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

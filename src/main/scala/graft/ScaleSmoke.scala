@@ -107,16 +107,17 @@ object ScaleSmoke {
       // eliminate work — e.g. a left outer join whose right side
       // aggregates on the join key contributes nothing to the row
       // count and is removed wholesale, so segment dedup "measured"
-      // 0.3 s of nothing. The persist keeps the untimed row count
-      // from re-running the full pipeline.
+      // 0.3 s of nothing. UNPERSISTED: a persist here made the timed
+      // write also pay the MEMORY_AND_DISK cache-write, inflating the
+      // reported seconds over the pure pipeline cost (ADVICE r4). The
+      // untimed row count below re-plans from scratch instead — count()
+      // pruning is harmless for a count, and the timing stays clean.
       val df = fn(spark, work)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
       val rows = df.count()
-      df.unpersist()
       val (ratio, medMb, maxMb, n) = listener.worstStage
       println(f"| $name | $rows | $sec%.1f | $n | $medMb%.1f | $maxMb%.1f | $ratio%.1f |")
     }

@@ -60,8 +60,15 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
     i = 0
     while (i < n) {
       val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
-      out(i) = java.math.BigDecimal.valueOf(v / scale)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      val q = v / scale
+      // Non-finite guard, mirroring Spark's RoundBase: BigDecimal.valueOf
+      // throws NumberFormatException on NaN/Infinity (one bad embedding
+      // element would crash the whole query); round() passes them through.
+      out(i) =
+        if (java.lang.Double.isFinite(q))
+          java.math.BigDecimal.valueOf(q)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        else q
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
@@ -89,8 +96,11 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
          |final double $scale = ($m == 0.0) ? 1.0 : ($m / 127.0);
          |final double[] $out = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = java.math.BigDecimal.valueOf(${getter(a, i)} / $scale)
-         |    .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  final double $v = ${getter(a, i)} / $scale;
+         |  $out[$i] = java.lang.Double.isFinite($v)
+         |    ? java.math.BigDecimal.valueOf($v)
+         |        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+         |    : $v;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin

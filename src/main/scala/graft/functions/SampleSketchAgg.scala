@@ -144,6 +144,17 @@ object SampleSketchAgg {
   * row-sample sketches into the sketch of the concatenated raw data
   * (lossless by min-k associativity; gate-proven in
   * agg_quantile_sketch).
+  *
+  * CONTRACT: merge-k must be ≤ the k the input sketches were BUILT
+  * with. Min-k associativity only holds downward: bottom-k' of a union
+  * of bottom-k sets equals bottom-k' of the raw union iff k' ≤ k. A
+  * LARGER merge-k cannot recover rows the build already discarded — it
+  * would yield a sketch that is not the bottom-k of the concatenated
+  * data, and the kmv-style "size < k ⇒ exact" assumption would then
+  * undercount silently. (The k is not recoverable from the sketch
+  * value itself — a sketch of size s < k is indistinguishable from one
+  * built with k = s — so this is a caller contract, not a runtime
+  * check. All engine call sites pass the build-k verbatim.)
   */
 case class SampleMergeAgg(
     child: Expression, k: Int,

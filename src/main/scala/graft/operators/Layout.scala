@@ -25,14 +25,28 @@ object Layout {
     * integral columns: a's bit i lands at position 2i+1, b's at 2i.
     * 21 bits/dim by default (42-bit keys — ~2M distinct values per
     * dimension; raise toward 31 for wider domains, 2·bits ≤ 62).
+    *
+    * FAILS LOUDLY (raise_error) on a negative input or one ≥ 2^bits:
+    * two's-complement interleaving of a negative produces a
+    * non-monotone key (useless bounding boxes), and silent truncation
+    * of a too-wide value aliases distant rows into the same key range
+    * — both corrupt the layout invisibly, so they must not pass.
     */
   def zorderKey(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"zorderKey: bits in [1,31], got $bits")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+    val av = a.cast("long")
+    val bv = b.cast("long")
+    val max = lit(1L << bits)
+    val key = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(av, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(bv, i).bitwiseAND(lit(1L)), 2 * i))
     }
+    when(av < 0 || av >= max || bv < 0 || bv >= max,
+      raise_error(concat(
+        lit(s"zorder_key: inputs must be in [0, 2^$bits); got ("),
+        av.cast("string"), lit(", "), bv.cast("string"), lit(")"))))
+      .otherwise(key)
   }
 
   /** Cluster `df` for (a, b) box queries: range-partition on the

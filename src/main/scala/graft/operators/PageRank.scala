@@ -25,10 +25,17 @@ import org.apache.spark.sql.functions._
   * textbook Pregel superstep as two exchanges. The only driver-side
   * value is |V| (one long — the KMeans-centroid class of footprint);
   * rank vectors never leave the cluster. Out-degrees are folded into
-  * the edge relation once, before the loop, and the edge/node
-  * relations are persisted across rounds (caller owns the lifetime).
-  * A fixed iteration count unrolls into one lazy composed plan, which
-  * is what makes the hash gate (and an unrolled SQL oracle) possible.
+  * the edge relation once, before the loop; the degree aggregate
+  * doubles as the node spine (every node is a `src` by contract), so
+  * there is no separate `distinct()` spine and no terminal degree
+  * re-aggregate. The edge/spine relations are persisted for the run
+  * and RELEASED before returning: the result is materialized through
+  * a reliable checkpoint (one |V|-row write) that truncates lineage,
+  * so the returned frame references no cache and
+  * `sc.getPersistentRDDs` is empty after every invocation — the
+  * registry caller materializes at an unknown later point and cannot
+  * own the lifetime (a long-lived Verify/Bench session would strand
+  * two cache entries per call otherwise).
   */
 object PageRank {
 
@@ -48,38 +55,51 @@ object PageRank {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(dampingPct > 0 && dampingPct < 100, "pageRank: dampingPct in (0,100)")
     val e = edges.select(col("src"), col("dst")).distinct()
-    val out = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    // out-degree rides WITH the edge list so the per-iteration join is
-    // rank ⋈ edges only (outdeg joined once, not once per round).
-    // PERSISTED: the unrolled plan references the edge relation once
-    // per round and the node spine once per round + 1 — uncached, each
-    // reference re-runs the whole upstream edge-derivation cascade
-    // (measured 39.8 s → 3.4 s at sf0.1 for 3 rounds over the
-    // orders⋈lineitem graph). Caller owns the lifetime, like
-    // ConnectedComponents.run / KMeans.fit — these are bounded
-    // intermediates (|E| and |V| rows), not the raw corpus.
-    val eo = e.join(out, "src")
+    // ONE |V|-row aggregate serves as node spine AND degree lookup
+    // (every node appears as a src by contract): initial ranks, the
+    // per-round left-join spine, and the terminal degree attach all
+    // read it — the separate nodes.distinct() exchange and the
+    // terminal groupBy(first(out_deg)) re-aggregate are gone.
+    // PERSISTED for the run: the unrolled plan references the edge
+    // relation once per round and the spine once per round + 1 —
+    // uncached, each reference re-runs the whole upstream
+    // edge-derivation cascade (measured 39.8 s → 3.4 s at sf0.1 for 3
+    // rounds over the orders⋈lineitem graph). These are bounded
+    // intermediates (|E| and |V| rows), not the raw corpus, and are
+    // RELEASED in the finally below.
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
+    val eo = e.join(out.select(col("node").as("src"), col("out_deg")), "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // |V| as ONE driver-side long off the cached spine (the KMeans
-    // precedent — k centroid rows there, a single count here; a lazy
-    // crossJoin(count-agg) would re-aggregate the spine every round)
-    val n = nodes.count()
-    val base: Column = lit(((100 - dampingPct) * Scale / 100) / n)
-    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_fp"))
-    (1 to iterations).foreach { _ =>
-      val contrib = eo
-        .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("rank_fp div out_deg")).as("contrib"))
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (base + expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
-            .as("rank_fp"))
-    }
-    ranks.join(eo.groupBy(col("src").as("node")).agg(first(col("out_deg")).as("out_deg")), "node")
-      .select(col("node"), col("out_deg"), col("rank_fp"))
+    try {
+      // |V| as ONE driver-side long off the cached spine (the KMeans
+      // precedent — k centroid rows there, a single count here; a lazy
+      // crossJoin(count-agg) would re-aggregate the spine every round)
+      val n = out.count()
+      val base: Column = lit(((100 - dampingPct) * Scale / 100) / n)
+      var ranks = out.select(col("node"), lit(Scale / n).as("rank_fp"))
+      (1 to iterations).foreach { _ =>
+        val contrib = eo
+          .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("rank_fp div out_deg")).as("contrib"))
+        ranks = out.select(col("node"))
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (base + expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
+              .as("rank_fp"))
+      }
+      val result = ranks.join(out, "node")
+        .select(col("node"), col("out_deg"), col("rank_fp"))
+      // Materialize the result PAST the caches before releasing them: a
+      // reliable checkpoint writes the |V|-row result once and truncates
+      // lineage, so the frame we return references neither eo nor out
+      // and the finally can unpersist both immediately.
+      val sc = result.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      result.checkpoint()
+    } finally { eo.unpersist(); out.unpersist(); () }
   }
 }
