@@ -967,6 +967,17 @@ object ExtOracleSql {
     * candidates with the 2..500 cap, cosine ≥ 0.95 ⇒ the higher id is a
     * duplicate (keep = lowest-id-per-group).
     */
+  /** pipeline_dedup_incremental twin: the incremental path must return
+    * exactly the FULL-RECOMPUTE detector's pairs restricted to those
+    * touching the batch (`doc_id % 7 = 0` split) — the whole point of
+    * the gate is that incremental-against-stored-state loses nothing
+    * and invents nothing relative to rerunning the detector.
+    */
+  val pipelineDedupIncremental: String =
+    s"""WITH pairs AS ($dedupMinhashLsh)
+       |SELECT * FROM pairs
+       |WHERE doc_id_1 % 7 = 0 OR doc_id_2 % 7 = 0""".stripMargin
+
   /** pipeline_dedup_canonical twin: the minhash query nested as a CTE,
     * symmetric+self-loop edges over the full dup corpus, 4 unrolled
     * propagation rounds, keep = (id = component).

@@ -936,28 +936,34 @@ object ExtQueries {
     * (doc_id, band) pairs shuffle — that's the 100 TB shape: bytes across
     * the wire ∝ docs × bands, not docs × shingles.
     */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val k = 16; val bands = 4
-    // The whole signature+banding stage is ONE native expression
-    // (functions.MinhashBands): all 16 slot minima + 4 band keys in a
-    // single pass over the shingle array — no generated rows, no
-    // aggregation hash table, no shuffle before banding. History: the
-    // composed-HOF form was ~80× slower (CollapseProject inlines the
-    // signature into every consumer); r1–r3 used explode + groupBy(min)
-    // (one md5 per (shingle, digest-quarter) row, map-side combine);
-    // the fused expression removes that stage's row machinery and
-    // measured 1.8× on the query at sf0.1. The expression sits under a
-    // single Generate (explode of its band slice), so it evaluates once
-    // per document. Slot q*4+r = hex chunk r of md5(q ':' shingle);
-    // band b = md5(b '|' slots[b*4..b*4+3] joined '|') — bit-identical
-    // to TextFunctions.minhashSignature/lshBands (spec-asserted) and
-    // the DuckDB oracle.
+  /** (doc_id, sigs, band) — the minhash signature+banding stage shared
+    * by the one-shot detector and the incremental state builder. ONE
+    * native expression (functions.MinhashBands): all 16 slot minima +
+    * 4 band keys in a single pass over the shingle array — no
+    * generated rows, no aggregation hash table, no shuffle before
+    * banding. History: the composed-HOF form was ~80× slower
+    * (CollapseProject inlines the signature into every consumer);
+    * r1–r3 used explode + groupBy(min) (one md5 per (shingle,
+    * digest-quarter) row, map-side combine); the fused expression
+    * removes that stage's row machinery and measured 1.8× on the query
+    * at sf0.1. The expression sits under a single Generate (explode of
+    * its band slice), so it evaluates once per document. Slot q*4+r =
+    * hex chunk r of md5(q ':' shingle); band b = md5(b '|'
+    * slots[b*4..b*4+3] joined '|') — bit-identical to
+    * TextFunctions.minhashSignature/lshBands (spec-asserted) and the
+    * DuckDB oracle.
+    */
+  def minhashBanded(d: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val mb = call_function("minhash_bands",
       array_distinct(TextFunctions.shingles(col("words"), 3)), lit(k), lit(bands))
-    val banded = withNearDups(docs(s, dir))
-      .select(col("doc_id"), mb.as("mb"))
+    d.select(col("doc_id"), mb.as("mb"))
       .select(col("doc_id"), slice(col("mb"), 1, k).as("sigs"),
         explode(slice(col("mb"), k + 1, bands)).as("band"))
+  }
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val banded = minhashBanded(withNearDups(docs(s, dir)), k)
     // one-pass bucket expansion (same rationale as dedupSimhash: a band
     // self-join would compute the signature pipeline once per side);
     // Buckets.boundedMembers caps degenerate band values so no single
@@ -973,6 +979,24 @@ object ExtQueries {
       .select(col("p.doc_id_1"), col("p.doc_id_2"), col("p.est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= 0.4)
+  }
+
+  /** Cross-batch INCREMENTAL near-dup dedup (the daily-ingest shape):
+    * the corpus split `doc_id % 7 != 0` plays yesterday's corpus, whose
+    * banded minhash state ([[operators.IncrementalDedup.bandState]])
+    * is what a production pipeline would have STORED; the `% 7 == 0`
+    * split is today's batch. Only the batch is signatured; pairs are
+    * the batch's near-dups against the state plus within-batch —
+    * proven equal (oracle gate) to the full-recompute
+    * [[dedupMinhashLsh]] over corpus ∪ batch restricted to pairs
+    * touching the batch. Scale rationale and the stored-state fold
+    * live in [[operators.IncrementalDedup]].
+    */
+  def pipelineDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val nd = withNearDups(docs(s, dir))
+    val isBatch = col("doc_id") % 7 === 0
+    val state = operators.IncrementalDedup.bandState(minhashBanded(nd.filter(!isBatch)))
+    operators.IncrementalDedup.pairsAgainst(state, minhashBanded(nd.filter(isBatch)))
   }
 
   /** 64-bit SimHash near-dup detection with the standard 4×16-bit block

@@ -110,6 +110,7 @@ object SparkEntry {
     "dedup_semantic" -> (ExtQueries.dedupSemantic _),
     "pipeline_dedup_canonical" -> (ExtQueries.pipelineDedupCanonical _),
     "pipeline_dedup_weights" -> (ExtQueries.pipelineDedupWeights _),
+    "pipeline_dedup_incremental" -> (ExtQueries.pipelineDedupIncremental _),
     "text_bpe_merges" -> (ExtQueries.textBpeMerges _),
     "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
@@ -196,7 +197,8 @@ object SparkEntry {
     "layout_zorder", "qa_cms_freq", "qa_key_skew",
     "events_rolling_distinct", "pipeline_snapshot_diff",
     "pipeline_curriculum_bins", "streaming_distinct_users",
-    "pipeline_dedup_weights", "text_bpe_merges")
+    "pipeline_dedup_weights", "text_bpe_merges",
+    "pipeline_dedup_incremental")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1232,6 +1234,7 @@ object SparkEntry {
     "dedup_semantic" -> ExtOracleSql.dedupSemantic,
     "pipeline_dedup_canonical" -> ExtOracleSql.pipelineDedupCanonical,
     "pipeline_dedup_weights" -> ExtOracleSql.pipelineDedupWeights,
+    "pipeline_dedup_incremental" -> ExtOracleSql.pipelineDedupIncremental,
     "text_bpe_merges" -> ExtOracleSql.textBpeMerges,
 
     // 32/16 word chunking — same geometry as dedup_clusters' vertices

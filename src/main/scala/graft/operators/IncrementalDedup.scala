@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-batch INCREMENTAL near-duplicate dedup: dedup a NEW batch of
+  * documents against STORED corpus state without rescanning — or even
+  * re-signaturing — the corpus (the daily-ingest shape of a 100 TB
+  * pipeline: yesterday's corpus is petabytes, today's batch is not).
+  *
+  * The stored state is the AGGREGATED band table of the minhash-LSH
+  * detector (`ExtQueries.dedupMinhashLsh`):
+  * `(band, cnt, members: array<struct<doc_id, sigs>>)` — one row per
+  * band key, carrying every corpus member's 16-slot signature. An
+  * increment then needs exactly three things, none of which touch
+  * corpus text:
+  *  1. signature+band the batch (one `minhash_bands` scan of the batch);
+  *  2. join the batch's band groups against the state on `band`;
+  *  3. expand new-vs-corpus and new-vs-new pairs inside each band.
+  *
+  * Scale shape: the state is written BUCKETED BY `band`, so step 2 is a
+  * bucket-local join — only the batch's (band → members) groups move
+  * (bytes ∝ |batch| × bands), the state is read in place, and corpus
+  * pairs are never re-derived. Shuffle and pair volume are both
+  * ∝ batch, not ∝ corpus — a full re-run of the LSH detector is
+  * ∝ corpus every day.
+  *
+  * Equivalence contract (the oracle gate): pairs from
+  * [[pairsAgainst]] == the full-recompute detector over corpus ∪ batch,
+  * restricted to pairs touching the batch. That holds because the
+  * bounded-bucket cap (see [[Buckets]]) is evaluated on the TOTAL band
+  * membership `corpus cnt + batch cnt` — the state stores the count
+  * even where it truncates members (a band past the cap can never
+  * produce pairs again: membership only grows), so the cap decision is
+  * identical to the one the full recompute makes.
+  */
+object IncrementalDedup {
+
+  /** Signature slots per doc (matches `minhash_bands(_, 16, 4)`). */
+  val K = 16
+
+  /** Build the storable band state from a banded frame
+    * `(doc_id, sigs, band)`. Bands past `cap` keep their COUNT (the
+    * cap decision needs it forever) but drop their members (they can
+    * never pair again — membership only grows). Same
+    * collect-then-filter shape as [[Buckets.boundedMembers]]; the
+    * degenerate-band buffer hazard and its cap rationale live there.
+    */
+  def bandState(banded: DataFrame, cap: Int = Buckets.DefaultCap): DataFrame =
+    banded.groupBy("band")
+      .agg(count(lit(1)).as("cnt"),
+        collect_list(struct(col("doc_id"), col("sigs"))).as("members"))
+      .select(col("band"), col("cnt"),
+        when(col("cnt") > cap, expr("filter(members, x -> false)"))
+          .otherwise(col("members")).as("members"))
+
+  /** Fold a new batch's banded frame into the state: per band, counts
+    * add and member lists concatenate, re-truncating where the total
+    * crosses `cap`. Full-outer on `band` — bucket-local when the state
+    * is bucketed by band; only the batch side shuffles.
+    */
+  def foldState(state: DataFrame, banded: DataFrame,
+                cap: Int = Buckets.DefaultCap): DataFrame = {
+    val nb = bandState(banded, cap)
+      .withColumnRenamed("cnt", "new_cnt")
+      .withColumnRenamed("members", "new_members")
+    state.join(nb, Seq("band"), "full")
+      .select(col("band"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("new_cnt"), lit(0L))).as("cnt"),
+        expr("""CASE WHEN members IS NULL THEN new_members
+               |     WHEN new_members IS NULL THEN members
+               |     ELSE members || new_members END""".stripMargin).as("m0"))
+      .select(col("band"), col("cnt"),
+        when(col("cnt") > cap, expr("filter(m0, x -> false)"))
+          .otherwise(col("m0")).as("members"))
+  }
+
+  /** Near-dup pairs of a new batch against the stored state: every
+    * (new, corpus) and (new, new) pair sharing a band whose TOTAL
+    * membership is within [2, cap], signature-Jaccard estimated and
+    * thresholded exactly like the full-recompute detector. Corpus-vs-
+    * corpus pairs are never generated (they were yesterday's output).
+    *
+    * `doc_id_1 < doc_id_2` orientation via least/greatest — a batch id
+    * may sort on either side of a corpus id, and the full-recompute
+    * oracle orders pairs by id, not by batch membership.
+    */
+  def pairsAgainst(state: DataFrame, batchBanded: DataFrame,
+                   minEst: Double = 0.4,
+                   cap: Int = Buckets.DefaultCap): DataFrame = {
+    val nb = batchBanded.groupBy("band")
+      .agg(count(lit(1)).as("new_cnt"),
+        collect_list(struct(col("doc_id"), col("sigs"))).as("new_members"))
+    val est = (a: String, b: String) =>
+      s"CAST(size(filter(zip_with($a.sigs, $b.sigs, (x, y) -> x = y), p -> p)) AS DOUBLE) / $K"
+    // left join: bands absent from the state still pair new-vs-new.
+    // The state side never shuffles when bucketed by band; on an
+    // unbucketed state AQE broadcasts the (small) batch aggregate.
+    nb.join(state, Seq("band"), "left")
+      .filter((col("new_cnt") + coalesce(col("cnt"), lit(0L))).between(2, cap))
+      .select(col("new_members"),
+        coalesce(col("members"), expr("filter(new_members, x -> false)"))
+          .as("old_members"))
+      .select(explode(expr(
+        s"""concat(
+           |  flatten(transform(new_members, a ->
+           |    transform(old_members, b ->
+           |      struct(least(a.doc_id, b.doc_id) AS doc_id_1,
+           |             greatest(a.doc_id, b.doc_id) AS doc_id_2,
+           |             ${est("a", "b")} AS est_jaccard)))),
+           |  flatten(transform(new_members, a ->
+           |    transform(filter(new_members, b -> b.doc_id > a.doc_id), b ->
+           |      struct(a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           |             ${est("a", "b")} AS est_jaccard)))))""".stripMargin)).as("p"))
+      .select(col("p.doc_id_1"), col("p.doc_id_2"), col("p.est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEst)
+  }
+}

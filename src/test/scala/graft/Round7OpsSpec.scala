@@ -54,6 +54,66 @@ class Round7OpsSpec extends SparkSpec {
     assert(got(3L).toSeq == Seq(127.0, -64.0), s"unexpected: ${got(3L).toSeq}")
   }
 
+  test("incremental dedup gate: equals the full recompute restricted to batch-touching pairs") {
+    val inc = ExtQueries.pipelineDedupIncremental(spark, sfSmoke)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = ExtQueries.dedupMinhashLsh(spark, sfSmoke)
+      .filter($"doc_id_1" % 7 === 0 || $"doc_id_2" % 7 === 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc.nonEmpty, "fixture produced no batch-touching near-dup pairs")
+    assert(inc == full,
+      s"incremental-only: ${inc -- full}; full-only: ${full -- inc}")
+  }
+
+  test("incremental dedup: two chained increments through a stored parquet state") {
+    // corpus A, then batch B1 folded into the state, then batch B2
+    // deduped against the STORED state (parquet round-trip, bucketed by
+    // band) — must equal the full recompute over A ∪ B1 ∪ B2 restricted
+    // to pairs touching B2. Near-copies: id+1000 drops the first word.
+    import operators.IncrementalDedup._
+    val base = (1L to 30L).map(i =>
+      (i, (0 until 20).map(w => s"t${(i * 7 + w) % 13}w$w").mkString(" ")))
+    val corpus = (base ++ base.filter(_._1 % 3 == 0).map { case (i, t) =>
+      (i + 1000L, t.split(" ").drop(1).mkString(" "))
+    }).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("words"))
+    val inA = (id: org.apache.spark.sql.Column) => id % 5 < 3
+    val inB1 = (id: org.apache.spark.sql.Column) => id % 5 === 3
+    val state0 = bandState(ExtQueries.minhashBanded(corpus.filter(inA($"doc_id"))))
+    val state1 = foldState(state0, ExtQueries.minhashBanded(corpus.filter(inB1($"doc_id"))))
+    val tmp = java.nio.file.Files.createTempDirectory("inc-state").toString
+    spark.sql("DROP TABLE IF EXISTS inc_state_r7")
+    state1.write.format("parquet").bucketBy(4, "band")
+      .option("path", s"$tmp/state1").saveAsTable("inc_state_r7")
+    val stored = spark.table("inc_state_r7")
+    val got = pairsAgainst(stored,
+      ExtQueries.minhashBanded(corpus.filter($"doc_id" % 5 > 3)))
+      .as[(Long, Long, Double)].collect().toSet
+    // full recompute via an empty state (every doc is "new")
+    val banded = ExtQueries.minhashBanded(corpus)
+    val full = pairsAgainst(bandState(banded.limit(0)), banded)
+      .filter($"doc_id_1" % 5 > 3 || $"doc_id_2" % 5 > 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty, "fixture produced no B2-touching pairs")
+    assert(got == full, s"got-only: ${got -- full}; full-only: ${full -- got}")
+  }
+
+  test("incremental dedup: band cap is evaluated on the TOTAL membership") {
+    import operators.IncrementalDedup._
+    val sig = Seq.fill(16)("s")
+    def banded(ids: Long*) = ids.map(i => (i, sig, "band1")).toDF("doc_id", "sigs", "band")
+    // corpus 2 + batch 2 = 4 > cap 3: no pairs, but the count survives
+    val s2 = bandState(banded(1L, 2L), cap = 3)
+    assert(pairsAgainst(s2, banded(10L, 11L), minEst = 0.0, cap = 3).isEmpty)
+    // corpus 1 + batch 2 = 3 <= cap: 2 cross + 1 within = 3 pairs
+    val s1 = bandState(banded(1L), cap = 3)
+    assert(pairsAgainst(s1, banded(10L, 11L), minEst = 0.0, cap = 3).count() == 3)
+    // fold past the cap truncates members but keeps the count
+    val folded = foldState(s2, banded(3L, 4L), cap = 3)
+      .select($"cnt", size($"members")).as[(Long, Int)].head()
+    assert(folded == ((4L, 0)), s"unexpected: $folded")
+  }
+
   test("zorderKey: negative or out-of-range input fails loudly, not silently") {
     val neg = Seq((-1L, 2L)).toDF("a", "b")
     val e1 = intercept[Exception] {
