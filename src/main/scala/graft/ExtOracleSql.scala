@@ -21,23 +21,30 @@ object ExtOracleSql {
       |    (string_split(text, ' '))[6:len(string_split(text, ' '))] AS words
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** The minhash signature + banding CTE chain over the `nd` corpus —
+    * shared by every query that consumes LSH bands (one-shot detector,
+    * fuzzy decontamination, verified exact Jaccard).
+    */
+  private val minhashBandedCtes: String =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS shingles
+      |  FROM nd WHERE len(words) >= 3),
+      |sig AS (
+      |  SELECT doc_id,
+      |    [list_min([substr(md5(CAST((i // 4) AS VARCHAR) || ':' || s), (i % 4) * 8 + 1, 8)
+      |               for s in shingles])
+      |     for i in range(0, 16)] AS sigs
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, sigs,
+      |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sigs[b*4+1:b*4+4], '|'))
+      |            for b in range(0, 4)]) AS band
+      |  FROM sig)""".stripMargin
+
   val dedupMinhashLsh: String =
     s"""WITH $nearDupCorpus,
-       |sh AS (
-       |  SELECT doc_id, list_distinct(
-       |    [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS shingles
-       |  FROM nd WHERE len(words) >= 3),
-       |sig AS (
-       |  SELECT doc_id,
-       |    [list_min([substr(md5(CAST((i // 4) AS VARCHAR) || ':' || s), (i % 4) * 8 + 1, 8)
-       |               for s in shingles])
-       |     for i in range(0, 16)] AS sigs
-       |  FROM sh),
-       |banded AS (
-       |  SELECT doc_id, sigs,
-       |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sigs[b*4+1:b*4+4], '|'))
-       |            for b in range(0, 4)]) AS band
-       |  FROM sig),
+       |$minhashBandedCtes,
        |-- same bounded-bucket candidate generation as operators.Buckets:
        |-- degenerate band values (> 500 members) are dropped on BOTH engines
        |bc AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 500)
@@ -54,21 +61,7 @@ object ExtOracleSql {
     */
   val textDecontaminateFuzzy: String =
     s"""WITH $nearDupCorpus,
-       |sh AS (
-       |  SELECT doc_id, list_distinct(
-       |    [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS shingles
-       |  FROM nd WHERE len(words) >= 3),
-       |sig AS (
-       |  SELECT doc_id,
-       |    [list_min([substr(md5(CAST((i // 4) AS VARCHAR) || ':' || s), (i % 4) * 8 + 1, 8)
-       |               for s in shingles])
-       |     for i in range(0, 16)] AS sigs
-       |  FROM sh),
-       |banded AS (
-       |  SELECT doc_id, sigs,
-       |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sigs[b*4+1:b*4+4], '|'))
-       |            for b in range(0, 4)]) AS band
-       |  FROM sig),
+       |$minhashBandedCtes,
        |ref AS (SELECT doc_id AS ref_id, sigs AS ref_sigs, band FROM banded
        |        WHERE doc_id % 50 = 0 AND doc_id < 1000000),
        |tr AS (SELECT * FROM banded
@@ -920,7 +913,11 @@ object ExtOracleSql {
        |UNION ALL
        |${recallOf("pq", simPqTopK)}
        |UNION ALL
-       |${recallOf("ivfpq", simIvfpqTopK)}""".stripMargin
+       |${recallOf("ivfpq", simIvfpqTopK)}
+       |UNION ALL
+       |${recallOf("matryoshka", simMatryoshkaTopK)}
+       |UNION ALL
+       |${recallOf("int8", simQuantizedTopK)}""".stripMargin
   }
 
   /** One min-label propagation round over the symmetric+self-loop edge
@@ -967,6 +964,30 @@ object ExtOracleSql {
     * candidates with the 2..500 cap, cosine ≥ 0.95 ⇒ the higher id is a
     * duplicate (keep = lowest-id-per-group).
     */
+  /** dedup_ngram_verified twin: LSH-banded candidate pairs (bounded
+    * buckets, same cap), then EXACT shingle Jaccard per candidate via
+    * list_intersect — the scale-safe composition the posting-list
+    * detector's oracle can't reach at high duplication density.
+    */
+  val dedupNgramVerified: String =
+    s"""WITH $nearDupCorpus,
+       |$minhashBandedCtes,
+       |bc AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 500),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       |  JOIN bc ON a.band = bc.band)
+       |SELECT c.doc_id_1, c.doc_id_2,
+       |  CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+       |    / (len(s1.shingles) + len(s2.shingles)
+       |       - len(list_intersect(s1.shingles, s2.shingles))) AS jaccard
+       |FROM cand c
+       |JOIN sh s1 ON s1.doc_id = c.doc_id_1
+       |JOIN sh s2 ON s2.doc_id = c.doc_id_2
+       |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+       |    / (len(s1.shingles) + len(s2.shingles)
+       |       - len(list_intersect(s1.shingles, s2.shingles))) >= 0.5""".stripMargin
+
   /** pipeline_dedup_incremental twin: the incremental path must return
     * exactly the FULL-RECOMPUTE detector's pairs restricted to those
     * touching the batch (`doc_id % 7 = 0` split) — the whole point of

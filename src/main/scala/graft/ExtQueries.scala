@@ -981,6 +981,48 @@ object ExtQueries {
       .filter(col("est_jaccard") >= 0.4)
   }
 
+  /** Scale-safe EXACT n-gram Jaccard: minhash-LSH candidate pairs →
+    * exact shingle-Jaccard verification on the candidates ONLY. The
+    * exact detector ([[dedupNgramJaccard]]) pays Σ|posting|² pair rows
+    * — quadratic in duplication density (138 s pair-count stage at the
+    * 10×-dup smoke); here the pair stream is BOUNDED BY THE CANDIDATE
+    * SET (∝ docs × bands under the bucket cap), and each candidate
+    * pays one O(|shingles|) array intersection instead of appearing in
+    * every shared posting. Same 0.5 exact-Jaccard threshold and exact
+    * denominators as the posting detector; recall is the banding
+    * curve (est ≥ 0.4 pairs collide w.h.p. on 4×4 bands — the miss
+    * rate the recall gate family tracks), which is the standard
+    * trade (Leskovec MMDS ch.3) for escaping the quadratic regime.
+    *
+    * Plan notes: the doc → shingle-set projection crosses an exchange
+    * BEFORE the candidate joins (PLANS.md lesson 18 — under codegen a
+    * streamed-side derived column re-evaluates per broadcast-join
+    * pair; at production scale the shingle sets are the stored
+    * artifact anyway). The two attach joins broadcast the (small)
+    * candidate side, so the corpus never shuffles.
+    */
+  def dedupNgramVerified(s: SparkSession, dir: String): DataFrame = {
+    val all = withNearDups(docs(s, dir))
+    val cand = Buckets.boundedMembers(minhashBanded(all), col("band"), col("doc_id"))
+      .select(explode(expr(
+        """flatten(transform(members, a ->
+          |  transform(filter(members, b -> b > a), b -> a * 4294967296L + b)))""".stripMargin)).as("pk"))
+      .distinct()
+      .select(shiftright(col("pk"), 32).as("doc_id_1"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("doc_id_2"))
+    val shs = all.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("words"), 3)).as("shset"))
+      .repartition(col("doc_id"))
+    cand
+      .join(shs.select(col("doc_id").as("doc_id_1"), col("shset").as("sh1")), "doc_id_1")
+      .join(shs.select(col("doc_id").as("doc_id_2"), col("shset").as("sh2")), "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          (size(col("sh1")) + size(col("sh2"))
+            - size(array_intersect(col("sh1"), col("sh2"))))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** Cross-batch INCREMENTAL near-dup dedup (the daily-ingest shape):
     * the corpus split `doc_id % 7 != 0` plays yesterday's corpus, whose
     * banded minhash state ([[operators.IncrementalDedup.bandState]])
@@ -1137,6 +1179,17 @@ object ExtQueries {
 
   /** [[dedupClusters]] over an explicit (doc_id, text) frame (fixture entry). */
   def dedupClustersOf(d: DataFrame): DataFrame = {
+    val (verts, edges) = chunkGraph(d)
+    ConnectedComponents.labelPropagate(verts, edges, iterations = 7)
+      .select(expr("id DIV 10000").as("doc_id"), (col("id") % 10000).as("chunk_idx"),
+        col("component"))
+  }
+
+  /** The chunk-shingle near-dup graph shared by [[dedupClustersOf]] and
+    * [[dedupClustersStar]]: vertices = 32/16-word chunks, edges =
+    * chunks sharing an 8-shingle (bounded buckets).
+    */
+  private def chunkGraph(d: DataFrame): (DataFrame, DataFrame) = {
     val c = chunked(d)
       .select(col("doc_id"), col("chunk_idx"),
         (col("doc_id") * 10000 + col("chunk_idx")).as("id"), col("cwords"))
@@ -1150,7 +1203,22 @@ object ExtQueries {
           |  transform(filter(members, b -> b > a), b -> struct(a AS src, b AS dst))))""".stripMargin)).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
-    ConnectedComponents.labelPropagate(verts, edges, iterations = 7)
+    (verts, edges)
+  }
+
+  /** [[dedupClusters]] with components from the alternating
+    * large-star/small-star contraction
+    * ([[ConnectedComponents.runStar]]) instead of fixed-round
+    * propagation — the adversarial-diameter path, gated against the
+    * SAME oracle as `dedup_clusters`: at the gate SFs the dup-graph
+    * diameter is within the propagation round count, so both must
+    * produce the identical component minima; runStar additionally
+    * converges (in O(log²) rounds) on graphs where no fixed round
+    * count would (spec-asserted on a planted 200-hop chain).
+    */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val (verts, edges) = chunkGraph(docs(s, dir))
+    ConnectedComponents.runStar(verts, edges)
       .select(expr("id DIV 10000").as("doc_id"), (col("id") % 10000).as("chunk_idx"),
         col("component"))
   }
@@ -1445,6 +1513,11 @@ object ExtQueries {
       .unionByName(recallOf("ivf", simIvfTopK(s, dir)))
       .unionByName(recallOf("pq", simPqTopK(s, dir)))
       .unionByName(recallOf("ivfpq", simIvfpqTopK(s, dir)))
+      // r7: every approximate path carries the quality metric — the
+      // 8/64-dim prefix and the int8 quantization are approximations
+      // too, and a silent collapse in either would still hash-match
+      .unionByName(recallOf("matryoshka", simMatryoshkaTopK(s, dir)))
+      .unionByName(recallOf("int8", simQuantizedTopK(s, dir)))
   }
 
   /** Embedding near-dup: every 10th vector re-appears deterministically

@@ -804,6 +804,24 @@ object Queries {
         fixedPointSum(col("value"), 6).as("sum_value"))
   }
 
+  /** [[j6SaltedJoin]] through the CLOSED-LOOP router
+    * (SaltedJoin.adaptive): the sampled key histogram decides whether
+    * the salted form engages (here it does — a third of all events
+    * collapse onto user 1), and the oracle is j6's verbatim because
+    * both routes are row-identical by the salting exactness contract.
+    */
+  def j6SaltedJoinAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      when(col("user_id") % 3 === 0, 1L).otherwise(col("user_id")).as("user_id"),
+      col("value"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    graft.operators.SaltedJoin.adaptive(ev, cust, Seq("user_id"), "left", numSalts = 8)
+      .groupBy(coalesce(col("segment"), lit("NO_SEGMENT")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        fixedPointSum(col("value"), 6).as("sum_value"))
+  }
+
   /** Cohort retention matrix: users grouped by first-seen day, counted
     * per 7-day offset in which they were active again — the standard
     * growth-analytics retention triangle, exact. Shapes: first-seen =

@@ -74,6 +74,11 @@ object ScaleSmoke {
 
     val queries = Seq(
       "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
+      // round 7: the scale-safe composition — candidates from LSH bands,
+      // exact Jaccard only on candidates; at 10× dup density the exact
+      // detector's pair stream is Σ|posting|² (quadratic in density, the
+      // 138 s stage above) while this one is bounded by the candidate set
+      "dedup_ngram_verified" -> (ExtQueries.dedupNgramVerified _),
       "dedup_minhash_lsh" -> (ExtQueries.dedupMinhashLsh _),
       "dedup_simhash" -> (ExtQueries.dedupSimhash _),
       "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),

@@ -36,6 +36,7 @@ object SparkEntry {
     "j7_bloom_prune" -> (Queries.j7BloomPrune _),
     "j5_full_outer" -> (Queries.j5FullOuter _),
     "j6_salted_join" -> (Queries.j6SaltedJoin _),
+    "j6_salted_join_adaptive" -> (Queries.j6SaltedJoinAdaptive _),
     "agg_quartiles_manual" -> (Queries.aggQuartilesManual _),
     "qa_profile_numeric" -> (Queries.qaProfileNumeric _),
     // §2.5/2.7 windows / sort / limit
@@ -103,9 +104,11 @@ object SparkEntry {
     "dedup_exact" -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (ExtQueries.dedupMinhashLsh _),
+    "dedup_ngram_verified" -> (ExtQueries.dedupNgramVerified _),
     "dedup_simhash" -> (ExtQueries.dedupSimhash _),
     "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
     "dedup_clusters" -> (ExtQueries.dedupClusters _),
+    "dedup_clusters_star" -> (ExtQueries.dedupClustersStar _),
     "graph_pagerank" -> (ExtQueries.graphPageRank _),
     "dedup_semantic" -> (ExtQueries.dedupSemantic _),
     "pipeline_dedup_canonical" -> (ExtQueries.pipelineDedupCanonical _),
@@ -198,7 +201,7 @@ object SparkEntry {
     "events_rolling_distinct", "pipeline_snapshot_diff",
     "pipeline_curriculum_bins", "streaming_distinct_users",
     "pipeline_dedup_weights", "text_bpe_merges",
-    "pipeline_dedup_incremental")
+    "pipeline_dedup_incremental", "dedup_ngram_verified")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -592,7 +595,20 @@ object SparkEntry {
         |        END, 6) AS zscore
         |FROM win""".stripMargin,
 
-    // the oracle is the PLAIN join — proving replicate-and-salt exactness
+    // the oracle is the PLAIN join — proving replicate-and-salt exactness;
+    // the adaptive router must land on the identical rows whichever
+    // route its histogram picks
+    "j6_salted_join_adaptive" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE user_id END AS user_id, value
+        |  FROM events),
+        |c AS (SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer)
+        |SELECT COALESCE(segment, 'NO_SEGMENT') AS segment,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM ev LEFT JOIN c USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
     "j6_salted_join" ->
       """WITH ev AS (
         |  SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE user_id END AS user_id, value
@@ -1229,7 +1245,11 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "dedup_minhash_lsh" -> ExtOracleSql.dedupMinhashLsh,
+    "dedup_ngram_verified" -> ExtOracleSql.dedupNgramVerified,
     "dedup_clusters" -> ExtOracleSql.dedupClusters,
+    // the star-contraction path must land on the IDENTICAL components —
+    // same oracle as dedup_clusters by design
+    "dedup_clusters_star" -> ExtOracleSql.dedupClusters,
     "graph_pagerank" -> ExtOracleSql.graphPageRank,
     "dedup_semantic" -> ExtOracleSql.dedupSemantic,
     "pipeline_dedup_canonical" -> ExtOracleSql.pipelineDedupCanonical,

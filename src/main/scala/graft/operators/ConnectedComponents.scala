@@ -55,6 +55,95 @@ object ConnectedComponents {
     labels
   }
 
+  /** Alternating large-star/small-star contraction (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond") — the
+    * ADVERSARIAL-DIAMETER variant: min-label propagation needs
+    * diameter-many rounds (a 10⁶-hop chain means 10⁶ shuffles), while
+    * star contraction converges in O(log²
+    * largest-component-size) rounds with the same per-round
+    * join+aggregate shape. Use when the dup-graph diameter is unknown
+    * or unbounded; [[labelPropagate]] for the tiny-diameter common
+    * case (one lazy hash-gateable plan), [[run]] for
+    * convergence-checked propagation.
+    *
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(Γ(u) ∪ {u}) — one groupBy(u) for m, one join to emit;
+    *  - small-star(u): every parent v < u (and u) re-points to the
+    *    minimum parent — same two-exchange shape.
+    *
+    * Edges stay (child, parent) with parent < child after every
+    * half-round; at the fixed point the edge set is a star forest
+    * (child → component min). Per round only (edge endpoints × ids)
+    * shuffle; no driver-side state beyond the convergence flag. The
+    * result is materialized through a reliable checkpoint and every
+    * per-round cache is released before returning (the PageRank
+    * lifetime contract).
+    *
+    * @return (id, component) for every vertex, component = the
+    *         component's minimum id (exact at convergence; a
+    *         maxRounds cutoff on a still-moving graph returns the
+    *         current parents — callers should size maxRounds ≫
+    *         log²|V|, which 50 is for any realistic graph)
+    */
+  /** Materialize a round's result behind a FLAT `LogicalRDD` plan
+    * (persisted through the cache manager, eagerly built): a star
+    * round references its predecessor ~8× (union ×2, then
+    * join-with-own-aggregate ×2, twice), so an un-truncated LOGICAL
+    * plan grows 8^rounds nodes — execution would be saved by the
+    * cache, but analysis/stringification OOMs after ~10 rounds
+    * (measured on a 200-hop chain). `localCheckpoint` also truncates
+    * but persists OUTSIDE the cache manager, where
+    * `Dataset.unpersist` cannot release it — the blocks would strand
+    * exactly like the PageRank leak this round closed.
+    */
+  private def materializeRound(df: DataFrame): DataFrame = {
+    val out = org.apache.spark.sql.GraftSqlBridge
+      .fromInternalRdd(df.sparkSession, df.queryExecution.toRdd, df.schema)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out
+  }
+
+  def runStar(vertices: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // canonical (child u, parent v) with v < u; parallel edges collapse
+    var e = materializeRound(edges.select(
+        greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    try {
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        // large-star over the symmetrized graph
+        val sym = e.select(col("u"), col("v"))
+          .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        val lm = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+        val large = sym.join(lm, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")).distinct()
+        // small-star over (child, parent) edges
+        val sm = large.groupBy("u").agg(min(col("v")).as("m"))
+        val small = large.join(sm, "u").filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(sm.filter(col("u") =!= col("m"))
+            .select(col("u"), col("m").as("v")))
+          .distinct()
+        val nextE = materializeRound(small)
+        converged = nextE.count() == e.count() &&
+          nextE.join(e, Seq("u", "v"), "left_anti").isEmpty
+        e.unpersist()
+        e = nextE
+        round += 1
+      }
+      val labels = vertices
+        .join(e.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      val sc = labels.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      labels.checkpoint()
+    } finally { e.unpersist(); () }
+  }
+
   /** Convergence-checked variant for unknown-diameter graphs: runs one
     * propagation round at a time, materializing each round, and stops
     * when no label changed (or at `maxIterations`). Each round costs one

@@ -21,4 +21,16 @@ object GraftSqlBridge {
     */
   def expression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Re-root a DataFrame's executed InternalRow RDD as a flat
+    * `LogicalRDD` plan — the lineage-truncation step iterative
+    * operators need (a round that references its predecessor k times
+    * grows a k^rounds-node LOGICAL plan unless each round is
+    * re-rooted; `localCheckpoint` also truncates but persists outside
+    * the cache manager, so `Dataset.unpersist` cannot release it).
+    */
+  def fromInternalRdd(spark: SparkSession,
+                      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

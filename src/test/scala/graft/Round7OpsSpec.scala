@@ -114,6 +114,138 @@ class Round7OpsSpec extends SparkSpec {
     assert(folded == ((4L, 0)), s"unexpected: $folded")
   }
 
+  test("runStar: converges on a 200-hop chain where fixed-round propagation provably cannot") {
+    val n = 200
+    val verts = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val star = operators.ConnectedComponents.runStar(verts, edges)
+      .as[(Long, Long)].collect().toSet
+    assert(star == (1 to n).map(i => (i.toLong, 1L)).toSet,
+      s"star did not reach the chain minimum: ${star.filter(_._2 != 1L).take(5)}")
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "runStar stranded persistent RDDs")
+    // 7 propagation rounds only reach 7 hops — most of the chain is wrong
+    val prop = operators.ConnectedComponents
+      .labelPropagate(verts, edges, iterations = 7)
+      .as[(Long, Long)].collect().toSet
+    assert(prop != star, "a 7-round propagation cannot converge on diameter 199")
+  }
+
+  test("runStar: equals convergence-checked propagation on a mixed forest with isolated vertices") {
+    val verts = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 21L, 30L, 31L)).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("src", "dst")
+    val star = operators.ConnectedComponents.runStar(verts, edges)
+      .as[(Long, Long)].collect().toSet
+    val ref = operators.ConnectedComponents.run(verts, edges)
+    val refSet = ref.as[(Long, Long)].collect().toSet
+    ref.unpersist()
+    assert(star == refSet, s"star-only: ${star -- refSet}; ref-only: ${refSet -- star}")
+    assert(star.filter(_._1 >= 30L) == Set((30L, 30L), (31L, 31L)),
+      "isolated vertices must label themselves")
+  }
+
+  test("dedupNgramVerified: exact-Jaccard on LSH candidates is a high-recall subset of the posting detector") {
+    val ver = ExtQueries.dedupNgramVerified(spark, sfSmoke)
+      .as[(Long, Long, Double)].collect()
+    val verSet = ver.toSet
+    val exact = ExtQueries.dedupNgramJaccard(spark, sfSmoke)
+      .as[(Long, Long, Double)].collect()
+    val exactByPair = exact.map(t => (t._1, t._2) -> t._3).toMap
+    assert(ver.nonEmpty, "no verified pairs on the fixture")
+    // every verified pair exists in the exact detector with the SAME
+    // exact jaccard (no posting on this fixture exceeds the cap, so
+    // the posting detector's intersection counts are true)
+    ver.foreach { case (a, b, j) =>
+      assert(exactByPair.get((a, b)).contains(j),
+        s"pair ($a,$b,$j) not in exact detector: ${exactByPair.get((a, b))}")
+    }
+    // banding recall on the PLANTED near-dup pairs (doc, doc+1000000):
+    // the explicit trade for escaping the quadratic pair regime
+    val planted = exact.filter { case (a, b, _) => b == a + 1000000L }
+    val found = planted.count { case (a, b, j) => verSet.contains((a, b, j)) }
+    assert(planted.nonEmpty && found >= planted.length * 85 / 100,
+      s"recall $found/${planted.length} below the 85% banding floor")
+  }
+
+  test("SaltedJoin.adaptive: salted plan engages iff the sampled histogram is hot") {
+    val dim = (1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    // 50% of all rows on key 1 — far past the 25% trigger
+    val hot = (1 to 2000).map(i => (if (i % 2 == 0) 1L else i.toLong, i.toDouble))
+      .toDF("k", "v")
+    val hotJoin = operators.SaltedJoin.adaptive(hot, dim, Seq("k"), "left",
+      sampleFraction = 0.5)
+    assert(hotJoin.queryExecution.analyzed.toString.contains("__graft_jsalt"),
+      "50%-hot-key fixture must route through the salted form")
+    // uniform keys — salting would be pure replication cost
+    val flat = (1 to 2000).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    val flatJoin = operators.SaltedJoin.adaptive(flat, dim, Seq("k"), "left",
+      sampleFraction = 0.5)
+    assert(!flatJoin.queryExecution.analyzed.toString.contains("__graft_jsalt"),
+      "uniform-key fixture must plan the stock join")
+    // identical rows to the plain join on the hot fixture (multiset)
+    val got = hotJoin.as[(Long, Double, Option[String])].collect().sorted
+    val expect = hot.join(dim, Seq("k"), "left")
+      .as[(Long, Double, Option[String])].collect().sorted
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("streaming checkpoint-restart: dedup state survives a stop/restart and equals one-shot") {
+    // The recovery property StreamingStage.StatePartitions calls
+    // restart-critical and nothing tested (VERDICT r4 #6): run a
+    // watermarked stateful query to a checkpoint, stop, append input,
+    // restart FROM THE CHECKPOINT — recovered state must keep deduping
+    // across the restart, and the final sink must equal a one-shot run.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("ckpt-restart").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val part1 = Seq((1L, ts(0), 1.0), (2L, ts(10), 2.0), (2L, ts(11), 2.0),
+      (3L, ts(20), 3.0))
+    val part2 = Seq((2L, ts(30), 2.0), (3L, ts(25), 3.0), (4L, ts(40), 4.0))
+    def write(rows: Seq[(Long, java.sql.Timestamp, Double)], dir: String): Unit =
+      rows.toDF("event_id", "ts", "value").repartition(1)
+        .write.mode("append").parquet(dir)
+    def runOnce(in: String, out: String, ck: String, parts: Int): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val q = spark.readStream.schema(schema).parquet(in)
+          .withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val (in, out, ck) = (s"$root/in", s"$root/out", s"$root/ck")
+    write(part1, in)
+    runOnce(in, out, ck, parts = 8)
+    assert(spark.read.parquet(out).select("event_id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    write(part2, in)
+    // restart under a DIFFERENT session shuffle width: the checkpoint
+    // pins the original state partition count, so this must still work
+    runOnce(in, out, ck, parts = 32)
+    val restarted = spark.read.parquet(out).select("event_id").as[Long]
+      .collect().sorted.toSeq
+    // ids 2 and 3 recur in part2 within the watermark horizon — only
+    // RECOVERED state can drop them; lost state would emit 6 rows
+    assert(restarted == Seq(1L, 2L, 3L, 4L),
+      s"restart lost or corrupted dedup state: $restarted")
+    // one-shot over the combined input lands on the same id set
+    val (in2, out2, ck2) = (s"$root/in2", s"$root/out2", s"$root/ck2")
+    write(part1, in2); write(part2, in2)
+    runOnce(in2, out2, ck2, parts = 8)
+    val oneShot = spark.read.parquet(out2).select("event_id").as[Long]
+      .collect().toSet
+    assert(restarted.toSet == oneShot)
+  }
+
   test("zorderKey: negative or out-of-range input fails loudly, not silently") {
     val neg = Seq((-1L, 2L)).toDF("a", "b")
     val e1 = intercept[Exception] {
