@@ -999,6 +999,49 @@ object ExtOracleSql {
        |SELECT * FROM pairs
        |WHERE doc_id_1 % 7 = 0 OR doc_id_2 % 7 = 0""".stripMargin
 
+  /** streaming_dedup_bands twin: new-vs-corpus banded pairs with the
+    * bucket cap on the CORPUS band size (the arrival-order-independent
+    * streaming contract — a verdict for doc N cannot depend on docs
+    * arriving after it).
+    */
+  val streamingDedupBands: String =
+    s"""WITH $nearDupCorpus,
+       |$minhashBandedCtes,
+       |corpus AS (SELECT * FROM banded WHERE doc_id % 7 <> 0),
+       |batch AS (SELECT * FROM banded WHERE doc_id % 7 = 0),
+       |bc AS (SELECT band FROM corpus GROUP BY band HAVING COUNT(*) BETWEEN 1 AND 500)
+       |SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_id_1,
+       |  greatest(a.doc_id, b.doc_id) AS doc_id_2,
+       |  CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 AS est_jaccard
+       |FROM batch a JOIN corpus b USING (band) JOIN bc USING (band)
+       |WHERE CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 >= 0.4""".stripMargin
+
+  /** pipeline_dedup_exact_incremental twin: first-seen-wins exact dedup
+    * of the batch split against the corpus split — corpus minimum stays
+    * canonical wherever its digest exists; a digest seen only in the
+    * batch falls to the batch minimum.
+    */
+  val pipelineDedupExactIncremental: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |tagged AS (
+      |  SELECT doc_id, md5(text) AS digest, (doc_id % 7 = 0) AS is_new FROM all_docs),
+      |keeper AS (
+      |  SELECT digest,
+      |    MIN(CASE WHEN NOT is_new THEN doc_id END) AS corpus_canonical,
+      |    MIN(CASE WHEN is_new THEN doc_id END) AS batch_min
+      |  FROM tagged GROUP BY digest)
+      |SELECT t.doc_id,
+      |  COALESCE(k.corpus_canonical, k.batch_min) AS canonical_id,
+      |  (t.doc_id = COALESCE(k.corpus_canonical, k.batch_min)) AS keep,
+      |  CASE WHEN t.doc_id = COALESCE(k.corpus_canonical, k.batch_min) THEN 'canonical'
+      |       WHEN k.corpus_canonical IS NOT NULL THEN 'dup_corpus'
+      |       ELSE 'dup_batch' END AS status
+      |FROM tagged t JOIN keeper k USING (digest)
+      |WHERE t.is_new""".stripMargin
+
   /** pipeline_dedup_canonical twin: the minhash query nested as a CTE,
     * symmetric+self-loop edges over the full dup corpus, 4 unrolled
     * propagation rounds, keep = (id = component).

@@ -1041,6 +1041,31 @@ object ExtQueries {
     operators.IncrementalDedup.pairsAgainst(state, minhashBanded(nd.filter(isBatch)))
   }
 
+  /** Streaming near-dup pairs against the corpus band state — the
+    * streaming face of [[pipelineDedupIncremental]] (new-vs-corpus
+    * only; see [[graft.streaming.StreamingStage.streamingDedupBands]]
+    * for the semantics and state story).
+    */
+  def streamingDedupBands(s: SparkSession, dir: String): DataFrame = {
+    val nd = withNearDups(docs(s, dir))
+    val state = operators.IncrementalDedup.bandState(
+      minhashBanded(nd.filter(col("doc_id") % 7 =!= 0)))
+    StreamingStage.streamingDedupBands(s, dir, state)
+  }
+
+  /** EXACT incremental dedup (the daily-ingest sibling of
+    * [[pipelineDedupIncremental]]): every batch doc gets a verdict
+    * against the stored (digest → canonical id) state — first-seen
+    * wins, so a stored canonical never flips even when a later batch
+    * id sorts lower. See [[operators.IncrementalDedup.exactAgainst]].
+    */
+  def pipelineDedupExactIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = withExactDups(docs(s, dir))
+    val isBatch = col("doc_id") % 7 === 0
+    val state = operators.IncrementalDedup.digestState(all.filter(!isBatch))
+    operators.IncrementalDedup.exactAgainst(state, all.filter(isBatch))
+  }
+
   /** 64-bit SimHash near-dup detection with the standard 4×16-bit block
     * LSH (a pair within hamming ≤ 3 must share one of 4 equal blocks —
     * pigeonhole ⇒ exact recall at that radius). Explode+agg shape: one
@@ -1420,6 +1445,13 @@ object ExtQueries {
       .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
     val probes = KMeans.probe(all.filter(col("vec_id") % 25 === 0), centroids, nprobe = 2)
       .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
+    ivfScore(lists, probes)
+  }
+
+  /** Probed-list scoring + per-query top-k shared by the recompute and
+    * stored-index IVF paths.
+    */
+  private def ivfScore(lists: DataFrame, probes: DataFrame): DataFrame = {
     val scored = lists.join(probes, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
@@ -1428,6 +1460,41 @@ object ExtQueries {
         Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         round(col("score"), 6).as("score"))
+  }
+
+  /** IVF search against a STORED index — the production shape the
+    * recompute queries only gesture at: the trained centroid table
+    * (k rows) and the assignment lists (BUCKETED by cid) are written
+    * as durable artifacts, then the query path touches ONLY those
+    * artifacts — no re-clustering, no corpus-wide scan beyond the
+    * probed lists, and the cid-bucketed layout means a probe reads
+    * its lists without a shuffle. Gated against the recompute
+    * [[simIvfKmeansTopK]]'s oracle verbatim: index build is
+    * deterministic, so going through storage must change nothing.
+    */
+  def simIvfStoredTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeans
+    val all = vecs(s, dir)
+    // offline build + store (per-invocation here; nightly in production)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val centroids = KMeans.fit(all, k = 8, iterations = 3)
+    s.createDataFrame(centroids.map { case (cid, v) => (cid, v.toSeq) })
+      .toDF("cid", "vec")
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    s.sql("DROP TABLE IF EXISTS graft_ivf_lists")
+    KMeans.probe(all, centroids, nprobe = 1)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base/lists")
+      .bucketBy(8, "cid").saveAsTable("graft_ivf_lists")
+    // query path — stored artifacts only
+    val storedCentroids = s.read.parquet(s"$base/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val lists = s.table("graft_ivf_lists")
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
+    val probes = KMeans.probe(all.filter(col("vec_id") % 25 === 0),
+        storedCentroids, nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
+    ivfScore(lists, probes)
   }
 
   /** Top-k over int8-quantized vectors (Similarity.quantizeInt8): the

@@ -114,6 +114,8 @@ object SparkEntry {
     "pipeline_dedup_canonical" -> (ExtQueries.pipelineDedupCanonical _),
     "pipeline_dedup_weights" -> (ExtQueries.pipelineDedupWeights _),
     "pipeline_dedup_incremental" -> (ExtQueries.pipelineDedupIncremental _),
+    "pipeline_dedup_exact_incremental" -> (ExtQueries.pipelineDedupExactIncremental _),
+    "streaming_dedup_bands" -> (ExtQueries.streamingDedupBands _),
     "text_bpe_merges" -> (ExtQueries.textBpeMerges _),
     "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
@@ -152,6 +154,7 @@ object SparkEntry {
     "sim_ann_lsh_topk" -> (ExtQueries.simAnnLshTopK _),
     "sim_ivf_topk" -> (ExtQueries.simIvfTopK _),
     "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
+    "sim_ivf_stored_topk" -> (ExtQueries.simIvfStoredTopK _),
     "sim_quantized_topk" -> (ExtQueries.simQuantizedTopK _),
     "sim_matryoshka_topk" -> (ExtQueries.simMatryoshkaTopK _),
     "sim_pq_topk" -> (ExtQueries.simPqTopK _),
@@ -201,7 +204,9 @@ object SparkEntry {
     "events_rolling_distinct", "pipeline_snapshot_diff",
     "pipeline_curriculum_bins", "streaming_distinct_users",
     "pipeline_dedup_weights", "text_bpe_merges",
-    "pipeline_dedup_incremental", "dedup_ngram_verified")
+    "pipeline_dedup_incremental", "dedup_ngram_verified",
+    "dedup_clusters_star", "pipeline_dedup_exact_incremental",
+    "sim_ivf_stored_topk", "streaming_dedup_bands")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1255,6 +1260,8 @@ object SparkEntry {
     "pipeline_dedup_canonical" -> ExtOracleSql.pipelineDedupCanonical,
     "pipeline_dedup_weights" -> ExtOracleSql.pipelineDedupWeights,
     "pipeline_dedup_incremental" -> ExtOracleSql.pipelineDedupIncremental,
+    "pipeline_dedup_exact_incremental" -> ExtOracleSql.pipelineDedupExactIncremental,
+    "streaming_dedup_bands" -> ExtOracleSql.streamingDedupBands,
     "text_bpe_merges" -> ExtOracleSql.textBpeMerges,
 
     // 32/16 word chunking — same geometry as dedup_clusters' vertices
@@ -1274,6 +1281,9 @@ object SparkEntry {
     "sim_ann_lsh_topk" -> ExtOracleSql.simAnnLshTopK,
     "sim_ivf_topk" -> ExtOracleSql.simIvfTopK,
     "sim_ivf_kmeans_topk" -> ExtOracleSql.simIvfKmeansTopK,
+    // the stored-index path must reproduce the recompute path exactly —
+    // same oracle by design (deterministic build, storage is a no-op)
+    "sim_ivf_stored_topk" -> ExtOracleSql.simIvfKmeansTopK,
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
     "sim_matryoshka_topk" -> ExtOracleSql.simMatryoshkaTopK,
     "sim_pq_topk" -> ExtOracleSql.simPqTopK,

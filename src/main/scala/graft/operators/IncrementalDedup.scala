@@ -75,6 +75,51 @@ object IncrementalDedup {
           .otherwise(col("m0")).as("members"))
   }
 
+  /** EXACT-dedup state: (digest, canonical_id) — the minimum doc id
+    * holding each content digest, 16 bytes + one id per DISTINCT
+    * document. The exact sibling of [[bandState]]: a daily ingest
+    * dedups against this without touching corpus text (first-seen
+    * wins — the stored canonical stays canonical even when a later
+    * batch id sorts lower, because published corpus rows are
+    * immutable).
+    */
+  def digestState(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      .groupBy("digest").agg(min(col("doc_id")).as("canonical_id"))
+
+  /** Fold a batch into the digest state: existing digests keep their
+    * canonical (first-seen wins), new digests adopt the batch minimum.
+    * Full-outer on digest — bucket-local when the state is bucketed.
+    */
+  def foldDigestState(state: DataFrame, batch: DataFrame): DataFrame =
+    state.join(
+        digestState(batch).withColumnRenamed("canonical_id", "batch_min"),
+        Seq("digest"), "full")
+      .select(col("digest"),
+        coalesce(col("canonical_id"), col("batch_min")).as("canonical_id"))
+
+  /** Exact-dedup verdict for every batch doc against the stored digest
+    * state: `canonical` (first holder of a new digest), `dup_corpus`
+    * (digest already stored), or `dup_batch` (digest new but another
+    * batch doc holds the minimum). One digest shuffle of the batch +
+    * one join against the state — corpus text never moves.
+    */
+  def exactAgainst(state: DataFrame, batch: DataFrame): DataFrame = {
+    val b = batch.select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    val bm = b.groupBy("digest").agg(min(col("doc_id")).as("batch_min"))
+    b.join(bm, "digest")
+      .join(state.withColumnRenamed("canonical_id", "corpus_canonical"),
+        Seq("digest"), "left")
+      .select(col("doc_id"),
+        coalesce(col("corpus_canonical"), col("batch_min")).as("canonical_id"),
+        col("corpus_canonical"), col("batch_min"))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"),
+        when(col("doc_id") === col("canonical_id"), "canonical")
+          .when(col("corpus_canonical").isNotNull, "dup_corpus")
+          .otherwise("dup_batch").as("status"))
+  }
+
   /** Near-dup pairs of a new batch against the stored state: every
     * (new, corpus) and (new, new) pair sharing a band whose TOTAL
     * membership is within [2, cap], signature-Jaccard estimated and

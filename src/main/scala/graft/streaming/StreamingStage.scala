@@ -152,6 +152,54 @@ object StreamingStage {
     runToTable(agg, "streaming_distinct_users", "complete")
   }
 
+  /** STREAMING near-dup detection against the stored band state — the
+    * streaming face of `pipeline_dedup_incremental`: documents arrive
+    * as a stream, each is signatured+banded in-flight (stateless
+    * expression work), and a stream–static join against the corpus
+    * band state emits (new, corpus) near-dup pairs as they arrive.
+    * Entirely stateless on the stream side: no watermark, no state
+    * store — the "state" is the STATIC band table (in production the
+    * stored, bucketed E85 artifact; re-planned per micro-batch here).
+    *
+    * Semantics vs the batch incremental: covers new-vs-CORPUS pairs
+    * only (new-vs-new needs stream-global counts a per-row pipeline
+    * can't see — route the accumulated batch through
+    * `pipeline_dedup_incremental` for those), and the bucket cap
+    * applies to the CORPUS band size (arrival-order independence: a
+    * verdict emitted for doc N cannot depend on docs N+1…). Each
+    * stream row expands at most `cap` pairs, so per-row work is
+    * bounded. A pair recurs once per shared band; the sink-side
+    * `distinct()` (standard exactly-once sink dedup) collapses them.
+    */
+  def streamingDedupBands(spark: SparkSession, dir: String,
+                          bandState: org.apache.spark.sql.DataFrame): DataFrame = {
+    val cap = graft.operators.Buckets.DefaultCap
+    val k = graft.operators.IncrementalDedup.K
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(stageAsDir(path))
+    // the near-dup corpus shape (base + shifted copies of every 10th
+    // doc), batch split only — mirrors ExtQueries.withNearDups
+    val base = raw.select(col("doc_id"), split(col("text"), " ").as("words"))
+    val stream = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + lit(1000000L)).as("doc_id"),
+          expr("slice(words, 6, greatest(size(words) - 5, 0))").as("words")))
+      .filter(col("doc_id") % 7 === 0)
+    val pairs = graft.ExtQueries.minhashBanded(stream)
+      .join(bandState.filter(col("cnt").between(1, cap)), "band")
+      .select(col("doc_id"), col("sigs"), col("members"))
+      .select(explode(expr(
+        s"""transform(members, b ->
+           |  struct(least(doc_id, b.doc_id) AS doc_id_1,
+           |         greatest(doc_id, b.doc_id) AS doc_id_2,
+           |         CAST(size(filter(zip_with(sigs, b.sigs, (x, y) -> x = y), p -> p)) AS DOUBLE) / $k
+           |           AS est_jaccard))""".stripMargin)).as("p"))
+      .select(col("p.doc_id_1"), col("p.doc_id_2"), col("p.est_jaccard"))
+      .filter(col("est_jaccard") >= 0.4)
+    runToTable(pairs, "streaming_dedup_bands", "append").distinct()
+  }
+
   /** Stream–static join enrichment: the event stream joined to the
     * static customer dimension, then aggregated per (segment,
     * event_type) — the standard streaming-enrichment shape. The static

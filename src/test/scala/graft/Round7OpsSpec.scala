@@ -114,6 +114,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(folded == ((4L, 0)), s"unexpected: $folded")
   }
 
+  test("exact incremental dedup: first-seen wins, and two increments fold forward") {
+    import operators.IncrementalDedup._
+    val corpus = Seq((10L, "alpha beta"), (11L, "gamma delta")).toDF("doc_id", "text")
+    val b1 = Seq((5L, "alpha beta"), (6L, "epsilon"), (7L, "epsilon"))
+      .toDF("doc_id", "text")
+    val s0 = digestState(corpus)
+    val v1 = exactAgainst(s0, b1).as[(Long, Long, Boolean, String)].collect().toSet
+    // doc 5 duplicates corpus doc 10 even though 5 < 10 — the stored
+    // canonical must not flip (published corpus rows are immutable)
+    assert(v1 == Set((5L, 10L, false, "dup_corpus"),
+      (6L, 6L, true, "canonical"), (7L, 6L, false, "dup_batch")), s"got $v1")
+    val s1 = foldDigestState(s0, b1)
+    val b2 = Seq((20L, "epsilon"), (21L, "zeta")).toDF("doc_id", "text")
+    val v2 = exactAgainst(s1, b2).as[(Long, Long, Boolean, String)].collect().toSet
+    // "epsilon" entered the state via b1's minimum (6), so b2's copy is
+    // a corpus dup now; "zeta" is genuinely new
+    assert(v2 == Set((20L, 6L, false, "dup_corpus"),
+      (21L, 21L, true, "canonical")), s"got $v2")
+  }
+
   test("runStar: converges on a 200-hop chain where fixed-round propagation provably cannot") {
     val n = 200
     val verts = (1 to n).map(_.toLong).toDF("id")
