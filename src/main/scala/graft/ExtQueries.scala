@@ -1053,6 +1053,36 @@ object ExtQueries {
     StreamingStage.streamingDedupBands(s, dir, state)
   }
 
+  /** INCREMENTAL CLUSTER MAINTENANCE gate — the composition that
+    * completes the incremental family: yesterday's labels (converged
+    * components over corpus-only pairs, the stored artifact), today's
+    * batch-touching pairs from the stored band state (the E85 path),
+    * and [[operators.IncrementalDedup.mergeClusters]] folding the
+    * pairs into the labels via a quotient-graph solve ∝ batch. Gated
+    * against `pipeline_dedup_canonical`'s oracle VERBATIM: the
+    * incremental merge must land on the identical (doc_id, component,
+    * keep) rows a full re-cluster over corpus ∪ batch produces.
+    */
+  def pipelineDedupIncrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    import operators.IncrementalDedup
+    val nd = withNearDups(docs(s, dir))
+    val isBatch = col("doc_id") % 7 === 0
+    val corpus = nd.filter(!isBatch)
+    val corpusBanded = minhashBanded(corpus)
+    // "yesterday's stored labels": converged components over the
+    // corpus-only pairs (the full detector ≡ pairsAgainst with an
+    // empty state — every doc is "new")
+    val corpusPairs = IncrementalDedup.pairsAgainst(
+      IncrementalDedup.bandState(corpusBanded.limit(0)), corpusBanded)
+    val labels0 = ConnectedComponents.runStar(
+      corpus.select(col("doc_id").as("id")),
+      corpusPairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+    val newPairs = IncrementalDedup.pairsAgainst(
+      IncrementalDedup.bandState(corpusBanded), minhashBanded(nd.filter(isBatch)))
+    IncrementalDedup.mergeClusters(labels0,
+      nd.filter(isBatch).select(col("doc_id").as("id")), newPairs)
+  }
+
   /** EXACT incremental dedup (the daily-ingest sibling of
     * [[pipelineDedupIncremental]]): every batch doc gets a verdict
     * against the stored (digest → canonical id) state — first-seen

@@ -116,6 +116,7 @@ object SparkEntry {
     "pipeline_dedup_incremental" -> (ExtQueries.pipelineDedupIncremental _),
     "pipeline_dedup_exact_incremental" -> (ExtQueries.pipelineDedupExactIncremental _),
     "streaming_dedup_bands" -> (ExtQueries.streamingDedupBands _),
+    "pipeline_dedup_incremental_clusters" -> (ExtQueries.pipelineDedupIncrementalClusters _),
     "text_bpe_merges" -> (ExtQueries.textBpeMerges _),
     "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
@@ -206,7 +207,8 @@ object SparkEntry {
     "pipeline_dedup_weights", "text_bpe_merges",
     "pipeline_dedup_incremental", "dedup_ngram_verified",
     "dedup_clusters_star", "pipeline_dedup_exact_incremental",
-    "sim_ivf_stored_topk", "streaming_dedup_bands")
+    "sim_ivf_stored_topk", "streaming_dedup_bands",
+    "pipeline_dedup_incremental_clusters")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1262,6 +1264,9 @@ object SparkEntry {
     "pipeline_dedup_incremental" -> ExtOracleSql.pipelineDedupIncremental,
     "pipeline_dedup_exact_incremental" -> ExtOracleSql.pipelineDedupExactIncremental,
     "streaming_dedup_bands" -> ExtOracleSql.streamingDedupBands,
+    // incremental merge must equal the full re-cluster — canonical's
+    // oracle verbatim by the quotient-graph argument
+    "pipeline_dedup_incremental_clusters" -> ExtOracleSql.pipelineDedupCanonical,
     "text_bpe_merges" -> ExtOracleSql.textBpeMerges,
 
     // 32/16 word chunking — same geometry as dedup_clusters' vertices

@@ -120,6 +120,62 @@ object IncrementalDedup {
           .otherwise("dup_batch").as("status"))
   }
 
+  /** INCREMENTAL CLUSTER MAINTENANCE: fold a batch's near-dup pairs
+    * into stored component labels without re-clustering the corpus.
+    * Standard quotient-graph argument: stored labels contract
+    * yesterday's components to single nodes; the new (batch-touching)
+    * pairs lifted to those component endpoints form a SMALL quotient
+    * graph (∝ new pairs); its exact components give a relabel mapping.
+    * Because stored labels are component MINIMA, the solved quotient
+    * label is min over member minima = the global minimum of each
+    * merged component — exactly what a full recompute over
+    * corpus ∪ batch produces (the oracle gate states that equality).
+    *
+    * Scale shape: new pairs ∝ batch (the [[pairsAgainst]] path), the
+    * quotient solve runs on a graph ∝ new pairs (not ∝ corpus), and
+    * the corpus-sized labels table is touched by ONE broadcast join
+    * of the tiny mapping — no corpus shuffle, no propagation rounds
+    * over the corpus. A full re-cluster pays diameter-many
+    * corpus-wide rounds every day.
+    *
+    * @param labels   stored (id, component) — component = minimum id,
+    *                 CONVERGED (the [[ConnectedComponents.runStar]]
+    *                 output contract)
+    * @param newIds   batch vertex ids, column `id`
+    * @param newPairs batch-touching pairs (doc_id_1, doc_id_2, …)
+    * @return (doc_id, component, keep) over corpus ∪ batch
+    */
+  def mergeClusters(labels: DataFrame, newIds: DataFrame,
+                    newPairs: DataFrame): DataFrame = {
+    // lift pair endpoints to quotient nodes: corpus ids → their stored
+    // component, batch ids → themselves
+    val lifted = newPairs
+      .join(labels.select(col("id").as("doc_id_1"), col("component").as("comp_1")),
+        Seq("doc_id_1"), "left")
+      .join(labels.select(col("id").as("doc_id_2"), col("component").as("comp_2")),
+        Seq("doc_id_2"), "left")
+      .select(coalesce(col("comp_1"), col("doc_id_1")).as("src"),
+        coalesce(col("comp_2"), col("doc_id_2")).as("dst"))
+    val qverts = lifted.select(col("src").as("id"))
+      .unionByName(lifted.select(col("dst").as("id"))).distinct()
+    // exact components of the quotient graph (merge chains can be long
+    // — A—batch—B—batch'—C — so use the any-diameter solver)
+    val solved = ConnectedComponents.runStar(qverts, lifted)
+    val mapping = solved.filter(col("id") =!= col("component"))
+      .select(col("id").as("old_component"), col("component").as("new_component"))
+    val relabeled = labels
+      .join(mapping, labels("component") === mapping("old_component"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("new_component"), col("component")).as("component"))
+    val batchLabels = newIds
+      .join(solved.withColumnRenamed("component", "new_component"), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("new_component"), col("id")).as("component"))
+    relabeled.unionByName(batchLabels)
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("keep"))
+  }
+
   /** Near-dup pairs of a new batch against the stored state: every
     * (new, corpus) and (new, new) pair sharing a band whose TOTAL
     * membership is within [2, cap], signature-Jaccard estimated and

@@ -134,6 +134,29 @@ class Round7OpsSpec extends SparkSpec {
       (21L, 21L, true, "canonical")), s"got $v2")
   }
 
+  test("mergeClusters: a batch bridging stored components merges them to the global min") {
+    import operators.IncrementalDedup.mergeClusters
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val newIds = Seq(100L, 101L).toDF("id")
+    // doc 100 pairs with members of BOTH stored components — they must
+    // merge (min 1); doc 101 pairs with nothing — singleton
+    val newPairs = Seq((2L, 100L), (100L, 10L)).toDF("doc_id_1", "doc_id_2")
+    val got = mergeClusters(labels, newIds, newPairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val expect = Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 1L, false), (11L, 1L, false), (100L, 1L, false), (101L, 101L, true))
+    assert(got == expect, s"got-only: ${got -- expect}; missing: ${expect -- got}")
+    // and equals a full re-cluster over the union graph
+    val allVerts = (Seq(1L, 2L, 3L, 10L, 11L, 100L, 101L)).toDF("id")
+    val allEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (2L, 100L), (100L, 10L))
+      .toDF("src", "dst")
+    val full = operators.ConnectedComponents.labelPropagate(allVerts, allEdges, 5)
+      .select($"id".as("doc_id"), $"component", ($"id" === $"component").as("keep"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == full)
+  }
+
   test("runStar: converges on a 200-hop chain where fixed-round propagation provably cannot") {
     val n = 200
     val verts = (1 to n).map(_.toLong).toDF("id")
