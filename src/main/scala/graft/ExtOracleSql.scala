@@ -1016,6 +1016,24 @@ object ExtOracleSql {
        |FROM batch a JOIN corpus b USING (band) JOIN bc USING (band)
        |WHERE CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 >= 0.4""".stripMargin
 
+  /** streaming_dedup_bands_stateful twin: ALL within-batch co-banded
+    * pairs (bounded-bucket cap — valid because the fixture's band
+    * sizes stay far below the cap, spec-asserted; past the cap the
+    * streaming first-arrivals-win semantics would diverge and the
+    * gate would catch it).
+    */
+  val streamingDedupBandsStateful: String =
+    s"""WITH $nearDupCorpus,
+       |$minhashBandedCtes,
+       |batch AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+       |bc AS (SELECT band FROM batch GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 500)
+       |SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_id_1,
+       |  greatest(a.doc_id, b.doc_id) AS doc_id_2,
+       |  CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 AS est_jaccard
+       |FROM batch a JOIN batch b ON a.band = b.band AND a.doc_id < b.doc_id
+       |JOIN bc ON a.band = bc.band
+       |WHERE CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 >= 0.4""".stripMargin
+
   /** pipeline_dedup_exact_incremental twin: first-seen-wins exact dedup
     * of the batch split against the corpus split — corpus minimum stays
     * canonical wherever its digest exists; a digest seen only in the

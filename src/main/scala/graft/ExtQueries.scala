@@ -1053,6 +1053,13 @@ object ExtQueries {
     StreamingStage.streamingDedupBands(s, dir, state)
   }
 
+  /** Within-stream near-dup pairs via keyed band state (the
+    * new-vs-new complement of [[streamingDedupBands]]; see
+    * [[graft.streaming.StreamingStage.dedupBandsStateful]]).
+    */
+  def streamingDedupBandsStateful(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingDedupBandsStateful(s, dir)
+
   /** INCREMENTAL CLUSTER MAINTENANCE gate — the composition that
     * completes the incremental family: yesterday's labels (converged
     * components over corpus-only pairs, the stored artifact), today's
@@ -1081,6 +1088,21 @@ object ExtQueries {
       IncrementalDedup.bandState(corpusBanded), minhashBanded(nd.filter(isBatch)))
     IncrementalDedup.mergeClusters(labels0,
       nd.filter(isBatch).select(col("doc_id").as("id")), newPairs)
+  }
+
+  /** Soft-dedup weights computed OFF THE INCREMENTAL LABELS — the
+    * end-to-end "daily ingest" composition: stored labels + batch
+    * pairs → merged clusters ([[pipelineDedupIncrementalClusters]]) →
+    * cluster sizes → ppm weights, gated against
+    * `pipeline_dedup_weights`' oracle VERBATIM (the incremental path
+    * must reproduce the full-recompute weighting bit-for-bit).
+    */
+  def pipelineDedupIncrementalWeights(s: SparkSession, dir: String): DataFrame = {
+    val labeled = pipelineDedupIncrementalClusters(s, dir).select("doc_id", "component")
+    val sizes = labeled.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_ppm"))
   }
 
   /** EXACT incremental dedup (the daily-ingest sibling of

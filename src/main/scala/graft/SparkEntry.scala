@@ -117,6 +117,8 @@ object SparkEntry {
     "pipeline_dedup_exact_incremental" -> (ExtQueries.pipelineDedupExactIncremental _),
     "streaming_dedup_bands" -> (ExtQueries.streamingDedupBands _),
     "pipeline_dedup_incremental_clusters" -> (ExtQueries.pipelineDedupIncrementalClusters _),
+    "pipeline_dedup_incremental_weights" -> (ExtQueries.pipelineDedupIncrementalWeights _),
+    "streaming_dedup_bands_stateful" -> (ExtQueries.streamingDedupBandsStateful _),
     "text_bpe_merges" -> (ExtQueries.textBpeMerges _),
     "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
@@ -208,7 +210,8 @@ object SparkEntry {
     "pipeline_dedup_incremental", "dedup_ngram_verified",
     "dedup_clusters_star", "pipeline_dedup_exact_incremental",
     "sim_ivf_stored_topk", "streaming_dedup_bands",
-    "pipeline_dedup_incremental_clusters")
+    "pipeline_dedup_incremental_clusters",
+    "streaming_dedup_bands_stateful")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1267,6 +1270,8 @@ object SparkEntry {
     // incremental merge must equal the full re-cluster — canonical's
     // oracle verbatim by the quotient-graph argument
     "pipeline_dedup_incremental_clusters" -> ExtOracleSql.pipelineDedupCanonical,
+    "pipeline_dedup_incremental_weights" -> ExtOracleSql.pipelineDedupWeights,
+    "streaming_dedup_bands_stateful" -> ExtOracleSql.streamingDedupBandsStateful,
     "text_bpe_merges" -> ExtOracleSql.textBpeMerges,
 
     // 32/16 word chunking — same geometry as dedup_clusters' vertices

@@ -171,22 +171,36 @@ object StreamingStage {
     * bounded. A pair recurs once per shared band; the sink-side
     * `distinct()` (standard exactly-once sink dedup) collapses them.
     */
-  def streamingDedupBands(spark: SparkSession, dir: String,
-                          bandState: org.apache.spark.sql.DataFrame): DataFrame = {
-    val cap = graft.operators.Buckets.DefaultCap
-    val k = graft.operators.IncrementalDedup.K
+  /** The batch-split documents stream, signatured + banded in-flight:
+    * the near-dup corpus shape (base + shifted copies of every 10th
+    * doc, mirroring ExtQueries.withNearDups), `doc_id % mod == 0`
+    * split only, then one stateless `minhash_bands` pass per doc.
+    * Split choice matters: copies sit at +1000000, and
+    * 1000000 ≡ 1 (mod 7) → a planted (d, d+1000000) pair STRADDLES a
+    * %7 split (the cross-join shape [[streamingDedupBands]] wants),
+    * while 1000000 ≡ 0 (mod 5) → a %5 split keeps every planted pair
+    * WITHIN the batch (the within-stream shape
+    * [[streamingDedupBandsStateful]] needs a non-vacuous gate for).
+    */
+  private def batchBandedStream(spark: SparkSession, dir: String,
+                                mod: Int): DataFrame = {
     val path = s"$dir/documents.parquet"
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(stageAsDir(path))
-    // the near-dup corpus shape (base + shifted copies of every 10th
-    // doc), batch split only — mirrors ExtQueries.withNearDups
     val base = raw.select(col("doc_id"), split(col("text"), " ").as("words"))
     val stream = base.unionByName(
         base.filter(col("doc_id") % 10 === 0).select(
           (col("doc_id") + lit(1000000L)).as("doc_id"),
           expr("slice(words, 6, greatest(size(words) - 5, 0))").as("words")))
-      .filter(col("doc_id") % 7 === 0)
-    val pairs = graft.ExtQueries.minhashBanded(stream)
+      .filter(col("doc_id") % mod === 0)
+    graft.ExtQueries.minhashBanded(stream)
+  }
+
+  def streamingDedupBands(spark: SparkSession, dir: String,
+                          bandState: org.apache.spark.sql.DataFrame): DataFrame = {
+    val cap = graft.operators.Buckets.DefaultCap
+    val k = graft.operators.IncrementalDedup.K
+    val pairs = batchBandedStream(spark, dir, mod = 7)
       .join(bandState.filter(col("cnt").between(1, cap)), "band")
       .select(col("doc_id"), col("sigs"), col("members"))
       .select(explode(expr(
@@ -198,6 +212,78 @@ object StreamingStage {
       .select(col("p.doc_id_1"), col("p.doc_id_2"), col("p.est_jaccard"))
       .filter(col("est_jaccard") >= 0.4)
     runToTable(pairs, "streaming_dedup_bands", "append").distinct()
+  }
+
+  /** One banded doc as seen by the stateful dedup. */
+  final case class BandDoc(band: String, doc_id: Long, sigs: Seq[String])
+
+  /** One stored band member (id + 16-slot signature). */
+  final case class BandMember(doc_id: Long, sigs: Seq[String])
+
+  /** Per-band keyed state: members seen so far, capped. */
+  final case class BandMembers(members: List[BandMember])
+
+  final case class PairOut(doc_id_1: Long, doc_id_2: Long, est_jaccard: Double)
+
+  /** WITHIN-STREAM near-dup detection as keyed streaming state — the
+    * new-vs-new complement of [[streamingDedupBands]]: the band key is
+    * the state key, the state value is the member list seen so far
+    * (capped — a saturated band stops accepting, the stream-time form
+    * of the bounded-bucket guard), and each arriving doc emits pairs
+    * against the members already present. State is bounded by
+    * cap × live bands, exactly the stored-band-table footprint the
+    * batch path reads from parquet.
+    *
+    * Arrival-order contract: while a band stays under the cap the
+    * emitted PAIR SET is arrival-order-free (every pair of co-banded
+    * docs meets exactly once); past the cap the first-`cap` arrivals
+    * win — the gate fixture stays far below the cap (spec-asserted),
+    * where the output equals the batch detector restricted to
+    * within-batch pairs.
+    */
+  def dedupBandsStateful(banded: Dataset[BandDoc],
+                         cap: Int = graft.operators.Buckets.DefaultCap,
+                         minEst: Double = 0.4): Dataset[PairOut] = {
+    import banded.sparkSession.implicits._
+    val k = graft.operators.IncrementalDedup.K
+    banded.groupByKey(_.band)
+      .flatMapGroupsWithState[BandMembers, PairOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          // within-batch arrival order is partition order — sort by
+          // doc_id for a deterministic (and replay-stable) sequence
+          val in = it.toArray.sortBy(_.doc_id)
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+          in.foreach { d =>
+            if (members.size < cap) {
+              members.foreach { m =>
+                var eq = 0
+                var i = 0
+                while (i < k) { if (d.sigs(i) == m.sigs(i)) eq += 1; i += 1 }
+                val est = eq.toDouble / k
+                if (est >= minEst)
+                  out += PairOut(math.min(d.doc_id, m.doc_id),
+                    math.max(d.doc_id, m.doc_id), est)
+              }
+              members = BandMember(d.doc_id, d.sigs) :: members
+            }
+          }
+          state.update(BandMembers(members))
+          out.iterator
+      }
+  }
+
+  /** [[dedupBandsStateful]] over the banded batch-doc stream, run to
+    * completion — pairs recur once per shared band, collapsed by the
+    * sink-side distinct like [[streamingDedupBands]].
+    */
+  def streamingDedupBandsStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = batchBandedStream(spark, dir, mod = 5)
+      .select(col("band"), col("doc_id"), col("sigs")).as[BandDoc]
+    runToTable(dedupBandsStateful(banded).toDF(),
+      "streaming_dedup_bands_stateful", "append").distinct()
   }
 
   /** Stream–static join enrichment: the event stream joined to the

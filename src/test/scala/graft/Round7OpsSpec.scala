@@ -289,6 +289,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(restarted.toSet == oneShot)
   }
 
+  test("stateful band-dedup oracle precondition: fixture band sizes stay far below the cap") {
+    // the streaming_dedup_bands_stateful oracle assumes no band ever
+    // saturates (first-arrivals-win would diverge past the cap) —
+    // pin the fixture property the oracle's validity rests on
+    val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("words"))
+    val nd = base.unionByName(base.filter($"doc_id" % 10 === 0).select(
+      ($"doc_id" + 1000000L).as("doc_id"),
+      expr("slice(words, 6, greatest(size(words) - 5, 0))").as("words")))
+    val batchBanded = ExtQueries.minhashBanded(nd.filter($"doc_id" % 5 === 0))
+    val maxBand = batchBanded.groupBy("band").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxBand < operators.Buckets.DefaultCap / 2,
+      s"fixture band size $maxBand approaches the cap; oracle assumption at risk")
+    // and the split keeps the planted pairs in-batch: the gate is not vacuous
+    val pairs = ExtQueries.streamingDedupBandsStateful(spark, sfSmoke)
+    assert(pairs.count() > 0, "stateful streaming dedup gate must emit pairs")
+  }
+
   test("zorderKey: negative or out-of-range input fails loudly, not silently") {
     val neg = Seq((-1L, 2L)).toDF("a", "b")
     val e1 = intercept[Exception] {
