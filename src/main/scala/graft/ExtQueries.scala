@@ -19,7 +19,7 @@ import graft.streaming.StreamingStage
   */
 object ExtQueries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
   /** Corpus + exact duplicate copies of every 10th doc. */
@@ -922,7 +922,7 @@ object ExtQueries {
   /** Corpus + near-duplicate copies (first 5 words dropped) of every 10th
     * doc, as (doc_id, words) — shared input for the near-dup detectors.
     */
-  private def withNearDups(d: DataFrame): DataFrame = {
+  private[graft] def withNearDups(d: DataFrame): DataFrame = {
     val base = d.select(col("doc_id"), split(col("text"), " ").as("words"))
     base.unionByName(base.filter(col("doc_id") % 10 === 0).select(
       (col("doc_id") + lit(1000000L)).as("doc_id"),

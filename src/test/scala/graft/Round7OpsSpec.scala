@@ -134,6 +134,24 @@ class Round7OpsSpec extends SparkSpec {
       (21L, 21L, true, "canonical")), s"got $v2")
   }
 
+  test("incremental state folds are identities on an empty batch") {
+    import operators.IncrementalDedup._
+    val sig = Seq.fill(16)("s")
+    val banded = Seq((1L, sig, "b1"), (2L, sig, "b1"), (3L, sig, "b2"))
+      .toDF("doc_id", "sigs", "band")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"band", $"cnt", expr("array_sort(transform(members, m -> m.doc_id))"))
+      .as[(String, Long, Seq[Long])].collect().toSet
+    val s0 = bandState(banded)
+    assert(canon(foldState(s0, banded.limit(0))) == canon(s0))
+    assert(pairsAgainst(s0, banded.limit(0)).isEmpty)
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val d0 = digestState(docs)
+    val d1 = foldDigestState(d0, docs.limit(0))
+    assert(d1.as[(String, Long)].collect().toSet == d0.as[(String, Long)].collect().toSet)
+    assert(exactAgainst(d0, docs.limit(0)).isEmpty)
+  }
+
   test("mergeClusters: a batch bridging stored components merges them to the global min") {
     import operators.IncrementalDedup.mergeClusters
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
