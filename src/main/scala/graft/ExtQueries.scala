@@ -1060,6 +1060,13 @@ object ExtQueries {
   def streamingDedupBandsStateful(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingDedupBandsStateful(s, dir)
 
+  /** [[streamingDedupBandsStateful]] through transformWithState —
+    * same oracle, proving the fMGWS → tws migration for dedup state
+    * like the sessionizer pair does for session state.
+    */
+  def streamingDedupBandsTws(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingDedupBandsTws(s, dir)
+
   /** INCREMENTAL CLUSTER MAINTENANCE gate — the composition that
     * completes the incremental family: yesterday's labels (converged
     * components over corpus-only pairs, the stored artifact), today's

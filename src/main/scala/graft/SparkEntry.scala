@@ -119,6 +119,7 @@ object SparkEntry {
     "pipeline_dedup_incremental_clusters" -> (ExtQueries.pipelineDedupIncrementalClusters _),
     "pipeline_dedup_incremental_weights" -> (ExtQueries.pipelineDedupIncrementalWeights _),
     "streaming_dedup_bands_stateful" -> (ExtQueries.streamingDedupBandsStateful _),
+    "streaming_dedup_bands_tws" -> (ExtQueries.streamingDedupBandsTws _),
     "text_bpe_merges" -> (ExtQueries.textBpeMerges _),
     "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
@@ -1272,6 +1273,9 @@ object SparkEntry {
     "pipeline_dedup_incremental_clusters" -> ExtOracleSql.pipelineDedupCanonical,
     "pipeline_dedup_incremental_weights" -> ExtOracleSql.pipelineDedupWeights,
     "streaming_dedup_bands_stateful" -> ExtOracleSql.streamingDedupBandsStateful,
+    // tws twin: identical pair-set contract, same oracle — the fMGWS →
+    // transformWithState migration equivalence, proven not assumed
+    "streaming_dedup_bands_tws" -> ExtOracleSql.streamingDedupBandsStateful,
     "text_bpe_merges" -> ExtOracleSql.textBpeMerges,
 
     // 32/16 word chunking — same geometry as dedup_clusters' vertices

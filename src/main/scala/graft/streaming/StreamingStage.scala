@@ -286,6 +286,87 @@ object StreamingStage {
       "streaming_dedup_bands_stateful", "append").distinct()
   }
 
+  /** [[dedupBandsStateful]] through Spark 4's `transformWithState` —
+    * the same dual-API equivalence the sessionizer pair proves (E15 ↔
+    * tws), extended to dedup state. The member list lives in a named
+    * `ListState`: appending one member is an O(1) RocksDB append
+    * instead of rewriting the whole serialized list the
+    * flatMapGroupsWithState ValueState forces — at cap-deep bands
+    * that is the difference between O(cap) and O(cap²) total write
+    * work per band. No timers (TimeMode.None): band state has no
+    * time semantics; production would bound it with a TTLConfig
+    * instead of a watermark.
+    */
+  private class BandDedupTwsProcessor(cap: Int, minEst: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandDoc, PairOut] {
+
+    @transient private var members: org.apache.spark.sql.streaming.ListState[BandMember] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      members = getHandle.getListState[BandMember]("members",
+        org.apache.spark.sql.Encoders.product[BandMember],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        band: String, it: Iterator[BandDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[PairOut] = {
+      val k = graft.operators.IncrementalDedup.K
+      val in = it.toArray.sortBy(_.doc_id)
+      val existing =
+        scala.collection.mutable.ArrayBuffer[BandMember](members.get().toSeq: _*)
+      val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+      in.foreach { d =>
+        if (existing.size < cap) {
+          existing.foreach { m =>
+            var eq = 0
+            var i = 0
+            while (i < k) { if (d.sigs(i) == m.sigs(i)) eq += 1; i += 1 }
+            val est = eq.toDouble / k
+            if (est >= minEst)
+              out += PairOut(math.min(d.doc_id, m.doc_id),
+                math.max(d.doc_id, m.doc_id), est)
+          }
+          val nm = BandMember(d.doc_id, d.sigs)
+          members.appendValue(nm)
+          existing += nm
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** [[dedupBandsStateful]]'s pair set through transformWithState. */
+  def dedupBandsTws(banded: Dataset[BandDoc],
+                    cap: Int = graft.operators.Buckets.DefaultCap,
+                    minEst: Double = 0.4): Dataset[PairOut] =
+    banded.groupByKey(_.band)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(
+        new BandDedupTwsProcessor(cap, minEst),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())(org.apache.spark.sql.Encoders.product[PairOut])
+
+  /** [[streamingDedupBandsStateful]]'s gate through the tws operator —
+    * RocksDB provider set for this query and restored, like the tws
+    * sessionizer.
+    */
+  def streamingDedupBandsTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = batchBandedStream(spark, dir, mod = 5)
+      .select(col("band"), col("doc_id"), col("sigs")).as[BandDoc]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToTable(dedupBandsTws(banded).toDF(),
+        "streaming_dedup_bands_tws", "append").distinct()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Stream–static join enrichment: the event stream joined to the
     * static customer dimension, then aggregated per (segment,
     * event_type) — the standard streaming-enrichment shape. The static
