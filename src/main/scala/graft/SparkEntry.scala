@@ -212,7 +212,7 @@ object SparkEntry {
     "dedup_clusters_star", "pipeline_dedup_exact_incremental",
     "sim_ivf_stored_topk", "streaming_dedup_bands",
     "pipeline_dedup_incremental_clusters",
-    "streaming_dedup_bands_stateful")
+    "streaming_dedup_bands_stateful", "streaming_dedup_bands_tws")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
