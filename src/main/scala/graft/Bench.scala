@@ -46,8 +46,11 @@ object Bench {
       val fn = SparkEntry.queries(name)
       // Hygiene between queries: any cache a query strands must not
       // subsidize (or crowd) the next one — each query's number is the
-      // cold-plan cost, which is what a 100 TB reader wants.
+      // cold-plan cost, which is what a 100 TB reader wants. The sweep
+      // drops the previous query's dead reliable checkpoints (disk
+      // twin of the cache hygiene — operators.Checkpoints contract).
       spark.catalog.clearCache()
+      operators.Checkpoints.sweep(spark.sparkContext)
       // Stamp the 1-minute load average alongside each timing so a
       // reader can tell box contention from a plan regression (r4's
       // BENCH recorded a 22× phantom on graph_pagerank under load avg

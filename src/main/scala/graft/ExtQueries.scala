@@ -1003,13 +1003,20 @@ object ExtQueries {
     */
   def dedupNgramVerified(s: SparkSession, dir: String): DataFrame = {
     val all = withNearDups(docs(s, dir))
+    // struct pairs, not the packed-BIGINT idiom of dedupNgramJaccard:
+    // the candidate stream here is bounded by the band buckets (small —
+    // packing buys nothing measurable), and struct keys stay correct
+    // for doc_ids ≥ 2^32 or negative, where a·2^32+b silently aliases
+    // pairs (ADVICE r5; the posting detector keeps the packed form for
+    // its measured 1.8× on a stream 1000× this size, with the < 2^31
+    // assumption pinned in its comment)
     val cand = Buckets.boundedMembers(minhashBanded(all), col("band"), col("doc_id"))
       .select(explode(expr(
         """flatten(transform(members, a ->
-          |  transform(filter(members, b -> b > a), b -> a * 4294967296L + b)))""".stripMargin)).as("pk"))
+          |  transform(filter(members, b -> b > a),
+          |    b -> struct(a AS doc_id_1, b AS doc_id_2))))""".stripMargin)).as("p"))
       .distinct()
-      .select(shiftright(col("pk"), 32).as("doc_id_1"),
-        col("pk").bitwiseAND(lit(4294967295L)).as("doc_id_2"))
+      .select(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"))
     val shs = all.select(col("doc_id"),
       array_distinct(TextFunctions.shingles(col("words"), 3)).as("shset"))
       .repartition(col("doc_id"))
@@ -1076,6 +1083,15 @@ object ExtQueries {
     * against `pipeline_dedup_canonical`'s oracle VERBATIM: the
     * incremental merge must land on the identical (doc_id, component,
     * keep) rows a full re-cluster over corpus ∪ batch produces.
+    *
+    * PRECONDITION of that equivalence (spec-pinned in Round8OpsSpec,
+    * ADVICE r5): no band's total corpus∪batch membership crosses the
+    * bucket cap. The stored labels contracted yesterday's corpus-corpus
+    * pairs under the CORPUS-only cap decision; a batch saturating a
+    * band revokes those pairs in the full recompute but cannot un-merge
+    * stored components. Operationally: treat a band crossing the cap on
+    * ingest as a re-cluster trigger for its members (the drift-metric
+    * pattern the stored-IVF index uses), not a silent fold.
     */
   def pipelineDedupIncrementalClusters(s: SparkSession, dir: String): DataFrame = {
     import operators.IncrementalDedup
@@ -1531,24 +1547,53 @@ object ExtQueries {
     * [[simIvfKmeansTopK]]'s oracle verbatim: index build is
     * deterministic, so going through storage must change nothing.
     */
+  /** The previous stored-IVF invocation's (table, dir), retired when the
+    * NEXT invocation finishes its build: per-invocation names mean a
+    * mid-build failure cannot strand a half-written table under the
+    * name a reader uses, concurrent invocations cannot race on one
+    * catalog entry, and repeated bench reps hold at most one dead
+    * index at a time instead of leaking one per rep (ADVICE r5). The
+    * retire happens AFTER the new build succeeds — never a window with
+    * no intact index — and the quiesce argument for deleting the old
+    * files is operators.Checkpoints': the previous rep's frames are
+    * fully consumed by then.
+    */
+  private val ivfStoredPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.list(p)
+      try st.forEach(deleteTree(_)) finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
+
   def simIvfStoredTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.KMeans
     val all = vecs(s, dir)
     // offline build + store (per-invocation here; nightly in production)
     val base = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val tbl = "graft_ivf_lists_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     val centroids = KMeans.fit(all, k = 8, iterations = 3)
     s.createDataFrame(centroids.map { case (cid, v) => (cid, v.toSeq) })
       .toDF("cid", "vec")
       .write.mode("overwrite").parquet(s"$base/centroids")
-    s.sql("DROP TABLE IF EXISTS graft_ivf_lists")
     KMeans.probe(all, centroids, nprobe = 1)
       .write.mode("overwrite").format("parquet")
       .option("path", s"$base/lists")
-      .bucketBy(8, "cid").saveAsTable("graft_ivf_lists")
+      .bucketBy(8, "cid").saveAsTable(tbl)
+    // new index intact — retire the previous invocation's
+    Option(ivfStoredPrev.getAndSet((tbl, base))).foreach { case (pt, pb) =>
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      deleteTree(java.nio.file.Paths.get(pb))
+    }
     // query path — stored artifacts only
     val storedCentroids = s.read.parquet(s"$base/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
-    val lists = s.table("graft_ivf_lists")
+    val lists = s.table(tbl)
       .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
     val probes = KMeans.probe(all.filter(col("vec_id") % 25 === 0),
         storedCentroids, nprobe = 2)

@@ -146,8 +146,13 @@ object ScaleSmoke {
       // reported seconds over the pure pipeline cost (ADVICE r4). The
       // untimed row count below re-plans from scratch instead — count()
       // pruning is harmless for a count, and the timing stays clean.
-      val df = fn(spark, work)
+      // t0 BEFORE fn (matching Bench): operators that execute eagerly at
+      // construction (runStar materializes rounds + checkpoints inside
+      // mergeClusters) would otherwise do nearly all their compute
+      // before the clock starts and the "cost tracks the batch" number
+      // would time only the post-checkpoint joins (ADVICE r5).
       val t0 = System.nanoTime()
+      val df = fn(spark, work)
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)

@@ -34,6 +34,11 @@ object Sessions {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
       // rejects; read as Long (ns) and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the iterative operators truncate lineage through reliable
+      // checkpoints; let the ContextCleaner drop a checkpoint's files
+      // when its RDD is GC'd (off by default — files otherwise live
+      // until the operators.Checkpoints shutdown hook)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized from SPARK_GRAFT_CPUS (defaults to 32 threads). */

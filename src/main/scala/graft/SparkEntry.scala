@@ -212,7 +212,13 @@ object SparkEntry {
     "dedup_clusters_star", "pipeline_dedup_exact_incremental",
     "sim_ivf_stored_topk", "streaming_dedup_bands",
     "pipeline_dedup_incremental_clusters",
-    "streaming_dedup_bands_stateful", "streaming_dedup_bands_tws")
+    "streaming_dedup_bands_stateful", "streaming_dedup_bands_tws",
+    // r8: the correctness-only tail — every operator family now has its
+    // slowest members timed, so a plan regression there is visible in
+    // BENCH, not just "verify feels slow" (VERDICT r5 missing #5)
+    "sim_ivfpq_topk", "sim_matryoshka_topk", "events_funnel",
+    "events_cohort_retention", "pipeline_dedup_incremental_weights",
+    "pipeline_dedup_exact_incremental")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")

@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // quiesce point: the query is fully written, so the iterative
+      // operators' reliable checkpoints are dead — sweep them
+      // (operators.Checkpoints contract) so a full Verify run holds at
+      // most one invocation's checkpoint files at a time.
+      operators.Checkpoints.sweep(spark.sparkContext)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

