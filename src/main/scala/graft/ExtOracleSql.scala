@@ -355,7 +355,7 @@ object ExtOracleSql {
     * update cN = (SUM(CAST(round(x*1e6) AS BIGINT)) / n) / 1e6 per
     * component (empty clusters keep their previous centroid).
     */
-  private def kmeansIter(i: Int): String = {
+  private def kmeansIter(i: Int, src: String = "v"): String = {
     val prev = s"c${i - 1}"
     s"""a$i AS (
        |  SELECT id, vec, cid FROM (
@@ -363,7 +363,7 @@ object ExtOracleSql {
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
        |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
        |                 c.cid ASC NULLS FIRST) AS rn
-       |    FROM v x CROSS JOIN $prev c)
+       |    FROM $src x CROSS JOIN $prev c)
        |  WHERE rn = 1),
        |u$i AS (
        |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY idx) AS centroid
@@ -392,7 +392,7 @@ object ExtOracleSql {
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
        |         vec AS centroid
        |  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
-       |${(1 to 3).map(kmeansIter).mkString(",\n")},
+       |${(1 to 3).map(kmeansIter(_)).mkString(",\n")},
        |lists AS (
        |  SELECT id AS neighbor_id, vec AS c_vec, cid FROM (
        |    SELECT x.vec_id AS id, x.vec, c.cid,
@@ -420,6 +420,91 @@ object ExtOracleSql {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
+
+  /** sim_ivf_append_topk twin: the FULL REBUILD the incremental path
+    * must equal — 3 Lloyd iterations trained on the CORPUS split only
+    * (`vc`, vec_id % 7 <> 0: the frozen stored centroids), then ONE
+    * assignment of EVERY vector (corpus ∪ batch) under c3. Because
+    * assignment under fixed centroids is per-vector, this is exactly
+    * stored-corpus lists ∪ appended-batch lists, which is what makes
+    * the Spark side's storage round trip + append load-bearing.
+    */
+  val simIvfAppendTopK: String =
+    s"""WITH $vecsDouble,
+       |vc AS (SELECT * FROM v WHERE vec_id % 7 <> 0),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM vc ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter(_, "vc")).mkString(",\n")},
+       |lists AS (
+       |  SELECT id AS neighbor_id, vec AS c_vec, cid FROM (
+       |    SELECT x.vec_id AS id, x.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v x CROSS JOIN c3 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT id AS query_id, vec AS q_vec, cid FROM (
+       |    SELECT q.vec_id AS id, q.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqDist("q.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v q CROSS JOIN c3 c WHERE q.vec_id % 25 = 0)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, l.neighbor_id, ${cosine("p.q_vec", "l.c_vec")} AS score
+       |  FROM lists l JOIN probes p USING (cid)
+       |  WHERE p.query_id <> l.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** sim_ivf_drift twin: the same corpus-trained c3 + full assignment,
+    * grouped by list — counts split base/new by the % 7 batch rule,
+    * residual means via the fixed-point trick (BIGINT sums first, one
+    * double divide per group), retrain by exact integer
+    * cross-multiplication.
+    */
+  val simIvfDrift: String =
+    s"""WITH $vecsDouble,
+       |vc AS (SELECT * FROM v WHERE vec_id % 7 <> 0),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM vc ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter(_, "vc")).mkString(",\n")},
+       |asgn AS (
+       |  SELECT id, is_new, cid, d2 FROM (
+       |    SELECT x.vec_id AS id, x.vec_id % 7 = 0 AS is_new, c.cid,
+       |      ${sqDist("x.vec", "c.centroid")} AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v x CROSS JOIN c3 c)
+       |  WHERE rn = 1),
+       |g AS (
+       |  SELECT cid,
+       |    CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    SUM(CASE WHEN is_new THEN 0
+       |             ELSE CAST(round(d2 * 1000000.0) AS BIGINT) END) AS sb,
+       |    SUM(CASE WHEN is_new THEN CAST(round(d2 * 1000000.0) AS BIGINT)
+       |             ELSE 0 END) AS sn
+       |  FROM asgn GROUP BY cid)
+       |SELECT cid, n_base, n_new,
+       |  CASE WHEN n_base > 0
+       |       THEN round((CAST(sb AS DOUBLE) / n_base) / 1000000.0, 6) END AS mean_res_base,
+       |  CASE WHEN n_new > 0
+       |       THEN round((CAST(sn AS DOUBLE) / n_new) / 1000000.0, 6) END AS mean_res_new,
+       |  (n_new * 2 > n_base) OR
+       |    (n_base > 0 AND n_new > 0 AND sn * n_base > sb * n_new * 2) AS retrain
+       |FROM g""".stripMargin
 
   /** Int8-quantization twin: q = round(x / (max|x|/127)) as exact-integer
     * doubles (every product/sum < 2^53, so the double folds are
@@ -917,7 +1002,9 @@ object ExtOracleSql {
        |UNION ALL
        |${recallOf("matryoshka", simMatryoshkaTopK)}
        |UNION ALL
-       |${recallOf("int8", simQuantizedTopK)}""".stripMargin
+       |${recallOf("int8", simQuantizedTopK)}
+       |UNION ALL
+       |${recallOf("ivf_append", simIvfAppendTopK)}""".stripMargin
   }
 
   /** One min-label propagation round over the symmetric+self-loop edge
@@ -1149,7 +1236,7 @@ object ExtOracleSql {
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
        |         vec AS centroid
        |  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
-       |${(1 to 3).map(kmeansIter).mkString(",\n")},
+       |${(1 to 3).map(kmeansIter(_)).mkString(",\n")},
        |asg AS (
        |  SELECT id, vec, cid FROM (
        |    SELECT x.vec_id AS id, x.vec, c.cid,

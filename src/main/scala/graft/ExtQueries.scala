@@ -1561,6 +1561,12 @@ object ExtQueries {
   private val ivfStoredPrev =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
+  private val ivfAppendPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val ivfDriftPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
   private def deleteTree(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
       val st = java.nio.file.Files.list(p)
@@ -1569,6 +1575,17 @@ object ExtQueries {
     java.nio.file.Files.deleteIfExists(p)
     ()
   }
+
+  /** Retire the PREVIOUS invocation's stored artifact (table + dir) now
+    * that the new one is intact — the per-invocation-name lifecycle the
+    * stored-index queries share (see [[ivfStoredPrev]]'s rationale).
+    */
+  private def retirePrev(ref: java.util.concurrent.atomic.AtomicReference[(String, String)],
+                         s: SparkSession, tbl: String, base: String): Unit =
+    Option(ref.getAndSet((tbl, base))).foreach { case (pt, pb) =>
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      deleteTree(java.nio.file.Paths.get(pb))
+    }
 
   def simIvfStoredTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.KMeans
@@ -1586,10 +1603,7 @@ object ExtQueries {
       .option("path", s"$base/lists")
       .bucketBy(8, "cid").saveAsTable(tbl)
     // new index intact — retire the previous invocation's
-    Option(ivfStoredPrev.getAndSet((tbl, base))).foreach { case (pt, pb) =>
-      s.sql(s"DROP TABLE IF EXISTS $pt")
-      deleteTree(java.nio.file.Paths.get(pb))
-    }
+    retirePrev(ivfStoredPrev, s, tbl, base)
     // query path — stored artifacts only
     val storedCentroids = s.read.parquet(s"$base/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
@@ -1599,6 +1613,59 @@ object ExtQueries {
         storedCentroids, nprobe = 2)
       .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
     ivfScore(lists, probes)
+  }
+
+  /** INCREMENTAL IVF index maintenance (operators.IvfIndex — VERDICT r5
+    * #1): the corpus split `vec_id % 7 != 0` plays yesterday's corpus,
+    * whose trained centroids + cid-bucketed assignment lists are the
+    * STORED artifact; the `% 7 == 0` split is today's embedding batch,
+    * folded in by assigning against the stored centroid table and
+    * APPENDING to the bucketed lists — no retrain, no corpus
+    * re-assignment. The query path then reads only stored artifacts.
+    * Oracle = a FULL REBUILD over corpus ∪ batch under the SAME
+    * corpus-trained centroids (Lloyd iterations unrolled over the
+    * corpus split only, then one assignment of every vector), so list
+    * membership is identical by construction and the append path +
+    * storage round trip are both load-bearing in the hash match.
+    */
+  def simIvfAppendTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val all = vecs(s, dir)
+    val isBatch = col("vec_id") % 7 === 0
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val tbl = "graft_ivf_append_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored = IvfIndex.build(s, all.filter(!isBatch), k = 8, iterations = 3, tbl, base)
+    IvfIndex.append(s, stored, all.filter(isBatch), gen = 1)
+    retirePrev(ivfAppendPrev, s, tbl, base)
+    // query path — stored artifacts only (appended lists + frozen centroids)
+    val centroids = IvfIndex.readCentroids(s, stored)
+    val lists = s.table(tbl)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
+    val probes = KMeans.probe(all.filter(col("vec_id") % 25 === 0), centroids, nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
+    ivfScore(lists, probes)
+  }
+
+  /** Drift metric over the appended index ([[simIvfAppendTopK]]'s
+    * build+append, then operators.IvfIndex.drift on the stored lists):
+    * per inverted list, base vs appended population and fixed-point
+    * mean residuals against the frozen centroids, with the retrain
+    * trigger. This is the "when to stop folding" half of incremental
+    * maintenance — the same role the cap precondition plays for
+    * incremental clusters.
+    */
+  def simIvfDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val all = vecs(s, dir)
+    val isBatch = col("vec_id") % 7 === 0
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    val tbl = "graft_ivf_drift_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored = IvfIndex.build(s, all.filter(!isBatch), k = 8, iterations = 3, tbl, base)
+    IvfIndex.append(s, stored, all.filter(isBatch), gen = 1)
+    retirePrev(ivfDriftPrev, s, tbl, base)
+    IvfIndex.drift(s.table(tbl))
   }
 
   /** Top-k over int8-quantized vectors (Similarity.quantizeInt8): the
@@ -1689,6 +1756,10 @@ object ExtQueries {
       // too, and a silent collapse in either would still hash-match
       .unionByName(recallOf("matryoshka", simMatryoshkaTopK(s, dir)))
       .unionByName(recallOf("int8", simQuantizedTopK(s, dir)))
+      // r9: the appended stored index carries the quality metric too —
+      // frozen-centroid assignment of the batch must not silently cost
+      // recall relative to the other IVF paths
+      .unionByName(recallOf("ivf_append", simIvfAppendTopK(s, dir)))
   }
 
   /** Embedding near-dup: every 10th vector re-appears deterministically

@@ -159,6 +159,8 @@ object SparkEntry {
     "sim_ivf_topk" -> (ExtQueries.simIvfTopK _),
     "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
     "sim_ivf_stored_topk" -> (ExtQueries.simIvfStoredTopK _),
+    "sim_ivf_append_topk" -> (ExtQueries.simIvfAppendTopK _),
+    "sim_ivf_drift" -> (ExtQueries.simIvfDrift _),
     "sim_quantized_topk" -> (ExtQueries.simQuantizedTopK _),
     "sim_matryoshka_topk" -> (ExtQueries.simMatryoshkaTopK _),
     "sim_pq_topk" -> (ExtQueries.simPqTopK _),
@@ -218,7 +220,8 @@ object SparkEntry {
     // BENCH, not just "verify feels slow" (VERDICT r5 missing #5)
     "sim_ivfpq_topk", "sim_matryoshka_topk", "events_funnel",
     "events_cohort_retention", "pipeline_dedup_incremental_weights",
-    "pipeline_dedup_exact_incremental")
+    // r9: incremental IVF maintenance (append + drift are the daily path)
+    "sim_ivf_append_topk", "sim_ivf_drift")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1304,6 +1307,8 @@ object SparkEntry {
     // the stored-index path must reproduce the recompute path exactly —
     // same oracle by design (deterministic build, storage is a no-op)
     "sim_ivf_stored_topk" -> ExtOracleSql.simIvfKmeansTopK,
+    "sim_ivf_append_topk" -> ExtOracleSql.simIvfAppendTopK,
+    "sim_ivf_drift" -> ExtOracleSql.simIvfDrift,
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
     "sim_matryoshka_topk" -> ExtOracleSql.simMatryoshkaTopK,
     "sim_pq_topk" -> ExtOracleSql.simPqTopK,

@@ -142,4 +142,15 @@ object KMeans {
       .withColumn("nearest", n)
       .select(col(idCol), col("nearest.cid").as("cid"), col("nearest.d2").as("d2"))
   }
+
+  /** [[assign]] keeping the vector AND the squared-L2 residual — the
+    * stored-list row shape the IVF index persists (`v` for exact
+    * in-list scoring, `d2` for the drift metric). Same shuffle-free
+    * nearest-centroid expression; same strict-< first-min tie rule.
+    */
+  def assignFull(vectors: DataFrame, centroids: Seq[(Int, Array[Double])],
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("nearest", nearest(centroids))
+      .select(col(idCol), col("v"), col("nearest.cid").as("cid"), col("nearest.d2").as("d2"))
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-9 additions: incremental IVF index maintenance
+  * (VERDICT r5 #1) — append-vs-rebuild equivalence, two-append
+  * chaining, and drift-metric consistency.
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshNames(tag: String): (String, String) = (
+    s"graft_test_${tag}_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+    java.nio.file.Files.createTempDirectory(s"graft_test_$tag").toString)
+
+  private def vecs = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+
+  test("IvfIndex: two chained appends equal one append equal full reassignment") {
+    import operators.IvfIndex
+    val corpus = vecs.filter($"vec_id" % 7 =!= 0)
+    val b1 = vecs.filter($"vec_id" % 7 === 0 && $"vec_id" % 2 === 0)
+    val b2 = vecs.filter($"vec_id" % 7 === 0 && $"vec_id" % 2 =!= 0)
+
+    // index A: base build + two generation-stamped appends
+    val (tblA, baseA) = freshNames("ivf_a")
+    val storedA = IvfIndex.build(spark, corpus, k = 8, iterations = 3, tblA, baseA)
+    IvfIndex.append(spark, storedA, b1, gen = 1)
+    IvfIndex.append(spark, storedA, b2, gen = 2)
+
+    // index B: base build + ONE append of the combined batch
+    val (tblB, baseB) = freshNames("ivf_b")
+    val storedB = IvfIndex.build(spark, corpus, k = 8, iterations = 3, tblB, baseB)
+    IvfIndex.append(spark, storedB, b1.unionByName(b2), gen = 1)
+
+    def membership(tbl: String) =
+      spark.table(tbl).select($"vec_id", $"cid").as[(Long, Int)].collect().toSet
+    val mA = membership(tblA)
+    val mB = membership(tblB)
+    assert(mA == mB, s"chained appends diverge from single append: ${mA.diff(mB)} / ${mB.diff(mA)}")
+
+    // both equal the full reassignment of corpus ∪ batch under the
+    // SAME frozen centroids — the oracle-gate equivalence, asserted
+    // here directly against KMeans.assign
+    val centroids = IvfIndex.readCentroids(spark, storedA)
+    val full = operators.KMeans.assign(vecs, centroids)
+      .select($"vec_id", $"cid").as[(Long, Int)].collect().toSet
+    assert(mA == full, "appended index diverges from full reassignment under frozen centroids")
+
+    // append cost shape: generations partition the table — base rows
+    // were never rewritten
+    val gens = spark.table(tblA).groupBy("gen").count()
+      .as[(Int, Long)].collect().toMap
+    assert(gens(0) == corpus.count(), "base generation rewritten by append")
+    assert(gens(1) == b1.count() && gens(2) == b2.count(), "append generations wrong")
+
+    Seq(tblA, tblB).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("IvfIndex.drift: counts partition the lists and retrain flags are consistent") {
+    import operators.IvfIndex
+    val corpus = vecs.filter($"vec_id" % 7 =!= 0)
+    val batch = vecs.filter($"vec_id" % 7 === 0)
+    val (tbl, base) = freshNames("ivf_d")
+    val stored = IvfIndex.build(spark, corpus, k = 8, iterations = 3, tbl, base)
+    IvfIndex.append(spark, stored, batch, gen = 1)
+    val d = IvfIndex.drift(spark.table(tbl))
+      .as[(Int, Long, Long, Option[Double], Option[Double], Boolean)].collect()
+    assert(d.map(_._2).sum == corpus.count(), "n_base does not sum to corpus size")
+    assert(d.map(_._3).sum == batch.count(), "n_new does not sum to batch size")
+    d.foreach { case (cid, nb, nn, mb, mn, retrain) =>
+      assert(mb.isDefined == (nb > 0) && mn.isDefined == (nn > 0),
+        s"cid $cid: residual means defined iff populated")
+      // growth-triggered retrain must at least fire where appends dominate
+      if (nn * 2 > nb) assert(retrain, s"cid $cid: growth trigger missed")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+}
