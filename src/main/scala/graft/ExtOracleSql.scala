@@ -1147,6 +1147,25 @@ object ExtOracleSql {
       |FROM tagged t JOIN keeper k USING (digest)
       |WHERE t.is_new""".stripMargin
 
+  /** pipeline_state_publish twin: the two-day digest-state fold's END
+    * STATE — corpus minimum stays canonical wherever its digest exists
+    * (first-seen wins through the v1→v2 fold), batch-only digests take
+    * the batch minimum. The Spark side routes both days through
+    * write-audit-publish storage; equality proves the round trips
+    * changed nothing.
+    */
+  val pipelineStatePublish: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |tagged AS (
+      |  SELECT doc_id, md5(text) AS digest, (doc_id % 7 = 0) AS is_new FROM all_docs)
+      |SELECT digest,
+      |  COALESCE(MIN(CASE WHEN NOT is_new THEN doc_id END),
+      |           MIN(CASE WHEN is_new THEN doc_id END)) AS canonical_id
+      |FROM tagged GROUP BY digest""".stripMargin
+
   /** pipeline_dedup_canonical twin: the minhash query nested as a CTE,
     * symmetric+self-loop edges over the full dup corpus, 4 unrolled
     * propagation rounds, keep = (id = component).

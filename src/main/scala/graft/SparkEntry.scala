@@ -115,6 +115,7 @@ object SparkEntry {
     "pipeline_dedup_weights" -> (ExtQueries.pipelineDedupWeights _),
     "pipeline_dedup_incremental" -> (ExtQueries.pipelineDedupIncremental _),
     "pipeline_dedup_exact_incremental" -> (ExtQueries.pipelineDedupExactIncremental _),
+    "pipeline_state_publish" -> (ExtQueries.pipelineStatePublish _),
     "streaming_dedup_bands" -> (ExtQueries.streamingDedupBands _),
     "pipeline_dedup_incremental_clusters" -> (ExtQueries.pipelineDedupIncrementalClusters _),
     "pipeline_dedup_incremental_weights" -> (ExtQueries.pipelineDedupIncrementalWeights _),
@@ -220,8 +221,9 @@ object SparkEntry {
     // BENCH, not just "verify feels slow" (VERDICT r5 missing #5)
     "sim_ivfpq_topk", "sim_matryoshka_topk", "events_funnel",
     "events_cohort_retention", "pipeline_dedup_incremental_weights",
-    // r9: incremental IVF maintenance (append + drift are the daily path)
-    "sim_ivf_append_topk", "sim_ivf_drift")
+    // r9: incremental IVF maintenance (append + drift are the daily
+    // path) and the write-audit-publish state chain
+    "sim_ivf_append_topk", "sim_ivf_drift", "pipeline_state_publish")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1276,6 +1278,7 @@ object SparkEntry {
     "pipeline_dedup_weights" -> ExtOracleSql.pipelineDedupWeights,
     "pipeline_dedup_incremental" -> ExtOracleSql.pipelineDedupIncremental,
     "pipeline_dedup_exact_incremental" -> ExtOracleSql.pipelineDedupExactIncremental,
+    "pipeline_state_publish" -> ExtOracleSql.pipelineStatePublish,
     "streaming_dedup_bands" -> ExtOracleSql.streamingDedupBands,
     // incremental merge must equal the full re-cluster — canonical's
     // oracle verbatim by the quotient-graph argument

@@ -56,6 +56,59 @@ class Round9OpsSpec extends SparkSpec {
     Seq(tblA, tblB).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("Publish: crash mid-write and audit veto both leave the previous version live") {
+    import operators.Publish
+    val root = java.nio.file.Files.createTempDirectory("graft_test_pub").toString
+    val v1 = Publish.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    assert(Publish.currentVersion(root).contains(v1))
+
+    // CRASH SIMULATION: a writer died mid-flight — a version dir exists
+    // with partial files and no pointer swap ever happened
+    val orphan = java.nio.file.Paths.get(root, "v00002")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // torn write, not a parquet file
+    assert(Publish.currentVersion(root).contains(v1),
+      "orphan dir must not affect the pointer")
+    assert(Publish.read(spark, root).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")), "read must resolve to the intact published version")
+
+    // AUDIT VETO: a publish whose invariants fail must not move the
+    // pointer, and must not leave its version dir readable
+    val vetoed = intercept[IllegalArgumentException] {
+      Publish.publish(Seq((3L, "c")).toDF("id", "x"), root,
+        audit = _ => require(false, "invariant violated"))
+    }
+    assert(vetoed.getMessage.contains("invariant violated"))
+    assert(Publish.currentVersion(root).contains(v1), "audit failure moved the pointer")
+
+    // the next successful publish BURNS the orphan's number (max+1),
+    // never resurrects or overwrites it
+    val v4 = Publish.publish(Seq((9L, "z")).toDF("id", "x"), root)
+    assert(v4 > "v00002", s"version $v4 must be past the orphan")
+    assert(Publish.currentVersion(root).contains(v4))
+    assert(Publish.read(spark, root).as[(Long, String)].collect().toSet == Set((9L, "z")))
+  }
+
+  test("Publish: fold chain through published storage equals the direct fold") {
+    // the production shape pipeline_state_publish gates: state → publish
+    // → read → fold → publish → read must equal fold-without-storage
+    import operators.{IncrementalDedup, Publish}
+    val docs = (1L to 30L).map(i => (i, s"text ${i % 11}")).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_test_pub2").toString
+    Publish.publish(IncrementalDedup.digestState(corpus), root)
+    Publish.publish(
+      IncrementalDedup.foldDigestState(Publish.read(spark, root), batch), root)
+    val viaStorage = Publish.read(spark, root)
+      .as[(String, Long)].collect().toSet
+    val direct = IncrementalDedup.foldDigestState(
+        IncrementalDedup.digestState(corpus), batch)
+      .as[(String, Long)].collect().toSet
+    assert(viaStorage == direct, "storage round trip changed the folded state")
+  }
+
   test("IvfIndex.drift: counts partition the lists and retrain flags are consistent") {
     import operators.IvfIndex
     val corpus = vecs.filter($"vec_id" % 7 =!= 0)
