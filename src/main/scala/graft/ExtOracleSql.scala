@@ -115,6 +115,51 @@ object ExtOracleSql {
        |WHERE 64 - len(list_filter(range(1, 65),
        |        i -> substr(a.simhash, i, 1) = substr(b2.simhash, i, 1))) <= 3""".stripMargin
 
+  /** dedup_image_phash twin: replays the textured-PNG GENERATOR's
+    * contract (g(x,y) = 32 + ((a·x + b·y + c·x·y + d) mod 192) + shift
+    * from the sha256 hex code points) and the aHash arithmetic (4×4
+    * block sums, bit = bsum·64 > total — all integer-exact), then the
+    * simhash detector's 4×16-bit block-LSH pairing. DuckDB never
+    * decodes an image; Spark's hash comes from codec-read pixels — a
+    * match certifies the encode→binary→decode round trip.
+    */
+  val dedupImagePhash: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, 0 AS shift FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, 8 AS shift
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |hx AS (
+      |  SELECT doc_id, shift,
+      |    ascii(substr(sha256(text), 1, 1)) AS a, ascii(substr(sha256(text), 2, 1)) AS b,
+      |    ascii(substr(sha256(text), 3, 1)) AS c, ascii(substr(sha256(text), 4, 1)) AS d
+      |  FROM base),
+      |px AS (
+      |  SELECT doc_id, (y // 4) * 8 + (x // 4) AS j,
+      |    32 + ((a * x + b * y + c * x * y + d) % 192) + shift AS g
+      |  FROM hx CROSS JOIN range(0, 32) xs(x) CROSS JOIN range(0, 32) ys(y)),
+      |blk AS (SELECT doc_id, j, SUM(g) AS bsum FROM px GROUP BY doc_id, j),
+      |tot AS (SELECT doc_id, SUM(bsum) AS total FROM blk GROUP BY doc_id),
+      |code AS (
+      |  SELECT b.doc_id,
+      |    string_agg(CASE WHEN b.bsum * 64 > t.total THEN '1' ELSE '0' END, ''
+      |               ORDER BY b.j) AS phash
+      |  FROM blk b JOIN tot t USING (doc_id) GROUP BY b.doc_id),
+      |blocks AS (
+      |  SELECT doc_id, phash,
+      |    unnest([CAST(j AS VARCHAR) || '|' || substr(phash, 1 + j*16, 16)
+      |            for j in range(0, 4)]) AS block
+      |  FROM code),
+      |-- same bounded-bucket candidate generation as operators.Buckets
+      |bc AS (SELECT block FROM blocks GROUP BY block HAVING COUNT(*) BETWEEN 2 AND 500)
+      |SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2, a.phash AS phash_1,
+      |  64 - len(list_filter(range(1, 65),
+      |           i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) AS hamming
+      |FROM blocks a JOIN blocks b2 ON a.block = b2.block AND a.doc_id < b2.doc_id
+      |JOIN bc ON a.block = bc.block
+      |WHERE 64 - len(list_filter(range(1, 65),
+      |        i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) <= 3""".stripMargin
+
   /** text_bigram_lm twin: same rational N/count terms, same
     * position-ordered fold (`list_transform` then init-less
     * `list_reduce` ≡ Spark's 0.0-init left fold — first term 0.0 + x

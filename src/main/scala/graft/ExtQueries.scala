@@ -1175,6 +1175,48 @@ object ExtQueries {
     Publish.read(s, root)
   }
 
+  /** PERCEPTUAL image near-dup (VERDICT r5 #4) — the dedup × multimodal
+    * composition: render the textured-PNG fixture (brightness-shifted
+    * copies of every 10th doc's image planted at doc_id + 1000000),
+    * push the binary column through a REAL per-partition codec decode
+    * to an 8×8 average-hash (operators.Multimodal.phashCodes — pure
+    * integer arithmetic on codec-read pixels), then detect pairs with
+    * the SAME 4×16-bit block-LSH banding the simhash detector uses
+    * (pigeonhole ⇒ exact recall at hamming ≤ 3). The planted copies
+    * differ in every PNG byte but no hash bit (uniform brightness
+    * shift, no clipping — see renderTexturedPng), so the gate proves
+    * the whole decode → hash → band pipeline, not byte equality. The
+    * DuckDB twin replays the generator contract and the hash
+    * arithmetic from sha256(text) without ever decoding an image —
+    * a match certifies the codec round trip recovered the pattern.
+    *
+    * Scale shape: hashing is one map-side pass per image (no shuffle);
+    * pairing shuffles (block, doc_id, 64-char hash) rows — bands × docs,
+    * never pixels; Buckets caps degenerate blocks on both engines.
+    */
+  def dedupImagePhash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val withCopies = d.select(col("doc_id"), col("text"), lit(0).as("shift"))
+      .unionByName(d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), lit(8).as("shift")))
+    val codes = Multimodal.phashCodes(Multimodal.packTextured(withCopies)).toDF()
+    val blocks = codes.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(j =>
+        concat(lit(s"$j|"), substring(col("phash"), 1 + j * 16, 16))): _*)).as("block"))
+    val ham =
+      "64 - size(filter(sequence(1, 64), i -> substring(a.phash, i, 1) = substring(b.phash, i, 1)))"
+    Buckets.boundedMembers(blocks, col("block"), struct(col("doc_id"), col("phash")))
+      .select(explode(expr(
+        s"""flatten(transform(members, a ->
+           |  transform(filter(members, b -> b.doc_id > a.doc_id),
+           |    b -> struct(a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           |                a.phash AS phash_1,
+           |                CAST($ham AS BIGINT) AS hamming))))""".stripMargin)).as("p"))
+      .select(col("p.doc_id_1"), col("p.doc_id_2"), col("p.phash_1"), col("p.hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
   /** 64-bit SimHash near-dup detection with the standard 4×16-bit block
     * LSH (a pair within hamming ≤ 3 must share one of 4 equal blocks —
     * pigeonhole ⇒ exact recall at that radius). Explode+agg shape: one

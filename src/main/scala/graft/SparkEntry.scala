@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (ExtQueries.dedupMinhashLsh _),
     "dedup_ngram_verified" -> (ExtQueries.dedupNgramVerified _),
     "dedup_simhash" -> (ExtQueries.dedupSimhash _),
+    "dedup_image_phash" -> (ExtQueries.dedupImagePhash _),
     "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
     "dedup_clusters" -> (ExtQueries.dedupClusters _),
     "dedup_clusters_star" -> (ExtQueries.dedupClustersStar _),
@@ -223,7 +224,8 @@ object SparkEntry {
     "events_cohort_retention", "pipeline_dedup_incremental_weights",
     // r9: incremental IVF maintenance (append + drift are the daily
     // path) and the write-audit-publish state chain
-    "sim_ivf_append_topk", "sim_ivf_drift", "pipeline_state_publish")
+    "sim_ivf_append_topk", "sim_ivf_drift", "pipeline_state_publish",
+    "dedup_image_phash")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1300,6 +1302,7 @@ object SparkEntry {
         |  md5(array_to_string(words[chunk_idx * 16 + 1 : chunk_idx * 16 + 32], ' ')) AS chunk_md5
         |FROM ch""".stripMargin,
     "dedup_simhash" -> ExtOracleSql.dedupSimhash,
+    "dedup_image_phash" -> ExtOracleSql.dedupImagePhash,
     "dedup_embedding_cosine" -> ExtOracleSql.dedupEmbeddingCosine,
     "text_rolling_fingerprint" -> ExtOracleSql.textRollingFingerprint,
     "text_bpe_tokens" -> ExtOracleSql.textBpeTokens,

@@ -129,6 +129,102 @@ object Multimodal {
   def documentFeatures(docs: DataFrame): DataFrame =
     extractFeatures(packDocuments(docs)).toDF()
 
+  // ===== perceptual image hashing (aHash over a REAL decode round trip) =====
+
+  final case class PhashDoc(doc_id: Long, text: String, shift: Int)
+
+  final case class PhashRecord(doc_id: Long, image: Array[Byte], media_type: String)
+
+  /** 64-bit average-hash as a bit string (index j = block-row·8 +
+    * block-col, j ascending — the same wire format the simhash
+    * detector uses, so the banding idiom is shared).
+    */
+  final case class PhashCode(doc_id: Long, phash: String)
+
+  /** Render the TEXTURED PNG fixture for perceptual hashing — the
+    * solid-fill image fixture is aHash-degenerate (every block equals
+    * the mean), so this generator writes a 32×32 grayscale pattern the
+    * oracle can replay pixel-exactly:
+    * `g(x,y) = 32 + ((a·x + b·y + c·x·y + d) mod 192) + shift`, with
+    * a..d the code points of the first four sha256 hex chars and
+    * `shift` a uniform brightness offset. Bounds: g ≤ 32+191+8 = 231,
+    * so no channel ever clips — which is what makes a brightness
+    * shift aHash-invariant (all block sums and the global sum move by
+    * the same per-pixel constant), i.e. every PNG byte changes but no
+    * hash bit does: the perceptual-near-dup property the gate plants.
+    */
+  private[graft] def renderTexturedPng(textBytes: Array[Byte], shift: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val hex = sha256Hex(textBytes)
+    val a = hex.charAt(0).toInt; val b = hex.charAt(1).toInt
+    val c = hex.charAt(2).toInt; val d = hex.charAt(3).toInt
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val g = 32 + ((a * x + b * y + c * x * y + d) % 192) + shift
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** (doc_id, text, shift) rows → textured-PNG binary column. */
+  def packTextured(docsWithShift: DataFrame): Dataset[PhashRecord] =
+    docsWithShift.select(col("doc_id"), col("text"), col("shift"))
+      .as(Encoders.product[PhashDoc])
+      .map { d =>
+        PhashRecord(d.doc_id,
+          renderTexturedPng(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8), d.shift),
+          "image/png")
+      }(Encoders.product[PhashRecord])
+
+  /** 8×8 average-hash from an ACTUAL codec decode of the binary column:
+    * bit j = 1 iff its 4×4 pixel block's sum·64 exceeds the global sum
+    * (integer-exact `block mean > image mean` — no floats anywhere, so
+    * the DuckDB twin replays it in plain integer arithmetic). The
+    * dimensions come from the decoder; a drifted generator or a
+    * corrupted binary column fails loudly here, not as a silent
+    * hash mismatch.
+    */
+  def phashCodes(media: Dataset[PhashRecord]): Dataset[PhashCode] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-backed streams
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.image))
+        require(img.getWidth == 32 && img.getHeight == 32,
+          s"doc ${rec.doc_id}: textured fixture must decode to 32x32, " +
+            s"got ${img.getWidth}x${img.getHeight}")
+        val bsum = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val g = img.getRGB(x, y) & 0xff
+            bsum((y / 4) * 8 + (x / 4)) += g
+            total += g
+            x += 1
+          }
+          y += 1
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var j = 0
+        while (j < 64) {
+          sb.append(if (bsum(j) * 64 > total) '1' else '0')
+          j += 1
+        }
+        PhashCode(rec.doc_id, sb.toString)
+      }
+    }(Encoders.product[PhashCode])
+
   // ===== audio modality (javax.sound — a REAL codec in the JDK) =====
 
   final case class AudioRecord(

@@ -109,6 +109,33 @@ class Round9OpsSpec extends SparkSpec {
     assert(viaStorage == direct, "storage round trip changed the folded state")
   }
 
+  test("dedup_image_phash: brightness-shifted copies change PNG bytes but not the hash") {
+    import operators.Multimodal
+    // the perceptual property the gate plants: a uniform brightness
+    // shift rewrites the compressed bytes yet flips no aHash bit
+    val payload = "some document text".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val orig = Multimodal.renderTexturedPng(payload, 0)
+    val shifted = Multimodal.renderTexturedPng(payload, 8)
+    assert(!java.util.Arrays.equals(orig, shifted), "shift must change the PNG bytes")
+    def hashOf(img: Array[Byte]) = Multimodal.phashCodes(
+      Seq(Multimodal.PhashRecord(1L, img, "image/png")).toDS()).head().phash
+    assert(hashOf(orig) == hashOf(shifted), "uniform brightness shift must not flip aHash bits")
+    assert(hashOf(orig).length == 64 && hashOf(orig).exists(_ == '1') &&
+      hashOf(orig).exists(_ == '0'), "textured fixture must yield a non-degenerate hash")
+
+    // every planted (doc, copy) pair survives the banded detector at
+    // hamming 0 — pigeonhole guarantees recall at radius ≤ 3
+    val pairs = ExtQueries.dedupImagePhash(spark, sfSmoke)
+      .select($"doc_id_1", $"doc_id_2", $"hamming").as[(Long, Long, Long)].collect()
+    val planted = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .filter($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect().toSet
+    val found = pairs.filter { case (a, b, _) => b == a + 1000000L }.map(_._1).toSet
+    assert(planted.subsetOf(found),
+      s"planted copies missed by the phash detector: ${planted -- found}")
+    assert(pairs.filter { case (a, b, _) => b == a + 1000000L }.forall(_._3 == 0L),
+      "planted brightness-shifted copies must sit at hamming 0")
+  }
+
   test("IvfIndex.drift: counts partition the lists and retrain flags are consistent") {
     import operators.IvfIndex
     val corpus = vecs.filter($"vec_id" % 7 =!= 0)
