@@ -1166,6 +1166,61 @@ object ExtOracleSql {
        |JOIN bc ON a.band = bc.band
        |WHERE CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 >= 0.4""".stripMargin
 
+  /** Per-word applied-BPE token list: the SAME leading-separator
+    * replace-chain encoding as TextFunctions.bpeEncodeWord, with the
+    * chain BUILT FROM the same BpeMerges table — one definition, no
+    * literal drift between engines. `$w` is a SQL expression for the
+    * word (typically a lambda variable).
+    */
+  private def bpeWordTokensSql(w: String): String = {
+    val spaced = s"' ' || array_to_string(string_split($w, ''), ' ')"
+    val chain = graft.functions.TextFunctions.BpeMerges.foldLeft(spaced) {
+      case (s, (a, b)) => s"replace($s, ' $a $b', ' $a$b')"
+    }
+    s"string_split(trim($chain), ' ')"
+  }
+
+  /** text_bpe_encode twin: ten unrolled merge applications per word,
+    * flattened in word order; the stream md5 gates the exact token
+    * sequences.
+    */
+  val textBpeEncode: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(words, w -> ${bpeWordTokensSql("w")})) AS toks,
+       |    CASE WHEN len(words) = 0 THEN 0
+       |         ELSE list_reduce(list_transform(words, w -> CAST(len(w) AS BIGINT)),
+       |                          (a, b) -> a + b) END AS n_chars
+       |  FROM w)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  n_chars,
+       |  md5(array_to_string(toks, ' ')) AS stream_md5
+       |FROM enc""".stripMargin
+
+  /** pack_sequences_bpe twin: the pack_sequences shape with n_tokens =
+    * the applied-BPE stream length.
+    */
+  val packSequencesBpe: String =
+    s"""SELECT doc_id, pack_group,
+       |  CAST(floor(cum_before / 512) AS BIGINT) AS pack_bin, n_tokens
+       |FROM (
+       |  SELECT doc_id, pack_group, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group
+       |      ORDER BY digest ASC NULLS FIRST, doc_id ASC NULLS FIRST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(flatten(list_transform(
+       |        list_filter(string_split(text, ' '), x -> x <> ''),
+       |        w -> ${bpeWordTokensSql("w")}))) AS BIGINT) AS n_tokens,
+       |      md5(text) AS digest,
+       |      CAST(('0x' || substr(md5(text), 1, 1))::UBIGINT AS BIGINT) AS pack_group
+       |    FROM documents))""".stripMargin
+
   /** pipeline_dedup_exact_incremental twin: first-seen-wins exact dedup
     * of the batch split against the corpus split — corpus minimum stays
     * canonical wherever its digest exists; a digest seen only in the

@@ -123,6 +123,7 @@ object SparkEntry {
     "streaming_dedup_bands_stateful" -> (ExtQueries.streamingDedupBandsStateful _),
     "streaming_dedup_bands_tws" -> (ExtQueries.streamingDedupBandsTws _),
     "text_bpe_merges" -> (ExtQueries.textBpeMerges _),
+    "text_bpe_encode" -> (ExtQueries.textBpeEncode _),
     "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
     "text_quality_score" -> (ExtQueries.textQualityScore _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "text_pii_redact" -> (ExtQueries.piiRedact _),
     "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
     "pack_sequences" -> (ExtQueries.packSequences _),
+    "pack_sequences_bpe" -> (ExtQueries.packSequencesBpe _),
     "mix_upsample" -> (ExtQueries.mixUpsample _),
     "pipeline_prepare_corpus" -> (ExtQueries.pipelinePrepareCorpus _),
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
@@ -225,7 +227,7 @@ object SparkEntry {
     // r9: incremental IVF maintenance (append + drift are the daily
     // path) and the write-audit-publish state chain
     "sim_ivf_append_topk", "sim_ivf_drift", "pipeline_state_publish",
-    "dedup_image_phash")
+    "dedup_image_phash", "text_bpe_encode", "pack_sequences_bpe")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1291,6 +1293,8 @@ object SparkEntry {
     // transformWithState migration equivalence, proven not assumed
     "streaming_dedup_bands_tws" -> ExtOracleSql.streamingDedupBandsStateful,
     "text_bpe_merges" -> ExtOracleSql.textBpeMerges,
+    "text_bpe_encode" -> ExtOracleSql.textBpeEncode,
+    "pack_sequences_bpe" -> ExtOracleSql.packSequencesBpe,
 
     // 32/16 word chunking — same geometry as dedup_clusters' vertices
     "text_chunks" ->

@@ -79,4 +79,51 @@ object TextFunctions {
     */
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
+  /** FIXED learned BPE merge table (Sennrich et al. 2016), applied in
+    * rank order by [[bpeEncodeWord]]. Provenance: 10 rounds of exact
+    * sequential character-level BPE learning over the sf0.01 `documents`
+    * corpus (count adjacent symbol pairs across all word occurrences,
+    * merge the most frequent, ties → lexicographically smallest pair,
+    * recount) — ranks 6 (`m`+`er`) and 10 (`p`+`ar`) consume symbols
+    * produced by earlier merges, so applying the table exercises real
+    * multi-level BPE, not just bigram gluing. A production pipeline
+    * swaps in its tokenizer's merge file; the apply machinery is
+    * identical.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar")
+
+  /** Apply the merge table to ONE word, returning its token array.
+    *
+    * Encoding trick (engine-portable, zero UDF): the symbol sequence is
+    * a LEADING-separator string `" c1 c2 …"`, and merge (a, b) is the
+    * plain string replace `" a b" → " ab"`. The leading-separator form
+    * is load-bearing: each pattern starts AND ends inside a token
+    * boundary (`" a"` anchors to a token start, the following `" b"`
+    * requires token `a` to end exactly there), and because the pattern
+    * does NOT consume the next token's separator, back-to-back merges
+    * chain — `[e,e,e,e]` under (e,e) gives `[ee,ee]` exactly like the
+    * left-to-right non-overlapping BPE scan. (A surrounding-separator
+    * pattern `" a b "` eats the separator the next match needs and
+    * yields `[ee,e,e]` — the bug the Round9 spec pins.) Both engines'
+    * `replace` scan the input left-to-right without rescanning replaced
+    * output, which is exactly one BPE merge pass.
+    */
+  def bpeEncodeWord(w: Column): Column = {
+    val spaced = concat(lit(" "), array_join(split(w, ""), " "))
+    val merged = BpeMerges.foldLeft(spaced) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s" $a $b"), lit(s" $a$b"))
+    }
+    split(ltrim(merged), " ")
+  }
+
+  /** Whole-document BPE token stream: per-word encode, word order
+    * preserved, flattened — pure per-row HOF work, no shuffle.
+    */
+  def bpeEncodeDoc(text: Column): Column =
+    flatten(transform(
+      filter(split(text, " "), w => w =!= ""),
+      w => bpeEncodeWord(w)))
 }
