@@ -1642,7 +1642,7 @@ object ExtQueries {
   /** Probed-list scoring + per-query top-k shared by the recompute and
     * stored-index IVF paths.
     */
-  private def ivfScore(lists: DataFrame, probes: DataFrame): DataFrame = {
+  private[graft] def ivfScore(lists: DataFrame, probes: DataFrame): DataFrame = {
     val scored = lists.join(probes, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))

@@ -90,6 +90,39 @@ object ScaleSmoke {
         s.read.parquet(storedStatePath), ExtQueries.minhashBanded(batch))
     }
 
+    // round 9: incremental IVF at 10× scale — the stored index (corpus
+    // split, %7 != 0) is PRE-BUILT like the band state above (the
+    // offline amortized cost); the timed query is batch assignment
+    // against the frozen stored centroids + bucketed append + probe
+    // query. Cost must track the batch where the inline gate
+    // (`sim_ivf_append_topk`, which rebuilds per run) tracks the corpus.
+    val ivfTblSmoke = "graft_smoke_ivf"
+    spark.sql(s"DROP TABLE IF EXISTS $ivfTblSmoke")
+    val embAll = spark.read.parquet(s"$work/embeddings.parquet")
+    val storedIvf = graft.operators.IvfIndex.build(spark,
+      embAll.filter(col("vec_id") % 7 =!= 0), k = 8, iterations = 3,
+      ivfTblSmoke, s"$work/ivf_index")
+    val smokeGen = new java.util.concurrent.atomic.AtomicInteger(0)
+    // MAINTENANCE-only pair (the query path is identical on both sides
+    // and dominates an end-to-end timing, hiding the difference): the
+    // daily fold = assign batch against frozen stored centroids + one
+    // bucketed append; the rebuild it replaces = 3 Lloyd iterations
+    // over the full corpus + reassign + rewrite everything. Both close
+    // with the same cheap drift aggregate.
+    def simIvfAppendMaint(s: SparkSession, dir: String) = {
+      graft.operators.IvfIndex.append(s, storedIvf,
+        embAll.filter(col("vec_id") % 7 === 0), gen = smokeGen.incrementAndGet())
+      graft.operators.IvfIndex.drift(s.table(ivfTblSmoke))
+    }
+    def simIvfRebuildMaint(s: SparkSession, dir: String) = {
+      val n = smokeGen.incrementAndGet()
+      val tbl = s"graft_smoke_ivf_rebuild_$n"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val st = graft.operators.IvfIndex.build(s, embAll, k = 8, iterations = 3,
+        tbl, s"$work/ivf_rebuild_$n")
+      graft.operators.IvfIndex.drift(s.table(st.listsTable))
+    }
+
     val queries = Seq(
       "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
       // round 7: the scale-safe composition — candidates from LSH bands,
@@ -104,6 +137,9 @@ object ScaleSmoke {
       // band is ~10 deep in near-identical members
       "pipeline_dedup_incremental" -> (ExtQueries.pipelineDedupIncremental _),
       "dedup_incremental_vs_stored" -> (dedupIncrementalVsStored _),
+      // round 9: daily IVF maintenance vs the full retrain it replaces
+      "sim_ivf_append_maint" -> (simIvfAppendMaint _),
+      "sim_ivf_rebuild_maint" -> (simIvfRebuildMaint _),
       "pipeline_dedup_incremental_clusters" -> (ExtQueries.pipelineDedupIncrementalClusters _),
       "dedup_simhash" -> (ExtQueries.dedupSimhash _),
       "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),

@@ -115,9 +115,16 @@ class SimilaritySpec extends SparkSpec {
     val recalls = ExtQueries.simAnnRecall(spark, sfSmoke)
       .groupBy("method").agg(avg("recall_at_5").as("mean_recall"))
       .as[(String, Double)].collect().toMap
-    assert(recalls.keySet == Set("lsh", "ivf", "pq", "ivfpq", "matryoshka", "int8"))
+    assert(recalls.keySet ==
+      Set("lsh", "ivf", "pq", "ivfpq", "matryoshka", "int8", "ivf_append"))
     assert(recalls("lsh") >= 0.6, s"lsh mean recall@5 dropped to ${recalls("lsh")}")
     assert(recalls("ivf") >= 0.4, s"ivf mean recall@5 dropped to ${recalls("ivf")}")
+    // the appended stored index is the same IVF probe structure with
+    // k-means centroids trained on the corpus split only — frozen-
+    // centroid assignment of the batch must not cost recall relative
+    // to the ivf floor
+    assert(recalls("ivf_append") >= 0.4,
+      s"ivf_append mean recall@5 dropped to ${recalls("ivf_append")}")
     // int8 scores every vector — its only loss is rounding distortion,
     // which on near-random cosine spreads still ranks almost exactly
     assert(recalls("int8") >= 0.9, s"int8 mean recall@5 dropped to ${recalls("int8")}")
