@@ -160,6 +160,64 @@ object ExtOracleSql {
       |WHERE 64 - len(list_filter(range(1, 65),
       |        i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) <= 3""".stripMargin
 
+  /** dedup_video_phash twin: replays the textured-VIDEO generator's
+    * contract (frame count from the digest, frame f's pattern at
+    * brightness shift + f), the per-sampled-frame aHash arithmetic,
+    * the (frame, block) banding, and the majority-frame-match rule —
+    * all from sha256(text), never decoding a container.
+    */
+  val dedupVideoPhash: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, 0 AS shift FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, 8 AS shift
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |hx AS (
+      |  SELECT doc_id, shift,
+      |    ascii(substr(sha256(text), 1, 1)) AS a, ascii(substr(sha256(text), 2, 1)) AS b,
+      |    ascii(substr(sha256(text), 3, 1)) AS c, ascii(substr(sha256(text), 4, 1)) AS d,
+      |    4 + (ascii(substr(sha256(text), 1, 1)) % 8) AS n_frames
+      |  FROM base),
+      |fr AS (
+      |  SELECT doc_id, shift, a, b, c, d, f
+      |  FROM hx CROSS JOIN range(0, 11) fs(f)
+      |  WHERE f < n_frames AND f % 4 = 0),
+      |px AS (
+      |  SELECT doc_id, f, (y // 4) * 8 + (x // 4) AS j,
+      |    32 + ((a * x + b * y + c * x * y + d + 37 * f) % 192) + shift AS g
+      |  FROM fr CROSS JOIN range(0, 32) xs(x) CROSS JOIN range(0, 32) ys(y)),
+      |blk AS (SELECT doc_id, f, j, SUM(g) AS bsum FROM px GROUP BY doc_id, f, j),
+      |tot AS (SELECT doc_id, f, SUM(bsum) AS total FROM blk GROUP BY doc_id, f),
+      |code AS (
+      |  SELECT b.doc_id, b.f,
+      |    string_agg(CASE WHEN b.bsum * 64 > t.total THEN '1' ELSE '0' END, ''
+      |               ORDER BY b.j) AS phash
+      |  FROM blk b JOIN tot t USING (doc_id, f) GROUP BY b.doc_id, b.f),
+      |blocks AS (
+      |  SELECT doc_id, f, phash,
+      |    unnest([CAST(f AS VARCHAR) || '|' || CAST(j AS VARCHAR) || '|'
+      |            || substr(phash, 1 + j*16, 16) for j in range(0, 4)]) AS block
+      |  FROM code),
+      |-- same bounded-bucket candidate generation as operators.Buckets
+      |bc AS (SELECT block FROM blocks GROUP BY block HAVING COUNT(*) BETWEEN 2 AND 500),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+      |  FROM blocks a JOIN blocks b2 ON a.block = b2.block AND a.doc_id < b2.doc_id
+      |  JOIN bc ON a.block = bc.block),
+      |ns AS (SELECT doc_id, COUNT(*) AS n_sampled FROM code GROUP BY doc_id),
+      |m AS (
+      |  SELECT c.doc_id_1, c.doc_id_2, COUNT(*) AS n_frames_matched
+      |  FROM cand c
+      |  JOIN code p1 ON p1.doc_id = c.doc_id_1
+      |  JOIN code p2 ON p2.doc_id = c.doc_id_2 AND p2.f = p1.f AND p2.phash = p1.phash
+      |  GROUP BY c.doc_id_1, c.doc_id_2)
+      |SELECT m.doc_id_1, m.doc_id_2, m.n_frames_matched,
+      |  n1.n_sampled AS n_sampled_1, n2.n_sampled AS n_sampled_2
+      |FROM m
+      |JOIN ns n1 ON n1.doc_id = m.doc_id_1
+      |JOIN ns n2 ON n2.doc_id = m.doc_id_2
+      |WHERE m.n_frames_matched * 2 > greatest(n1.n_sampled, n2.n_sampled)""".stripMargin
+
   /** text_bigram_lm twin: same rational N/count terms, same
     * position-ordered fold (`list_transform` then init-less
     * `list_reduce` ≡ Spark's 0.0-init left fold — first term 0.0 + x

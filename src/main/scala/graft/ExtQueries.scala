@@ -1235,6 +1235,56 @@ object ExtQueries {
       .filter(col("hamming") <= 3)
   }
 
+  /** PERCEPTUAL video near-dup — the frame-sampled composition of
+    * [[dedupImagePhash]]: each video decodes ONLY its sampled frames
+    * (every 4th; unsampled frames are length-skipped, never decoded)
+    * to per-frame aHashes, candidates share any (frame, 16-bit block)
+    * key, and a pair survives when a MAJORITY of sampled frames
+    * hash-match exactly (`n_matched·2 > max(n_sampled)`). The fixture
+    * plants uniformly brightness-shifted video copies (every frame's
+    * bytes differ, no frame's hash does — the per-frame ramp keeps
+    * frames distinct while staying clip-free). The DuckDB twin replays
+    * frame count, per-frame pattern, hash arithmetic, banding, and the
+    * majority rule from sha256(text) alone.
+    *
+    * Scale shape: hashing is one container walk per video with
+    * decode-IO ∝ sampled frames; pairing shuffles (frame, block, id)
+    * rows; the verify join moves only candidate pairs × their ≤ 3
+    * frame hashes.
+    */
+  def dedupVideoPhash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val withCopies = d.select(col("doc_id"), col("text"), lit(0).as("shift"))
+      .unionByName(d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), lit(8).as("shift")))
+    val fp = Multimodal.videoFramePhashes(Multimodal.packTexturedVideo(withCopies)).toDF()
+    val blocks = fp.select(col("doc_id"), col("frame_idx"), col("phash"),
+      explode(array((0 until 4).map(j =>
+        concat(col("frame_idx"), lit(s"|$j|"),
+          substring(col("phash"), 1 + j * 16, 16))): _*)).as("block"))
+    val cand = Buckets.boundedMembers(blocks, col("block"), col("doc_id"))
+      .select(explode(expr(
+        """flatten(transform(members, a ->
+          |  transform(filter(members, b -> b > a),
+          |    b -> struct(a AS doc_id_1, b AS doc_id_2))))""".stripMargin)).as("p"))
+      .select(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"))
+      .distinct()
+    val n = fp.groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
+    cand
+      .join(fp.select(col("doc_id").as("doc_id_1"), col("frame_idx"),
+        col("phash").as("ph1")), "doc_id_1")
+      .join(fp.select(col("doc_id").as("doc_id_2"), col("frame_idx"),
+        col("phash").as("ph2")), Seq("doc_id_2", "frame_idx"))
+      .filter(col("ph1") === col("ph2"))
+      .groupBy("doc_id_1", "doc_id_2").agg(count(lit(1)).as("n_frames_matched"))
+      .join(n.select(col("doc_id").as("doc_id_1"), col("n_sampled").as("n_sampled_1")), "doc_id_1")
+      .join(n.select(col("doc_id").as("doc_id_2"), col("n_sampled").as("n_sampled_2")), "doc_id_2")
+      .filter(col("n_frames_matched") * 2 >
+        greatest(col("n_sampled_1"), col("n_sampled_2")))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_frames_matched"),
+        col("n_sampled_1"), col("n_sampled_2"))
+  }
+
   /** 64-bit SimHash near-dup detection with the standard 4×16-bit block
     * LSH (a pair within hamming ≤ 3 must share one of 4 equal blocks —
     * pigeonhole ⇒ exact recall at that radius). Explode+agg shape: one

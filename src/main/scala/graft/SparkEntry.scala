@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_ngram_verified" -> (ExtQueries.dedupNgramVerified _),
     "dedup_simhash" -> (ExtQueries.dedupSimhash _),
     "dedup_image_phash" -> (ExtQueries.dedupImagePhash _),
+    "dedup_video_phash" -> (ExtQueries.dedupVideoPhash _),
     "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
     "dedup_clusters" -> (ExtQueries.dedupClusters _),
     "dedup_clusters_star" -> (ExtQueries.dedupClustersStar _),
@@ -227,7 +228,8 @@ object SparkEntry {
     // r9: incremental IVF maintenance (append + drift are the daily
     // path) and the write-audit-publish state chain
     "sim_ivf_append_topk", "sim_ivf_drift", "pipeline_state_publish",
-    "dedup_image_phash", "text_bpe_encode", "pack_sequences_bpe")
+    "dedup_image_phash", "dedup_video_phash", "text_bpe_encode",
+    "pack_sequences_bpe")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1307,6 +1309,7 @@ object SparkEntry {
         |FROM ch""".stripMargin,
     "dedup_simhash" -> ExtOracleSql.dedupSimhash,
     "dedup_image_phash" -> ExtOracleSql.dedupImagePhash,
+    "dedup_video_phash" -> ExtOracleSql.dedupVideoPhash,
     "dedup_embedding_cosine" -> ExtOracleSql.dedupEmbeddingCosine,
     "text_rolling_fingerprint" -> ExtOracleSql.textRollingFingerprint,
     "text_bpe_tokens" -> ExtOracleSql.textBpeTokens,

@@ -153,7 +153,16 @@ object Multimodal {
     * the same per-pixel constant), i.e. every PNG byte changes but no
     * hash bit does: the perceptual-near-dup property the gate plants.
     */
-  private[graft] def renderTexturedPng(textBytes: Array[Byte], shift: Int): Array[Byte] = {
+  private[graft] def renderTexturedPng(textBytes: Array[Byte], shift: Int): Array[Byte] =
+    renderTexturedImpl(textBytes, shift, patternOffset = 0)
+
+  /** `patternOffset` lands INSIDE the mod — it changes the pattern
+    * itself (where the wrap points fall), so the aHash changes; `shift`
+    * stays OUTSIDE — a uniform brightness offset the aHash is invariant
+    * to. Video frames vary the former, planted copies the latter.
+    */
+  private def renderTexturedImpl(textBytes: Array[Byte], shift: Int,
+                                 patternOffset: Int): Array[Byte] = {
     javax.imageio.ImageIO.setUseCache(false)
     val hex = sha256Hex(textBytes)
     val a = hex.charAt(0).toInt; val b = hex.charAt(1).toInt
@@ -164,7 +173,7 @@ object Multimodal {
     while (y < 32) {
       var x = 0
       while (x < 32) {
-        val g = 32 + ((a * x + b * y + c * x * y + d) % 192) + shift
+        val g = 32 + ((a * x + b * y + c * x * y + d + patternOffset) % 192) + shift
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
@@ -193,37 +202,119 @@ object Multimodal {
     * corrupted binary column fails loudly here, not as a silent
     * hash mismatch.
     */
+  /** The aHash arithmetic over an already-decoded 32×32 image — shared
+    * by the still-image and sampled-video-frame paths so the two gates
+    * cannot drift.
+    */
+  private def aHashOf(img: java.awt.image.BufferedImage, docId: Long): String = {
+    require(img.getWidth == 32 && img.getHeight == 32,
+      s"doc $docId: textured fixture must decode to 32x32, " +
+        s"got ${img.getWidth}x${img.getHeight}")
+    val bsum = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val g = img.getRGB(x, y) & 0xff
+        bsum((y / 4) * 8 + (x / 4)) += g
+        total += g
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < 64) {
+      sb.append(if (bsum(j) * 64 > total) '1' else '0')
+      j += 1
+    }
+    sb.toString
+  }
+
   def phashCodes(media: Dataset[PhashRecord]): Dataset[PhashCode] =
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // memory-backed streams
       it.map { rec =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(rec.image))
-        require(img.getWidth == 32 && img.getHeight == 32,
-          s"doc ${rec.doc_id}: textured fixture must decode to 32x32, " +
-            s"got ${img.getWidth}x${img.getHeight}")
-        val bsum = new Array[Long](64)
-        var total = 0L
-        var y = 0
-        while (y < 32) {
-          var x = 0
-          while (x < 32) {
-            val g = img.getRGB(x, y) & 0xff
-            bsum((y / 4) * 8 + (x / 4)) += g
-            total += g
-            x += 1
-          }
-          y += 1
-        }
-        val sb = new java.lang.StringBuilder(64)
-        var j = 0
-        while (j < 64) {
-          sb.append(if (bsum(j) * 64 > total) '1' else '0')
-          j += 1
-        }
-        PhashCode(rec.doc_id, sb.toString)
+        PhashCode(rec.doc_id, aHashOf(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.image)), rec.doc_id))
       }
     }(Encoders.product[PhashCode])
+
+  // ===== video perceptual hashing (sampled-frame aHash) =====
+
+  final case class VideoPhashRecord(doc_id: Long, video: Array[Byte], media_type: String)
+
+  /** One sampled frame's perceptual hash. */
+  final case class FramePhash(doc_id: Long, frame_idx: Int, phash: String)
+
+  /** Textured video fixture: the GVID container with per-frame TEXTURED
+    * images — frame f carries the pattern at offset `37·f` (inside the
+    * mod, so each frame's CONTENT and hence aHash is distinct — a
+    * brightness ramp would be hash-invariant by the aHash's own design,
+    * which the first cut of this fixture got wrong) at a uniform
+    * brightness `shift`. Bounds: shift ≤ 8 ⇒ g ≤ 32+191+8 = 231, no
+    * clipping — a brightness-shifted COPY of a video matches the
+    * original's aHash on every frame while differing in every byte.
+    * Frame count / fps reuse the [[videoFrames]]/[[videoFps]] digest
+    * contract.
+    */
+  private[graft] def renderTexturedVideo(textBytes: Array[Byte], shift: Int): Array[Byte] = {
+    val hex = sha256Hex(textBytes)
+    val n = videoFrames(hex)
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(VideoMagic)
+    dos.writeShort(videoFps(hex))
+    dos.writeShort(n)
+    (0 until n).foreach { f =>
+      val frame = renderTexturedImpl(textBytes, shift, patternOffset = 37 * f)
+      dos.writeInt(frame.length)
+      dos.write(frame)
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  def packTexturedVideo(docsWithShift: DataFrame): Dataset[VideoPhashRecord] =
+    docsWithShift.select(col("doc_id"), col("text"), col("shift"))
+      .as(Encoders.product[PhashDoc])
+      .map { d =>
+        VideoPhashRecord(d.doc_id,
+          renderTexturedVideo(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8), d.shift),
+          "video/x-gvid")
+      }(Encoders.product[VideoPhashRecord])
+
+  /** Per-partition container walk + SAMPLED-frame perceptual hash:
+    * every [[VideoSampleStride]]-th frame is decoded and aHashed
+    * (same arithmetic as the still-image path); unsampled frames are
+    * length-skipped, never decoded — the frame-sampling IO shape of
+    * [[extractVideoFeatures]] composed with the hash arithmetic of
+    * [[phashCodes]]. Emits one row per sampled frame.
+    */
+  def videoFramePhashes(media: Dataset[VideoPhashRecord]): Dataset[FramePhash] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { rec =>
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(rec.video))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        require(java.util.Arrays.equals(magic, VideoMagic),
+          s"doc ${rec.doc_id}: bad video container magic")
+        in.readShort() // fps — irrelevant to dedup
+        val n = in.readShort().toInt
+        (0 until n).flatMap { f =>
+          val len = in.readInt()
+          if (f % VideoSampleStride == 0) {
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            Some(FramePhash(rec.doc_id, f, aHashOf(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)), rec.doc_id)))
+          } else { in.skipNBytes(len.toLong); None }
+        }
+      }
+    }(Encoders.product[FramePhash])
 
   // ===== audio modality (javax.sound — a REAL codec in the JDK) =====
 

@@ -192,6 +192,37 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_video_phash: shifted video copies match on every sampled frame") {
+    import operators.Multimodal
+    val payload = "video document text".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val orig = Multimodal.renderTexturedVideo(payload, 0)
+    val shifted = Multimodal.renderTexturedVideo(payload, 8)
+    assert(!java.util.Arrays.equals(orig, shifted), "shift must change the container bytes")
+    def framesOf(v: Array[Byte], id: Long) = Multimodal.videoFramePhashes(
+        Seq(Multimodal.VideoPhashRecord(id, v, "video/x-gvid")).toDS())
+      .collect().map(f => f.frame_idx -> f.phash).toMap
+    val fo = framesOf(orig, 1L)
+    val fs = framesOf(shifted, 2L)
+    assert(fo == fs, "uniform brightness shift must not flip any sampled frame's hash")
+    assert(fo.nonEmpty && fo.keySet.forall(_ % Multimodal.VideoSampleStride == 0))
+    // the per-frame RAMP keeps frames distinct — a frame-blind hash
+    // (e.g. hashing only frame 0) would still pass the copy test above,
+    // so pin that different frames of ONE video hash differently
+    if (fo.size > 1) assert(fo.values.toSet.size > 1,
+      "sampled frames of one video must carry distinct hashes")
+
+    val pairs = ExtQueries.dedupVideoPhash(spark, sfSmoke)
+      .select($"doc_id_1", $"doc_id_2", $"n_frames_matched", $"n_sampled_1")
+      .as[(Long, Long, Long, Long)].collect()
+    val planted = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .filter($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect().toSet
+    val found = pairs.filter { case (a, b, _, _) => b == a + 1000000L }
+    assert(planted.subsetOf(found.map(_._1).toSet),
+      s"planted video copies missed: ${planted -- found.map(_._1).toSet}")
+    assert(found.forall { case (_, _, m, n1) => m == n1 },
+      "planted copies must match on ALL sampled frames")
+  }
+
   test("IvfIndex.drift: counts partition the lists and retrain flags are consistent") {
     import operators.IvfIndex
     val corpus = vecs.filter($"vec_id" % 7 =!= 0)
