@@ -123,8 +123,12 @@ object ExtOracleSql {
     * decodes an image; Spark's hash comes from codec-read pixels — a
     * match certifies the encode→binary→decode round trip.
     */
-  val dedupImagePhash: String =
-    """WITH base AS (
+  /** The textured-fixture aHash CTE chain (generator replay → block
+    * sums → bit string → 4×16-bit blocks → total-membership bucket
+    * cap) — shared by the one-shot and incremental image-phash twins.
+    */
+  private val phashCtes: String =
+    """base AS (
       |  SELECT doc_id, text, 0 AS shift FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id, text, 8 AS shift
@@ -149,16 +153,62 @@ object ExtOracleSql {
       |  SELECT doc_id, phash,
       |    unnest([CAST(j AS VARCHAR) || '|' || substr(phash, 1 + j*16, 16)
       |            for j in range(0, 4)]) AS block
-      |  FROM code),
-      |-- same bounded-bucket candidate generation as operators.Buckets
-      |bc AS (SELECT block FROM blocks GROUP BY block HAVING COUNT(*) BETWEEN 2 AND 500)
-      |SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2, a.phash AS phash_1,
-      |  64 - len(list_filter(range(1, 65),
-      |           i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) AS hamming
-      |FROM blocks a JOIN blocks b2 ON a.block = b2.block AND a.doc_id < b2.doc_id
-      |JOIN bc ON a.block = bc.block
-      |WHERE 64 - len(list_filter(range(1, 65),
-      |        i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) <= 3""".stripMargin
+      |  FROM code)""".stripMargin
+
+  /** Total-membership bucket cap (operators.Buckets) for the one-shot
+    * and incremental twins; the streaming twin caps on the CORPUS side
+    * (arrival-order independence) like its minhash sibling.
+    */
+  private val phashTotalCap =
+    "bc AS (SELECT block FROM blocks GROUP BY block HAVING COUNT(*) BETWEEN 2 AND 500)"
+
+  val dedupImagePhash: String =
+    s"""WITH $phashCtes,
+       |$phashTotalCap
+       |SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2, a.phash AS phash_1,
+       |  64 - len(list_filter(range(1, 65),
+       |           i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) AS hamming
+       |FROM blocks a JOIN blocks b2 ON a.block = b2.block AND a.doc_id < b2.doc_id
+       |JOIN bc ON a.block = bc.block
+       |WHERE 64 - len(list_filter(range(1, 65),
+       |        i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) <= 3""".stripMargin
+
+  /** pipeline_dedup_image_incremental twin: the full one-shot detector
+    * restricted to batch-touching pairs — the bucket cap stays on
+    * TOTAL membership, exactly the contract `phashPairsAgainst`'s
+    * stored-state filter reproduces (a saturated corpus band forces
+    * total > cap on both sides).
+    */
+  val pipelineDedupImageIncremental: String =
+    s"""WITH $phashCtes,
+       |$phashTotalCap,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2,
+       |    CAST(64 - len(list_filter(range(1, 65),
+       |             i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) AS BIGINT) AS hamming
+       |  FROM blocks a JOIN blocks b2 ON a.block = b2.block AND a.doc_id < b2.doc_id
+       |  JOIN bc ON a.block = bc.block
+       |  WHERE 64 - len(list_filter(range(1, 65),
+       |          i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) <= 3)
+       |SELECT * FROM pairs WHERE doc_id_1 % 7 = 0 OR doc_id_2 % 7 = 0""".stripMargin
+
+  /** streaming_dedup_phash twin: new-vs-corpus pairs only, bucket cap
+    * on the CORPUS block size — the arrival-order-independent streaming
+    * contract (a verdict for an arriving image cannot depend on images
+    * arriving after it), mirroring the minhash streaming twin.
+    */
+  val streamingDedupPhash: String =
+    s"""WITH $phashCtes,
+       |corpus AS (SELECT * FROM blocks WHERE doc_id % 7 <> 0),
+       |batch AS (SELECT * FROM blocks WHERE doc_id % 7 = 0),
+       |bc AS (SELECT block FROM corpus GROUP BY block HAVING COUNT(*) BETWEEN 1 AND 500)
+       |SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_id_1,
+       |  greatest(a.doc_id, b.doc_id) AS doc_id_2,
+       |  CAST(64 - len(list_filter(range(1, 65),
+       |           i -> substr(a.phash, i, 1) = substr(b.phash, i, 1))) AS BIGINT) AS hamming
+       |FROM batch a JOIN corpus b USING (block) JOIN bc USING (block)
+       |WHERE 64 - len(list_filter(range(1, 65),
+       |        i -> substr(a.phash, i, 1) = substr(b.phash, i, 1))) <= 3""".stripMargin
 
   /** dedup_video_phash twin: replays the textured-VIDEO generator's
     * contract (frame count from the digest, frame f's pattern at

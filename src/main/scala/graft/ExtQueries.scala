@@ -1212,27 +1212,68 @@ object ExtQueries {
     * pairing shuffles (block, doc_id, 64-char hash) rows — bands × docs,
     * never pixels; Buckets caps degenerate blocks on both engines.
     */
-  def dedupImagePhash(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sigs = 64-char aHash, band = block key) over the
+    * textured-image fixture — the perceptual analogue of
+    * [[minhashBanded]], shared by the one-shot detector and the
+    * incremental state builder (the `sigs` name matches the stored
+    * band-state schema so `IncrementalDedup.bandState` applies
+    * unchanged).
+    */
+  private def phashBanded(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val withCopies = d.select(col("doc_id"), col("text"), lit(0).as("shift"))
       .unionByName(d.filter(col("doc_id") % 10 === 0).select(
         (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), lit(8).as("shift")))
-    val codes = Multimodal.phashCodes(Multimodal.packTextured(withCopies)).toDF()
-    val blocks = codes.select(col("doc_id"), col("phash"),
-      explode(array((0 until 4).map(j =>
-        concat(lit(s"$j|"), substring(col("phash"), 1 + j * 16, 16))): _*)).as("block"))
+    Multimodal.phashCodes(Multimodal.packTextured(withCopies)).toDF()
+      .select(col("doc_id"), col("phash").as("sigs"),
+        explode(array((0 until 4).map(j =>
+          concat(lit(s"$j|"), substring(col("phash"), 1 + j * 16, 16))): _*)).as("band"))
+  }
+
+  def dedupImagePhash(s: SparkSession, dir: String): DataFrame = {
     val ham =
-      "64 - size(filter(sequence(1, 64), i -> substring(a.phash, i, 1) = substring(b.phash, i, 1)))"
-    Buckets.boundedMembers(blocks, col("block"), struct(col("doc_id"), col("phash")))
+      "64 - size(filter(sequence(1, 64), i -> substring(a.sigs, i, 1) = substring(b.sigs, i, 1)))"
+    Buckets.boundedMembers(phashBanded(s, dir), col("band"), struct(col("doc_id"), col("sigs")))
       .select(explode(expr(
         s"""flatten(transform(members, a ->
            |  transform(filter(members, b -> b.doc_id > a.doc_id),
            |    b -> struct(a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-           |                a.phash AS phash_1,
+           |                a.sigs AS phash_1,
            |                CAST($ham AS BIGINT) AS hamming))))""".stripMargin)).as("p"))
       .select(col("p.doc_id_1"), col("p.doc_id_2"), col("p.phash_1"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+  }
+
+  /** Cross-batch INCREMENTAL perceptual dedup — E85's shape for the
+    * image modality: the corpus split's aHash block state
+    * (`IncrementalDedup.bandState` over [[phashBanded]] — the same
+    * stored `(band, cnt, members)` schema, with the 64-char hash as
+    * the member payload) is what a production pipeline would have
+    * STORED; only the batch's images are hashed and joined
+    * (`phashPairsAgainst`: hamming verification on total-capped
+    * bands). Gated as the full one-shot detector over corpus ∪ batch
+    * restricted to batch-touching pairs. Planted copies STRADDLE the
+    * % 7 split (1000000 ≡ 1 mod 7), so both the new-vs-corpus and
+    * new-vs-new arms carry planted pairs.
+    */
+  def pipelineDedupImageIncremental(s: SparkSession, dir: String): DataFrame = {
+    val banded = phashBanded(s, dir)
+    val isBatch = col("doc_id") % 7 === 0
+    val state = operators.IncrementalDedup.bandState(banded.filter(!isBatch))
+    operators.IncrementalDedup.phashPairsAgainst(state, banded.filter(isBatch))
+  }
+
+  /** Streaming perceptual dedup: arriving images hashed in-flight and
+    * stream-static joined against the stored corpus block state — the
+    * streaming face of [[pipelineDedupImageIncremental]] (new-vs-corpus
+    * only; semantics in
+    * [[graft.streaming.StreamingStage.streamingDedupPhash]]).
+    */
+  def streamingDedupPhash(s: SparkSession, dir: String): DataFrame = {
+    val state = operators.IncrementalDedup.bandState(
+      phashBanded(s, dir).filter(col("doc_id") % 7 =!= 0))
+    StreamingStage.streamingDedupPhash(s, dir, state)
   }
 
   /** PERCEPTUAL video near-dup — the frame-sampled composition of

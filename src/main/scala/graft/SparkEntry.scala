@@ -108,6 +108,8 @@ object SparkEntry {
     "dedup_simhash" -> (ExtQueries.dedupSimhash _),
     "dedup_image_phash" -> (ExtQueries.dedupImagePhash _),
     "dedup_video_phash" -> (ExtQueries.dedupVideoPhash _),
+    "pipeline_dedup_image_incremental" -> (ExtQueries.pipelineDedupImageIncremental _),
+    "streaming_dedup_phash" -> (ExtQueries.streamingDedupPhash _),
     "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
     "dedup_clusters" -> (ExtQueries.dedupClusters _),
     "dedup_clusters_star" -> (ExtQueries.dedupClustersStar _),
@@ -228,8 +230,9 @@ object SparkEntry {
     // r9: incremental IVF maintenance (append + drift are the daily
     // path) and the write-audit-publish state chain
     "sim_ivf_append_topk", "sim_ivf_drift", "pipeline_state_publish",
-    "dedup_image_phash", "dedup_video_phash", "text_bpe_encode",
-    "pack_sequences_bpe")
+    "dedup_image_phash", "dedup_video_phash",
+    "pipeline_dedup_image_incremental", "streaming_dedup_phash",
+    "text_bpe_encode", "pack_sequences_bpe")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1310,6 +1313,8 @@ object SparkEntry {
     "dedup_simhash" -> ExtOracleSql.dedupSimhash,
     "dedup_image_phash" -> ExtOracleSql.dedupImagePhash,
     "dedup_video_phash" -> ExtOracleSql.dedupVideoPhash,
+    "pipeline_dedup_image_incremental" -> ExtOracleSql.pipelineDedupImageIncremental,
+    "streaming_dedup_phash" -> ExtOracleSql.streamingDedupPhash,
     "dedup_embedding_cosine" -> ExtOracleSql.dedupEmbeddingCosine,
     "text_rolling_fingerprint" -> ExtOracleSql.textRollingFingerprint,
     "text_bpe_tokens" -> ExtOracleSql.textBpeTokens,

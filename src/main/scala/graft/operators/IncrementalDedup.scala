@@ -204,6 +204,46 @@ object IncrementalDedup {
         (col("doc_id") === col("component")).as("keep"))
   }
 
+  /** [[pairsAgainst]]'s PERCEPTUAL-HASH sibling: the stored state is
+    * the same `(band, cnt, members)` shape with a 64-char aHash bit
+    * string as the member payload (`sigs`), bands are the 4×16-bit
+    * hash blocks, and verification is exact hamming ≤ `maxHamming`
+    * instead of a signature-Jaccard estimate. Same equivalence
+    * contract: the [2, cap] filter runs on TOTAL membership, so pairs
+    * equal the full block-LSH detector over corpus ∪ batch restricted
+    * to batch-touching pairs (a corpus band saturated past the cap
+    * stores cnt = cap+1 and forces total > cap exactly like the
+    * full detector's own bucket cap).
+    */
+  def phashPairsAgainst(state: DataFrame, batchBanded: DataFrame,
+                        maxHamming: Int = 3,
+                        cap: Int = Buckets.DefaultCap): DataFrame = {
+    val nb = batchBanded.groupBy("band")
+      .agg(count(lit(1)).as("new_cnt"),
+        collect_list(struct(col("doc_id"), col("sigs"))).as("new_members"))
+    val ham = (a: String, b: String) =>
+      s"64 - size(filter(sequence(1, 64), i -> substring($a.sigs, i, 1) = substring($b.sigs, i, 1)))"
+    nb.join(state, Seq("band"), "left")
+      .filter((col("new_cnt") + coalesce(col("cnt"), lit(0L))).between(2, cap))
+      .select(col("new_members"),
+        coalesce(col("members"), expr("filter(new_members, x -> false)"))
+          .as("old_members"))
+      .select(explode(expr(
+        s"""concat(
+           |  flatten(transform(new_members, a ->
+           |    transform(old_members, b ->
+           |      struct(least(a.doc_id, b.doc_id) AS doc_id_1,
+           |             greatest(a.doc_id, b.doc_id) AS doc_id_2,
+           |             CAST(${ham("a", "b")} AS BIGINT) AS hamming)))),
+           |  flatten(transform(new_members, a ->
+           |    transform(filter(new_members, b -> b.doc_id > a.doc_id), b ->
+           |      struct(a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           |             CAST(${ham("a", "b")} AS BIGINT) AS hamming)))))""".stripMargin)).as("p"))
+      .select(col("p.doc_id_1"), col("p.doc_id_2"), col("p.hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup pairs of a new batch against the stored state: every
     * (new, corpus) and (new, new) pair sharing a band whose TOTAL
     * membership is within [2, cap], signature-Jaccard estimated and

@@ -214,6 +214,49 @@ object StreamingStage {
     runToTable(pairs, "streaming_dedup_bands", "append").distinct()
   }
 
+  /** STREAMING perceptual image dedup — [[streamingDedupBands]]'s twin
+    * for the image modality: arriving images (the textured fixture with
+    * its planted brightness-shifted copies, `% 7 == 0` split) are
+    * rendered → codec-decoded → aHashed IN-FLIGHT (stateless
+    * `mapPartitions` inside the micro-batch — the hash stage needs no
+    * state store), banded into 4×16-bit blocks, and stream-static
+    * joined against the stored corpus block state. Same arrival-order
+    * contract as the minhash twin: the bucket cap runs on the CORPUS
+    * block size, so a verdict for an arriving image never depends on
+    * later arrivals. Exact hamming ≤ 3 verification against each
+    * corpus member's stored 64-char hash.
+    */
+  def streamingDedupPhash(spark: SparkSession, dir: String,
+                          blockState: org.apache.spark.sql.DataFrame): DataFrame = {
+    val cap = graft.operators.Buckets.DefaultCap
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(stageAsDir(path))
+    val base = raw.select(col("doc_id"), col("text"))
+    val withCopies = base.select(col("doc_id"), col("text"), lit(0).as("shift"))
+      .unionByName(base.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), lit(8).as("shift")))
+      .filter(col("doc_id") % 7 === 0)
+    val banded = graft.operators.Multimodal.phashCodes(
+        graft.operators.Multimodal.packTextured(withCopies)).toDF()
+      .select(col("doc_id"), col("phash").as("sigs"),
+        explode(array((0 until 4).map(j =>
+          concat(lit(s"$j|"), substring(col("phash"), 1 + j * 16, 16))): _*)).as("band"))
+    val ham =
+      "64 - size(filter(sequence(1, 64), i -> substring(sigs, i, 1) = substring(b.sigs, i, 1)))"
+    val pairs = banded
+      .join(blockState.filter(col("cnt").between(1, cap)), "band")
+      .select(col("doc_id"), col("sigs"), col("members"))
+      .select(explode(expr(
+        s"""transform(members, b ->
+           |  struct(least(doc_id, b.doc_id) AS doc_id_1,
+           |         greatest(doc_id, b.doc_id) AS doc_id_2,
+           |         CAST($ham AS BIGINT) AS hamming))""".stripMargin)).as("p"))
+      .select(col("p.doc_id_1"), col("p.doc_id_2"), col("p.hamming"))
+      .filter(col("hamming") <= 3)
+    runToTable(pairs, "streaming_dedup_phash", "append").distinct()
+  }
+
   /** One banded doc as seen by the stateful dedup. */
   final case class BandDoc(band: String, doc_id: Long, sigs: Seq[String])
 

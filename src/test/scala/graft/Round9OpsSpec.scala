@@ -223,6 +223,27 @@ class Round9OpsSpec extends SparkSpec {
       "planted copies must match on ALL sampled frames")
   }
 
+  test("phash incremental/streaming: straddling planted pairs found, streaming ⊆ incremental") {
+    val inc = ExtQueries.pipelineDedupImageIncremental(spark, sfSmoke)
+      .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect().toSet
+    val str = ExtQueries.streamingDedupPhash(spark, sfSmoke)
+      .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect().toSet
+    // new-vs-corpus (streaming) is a subset of batch-touching (incremental)
+    assert(str.subsetOf(inc), s"streaming pairs not in incremental: ${str -- inc}")
+    // every planted pair with exactly ONE side in the % 7 batch must
+    // appear in BOTH detectors (copies sit at +1000000 ≡ +1 mod 7, so
+    // the planted pairs straddle the split — the non-vacuity property
+    // memory lesson 9 warns to check on every new incremental gate)
+    val straddling = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .filter($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect()
+      .map(d => (d, d + 1000000L))
+      .filter { case (a, b) => (a % 7 == 0) != (b % 7 == 0) }
+      .toSet
+    assert(straddling.nonEmpty, "fixture lost its straddling planted pairs")
+    assert(straddling.subsetOf(str), s"streaming missed: ${straddling -- str}")
+    assert(straddling.subsetOf(inc), s"incremental missed: ${straddling -- inc}")
+  }
+
   test("IvfIndex.drift: counts partition the lists and retrain flags are consistent") {
     import operators.IvfIndex
     val corpus = vecs.filter($"vec_id" % 7 =!= 0)
