@@ -192,6 +192,52 @@ object ExtOracleSql {
        |          i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) <= 3)
        |SELECT * FROM pairs WHERE doc_id_1 % 7 = 0 OR doc_id_2 % 7 = 0""".stripMargin
 
+  /** dedup_audio_phash twin: replays the textured-WAV generator
+    * (two digest-keyed components × amplitude) and the frame-energy
+    * hash (first 512 samples, 64 frames of 8, bit = e_j·64 > total)
+    * from sha256(text), then the same block-LSH pairing — DuckDB
+    * never parses a WAV; Spark's hash comes from codec-read samples.
+    */
+  val dedupAudioPhash: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, 64 AS amp FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, 32 AS amp
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |hx AS (
+      |  SELECT doc_id, amp,
+      |    3 + (ascii(substr(sha256(text), 3, 1)) % 5) AS f1,
+      |    2 + (ascii(substr(sha256(text), 4, 1)) % 7) AS f2,
+      |    ascii(substr(sha256(text), 5, 1)) AS p,
+      |    ascii(substr(sha256(text), 6, 1)) AS q,
+      |    1 + (ascii(substr(sha256(text), 7, 1)) % 9) AS f3
+      |  FROM base),
+      |sm AS (
+      |  SELECT doc_id, j,
+      |    abs(((((7*j * f1 + p) % 256) - 128) + (((7*j * f2 + q) % 128) - 64)
+      |         + (((7*j * 7*j * f3) % 128) - 64)) * amp) AS a0,
+      |    abs((((((7*j+3) * f1 + p) % 256) - 128) + ((((7*j+3) * f2 + q) % 128) - 64)
+      |         + ((((7*j+3) * (7*j+3) * f3) % 128) - 64)) * amp) AS a1
+      |  FROM hx CROSS JOIN range(0, 64) s(j)),
+      |code AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN a0 > a1 THEN '1' ELSE '0' END, '' ORDER BY j) AS phash
+      |  FROM sm GROUP BY doc_id),
+      |blocks AS (
+      |  SELECT doc_id, phash,
+      |    unnest([CAST(j AS VARCHAR) || '|' || substr(phash, 1 + j*16, 16)
+      |            for j in range(0, 4)]) AS block
+      |  FROM code),
+      |-- same bounded-bucket candidate generation as operators.Buckets
+      |bc AS (SELECT block FROM blocks GROUP BY block HAVING COUNT(*) BETWEEN 2 AND 500)
+      |SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2, a.phash AS phash_1,
+      |  CAST(64 - len(list_filter(range(1, 65),
+      |           i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) AS BIGINT) AS hamming
+      |FROM blocks a JOIN blocks b2 ON a.block = b2.block AND a.doc_id < b2.doc_id
+      |JOIN bc ON a.block = bc.block
+      |WHERE 64 - len(list_filter(range(1, 65),
+      |        i -> substr(a.phash, i, 1) = substr(b2.phash, i, 1))) <= 3""".stripMargin
+
   /** streaming_dedup_phash twin: new-vs-corpus pairs only, bucket cap
     * on the CORPUS block size — the arrival-order-independent streaming
     * contract (a verdict for an arriving image cannot depend on images

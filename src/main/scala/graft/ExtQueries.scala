@@ -1066,6 +1066,43 @@ object ExtQueries {
     operators.IncrementalDedup.pairsAgainst(state, minhashBanded(nd.filter(isBatch)))
   }
 
+  private val bandStatePublishPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** [[pipelineDedupIncremental]] with the band state routed through
+    * WRITE-AUDIT-PUBLISH storage (operators.Publish — the E97 commit
+    * pattern applied to the E85 artifact): the corpus state publishes
+    * as an audited immutable version, the increment reads it back
+    * through the pointer, and the pairs must STILL match
+    * `pipeline_dedup_incremental`'s oracle verbatim — so the nested
+    * array-of-struct state schema provably survives the full
+    * write→audit→swap→read commit, not just a bare parquet round trip.
+    * The audit enforces the band-state invariants against what landed
+    * on disk: non-null band keys, and the [[IncrementalDedup.bandState]]
+    * cnt contract (cnt = member count below the cap; members dropped
+    * exactly when the saturating counter reads cap + 1).
+    */
+  def pipelineDedupPublished(s: SparkSession, dir: String): DataFrame = {
+    import operators.{Buckets, IncrementalDedup, Publish}
+    val nd = withNearDups(docs(s, dir))
+    val isBatch = col("doc_id") % 7 === 0
+    val root = java.nio.file.Files.createTempDirectory("graft_band_pub").toString
+    val cap = Buckets.DefaultCap
+    val audit: DataFrame => Unit = st => {
+      require(st.filter(col("band").isNull).isEmpty, "state audit: null band key")
+      require(st.filter(
+          !(col("cnt") === size(col("members")) && col("cnt") <= cap) &&
+            !(col("cnt") === cap + 1 && size(col("members")) === 0)).isEmpty,
+        "state audit: cnt/members contract violated")
+    }
+    Publish.publish(
+      IncrementalDedup.bandState(minhashBanded(nd.filter(!isBatch))), root, audit)
+    val state = Publish.read(s, root)
+    Option(bandStatePublishPrev.getAndSet(root))
+      .foreach(p => deleteTree(java.nio.file.Paths.get(p)))
+    IncrementalDedup.pairsAgainst(state, minhashBanded(nd.filter(isBatch)))
+  }
+
   /** Streaming near-dup pairs against the corpus band state — the
     * streaming face of [[pipelineDedupIncremental]] (new-vs-corpus
     * only; see [[graft.streaming.StreamingStage.streamingDedupBands]]
@@ -1230,10 +1267,14 @@ object ExtQueries {
           concat(lit(s"$j|"), substring(col("phash"), 1 + j * 16, 16))): _*)).as("band"))
   }
 
-  def dedupImagePhash(s: SparkSession, dir: String): DataFrame = {
+  /** Bounded-bucket pair expansion + exact-hamming verification over a
+    * banded 64-bit hash frame `(doc_id, sigs, band)` — shared by the
+    * image and audio perceptual detectors.
+    */
+  private def hashBlockPairs(banded: DataFrame): DataFrame = {
     val ham =
       "64 - size(filter(sequence(1, 64), i -> substring(a.sigs, i, 1) = substring(b.sigs, i, 1)))"
-    Buckets.boundedMembers(phashBanded(s, dir), col("band"), struct(col("doc_id"), col("sigs")))
+    Buckets.boundedMembers(banded, col("band"), struct(col("doc_id"), col("sigs")))
       .select(explode(expr(
         s"""flatten(transform(members, a ->
            |  transform(filter(members, b -> b.doc_id > a.doc_id),
@@ -1243,6 +1284,31 @@ object ExtQueries {
       .select(col("p.doc_id_1"), col("p.doc_id_2"), col("p.phash_1"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+  }
+
+  def dedupImagePhash(s: SparkSession, dir: String): DataFrame =
+    hashBlockPairs(phashBanded(s, dir))
+
+  /** PERCEPTUAL audio near-dup — the audio member of the perceptual
+    * family: the textured WAV fixture plants VOLUME-scaled copies
+    * (amp 64 → 32: every PCM byte changes, no energy-ratio bit does —
+    * volume is audio's brightness), each clip's first 512 codec-parsed
+    * samples hash to a 64-bit frame-energy signature
+    * (operators.Multimodal.audioPhashes), and pairing runs the same
+    * 4×16-bit block-LSH + exact-hamming machinery as the image
+    * detector. The DuckDB twin replays the wave generator and the
+    * energy arithmetic from sha256(text) without parsing a WAV.
+    */
+  def dedupAudioPhash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val withCopies = d.select(col("doc_id"), col("text"), lit(64).as("amp"))
+      .unionByName(d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), lit(32).as("amp")))
+    val banded = Multimodal.audioPhashes(Multimodal.packTexturedAudio(withCopies)).toDF()
+      .select(col("doc_id"), col("phash").as("sigs"),
+        explode(array((0 until 4).map(j =>
+          concat(lit(s"$j|"), substring(col("phash"), 1 + j * 16, 16))): _*)).as("band"))
+    hashBlockPairs(banded)
   }
 
   /** Cross-batch INCREMENTAL perceptual dedup — E85's shape for the

@@ -108,6 +108,7 @@ object SparkEntry {
     "dedup_simhash" -> (ExtQueries.dedupSimhash _),
     "dedup_image_phash" -> (ExtQueries.dedupImagePhash _),
     "dedup_video_phash" -> (ExtQueries.dedupVideoPhash _),
+    "dedup_audio_phash" -> (ExtQueries.dedupAudioPhash _),
     "pipeline_dedup_image_incremental" -> (ExtQueries.pipelineDedupImageIncremental _),
     "streaming_dedup_phash" -> (ExtQueries.streamingDedupPhash _),
     "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "pipeline_dedup_canonical" -> (ExtQueries.pipelineDedupCanonical _),
     "pipeline_dedup_weights" -> (ExtQueries.pipelineDedupWeights _),
     "pipeline_dedup_incremental" -> (ExtQueries.pipelineDedupIncremental _),
+    "pipeline_dedup_published" -> (ExtQueries.pipelineDedupPublished _),
     "pipeline_dedup_exact_incremental" -> (ExtQueries.pipelineDedupExactIncremental _),
     "pipeline_state_publish" -> (ExtQueries.pipelineStatePublish _),
     "streaming_dedup_bands" -> (ExtQueries.streamingDedupBands _),
@@ -230,9 +232,9 @@ object SparkEntry {
     // r9: incremental IVF maintenance (append + drift are the daily
     // path) and the write-audit-publish state chain
     "sim_ivf_append_topk", "sim_ivf_drift", "pipeline_state_publish",
-    "dedup_image_phash", "dedup_video_phash",
+    "dedup_image_phash", "dedup_video_phash", "dedup_audio_phash",
     "pipeline_dedup_image_incremental", "streaming_dedup_phash",
-    "text_bpe_encode", "pack_sequences_bpe")
+    "pipeline_dedup_published", "text_bpe_encode", "pack_sequences_bpe")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1286,6 +1288,8 @@ object SparkEntry {
     "pipeline_dedup_canonical" -> ExtOracleSql.pipelineDedupCanonical,
     "pipeline_dedup_weights" -> ExtOracleSql.pipelineDedupWeights,
     "pipeline_dedup_incremental" -> ExtOracleSql.pipelineDedupIncremental,
+    // published-storage path must land on the incremental oracle verbatim
+    "pipeline_dedup_published" -> ExtOracleSql.pipelineDedupIncremental,
     "pipeline_dedup_exact_incremental" -> ExtOracleSql.pipelineDedupExactIncremental,
     "pipeline_state_publish" -> ExtOracleSql.pipelineStatePublish,
     "streaming_dedup_bands" -> ExtOracleSql.streamingDedupBands,
@@ -1313,6 +1317,7 @@ object SparkEntry {
     "dedup_simhash" -> ExtOracleSql.dedupSimhash,
     "dedup_image_phash" -> ExtOracleSql.dedupImagePhash,
     "dedup_video_phash" -> ExtOracleSql.dedupVideoPhash,
+    "dedup_audio_phash" -> ExtOracleSql.dedupAudioPhash,
     "pipeline_dedup_image_incremental" -> ExtOracleSql.pipelineDedupImageIncremental,
     "streaming_dedup_phash" -> ExtOracleSql.streamingDedupPhash,
     "dedup_embedding_cosine" -> ExtOracleSql.dedupEmbeddingCosine,

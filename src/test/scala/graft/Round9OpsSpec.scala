@@ -244,6 +244,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(straddling.subsetOf(inc), s"incremental missed: ${straddling -- inc}")
   }
 
+  test("dedup_audio_phash: volume-scaled copies change PCM bytes but not the hash") {
+    import operators.Multimodal
+    val payload = "some audio document".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val loud = Multimodal.renderWavTextured(payload, 64)
+    val quiet = Multimodal.renderWavTextured(payload, 32)
+    assert(!java.util.Arrays.equals(loud, quiet), "volume change must alter the WAV bytes")
+    def hashOf(wav: Array[Byte]) = Multimodal.audioPhashes(
+      Seq(Multimodal.AudioPhashRecord(1L, wav, "audio/wav")).toDS()).head().phash
+    assert(hashOf(loud) == hashOf(quiet),
+      "uniform volume scaling must not flip energy-ratio bits")
+    assert(hashOf(loud).length == 64 && hashOf(loud).exists(_ == '1') &&
+      hashOf(loud).exists(_ == '0'), "textured wave must yield a non-degenerate hash")
+
+    val pairs = ExtQueries.dedupAudioPhash(spark, sfSmoke)
+      .select($"doc_id_1", $"doc_id_2", $"hamming").as[(Long, Long, Long)].collect()
+    val planted = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .filter($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect().toSet
+    val found = pairs.filter { case (a, b, _) => b == a + 1000000L }.map(_._1).toSet
+    assert(planted.subsetOf(found),
+      s"planted volume-scaled copies missed: ${planted -- found}")
+  }
+
   test("IvfIndex.drift: counts partition the lists and retrain flags are consistent") {
     import operators.IvfIndex
     val corpus = vecs.filter($"vec_id" % 7 =!= 0)
