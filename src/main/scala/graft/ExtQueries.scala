@@ -1324,7 +1324,12 @@ object ExtQueries {
     * new-vs-new arms carry planted pairs.
     */
   def pipelineDedupImageIncremental(s: SparkSession, dir: String): DataFrame = {
-    val banded = phashBanded(s, dir)
+    // checkpoint: the corpus-state and batch branches both consume the
+    // banded hashes, and doc_id predicates cannot push through the
+    // typed render/decode maps — without the barrier each branch
+    // re-renders and re-decodes the ENTIRE fixture
+    operators.Checkpoints.ensure(s.sparkContext)
+    val banded = phashBanded(s, dir).checkpoint()
     val isBatch = col("doc_id") % 7 === 0
     val state = operators.IncrementalDedup.bandState(banded.filter(!isBatch))
     operators.IncrementalDedup.phashPairsAgainst(state, banded.filter(isBatch))
@@ -1364,7 +1369,15 @@ object ExtQueries {
     val withCopies = d.select(col("doc_id"), col("text"), lit(0).as("shift"))
       .unionByName(d.filter(col("doc_id") % 10 === 0).select(
         (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), lit(8).as("shift")))
-    val fp = Multimodal.videoFramePhashes(Multimodal.packTexturedVideo(withCopies)).toDF()
+    // materialize the frame hashes ONCE through a reliable checkpoint
+    // (the Checkpoints lifetime story): this frame has FOUR consumers
+    // (banding + both verify joins + the sample counts), and each
+    // branch would otherwise re-run the whole render→encode→decode→
+    // hash pipeline — measured 9.5 s vs 5.0 s at sf0.1 (the hashes
+    // are ~3 tiny rows per video; the pipeline is the entire cost)
+    graft.operators.Checkpoints.ensure(s.sparkContext)
+    val fp = Multimodal.videoFramePhashes(Multimodal.packTexturedVideo(withCopies))
+      .toDF().checkpoint()
     val blocks = fp.select(col("doc_id"), col("frame_idx"), col("phash"),
       explode(array((0 until 4).map(j =>
         concat(col("frame_idx"), lit(s"|$j|"),

@@ -156,6 +156,31 @@ object Multimodal {
   private[graft] def renderTexturedPng(textBytes: Array[Byte], shift: Int): Array[Byte] =
     renderTexturedImpl(textBytes, shift, patternOffset = 0)
 
+  /** Per-thread reusable PNG writer for the textured-fixture encoders:
+    * `ImageIO.write` pays a writer-registry lookup + stream setup per
+    * call, which dominates encoding 32×32 frames — the video fixture
+    * renders n distinct frames per document (~38k encodes per bench
+    * run of `dedup_video_phash` at sf0.1, measured 9.4 s with the
+    * static call). Writers are not thread-safe; ThreadLocal gives each
+    * executor task its own. Output bytes are identical — same encoder,
+    * same parameters.
+    */
+  private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val w = pngWriter.get()
+    w.setOutput(ios)
+    w.write(img)
+    ios.flush()
+    ios.close()
+    out.toByteArray
+  }
+
   /** `patternOffset` lands INSIDE the mod — it changes the pattern
     * itself (where the wrap points fall), so the aHash changes; `shift`
     * stays OUTSIDE — a uniform brightness offset the aHash is invariant
@@ -179,9 +204,7 @@ object Multimodal {
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    encodePng(img)
   }
 
   /** (doc_id, text, shift) rows → textured-PNG binary column. */
