@@ -136,11 +136,12 @@ object ExtOracleSql {
       |hx AS (
       |  SELECT doc_id, shift,
       |    ascii(substr(sha256(text), 1, 1)) AS a, ascii(substr(sha256(text), 2, 1)) AS b,
-      |    ascii(substr(sha256(text), 3, 1)) AS c, ascii(substr(sha256(text), 4, 1)) AS d
+      |    ascii(substr(sha256(text), 3, 1)) AS c, ascii(substr(sha256(text), 4, 1)) AS d,
+      |    ascii(substr(sha256(text), 5, 1)) AS e, ascii(substr(sha256(text), 6, 1)) AS f
       |  FROM base),
       |px AS (
       |  SELECT doc_id, (y // 4) * 8 + (x // 4) AS j,
-      |    32 + ((a * x + b * y + c * x * y + d) % 192) + shift AS g
+      |    32 + ((a * x + b * y + c * x * y + d + e * x * x + f * y * y) % 192) + shift AS g
       |  FROM hx CROSS JOIN range(0, 32) xs(x) CROSS JOIN range(0, 32) ys(y)),
       |blk AS (SELECT doc_id, j, SUM(g) AS bsum FROM px GROUP BY doc_id, j),
       |tot AS (SELECT doc_id, SUM(bsum) AS total FROM blk GROUP BY doc_id),
@@ -272,15 +273,17 @@ object ExtOracleSql {
       |  SELECT doc_id, shift,
       |    ascii(substr(sha256(text), 1, 1)) AS a, ascii(substr(sha256(text), 2, 1)) AS b,
       |    ascii(substr(sha256(text), 3, 1)) AS c, ascii(substr(sha256(text), 4, 1)) AS d,
+      |    ascii(substr(sha256(text), 5, 1)) AS e, ascii(substr(sha256(text), 6, 1)) AS ff,
       |    4 + (ascii(substr(sha256(text), 1, 1)) % 8) AS n_frames
       |  FROM base),
       |fr AS (
-      |  SELECT doc_id, shift, a, b, c, d, f
+      |  SELECT doc_id, shift, a, b, c, d, e, ff, f
       |  FROM hx CROSS JOIN range(0, 11) fs(f)
       |  WHERE f < n_frames AND f % 4 = 0),
       |px AS (
       |  SELECT doc_id, f, (y // 4) * 8 + (x // 4) AS j,
-      |    32 + ((a * x + b * y + c * x * y + d + 37 * f) % 192) + shift AS g
+      |    32 + ((a * x + b * y + c * x * y + d + e * x * x + ff * y * y
+      |           + 37 * f) % 192) + shift AS g
       |  FROM fr CROSS JOIN range(0, 32) xs(x) CROSS JOIN range(0, 32) ys(y)),
       |blk AS (SELECT doc_id, f, j, SUM(g) AS bsum FROM px GROUP BY doc_id, f, j),
       |tot AS (SELECT doc_id, f, SUM(bsum) AS total FROM blk GROUP BY doc_id, f),

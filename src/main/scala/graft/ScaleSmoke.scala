@@ -142,6 +142,12 @@ object ScaleSmoke {
       "sim_ivf_rebuild_maint" -> (simIvfRebuildMaint _),
       "pipeline_dedup_incremental_clusters" -> (ExtQueries.pipelineDedupIncrementalClusters _),
       "dedup_simhash" -> (ExtQueries.dedupSimhash _),
+      // round 9: perceptual image dedup at 10× volume — the suffix
+      // token gives every copy a distinct digest (distinct pattern),
+      // so this row measures render+decode+hash throughput over 55k
+      // images and block-shuffle balance, with hot buckets only from
+      // the detector's own planted +1000000 pairs
+      "dedup_image_phash" -> (ExtQueries.dedupImagePhash _),
       "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
       "text_decontaminate" -> (ExtQueries.textDecontaminate _),
       // round 4: graph clustering + semantic dedup at 10× dup density —

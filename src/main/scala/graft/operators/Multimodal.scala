@@ -192,13 +192,20 @@ object Multimodal {
     val hex = sha256Hex(textBytes)
     val a = hex.charAt(0).toInt; val b = hex.charAt(1).toInt
     val c = hex.charAt(2).toInt; val d = hex.charAt(3).toInt
+    // six digest coefficients, not four: the pattern space must exceed
+    // the corpus — with (a,b,c,d) alone it was 16⁴ ≈ 65k distinct
+    // patterns, and the 55k-image scale smoke birthday-collided ~74k
+    // unrelated pairs into hash-identity; the x²/y² terms lift it to
+    // 16⁶ ≈ 16.7M
+    val e = hex.charAt(4).toInt; val f = hex.charAt(5).toInt
     val img = new java.awt.image.BufferedImage(
       32, 32, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
     while (y < 32) {
       var x = 0
       while (x < 32) {
-        val g = 32 + ((a * x + b * y + c * x * y + d + patternOffset) % 192) + shift
+        val g = 32 + ((a * x + b * y + c * x * y + d + e * x * x + f * y * y +
+          patternOffset) % 192) + shift
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
