@@ -207,11 +207,11 @@ object ExtOracleSql {
       |  FROM documents WHERE doc_id % 10 = 0),
       |hx AS (
       |  SELECT doc_id, amp,
-      |    3 + (ascii(substr(sha256(text), 3, 1)) % 5) AS f1,
-      |    2 + (ascii(substr(sha256(text), 4, 1)) % 7) AS f2,
-      |    ascii(substr(sha256(text), 5, 1)) AS p,
-      |    ascii(substr(sha256(text), 6, 1)) AS q,
-      |    1 + (ascii(substr(sha256(text), 7, 1)) % 9) AS f3
+      |    3 + (ascii(substr(sha256(text), 3, 1)) % 61) AS f1,
+      |    2 + (ascii(substr(sha256(text), 4, 1)) % 53) AS f2,
+      |    ascii(substr(sha256(text), 5, 1)) + 17 * ascii(substr(sha256(text), 8, 1)) AS p,
+      |    ascii(substr(sha256(text), 6, 1)) + 11 * ascii(substr(sha256(text), 9, 1)) AS q,
+      |    1 + (ascii(substr(sha256(text), 7, 1)) % 47) AS f3
       |  FROM base),
       |sm AS (
       |  SELECT doc_id, j,

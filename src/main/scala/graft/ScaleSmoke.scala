@@ -148,6 +148,7 @@ object ScaleSmoke {
       // images and block-shuffle balance, with hot buckets only from
       // the detector's own planted +1000000 pairs
       "dedup_image_phash" -> (ExtQueries.dedupImagePhash _),
+      "dedup_audio_phash" -> (ExtQueries.dedupAudioPhash _),
       "dedup_embedding_cosine" -> (ExtQueries.dedupEmbeddingCosine _),
       "text_decontaminate" -> (ExtQueries.textDecontaminate _),
       // round 4: graph clustering + semantic dedup at 10× dup density —

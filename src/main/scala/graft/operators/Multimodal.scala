@@ -447,11 +447,20 @@ object Multimodal {
   private[graft] def renderWavTextured(textBytes: Array[Byte], amp: Int): Array[Byte] = {
     val hex = sha256Hex(textBytes)
     val n = audioSamples(hex)
-    val f1 = 3 + (hex.charAt(2).toInt % 5)
-    val f2 = 2 + (hex.charAt(3).toInt % 7)
-    val p = hex.charAt(4).toInt
-    val q = hex.charAt(5).toInt
-    val f3 = 1 + (hex.charAt(6).toInt % 9)
+    // seven digest-keyed parameters at FULL hex width — the same
+    // corpus-must-fit-the-pattern-space argument as the image fixture,
+    // plus a subtler one the 55k-clip smoke exposed: the fingerprint
+    // bits are dominated by the widest component, so the FREQUENCY
+    // diversity matters more than raw class count (narrow `% 5`/`% 7`
+    // frequency ranges left ~11k-doc same-frequency classes whose
+    // sign-comparison bits correlate — 41k hamming-≤3 pairs). `% 61`
+    // etc. keep all 16 hex code points distinct (hex ascii spans
+    // 48–57 ∪ 97–102), giving 16³ frequency classes × ~70k phases.
+    val f1 = 3 + (hex.charAt(2).toInt % 61)
+    val f2 = 2 + (hex.charAt(3).toInt % 53)
+    val p = hex.charAt(4).toInt + 17 * hex.charAt(7).toInt
+    val q = hex.charAt(5).toInt + 11 * hex.charAt(8).toInt
+    val f3 = 1 + (hex.charAt(6).toInt % 47)
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
