@@ -1249,22 +1249,35 @@ object ExtQueries {
     * pairing shuffles (block, doc_id, 64-char hash) rows — bands × docs,
     * never pixels; Buckets caps degenerate blocks on both engines.
     */
+  /** The 4×16-bit block keys of a 64-char hash bit string — the ONE
+    * LSH banding definition every perceptual detector (image, audio,
+    * video, incremental, streaming) shares, so a block-format change
+    * cannot silently break the streaming-⊆-incremental invariant
+    * (pigeonhole: hamming ≤ 3 pairs share at least one equal block).
+    */
+  private[graft] def hashBlockKeys(phash: Column): Column =
+    array((0 until 4).map(j =>
+      concat(lit(s"$j|"), substring(phash, 1 + j * 16, 16))): _*)
+
   /** (doc_id, sigs = 64-char aHash, band = block key) over the
     * textured-image fixture — the perceptual analogue of
     * [[minhashBanded]], shared by the one-shot detector and the
     * incremental state builder (the `sigs` name matches the stored
     * band-state schema so `IncrementalDedup.bandState` applies
-    * unchanged).
+    * unchanged). `pre` filters the fixture BEFORE the typed render
+    * map — doc_id predicates cannot push through SerializeFromObject
+    * (PLANS.md #24), so a caller wanting only one split must say so
+    * here or silently render and decode everything.
     */
-  private def phashBanded(s: SparkSession, dir: String): DataFrame = {
+  private def phashBanded(s: SparkSession, dir: String,
+                          pre: Column = lit(true)): DataFrame = {
     val d = docs(s, dir)
     val withCopies = d.select(col("doc_id"), col("text"), lit(0).as("shift"))
       .unionByName(d.filter(col("doc_id") % 10 === 0).select(
         (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), lit(8).as("shift")))
-    Multimodal.phashCodes(Multimodal.packTextured(withCopies)).toDF()
+    Multimodal.phashCodes(Multimodal.packTextured(withCopies.filter(pre))).toDF()
       .select(col("doc_id"), col("phash").as("sigs"),
-        explode(array((0 until 4).map(j =>
-          concat(lit(s"$j|"), substring(col("phash"), 1 + j * 16, 16))): _*)).as("band"))
+        explode(hashBlockKeys(col("phash"))).as("band"))
   }
 
   /** Bounded-bucket pair expansion + exact-hamming verification over a
@@ -1306,8 +1319,7 @@ object ExtQueries {
         (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), lit(32).as("amp")))
     val banded = Multimodal.audioPhashes(Multimodal.packTexturedAudio(withCopies)).toDF()
       .select(col("doc_id"), col("phash").as("sigs"),
-        explode(array((0 until 4).map(j =>
-          concat(lit(s"$j|"), substring(col("phash"), 1 + j * 16, 16))): _*)).as("band"))
+        explode(hashBlockKeys(col("phash"))).as("band"))
     hashBlockPairs(banded)
   }
 
@@ -1324,15 +1336,12 @@ object ExtQueries {
     * new-vs-new arms carry planted pairs.
     */
   def pipelineDedupImageIncremental(s: SparkSession, dir: String): DataFrame = {
-    // checkpoint: the corpus-state and batch branches both consume the
-    // banded hashes, and doc_id predicates cannot push through the
-    // typed render/decode maps — without the barrier each branch
-    // re-renders and re-decodes the ENTIRE fixture
-    operators.Checkpoints.ensure(s.sparkContext)
-    val banded = phashBanded(s, dir).checkpoint()
+    // split via the PRE-render filter (PLANS.md #24: a doc_id predicate
+    // above the typed map renders everything) — each branch then
+    // renders and decodes only its own split, once
     val isBatch = col("doc_id") % 7 === 0
-    val state = operators.IncrementalDedup.bandState(banded.filter(!isBatch))
-    operators.IncrementalDedup.phashPairsAgainst(state, banded.filter(isBatch))
+    val state = operators.IncrementalDedup.bandState(phashBanded(s, dir, pre = !isBatch))
+    operators.IncrementalDedup.phashPairsAgainst(state, phashBanded(s, dir, pre = isBatch))
   }
 
   /** Streaming perceptual dedup: arriving images hashed in-flight and
@@ -1342,8 +1351,11 @@ object ExtQueries {
     * [[graft.streaming.StreamingStage.streamingDedupPhash]]).
     */
   def streamingDedupPhash(s: SparkSession, dir: String): DataFrame = {
+    // corpus-only state via the pre-render filter — see
+    // [[pipelineDedupImageIncremental]]; the stream side filters its
+    // own % 7 split before packing too
     val state = operators.IncrementalDedup.bandState(
-      phashBanded(s, dir).filter(col("doc_id") % 7 =!= 0))
+      phashBanded(s, dir, pre = col("doc_id") % 7 =!= 0))
     StreamingStage.streamingDedupPhash(s, dir, state)
   }
 
@@ -1379,9 +1391,8 @@ object ExtQueries {
     val fp = Multimodal.videoFramePhashes(Multimodal.packTexturedVideo(withCopies))
       .toDF().checkpoint()
     val blocks = fp.select(col("doc_id"), col("frame_idx"), col("phash"),
-      explode(array((0 until 4).map(j =>
-        concat(col("frame_idx"), lit(s"|$j|"),
-          substring(col("phash"), 1 + j * 16, 16))): _*)).as("block"))
+      explode(transform(hashBlockKeys(col("phash")),
+        b => concat(col("frame_idx"), lit("|"), b))).as("block"))
     val cand = Buckets.boundedMembers(blocks, col("block"), col("doc_id"))
       .select(explode(expr(
         """flatten(transform(members, a ->
@@ -1853,14 +1864,8 @@ object ExtQueries {
   private val ivfDriftPrev =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val st = java.nio.file.Files.list(p)
-      try st.forEach(deleteTree(_)) finally st.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-    ()
-  }
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    operators.Checkpoints.deleteTree(p)
 
   /** Retire the PREVIOUS invocation's stored artifact (table + dir) now
     * that the new one is intact — the per-invocation-name lifecycle the

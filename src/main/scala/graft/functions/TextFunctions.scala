@@ -88,28 +88,63 @@ object TextFunctions {
     * recount) — ranks 6 (`m`+`er`) and 10 (`p`+`ar`) consume symbols
     * produced by earlier merges, so applying the table exercises real
     * multi-level BPE, not just bigram gluing. A production pipeline
-    * swaps in its tokenizer's merge file; the apply machinery is
-    * identical.
+    * swaps in its tokenizer's merge file PROVIDED it passes
+    * [[validateMerges]] — the replace-chain encoding is only exact for
+    * right-prefix-free tables (see [[bpeEncodeWord]]); tables that
+    * violate the precondition need a token-boundary-aware encoder.
     */
   val BpeMerges: Seq[(String, String)] = Seq(
     "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
     "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar")
+
+  /** The replace-chain encoding's PRECONDITION (see [[bpeEncodeWord]]):
+    * the pattern `' a b'` is left-anchored (token `a` must end exactly
+    * where the embedded separator sits) but RIGHT-OPEN — it would also
+    * match where the following token merely STARTS with `b`. At rank k
+    * the live symbols are single characters plus the outputs of ranks
+    * < k, and no single character can have a multi-char proper prefix,
+    * so the encoding is exact iff no earlier merged symbol has rank
+    * k's `b` as a proper prefix. E.g. the table
+    * [("b","c"), ("a","b")] fails: after rank 1, "abc" is [a, bc], and
+    * rank 2's pattern `' a b'` matches the PREFIX of token "bc",
+    * yielding [abc] where reference BPE leaves [a, bc]. Throws on the
+    * first violating rank.
+    */
+  def validateMerges(merges: Seq[(String, String)]): Unit =
+    merges.zipWithIndex.foreach { case ((_, b), k) =>
+      merges.take(k).foreach { case (pa, pb) =>
+        val m = pa + pb
+        require(!(m.startsWith(b) && m != b),
+          s"merge table rank ${k + 1}: second element '$b' is a proper prefix of " +
+            s"earlier merged symbol '$m' — the replace-chain encoding would " +
+            "merge across a token boundary; use a boundary-aware encoder for this table")
+      }
+    }
+
+  validateMerges(BpeMerges)
 
   /** Apply the merge table to ONE word, returning its token array.
     *
     * Encoding trick (engine-portable, zero UDF): the symbol sequence is
     * a LEADING-separator string `" c1 c2 …"`, and merge (a, b) is the
     * plain string replace `" a b" → " ab"`. The leading-separator form
-    * is load-bearing: each pattern starts AND ends inside a token
-    * boundary (`" a"` anchors to a token start, the following `" b"`
-    * requires token `a` to end exactly there), and because the pattern
-    * does NOT consume the next token's separator, back-to-back merges
-    * chain — `[e,e,e,e]` under (e,e) gives `[ee,ee]` exactly like the
+    * is load-bearing: the pattern's LEFT side is boundary-exact (`" a"`
+    * anchors to a token start, and the separator before `b` forces
+    * token `a` to end exactly there), and because the pattern does NOT
+    * consume the next token's separator, back-to-back merges chain —
+    * `[e,e,e,e]` under (e,e) gives `[ee,ee]` exactly like the
     * left-to-right non-overlapping BPE scan. (A surrounding-separator
     * pattern `" a b "` eats the separator the next match needs and
     * yields `[ee,e,e]` — the bug the Round9 spec pins.) Both engines'
     * `replace` scan the input left-to-right without rescanning replaced
     * output, which is exactly one BPE merge pass.
+    *
+    * The pattern's RIGHT side is OPEN — nothing anchors token `b`'s
+    * end, so `" a b"` would also match where the following token merely
+    * STARTS with `b`. Exactness therefore requires the
+    * [[validateMerges]] precondition (no earlier merged symbol has a
+    * later rank's `b` as a proper prefix), checked once at class load
+    * for [[BpeMerges]].
     */
   def bpeEncodeWord(w: Column): Column = {
     val spaced = concat(lit(" "), array_join(split(w, ""), " "))

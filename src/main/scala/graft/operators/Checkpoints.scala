@@ -37,7 +37,12 @@ object Checkpoints {
     p
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
+  /** Recursive delete shared by every local-artifact lifecycle in the
+    * engine (checkpoint roots here, retired stored indexes in
+    * ExtQueries, failed publish attempts in [[Publish]]) — one
+    * definition so a portability fix cannot silently miss a copy.
+    */
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
       val s = java.nio.file.Files.list(p)
       try s.forEach(deleteTree(_)) finally s.close()

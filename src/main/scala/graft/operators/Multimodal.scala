@@ -434,15 +434,19 @@ object Multimodal {
   /** TEXTURED WAV fixture for perceptual hashing — [[renderWav]]'s
     * single sawtooth takes only 5 distinct shapes across the corpus
     * (freq-step alone), which would make every same-shape doc pair a
-    * "duplicate"; this generator sums TWO digest-keyed components so
-    * wave shapes are effectively per-document:
-    * `v(i) = (((i·f1 + p) mod 256 − 128) + ((i·f2 + q) mod 128 − 64)) · amp`
-    * with f1/f2/p/q from sha256 hex code points and `amp` a uniform
+    * "duplicate"; this generator sums THREE digest-keyed components
+    * (two sawtooths + an i² chirp) so wave shapes are effectively
+    * per-document — THE generator contract the DuckDB twin replays:
+    * `v(i) = (((i·f1 + p) mod 256 − 128) + ((i·f2 + q) mod 128 − 64)
+    *          + ((i²·f3) mod 128 − 64)) · amp`
+    * with f1/f2/f3/p/q from sha256 hex code points (full 16-value
+    * width each — see the parameter comment) and `amp` a uniform
     * VOLUME level. Volume is the audio analogue of the image fixture's
     * brightness: a volume-scaled copy changes every PCM byte but no
-    * energy-ratio bit (amp factors out of the frame-energy comparison
+    * fingerprint bit (amp factors out of the magnitude comparisons
     * exactly — all-integer arithmetic, no rounding to break the
-    * cancellation). |v| ≤ 192·64 = 12288, well inside 16-bit.
+    * cancellation). |v| ≤ (128+64+64)·64 = 16384, inside 16-bit;
+    * i²·f3 ≤ 3600²·47 < 2³¹.
     */
   private[graft] def renderWavTextured(textBytes: Array[Byte], amp: Int): Array[Byte] = {
     val hex = sha256Hex(textBytes)
@@ -497,8 +501,9 @@ object Multimodal {
     * magnitudes across positions and keeps only the comparison SIGN):
     * the WAV header and PCM payload go through `AudioSystem` (a
     * drifted writer or corrupted binary column fails here, not as a
-    * silent hash mismatch), and bit j = |sample(8j)| > |sample(8j+4)|
-    * over the first 512 decoded samples. Strict positive scaling
+    * silent hash mismatch), and bit j = |sample(7j)| > |sample(7j+3)|
+    * over the first 512 decoded samples (odd stride — see the inline
+    * comment). Strict positive scaling
     * preserves every comparison exactly (integer `|v|·amp` on both
     * sides — no rounding to break the cancellation), so volume-scaled
     * copies hash identically; unlike a frame-ENERGY profile (whose

@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     orphan dir is skipped by max+1 numbering, not resurrected);
   *  2. AUDIT the version by READING IT BACK (what got to disk, not
   *     what was meant to) and running the caller's invariant checks —
-  *     a failure deletes the attempt and leaves the pointer untouched;
+  *     a failure tombstones the attempt (`v<N>.failed`) and leaves the
+  *     pointer untouched;
   *  3. PUBLISH by atomically swapping a single `_CURRENT` pointer file
   *     (`ATOMIC_MOVE` of a staged tmp file — readers see the old
   *     version or the new one, never a torn state).
@@ -37,6 +38,11 @@ object Publish {
 
   private def root(path: String): java.nio.file.Path = java.nio.file.Paths.get(path)
 
+  /** Every number ever attempted — live `v<N>` dirs AND `v<N>.failed`
+    * tombstones — so max+1 never reuses a number (a reused name would
+    * let one version string refer to two different contents across
+    * time, breaking any observer that correlates by name).
+    */
   private def versionDirs(p: java.nio.file.Path): Seq[Long] =
     if (!java.nio.file.Files.isDirectory(p)) Seq.empty
     else {
@@ -44,7 +50,8 @@ object Publish {
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+          .collect { case n if n.matches("v\\d+(\\.failed)?") =>
+            n.drop(1).takeWhile(_.isDigit).toLong }
           .toSeq
       } finally s.close()
     }
@@ -58,15 +65,6 @@ object Publish {
     else None
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      try s.forEach(deleteTree(_)) finally s.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-    ()
-  }
-
   /** Write → audit → publish. Returns the published version name.
     *
     * @param audit invariant checks run against the READ-BACK version
@@ -78,9 +76,9 @@ object Publish {
     val spark = df.sparkSession
     val r = root(rootPath)
     java.nio.file.Files.createDirectories(r)
-    // max+1 over ALL version dirs, published or orphaned — a crashed
-    // attempt's number is burned, its directory dead weight until a
-    // janitor removes it (never silently overwritten)
+    // max+1 over ALL attempted numbers, published, tombstoned or
+    // orphaned — a failed attempt's number is burned, its tombstone
+    // dead weight until a janitor removes it (never silently reused)
     val version = "v%05d".format(versionDirs(r).foldLeft(0L)(math.max) + 1)
     val dir = r.resolve(version)
     try {
@@ -93,7 +91,13 @@ object Publish {
       audit(back)
     } catch {
       case e: Throwable =>
-        deleteTree(dir) // failed attempt leaves no readable artifact
+        // tombstone, don't delete: renaming to `.failed` makes the
+        // attempt unreadable by name while KEEPING its number in the
+        // max+1 scan — deleting would hand the same version name to
+        // the next publish with different content, confusing any
+        // observer that saw (and logged) the failed attempt
+        try java.nio.file.Files.move(dir, r.resolve(s"$version.failed"))
+        catch { case _: java.io.IOException => Checkpoints.deleteTree(dir) }
         throw e
     }
     // PUBLISH: stage the pointer, then one atomic move

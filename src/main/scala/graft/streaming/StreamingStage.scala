@@ -240,8 +240,7 @@ object StreamingStage {
     val banded = graft.operators.Multimodal.phashCodes(
         graft.operators.Multimodal.packTextured(withCopies)).toDF()
       .select(col("doc_id"), col("phash").as("sigs"),
-        explode(array((0 until 4).map(j =>
-          concat(lit(s"$j|"), substring(col("phash"), 1 + j * 16, 16))): _*)).as("band"))
+        explode(graft.ExtQueries.hashBlockKeys(col("phash"))).as("band"))
     val ham =
       "64 - size(filter(sequence(1, 64), i -> substring(sigs, i, 1) = substring(b.sigs, i, 1)))"
     val pairs = banded

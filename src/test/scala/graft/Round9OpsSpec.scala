@@ -82,12 +82,33 @@ class Round9OpsSpec extends SparkSpec {
     assert(vetoed.getMessage.contains("invariant violated"))
     assert(Publish.currentVersion(root).contains(v1), "audit failure moved the pointer")
 
-    // the next successful publish BURNS the orphan's number (max+1),
-    // never resurrects or overwrites it
+    // the vetoed attempt is TOMBSTONED (v00003.failed), not deleted —
+    // its number stays burned, so one version name can never refer to
+    // two different contents across time
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v00003.failed")),
+      "audit-vetoed attempt must leave a .failed tombstone")
+    // the next successful publish burns BOTH the orphan's and the
+    // tombstone's numbers (max+1), never resurrecting either
     val v4 = Publish.publish(Seq((9L, "z")).toDF("id", "x"), root)
-    assert(v4 > "v00002", s"version $v4 must be past the orphan")
+    assert(v4 == "v00004", s"expected v00004 past orphan v00002 and tombstone v00003, got $v4")
     assert(Publish.currentVersion(root).contains(v4))
     assert(Publish.read(spark, root).as[(Long, String)].collect().toSet == Set((9L, "z")))
+  }
+
+  test("validateMerges: rejects tables the replace-chain encoding cannot apply exactly") {
+    import graft.functions.TextFunctions
+    // the right-open-pattern hazard: after ("b","c"), token "bc" exists;
+    // ("a","b")'s pattern ' a b' would match the PREFIX of "bc" and
+    // merge across the token boundary
+    val bad = intercept[IllegalArgumentException] {
+      TextFunctions.validateMerges(Seq("b" -> "c", "a" -> "b"))
+    }
+    assert(bad.getMessage.contains("proper prefix"))
+    // the shipped table passes (and is validated at class load)
+    TextFunctions.validateMerges(TextFunctions.BpeMerges)
+    // order matters: the reverse of the bad table is fine — "ab" exists
+    // before ("b","c") but "c" is no prefix of "ab"
+    TextFunctions.validateMerges(Seq("a" -> "b", "b" -> "c"))
   }
 
   test("Publish: fold chain through published storage equals the direct fold") {
