@@ -90,6 +90,35 @@ object ScaleSmoke {
         s.read.parquet(storedStatePath), ExtQueries.minhashBanded(batch))
     }
 
+    // round 9: the production shape of CLUSTER maintenance — the gate
+    // query (`pipeline_dedup_incremental_clusters`) rebuilds
+    // yesterday's labels inline (the equivalence harness must derive
+    // them from the oracle's inputs), which the honest eager timing now
+    // reveals costs MORE than a full re-cluster at this scale; the
+    // deployed plan reads the stored labels + band state and pays only
+    // pairs-∝-batch + the quotient solve
+    val storedLabelsPath = s"$work/labels0.parquet"
+    locally {
+      val corpus = ExtQueries.withNearDups(ExtQueries.docs(spark, work))
+        .filter(col("doc_id") % 7 =!= 0)
+      val corpusBanded = ExtQueries.minhashBanded(corpus)
+      val corpusPairs = graft.operators.IncrementalDedup.pairsAgainst(
+        graft.operators.IncrementalDedup.bandState(corpusBanded.limit(0)), corpusBanded)
+      graft.operators.ConnectedComponents.runStar(
+          corpus.select(col("doc_id").as("id")),
+          corpusPairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+        .write.mode("overwrite").parquet(storedLabelsPath)
+    }
+    def dedupClustersIncrementalVsStored(s: SparkSession, dir: String) = {
+      val nd = ExtQueries.withNearDups(ExtQueries.docs(s, dir))
+      val isBatch = col("doc_id") % 7 === 0
+      val newPairs = graft.operators.IncrementalDedup.pairsAgainst(
+        s.read.parquet(storedStatePath), ExtQueries.minhashBanded(nd.filter(isBatch)))
+      graft.operators.IncrementalDedup.mergeClusters(
+        s.read.parquet(storedLabelsPath),
+        nd.filter(isBatch).select(col("doc_id").as("id")), newPairs)
+    }
+
     // round 9: incremental IVF at 10× scale — the stored index (corpus
     // split, %7 != 0) is PRE-BUILT like the band state above (the
     // offline amortized cost); the timed query is batch assignment
@@ -141,6 +170,7 @@ object ScaleSmoke {
       "sim_ivf_append_maint" -> (simIvfAppendMaint _),
       "sim_ivf_rebuild_maint" -> (simIvfRebuildMaint _),
       "pipeline_dedup_incremental_clusters" -> (ExtQueries.pipelineDedupIncrementalClusters _),
+      "dedup_clusters_incremental_vs_stored" -> (dedupClustersIncrementalVsStored _),
       "dedup_simhash" -> (ExtQueries.dedupSimhash _),
       // round 9: perceptual image dedup at 10× volume — the suffix
       // token gives every copy a distinct digest (distinct pattern),
