@@ -1159,7 +1159,11 @@ object ExtQueries {
     // empty state — every doc is "new")
     val corpusPairs = IncrementalDedup.pairsAgainst(
       IncrementalDedup.bandState(corpusBanded.limit(0)), corpusBanded)
-    val labels0 = ConnectedComponents.runStar(
+    // solveAuto: the harness's "yesterday" labels go through the same
+    // bounded solver the increment uses (driver union-find at this
+    // scale, runStar past the bound) — the stored artifact's provenance
+    // is whichever path produced it, and both are gate-equal
+    val labels0 = ConnectedComponents.solveAuto(
       corpus.select(col("doc_id").as("id")),
       corpusPairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
     val newPairs = IncrementalDedup.pairsAgainst(

@@ -187,8 +187,11 @@ object IncrementalDedup {
     val qverts = lifted.select(col("src").as("id"))
       .unionByName(lifted.select(col("dst").as("id"))).distinct()
     // exact components of the quotient graph (merge chains can be long
-    // — A—batch—B—batch'—C — so use the any-diameter solver)
-    val solved = ConnectedComponents.runStar(qverts, lifted)
+    // — A—batch—B—batch'—C — so an any-diameter solve; solveAuto takes
+    // the bounded driver union-find when the graph is small, which the
+    // ∝-batch quotient graph is by construction, and falls back to the
+    // distributed runStar past the bound)
+    val solved = ConnectedComponents.solveAuto(qverts, lifted)
     val mapping = solved.filter(col("id") =!= col("component"))
       .select(col("id").as("old_component"), col("component").as("new_component"))
     val relabeled = labels

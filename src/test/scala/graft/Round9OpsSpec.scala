@@ -287,6 +287,26 @@ class Round9OpsSpec extends SparkSpec {
       s"planted volume-scaled copies missed: ${planted -- found}")
   }
 
+  test("solveAuto: driver union-find equals runStar, fallback engages past the bound") {
+    import operators.ConnectedComponents
+    // mixed shape: a 200-hop chain (the any-diameter case 7-round
+    // propagation provably cannot solve), a triangle, and isolated ids
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    val tri = Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val edges = (chain ++ tri).toDF("src", "dst")
+    val verts = ((1L to 200L) ++ Seq(500L, 501L, 502L, 900L, 901L)).toDF("id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"component").as[(Long, Long)].collect().toSet
+    val viaDriver = canon(ConnectedComponents.solveAuto(verts, edges))
+    val viaStar = canon(ConnectedComponents.runStar(verts, edges))
+    assert(viaDriver == viaStar, s"solver paths diverge: ${viaDriver.diff(viaStar)}")
+    assert(viaDriver.filter(_._1 <= 200L).forall(_._2 == 1L), "chain must contract to 1")
+    assert(viaDriver.contains((900L, 900L)) && viaDriver.contains((502L, 500L)))
+    // maxCollected = 0 forces the distributed path — same answer
+    val viaFallback = canon(ConnectedComponents.solveAuto(verts, edges, maxCollected = 0L))
+    assert(viaFallback == viaDriver, "fallback path diverges from driver path")
+  }
+
   test("IvfIndex.drift: counts partition the lists and retrain flags are consistent") {
     import operators.IvfIndex
     val corpus = vecs.filter($"vec_id" % 7 =!= 0)
