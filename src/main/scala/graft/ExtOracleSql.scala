@@ -557,9 +557,9 @@ object ExtOracleSql {
     * update cN = (SUM(CAST(round(x*1e6) AS BIGINT)) / n) / 1e6 per
     * component (empty clusters keep their previous centroid).
     */
-  private def kmeansIter(i: Int, src: String = "v"): String = {
-    val prev = s"c${i - 1}"
-    s"""a$i AS (
+  private def kmeansIter(i: Int, src: String = "v", p: String = ""): String = {
+    val prev = s"${p}c${i - 1}"
+    s"""${p}a$i AS (
        |  SELECT id, vec, cid FROM (
        |    SELECT x.vec_id AS id, x.vec, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
@@ -567,20 +567,20 @@ object ExtOracleSql {
        |                 c.cid ASC NULLS FIRST) AS rn
        |    FROM $src x CROSS JOIN $prev c)
        |  WHERE rn = 1),
-       |u$i AS (
+       |${p}u$i AS (
        |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY idx) AS centroid
        |  FROM (
        |    SELECT cid, idx, SUM(fx) AS s
        |    FROM (SELECT cid,
        |            unnest(range(1, len(vec) + 1)) AS idx,
        |            unnest(list_transform(vec, x -> CAST(round(x * 1000000.0) AS BIGINT))) AS fx
-       |          FROM a$i)
+       |          FROM ${p}a$i)
        |    GROUP BY cid, idx)
-       |  JOIN (SELECT cid, COUNT(*) AS n FROM a$i GROUP BY cid) USING (cid)
+       |  JOIN (SELECT cid, COUNT(*) AS n FROM ${p}a$i GROUP BY cid) USING (cid)
        |  GROUP BY cid),
-       |c$i AS (
+       |${p}c$i AS (
        |  SELECT p.cid, COALESCE(u.centroid, p.centroid) AS centroid
-       |  FROM $prev p LEFT JOIN u$i u USING (cid))""".stripMargin
+       |  FROM $prev p LEFT JOIN ${p}u$i u USING (cid))""".stripMargin
   }
 
   /** sim_ivf_kmeans_topk twin: 3 unrolled Lloyd iterations (init = the 8
@@ -707,6 +707,126 @@ object ExtOracleSql {
        |  (n_new * 2 > n_base) OR
        |    (n_base > 0 AND n_new > 0 AND sn * n_base > sb * n_new * 2) AS retrain
        |FROM g""".stripMargin
+
+  /** One maintain-branch result: assign `$src` under `$cCte`, probe the
+    * % 25 queries (nprobe 2), score, rank top-5, stamp the decision
+    * column — all guarded by the trigger subquery, so exactly one
+    * branch of the final union is live and WHICH one is part of the
+    * hashed result.
+    */
+  private def ivfRankBranch(src: String, cCte: String, p: String,
+                            retrained: String, guard: String): String =
+    s"""${p}lists AS (
+       |  SELECT id AS neighbor_id, vec AS c_vec, cid FROM (
+       |    SELECT x.vec_id AS id, x.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM $src x CROSS JOIN $cCte c)
+       |  WHERE rn = 1),
+       |${p}probes AS (
+       |  SELECT id AS query_id, vec AS q_vec, cid FROM (
+       |    SELECT q.vec_id AS id, q.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqDist("q.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM $src q CROSS JOIN $cCte c WHERE q.vec_id % 25 = 0)
+       |  WHERE rn <= 2),
+       |${p}scored AS (
+       |  SELECT p.query_id, l.neighbor_id, ${cosine("p.q_vec", "l.c_vec")} AS score
+       |  FROM ${p}lists l JOIN ${p}probes p USING (cid)
+       |  WHERE p.query_id <> l.neighbor_id),
+       |${p}res AS (
+       |  SELECT query_id, rank, neighbor_id, round(score, 6) AS score,
+       |         $retrained AS retrained
+       |  FROM (
+       |    SELECT query_id, neighbor_id, score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |    FROM ${p}scored)
+       |  WHERE rank <= 5 AND $guard)""".stripMargin
+
+  /** The drift trigger over the would-be state (corpus lists + batch
+    * assigned under the frozen c3): the same exact-integer sums as the
+    * sim_ivf_drift twin, reduced to ONE boolean — the decision
+    * `IvfIndex.maintain` branches on.
+    */
+  private def ivfTrigger(src: String, isNew: String): String =
+    s"""asgn AS (
+       |  SELECT id, is_new, cid, d2 FROM (
+       |    SELECT x.vec_id AS id, $isNew AS is_new, c.cid,
+       |      ${sqDist("x.vec", "c.centroid")} AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM $src x CROSS JOIN c3 c)
+       |  WHERE rn = 1),
+       |g AS (
+       |  SELECT cid,
+       |    CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    SUM(CASE WHEN is_new THEN 0
+       |             ELSE CAST(round(d2 * 1000000.0) AS BIGINT) END) AS sb,
+       |    SUM(CASE WHEN is_new THEN CAST(round(d2 * 1000000.0) AS BIGINT)
+       |             ELSE 0 END) AS sn
+       |  FROM asgn GROUP BY cid),
+       |trig AS (
+       |  SELECT COALESCE(bool_or((n_new * 2 > n_base) OR
+       |    (n_base > 0 AND n_new > 0 AND sn * n_base > sb * n_new * 2)), FALSE) AS t
+       |  FROM g)""".stripMargin
+
+  /** sim_ivf_maintain_topk twin: corpus-trained c3, the drift trigger
+    * over corpus ∪ batch, then BOTH branches — fold (assignment under
+    * the frozen c3) and retrain (fresh Lloyd iterations over the
+    * union) — each guarded by the trigger, so the oracle replays the
+    * DECISION, not a branch assumed in advance. On this fixture the
+    * trigger is false and the append branch is the live one.
+    */
+  val simIvfMaintainTopK: String =
+    s"""WITH $vecsDouble,
+       |vc AS (SELECT * FROM v WHERE vec_id % 7 <> 0),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM vc ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter(_, "vc")).mkString(",\n")},
+       |${ivfTrigger("v", "x.vec_id % 7 = 0")},
+       |rc0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter(_, "v", "r")).mkString(",\n")},
+       |${ivfRankBranch("v", "c3", "ap", "FALSE", "NOT (SELECT t FROM trig)")},
+       |${ivfRankBranch("v", "rc3", "rt", "TRUE", "(SELECT t FROM trig)")}
+       |SELECT * FROM apres UNION ALL SELECT * FROM rtres""".stripMargin
+
+  /** sim_ivf_maintain_retrain twin: the same decision-replaying shape,
+    * but the % 7 batch's embeddings are shifted +3.0 per component —
+    * the trigger fires (appended residuals dwarf the base) and the
+    * RETRAIN branch (fresh Lloyd iterations over corpus ∪ drifted
+    * batch, init = the union's 8 lowest ids) is the live one.
+    */
+  val simIvfMaintainRetrain: String =
+    s"""WITH $vecsDouble,
+       |vc AS (SELECT * FROM v WHERE vec_id % 7 <> 0),
+       |vb AS (
+       |  SELECT vec_id, [vec[i] + 3.0 for i in range(1, len(vec) + 1)] AS vec
+       |  FROM v WHERE vec_id % 7 = 0),
+       |v2 AS (SELECT * FROM vc UNION ALL SELECT * FROM vb),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM vc ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter(_, "vc")).mkString(",\n")},
+       |${ivfTrigger("v2", "x.vec_id % 7 = 0")},
+       |rc0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM v2 ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter(_, "v2", "r")).mkString(",\n")},
+       |${ivfRankBranch("v2", "c3", "ap", "FALSE", "NOT (SELECT t FROM trig)")},
+       |${ivfRankBranch("v2", "rc3", "rt", "TRUE", "(SELECT t FROM trig)")}
+       |SELECT * FROM apres UNION ALL SELECT * FROM rtres""".stripMargin
 
   /** Int8-quantization twin: q = round(x / (max|x|/127)) as exact-integer
     * doubles (every product/sum < 2^53, so the double folds are

@@ -1868,6 +1868,15 @@ object ExtQueries {
   private val ivfDriftPrev =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
+  private val ivfCompactPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val ivfMaintainPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val ivfMaintainRtPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
   private def deleteTree(p: java.nio.file.Path): Unit =
     operators.Checkpoints.deleteTree(p)
 
@@ -1881,6 +1890,19 @@ object ExtQueries {
       s.sql(s"DROP TABLE IF EXISTS $pt")
       deleteTree(java.nio.file.Paths.get(pb))
     }
+
+  /** After `IvfIndex.maintain` decides, exactly one artifact is dead
+    * WITHIN the invocation: the pre-maintenance index when a retrain
+    * replaced it, or the (empty) would-be retrain dir when the append
+    * branch kept the old index live. Retire it now; the surviving
+    * artifact goes through the usual cross-invocation [[retirePrev]].
+    */
+  private def retireDeadBranch(s: SparkSession, stored: graft.operators.IvfIndex.Stored,
+                               base: String, rbase: String, retrained: Boolean): Unit =
+    if (retrained) {
+      s.sql(s"DROP TABLE IF EXISTS ${stored.listsTable}")
+      deleteTree(java.nio.file.Paths.get(base))
+    } else deleteTree(java.nio.file.Paths.get(rbase))
 
   def simIvfStoredTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.KMeans
@@ -1961,6 +1983,121 @@ object ExtQueries {
     IvfIndex.append(s, stored, all.filter(isBatch), gen = 1)
     retirePrev(ivfDriftPrev, s, tbl, base)
     IvfIndex.drift(s.table(tbl))
+  }
+
+  /** COMPACTION of the fold-forward index (operators.IvfIndex.compact):
+    * two daily appends fragment the bucketed lists — every append
+    * lands its own file per touched bucket, so probes pay one extra
+    * file open per fold (the small-file read amplification every
+    * fold-forward artifact accumulates). Compact rewrites the lists
+    * into one file per bucket (in-file sorted) and copies the centroid
+    * artifact, then the FRAGMENTED index is retired — the query path
+    * reads only the compacted artifact. Gated against
+    * [[simIvfAppendTopK]]'s full-rebuild oracle VERBATIM: compaction
+    * is purely physical (row set and `gen` stamps identical, only file
+    * layout changes), so going through it must change nothing — and
+    * the generation structure (two appends here vs one there) must
+    * not matter either, because assignment under fixed centroids is
+    * per-vector.
+    */
+  def simIvfCompactTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val all = vecs(s, dir)
+    val isBatch = col("vec_id") % 7 === 0
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_cpt").toString
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored = IvfIndex.build(s, all.filter(!isBatch), k = 8, iterations = 3,
+      "graft_ivf_cpt_" + sfx, base)
+    IvfIndex.append(s, stored, all.filter(isBatch && col("vec_id") % 2 === 0), gen = 1)
+    IvfIndex.append(s, stored, all.filter(isBatch && col("vec_id") % 2 =!= 0), gen = 2)
+    val cbase = java.nio.file.Files.createTempDirectory("graft_ivf_cptc").toString
+    val compacted = IvfIndex.compact(s, stored, "graft_ivf_cptc_" + sfx, cbase)
+    // compacted artifact intact — retire the fragmented one NOW (the
+    // point of compaction), and the previous invocation's compacted one
+    s.sql(s"DROP TABLE IF EXISTS ${stored.listsTable}")
+    deleteTree(java.nio.file.Paths.get(base))
+    retirePrev(ivfCompactPrev, s, compacted.listsTable, cbase)
+    // query path — compacted artifacts only
+    val centroids = IvfIndex.readCentroids(s, compacted)
+    val lists = s.table(compacted.listsTable)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
+    val probes = KMeans.probe(all.filter(col("vec_id") % 25 === 0), centroids, nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
+    ivfScore(lists, probes)
+  }
+
+  /** Drift-triggered MAINTENANCE (operators.IvfIndex.maintain): the
+    * decision half of incremental index upkeep — assign the batch
+    * under the frozen centroids, and either FOLD it in (every list
+    * healthy) or RETRAIN from scratch (some list tripped). On this
+    * fixture the plain % 7 batch trips nothing (spec- and
+    * drift-gate-pinned), so the append branch runs; the oracle doesn't
+    * assume that — it computes the same trigger over the same exact
+    * integer sums and guards BOTH branch queries with it, so the gate
+    * proves the decision, not just the branch's arithmetic. The
+    * `retrained` column carries the decision into the hashed output.
+    */
+  def simIvfMaintainTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val all = vecs(s, dir)
+    val isBatch = col("vec_id") % 7 === 0
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_mnt").toString
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored = IvfIndex.build(s, all.filter(!isBatch), k = 8, iterations = 3,
+      "graft_ivf_mnt_" + sfx, base)
+    val rbase = java.nio.file.Files.createTempDirectory("graft_ivf_mntr").toString
+    val (live, retrained) = IvfIndex.maintain(s, stored, all.filter(isBatch), gen = 1,
+      k = 8, iterations = 3, "graft_ivf_mntr_" + sfx, rbase)
+    retireDeadBranch(s, stored, base, rbase, retrained)
+    retirePrev(ivfMaintainPrev, s, live.listsTable, if (retrained) rbase else base)
+    maintainResult(s, live, all, retrained)
+  }
+
+  /** The retrain branch of [[simIvfMaintainTopK]], forced by a batch
+    * that has genuinely drifted: every component of the % 7 batch's
+    * embeddings shifts by +3.0 (squared residuals against the frozen
+    * centroids jump from ~0.93 to ~64·9 — the fixture's analogue of an
+    * upstream embedding-model swap, the event this trigger exists to
+    * catch). `maintain` rebuilds with fresh k-means over corpus ∪
+    * drifted batch; the oracle replays the SAME trigger and unrolls
+    * the fresh Lloyd iterations over the union, both branches guarded
+    * — so the pair of maintain gates proves both decision outcomes
+    * end-to-end at both SFs.
+    */
+  def simIvfMaintainRetrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val all = vecs(s, dir)
+    val isBatch = col("vec_id") % 7 === 0
+    val drifted = all.filter(isBatch).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") + lit(3.0)).as("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_mrt").toString
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored = IvfIndex.build(s, all.filter(!isBatch), k = 8, iterations = 3,
+      "graft_ivf_mrt_" + sfx, base)
+    val rbase = java.nio.file.Files.createTempDirectory("graft_ivf_mrtr").toString
+    val (live, retrained) = IvfIndex.maintain(s, stored, drifted, gen = 1,
+      k = 8, iterations = 3, "graft_ivf_mrtr_" + sfx, rbase)
+    retireDeadBranch(s, stored, base, rbase, retrained)
+    retirePrev(ivfMaintainRtPrev, s, live.listsTable, if (retrained) rbase else base)
+    val union = all.filter(!isBatch)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      .unionByName(drifted)
+    maintainResult(s, live, union, retrained)
+  }
+
+  /** Query the maintained index (whichever branch produced it) and
+    * stamp the decision into the output: probes are the % 25 slice of
+    * the post-maintenance corpus, scored against the LIVE stored lists
+    * under the LIVE centroid artifact.
+    */
+  private def maintainResult(s: SparkSession, live: graft.operators.IvfIndex.Stored,
+                             corpus: DataFrame, retrained: Boolean): DataFrame = {
+    val centroids = graft.operators.IvfIndex.readCentroids(s, live)
+    val lists = s.table(live.listsTable)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
+    val probes = KMeans.probe(corpus.filter(col("vec_id") % 25 === 0), centroids, nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
+    ivfScore(lists, probes).withColumn("retrained", lit(retrained))
   }
 
   /** Top-k over int8-quantized vectors (Similarity.quantizeInt8): the

@@ -170,6 +170,9 @@ object SparkEntry {
     "sim_ivf_stored_topk" -> (ExtQueries.simIvfStoredTopK _),
     "sim_ivf_append_topk" -> (ExtQueries.simIvfAppendTopK _),
     "sim_ivf_drift" -> (ExtQueries.simIvfDrift _),
+    "sim_ivf_compact_topk" -> (ExtQueries.simIvfCompactTopK _),
+    "sim_ivf_maintain_topk" -> (ExtQueries.simIvfMaintainTopK _),
+    "sim_ivf_maintain_retrain" -> (ExtQueries.simIvfMaintainRetrain _),
     "sim_quantized_topk" -> (ExtQueries.simQuantizedTopK _),
     "sim_matryoshka_topk" -> (ExtQueries.simMatryoshkaTopK _),
     "sim_pq_topk" -> (ExtQueries.simPqTopK _),
@@ -234,7 +237,10 @@ object SparkEntry {
     "sim_ivf_append_topk", "sim_ivf_drift", "pipeline_state_publish",
     "dedup_image_phash", "dedup_video_phash", "dedup_audio_phash",
     "pipeline_dedup_image_incremental", "streaming_dedup_phash",
-    "pipeline_dedup_published", "text_bpe_encode", "pack_sequences_bpe")
+    "pipeline_dedup_published", "text_bpe_encode", "pack_sequences_bpe",
+    // r10: the index LIFECYCLE closes — compaction absorbs the appends'
+    // small files, maintain acts on the drift trigger (both branches)
+    "sim_ivf_compact_topk", "sim_ivf_maintain_topk", "sim_ivf_maintain_retrain")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1332,6 +1338,11 @@ object SparkEntry {
     "sim_ivf_stored_topk" -> ExtOracleSql.simIvfKmeansTopK,
     "sim_ivf_append_topk" -> ExtOracleSql.simIvfAppendTopK,
     "sim_ivf_drift" -> ExtOracleSql.simIvfDrift,
+    // compaction is purely physical and generation structure cannot
+    // matter under fixed centroids — the append twin holds verbatim
+    "sim_ivf_compact_topk" -> ExtOracleSql.simIvfAppendTopK,
+    "sim_ivf_maintain_topk" -> ExtOracleSql.simIvfMaintainTopK,
+    "sim_ivf_maintain_retrain" -> ExtOracleSql.simIvfMaintainRetrain,
     "sim_quantized_topk" -> ExtOracleSql.simQuantizedTopK,
     "sim_matryoshka_topk" -> ExtOracleSql.simMatryoshkaTopK,
     "sim_pq_topk" -> ExtOracleSql.simPqTopK,

@@ -80,10 +80,53 @@ object IvfIndex {
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(gen > 0, s"append: generation must be > 0 (0 is the base build), got $gen")
     val centroids = readCentroids(spark, stored)
-    KMeans.assignFull(batch, centroids, idCol, vecCol)
-      .withColumn("gen", lit(gen))
-      .write.mode("append").format("parquet")
+    writeAppend(KMeans.assignFull(batch, centroids, idCol, vecCol)
+      .withColumn("gen", lit(gen)), stored)
+  }
+
+  private def writeAppend(assigned: DataFrame, stored: Stored): Unit =
+    assigned.write.mode("append").format("parquet")
       .bucketBy(8, "cid").saveAsTable(stored.listsTable)
+
+  /** COMPACT the generation-fragmented lists into a fresh artifact —
+    * the maintenance pass that keeps the fold-forward index readable.
+    * Every [[append]] lands its own file per touched bucket, so after
+    * N daily folds a probe reads N+1 small files per list: the classic
+    * small-file read amplification. Compaction is a purely PHYSICAL
+    * rewrite — the row set, including the `gen` stamps (so [[drift]]
+    * is unchanged by compaction), is identical; only the file layout
+    * changes: one shuffle keyed by the bucket expression collapses
+    * each bucket to a single file, sorted by `$idCol` inside so parquet
+    * row-group stats stay tight. The centroid artifact copies across,
+    * making the compacted index a complete, self-contained replacement
+    * (the caller retires the fragmented one once this returns — the
+    * same publish-then-retire lifecycle as the per-invocation stored
+    * tables).
+    *
+    * Scale shape: cost ∝ index size (one read + one bucket-keyed
+    * shuffle + one write), amortized over the N appends it absorbs.
+    * The pre-write shuffle keys on the BUCKET ID itself —
+    * `pmod(hash(cid), 8)` is exactly the expression the bucket spec
+    * evaluates (`hash` = Murmur3, the bucketing hash) — so every
+    * bucket's rows reach exactly ONE task and each non-empty bucket
+    * compacts to exactly one file. (Keying the shuffle on raw `cid`
+    * does NOT guarantee that: the write path is free to re-coalesce
+    * task boundaries, and a bucket whose rows span tasks lands one
+    * file per task — measured 12 files instead of ≤ 8 on the spec
+    * fixture.)
+    */
+  def compact(spark: SparkSession, stored: Stored,
+              newTable: String, newBase: String,
+              idCol: String = "vec_id"): Stored = {
+    val out = Stored(newTable, newBase)
+    spark.read.parquet(stored.centroidsPath)
+      .write.mode("overwrite").parquet(out.centroidsPath)
+    spark.table(stored.listsTable)
+      .repartition(8, pmod(hash(col("cid")), lit(8)))
+      .write.mode("overwrite").format("parquet")
+      .option("path", out.listsPath)
+      .bucketBy(8, "cid").sortBy(idCol).saveAsTable(newTable)
+    out
   }
 
   /** Per-list drift after appends: base vs appended counts and
@@ -101,6 +144,52 @@ object IvfIndex {
     * change them), and the single double divide + round happens once
     * per group, mirroring the KMeans centroid-update arithmetic.
     */
+  /** ACT on the drift trigger: fold the batch in if every list is
+    * still healthy, RETRAIN from scratch if any list trips — the
+    * closed-loop composition of [[append]] and [[drift]] (building
+    * the metric was round 9's half; this is the decision half).
+    *
+    * The decision is computed over the WOULD-BE state (stored lists ∪
+    * the batch assigned under the frozen centroids) so the batch that
+    * causes the drift is the batch that triggers the retrain — a
+    * trigger read before assignment would always lag one day. The
+    * driver-side branch pulls only the trigger bit (`isEmpty` on the
+    * tripped-lists frame — a LIMIT 1 job), the same bounded-decision
+    * shape as `SaltedJoin.adaptive`'s histogram.
+    *
+    * Append branch: the already-assigned batch is appended (one
+    * bucket-aligned write, cost ∝ batch) and the SAME handle returns.
+    * Retrain branch: fresh k-means over corpus ∪ batch — the corpus
+    * VECTORS come from the stored lists themselves (the index is
+    * self-contained; no source-table rescan), a new per-invocation
+    * artifact is built, and the caller retires the old one.
+    *
+    * Determinism (the oracle gate replays the decision): assignment,
+    * the drift sums, and the trigger comparison are all exact integer
+    * arithmetic under fixed centroids, so which branch runs is a pure
+    * function of the inputs — the DuckDB twin computes the same
+    * trigger and guards BOTH branch queries with it.
+    */
+  def maintain(spark: SparkSession, stored: Stored, batch: DataFrame, gen: Int,
+               k: Int, iterations: Int, retrainTable: String, retrainBase: String,
+               idCol: String = "vec_id", vecCol: String = "embedding"): (Stored, Boolean) = {
+    require(gen > 0, s"maintain: generation must be > 0 (0 is the base build), got $gen")
+    val centroids = readCentroids(spark, stored)
+    val assigned = KMeans.assignFull(batch, centroids, idCol, vecCol)
+      .withColumn("gen", lit(gen))
+    val wouldBe = spark.table(stored.listsTable).unionByName(assigned)
+    val tripped = !drift(wouldBe).filter(col("retrain")).isEmpty
+    if (!tripped) {
+      writeAppend(assigned, stored)
+      (stored, false)
+    } else {
+      val corpusVecs = spark.table(stored.listsTable)
+        .select(col(idCol), col("v").as(vecCol))
+      val all = corpusVecs.unionByName(batch.select(col(idCol), col(vecCol)))
+      (build(spark, all, k, iterations, retrainTable, retrainBase, idCol, vecCol), true)
+    }
+  }
+
   def drift(lists: DataFrame): DataFrame = {
     val fp = expr("CAST(round(d2 * 1000000.0) AS BIGINT)")
     lists.groupBy("cid").agg(
