@@ -1408,6 +1408,15 @@ object ExtOracleSql {
        |SELECT * FROM pairs
        |WHERE doc_id_1 % 7 = 0 OR doc_id_2 % 7 = 0""".stripMargin
 
+  /** pipeline_dedup_embedding_incremental twin: the one-shot embedding
+    * detector over corpus ∪ batch, restricted to batch-touching pairs
+    * (batch = vec_id % 7 < 2 — see the Spark query's split rationale).
+    */
+  lazy val pipelineDedupEmbeddingIncremental: String =
+    s"""WITH pairs AS ($dedupEmbeddingCosine)
+       |SELECT * FROM pairs
+       |WHERE id_1 % 7 < 2 OR id_2 % 7 < 2""".stripMargin
+
   /** streaming_dedup_bands twin: new-vs-corpus banded pairs with the
     * bucket cap on the CORPUS band size (the arrival-order-independent
     * streaming contract — a verdict for doc N cannot depend on docs

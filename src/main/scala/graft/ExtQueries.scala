@@ -1066,6 +1066,33 @@ object ExtQueries {
     operators.IncrementalDedup.pairsAgainst(state, minhashBanded(nd.filter(isBatch)))
   }
 
+  /** EMBEDDING-modality incremental dedup — the third stored-band-state
+    * fold next to the minhash (E85) and perceptual-hash (E102) twins,
+    * completing the family across every near-dup detector that bands:
+    * the corpus state keys hyperplane-LSH blocks and carries the
+    * VECTORS as member payloads; the batch is hyperplane-banded (one
+    * scan) and joined; exact cosine ≥ 0.95 verifies in-band. Oracle =
+    * the one-shot `dedup_embedding_cosine` detector over corpus ∪
+    * batch restricted to batch-touching pairs.
+    *
+    * Batch split `vec_id % 7 < 2`: planted copies sit at
+    * vec_id + 1000000 and 1000000 ≡ 1 (mod 7), so base ≡ 0 puts BOTH
+    * endpoints in the batch (the new-vs-new arm), base ≡ 1 puts the
+    * base in-batch with its copy in-corpus, and base ≡ 6 the reverse
+    * — all three pair arms exercised (spec-pinned; a % 5 split would
+    * keep every planted pair on one side and a plain % 7 split can
+    * never land one in-batch).
+    */
+  def pipelineDedupEmbeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = withPerturbedVecs(s, dir)
+    val isBatch = col("vec_id") % 7 < 2
+    def banded(df: DataFrame) = df.select(col("vec_id").as("doc_id"),
+      col("embedding").as("sigs"),
+      explode(Similarity.hyperplaneBands(col("embedding"), 4, 4)).as("band"))
+    val state = operators.IncrementalDedup.bandState(banded(all.filter(!isBatch)))
+    operators.IncrementalDedup.cosinePairsAgainst(state, banded(all.filter(isBatch)))
+  }
+
   private val bandStatePublishPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -119,6 +119,7 @@ object SparkEntry {
     "pipeline_dedup_canonical" -> (ExtQueries.pipelineDedupCanonical _),
     "pipeline_dedup_weights" -> (ExtQueries.pipelineDedupWeights _),
     "pipeline_dedup_incremental" -> (ExtQueries.pipelineDedupIncremental _),
+    "pipeline_dedup_embedding_incremental" -> (ExtQueries.pipelineDedupEmbeddingIncremental _),
     "pipeline_dedup_published" -> (ExtQueries.pipelineDedupPublished _),
     "pipeline_dedup_exact_incremental" -> (ExtQueries.pipelineDedupExactIncremental _),
     "pipeline_state_publish" -> (ExtQueries.pipelineStatePublish _),
@@ -240,7 +241,8 @@ object SparkEntry {
     "pipeline_dedup_published", "text_bpe_encode", "pack_sequences_bpe",
     // r10: the index LIFECYCLE closes — compaction absorbs the appends'
     // small files, maintain acts on the drift trigger (both branches)
-    "sim_ivf_compact_topk", "sim_ivf_maintain_topk", "sim_ivf_maintain_retrain")
+    "sim_ivf_compact_topk", "sim_ivf_maintain_topk", "sim_ivf_maintain_retrain",
+    "pipeline_dedup_embedding_incremental")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1294,6 +1296,7 @@ object SparkEntry {
     "pipeline_dedup_canonical" -> ExtOracleSql.pipelineDedupCanonical,
     "pipeline_dedup_weights" -> ExtOracleSql.pipelineDedupWeights,
     "pipeline_dedup_incremental" -> ExtOracleSql.pipelineDedupIncremental,
+    "pipeline_dedup_embedding_incremental" -> ExtOracleSql.pipelineDedupEmbeddingIncremental,
     // published-storage path must land on the incremental oracle verbatim
     "pipeline_dedup_published" -> ExtOracleSql.pipelineDedupIncremental,
     "pipeline_dedup_exact_incremental" -> ExtOracleSql.pipelineDedupExactIncremental,

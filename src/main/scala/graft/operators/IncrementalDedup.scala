@@ -247,6 +247,52 @@ object IncrementalDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** [[pairsAgainst]]'s EMBEDDING sibling — the third modality of the
+    * same stored-band-state shape: the state is `(band, cnt, members)`
+    * with the VECTOR ITSELF as the member payload (`sigs` =
+    * array<double>, exactly as the one-shot detector's buckets carry
+    * it), bands are the hyperplane-LSH blocks, and verification is
+    * exact cosine ≥ `threshold` computed in-band — no corpus fetch on
+    * the verify step, because the candidates' vectors are already in
+    * the state row. Same equivalence contract as the minhash/phash
+    * twins: the [2, cap] filter runs on TOTAL membership, so pairs
+    * equal `Similarity.nearDupPairs` over corpus ∪ batch restricted
+    * to batch-touching pairs.
+    *
+    * State footprint: members × dim doubles per band — heavier per
+    * member than a 16-slot signature, but identical to what the
+    * one-shot detector's bucket rows hold, and bounded by cap × dim
+    * per band row.
+    */
+  def cosinePairsAgainst(state: DataFrame, batchBanded: DataFrame,
+                         threshold: Double = 0.95,
+                         cap: Int = Buckets.DefaultCap): DataFrame = {
+    val nb = batchBanded.groupBy("band")
+      .agg(count(lit(1)).as("new_cnt"),
+        collect_list(struct(col("doc_id"), col("sigs"))).as("new_members"))
+    val cos = (a: String, b: String) => s"cosine_sim($a.sigs, $b.sigs)"
+    nb.join(state, Seq("band"), "left")
+      .filter((col("new_cnt") + coalesce(col("cnt"), lit(0L))).between(2, cap))
+      .select(col("new_members"),
+        coalesce(col("members"), expr("filter(new_members, x -> false)"))
+          .as("old_members"))
+      .select(explode(expr(
+        s"""concat(
+           |  flatten(transform(new_members, a ->
+           |    transform(old_members, b ->
+           |      struct(least(a.doc_id, b.doc_id) AS id_1,
+           |             greatest(a.doc_id, b.doc_id) AS id_2,
+           |             ${cos("a", "b")} AS cos)))),
+           |  flatten(transform(new_members, a ->
+           |    transform(filter(new_members, b -> b.doc_id > a.doc_id), b ->
+           |      struct(a.doc_id AS id_1, b.doc_id AS id_2,
+           |             ${cos("a", "b")} AS cos)))))""".stripMargin)).as("p"))
+      .select(col("p.id_1"), col("p.id_2"), col("p.cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .select(col("id_1"), col("id_2"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Near-dup pairs of a new batch against the stored state: every
     * (new, corpus) and (new, new) pair sharing a band whose TOTAL
     * membership is within [2, cap], signature-Jaccard estimated and

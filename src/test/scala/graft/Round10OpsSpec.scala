@@ -111,4 +111,37 @@ class Round10OpsSpec extends SparkSpec {
 
     Seq(tbl1, tbl2, rt2, dtbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("cosinePairsAgainst: equals the one-shot detector restricted to batch pairs, all arms live") {
+    import operators.{IncrementalDedup, Similarity}
+    val base = vecs.select($"vec_id", transform($"embedding", _.cast("double")).as("embedding"))
+    val pert = base.filter($"vec_id" % 10 === 0).select(
+      ($"vec_id" + lit(1000000L)).as("vec_id"),
+      transform(sequence(lit(1), size($"embedding")),
+        i => element_at($"embedding", i) + (i % 5 - 2).cast("double") * 0.01).as("embedding"))
+    val all = base.unionByName(pert)
+    val isBatch = $"vec_id" % 7 < 2
+
+    def banded(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"vec_id".as("doc_id"), $"embedding".as("sigs"),
+      explode(Similarity.hyperplaneBands($"embedding", 4, 4)).as("band"))
+    val state = IncrementalDedup.bandState(banded(all.filter(!isBatch)))
+    val inc = IncrementalDedup.cosinePairsAgainst(state, banded(all.filter(isBatch)))
+      .as[(Long, Long, Double)].collect().toSet
+
+    val full = Similarity.nearDupPairs(all, threshold = 0.95, nBits = 16, bands = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val restricted = full.filter(p => p._1 % 7 < 2 || p._2 % 7 < 2)
+    assert(inc == restricted,
+      s"incremental diverges from restricted one-shot: ${inc.diff(restricted)} / ${restricted.diff(inc)}")
+
+    // the split really exercises all three arms (1000000 ≡ 1 mod 7):
+    // both-in-batch (base ≡ 0), base-in-batch (≡ 1), copy-in-batch (≡ 6)
+    assert(inc.exists(p => p._1 % 7 < 2 && p._2 % 7 < 2), "no new-vs-new pair")
+    assert(inc.exists(p => p._1 % 7 < 2 && p._2 % 7 >= 2), "no batch-low straddle pair")
+    assert(inc.exists(p => p._1 % 7 >= 2 && p._2 % 7 < 2), "no batch-high straddle pair")
+
+    // and corpus-vs-corpus pairs are genuinely absent from the increment
+    assert(full.diff(restricted).nonEmpty, "fixture has no corpus-only pairs; split is degenerate")
+  }
 }
