@@ -31,8 +31,9 @@ object Sessions {
       // catastrophic for many-group sketch tallies; buffers are small
       // fixed-size arrays, so keep it hash-based.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-      // rejects; read as Long (ns) and convert in Tables.events.
+      // events.parquet has shipped as TIMESTAMP(NANOS), which Spark's
+      // reader rejects unless read as Long ns; harmless for the µs
+      // encoding. Tables.normalizeEventTs adapts to whichever arrives.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the iterative operators truncate lineage through reliable
       // checkpoints; let the ContextCleaner drop a checkpoint's files

@@ -17,17 +17,55 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events stream table. Its parquet type is TIMESTAMP(NANOS), which
-    * Spark reads (under `spark.sql.legacy.parquet.nanosAsLong`) as Long
-    * nanoseconds: exposed as `ts_ns` (exact, totally ordered — matches
-    * DuckDB's native ns ordering) plus `ts` truncated to TimestampType
-    * (µs) for formatting/windowing.
+  /** The events stream table, normalized to the engine's internal shape:
+    * `ts_ns` (Long, exact epoch nanoseconds — totally ordered, matches
+    * DuckDB's `epoch_ns(ts)`) plus `ts` as TimestampType (µs) for
+    * formatting/windowing. See [[normalizeEventTs]] for the encodings.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns DIV 1000")))
+    normalizeEventTs(load(spark, dir, "events"))
+
+  /** Normalize an events-shaped frame's `ts` column to
+    * (`ts_ns`: Long ns, `ts`: TimestampType), adapting to whatever
+    * physical encoding the upstream writer chose. A 100 TB pipeline
+    * survives an upstream producer changing timestamp encoding; the
+    * driver has shipped both of these so far:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark's reader surfaces it as Long ns
+    *    under `spark.sql.legacy.parquet.nanosAsLong` (Sessions pins it).
+    *  - INT64 TIMESTAMP(MICROS) (±isAdjustedToUTC): read as
+    *    TimestampType / TimestampNTZType. `unix_micros` only accepts
+    *    TimestampType, so NTZ is cast first — exact under the pinned
+    *    UTC session timezone (Sessions), which also makes the values
+    *    identical to DuckDB's naive-timestamp `epoch_ns(ts)` (µs·1000).
+    *
+    * Pure column expressions, so it applies to streaming frames too
+    * (StreamingStage.eventsStream). Output column order matches the
+    * historical shape: original columns with `ts`→`ts_ns` in place,
+    * `ts` appended last. Any other encoding fails loudly here — one
+    * pointed error beats 77 downstream DATATYPE_MISMATCH failures
+    * (the round-6 lesson; see also EnvironmentCanarySpec).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case TimestampType | TimestampNTZType =>
+        val cols = df.columns.map {
+          case "ts" => expr("unix_micros(cast(ts as timestamp)) * 1000L").as("ts_ns")
+          case c    => col(c)
+        } :+ col("ts").cast(TimestampType).as("ts")
+        df.select(cols.toIndexedSeq: _*)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as $other — expected INT64 ns (nanosAsLong) " +
+            "or TIMESTAMP/TIMESTAMP_NTZ µs; teach Tables.normalizeEventTs " +
+            "this encoding (and EnvironmentCanarySpec will pinpoint the drift)")
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql` can address the
     * same relations the DuckDB oracle sees (SURVEY.md §2 S3/S4).

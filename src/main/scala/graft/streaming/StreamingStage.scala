@@ -21,16 +21,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingStage {
 
   /** Event stream from the parquet file, schema pinned from a batch read
-    * (streaming sources require an explicit schema). `ts` arrives as
-    * TIMESTAMP(NANOS) → Long ns (see Sessions), converted to µs
-    * TimestampType for watermarking.
+    * (streaming sources require an explicit schema). `ts` normalization
+    * is shared with the batch reader (Tables.normalizeEventTs) so both
+    * paths adapt to whichever physical encoding the upstream writer
+    * chose — the conversion is pure column expressions, streaming-safe.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(stageAsDir(path))
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(stageAsDir(path)))
   }
 
   /** Spark's file stream source only accepts directories; the testdata
@@ -484,14 +484,28 @@ object StreamingStage {
     */
   private def sentinelStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val farNs = 4102444800L * 1000000000L // 2100-01-01T00:00:00Z
+    val farSec = 4102444800L // 2100-01-01T00:00:00Z
+    // the sentinel row's ts must be written in the SAME physical shape
+    // the live events carry, so the union'd stream has one schema
+    val tsType = schema("ts").dataType
+    val tsValue: Any = tsType match {
+      case LongType         => farSec * 1000000000L
+      case TimestampType    => java.time.Instant.ofEpochSecond(farSec)
+      case TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(farSec, 0, java.time.ZoneOffset.UTC)
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other — teach sentinelStream this encoding")
+    }
+    // cache dir keyed by the ts encoding: a regenerated dataset with a
+    // new encoding must not be served a stale sentinel in the old one
     val outDir = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-stream-sentinel")
+      s"graft-stream-sentinel-${tsType.simpleString}")
     if (!Files.exists(outDir.resolve("_SUCCESS"))) {
       val byName = Map[String, Any](
-        "event_id" -> -1L, "ts" -> farNs, "user_id" -> -1L,
+        "event_id" -> -1L, "ts" -> tsValue, "user_id" -> -1L,
         "event_type" -> "click", "value" -> 0.0, "props" -> null)
       def row(overrides: (String, Any)*): org.apache.spark.sql.Row =
         org.apache.spark.sql.Row.fromSeq(schema.fields.map(f =>
@@ -502,9 +516,8 @@ object StreamingStage {
           schema)
         .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
     }
-    spark.readStream.schema(schema).parquet(outDir.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(outDir.toString))
   }
 
   /** LEFT OUTER stream-stream interval join: every click emits — with

@@ -166,9 +166,9 @@ class Round4OpsSpec extends SparkSpec {
   test("streaming outer interval join equals the batch LEFT JOIN (sentinel flushes the tail)") {
     val streaming = ExtQueries.streamingIntervalJoinOuter(spark, sfSmoke)
       .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
-    val ev = spark.read.parquet(s"$sfSmoke/events.parquet")
+    val ev = graft.sources.Tables.events(spark, sfSmoke)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts DIV 1000").as("us"))
+        expr("ts_ns DIV 1000").as("us"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("us").as("click_us"))
     val purchases = ev.filter(col("event_type") === "purchase")
