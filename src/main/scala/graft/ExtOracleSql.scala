@@ -583,6 +583,33 @@ object ExtOracleSql {
        |  FROM $prev p LEFT JOIN ${p}u$i u USING (cid))""".stripMargin
   }
 
+  /** sample_diversity_quota twin: the same 3 unrolled Lloyd iterations
+    * and rn=1 assignment as [[simIvfKmeansTopK]], then a per-cell
+    * ROW_NUMBER in md5-digest order capped at the quota.
+    */
+  val sampleDiversityQuota: String =
+    s"""WITH $vecsDouble,
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter(_)).mkString(",\n")},
+       |assigned AS (
+       |  SELECT id, cid FROM (
+       |    SELECT x.vec_id AS id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v x CROSS JOIN c3 c)
+       |  WHERE rn = 1)
+       |SELECT cid, vec_id, sample_key, pick_rank FROM (
+       |  SELECT cid, id AS vec_id, md5(CAST(id AS VARCHAR)) AS sample_key,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY md5(CAST(id AS VARCHAR)) ASC NULLS FIRST,
+       |               id ASC NULLS FIRST) AS BIGINT) AS pick_rank
+       |  FROM assigned)
+       |WHERE pick_rank <= 10""".stripMargin
+
   /** sim_ivf_kmeans_topk twin: 3 unrolled Lloyd iterations (init = the 8
     * lowest-id vectors, cid = rank order), then the IVF probe/score shape
     * of simIvfTopK but with L2 probe ranking and the TRAINED c3 centroids

@@ -2400,6 +2400,66 @@ object ExtQueries {
             col("doc_id").asc_nulls_first)).cast("long"))
   }
 
+  /** Diversity-balanced subset selection: every embedding is assigned to
+    * its trained k-means cell (the same offline centroids the IVF index
+    * stores), and each cell contributes an equal quota of 10 docs picked
+    * in deterministic digest order — the cheap, distributed stand-in for
+    * greedy k-center selection when curating a finetuning subset that
+    * must not collapse onto the dominant mode of the corpus.
+    *
+    * Scale shape: centroids broadcast (the [[graft.operators.KMeans]]
+    * nearest expression — assignment is shuffle-free), then ONE shuffle
+    * on cid for the per-cell quota window, which NativeTopKRule's
+    * bounded-heap machinery or WindowGroupLimit keeps at O(quota) state
+    * per cell. The md5 pick order makes the sample reproducible AND
+    * unbiased w.r.t. ingestion order — re-curation after an append
+    * changes only cells whose membership changed.
+    */
+  def sampleDiversityQuota(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val centroids = KMeans.fit(all, k = 8, iterations = 3)
+    val sampleKey = md5(col("vec_id").cast("string").cast("binary"))
+    KMeans.probe(all, centroids, nprobe = 1)
+      .select(col("cid"), col("vec_id"), sampleKey.as("sample_key"))
+      .withColumn("pick_rank", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("sample_key").asc_nulls_first,
+            col("vec_id").asc_nulls_first)).cast("long"))
+      .filter(col("pick_rank") <= 10)
+  }
+
+  /** Snapshot-over-snapshot distribution drift monitor (the QA gate a
+    * production corpus runs before accepting a new drop): per
+    * (source, lang) stratum, yesterday's share vs today's in exact ppm
+    * integer arithmetic, flagged when the shift exceeds 0.5%. Yesterday
+    * is the deterministic `doc_id % 10 != 0` subset — today's drop adds
+    * the remaining tenth, so strata whose composition shifts get
+    * nonzero deltas the gate replays exactly.
+    *
+    * Scale shape: ONE corpus scan — both snapshots' counts come from
+    * conditional aggregation in the same map-side-combined groupBy, and
+    * the totals ride back as a 1-row broadcast.
+    */
+  def qaSnapshotDrift(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(when(col("doc_id") % 10 =!= 0, lit(1))).as("n_old"),
+        count(lit(1)).as("n_new"))
+    val tot = per.agg(sum(col("n_old")).as("__to"), sum(col("n_new")).as("__tn"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("lang"), col("n_old"), col("n_new"),
+        expr("n_old * 1000000 DIV __to").as("share_old_ppm"),
+        expr("n_new * 1000000 DIV __tn").as("share_new_ppm"),
+        abs(expr("n_new * 1000000 DIV __tn") - expr("n_old * 1000000 DIV __to"))
+          .as("delta_ppm"))
+      .withColumn("drifted",
+        (col("delta_ppm") > 5000).cast("boolean"))
+      .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+  }
+
   /** Temperature-scaled source mixing (the multi-source LLM-corpus
     * weighting scheme): raw source shares p_i are flattened to
     * w_i ∝ p_i^(1/τ) with τ=2, and a fixed token budget is allocated

@@ -195,7 +195,9 @@ object SparkEntry {
     "streaming_interval_join_outer" -> (ExtQueries.streamingIntervalJoinOuter _),
     "pipeline_delete_propagate" -> (ExtQueries.pipelineDeletePropagate _),
     "pipeline_shuffle_deterministic" -> (ExtQueries.pipelineShuffleDeterministic _),
-    "mix_temperature" -> (ExtQueries.mixTemperature _)
+    "mix_temperature" -> (ExtQueries.mixTemperature _),
+    "sample_diversity_quota" -> (ExtQueries.sampleDiversityQuota _),
+    "qa_snapshot_drift" -> (ExtQueries.qaSnapshotDrift _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -246,9 +248,10 @@ object SparkEntry {
     // small files, maintain acts on the drift trigger (both branches)
     "sim_ivf_compact_topk", "sim_ivf_maintain_topk", "sim_ivf_maintain_retrain",
     "pipeline_dedup_embedding_incremental",
-    // r11: compliance purge, deterministic training order, source mixing
+    // r11: compliance purge, deterministic training order, source mixing,
+    // diversity-quota curation, snapshot drift QA
     "pipeline_delete_propagate", "pipeline_shuffle_deterministic",
-    "mix_temperature")
+    "mix_temperature", "sample_diversity_quota", "qa_snapshot_drift")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1513,6 +1516,24 @@ object SparkEntry {
         |  (w_sqrt * 1000000) // sum_w AS share_temp_ppm,
         |  (1000000 * w_sqrt) // sum_w AS alloc_tokens
         |FROM w CROSS JOIN tot
-        |ORDER BY source ASC NULLS FIRST""".stripMargin
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "sample_diversity_quota" -> ExtOracleSql.sampleDiversityQuota,
+
+    "qa_snapshot_drift" ->
+      """WITH per AS (
+        |  SELECT source, lang,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT) AS n_old,
+        |    CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM documents GROUP BY source, lang),
+        |tot AS (SELECT CAST(SUM(n_old) AS BIGINT) AS tto,
+        |               CAST(SUM(n_new) AS BIGINT) AS ttn FROM per)
+        |SELECT source, lang, n_old, n_new,
+        |  (n_old * 1000000) // tto AS share_old_ppm,
+        |  (n_new * 1000000) // ttn AS share_new_ppm,
+        |  abs((n_new * 1000000) // ttn - (n_old * 1000000) // tto) AS delta_ppm,
+        |  abs((n_new * 1000000) // ttn - (n_old * 1000000) // tto) > 5000 AS drifted
+        |FROM per CROSS JOIN tot
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
   )
 }

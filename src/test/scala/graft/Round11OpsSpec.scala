@@ -46,6 +46,43 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("sampleDiversityQuota: every cell contributes its quota in digest order") {
+    val rows = ExtQueries.sampleDiversityQuota(spark, sfSmoke).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._2).distinct.length == rows.length, "a doc picked twice")
+    rows.groupBy(_._1).foreach { case (cid, cell) =>
+      val ranks = cell.map(_._4).sorted.toSeq
+      assert(ranks == (1L to cell.length.toLong).toSeq,
+        s"cell $cid ranks not dense")
+      assert(cell.length <= 10, s"cell $cid exceeded its quota")
+      // picks really follow the digest order within the cell
+      val byRank = cell.sortBy(_._4).map(_._3).toSeq
+      assert(byRank == byRank.sorted, s"cell $cid not in digest order")
+    }
+    // diversity: more than one cell must contribute (the corpus is not
+    // one cluster), and re-running reproduces the selection exactly
+    assert(rows.map(_._1).distinct.length > 1)
+    val again = ExtQueries.sampleDiversityQuota(spark, sfSmoke).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSet == again.toSet)
+  }
+
+  test("qaSnapshotDrift: ppm shares are exact and the planted drift is flagged") {
+    val rows = ExtQueries.qaSnapshotDrift(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    val totOld = rows.map(_._3).sum
+    val totNew = rows.map(_._4).sum
+    assert(totNew > totOld, "the new snapshot must include the extra tenth")
+    for ((src, lang, nOld, nNew, shOld, shNew, delta, drifted) <- rows) {
+      assert(shOld == nOld * 1000000L / totOld, s"$src/$lang share_old wrong")
+      assert(shNew == nNew * 1000000L / totNew, s"$src/$lang share_new wrong")
+      assert(delta == math.abs(shNew - shOld))
+      assert(drifted == (delta > 5000L))
+    }
+  }
+
   test("mixTemperature: integer-exact, budget-bounded, flattens the source distribution") {
     val rows = ExtQueries.mixTemperature(spark, sfSmoke).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
