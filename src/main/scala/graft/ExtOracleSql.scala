@@ -1593,6 +1593,28 @@ object ExtOracleSql {
        |${(1 to 4).map(ccIter).mkString(",\n")}
        |SELECT id AS doc_id, component, (id = component) AS keep FROM l4""".stripMargin
 
+  /** pipeline_split_leakage_safe twin: the canonical-dedup cluster CTEs
+    * plus the md5-bucket split of the component id (and of the doc id,
+    * to expose which docs the cluster rule moved).
+    */
+  val pipelineSplitLeakageSafe: String = {
+    def splitOf(c: String): String =
+      s"""CASE WHEN CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) % 10 < 8 THEN 'train'
+         |     WHEN CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) % 10 = 8 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH pairs AS ($dedupMinhashLsh),
+       |$nearDupCorpus,
+       |sym AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+       |        UNION SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+       |        UNION SELECT doc_id AS src, doc_id AS dst FROM nd),
+       |l0 AS (SELECT doc_id AS id, doc_id AS component FROM nd),
+       |${(1 to 4).map(ccIter).mkString(",\n")}
+       |SELECT id AS doc_id, component,
+       |  ${splitOf("component")} AS split,
+       |  (${splitOf("id")}) <> (${splitOf("component")}) AS moved_by_cluster_rule
+       |FROM l4""".stripMargin
+  }
+
   /** pipeline_dedup_weights twin: the canonical-dedup cluster CTEs plus
     * a component-size count and the ppm fixed-point weight.
     */

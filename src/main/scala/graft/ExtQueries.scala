@@ -1648,6 +1648,32 @@ object ExtQueries {
         (col("id") === col("component")).as("keep"))
   }
 
+  /** Leakage-safe train/val/test split: the unit of assignment is the
+    * near-dup CLUSTER, not the document — every member of a cluster gets
+    * the split of its canonical (the md5 bucket of the component id,
+    * same 8/1/1 rule as `pipeline_train_split`), so a near-duplicate of
+    * a training doc can never land in the eval split and leak training
+    * content into the benchmark. The per-doc split (the naive rule that
+    * WOULD leak) rides along so the gate can also count how many docs
+    * the cluster rule actually moved.
+    *
+    * Scale shape: cluster labels come from the already-bounded
+    * minhash-LSH → connected-components path; the split itself adds one
+    * hash expression and zero shuffles beyond the component join.
+    */
+  def pipelineSplitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val b = conv(substring(md5(c.cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 10
+      when(b < 8, lit("train")).when(b === 8, lit("val")).otherwise(lit("test"))
+    }
+    pipelineDedupCanonical(s, dir).select("doc_id", "component")
+      .select(col("doc_id"), col("component"),
+        splitOf(col("component")).as("split"),
+        (splitOf(col("doc_id")) =!= splitOf(col("component")))
+          .as("moved_by_cluster_rule"))
+  }
+
   /** Soft-dedup WEIGHTING (the down-weighting alternative to removal,
     * cf. SemDeDup's discussion of duplication-aware sampling): instead
     * of dropping near-duplicates, weight every document by

@@ -197,7 +197,8 @@ object SparkEntry {
     "pipeline_shuffle_deterministic" -> (ExtQueries.pipelineShuffleDeterministic _),
     "mix_temperature" -> (ExtQueries.mixTemperature _),
     "sample_diversity_quota" -> (ExtQueries.sampleDiversityQuota _),
-    "qa_snapshot_drift" -> (ExtQueries.qaSnapshotDrift _)
+    "qa_snapshot_drift" -> (ExtQueries.qaSnapshotDrift _),
+    "pipeline_split_leakage_safe" -> (ExtQueries.pipelineSplitLeakageSafe _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -251,7 +252,8 @@ object SparkEntry {
     // r11: compliance purge, deterministic training order, source mixing,
     // diversity-quota curation, snapshot drift QA
     "pipeline_delete_propagate", "pipeline_shuffle_deterministic",
-    "mix_temperature", "sample_diversity_quota", "qa_snapshot_drift")
+    "mix_temperature", "sample_diversity_quota", "qa_snapshot_drift",
+    "pipeline_split_leakage_safe")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1519,6 +1521,8 @@ object SparkEntry {
         |ORDER BY source ASC NULLS FIRST""".stripMargin,
 
     "sample_diversity_quota" -> ExtOracleSql.sampleDiversityQuota,
+
+    "pipeline_split_leakage_safe" -> ExtOracleSql.pipelineSplitLeakageSafe,
 
     "qa_snapshot_drift" ->
       """WITH per AS (

@@ -83,6 +83,30 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("pipelineSplitLeakageSafe: near-dup clusters never straddle splits") {
+    val rows = ExtQueries.pipelineSplitLeakageSafe(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    // every member of a component carries the component's split
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"component $comp straddles splits")
+    }
+    // planted near-dups (doc_id + 1000000 copies) that the LSH detector
+    // clustered with ANYTHING share their cluster-mates' split — the
+    // leakage guarantee (the detector intentionally misses some planted
+    // copies; those are singletons and out of scope here)
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    val clustered = rows.filter(r => r._1 >= 1000000L && r._2 != r._1)
+    assert(clustered.nonEmpty, "no planted dup was clustered at all")
+    clustered.foreach { case (id, comp, split, _) =>
+      assert(byId(comp) == split,
+        s"planted dup $id split differs from its canonical $comp")
+    }
+    // the cluster rule must actually move SOME doc (otherwise the op is
+    // indistinguishable from the naive per-doc split on this corpus)
+    assert(rows.exists(_._4), "no doc moved — leakage rule untested")
+  }
+
   test("mixTemperature: integer-exact, budget-bounded, flattens the source distribution") {
     val rows = ExtQueries.mixTemperature(spark, sfSmoke).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
