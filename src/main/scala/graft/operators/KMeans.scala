@@ -54,7 +54,7 @@ object KMeans {
     require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i },
       "nearest: centroid ids must be dense 0..k-1")
     call_function("nearest_centroid", col("v"),
-      array(sorted.map { case (_, c) => array(c.map(lit(_)): _*) }: _*))
+      array(sorted.map { case (_, c) => array(c.toIndexedSeq.map(lit(_)): _*) }: _*))
   }
 
   /** The composed-HOF reference form of [[nearest]] (oracle-shaped),
@@ -62,7 +62,7 @@ object KMeans {
     */
   private[graft] def nearestHof(centroids: Seq[(Int, Array[Double])]): Column = {
     val arr = array(centroids.sortBy(_._1).map { case (cid, c) =>
-      struct(lit(cid).as("cid"), array(c.map(lit(_)): _*).as("c"))
+      struct(lit(cid).as("cid"), array(c.toIndexedSeq.map(lit(_)): _*).as("c"))
     }: _*)
     val scored = transform(arr, ctr => struct(
       aggregate(zip_with(col("v"), ctr.getField("c"), (x, y) => (x - y) * (x - y)),

@@ -244,7 +244,7 @@ object Similarity {
     val codes = (0 until m).map { j =>
       call_function("nearest_centroid",
         slice(col("__v"), j * dsub + 1, dsub),
-        array(codebooks(j).map(c => array(c.map(lit(_)): _*)): _*))
+        array(codebooks(j).map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*))
         .getField("cid")
     }
     // disjoint 4-bit lanes: + is exactly | here, and the oracle replays
@@ -266,7 +266,7 @@ object Similarity {
     array(cb.indices.flatMap { j =>
       val sub = slice(qVec, j * dsub + 1, dsub)
       cb(j).map(c =>
-        aggregate(zip_with(sub, array(c.map(lit(_)): _*), _ * _), lit(0.0), _ + _))
+        aggregate(zip_with(sub, array(c.toIndexedSeq.map(lit(_)): _*), _ * _), lit(0.0), _ + _))
     }: _*)
   }
 

@@ -718,7 +718,7 @@ object StreamingStage {
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
       val s = open.get()
-      if (s == null || expiryOf(s) != expired.getExpiryTimeInMs) Iterator.empty
+      if (s == null || expiryOf(s) != expired.getExpiryTimeInMs()) Iterator.empty
       else {
         open.clear()
         Iterator(SessionOut(userId, s.idx, s.n, fmtNs(s.startNs), fmtNs(s.lastNs)))
