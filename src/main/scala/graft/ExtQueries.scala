@@ -2465,16 +2465,21 @@ object ExtQueries {
     *
     * Scale shape: ONE corpus scan — both snapshots' counts come from
     * conditional aggregation in the same map-side-combined groupBy, and
-    * the totals ride back as a 1-row broadcast.
+    * the totals are a window over the already-tiny stratum frame (an
+    * agg-subtree total would re-scan the corpus: Catalyst does not
+    * dedupe a frame consumed by two DAG branches, PLANS.md lesson 24).
     */
   def qaSnapshotDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
     val per = docs(s, dir)
       .groupBy(col("source"), col("lang"))
       .agg(
         count(when(col("doc_id") % 10 =!= 0, lit(1))).as("n_old"),
         count(lit(1)).as("n_new"))
-    val tot = per.agg(sum(col("n_old")).as("__to"), sum(col("n_new")).as("__tn"))
-    per.crossJoin(broadcast(tot))
+    per
+      .withColumn("__to", sum(col("n_old")).over(all))
+      .withColumn("__tn", sum(col("n_new")).over(all))
       .select(
         col("source"), col("lang"), col("n_old"), col("n_new"),
         expr("n_old * 1000000 DIV __to").as("share_old_ppm"),
@@ -2498,20 +2503,22 @@ object ExtQueries {
     *
     * Scale shape: one map-side-combined groupBy(source) over the corpus
     * (the only full scan), then the per-source table is tiny — the
-    * Σw normalizer rides back as a 1-row broadcast cross join.
+    * Σw normalizer is a window over it, not an agg subtree that would
+    * re-scan the corpus (PLANS.md lesson 24).
     */
   def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val budget = 1000000L // token budget to allocate across sources
+    val all = Window.partitionBy()
     val w = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
     val perSource = docs(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
       .withColumn("w_sqrt", w)
-    val tot = perSource.agg(
-      sum(col("n_tokens")).as("__tot"),
-      sum(col("w_sqrt")).as("__sum_w"))
-    perSource.crossJoin(broadcast(tot))
+    perSource
+      .withColumn("__tot", sum(col("n_tokens")).over(all))
+      .withColumn("__sum_w", sum(col("w_sqrt")).over(all))
       .select(
         col("source"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
         expr("n_tokens * 1000000 DIV __tot").as("share_raw_ppm"),

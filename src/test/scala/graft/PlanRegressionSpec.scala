@@ -256,6 +256,31 @@ class PlanRegressionSpec extends SparkSpec {
       "rolling distinct must scan events exactly once:\n" + rd.take(3000))
   }
 
+  test("r11 ops: purge joins broadcast, shuffle shards in one exchange, drift in one scan") {
+    // delete propagation: every roster join is a broadcast build — the
+    // 100 TB layer side must never shuffle on subject_key
+    val dp = staticPlan(ExtQueries.pipelineDeletePropagate(spark, sfSmoke))
+    assert(planLines(dp, "BroadcastHashJoin").nonEmpty, dp.take(3000))
+    assert(planLines(dp, "hashpartitioning(subject_key").isEmpty,
+      "roster join must not shuffle the big side:\n" + dp.take(3000))
+    // deterministic shuffle: exactly one exchange (by shard), never a
+    // global single-partition sort
+    val sd = staticPlan(ExtQueries.pipelineShuffleDeterministic(spark, sfSmoke))
+    assert(countExchanges(sd) == 1, sd.take(3000))
+    assert(planLines(sd, "hashpartitioning(shard").nonEmpty, sd.take(3000))
+    assert(!sd.contains("SinglePartition"), sd.take(3000))
+    // snapshot drift: both snapshots' counts AND the totals come from
+    // ONE scan of documents (conditional aggregation + a window over
+    // the tiny stratum frame — no branch re-scan)
+    val dr = staticPlan(ExtQueries.qaSnapshotDrift(spark, sfSmoke))
+    assert(planLines(dr, "Location: InMemoryFileIndex").size == 1,
+      "drift must scan documents exactly once:\n" + dr.take(3000))
+    // same single-scan shape for the mixing normalizer
+    val mt = staticPlan(ExtQueries.mixTemperature(spark, sfSmoke))
+    assert(planLines(mt, "Location: InMemoryFileIndex").size == 1,
+      "mix_temperature must scan documents exactly once:\n" + mt.take(3000))
+  }
+
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
     // codegen spans only show on the executed plan, as `*(n)` stage
     // markers (AQE's static formatted plan omits the annotation)
