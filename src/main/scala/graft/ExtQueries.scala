@@ -695,8 +695,14 @@ object ExtQueries {
     * join.
     */
   def qaKeySkew(s: SparkSession, dir: String): DataFrame = {
+    // the per-key count frame has TWO consumers (summary row + top-10),
+    // and Catalyst re-executes a shared subtree per branch — without the
+    // managed checkpoint that meant scanning the 100 TB events table
+    // twice (PLANS.md lesson 24; asserted in PlanRegressionSpec)
+    graft.operators.Checkpoints.ensure(s.sparkContext)
     val counts = Tables.load(s, dir, "events")
       .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n_rows"))
+      .checkpoint()
     val tot = counts.agg(sum(col("n_rows")).as("__t"), count(lit(1)).as("__k"))
     counts.orderBy(col("n_rows").desc_nulls_last, col("key").asc_nulls_first)
       .limit(10)

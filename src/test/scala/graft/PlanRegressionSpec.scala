@@ -279,6 +279,12 @@ class PlanRegressionSpec extends SparkSpec {
     val mt = staticPlan(ExtQueries.mixTemperature(spark, sfSmoke))
     assert(planLines(mt, "Location: InMemoryFileIndex").size == 1,
       "mix_temperature must scan documents exactly once:\n" + mt.take(3000))
+    // key-skew diagnostic: the checkpointed count frame means the
+    // events scan happens once; both consumers read checkpoint files
+    val ks = staticPlan(ExtQueries.qaKeySkew(spark, sfSmoke))
+    assert(planLines(ks, "Location: InMemoryFileIndex").isEmpty &&
+      ks.contains("Scan ExistingRDD"),
+      "qa_key_skew must read the checkpointed counts, not re-scan events:\n" + ks.take(3000))
   }
 
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
