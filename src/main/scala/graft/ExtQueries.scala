@@ -2375,9 +2375,16 @@ object ExtQueries {
     * map-side-combined counts. The leak check reuses the same broadcast.
     */
   def pipelineDeletePropagate(s: SparkSession, dir: String): DataFrame = {
+    // the roster derivation is its own full events scan, and it feeds
+    // SIX join branches (marked + anti + semi, per layer) — without a
+    // checkpoint each branch re-derives it (13 executed events scans
+    // measured; 6 after). The checkpointed roster is ~1% of users:
+    // tiny files, one scan, every branch broadcasts from it.
+    graft.operators.Checkpoints.ensure(s.sparkContext)
     val roster = Tables.events(s, dir)
       .select(col("user_id")).distinct()
       .filter(col("user_id") % 97 === 0)
+      .checkpoint()
     val layers = Seq(
       "events" -> Tables.events(s, dir)
         .select(col("user_id").cast("string").as("subject_key")),
