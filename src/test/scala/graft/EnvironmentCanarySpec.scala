@@ -60,7 +60,26 @@ class EnvironmentCanarySpec extends SparkSpec {
     "customer" -> Map(
       "c_custkey" -> Set(LongType),
       "c_name" -> Set(StringType),
-      "c_nationkey" -> Set(LongType, IntegerType)))
+      "c_nationkey" -> Set(LongType, IntegerType)),
+    "supplier" -> Map(
+      "s_suppkey" -> Set(LongType),
+      "s_name" -> Set(StringType),
+      "s_nationkey" -> Set(LongType, IntegerType),
+      "s_acctbal" -> Set(DoubleType)),
+    "part" -> Map(
+      "p_partkey" -> Set(LongType),
+      "p_name" -> Set(StringType),
+      "p_brand" -> Set(StringType),
+      "p_type" -> Set(StringType),
+      "p_size" -> Set(LongType, IntegerType),
+      "p_retailprice" -> Set(DoubleType)),
+    "region" -> Map(
+      "r_regionkey" -> Set(LongType, IntegerType),
+      "r_name" -> Set(StringType)),
+    "nation" -> Map(
+      "n_nationkey" -> Set(LongType, IntegerType),
+      "n_name" -> Set(StringType),
+      "n_regionkey" -> Set(LongType, IntegerType)))
 
   for (dir <- sfDirs) {
     test(s"all driver tables exist at $dir") {
