@@ -698,7 +698,11 @@ object ExtQueries {
     // the per-key count frame has TWO consumers (summary row + top-10),
     // and Catalyst re-executes a shared subtree per branch — without the
     // managed checkpoint that meant scanning the 100 TB events table
-    // twice (PLANS.md lesson 24; asserted in PlanRegressionSpec)
+    // twice (PLANS.md lesson 24; asserted in PlanRegressionSpec).
+    // NOTE: Dataset.checkpoint() is EAGER — building this frame (even
+    // just to explain it) runs the events aggregation at construction
+    // time. That is the price of the single-scan guarantee; callers that
+    // only want the plan should expect the job.
     graft.operators.Checkpoints.ensure(s.sparkContext)
     val counts = Tables.load(s, dir, "events")
       .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n_rows"))
@@ -2367,7 +2371,10 @@ object ExtQueries {
     * the derived activities layer, and the output is the per-layer audit
     * a compliance review signs off on: rows before, rows after, rows
     * purged, and — the row that matters — `n_leaked`, the count of
-    * surviving rows that still join the roster (proven 0 by the gate).
+    * surviving rows that still satisfy the compliance rule, re-derived
+    * from the rule itself rather than from the purge-side roster frame
+    * (so a roster-derivation bug shows up as a nonzero audit row instead
+    * of cancelling out of both sides).
     *
     * Scale shape: the roster is tiny relative to the corpus (~1% of
     * users), so both purges are broadcast LEFT ANTI joins — no shuffle
@@ -2380,6 +2387,9 @@ object ExtQueries {
     // checkpoint each branch re-derives it (13 executed events scans
     // measured; 6 after). The checkpointed roster is ~1% of users:
     // tiny files, one scan, every branch broadcasts from it.
+    // NOTE: Dataset.checkpoint() is EAGER — constructing this frame runs
+    // the roster scan immediately (the price of the single-scan
+    // guarantee); plan-only callers should expect the job.
     graft.operators.Checkpoints.ensure(s.sparkContext)
     val roster = Tables.events(s, dir)
       .select(col("user_id")).distinct()
@@ -2401,12 +2411,17 @@ object ExtQueries {
         count(lit(1)).as("n_before"),
         count(when(col("__hit").isNull, lit(1))).as("n_after"),
         count(col("__hit")).as("n_purged"))
-      // the leak check is the independent re-derivation over the purge
-      // OUTPUT (anti-join, then prove the roster join is empty) — the
-      // audit row a reviewer trusts precisely because it is NOT the same
-      // arithmetic that produced n_after
+      // the leak check deliberately does NOT reuse the purge-side roster
+      // frame: anti-join-then-semi-join on the same frame is empty by
+      // construction, so a bug in roster derivation (wrong cast, dropped
+      // keys) would corrupt purge and check identically and the audit
+      // could never catch it. Instead the check re-states the compliance
+      // RULE itself (user_id % 97 == 0; the stand-in for "appears in the
+      // requests table") against the surviving rows — an independent
+      // derivation that goes nonzero if the roster frame and the rule
+      // ever disagree. The oracle recomputes this same count in SQL.
       val leaked = rows.join(broadcast(rosterKeys), Seq("subject_key"), "left_anti")
-        .join(broadcast(rosterKeys), Seq("subject_key"), "left_semi")
+        .filter(col("subject_key").cast("long") % 97 === 0)
         .agg(count(lit(1)).as("n_leaked"))
       audit.crossJoin(leaked).select(
         lit(layer).as("layer"),

@@ -1467,8 +1467,10 @@ object SparkEntry {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
-    // the oracle's n_leaked is LITERALLY zero: the gate asserts the
-    // Spark side's measured post-purge roster join count equals it
+    // n_leaked is COMPUTED on both sides (survivors still satisfying the
+    // % 97 rule), not a hardcoded 0 — the Spark side derives it from the
+    // rule independently of the purge-side roster frame, and the oracle
+    // replays that derivation here
     "pipeline_delete_propagate" ->
       s"""WITH ${DeriveSql.stgActivities},
          |roster AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS subject_key
@@ -1481,7 +1483,9 @@ object SparkEntry {
          |   WHERE subject_key NOT IN (SELECT subject_key FROM roster)) AS n_after,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev
          |   WHERE subject_key IN (SELECT subject_key FROM roster)) AS n_purged,
-         |  CAST(0 AS BIGINT) AS n_leaked
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev
+         |   WHERE subject_key NOT IN (SELECT subject_key FROM roster)
+         |     AND TRY_CAST(subject_key AS BIGINT) % 97 = 0) AS n_leaked
          |UNION ALL
          |SELECT 'stg_activities',
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM act),
@@ -1489,7 +1493,9 @@ object SparkEntry {
          |   WHERE subject_key NOT IN (SELECT subject_key FROM roster)),
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM act
          |   WHERE subject_key IN (SELECT subject_key FROM roster)),
-         |  CAST(0 AS BIGINT)""".stripMargin,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM act
+         |   WHERE subject_key NOT IN (SELECT subject_key FROM roster)
+         |     AND TRY_CAST(subject_key AS BIGINT) % 97 = 0)""".stripMargin,
 
     "pipeline_shuffle_deterministic" ->
       """WITH k AS (

@@ -63,12 +63,17 @@ object Verify {
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), failJson)
-    // loud summary but exit 0: a partial run must still hand the driver
-    // every good result plus the tombstones — a nonzero exit could void
-    // the whole artifact
+    // loud summary but exit 0 by default: a partial run must still hand
+    // the driver every good result plus the tombstones — a nonzero exit
+    // could void the whole artifact. Automation that gates on exit
+    // status alone (CI, not the driver) sets SPARK_GRAFT_VERIFY_STRICT=1
+    // to get a nonzero exit AFTER all artifacts are written.
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} queries FAILED: " +
         failures.keys.mkString(", "))
     spark.stop()
+    if (failures.nonEmpty &&
+        sys.env.get("SPARK_GRAFT_VERIFY_STRICT").exists(v => v == "1" || v == "true"))
+      sys.exit(1)
   }
 }

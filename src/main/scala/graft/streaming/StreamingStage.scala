@@ -499,10 +499,16 @@ object StreamingStage {
       case other => throw new IllegalStateException(
         s"events.ts arrived as $other — teach sentinelStream this encoding")
     }
-    // cache dir keyed by the ts encoding: a regenerated dataset with a
-    // new encoding must not be served a stale sentinel in the old one
+    // cache dir keyed by a digest of the FULL pinned schema, not just the
+    // ts encoding: a regenerated dataset that keeps ts but changes any
+    // other column's type/shape would otherwise be served a stale-schema
+    // sentinel and break the stream union — the exact drift class the
+    // environment canary exists for
+    val schemaKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(schema.json.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     val outDir = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-stream-sentinel-${tsType.simpleString}")
+      s"graft-stream-sentinel-$schemaKey")
     if (!Files.exists(outDir.resolve("_SUCCESS"))) {
       val byName = Map[String, Any](
         "event_id" -> -1L, "ts" -> tsValue, "user_id" -> -1L,
