@@ -12,6 +12,21 @@ package graft
   */
 object ExtOracleSql {
 
+  /** The near-dup corpus MINUS the state-purge roster (`doc_id % 89`
+    * over base and planted ids alike) — the "purged corpus" every
+    * round-8 full-recompute twin rebuilds from. Named `nd` so the
+    * shared [[minhashBandedCtes]] chain applies unchanged.
+    */
+  private val nearDupCorpusPurged =
+    """nd AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 1000000 AS doc_id,
+      |      (string_split(text, ' '))[6:len(string_split(text, ' '))] AS words
+      |    FROM documents WHERE doc_id % 10 = 0)
+      |  WHERE doc_id % 89 <> 0)""".stripMargin
+
   /** (doc_id, words) corpus + near-dup copies of every 10th doc. */
   private val nearDupCorpus =
     """nd AS (
@@ -1631,6 +1646,187 @@ object ExtOracleSql {
        |SELECT l4.id AS doc_id, l4.component, sz.cluster_size,
        |  1000000 // sz.cluster_size AS weight_ppm
        |FROM l4 JOIN sz ON l4.component = sz.component""".stripMargin
+
+  // ===== round 8: delete propagation into stored state artifacts =====
+
+  /** The exact-dup corpus and its purged complement, shared by the
+    * digest-state purge twins.
+    */
+  private val exactDupDocsCtes =
+    """all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |surv AS (SELECT * FROM all_docs WHERE doc_id % 89 <> 0)""".stripMargin
+
+  /** pipeline_purge_digest_state twin: the digest state recomputed FROM
+    * SCRATCH over the purged corpus — the Spark side must land on this
+    * via stored-state re-election (v1 read-back, affected-only
+    * re-elect, v2 publish), so a hash match proves the incremental
+    * purge equals a full rebuild.
+    */
+  val pipelinePurgeDigestState: String =
+    s"""WITH $exactDupDocsCtes
+       |SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id
+       |FROM surv GROUP BY digest""".stripMargin
+
+  /** The one-shot minhash detector over the PURGED near-dup corpus —
+    * the full-recompute ground every stored-band-purge twin compares
+    * against (same shape as [[dedupMinhashLsh]], purged `nd`).
+    */
+  private val dedupMinhashLshPurged: String =
+    s"""WITH $nearDupCorpusPurged,
+       |$minhashBandedCtes,
+       |bc AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 500)
+       |SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |  CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 AS est_jaccard
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       |JOIN bc ON a.band = bc.band
+       |WHERE CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 >= 0.4""".stripMargin
+
+  /** pipeline_purge_band_pairs twin: the full-recompute detector over
+    * (corpus \ roster) ∪ batch — corpus = `% 7 <> 0`, roster = corpus
+    * ids at `% 89 = 0` — restricted to batch-touching pairs. The Spark
+    * side reaches this through the PURGED stored band state, so the
+    * match proves member-filter + recomputed counts behave exactly
+    * like a state rebuilt from the purged corpus.
+    */
+  val pipelinePurgeBandPairs: String =
+    s"""WITH base_nd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    (string_split(text, ' '))[6:len(string_split(text, ' '))] AS words
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |nd AS (SELECT * FROM base_nd WHERE NOT (doc_id % 7 <> 0 AND doc_id % 89 = 0)),
+       |$minhashBandedCtes,
+       |bc AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 500)
+       |SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |  CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 AS est_jaccard
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       |JOIN bc ON a.band = bc.band
+       |WHERE CAST(len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i])) AS DOUBLE) / 16 >= 0.4
+       |  AND (a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)""".stripMargin
+
+  /** pipeline_purge_clusters twin: the FULL re-cluster over the purged
+    * corpus (purged detector pairs, symmetric+self-loop edges, min-label
+    * propagation). 6 rounds, not the unpurged query's 4: deleting a
+    * bridge doc can lengthen surviving paths (a cycle member's removal
+    * up to doubles a component's diameter), and extra rounds past
+    * convergence change nothing. The Spark side reaches this via
+    * component-local decremental re-solve — untouched components
+    * verbatim, affected ones re-solved over survivors — so the match
+    * proves splits and re-elected minima land exactly where a rebuild
+    * puts them.
+    */
+  val pipelinePurgeClusters: String =
+    s"""WITH pairs AS ($dedupMinhashLshPurged),
+       |$nearDupCorpusPurged,
+       |sym AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+       |        UNION SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+       |        UNION SELECT doc_id AS src, doc_id AS dst FROM nd),
+       |l0 AS (SELECT doc_id AS id, doc_id AS component FROM nd),
+       |${(1 to 6).map(ccIter).mkString(",\n")}
+       |SELECT id AS doc_id, component, (id = component) AS keep FROM l6""".stripMargin
+
+  /** sim_ivf_purge_topk twin: centroids trained on the FULL corpus
+    * (the frozen pre-purge quantizer — purge does not retrain; the
+    * drift metric owns that), assignment restricted to surviving
+    * vectors, probes restricted to surviving queries. Identical to a
+    * rebuild-under-frozen-centroids over the purged corpus, which is
+    * what the physically rewritten stored lists must equal.
+    */
+  val simIvfPurgeTopK: String =
+    s"""WITH $vecsDouble,
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter(_)).mkString(",\n")},
+       |lists AS (
+       |  SELECT id AS neighbor_id, vec AS c_vec, cid FROM (
+       |    SELECT x.vec_id AS id, x.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v x CROSS JOIN c3 c WHERE x.vec_id % 89 <> 0)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT id AS query_id, vec AS q_vec, cid FROM (
+       |    SELECT q.vec_id AS id, q.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqDist("q.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v q CROSS JOIN c3 c
+       |    WHERE q.vec_id % 25 = 0 AND q.vec_id % 89 <> 0)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, l.neighbor_id, ${cosine("p.q_vec", "l.c_vec")} AS score
+       |  FROM lists l JOIN probes p USING (cid)
+       |  WHERE p.query_id <> l.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** pipeline_delete_propagate_state twin: every audit count recomputed
+    * from scratch over the purged corpus. `n_leaked` for digest_state
+    * is a genuine re-derivation (the min over survivors can itself be
+    * probed against the rule); for band_state and cluster_labels the
+    * recompute's leak count is zero BY DEFINITION of "recomputed from
+    * the purged corpus" (a banded row / label row of the purged corpus
+    * cannot satisfy the purge rule), so the oracle states 0 and the
+    * gate's force is entirely on the SPARK side, which measures the
+    * count from the published v2 parquet on disk — a purge bug shows
+    * up there. `n_stale_versions` is a filesystem probe (live
+    * non-current version dirs after history retirement) DuckDB cannot
+    * see; the oracle pins the required value 0.
+    *
+    * Band counts exploit that banding is PER-DOC (signatures don't
+    * depend on the rest of the corpus): the purged corpus's banded
+    * rows are exactly the full corpus's banded rows minus the
+    * roster's, so one banded CTE serves both sides of every count.
+    * This also makes `n_refs_purged` an implicit saturation canary: it
+    * equals Spark's measured member-entry delta only while no band
+    * stores a truncated member list.
+    */
+  val pipelineDeletePropagateState: String =
+    s"""WITH $exactDupDocsCtes,
+       |base_nd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    (string_split(text, ' '))[6:len(string_split(text, ' '))] AS words
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |nd AS (SELECT * FROM base_nd),
+       |$minhashBandedCtes
+       |SELECT 'digest_state' AS artifact,
+       |  (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM all_docs) AS n_before,
+       |  (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM surv) AS n_after,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+       |     SELECT MIN(doc_id) AS c FROM all_docs GROUP BY md5(text))
+       |   WHERE c % 89 = 0) AS n_refs_purged,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+       |     SELECT MIN(doc_id) AS c FROM surv GROUP BY md5(text))
+       |   WHERE c % 89 = 0) AS n_leaked,
+       |  CAST(0 AS BIGINT) AS n_stale_versions
+       |UNION ALL
+       |SELECT 'band_state',
+       |  (SELECT CAST(COUNT(DISTINCT band) AS BIGINT) FROM banded),
+       |  (SELECT CAST(COUNT(DISTINCT band) AS BIGINT) FROM banded WHERE doc_id % 89 <> 0),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM banded WHERE doc_id % 89 = 0),
+       |  CAST(0 AS BIGINT),
+       |  CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'cluster_labels',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nd),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nd WHERE doc_id % 89 <> 0),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nd WHERE doc_id % 89 = 0),
+       |  CAST(0 AS BIGINT),
+       |  CAST(0 AS BIGINT)""".stripMargin
 
   /** text_bpe_merges twin: adjacent char pairs within words via
     * list-comprehension unnest; same (count desc, pair asc) total

@@ -2554,4 +2554,297 @@ object ExtQueries {
         expr(s"$budget * w_sqrt DIV __sum_w").as("alloc_tokens"))
       .orderBy(col("source").asc_nulls_first)
   }
+
+  // ===== round 8: delete propagation into stored state artifacts =====
+
+  /** The state-purge roster over a doc corpus: every 89th id (base OR
+    * planted copy — 1000000 ≡ 85 (mod 89), so copies purge on a
+    * different base residue than their originals, exercising canonical
+    * re-election, surviving-copy, and both-purged arms). Stands in for
+    * the received-requests table, like `% 97` does for the layer purge.
+    */
+  private def purgeRule(idCol: String = "doc_id"): Column = col(idCol) % 89 === 0
+
+  private val purgeDigestPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Delete propagation into the stored EXACT-dedup digest state,
+    * committed write-audit-publish: v1 publishes the full-corpus
+    * (digest → canonical) map, the purge reads v1 back THROUGH THE
+    * POINTER (the stored-state path, not an in-memory shortcut),
+    * re-elects canonicals from surviving holders
+    * ([[operators.StatePurge.purgeDigestState]]), publishes v2 with an
+    * audit that independently re-derives the compliance rule against
+    * the read-back rows, then RETIRES the v1 history — old versions
+    * full of purged ids are physically deleted with number-burning
+    * markers ([[operators.Publish.retireHistory]]). Result = the v2
+    * read; oracle = `digestState` recomputed from scratch over the
+    * purged corpus, so the hash match proves re-election loses nothing
+    * and invents nothing vs a full rebuild.
+    */
+  def pipelinePurgeDigestState(s: SparkSession, dir: String): DataFrame = {
+    import operators.{IncrementalDedup, Publish, StatePurge}
+    val all = withExactDups(docs(s, dir))
+    val root = java.nio.file.Files.createTempDirectory("graft_purge_digest").toString
+    val stateAudit: DataFrame => Unit = st => {
+      require(st.filter(col("digest").isNull || col("canonical_id").isNull).isEmpty,
+        "state audit: null digest or canonical_id")
+      require(st.groupBy("digest").count().filter(col("count") > 1).isEmpty,
+        "state audit: digest key not unique")
+    }
+    Publish.publish(IncrementalDedup.digestState(all), root, stateAudit)
+    val v1 = Publish.read(s, root)
+    val roster = all.filter(purgeRule()).select(col("doc_id").as("id"))
+    val survivors = all.filter(!purgeRule())
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    val purgedAudit: DataFrame => Unit = st => {
+      stateAudit(st)
+      // the compliance check re-states the RULE against what landed on
+      // disk — independent of the roster frame the purge consumed
+      require(st.filter(purgeRule("canonical_id")).isEmpty,
+        "purge audit: a roster id survived as canonical_id")
+    }
+    Publish.publish(StatePurge.purgeDigestState(v1, survivors, roster), root, purgedAudit)
+    Publish.retireHistory(root)
+    Option(purgeDigestPrev.getAndSet(root))
+      .foreach(p => deleteTree(java.nio.file.Paths.get(p)))
+    Publish.read(s, root)
+  }
+
+  /** Delete propagation into the stored minhash BAND state, proven by
+    * the operation the state exists for: after purging the corpus
+    * roster out of the band members
+    * ([[operators.StatePurge.purgeBandState]] — member filter +
+    * recomputed counts, bucket-local by band), the NEXT day's batch
+    * runs the usual incremental detector against the purged state.
+    * Oracle = the full-recompute detector over (corpus \ roster) ∪
+    * batch restricted to batch-touching pairs — identical shape to
+    * `pipeline_dedup_incremental`'s gate, so a hash match proves the
+    * purged state behaves exactly like a state rebuilt from the purged
+    * corpus (no pair against a purged doc, no lost pair between
+    * survivors). Precondition (spec-pinned, same as the incremental-
+    * clusters cap rule): no saturated band holds a roster member —
+    * [[operators.StatePurge.affectedSaturatedBands]] is the
+    * re-signature trigger past it.
+    */
+  def pipelinePurgeBandPairs(s: SparkSession, dir: String): DataFrame = {
+    import operators.{IncrementalDedup, StatePurge}
+    val nd = withNearDups(docs(s, dir))
+    val isBatch = col("doc_id") % 7 === 0
+    val state = IncrementalDedup.bandState(minhashBanded(nd.filter(!isBatch)))
+    val roster = nd.filter(!isBatch && purgeRule()).select(col("doc_id").as("id"))
+    val purged = StatePurge.purgeBandState(state, roster)
+    IncrementalDedup.pairsAgainst(purged, minhashBanded(nd.filter(isBatch)))
+  }
+
+  /** Near-dup pairs for an id subset — the re-solve detector
+    * [[pipelinePurgeClusters]] hands to
+    * [[operators.StatePurge.purgeClusters]]: re-signature the subset
+    * (cost ∝ subset) and run the one-shot band detector on it alone.
+    * Equals the global detector restricted to the subset under the
+    * bucket-cap precondition (no band at the cap — spec-pinned).
+    */
+  private def ndPairsAmong(nd: DataFrame)(ids: DataFrame): DataFrame = {
+    import operators.IncrementalDedup
+    val sub = nd.join(broadcast(ids.select(col("id").as("doc_id"))),
+      Seq("doc_id"), "left_semi")
+    val banded = minhashBanded(sub)
+    IncrementalDedup.pairsAgainst(IncrementalDedup.bandState(banded.limit(0)), banded)
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+  }
+
+  /** Delete propagation into stored CLUSTER LABELS — decremental
+    * connected components: purging a doc removes its pairs, which can
+    * SPLIT a component (the purged doc may be the only bridge), so the
+    * maintenance is component-local re-solve, not min-relabeling
+    * ([[operators.StatePurge.purgeClusters]] — untouched components
+    * pass through verbatim, affected ones re-solve over survivors with
+    * re-derived pairs, cost ∝ affected). Oracle = the full re-cluster
+    * over the purged corpus (the `pipeline_dedup_canonical` CTEs with
+    * the roster filtered out), so splits, re-elected minima, and
+    * untouched labels all hash-match a from-scratch rebuild.
+    */
+  def pipelinePurgeClusters(s: SparkSession, dir: String): DataFrame = {
+    import operators.{ConnectedComponents, IncrementalDedup, StatePurge}
+    val nd = withNearDups(docs(s, dir))
+    // "yesterday's stored labels": the converged full-corpus components
+    val banded = minhashBanded(nd)
+    val pairs = IncrementalDedup.pairsAgainst(
+      IncrementalDedup.bandState(banded.limit(0)), banded)
+    val labels = ConnectedComponents.solveAuto(
+      nd.select(col("doc_id").as("id")),
+      pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+    val roster = nd.filter(purgeRule()).select(col("doc_id").as("id"))
+    StatePurge.purgeClusters(labels, roster, ndPairsAmong(nd))
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("component")).as("keep"))
+  }
+
+  private val ivfPurgePrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  /** Delete propagation into the stored IVF index: roster vectors are
+    * dropped from the cid-bucketed assignment lists by a broadcast
+    * LEFT ANTI join and the lists are PHYSICALLY rewritten in the
+    * compact shape (one bucket-keyed shuffle, one file per bucket) —
+    * a purged row must not survive in old parquet files, so the purge
+    * is a rewrite, not a logical filter. Centroids are NOT retrained:
+    * they are aggregate model parameters (no per-subject rows), and
+    * retraining on purge would change every assignment — the drift
+    * metric owns retraining. Oracle = assignment of the purged corpus
+    * under the SAME full-corpus-trained centroids + top-k over
+    * surviving queries, so the hash match proves the purged stored
+    * index equals a rebuild-under-frozen-centroids over the purged
+    * corpus.
+    */
+  def simIvfPurgeTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IvfIndex, KMeans}
+    val all = vecs(s, dir)
+    val vecRule = purgeRule("vec_id")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_prg").toString
+    val tbl = "graft_ivf_prg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored = IvfIndex.build(s, all, k = 8, iterations = 3, tbl, base)
+    val roster = all.filter(vecRule).select(col("vec_id").as("__pid"))
+    val base2 = java.nio.file.Files.createTempDirectory("graft_ivf_prgd").toString
+    val tbl2 = "graft_ivf_prgd_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    s.read.parquet(stored.centroidsPath)
+      .write.mode("overwrite").parquet(s"$base2/centroids")
+    s.table(tbl)
+      .join(broadcast(roster), col("vec_id") === col("__pid"), "left_anti")
+      .repartition(8, pmod(hash(col("cid")), lit(8)))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base2/lists")
+      .bucketBy(8, "cid").sortBy("vec_id").saveAsTable(tbl2)
+    // the unpurged index is dead within this invocation (it still holds
+    // roster rows); the purged one follows the cross-invocation lifecycle
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    deleteTree(java.nio.file.Paths.get(base))
+    retirePrev(ivfPurgePrev, s, tbl2, base2)
+    val centroids = IvfIndex.readCentroids(s, IvfIndex.Stored(tbl2, base2))
+    val lists = s.table(tbl2)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
+    val probes = KMeans.probe(all.filter(col("vec_id") % 25 === 0 && !vecRule),
+        centroids, nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
+    ivfScore(lists, probes)
+  }
+
+  private val purgeStatePrev =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+
+  /** The HEADLINE compliance gate (VERDICT r7 #1): delete propagation
+    * across the stored text-state artifacts — digest→canonical map,
+    * minhash band state, cluster labels — each committed
+    * write-audit-publish (v1 = pre-purge, v2 = purged, history
+    * retired), returning the per-artifact audit a compliance review
+    * signs off on:
+    *   - `n_before` / `n_after`: artifact rows in v1 / published v2
+    *     (both measured from pointer read-backs, not plans);
+    *   - `n_refs_purged`: subject references removed (digest rows
+    *     whose canonical was a roster id; band MEMBER ENTRIES dropped;
+    *     label rows dropped);
+    *   - `n_leaked`: surviving references that satisfy the compliance
+    *     RULE, probed on the published v2 read-back independently of
+    *     the roster frame the purge consumed (the de-tautologized
+    *     check — a roster-derivation bug shows up here);
+    *   - `n_stale_versions`: live version dirs other than the current
+    *     one after [[operators.Publish.retireHistory]] — the
+    *     filesystem probe proving old versions full of purged ids are
+    *     physically gone, not merely superseded.
+    * The oracle recomputes every count from the purged corpus from
+    * scratch (n_stale_versions is pinned 0 — a filesystem fact DuckDB
+    * cannot see; the Spark side measures it by listing the store).
+    * The IVF artifact has its own content-level gate
+    * (`sim_ivf_purge_topk`); StatePurgeSpec greps EVERY stored
+    * artifact — these three plus the IVF lists — for roster ids.
+    */
+  def pipelineDeletePropagateState(s: SparkSession, dir: String): DataFrame = {
+    import operators.{ConnectedComponents, IncrementalDedup, Publish, StatePurge}
+    val roots = Seq("digest", "band", "labels")
+      .map(n => n -> java.nio.file.Files.createTempDirectory(s"graft_prg_$n").toString)
+      .toMap
+
+    // --- digest state ---
+    val all = withExactDups(docs(s, dir))
+    Publish.publish(IncrementalDedup.digestState(all), roots("digest"))
+    val dv1 = Publish.read(s, roots("digest"))
+    val docRoster = all.filter(purgeRule()).select(col("doc_id").as("id"))
+    val survivors = all.filter(!purgeRule())
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    Publish.publish(
+      StatePurge.purgeDigestState(dv1, survivors, docRoster), roots("digest"),
+      st => require(st.filter(purgeRule("canonical_id")).isEmpty,
+        "purge audit: roster id survived as canonical_id"))
+    // v1-side counts BEFORE history retirement physically deletes v1
+    val dBefore = dv1.count()
+    val dRefs = dv1.join(broadcast(docRoster.select(col("id").as("canonical_id"))),
+      Seq("canonical_id"), "left_semi").count()
+    Publish.retireHistory(roots("digest"))
+    val dv2 = Publish.read(s, roots("digest"))
+    val digestRow = (
+      "digest_state", dBefore, dv2.count(), dRefs,
+      dv2.filter(purgeRule("canonical_id")).count(),
+      Publish.staleVersions(roots("digest")).size.toLong)
+
+    // --- band state ---
+    val nd = withNearDups(docs(s, dir))
+    val ndRoster = nd.filter(purgeRule()).select(col("doc_id").as("id"))
+    // the banded frame feeds TWO artifact builds (band state, and the
+    // pair stream behind the cluster labels) — signature it once; the
+    // managed checkpoint stops Catalyst re-running the shingle/minhash
+    // HOF pipeline per consumer (PLANS.md lesson 24). NOTE: eager — the
+    // signature job runs at construction time.
+    graft.operators.Checkpoints.ensure(s.sparkContext)
+    val banded = minhashBanded(nd).checkpoint()
+    Publish.publish(IncrementalDedup.bandState(banded), roots("band"))
+    val bv1 = Publish.read(s, roots("band"))
+    Publish.publish(
+      StatePurge.purgeBandState(bv1, ndRoster), roots("band"),
+      st => require(st.select(explode(col("members")).as("m"))
+          .filter(purgeRule("m.doc_id")).isEmpty,
+        "purge audit: roster id survived in band members"))
+    def memberEntries(st: DataFrame): Long =
+      st.agg(coalesce(sum(size(col("members"))), lit(0)).cast("long")).head().getLong(0)
+    // v1-side counts BEFORE history retirement physically deletes v1
+    val bBefore = bv1.count()
+    val bEntries1 = memberEntries(bv1)
+    Publish.retireHistory(roots("band"))
+    val bv2 = Publish.read(s, roots("band"))
+    val bandRow = (
+      "band_state", bBefore, bv2.count(),
+      bEntries1 - memberEntries(bv2),
+      bv2.select(explode(col("members")).as("m")).filter(purgeRule("m.doc_id")).count(),
+      Publish.staleVersions(roots("band")).size.toLong)
+
+    // --- cluster labels ---
+    val pairs = IncrementalDedup.pairsAgainst(
+      IncrementalDedup.bandState(banded.limit(0)), banded)
+    val labels = ConnectedComponents.solveAuto(
+      nd.select(col("doc_id").as("id")),
+      pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+    Publish.publish(labels, roots("labels"))
+    val lv1 = Publish.read(s, roots("labels"))
+    Publish.publish(
+      StatePurge.purgeClusters(lv1, ndRoster, ndPairsAmong(nd)), roots("labels"),
+      st => require(st.filter(purgeRule("id") || purgeRule("component")).isEmpty,
+        "purge audit: roster id survived in labels"))
+    // v1-side counts BEFORE history retirement physically deletes v1
+    val lBefore = lv1.count()
+    val lRefs = lv1.join(broadcast(ndRoster), Seq("id"), "left_semi").count()
+    Publish.retireHistory(roots("labels"))
+    val lv2 = Publish.read(s, roots("labels"))
+    val labelsRow = (
+      "cluster_labels", lBefore, lv2.count(), lRefs,
+      lv2.filter(purgeRule("id") || purgeRule("component")).count(),
+      Publish.staleVersions(roots("labels")).size.toLong)
+
+    Option(purgeStatePrev.getAndSet(roots.values.toSeq)).foreach(
+      _.foreach(p => deleteTree(java.nio.file.Paths.get(p))))
+    import s.implicits._
+    Seq(digestRow, bandRow, labelsRow)
+      .toDF("artifact", "n_before", "n_after", "n_refs_purged", "n_leaked",
+        "n_stale_versions")
+  }
 }

@@ -198,7 +198,13 @@ object SparkEntry {
     "mix_temperature" -> (ExtQueries.mixTemperature _),
     "sample_diversity_quota" -> (ExtQueries.sampleDiversityQuota _),
     "qa_snapshot_drift" -> (ExtQueries.qaSnapshotDrift _),
-    "pipeline_split_leakage_safe" -> (ExtQueries.pipelineSplitLeakageSafe _)
+    "pipeline_split_leakage_safe" -> (ExtQueries.pipelineSplitLeakageSafe _),
+    // r8: delete propagation into stored state artifacts
+    "pipeline_purge_digest_state" -> (ExtQueries.pipelinePurgeDigestState _),
+    "pipeline_purge_band_pairs" -> (ExtQueries.pipelinePurgeBandPairs _),
+    "pipeline_purge_clusters" -> (ExtQueries.pipelinePurgeClusters _),
+    "sim_ivf_purge_topk" -> (ExtQueries.simIvfPurgeTopK _),
+    "pipeline_delete_propagate_state" -> (ExtQueries.pipelineDeletePropagateState _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -253,7 +259,12 @@ object SparkEntry {
     // diversity-quota curation, snapshot drift QA
     "pipeline_delete_propagate", "pipeline_shuffle_deterministic",
     "mix_temperature", "sample_diversity_quota", "qa_snapshot_drift",
-    "pipeline_split_leakage_safe")
+    "pipeline_split_leakage_safe",
+    // driver r8: delete propagation into stored state (the headline WAP
+    // audit plus the purged-IVF query path; the three per-artifact
+    // content gates exercise the same builds and stay correctness-only
+    // — see the bench-coverage policy in BASELINE.md)
+    "pipeline_delete_propagate_state", "sim_ivf_purge_topk")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1312,6 +1323,14 @@ object SparkEntry {
     "pipeline_dedup_published" -> ExtOracleSql.pipelineDedupIncremental,
     "pipeline_dedup_exact_incremental" -> ExtOracleSql.pipelineDedupExactIncremental,
     "pipeline_state_publish" -> ExtOracleSql.pipelineStatePublish,
+    // r8 state purges: every twin is the full recompute over the purged
+    // corpus — the incremental purge must lose nothing and invent
+    // nothing relative to a from-scratch rebuild
+    "pipeline_purge_digest_state" -> ExtOracleSql.pipelinePurgeDigestState,
+    "pipeline_purge_band_pairs" -> ExtOracleSql.pipelinePurgeBandPairs,
+    "pipeline_purge_clusters" -> ExtOracleSql.pipelinePurgeClusters,
+    "sim_ivf_purge_topk" -> ExtOracleSql.simIvfPurgeTopK,
+    "pipeline_delete_propagate_state" -> ExtOracleSql.pipelineDeletePropagateState,
     "streaming_dedup_bands" -> ExtOracleSql.streamingDedupBands,
     // incremental merge must equal the full re-cluster — canonical's
     // oracle verbatim by the quotient-graph argument

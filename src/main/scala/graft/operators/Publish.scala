@@ -110,6 +110,68 @@ object Publish {
     version
   }
 
+  /** COMPLIANCE HISTORY RETIREMENT: physically delete every version
+    * except the currently published one, leaving a `v<N>.purged`
+    * marker file per retired version so the number stays burned in the
+    * max+1 scan. This answers the old-version retention question a
+    * purge raises: the WAP history normally keeps old versions forever
+    * (immutability is the crash contract), but once a purge publishes
+    * a roster-free version, every OLDER version still CONTAINS the
+    * purged ids — compliance requires the history be physically
+    * rewritten, not just superseded. Tombstone-with-marker keeps the
+    * naming invariant (a version name never refers to two contents)
+    * while removing the data; `v<N>.failed` tombstones are retired the
+    * same way (a failed write may still hold purged rows on disk).
+    *
+    * Returns the retired version names. The current version and the
+    * pointer are untouched; a crash mid-retirement leaves some old
+    * versions live — re-running is idempotent and completes the purge.
+    */
+  def retireHistory(rootPath: String): Seq[String] = {
+    val r = root(rootPath)
+    val current = currentVersion(rootPath)
+    if (!java.nio.file.Files.isDirectory(r)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(r)
+      val names =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.matches("v\\d+(\\.failed)?") && !current.contains(n))
+            .toSeq
+        } finally s.close()
+      names.sorted.map { n =>
+        val dir = r.resolve(n)
+        if (java.nio.file.Files.isDirectory(dir)) Checkpoints.deleteTree(dir)
+        else java.nio.file.Files.deleteIfExists(dir)
+        val marker = r.resolve(s"${n.stripSuffix(".failed")}.purged")
+        if (!java.nio.file.Files.exists(marker))
+          java.nio.file.Files.createFile(marker)
+        n
+      }
+    }
+  }
+
+  /** Live (readable-by-name) versions other than the current one —
+    * the compliance audit's probe for un-retired history: after
+    * [[retireHistory]] this must be empty, and a purge audit that
+    * reports otherwise has found data the purge missed.
+    */
+  def staleVersions(rootPath: String): Seq[String] = {
+    val r = root(rootPath)
+    val current = currentVersion(rootPath)
+    if (!java.nio.file.Files.isDirectory(r)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(r)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.matches("v\\d+(\\.failed)?") && !current.contains(n))
+          .toSeq.sorted
+      } finally s.close()
+    }
+  }
+
   /** The published state — resolved ONLY through the pointer, so an
     * unpublished (crashed or audit-failed) version is unreachable.
     */
