@@ -1828,6 +1828,41 @@ object ExtOracleSql {
        |  CAST(0 AS BIGINT),
        |  CAST(0 AS BIGINT)""".stripMargin
 
+  /** One unrolled BPE training round: count adjacent symbol pairs of
+    * the round-(r-1) corpus, pick the argmax (count desc, a asc, b asc
+    * — ties to the lexicographically smallest pair), and build the
+    * round-r corpus by applying that DATA-DRIVEN merge (the pattern is
+    * read from the argmax row via a cross join, not a literal — the
+    * same way the k-means unroll reads c{i-1}).
+    */
+  private def bpeTrainRound(r: Int): String =
+    s"""p$r AS (
+       |  SELECT pr.a AS a, pr.b AS b, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT unnest([{'a': t[i], 'b': t[i+1]} for i in range(1, len(t))]) AS pr
+       |    FROM (SELECT string_split(trim(s), ' ') AS t FROM w${r - 1}))
+       |  GROUP BY pr.a, pr.b),
+       |m$r AS (SELECT a, b, n FROM p$r
+       |        ORDER BY n DESC, a ASC NULLS FIRST, b ASC NULLS FIRST LIMIT 1),
+       |w$r AS (SELECT replace(s, ' ' || m.a || ' ' || m.b, ' ' || m.a || m.b) AS s
+       |        FROM w${r - 1} CROSS JOIN m$r m)""".stripMargin
+
+  /** text_bpe_train twin: the full 10-round training loop unrolled —
+    * each round's merge pattern comes from the previous rounds' argmax
+    * rows, so the chain is data-driven end to end; iterative replace on
+    * w{r-1} equals the Spark side's full-chain re-encode of the raw
+    * word because sequential replaces compose.
+    */
+  val textBpeTrain: String =
+    s"""WITH w0 AS (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2),
+       |${(1 to 10).map(bpeTrainRound).mkString(",\n")}
+       |${(1 to 10).map(r =>
+           s"SELECT CAST($r AS BIGINT) AS rank, a, b, n FROM m$r")
+         .mkString("\nUNION ALL\n")}""".stripMargin
+
   /** text_bpe_merges twin: adjacent char pairs within words via
     * list-comprehension unnest; same (count desc, pair asc) total
     * order.

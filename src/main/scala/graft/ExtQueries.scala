@@ -1719,6 +1719,37 @@ object ExtQueries {
       .orderBy(col("n").desc_nulls_last, col("pair").asc_nulls_first)
       .limit(20)
 
+  /** The full iterated BPE TRAINING loop ([[operators.BpeTrainer]] —
+    * the piece [[textBpeMerges]]' single counting round lacked): 10
+    * rounds of apply-merges-so-far → recount → adopt-argmax over the
+    * documents corpus, emitting the learned table (rank, a, b, n).
+    * Later rounds consume earlier rounds' outputs (the corpus learns
+    * `m`+`er` only after `e`+`r` merged), so the gate proves the whole
+    * data-driven loop, not 10 independent counts. Oracle = the same 10
+    * rounds as UNROLLED DuckDB CTEs whose per-round merge pattern is
+    * read from the previous round's argmax row (a data-driven chain,
+    * like the k-means/PageRank unrolls). The shipped
+    * [[graft.functions.TextFunctions.BpeMerges]] fixture is this
+    * trainer's output at the sf0.01 corpus (spec-asserted).
+    *
+    * Scale shape: per round one map-side-combined pair count + a 1-row
+    * driver pull (the KMeans.fit contract); the word-occurrence frame
+    * is checkpointed once and re-read by all 10 rounds. NOTE: eager —
+    * training runs at DataFrame-construction time.
+    */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Checkpoints.ensure(s.sparkContext)
+    val words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .checkpoint()
+    val learned = graft.operators.BpeTrainer.train(words, rounds = 10)
+    import s.implicits._
+    learned.zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1L, a, b, n) }
+      .toDF("rank", "a", "b", "n")
+  }
+
   /** Corpus + deterministically perturbed copies of every 10th vector —
     * the planted near-dup fixture shared by [[dedupEmbeddingCosine]] and
     * [[dedupSemantic]] (index-patterned additive noise; cosine is

@@ -129,6 +129,7 @@ object SparkEntry {
     "streaming_dedup_bands_stateful" -> (ExtQueries.streamingDedupBandsStateful _),
     "streaming_dedup_bands_tws" -> (ExtQueries.streamingDedupBandsTws _),
     "text_bpe_merges" -> (ExtQueries.textBpeMerges _),
+    "text_bpe_train" -> (ExtQueries.textBpeTrain _),
     "text_bpe_encode" -> (ExtQueries.textBpeEncode _),
     "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
@@ -264,7 +265,8 @@ object SparkEntry {
     // audit plus the purged-IVF query path; the three per-artifact
     // content gates exercise the same builds and stay correctness-only
     // — see the bench-coverage policy in BASELINE.md)
-    "pipeline_delete_propagate_state", "sim_ivf_purge_topk")
+    "pipeline_delete_propagate_state", "sim_ivf_purge_topk",
+    "text_bpe_train")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1341,6 +1343,9 @@ object SparkEntry {
     // transformWithState migration equivalence, proven not assumed
     "streaming_dedup_bands_tws" -> ExtOracleSql.streamingDedupBandsStateful,
     "text_bpe_merges" -> ExtOracleSql.textBpeMerges,
+    // the learned 10-round table must equal the unrolled data-driven
+    // training chain, not just one count
+    "text_bpe_train" -> ExtOracleSql.textBpeTrain,
     "text_bpe_encode" -> ExtOracleSql.textBpeEncode,
     "pack_sequences_bpe" -> ExtOracleSql.packSequencesBpe,
 

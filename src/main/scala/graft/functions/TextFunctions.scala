@@ -146,13 +146,24 @@ object TextFunctions {
     * later rank's `b` as a proper prefix), checked once at class load
     * for [[BpeMerges]].
     */
-  def bpeEncodeWord(w: Column): Column = {
-    val spaced = concat(lit(" "), array_join(split(w, ""), " "))
-    val merged = BpeMerges.foldLeft(spaced) { case (s, (a, b)) =>
+  def bpeEncodeWord(w: Column): Column =
+    split(ltrim(bpeApplyMerges(bpeSpacedWord(w), BpeMerges)), " ")
+
+  /** A word as its leading-separator symbol string `" c1 c2 …"` — the
+    * replace-chain encoding's working form (see [[bpeEncodeWord]]).
+    */
+  def bpeSpacedWord(w: Column): Column =
+    concat(lit(" "), array_join(split(w, ""), " "))
+
+  /** Apply a merge table (rank order) to a leading-separator symbol
+    * string — the parameterized core of [[bpeEncodeWord]], shared with
+    * the TRAINER ([[graft.operators.BpeTrainer]]), which applies the
+    * table learned so far before each counting round.
+    */
+  def bpeApplyMerges(spaced: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(spaced) { case (s, (a, b)) =>
       call_function("replace", s, lit(s" $a $b"), lit(s" $a$b"))
     }
-    split(ltrim(merged), " ")
-  }
 
   /** Whole-document BPE token stream: per-word encode, word order
     * preserved, flattened — pure per-row HOF work, no shuffle.

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** ITERATED BPE tokenizer training (Sennrich et al. 2016) — the loop
+  * that was missing around `text_bpe_merges`' single counting round
+  * (VERDICT r7 #3): per round, apply the merge table learned SO FAR to
+  * every word occurrence, count adjacent SYMBOL pairs over the
+  * partially-merged corpus, and adopt the most frequent pair (ties →
+  * lexicographically smallest (a, b)) as the next merge. After round 1
+  * the symbols are no longer single characters, so later rounds merge
+  * the OUTPUTS of earlier ones — real multi-level BPE, which is
+  * exactly how ranks 6 (`m`+`er`) and 10 (`p`+`ar`) of the shipped
+  * [[TextFunctions.BpeMerges]] table arose.
+  *
+  * Scale shape — the same driver-loop contract as [[KMeans.fit]]: each
+  * round is ONE map-side-combined pair count over the corpus (the pair
+  * alphabet ≪ the pair stream, so partial aggregation collapses it
+  * executor-side) followed by a ONE-ROW argmax pull to the driver; the
+  * merge table itself is the only driver state (rounds × 2 strings).
+  * The per-round encode is the [[TextFunctions.bpeApplyMerges]]
+  * replace chain — per-row codegen'd string work, no shuffle, no UDF.
+  *
+  * Exactness: the replace-chain encode is exact only under the
+  * [[TextFunctions.validateMerges]] right-prefix-free precondition.
+  * Every prefix of a valid table is valid (the check is per rank over
+  * EARLIER ranks), so the training rounds are self-consistent; the
+  * caller validates the FINAL learned table — a corpus whose
+  * statistics pick a violating pair fails loudly rather than silently
+  * training against a drifted encoder.
+  */
+object BpeTrainer {
+
+  /** Train `rounds` merges over a corpus of word OCCURRENCES (one row
+    * per occurrence, column `w`). Returns (a, b, pairCount) in rank
+    * order, where pairCount is the winning pair's frequency in the
+    * round it was adopted.
+    */
+  def train(words: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
+    var merges = Vector.empty[(String, String)]
+    var learned = Vector.empty[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val toks = split(ltrim(TextFunctions.bpeApplyMerges(
+        TextFunctions.bpeSpacedWord(col("w")), merges)), " ")
+      // adjacent-symbol pairs of the partially-merged word; single-token
+      // words contribute nothing (guard: Spark's sequence(1, 0) would
+      // DESCEND, not empty out)
+      val pairs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top = words.select(explode(pairs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc_nulls_last,
+          col("a").asc_nulls_first, col("b").asc_nulls_first)
+        .limit(1)
+        .collect()
+      require(top.nonEmpty, s"BPE training round ${merges.length + 1}: no pairs left")
+      val r = top.head
+      merges :+= ((r.getString(0), r.getString(1)))
+      learned :+= ((r.getString(0), r.getString(1), r.getLong(2)))
+    }
+    TextFunctions.validateMerges(merges)
+    learned
+  }
+}
