@@ -123,8 +123,12 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, line + "\n")
       // committable twin at the repo root (target/ is build-tool scratch)
-      java.nio.file.Files.writeString(
-        repoRoot.resolve("bench_last.json"), line + "\n")
+      // — but ONLY for a FULL run: a SPARK_GRAFT_BENCH_ONLY iteration
+      // loop must not overwrite the tracked full-suite artifact with a
+      // two-query subset (the partial line still lands in target/)
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
+        java.nio.file.Files.writeString(
+          repoRoot.resolve("bench_last.json"), line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist bench_last.json: $e")
     }

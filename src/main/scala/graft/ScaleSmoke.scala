@@ -152,6 +152,50 @@ object ScaleSmoke {
       graft.operators.IvfIndex.drift(s.table(st.listsTable))
     }
 
+    // driver r8 (VERDICT r7 #4): ADVERSARIAL fixtures for the r7
+    // curation ops, in a sibling dir so the historical 10× rows keep
+    // their fixture unchanged.
+    //  - events: 10 copies (distinct event_ids, same users) plus a HOT
+    //    ROSTER KEY — one in-roster user (9700 = 97·100) owning an
+    //    eleventh copy's worth of rows (~9% of the table). The purge
+    //    path must stay balanced because it never shuffles on user_id:
+    //    the roster broadcasts and the audit is map-side counts.
+    //  - documents: the 10× corpus plus ONE DOMINANT CLUSTER — 400
+    //    near-copies of a single doc (just under Buckets.DefaultCap, the
+    //    worst bucket the cap admits), so the split op's pair expansion
+    //    and component solve see a C(400,2)-pair cluster.
+    //  - embeddings: the 10× corpus plus ONE DOMINANT CELL — 50k
+    //    vectors in a tight blob around one base vector, so ~1/3 of the
+    //    corpus lands in a single k-means cell and the per-cell quota
+    //    window must be saved by its partial limit (WindowGroupLimit /
+    //    TopKPerKey), not by data balance.
+    val adv = s"$work/adv"
+    val ev = sources.Tables.load(spark, "/root/testdata/sf0.1", "events")
+    (0 until copies).map { c =>
+      ev.withColumn("event_id", col("event_id") + lit(c * 100000000L))
+    }.reduce(_.unionByName(_))
+      .unionByName(ev
+        .withColumn("event_id", col("event_id") + lit(copies * 100000000L))
+        .withColumn("user_id", lit(9700L)))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$adv/events.parquet")
+    val oneDoc = base.orderBy("doc_id").limit(1)
+    spark.read.parquet(s"$work/documents.parquet")
+      .unionByName(oneDoc.crossJoin(spark.range(1, 401).toDF("i"))
+        .select((lit(90000000L) + col("i")).as("doc_id"),
+          concat(col("text"), lit(" domtoken"), col("i")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$adv/documents.parquet")
+    val oneVec = emb.orderBy("vec_id").limit(1)
+    spark.read.parquet(s"$work/embeddings.parquet")
+      .unionByName(oneVec.crossJoin(spark.range(1, 50001).toDF("i"))
+        .select((lit(90000000L) + col("i")).as("vec_id"),
+          transform(col("embedding"),
+            x => x + (col("i") % 100).cast("float") * lit(0.0001f)).as("embedding")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$adv/embeddings.parquet")
+
     val queries = Seq(
       "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
       // round 7: the scale-safe composition — candidates from LSH bands,
@@ -199,7 +243,16 @@ object ScaleSmoke {
       // its final suffix token), so nearly every segment is cut and
       // the reassembly groupBy runs at full width; the digest window
       // must stay balanced with duplicate groups ~10 deep
-      "text_segment_dedup" -> (ExtQueries.textSegmentDedup _))
+      "text_segment_dedup" -> (ExtQueries.textSegmentDedup _),
+      // driver r8: the r7 curation ops at their adversarial fixtures
+      // (hot roster key / dominant cluster / dominant cell — see the
+      // fixture construction above). All three read the `adv` dir.
+      "delete_propagate_hot_roster_key" ->
+        ((s: SparkSession, _: String) => ExtQueries.pipelineDeletePropagate(s, adv)),
+      "split_leakage_dominant_cluster" ->
+        ((s: SparkSession, _: String) => ExtQueries.pipelineSplitLeakageSafe(s, adv)),
+      "diversity_quota_dominant_cell" ->
+        ((s: SparkSession, _: String) => ExtQueries.sampleDiversityQuota(s, adv)))
 
     // SPARK_GRAFT_SMOKE_ONLY=q1,q2 restricts the run (local iteration)
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

@@ -244,6 +244,33 @@ class Round9OpsSpec extends SparkSpec {
       "planted copies must match on ALL sampled frames")
   }
 
+  test("stored video frame-phash fixture == fresh render; distinct corpora keyed apart") {
+    import operators.Multimodal
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .filter($"doc_id" % 25 === 0)
+      .select($"doc_id", $"text", lit(0).as("shift"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"frame_idx", $"phash")
+      .as[(Long, Int, String)].collect().toSet
+    val fresh = asSet(Multimodal.videoFramePhashes(
+      Multimodal.packTexturedVideo(docs)).toDF())
+    val stored = asSet(Multimodal.storedVideoFramePhashes(docs))
+    assert(stored == fresh, "stored fixture diverged from a fresh render")
+    // second call must serve the SAME rows from the cache files
+    assert(asSet(Multimodal.storedVideoFramePhashes(docs)) == fresh)
+    // a different input corpus (the round-6 drift class is any content
+    // change under the same path) must key to a DIFFERENT cache and
+    // serve ITS OWN render, not the stale one
+    val docs2 = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .filter($"doc_id" % 25 === 1)
+      .select($"doc_id", $"text", lit(0).as("shift"))
+    val fresh2 = asSet(Multimodal.videoFramePhashes(
+      Multimodal.packTexturedVideo(docs2)).toDF())
+    val stored2 = asSet(Multimodal.storedVideoFramePhashes(docs2))
+    assert(fresh2 != fresh, "fixture corpora must differ for the key test to bite")
+    assert(stored2 == fresh2, "changed corpus was served a stale cache")
+  }
+
   test("phash incremental/streaming: straddling planted pairs found, streaming ⊆ incremental") {
     val inc = ExtQueries.pipelineDedupImageIncremental(spark, sfSmoke)
       .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect().toSet
