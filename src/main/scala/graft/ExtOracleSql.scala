@@ -1973,4 +1973,63 @@ object ExtOracleSql {
        |FROM blocks a JOIN blocks b ON a.band = b.band AND a.id < b.id
        |JOIN bc ON a.band = bc.band
        |WHERE ${cosine("a.vec", "b.vec")} >= 0.95""".stripMargin
+
+  /** pipeline_classifier_centroid twin: the exact ×10⁶ fixed-point
+    * Rocchio trainer replayed in SQL — bag-of-lexicon-word counts,
+    * argmax-rule labels, train-split class sums, w = μ₊ − μ₋ and the
+    * midpoint threshold, all in truncating integer arithmetic
+    * (`//` here ≡ engine `DIV`). Generated from the SAME
+    * [[ExtQueries.langLexicon]] the engine trains from.
+    */
+  val classifierCentroid: String = {
+    val lexWords = ExtQueries.langLexicon.map(_._1)
+    val langs = ExtQueries.langLexicon.map(_._2).distinct.sorted
+    val idx = lexWords.indices
+    val byLang = ExtQueries.langLexicon.zipWithIndex.groupMap(_._1._2)(_._2)
+    def langSum(l: String) = byLang(l).map(i => s"x$i").mkString(" + ")
+    val gm = s"greatest(${langs.map(l => s"(${langSum(l)})").mkString(", ")})"
+    val cnts = idx.map(j =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w = '${lexWords(j)}')) AS BIGINT) AS x$j")
+      .mkString(",\n    ")
+    val spsn = idx.map(j =>
+      s"CAST(SUM(CASE WHEN label = 1 THEN x$j ELSE 0 END) AS BIGINT) AS sp$j, " +
+        s"CAST(SUM(CASE WHEN label = -1 THEN x$j ELSE 0 END) AS BIGINT) AS sn$j")
+      .mkString(",\n    ")
+    val mus = idx.map(j => s"(sp$j * 1000000 // np) AS mp$j, (sn$j * 1000000 // nn) AS mn$j")
+      .mkString(",\n    ")
+    val ws = idx.map(j => s"(mp$j - mn$j) AS w$j").mkString(",\n    ")
+    val bExpr = idx.map(j => s"(mp$j - mn$j) * (mp$j + mn$j)").mkString(" + ")
+    val score = idx.map(j => s"w$j * x$j").mkString(" + ")
+    s"""WITH fx AS (
+       |  SELECT doc_id,
+       |    $cnts
+       |  FROM documents
+       |), f AS (
+       |  SELECT *,
+       |    CASE WHEN (${langSum("en")}) = $gm AND (${langSum("de")}) < $gm
+       |      THEN 1 ELSE -1 END AS label
+       |  FROM fx
+       |), st AS (
+       |  SELECT
+       |    GREATEST(CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT), 1) AS np,
+       |    GREATEST(CAST(SUM(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS BIGINT), 1) AS nn,
+       |    $spsn
+       |  FROM f WHERE doc_id % 10 <> 0
+       |), mu AS (
+       |  SELECT
+       |    $mus
+       |  FROM st
+       |), wv AS (
+       |  SELECT
+       |    $ws,
+       |    CAST($bExpr AS BIGINT) AS b
+       |  FROM mu
+       |)
+       |SELECT f.doc_id, CAST(f.label AS BIGINT) AS label,
+       |  CASE WHEN f.doc_id % 10 <> 0 THEN 'train' ELSE 'test' END AS split,
+       |  CAST(2 * ($score) * 1000000 - b AS BIGINT) AS margin,
+       |  CAST(CASE WHEN 2 * ($score) * 1000000 - b > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |  (CASE WHEN 2 * ($score) * 1000000 - b > 0 THEN 1 ELSE -1 END) = f.label AS correct
+       |FROM f, wv""".stripMargin
+  }
 }

@@ -182,7 +182,7 @@ object ScaleSmoke {
     val oneDoc = base.orderBy("doc_id").limit(1)
     spark.read.parquet(s"$work/documents.parquet")
       .unionByName(oneDoc.crossJoin(spark.range(1, 401).toDF("i"))
-        .select((lit(90000000L) + col("i")).as("doc_id"),
+        .select((lit(900000000L) + col("i")).as("doc_id"),
           concat(col("text"), lit(" domtoken"), col("i")).as("text"),
           col("lang"), col("source"), col("n_chars")))
       .repartition(32)
@@ -190,7 +190,7 @@ object ScaleSmoke {
     val oneVec = emb.orderBy("vec_id").limit(1)
     spark.read.parquet(s"$work/embeddings.parquet")
       .unionByName(oneVec.crossJoin(spark.range(1, 50001).toDF("i"))
-        .select((lit(90000000L) + col("i")).as("vec_id"),
+        .select((lit(900000000L) + col("i")).as("vec_id"),
           transform(col("embedding"),
             x => x + (col("i") % 100).cast("float") * lit(0.0001f)).as("embedding")))
       .repartition(32)

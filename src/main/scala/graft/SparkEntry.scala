@@ -205,7 +205,9 @@ object SparkEntry {
     "pipeline_purge_band_pairs" -> (ExtQueries.pipelinePurgeBandPairs _),
     "pipeline_purge_clusters" -> (ExtQueries.pipelinePurgeClusters _),
     "sim_ivf_purge_topk" -> (ExtQueries.simIvfPurgeTopK _),
-    "pipeline_delete_propagate_state" -> (ExtQueries.pipelineDeletePropagateState _)
+    "pipeline_delete_propagate_state" -> (ExtQueries.pipelineDeletePropagateState _),
+    // driver r8: trained classifier (rule distillation, one-pass Rocchio)
+    "pipeline_classifier_centroid" -> (ExtQueries.pipelineClassifierCentroid _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -266,7 +268,10 @@ object SparkEntry {
     // content gates exercise the same builds and stay correctness-only
     // — see the bench-coverage policy in BASELINE.md)
     "pipeline_delete_propagate_state", "sim_ivf_purge_topk",
-    "text_bpe_train")
+    "text_bpe_train",
+    // driver r8: the trained-classifier family head (one corpus scan to
+    // train + one to score; the timing shows the closed-form shape)
+    "pipeline_classifier_centroid")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1333,6 +1338,7 @@ object SparkEntry {
     "pipeline_purge_clusters" -> ExtOracleSql.pipelinePurgeClusters,
     "sim_ivf_purge_topk" -> ExtOracleSql.simIvfPurgeTopK,
     "pipeline_delete_propagate_state" -> ExtOracleSql.pipelineDeletePropagateState,
+    "pipeline_classifier_centroid" -> ExtOracleSql.classifierCentroid,
     "streaming_dedup_bands" -> ExtOracleSql.streamingDedupBands,
     // incremental merge must equal the full re-cluster — canonical's
     // oracle verbatim by the quotient-graph argument
