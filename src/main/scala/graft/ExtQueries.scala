@@ -2345,6 +2345,13 @@ object ExtQueries {
   def streamingDedupEvents(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingDedupEvents(s, dir)
 
+  /** In-flight compliance purge: the stream filtered against the delete
+    * roster before any state/sink, audited per event_type — the
+    * streaming face of [[pipelineDeletePropagate]].
+    */
+  def streamingDeletePropagate(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingDeletePropagate(s, dir)
+
   /** Stateful streaming sessionization (flatMapGroupsWithState) — must
     * equal the batch window-function sessionization.
     */

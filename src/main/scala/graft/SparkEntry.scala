@@ -194,6 +194,7 @@ object SparkEntry {
     "streaming_latest_contact" -> (ExtQueries.streamingLatestContact _),
     "streaming_interval_join" -> (ExtQueries.streamingIntervalJoin _),
     "streaming_interval_join_outer" -> (ExtQueries.streamingIntervalJoinOuter _),
+    "streaming_delete_propagate" -> (ExtQueries.streamingDeletePropagate _),
     "pipeline_delete_propagate" -> (ExtQueries.pipelineDeletePropagate _),
     "pipeline_shuffle_deterministic" -> (ExtQueries.pipelineShuffleDeterministic _),
     "mix_temperature" -> (ExtQueries.mixTemperature _),
@@ -1447,6 +1448,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // the in-flight purge must equal the batch purge of the same layer;
+    // n_leaked re-derives the rule (not the roster) on both sides
+    "streaming_delete_propagate" ->
+      """SELECT event_type, COUNT(*) AS n_after,
+        |  COUNT(CASE WHEN user_id % 97 = 0 THEN 1 END) AS n_leaked
+        |FROM events
+        |WHERE user_id NOT IN (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+        |GROUP BY 1""".stripMargin,
 
     "streaming_dedup_events" ->
       """SELECT event_id, user_id, event_type,

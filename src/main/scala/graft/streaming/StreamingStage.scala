@@ -432,6 +432,41 @@ object StreamingStage {
     runToTable(agg, "streaming_enrich_static", "complete")
   }
 
+  /** IN-FLIGHT compliance purge (the streaming face of
+    * `pipeline_delete_propagate`): the event stream is filtered against
+    * the delete roster BEFORE any downstream state or sink sees it, so
+    * a purge request takes effect for in-flight data immediately, not
+    * at the next batch rewrite. The roster is the static side (in
+    * production: the received-requests table; here derived from the
+    * batch events table by the same `% 97` stand-in rule), broadcast
+    * into the stream as a left join + null filter — stream–static LEFT
+    * ANTI is not a supported join type, but left_outer + IS NULL is,
+    * and it compiles to the same broadcast probe with zero streaming
+    * state. The audit output is per-event-type surviving counts plus
+    * `n_leaked` re-derived from the compliance RULE itself (not the
+    * roster frame — the same de-tautologized check as the batch op),
+    * so a roster/rule divergence shows up as a nonzero column.
+    *
+    * Scale: no user-keyed shuffle anywhere on the stream side (the
+    * roster broadcasts; the audit groupBy is map-side combined over
+    * |event_type| groups) and no state store beyond the complete-mode
+    * aggregate's |event_type| rows.
+    */
+  def streamingDeletePropagate(spark: SparkSession, dir: String): DataFrame = {
+    val roster = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") % 97 === 0)
+      .withColumn("__hit", lit(1))
+    val survivors = eventsStream(spark, dir)
+      .join(broadcast(roster), Seq("user_id"), "left_outer")
+      .filter(col("__hit").isNull)
+    val audit = survivors
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_after"),
+        count(when(col("user_id") % 97 === 0, lit(1))).as("n_leaked"))
+    runToTable(audit, "streaming_delete_propagate", "complete")
+  }
+
   /** Stream–stream interval join (click → purchase attribution): each
     * click joined to the same user's purchases within the following 6
     * hours. Both sides carry watermarks AND the join condition bounds

@@ -16,6 +16,24 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("in-flight purge equals the batch purge; nothing leaks; non-vacuous") {
+    val streamed = StreamingStage.streamingDeletePropagate(spark, sfSmoke)
+      .as[(String, Long, Long)].collect().toSet
+    // batch twin over the same layer: surviving (non-roster) events
+    val ev = sources.Tables.events(spark, sfSmoke)
+    val batch = ev.filter(col("user_id") % 97 =!= 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_after"),
+        count(when(col("user_id") % 97 === 0, lit(1))).as("n_leaked"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.forall(_._3 == 0L), s"purged stream leaked roster rows: $streamed")
+    // non-vacuity: the roster must actually remove rows at this SF
+    val total = ev.count()
+    val after = streamed.toSeq.map(_._2).sum
+    assert(after < total, "purge removed nothing — the fixture lost its roster users")
+  }
+
   test("streaming dedup of a doubled stream equals the base table") {
     val deduped = StreamingStage.streamingDedupEvents(spark, sfSmoke)
     val base = sources.Tables.events(spark, sfSmoke)
