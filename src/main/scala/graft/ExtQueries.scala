@@ -871,6 +871,39 @@ object ExtQueries {
         col("n_tokens"))
   }
 
+  /** Chunk-then-pack: the long-document path to context-window batch
+    * assembly. Documents longer than the window are first split into
+    * overlapping word-window chunks (the [[textChunks]] geometry), then
+    * the CHUNKS are packed into token-budget bins with the same
+    * digest-grouped parallel packing as [[packSequences]] — each output
+    * row keeps its (doc_id, chunk_idx) provenance and an
+    * `is_continuation` flag, which is exactly what the training loader
+    * needs to reset attention masks at document boundaries and mark
+    * continuation segments inside a packed bin (the GPT-style
+    * pack-with-boundaries recipe). Scale: chunking is a map-side
+    * explode (no shuffle, ∝ 1/stride amplification); packing adds the
+    * single 16-way pack_group window shuffle — identical cost shape to
+    * the doc-level packer it composes with.
+    */
+  def packChunkedSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val base = chunked(docs(s, dir)).select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("cwords")).cast("long").as("n_chunk_words"),
+        md5(array_join(col("cwords"), " ").cast("binary")).as("digest"))
+      .withColumn("pack_group", conv(substring(col("digest"), 1, 1), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("pack_group"))
+      .orderBy(col("digest").asc_nulls_first, col("doc_id").asc_nulls_first,
+        col("chunk_idx").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("cum_before", coalesce(sum(col("n_chunk_words")).over(w), lit(0L)))
+      .select(col("doc_id"), col("chunk_idx"), col("pack_group"),
+        floor(col("cum_before") / budget).cast("long").as("pack_bin"),
+        col("n_chunk_words"),
+        (col("chunk_idx") > 0).as("is_continuation"))
+  }
+
   /** Weighted epoch mix: replicate each document `weight` times (weight
     * = deterministic per-source policy here; production supplies a mix
     * table) with an explicit copy index — the upsampling step that turns

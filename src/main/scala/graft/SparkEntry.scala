@@ -157,6 +157,7 @@ object SparkEntry {
     "sample_source_quota" -> (ExtQueries.sampleSourceQuota _),
     "pack_sequences" -> (ExtQueries.packSequences _),
     "pack_sequences_bpe" -> (ExtQueries.packSequencesBpe _),
+    "pack_chunked_sequences" -> (ExtQueries.packChunkedSequences _),
     "mix_upsample" -> (ExtQueries.mixUpsample _),
     "pipeline_prepare_corpus" -> (ExtQueries.pipelinePrepareCorpus _),
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
@@ -271,8 +272,10 @@ object SparkEntry {
     "pipeline_delete_propagate_state", "sim_ivf_purge_topk",
     "text_bpe_train",
     // driver r8: the trained-classifier family head (one corpus scan to
-    // train + one to score; the timing shows the closed-form shape)
-    "pipeline_classifier_centroid")
+    // train + one to score; the timing shows the closed-form shape) and
+    // the chunk-then-pack composite (chunk explode + pack window — new
+    // work beyond the benched doc-level packer)
+    "pipeline_classifier_centroid", "pack_chunked_sequences")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1244,6 +1247,25 @@ object SparkEntry {
         |      md5(text) AS digest,
         |      CAST(('0x' || substr(md5(text), 1, 1))::UBIGINT AS BIGINT) AS pack_group
         |    FROM documents))""".stripMargin,
+
+    "pack_chunked_sequences" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |ch AS (SELECT doc_id, unnest(range(0, ((len(words) - 1) // 16) + 1)) AS chunk_idx, words
+        |       FROM w),
+        |c AS (SELECT doc_id, chunk_idx,
+        |  CAST(len(words[chunk_idx * 16 + 1 : chunk_idx * 16 + 32]) AS BIGINT) AS n_chunk_words,
+        |  md5(array_to_string(words[chunk_idx * 16 + 1 : chunk_idx * 16 + 32], ' ')) AS digest
+        |  FROM ch),
+        |b AS (SELECT *, CAST(('0x' || substr(digest, 1, 1))::UBIGINT AS BIGINT) AS pack_group
+        |      FROM c)
+        |SELECT doc_id, chunk_idx, pack_group,
+        |  CAST(floor(cum_before / 512) AS BIGINT) AS pack_bin,
+        |  n_chunk_words, chunk_idx > 0 AS is_continuation
+        |FROM (
+        |  SELECT *, COALESCE(SUM(n_chunk_words) OVER (PARTITION BY pack_group
+        |    ORDER BY digest ASC NULLS FIRST, doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM b)""".stripMargin,
 
     // composed corpus prep: quality rules -> exact dedup -> benchmark
     // exclusion + decontamination -> split (restates the gated stages)

@@ -126,4 +126,27 @@ class Round11OpsSpec extends SparkSpec {
     assert(largest._6 <= largest._5,
       "temperature must downweight the head source")
   }
+
+  test("packChunkedSequences: full chunk coverage, bounded bins, honest continuation flags") {
+    import spark.implicits._
+    val packed = ExtQueries.packChunkedSequences(spark, sfSmoke)
+      .select($"doc_id", $"chunk_idx", $"pack_group", $"pack_bin",
+        $"n_chunk_words", $"is_continuation")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    // every chunk of every doc packed exactly once
+    val chunkKeys = ExtQueries.textChunks(spark, sfSmoke)
+      .select($"doc_id", $"chunk_idx").as[(Long, Long)].collect().toSet
+    assert(packed.map(r => (r._1, r._2)).toSet == chunkKeys)
+    assert(packed.length == chunkKeys.size, "a chunk was packed twice")
+    // fractional-packing bound: a bin exceeds the budget by at most one
+    // chunk (the same guarantee the doc-level packer documents)
+    val maxChunk = packed.map(_._5).max
+    packed.groupBy(r => (r._3, r._4)).foreach { case (bin, rows) =>
+      val tokens = rows.map(_._5).sum
+      assert(tokens < 512 + maxChunk, s"bin $bin overflows: $tokens tokens")
+    }
+    // continuation flag = exactly the non-first chunks
+    assert(packed.forall(r => r._6 == (r._2 > 0)))
+    assert(packed.exists(_._6), "fixture has no multi-chunk doc — continuation untested")
+  }
 }
