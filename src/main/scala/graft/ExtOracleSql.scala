@@ -1863,6 +1863,36 @@ object ExtOracleSql {
            s"SELECT CAST($r AS BIGINT) AS rank, a, b, n FROM m$r")
          .mkString("\nUNION ALL\n")}""".stripMargin
 
+  /** text_bpe_train_encode twin: the unrolled training CTEs (m1..m10)
+    * feed the encode replace chain as COLUMN references — the merge
+    * table is data-driven end to end, so the gate binds trainer AND
+    * encoder at once. Each m$r is one row, so the ten cross joins are
+    * scalar.
+    */
+  val textBpeTrainEncode: String = {
+    val chain = (1 to 10).foldLeft(
+      "' ' || array_to_string(string_split(w, ''), ' ')") { (acc, r) =>
+      s"replace($acc, ' ' || m$r.a || ' ' || m$r.b, ' ' || m$r.a || m$r.b)"
+    }
+    s"""WITH w0 AS (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2),
+       |${(1 to 10).map(bpeTrainRound).mkString(",\n")},
+       |dw AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(words,
+       |      w -> string_split(trim($chain), ' '))) AS toks
+       |  FROM dw${(1 to 10).map(r => s" CROSS JOIN m$r").mkString})
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(toks, ' ')) AS stream_md5
+       |FROM enc""".stripMargin
+  }
+
   /** text_bpe_merges twin: adjacent char pairs within words via
     * list-comprehension unnest; same (count desc, pair asc) total
     * order.
@@ -2031,5 +2061,181 @@ object ExtOracleSql {
        |  CAST(CASE WHEN 2 * ($score) * 1000000 - b > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
        |  (CASE WHEN 2 * ($score) * 1000000 - b > 0 THEN 1 ELSE -1 END) = f.label AS correct
        |FROM f, wv""".stripMargin
+  }
+
+  /** Fuzzy ER: same typo fixture, deletion-key blocking, and
+    * Levenshtein ≤ 2 re-score; the (dist, key) argmin rides one
+    * integer encoding (dist·10⁸ + key) so no struct-min is needed.
+    */
+  val erFuzzyMatch: String =
+    """WITH clean AS (SELECT c_custkey AS key, c_name AS name FROM customer),
+      |dirty AS (
+      |  SELECT key + 5000000 AS dirty_id,
+      |    CASE key % 4
+      |      WHEN 0 THEN name
+      |      WHEN 1 THEN substr(name, 1, p - 1) || substr(name, p + 1)
+      |      WHEN 2 THEN substr(name, 1, p - 1) || 'x' || substr(name, p + 1)
+      |      ELSE substr(name, 1, p - 1) || substr(name, p + 1, 1)
+      |           || substr(name, p, 1) || substr(name, p + 2)
+      |    END AS name
+      |  FROM (SELECT key, name,
+      |          CAST(10 + ((key // 4) % 8) AS INTEGER) AS p FROM clean)),
+      |dk_d AS (
+      |  SELECT dirty_id, name AS d_name,
+      |    unnest(list_append(
+      |      list_transform(range(1, len(name) + 1),
+      |        i -> substr(name, 1, CAST(i AS INTEGER) - 1)
+      |             || substr(name, CAST(i AS INTEGER) + 1)),
+      |      name)) AS k
+      |  FROM dirty),
+      |dk_c AS (
+      |  SELECT key, name AS c_name,
+      |    unnest(list_append(
+      |      list_transform(range(1, len(name) + 1),
+      |        i -> substr(name, 1, CAST(i AS INTEGER) - 1)
+      |             || substr(name, CAST(i AS INTEGER) + 1)),
+      |      name)) AS k
+      |  FROM clean),
+      |cand AS (
+      |  SELECT DISTINCT dirty_id, d_name, key, c_name
+      |  FROM dk_d JOIN dk_c USING (k)),
+      |scored AS (
+      |  SELECT dirty_id, key, levenshtein(d_name, c_name) AS dist
+      |  FROM cand WHERE levenshtein(d_name, c_name) <= 2),
+      |best AS (
+      |  SELECT dirty_id,
+      |    min(dist * 100000000 + key) AS enc,
+      |    count(*) AS n_cand
+      |  FROM scored GROUP BY dirty_id)
+      |SELECT d.dirty_id,
+      |  b.enc % 100000000 AS matched_key,
+      |  b.enc // 100000000 AS dist,
+      |  COALESCE(b.n_cand, 0) AS n_cand
+      |FROM dirty d LEFT JOIN best b USING (dirty_id)""".stripMargin
+
+  /** Compaction-planner twin: same inventory, same conditional-sum
+    * window, same size-desc total order.
+    */
+  val layoutCompaction: String =
+    """WITH f AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS part_day, event_type,
+      |    user_id % (CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 8 END) AS writer,
+      |    CAST(COUNT(*) AS BIGINT) AS size_rows
+      |  FROM events GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT *, CAST(COALESCE(SUM(CASE WHEN size_rows < 64 THEN size_rows ELSE 0 END)
+      |      OVER (PARTITION BY part_day
+      |        ORDER BY size_rows DESC NULLS LAST, event_type ASC NULLS FIRST,
+      |                 writer ASC NULLS FIRST
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM f)
+      |SELECT part_day, event_type, writer, size_rows,
+      |  size_rows < 64 AS rewrite,
+      |  CASE WHEN size_rows < 64 THEN cum_before // 64 END AS out_bin
+      |FROM c""".stripMargin
+
+  /** Expectation-suite twin: the same six checks off one counts CTE;
+    * ppm is integer `//` like the Spark side's DIV.
+    */
+  val qaExpectationSuite: String =
+    """WITH agg AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_name,
+      |    CAST(SUM(CASE WHEN c_acctbal IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bal,
+      |    COUNT(DISTINCT c_custkey) AS n_key_distinct,
+      |    CAST(SUM(CASE WHEN c_acctbal BETWEEN 0.0 AND 9000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bal_range,
+      |    CAST(SUM(CASE WHEN c_mktsegment IN
+      |      ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_seg,
+      |    (SELECT COUNT(*) FROM customer c
+      |     WHERE c.c_nationkey IN (SELECT n_nationkey FROM nation)) AS n_ref_ok
+      |  FROM customer),
+      |checks AS (
+      |  SELECT CAST(1 AS BIGINT) AS check_no, 'completeness_c_name' AS "check",
+      |    n_name * 1000000 // n_rows AS metric_ppm, CAST(1000000 AS BIGINT) AS threshold_ppm FROM agg
+      |  UNION ALL SELECT 2, 'completeness_c_acctbal', n_bal * 1000000 // n_rows, 1000000 FROM agg
+      |  UNION ALL SELECT 3, 'uniqueness_c_custkey', n_key_distinct * 1000000 // n_rows, 1000000 FROM agg
+      |  UNION ALL SELECT 4, 'range_c_acctbal_0_9000', n_bal_range * 1000000 // n_rows, 990000 FROM agg
+      |  UNION ALL SELECT 5, 'domain_c_mktsegment', n_seg * 1000000 // n_rows, 1000000 FROM agg
+      |  UNION ALL SELECT 6, 'ref_c_nationkey_in_nation', n_ref_ok * 1000000 // n_rows, 1000000 FROM agg)
+      |SELECT check_no, "check", metric_ppm, threshold_ppm,
+      |  metric_ppm >= threshold_ppm AS passed
+      |FROM checks""".stripMargin
+
+  /** The five-stage curation funnel: each stage rule is the gated
+    * oracle verbatim (lang argmax, Gopher conjunction, 8-gram eval
+    * overlap, min-id dedup, digest-ordered quota), composed as
+    * shrinking CTEs; the audit rows are one-row selects off the
+    * counts CTE.
+    */
+  def curationFunnel: String = {
+    val lexValues = ExtQueries.langLexicon
+      .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
+    s"""WITH lex(word, lex_lang) AS (VALUES $lexValues),
+       |ad AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, source
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM ad),
+       |hits AS (
+       |  SELECT doc_id, lex_lang, COUNT(*) AS hits
+       |  FROM tok JOIN lex USING (word) GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, lex_lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY hits DESC NULLS LAST, lex_lang ASC NULLS FIRST) AS rn
+       |  FROM hits),
+       |flang AS (SELECT doc_id FROM best WHERE rn = 1 AND lex_lang = 'en'),
+       |fqual AS (
+       |  SELECT doc_id FROM ad
+       |  WHERE len(string_split(text, ' ')) >= 10 AND len(string_split(text, ' ')) <= 100000
+       |   AND (CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+       |         / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2.0
+       |   AND (CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+       |         / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
+       |   AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |         / CAST(length(text) AS DOUBLE) >= 0.5
+       |   AND len(list_filter(string_split(text, ' '),
+       |         w -> w IN ('the','data','order','key','value'))) >= 1),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM ad),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(words) < 8 THEN []::VARCHAR[]
+       |                ELSE [array_to_string(words[i:i+7], ' ')
+       |                      for i in range(1, len(words) - 6)] END) AS shingle
+       |  FROM w),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+       |contam AS (
+       |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+       |  WHERE s.doc_id % 50 <> 0),
+       |f AS (
+       |  SELECT doc_id, source, md5(text) AS digest,
+       |    doc_id IN (SELECT doc_id FROM flang) AS f_lang,
+       |    doc_id IN (SELECT doc_id FROM fqual) AS f_qual,
+       |    (doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)) AS f_decon
+       |  FROM ad),
+       |s3 AS (SELECT * FROM f WHERE f_lang AND f_qual AND f_decon),
+       |dd AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY digest
+       |    ORDER BY doc_id ASC NULLS FIRST) AS rn FROM s3),
+       |s4 AS (SELECT s3.* FROM s3 JOIN dd USING (doc_id) WHERE dd.rn = 1),
+       |qt AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY digest ASC NULLS FIRST, doc_id ASC NULLS FIRST) AS rank
+       |  FROM s4),
+       |s5 AS (SELECT s4.doc_id FROM s4 JOIN qt USING (doc_id) WHERE qt.rank <= 8),
+       |c AS (SELECT
+       |  (SELECT COUNT(*) FROM ad) AS n0,
+       |  (SELECT COUNT(*) FROM f WHERE f_lang) AS n1,
+       |  (SELECT COUNT(*) FROM f WHERE f_lang AND f_qual) AS n2,
+       |  (SELECT COUNT(*) FROM s3) AS n3,
+       |  (SELECT COUNT(*) FROM s4) AS n4,
+       |  (SELECT COUNT(*) FROM s5) AS n5)
+       |SELECT CAST(1 AS BIGINT) AS stage_no, 'lang_id' AS stage,
+       |  n0 AS rows_in, n1 AS rows_out, n0 - n1 AS rows_dropped FROM c
+       |UNION ALL SELECT 2, 'quality', n1, n2, n1 - n2 FROM c
+       |UNION ALL SELECT 3, 'decontaminate', n2, n3, n2 - n3 FROM c
+       |UNION ALL SELECT 4, 'dedup_exact', n3, n4, n3 - n4 FROM c
+       |UNION ALL SELECT 5, 'source_quota', n4, n5, n4 - n5 FROM c""".stripMargin
   }
 }

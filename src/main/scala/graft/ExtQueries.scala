@@ -1891,6 +1891,34 @@ object ExtQueries {
       md5(array_join(toks, " ").cast("binary")).as("stream_md5"))
   }
 
+  /** Train-then-encode composition (`text_bpe_train_encode`): encode
+    * the corpus with the table [[graft.operators.BpeTrainer]] just
+    * LEARNED from it — the end-to-end tokenizer path (train on corpus
+    * → tokenize corpus) a from-scratch pipeline runs, where
+    * [[textBpeEncode]] applies the fixed shipped table. The oracle
+    * re-derives the table through the unrolled 10-round training CTEs
+    * and builds its replace chain from THOSE rows, so a drifted
+    * trainer breaks the gate even if the encode machinery is right.
+    * Scale: training is the KMeans-style driver loop (one map-side-
+    * combined pair count per round); the encode pass is per-row
+    * codegen'd string work over one corpus scan, no shuffle.
+    */
+  def textBpeTrainEncode(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Checkpoints.ensure(s.sparkContext)
+    val d = docs(s, dir)
+    val trainWords = d.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .checkpoint()
+    val learned = graft.operators.BpeTrainer.train(trainWords, rounds = 10)
+      .map { case (a, b, _) => (a, b) }
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val toks = flatten(transform(ws, w => split(ltrim(
+      TextFunctions.bpeApplyMerges(TextFunctions.bpeSpacedWord(w), learned)), " ")))
+    d.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      md5(array_join(toks, " ").cast("binary")).as("stream_md5"))
+  }
+
   /** BPE-flavored tokenization stats (letter/digit/punct token runs). */
   def textBpeTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -2998,5 +3026,224 @@ object ExtQueries {
         (lit(2L) * score * lit(S) - lit(b)).as("margin"))
       .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
       .withColumn("correct", col("pred") === col("label"))
+  }
+
+  /** Fuzzy entity resolution (`er_fuzzy_match`): resolve a feed of
+    * deterministically typo'd customer names back to the clean
+    * registry via deletion-neighborhood blocking + exact Levenshtein
+    * re-score ([[graft.operators.EntityResolution]]). The dirty feed
+    * plants one typo class per record by key mod 4 — exact copy,
+    * one-char drop, one-char substitution, adjacent transposition —
+    * each at an index-derived position inside the digit run (zero
+    * RNG, every class × position combination exercised). maxDist = 2
+    * admits the transposition (Levenshtein 2) while deletion-key
+    * blocking still guarantees its candidacy.
+    */
+  def erFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val clean = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val name = col("name")
+    // typo position: 10 + (key div 4) mod 8 ∈ [10, 17] — inside the
+    // 9-digit run of the 18-char names, so prefix blocking would fail
+    val p = shiftright(col("key"), 2) % 8 + 10
+    val dropped = concat(name.substr(lit(1), p - 1),
+      name.substr(p + 1, length(name)))
+    val subbed = concat(name.substr(lit(1), p - 1), lit("x"),
+      name.substr(p + 1, length(name)))
+    val swapped = concat(name.substr(lit(1), p - 1),
+      name.substr(p + 1, lit(1)), name.substr(p, lit(1)),
+      name.substr(p + 2, length(name)))
+    val dirty = clean.select(
+      (col("key") + lit(5000000L)).as("dirty_id"),
+      when(col("key") % 4 === 0, name)
+        .when(col("key") % 4 === 1, dropped)
+        .when(col("key") % 4 === 2, subbed)
+        .otherwise(swapped).as("name"))
+    graft.operators.EntityResolution.resolve(dirty, clean, maxDist = 2)
+      .select(col("dirty_id"), col("matched_key"),
+        col("dist").cast("long").as("dist"), col("n_cand"))
+  }
+
+  /** Small-file compaction planner (`layout_compaction` — the
+    * bin-packing half of Delta/Iceberg `OPTIMIZE`, next to
+    * [[graft.operators.Layout]]'s Z-order half): a deterministic file
+    * inventory (one row per (day, type, writer) "file" with its row
+    * count) is split into pass-through files already at target size
+    * (`rewrite = false`, no bin — OPTIMIZE never rewrites compacted
+    * files) and small files, which pack into target-size output bins
+    * per PARTITION (files can only compact within their Hive
+    * partition) by the size-desc cumulative-sum rule. The mixed
+    * writer fan-out (1 for click/view, 8 otherwise) plants both
+    * branches at the gated SF.
+    *
+    * Scale shape (100 TB): the planner runs on file METADATA — one
+    * row per file (~1M rows for 100 TB of 128 MB files), so the
+    * per-partition window is trivially cheap and there is no global
+    * sort; the rewrite it prescribes is partition-local read→write
+    * with no shuffle. The conditional-sum window (large files
+    * contribute 0) ranks each partition once instead of two passes
+    * over split frames.
+    */
+  def layoutCompaction(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val writerMod = when(col("event_type").isin("click", "view"), 1L).otherwise(8L)
+    val files = ev.groupBy(
+        expr("ts_ns DIV 86400000000000").as("part_day"),
+        col("event_type"), (col("user_id") % writerMod).as("writer"))
+      .agg(count(lit(1)).as("size_rows"))
+    val small = col("size_rows") < 64
+    val w = Window.partitionBy(col("part_day"))
+      .orderBy(col("size_rows").desc_nulls_last,
+        col("event_type").asc_nulls_first, col("writer").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before",
+        coalesce(sum(when(small, col("size_rows")).otherwise(0L)).over(w), lit(0L)))
+      .select(col("part_day"), col("event_type"), col("writer"), col("size_rows"),
+        small.as("rewrite"),
+        when(small, expr("cum_before DIV 64")).as("out_bin"))
+  }
+
+  /** Declarative data-quality expectation suite (`qa_expectation_suite`
+    * — the Deequ / Great Expectations shape): six named checks over
+    * the customer table — column completeness ×2, key uniqueness,
+    * numeric range, categorical domain, referential integrity against
+    * nation — each emitted as a (metric_ppm, threshold_ppm, passed)
+    * row. The range check's tight [0, 9000] window deliberately fails
+    * on TPC-H-shaped balances, so the suite demonstrably reports
+    * failures, not just green rows.
+    *
+    * Scale shape (100 TB): every row-local metric comes from ONE
+    * conditional-sum aggregate over one scan (map-side partial); the
+    * exact key-distinct is the only keyed shuffle (key column only);
+    * referential integrity is a broadcast anti-join COUNT — no sort,
+    * no window, output is six rows regardless of input size.
+    */
+  def qaExpectationSuite(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val refOk = c.join(broadcast(n.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .agg(count(lit(1)).as("n_ref_ok"))
+    val agg = c.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("c_name").isNotNull, 1L).otherwise(0L)).as("n_name"),
+        sum(when(col("c_acctbal").isNotNull, 1L).otherwise(0L)).as("n_bal"),
+        count_distinct(col("c_custkey")).as("n_key_distinct"),
+        sum(when(col("c_acctbal").between(0.0, 9000.0), 1L).otherwise(0L))
+          .as("n_bal_range"),
+        sum(when(col("c_mktsegment").isin(segs: _*), 1L).otherwise(0L)).as("n_seg"))
+      .crossJoin(broadcast(refOk))
+    def check(no: Int, name: String, good: String, thrPpm: Long) =
+      struct(lit(no.toLong).as("check_no"), lit(name).as("check"),
+        expr(s"$good * 1000000 DIV n_rows").as("metric_ppm"),
+        lit(thrPpm).as("threshold_ppm"))
+    agg.select(explode(array(
+        check(1, "completeness_c_name", "n_name", 1000000L),
+        check(2, "completeness_c_acctbal", "n_bal", 1000000L),
+        check(3, "uniqueness_c_custkey", "n_key_distinct", 1000000L),
+        check(4, "range_c_acctbal_0_9000", "n_bal_range", 990000L),
+        check(5, "domain_c_mktsegment", "n_seg", 1000000L),
+        check(6, "ref_c_nationkey_in_nation", "n_ref_ok", 1000000L))).as("c"))
+      .select(col("c.check_no"), col("c.check"), col("c.metric_ppm"),
+        col("c.threshold_ppm"),
+        (col("c.metric_ppm") >= col("c.threshold_ppm")).as("passed"))
+  }
+
+  /** End-to-end curation funnel (`pipeline_curation_funnel`): the full
+    * ingest → language-id → quality → decontaminate → exact-dedup →
+    * source-quota chain as ONE plan, emitting the per-stage audit
+    * table (rows_in / rows_out / rows_dropped) every production corpus
+    * build publishes next to its output. Composes the gated pieces
+    * verbatim: textLangId's argmax rule, textQualityFilter's Gopher
+    * conjunction, textDecontaminate's 8-gram eval overlap,
+    * dedupExact's min-id-per-digest rule, sampleSourceQuota's
+    * digest-ordered per-source cap.
+    *
+    * Scale shape (100 TB): the three independent per-doc flags (lang,
+    * quality, decon) come from one corpus scan + two broadcast-joined
+    * side frames — the audit is then ONE conditional-sum aggregate,
+    * not six COUNT jobs over re-run chains. The two survivor-set-
+    * dependent stages (dedup, quota) window only over the already-
+    * filtered survivors, so their shuffles shrink with every stage;
+    * stage counts compose by flag conjunction, never by re-scanning.
+    */
+  def pipelineCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    // the standard planted-duplicate fixture, so the dedup stage is
+    // load-bearing (the raw corpus is duplicate-free); copies of eval
+    // docs stay in the eval slice (+1000000 ≡ 0 mod 50)
+    val d = withExactDups(docs(s, dir))
+
+    // flag 1: lexicon-argmax language id lands on 'en'
+    val lex = langLexicon.toDF("word", "lex_lang")
+    val hits = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(lex), "word")
+      .groupBy("doc_id", "lex_lang").agg(count(lit(1)).as("hits"))
+    val predEn = LatestPerKey(hits, Seq(col("doc_id")),
+        Seq(col("hits").desc_nulls_last, col("lex_lang").asc_nulls_first))
+      .filter(col("lex_lang") === "en")
+      .select(col("doc_id"), lit(true).as("f_lang_hit"))
+
+    // flag 2: the Gopher-rule conjunction (pure column expression)
+    val words = split(col("text"), " ")
+    val nTok = size(words).cast("long")
+    val len = length(col("text")).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / len
+    val meanTokLen = (len - (nTok - 1).cast("double")) / nTok.cast("double")
+    val stopHits = size(filter(words,
+      w => w.isin("the", "data", "order", "key", "value"))).cast("long")
+    val fQual = nTok >= 10 && nTok <= 100000 &&
+      meanTokLen >= 2.0 && meanTokLen <= 12.0 && alpha >= 0.5 && stopHits >= 1
+
+    // flag 3: not the eval slice itself, and no 8-gram overlap with it
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(TextFunctions.shingles(split(col("text"), " "), 8)).as("shingle"))
+    val evalShingles = shingled(d.filter(col("doc_id") % 50 === 0))
+      .select("shingle").distinct()
+    val contam = shingled(d.filter(col("doc_id") % 50 =!= 0))
+      .join(broadcast(evalShingles), "shingle")
+      .select(col("doc_id")).distinct()
+      .withColumn("f_contam", lit(true))
+
+    val flags = d.select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("digest"),
+        fQual.as("f_qual"), (col("doc_id") % 50 =!= 0).as("not_eval"))
+      .join(predEn, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("digest"),
+        coalesce(col("f_lang_hit"), lit(false)).as("f_lang"), col("f_qual"),
+        (col("not_eval") && col("f_contam").isNull).as("f_decon"))
+
+    // survivor-dependent stages: dedup then quota, windows over the
+    // shrinking survivor set only
+    val s3 = flags.filter(col("f_lang") && col("f_qual") && col("f_decon"))
+    val s4 = LatestPerKey(s3, Seq(col("digest")), Seq(col("doc_id").asc_nulls_first))
+    // quota 8 (not sampleSourceQuota's 10) so the cap binds at every SF
+    val s5 = LatestPerKey.topKRanked(s4, 8, Seq(col("source")),
+      Seq(col("digest").asc_nulls_first, col("doc_id").asc_nulls_first))
+
+    val c = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f_lang"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f_lang") && col("f_qual"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f_lang") && col("f_qual") && col("f_decon"), 1L)
+        .otherwise(0L)).as("n3"))
+      .crossJoin(broadcast(s4.agg(count(lit(1)).as("n4"))))
+      .crossJoin(broadcast(s5.agg(count(lit(1)).as("n5"))))
+
+    def st(no: Int, nm: String, in: String, out: String) =
+      struct(lit(no.toLong).as("stage_no"), lit(nm).as("stage"),
+        col(in).as("rows_in"), col(out).as("rows_out"))
+    c.select(explode(array(
+        st(1, "lang_id", "n0", "n1"), st(2, "quality", "n1", "n2"),
+        st(3, "decontaminate", "n2", "n3"), st(4, "dedup_exact", "n3", "n4"),
+        st(5, "source_quota", "n4", "n5"))).as("s"))
+      .select(col("s.stage_no"), col("s.stage"), col("s.rows_in"),
+        col("s.rows_out"), (col("s.rows_in") - col("s.rows_out")).as("rows_dropped"))
   }
 }

@@ -209,7 +209,18 @@ object SparkEntry {
     "sim_ivf_purge_topk" -> (ExtQueries.simIvfPurgeTopK _),
     "pipeline_delete_propagate_state" -> (ExtQueries.pipelineDeletePropagateState _),
     // driver r8: trained classifier (rule distillation, one-pass Rocchio)
-    "pipeline_classifier_centroid" -> (ExtQueries.pipelineClassifierCentroid _)
+    "pipeline_classifier_centroid" -> (ExtQueries.pipelineClassifierCentroid _),
+    // driver r8: fuzzy entity resolution (deletion-key blocking + exact
+    // Levenshtein re-score — no all-pairs scan, no prefix hot block)
+    "er_fuzzy_match" -> (ExtQueries.erFuzzyMatch _),
+    // driver r8: the five-stage corpus build as one audited plan
+    "pipeline_curation_funnel" -> (ExtQueries.pipelineCurationFunnel _),
+    // driver r8: tokenizer train -> encode as one composition
+    "text_bpe_train_encode" -> (ExtQueries.textBpeTrainEncode _),
+    // driver r8: declarative expectation suite (Deequ shape)
+    "qa_expectation_suite" -> (ExtQueries.qaExpectationSuite _),
+    // driver r8: OPTIMIZE bin-packing planner (compaction next to zorder)
+    "layout_compaction" -> (ExtQueries.layoutCompaction _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -275,7 +286,14 @@ object SparkEntry {
     // train + one to score; the timing shows the closed-form shape) and
     // the chunk-then-pack composite (chunk explode + pack window — new
     // work beyond the benched doc-level packer)
-    "pipeline_classifier_centroid", "pack_chunked_sequences")
+    "pipeline_classifier_centroid", "pack_chunked_sequences",
+    // driver r8: fuzzy ER — the deletion-key join is the timed shape —
+    // and the five-stage funnel (the heaviest composition in the repo)
+    "er_fuzzy_match", "pipeline_curation_funnel",
+    // driver r8: train->encode times the full tokenizer loop; the
+    // expectation suite stays correctness-only (six-row output, its
+    // aggregate shape is already timed via qa_profile_activities)
+    "text_bpe_train_encode")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1362,6 +1380,11 @@ object SparkEntry {
     "sim_ivf_purge_topk" -> ExtOracleSql.simIvfPurgeTopK,
     "pipeline_delete_propagate_state" -> ExtOracleSql.pipelineDeletePropagateState,
     "pipeline_classifier_centroid" -> ExtOracleSql.classifierCentroid,
+    "er_fuzzy_match" -> ExtOracleSql.erFuzzyMatch,
+    "pipeline_curation_funnel" -> ExtOracleSql.curationFunnel,
+    "text_bpe_train_encode" -> ExtOracleSql.textBpeTrainEncode,
+    "qa_expectation_suite" -> ExtOracleSql.qaExpectationSuite,
+    "layout_compaction" -> ExtOracleSql.layoutCompaction,
     "streaming_dedup_bands" -> ExtOracleSql.streamingDedupBands,
     // incremental merge must equal the full re-cluster — canonical's
     // oracle verbatim by the quotient-graph argument
