@@ -1775,7 +1775,6 @@ object ExtQueries {
     val words = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
-      .checkpoint()
     val learned = graft.operators.BpeTrainer.train(words, rounds = 10)
     import s.implicits._
     learned.zipWithIndex
@@ -1908,7 +1907,6 @@ object ExtQueries {
     val d = docs(s, dir)
     val trainWords = d.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
-      .checkpoint()
     val learned = graft.operators.BpeTrainer.train(trainWords, rounds = 10)
       .map { case (a, b, _) => (a, b) }
     val ws = filter(split(col("text"), " "), w => w =!= "")

