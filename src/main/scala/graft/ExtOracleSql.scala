@@ -2113,6 +2113,52 @@ object ExtOracleSql {
       |  COALESCE(b.n_cand, 0) AS n_cand
       |FROM dirty d LEFT JOIN best b USING (dirty_id)""".stripMargin
 
+  /** Hybrid-RRF twin: both legs as ROW_NUMBER CTEs with the same total
+    * orders, integer `//` fusion, full outer join with coalesced keys.
+    */
+  val simHybridRrf: String =
+    s"""WITH qd AS (
+       |  SELECT doc_id AS query_id, list_distinct(string_split(text, ' ')) AS w
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |cd AS (SELECT doc_id AS cand_id, list_distinct(string_split(text, ' ')) AS w
+       |       FROM documents),
+       |qt AS (SELECT query_id, unnest(w) AS word FROM qd),
+       |ct AS (SELECT cand_id, unnest(w) AS word FROM cd),
+       |ov AS (
+       |  SELECT query_id, cand_id, COUNT(*) AS n_shared
+       |  FROM ct JOIN qt USING (word)
+       |  WHERE query_id <> cand_id GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT query_id, cand_id, CAST(rn AS BIGINT) AS r_lex FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY n_shared DESC NULLS LAST, cand_id ASC NULLS FIRST) AS rn
+       |    FROM ov) WHERE rn <= 20),
+       |vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |       FROM embeddings),
+       |sc AS (
+       |  SELECT qv.vec_id AS query_id, cv.vec_id AS cand_id,
+       |    ${cosine("qv.vec", "cv.vec")} AS cos
+       |  FROM vv cv JOIN (SELECT * FROM vv WHERE vec_id % 25 = 0) qv
+       |    ON qv.vec_id <> cv.vec_id),
+       |vec AS (
+       |  SELECT query_id, cand_id, CAST(rn AS BIGINT) AS r_vec FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC NULLS LAST, cand_id ASC NULLS FIRST) AS rn
+       |    FROM sc) WHERE rn <= 20),
+       |f AS (
+       |  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+       |         COALESCE(lex.cand_id, vec.cand_id) AS cand_id, r_lex, r_vec,
+       |    COALESCE(1000000 // (60 + r_lex), 0)
+       |      + COALESCE(1000000 // (60 + r_vec), 0) AS rrf_fp
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.query_id = vec.query_id AND lex.cand_id = vec.cand_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id, rrf_fp, r_lex, r_vec
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_fp DESC NULLS LAST, cand_id ASC NULLS FIRST) AS rn
+       |  FROM f)
+       |WHERE rn <= 5""".stripMargin
+
   /** Compaction-planner twin: same inventory, same conditional-sum
     * window, same size-desc total order.
     */

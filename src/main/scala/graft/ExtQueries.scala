@@ -3062,6 +3062,50 @@ object ExtQueries {
         col("dist").cast("long").as("dist"), col("n_cand"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (`sim_hybrid_rrf`):
+    * the RAG retrieval stack's fusion step. Per query doc (every
+    * 25th), a LEXICAL top-20 (distinct-word overlap, the BM25-family
+    * leg, ties → lowest id) and a VECTOR top-20 (exact cosine over
+    * the aligned embeddings) fuse via RRF (Cormack et al. 2009):
+    * score = Σ 10⁶ DIV (60 + rank) over the legs that returned the
+    * candidate — exact integer fixed point, so the hash gate replays
+    * the fusion bit-for-bit. Emits the fused top-5 with both leg
+    * ranks for auditability.
+    *
+    * Scale shape (100 TB): queries broadcast in BOTH legs; the
+    * lexical leg is one inverted-index join whose shuffle carries
+    * (word, ids) and partial counts combine map-side; the vector leg
+    * is the one-corpus-scan exact baseline (swap in the IVF/LSH
+    * candidate generators like the rest of the sim family); fusion
+    * outer-joins two ≤k-row-per-query lists — negligible. At web
+    * scale the lexical leg takes tf-idf-weighted postings with
+    * stop-word caps exactly like the n-gram dedup's posting cap.
+    */
+  def simHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def toks(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+    val overlap = toks(d, "cand_id")
+      .join(broadcast(toks(d.filter(col("doc_id") % 25 === 0), "query_id")), "word")
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id").agg(count(lit(1)).as("n_shared"))
+    val lex = LatestPerKey.topKRanked(overlap, 20, Seq(col("query_id")),
+        Seq(col("n_shared").desc_nulls_last, col("cand_id").asc_nulls_first), "r_lex")
+      .select(col("query_id"), col("cand_id"), col("r_lex").cast("long").as("r_lex"))
+    val all = vecs(s, dir)
+    val vec = Similarity.bruteForceTopK(all, all.filter(col("vec_id") % 25 === 0), k = 20)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("rank").as("r_vec"))
+    val fused = lex.join(vec, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf_fp",
+        coalesce(expr("1000000 DIV (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L)))
+    LatestPerKey.topKRanked(fused, 5, Seq(col("query_id")),
+        Seq(col("rrf_fp").desc_nulls_last, col("cand_id").asc_nulls_first))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("rrf_fp"), col("r_lex"), col("r_vec"))
+  }
+
   /** Small-file compaction planner (`layout_compaction` — the
     * bin-packing half of Delta/Iceberg `OPTIMIZE`, next to
     * [[graft.operators.Layout]]'s Z-order half): a deterministic file

@@ -220,7 +220,9 @@ object SparkEntry {
     // driver r8: declarative expectation suite (Deequ shape)
     "qa_expectation_suite" -> (ExtQueries.qaExpectationSuite _),
     // driver r8: OPTIMIZE bin-packing planner (compaction next to zorder)
-    "layout_compaction" -> (ExtQueries.layoutCompaction _)
+    "layout_compaction" -> (ExtQueries.layoutCompaction _),
+    // driver r8: hybrid lexical+vector retrieval, RRF-fused (RAG stack)
+    "sim_hybrid_rrf" -> (ExtQueries.simHybridRrf _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -293,7 +295,7 @@ object SparkEntry {
     // driver r8: train->encode times the full tokenizer loop; the
     // expectation suite stays correctness-only (six-row output, its
     // aggregate shape is already timed via qa_profile_activities)
-    "text_bpe_train_encode")
+    "text_bpe_train_encode", "sim_hybrid_rrf")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1385,6 +1387,7 @@ object SparkEntry {
     "text_bpe_train_encode" -> ExtOracleSql.textBpeTrainEncode,
     "qa_expectation_suite" -> ExtOracleSql.qaExpectationSuite,
     "layout_compaction" -> ExtOracleSql.layoutCompaction,
+    "sim_hybrid_rrf" -> ExtOracleSql.simHybridRrf,
     "streaming_dedup_bands" -> ExtOracleSql.streamingDedupBands,
     // incremental merge must equal the full re-cluster — canonical's
     // oracle verbatim by the quotient-graph argument

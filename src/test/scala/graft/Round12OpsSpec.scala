@@ -76,6 +76,27 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("simHybridRrf: dense top-5, fusion arithmetic consistent, both-leg wins") {
+    val rows = ExtQueries.simHybridRrf(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    // every query has exactly 5 fused results, ranks dense 1..5
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"query $q ranks")
+    }
+    // rrf_fp is exactly the stated integer formula over present legs
+    rows.foreach { case (q, _, c, fp, rl, rv) =>
+      val expect = rl.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        rv.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(fp == expect, s"($q,$c): rrf_fp $fp != $expect")
+      assert(rl.isDefined || rv.isDefined, "candidate from neither leg")
+    }
+    // fusion rewards agreement: some fused winner must come from BOTH legs
+    assert(rows.exists(r => r._2 == 1 && r._5.isDefined && r._6.isDefined),
+      "no rank-1 result backed by both legs — fusion degenerate")
+  }
+
   test("textBpeTrainEncode equals the fixed-table encode (learned == shipped table)") {
     // BpeMerges was learned from the sf0.01 corpus by this exact loop,
     // so train->encode there must reproduce textBpeEncode bit-for-bit
