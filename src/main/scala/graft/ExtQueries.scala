@@ -3040,6 +3040,16 @@ object ExtQueries {
   def erFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val clean = Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    graft.operators.EntityResolution.resolve(erDirtyFeed(clean), clean, maxDist = 2)
+      .select(col("dirty_id"), col("matched_key"),
+        col("dist").cast("long").as("dist"), col("n_cand"))
+  }
+
+  /** The deterministic typo feed over a (key, name) registry — one
+    * perturbation class per key mod 4 at an index-derived position
+    * (shared by the gate and the mass-duplicate scale smoke).
+    */
+  private[graft] def erDirtyFeed(clean: DataFrame): DataFrame = {
     val name = col("name")
     // typo position: 10 + (key div 4) mod 8 ∈ [10, 17] — inside the
     // 9-digit run of the 18-char names, so prefix blocking would fail
@@ -3051,15 +3061,12 @@ object ExtQueries {
     val swapped = concat(name.substr(lit(1), p - 1),
       name.substr(p + 1, lit(1)), name.substr(p, lit(1)),
       name.substr(p + 2, length(name)))
-    val dirty = clean.select(
+    clean.select(
       (col("key") + lit(5000000L)).as("dirty_id"),
       when(col("key") % 4 === 0, name)
         .when(col("key") % 4 === 1, dropped)
         .when(col("key") % 4 === 2, subbed)
         .otherwise(swapped).as("name"))
-    graft.operators.EntityResolution.resolve(dirty, clean, maxDist = 2)
-      .select(col("dirty_id"), col("matched_key"),
-        col("dist").cast("long").as("dist"), col("n_cand"))
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion (`sim_hybrid_rrf`):

@@ -247,6 +247,28 @@ object ScaleSmoke {
       // driver r8: the r7 curation ops at their adversarial fixtures
       // (hot roster key / dominant cluster / dominant cell — see the
       // fixture construction above). All three read the `adv` dir.
+      // driver r8: fuzzy ER under a MASS-DUPLICATE registry — the
+      // baseline sf0.1 registry plus ONE name owned by 50k registry
+      // rows, with the standard typo feed plus 5k dirty copies of that
+      // same name. The distinct-name collapse must make this a
+      // non-event (blocking volume ∝ distinct names; the mass name is
+      // one weighted row), so the timing should track the baseline ER
+      // run, not the 55k-row duplication.
+      "er_fuzzy_mass_dup" -> ((s: SparkSession, _: String) => {
+        val clean0 = sources.Tables.load(s, "/root/testdata/sf0.1", "customer")
+          .select(col("c_custkey").as("key"), col("c_name").as("name"))
+        val mass = s.range(1, 50001).toDF("i")
+          .select((lit(900000000L) + col("i")).as("key"),
+            lit("Customer#000000000").as("name"))
+        val clean = clean0.unionByName(mass)
+        val dirtyMass = s.range(1, 5001).toDF("i")
+          .select((lit(970000000L) + col("i")).as("dirty_id"),
+            lit("Customer#000000000").as("name"))
+        val dirty = ExtQueries.erDirtyFeed(clean0).unionByName(dirtyMass)
+        graft.operators.EntityResolution.resolve(dirty, clean, maxDist = 2)
+      }),
+      "er_fuzzy_baseline" ->
+        ((s: SparkSession, _: String) => ExtQueries.erFuzzyMatch(s, "/root/testdata/sf0.1")),
       "delete_propagate_hot_roster_key" ->
         ((s: SparkSession, _: String) => ExtQueries.pipelineDeletePropagate(s, adv)),
       "split_leakage_dominant_cluster" ->
