@@ -2388,6 +2388,13 @@ object ExtQueries {
   def streamingHourlyAgg(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingHourlyAgg(s, dir)
 
+  /** In-flight expectation suite — per-window quality metrics on the
+    * event stream, equal to the batch audit (see
+    * [[StreamingStage.qualityMetrics]]).
+    */
+  def streamingExpectationSuite(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingExpectationSuite(s, dir)
+
   /** Stream–static join: event stream enriched with the customer
     * dimension, aggregated per segment — must equal the batch join+agg.
     */

@@ -222,7 +222,9 @@ object SparkEntry {
     // driver r8: OPTIMIZE bin-packing planner (compaction next to zorder)
     "layout_compaction" -> (ExtQueries.layoutCompaction _),
     // driver r8: hybrid lexical+vector retrieval, RRF-fused (RAG stack)
-    "sim_hybrid_rrf" -> (ExtQueries.simHybridRrf _)
+    "sim_hybrid_rrf" -> (ExtQueries.simHybridRrf _),
+    // driver r8: the expectation suite in-flight (Deequ on streams)
+    "streaming_expectation_suite" -> (ExtQueries.streamingExpectationSuite _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1388,6 +1390,22 @@ object SparkEntry {
     "qa_expectation_suite" -> ExtOracleSql.qaExpectationSuite,
     "layout_compaction" -> ExtOracleSql.layoutCompaction,
     "sim_hybrid_rrf" -> ExtOracleSql.simHybridRrf,
+    // the in-flight quality metrics must equal the after-the-fact audit
+    "streaming_expectation_suite" ->
+      """WITH h AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+        |    CAST(SUM(CASE WHEN event_type NOT IN
+        |      ('click','view','purchase','signup','error')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type
+        |  FROM events GROUP BY 1)
+        |SELECT hour, n_rows,
+        |  n_over * 1000000 // n_rows AS over_limit_ppm,
+        |  n_bad_type * 1000000 // n_rows AS bad_type_ppm,
+        |  (n_bad_type * 1000000 // n_rows = 0
+        |   AND n_over * 1000000 // n_rows <= 200000) AS passed
+        |FROM h""".stripMargin,
     "streaming_dedup_bands" -> ExtOracleSql.streamingDedupBands,
     // incremental merge must equal the full re-cluster — canonical's
     // oracle verbatim by the quotient-graph argument

@@ -74,6 +74,34 @@ object StreamingStage {
         col("n_events"),
         (col("sum_fp").cast("double") / 1000000).as("sum_value"))
 
+  /** Streaming data-quality monitoring (the E117 expectation suite on
+    * a STREAM — Deequ-on-streams): per hourly window, row volume plus
+    * two rule metrics in exact integer ppm — values over the 100.0
+    * range limit (has real violations in the fixture) and event types
+    * outside the known domain (the passing rule) — with the window's
+    * verdict. State is one counters row per (window) group under the
+    * watermark, so quality monitoring costs what the hourly agg costs;
+    * a batch run of the same conditional sums is the oracle, proving
+    * the in-flight metrics equal the after-the-fact audit.
+    */
+  def qualityMetrics(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("n_over"),
+        sum(when(!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"), 1L).otherwise(0L))
+          .as("n_bad_type"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n_rows"),
+        expr("n_over * 1000000 DIV n_rows").as("over_limit_ppm"),
+        expr("n_bad_type * 1000000 DIV n_rows").as("bad_type_ppm"),
+        (expr("n_bad_type * 1000000 DIV n_rows") === 0 &&
+          expr("n_over * 1000000 DIV n_rows") <= 200000).as("passed"))
+
   /** Streaming exact dedup: duplicates within the watermark horizon are
     * dropped by key state (`dropDuplicatesWithinWatermark`), the
     * incremental form of the batch hash-groupBy dedup.
@@ -128,6 +156,10 @@ object StreamingStage {
     */
   def streamingHourlyAgg(spark: SparkSession, dir: String): DataFrame =
     runToTable(hourlyAgg(eventsStream(spark, dir)), "streaming_hourly_agg", "complete")
+
+  def streamingExpectationSuite(spark: SparkSession, dir: String): DataFrame =
+    runToTable(qualityMetrics(eventsStream(spark, dir)),
+      "streaming_expectation_suite", "complete")
 
   /** Streaming hourly DISTINCT-USER estimates: the KMV sketch aggregate
     * running INSIDE a watermarked streaming aggregation — the sketch

@@ -97,6 +97,20 @@ class Round12OpsSpec extends SparkSpec {
       "no rank-1 result backed by both legs — fusion degenerate")
   }
 
+  test("streamingExpectationSuite: ppm arithmetic exact, verdicts non-degenerate") {
+    val rows = ExtQueries.streamingExpectationSuite(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (h, n, over, bad, passed) =>
+      assert(n > 0, s"$h: empty window emitted")
+      assert(over >= 0 && over <= 1000000 && bad >= 0 && bad <= 1000000)
+      assert(passed == (bad == 0 && over <= 200000), s"$h: verdict inconsistent")
+    }
+    // the range rule must actually fire somewhere and pass somewhere
+    assert(rows.exists(!_._5), "no failing window — range rule vacuous")
+    assert(rows.exists(_._5), "no passing window")
+  }
+
   test("textBpeTrainEncode equals the fixed-table encode (learned == shipped table)") {
     // BpeMerges was learned from the sf0.01 corpus by this exact loop,
     // so train->encode there must reproduce textBpeEncode bit-for-bit
