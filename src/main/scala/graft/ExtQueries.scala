@@ -3076,6 +3076,45 @@ object ExtQueries {
         .otherwise(swapped).as("name"))
   }
 
+  /** MERGE INTO semantics (`pipeline_merge_upsert` — the Delta/Iceberg
+    * upsert verb as one declarative plan): a deterministic source batch
+    * carries updates (key%7=0: balance +100.00), deletes (key%7=1) and
+    * inserts (key%7=2 → new key+8M rows); the merge is ONE full-outer
+    * join with case-wise resolution — matched+U updates, matched+D
+    * drops, unmatched-by-source keeps, unmatched-by-target inserts —
+    * emitting every surviving row with its `action` so the hash gate
+    * proves per-row semantics AND deletions (absence moves the hash).
+    * Balances ride ×100 fixed point (money discipline, §9.1).
+    *
+    * Scale shape (100 TB): the source batch broadcasts (daily batch ≪
+    * target); at batch scale it degrades to one key-partitioned
+    * shuffle join — either way MERGE is a single join, no windows, no
+    * driver state; with the E97 WAP commit around the write this is
+    * the transactional upsert path next to SCD2 (E94) and the
+    * incremental staging fold.
+    */
+  def pipelineMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("key"), col("c_name").as("name"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_fp"))
+    val src = t.filter(col("key") % 7 <= 1).select(col("key"),
+        when(col("key") % 7 === 0, "U").otherwise("D").as("op"),
+        lit(null).cast("string").as("s_name"),
+        (col("bal_fp") + 10000L).as("s_bal"))
+      .unionByName(t.filter(col("key") % 7 === 2).select(
+        (col("key") + 8000000L).as("key"), lit("I").as("op"),
+        concat(lit("Inserted#"), (col("key") + 8000000L).cast("string")).as("s_name"),
+        (col("key") % 1000 * 100).as("s_bal")))
+    t.join(broadcast(src), Seq("key"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("key"),
+        coalesce(col("s_name"), col("name")).as("name"),
+        when(col("op") === "U", col("s_bal"))
+          .otherwise(coalesce(col("bal_fp"), col("s_bal"))).as("bal_fp"),
+        when(col("op") === "U", "updated").when(col("op") === "I", "inserted")
+          .otherwise("kept").as("action"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (`sim_hybrid_rrf`):
     * the RAG retrieval stack's fusion step. Per query doc (every
     * 25th), a LEXICAL top-20 (distinct-word overlap, the BM25-family

@@ -224,7 +224,9 @@ object SparkEntry {
     // driver r8: hybrid lexical+vector retrieval, RRF-fused (RAG stack)
     "sim_hybrid_rrf" -> (ExtQueries.simHybridRrf _),
     // driver r8: the expectation suite in-flight (Deequ on streams)
-    "streaming_expectation_suite" -> (ExtQueries.streamingExpectationSuite _)
+    "streaming_expectation_suite" -> (ExtQueries.streamingExpectationSuite _),
+    // driver r8: MERGE INTO semantics (upsert verb) as one outer join
+    "pipeline_merge_upsert" -> (ExtQueries.pipelineMergeUpsert _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1390,6 +1392,31 @@ object SparkEntry {
     "qa_expectation_suite" -> ExtOracleSql.qaExpectationSuite,
     "layout_compaction" -> ExtOracleSql.layoutCompaction,
     "sim_hybrid_rrf" -> ExtOracleSql.simHybridRrf,
+
+    // MERGE semantics: full outer + case-wise resolution; deletions are
+    // proven by ABSENCE (missing rows move the sorted-values hash)
+    "pipeline_merge_upsert" ->
+      """WITH t AS (SELECT c_custkey AS key, c_name AS name,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_fp FROM customer),
+        |src AS (
+        |  SELECT key, CASE WHEN key % 7 = 0 THEN 'U' ELSE 'D' END AS op,
+        |         CAST(NULL AS VARCHAR) AS s_name, bal_fp + 10000 AS s_bal
+        |  FROM t WHERE key % 7 <= 1
+        |  UNION ALL
+        |  SELECT key + 8000000, 'I',
+        |         'Inserted#' || CAST(key + 8000000 AS VARCHAR),
+        |         (key % 1000) * 100
+        |  FROM t WHERE key % 7 = 2),
+        |m AS (
+        |  SELECT COALESCE(t.key, src.key) AS key, t.name, t.bal_fp,
+        |         src.op, src.s_name, src.s_bal
+        |  FROM t FULL OUTER JOIN src ON t.key = src.key)
+        |SELECT key,
+        |  COALESCE(s_name, name) AS name,
+        |  CASE WHEN op = 'U' THEN s_bal ELSE COALESCE(bal_fp, s_bal) END AS bal_fp,
+        |  CASE WHEN op = 'U' THEN 'updated' WHEN op = 'I' THEN 'inserted'
+        |       ELSE 'kept' END AS action
+        |FROM m WHERE COALESCE(op, '') <> 'D'""".stripMargin,
     // the in-flight quality metrics must equal the after-the-fact audit
     "streaming_expectation_suite" ->
       """WITH h AS (

@@ -97,6 +97,31 @@ class Round12OpsSpec extends SparkSpec {
       "no rank-1 result backed by both legs — fusion degenerate")
   }
 
+  test("pipelineMergeUpsert: per-action semantics and delete-by-absence") {
+    val out = ExtQueries.pipelineMergeUpsert(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val target = graft.sources.Tables.load(spark, sfSmoke, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val (u, d, i) = (target.count(_ % 7 == 0), target.count(_ % 7 == 1),
+      target.count(_ % 7 == 2))
+    val byAction = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byAction("updated") == u && byAction("inserted") == i)
+    assert(byAction("kept") == target.length - u - d)
+    // deletions prove themselves by absence
+    assert(!out.exists(r => r._1 % 7 == 1 && r._1 < 8000000L), "deleted key survived")
+    // inserts land in the new key space with the synthesized payload
+    out.filter(_._4 == "inserted").foreach { r =>
+      assert(r._1 >= 8000000L && r._2 == s"Inserted#${r._1}")
+    }
+    // updates moved the balance by exactly +100.00 fixed point
+    val bal = graft.sources.Tables.load(spark, sfSmoke, "customer")
+      .select(col("c_custkey"), expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.filter(_._4 == "updated").foreach { r =>
+      assert(r._3 == bal(r._1) + 10000L, s"key ${r._1}: wrong updated balance")
+    }
+  }
+
   test("streamingExpectationSuite: ppm arithmetic exact, verdicts non-degenerate") {
     val rows = ExtQueries.streamingExpectationSuite(spark, sfSmoke).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
