@@ -2284,4 +2284,104 @@ object ExtOracleSql {
        |UNION ALL SELECT 4, 'dedup_exact', n3, n4, n3 - n4 FROM c
        |UNION ALL SELECT 5, 'source_quota', n4, n5, n4 - n5 FROM c""".stripMargin
   }
+
+  /** BM25 twin: the same postings/df/stats CTEs, the same two exact
+    * integer `//` quotients (all operands positive, so DuckDB floor
+    * division ≡ Spark DIV), the same associative integer score sum.
+    */
+  val textBm25TopK: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, dl, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      |wdf AS (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df FROM tf),
+      |st AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS l FROM documents),
+      |qw AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 25 = 0),
+      |sc AS (
+      |  SELECT query_id, c.doc_id AS cand_id,
+      |    ((2 * (n - df) + 1) * 1000 // (2 * df + 1)) * tf * 2200000
+      |      // (tf * 1000000 + 300000 + (900000 * dl * n) // l) AS term_fp
+      |  FROM wdf c JOIN qw USING (word) CROSS JOIN st
+      |  WHERE query_id <> c.doc_id),
+      |pp AS (
+      |  SELECT query_id, cand_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp,
+      |    COUNT(*) AS n_terms
+      |  FROM sc GROUP BY 1, 2)
+      |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id, score_fp, n_terms
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score_fp DESC NULLS LAST, cand_id ASC NULLS FIRST) AS rn
+      |  FROM pp)
+      |WHERE rn <= 10""".stripMargin
+
+  /** k-anonymity twin: the same three-rung generalization ladder as
+    * shrinking CTEs; floor(double/1000) is the same IEEE op on both
+    * engines (incl. negative balances — DIV would floor differently).
+    */
+  val qaKAnonymity: String =
+    """WITH g0 AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band, COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |ok0 AS (SELECT nation, segment, CAST(band AS VARCHAR) AS bal_band,
+      |        CAST(0 AS BIGINT) AS level, n FROM g0 WHERE n >= 4),
+      |g1 AS (SELECT nation, segment, CAST(SUM(n) AS BIGINT) AS n
+      |       FROM g0 WHERE n < 4 GROUP BY 1, 2),
+      |ok1 AS (SELECT nation, segment, '*' AS bal_band,
+      |        CAST(1 AS BIGINT) AS level, n FROM g1 WHERE n >= 4),
+      |g2 AS (SELECT nation, CAST(SUM(n) AS BIGINT) AS n
+      |       FROM g1 WHERE n < 4 GROUP BY 1),
+      |u AS (
+      |  SELECT * FROM ok0
+      |  UNION ALL SELECT * FROM ok1
+      |  UNION ALL SELECT nation, '*' AS segment, '*' AS bal_band,
+      |    CAST(2 AS BIGINT) AS level, n FROM g2)
+      |SELECT nation, segment, bal_band, level, n, n >= 4 AS k_anonymous
+      |FROM u""".stripMargin
+
+  /** Global-ids twin: the two-phase bucketed rank must equal the naive
+    * global ROW_NUMBER — the oracle states the SPEC form directly.
+    */
+  val pipelineGlobalIds: String =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(ROW_NUMBER() OVER (
+      |      ORDER BY n_chars ASC NULLS FIRST, doc_id ASC NULLS FIRST) - 1
+      |      AS BIGINT) AS global_id
+      |  FROM documents)
+      |SELECT doc_id, n_chars, global_id,
+      |  global_id // 256 AS shard_id, global_id % 256 AS pos_in_shard
+      |FROM r""".stripMargin
+
+  /** Stratified-sampler twin: the same Hamilton allocation in integer
+    * `//`/`%` over the counts CTE, the same digest-ordered quota pick.
+    */
+  val sampleStratifiedProportional: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, md5(text) AS digest FROM documents),
+      |c AS (SELECT lang, COUNT(*) AS cnt FROM d GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS __n FROM documents),
+      |a0 AS (
+      |  SELECT lang, cnt, 100 * cnt // __n AS base, (100 * cnt) % __n AS rem
+      |  FROM c CROSS JOIN n),
+      |a1 AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |      ORDER BY rem DESC NULLS LAST, lang ASC NULLS FIRST) AS BIGINT) AS rk,
+      |    CAST(SUM(base) OVER () AS BIGINT) AS tot
+      |  FROM a0),
+      |al AS (
+      |  SELECT lang,
+      |    base + CASE WHEN rk <= 100 - tot THEN 1 ELSE 0 END AS quota
+      |  FROM a1),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY digest ASC NULLS FIRST, doc_id ASC NULLS FIRST)
+      |      AS BIGINT) AS sample_rank
+      |  FROM d)
+      |SELECT r.doc_id, r.lang, r.sample_rank, al.quota
+      |FROM r JOIN al USING (lang)
+      |WHERE r.sample_rank <= al.quota""".stripMargin
 }

@@ -2395,6 +2395,13 @@ object ExtQueries {
   def streamingExpectationSuite(s: SparkSession, dir: String): DataFrame =
     StreamingStage.streamingExpectationSuite(s, dir)
 
+  /** Exactly-once streaming publish: the hourly agg through an
+    * idempotent batchId-keyed foreachBatch file sink, read back from
+    * the committed artifact (see [[StreamingStage.commitBatch]]).
+    */
+  def streamingPublishExactlyOnce(s: SparkSession, dir: String): DataFrame =
+    StreamingStage.streamingPublishExactlyOnce(s, dir)
+
   /** Stream–static join: event stream enriched with the customer
     * dimension, aggregated per segment — must equal the batch join+agg.
     */
@@ -3340,5 +3347,184 @@ object ExtQueries {
         st(5, "source_quota", "n4", "n5"))).as("s"))
       .select(col("s.stage_no"), col("s.stage"), col("s.rows_in"),
         col("s.rows_out"), (col("s.rows_in") - col("s.rows_out")).as("rows_dropped"))
+  }
+
+  /** BM25 ranked retrieval (`text_bm25_topk`): the real Robertson/
+    * Spärck Jones scorer behind the hybrid leg's overlap count —
+    * k1 = 1.2, b = 0.75, per-term
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` — in EXACT
+    * integer fixed point so the gate replays every division:
+    * the idf is the log-free rational `(N−df+½)/(df+½)` (the TF-IDF
+    * lesson: ln is a monotone per-term reshaping whose libm rounding
+    * would end the hash gate; the rational keeps the same df ordering)
+    * scaled to milli, and the saturation quotient is one BIGINT DIV
+    * with numerator/denominator cleared of fractions (×20·ppm). All
+    * operands positive, so Spark `DIV` ≡ DuckDB `//`. Per (query,
+    * cand) the score is an exact integer SUM over matched terms —
+    * associative, partition-order-free.
+    *
+    * Scale shape (100 TB): one tokenize produces the tf postings
+    * carrying dl (GROUP BY doc, dl, word — dl is functionally
+    * dependent, no second scan); df is a window over the SAME
+    * postings shuffle (no join-back re-tokenize — the TF-IDF lesson);
+    * corpus stats (N, L) are a 1-row broadcast; the query side is a
+    * broadcast distinct-term list, so scoring is one inverted-index
+    * join whose partial sums combine map-side; top-10 per query rides
+    * the native bounded-heap TopK. At web scale the postings take the
+    * stop-word df cap exactly like the n-gram dedup's posting cap.
+    */
+  def textBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val words = split(col("text"), " ")
+    val tf = d.select(col("doc_id"), size(words).cast("long").as("dl"),
+        explode(words).as("word"))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+    val stats = d.agg(count(lit(1)).as("__n"),
+      sum(size(words).cast("long")).as("__l"))
+    val qTerms = d.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(words)).as("word"))
+    val scored = withDf
+      .join(broadcast(qTerms), "word")
+      .filter(col("query_id") =!= col("doc_id"))
+      .crossJoin(broadcast(stats))
+      // idf_milli = (2(N−df)+1)·1000 DIV (2·df+1); saturation quotient
+      // numerator/denominator ×20·10⁶ clears k1 = 6/5, b = 3/4 exactly:
+      // term = idf_milli·tf·2 200 000 DIV (tf·10⁶ + 300 000 + 900 000·dl·N DIV L)
+      .withColumn("term_fp", expr(
+        """((2 * (__n - df) + 1) * 1000 DIV (2 * df + 1)) * tf * 2200000
+           DIV (tf * 1000000 + 300000 + (900000 * dl * __n) DIV __l)"""))
+    val perPair = scored.groupBy(col("query_id"), col("doc_id").as("cand_id"))
+      .agg(sum(col("term_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
+    LatestPerKey.topKRanked(perPair, 10, Seq(col("query_id")),
+        Seq(col("score_fp").desc_nulls_last, col("cand_id").asc_nulls_first))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("score_fp"), col("n_terms"))
+  }
+
+  /** k-anonymity generalization (`qa_k_anonymity`): the privacy QA a
+    * compliance layer runs before publishing user-keyed aggregates —
+    * every released group must contain ≥ k individuals. Quasi-
+    * identifiers are (nation, segment, $1000 balance band); a group
+    * below k = 4 generalizes UP the fixed hierarchy (band → '*', then
+    * segment → '*') until it clears k, the standard
+    * suppression-by-generalization ladder (Sweeney 2002). Level-2
+    * rows are terminal: they are emitted with their honest
+    * `k_anonymous` flag either way, so the output states exactly
+    * which released groups still violate k.
+    *
+    * Scale shape (100 TB): ONE corpus scan builds the level-0 groups
+    * (map-side-combined groupBy on the QI key); levels 1 and 2
+    * re-aggregate the GROUP frame — bounded by the QI domain
+    * (|nations|·|segments|·|bands|), never row count — so the ladder
+    * costs two trivial shuffles over a frame that fits in one
+    * partition at any corpus size. Row counts are conserved across
+    * levels (spec-asserted), so no individual is dropped or counted
+    * twice.
+    */
+  def qaKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k = 4L
+    val g0 = Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+      .agg(count(lit(1)).as("n"))
+    val ok0 = g0.filter(col("n") >= k).select(col("nation"), col("segment"),
+      col("band").cast("string").as("bal_band"), lit(0L).as("level"), col("n"))
+    val g1 = g0.filter(col("n") < k)
+      .groupBy("nation", "segment").agg(sum(col("n")).as("n"))
+    val ok1 = g1.filter(col("n") >= k).select(col("nation"), col("segment"),
+      lit("*").as("bal_band"), lit(1L).as("level"), col("n"))
+    val g2 = g1.filter(col("n") < k).groupBy("nation").agg(sum(col("n")).as("n"))
+    val ok2 = g2.select(col("nation"), lit("*").as("segment"),
+      lit("*").as("bal_band"), lit(2L).as("level"), col("n"))
+    ok0.unionByName(ok1).unionByName(ok2)
+      .withColumn("k_anonymous", col("n") >= k)
+  }
+
+  /** Deterministic dense global IDs (`pipeline_global_ids`): assign
+    * every document a contiguous 0-based id in curriculum order
+    * (n_chars asc, doc_id asc — shortest first) WITHOUT a global
+    * single-partition sort: ids are the partitioned two-phase rank —
+    * per-bucket ROW_NUMBER (bucket = the order-preserving prefix
+    * (n_chars, doc_id DIV 4096), so partitions stay bounded under any
+    * length skew) plus a broadcast per-bucket offset from one
+    * cumulative sum over the tiny bucket-counts frame. The id feeds
+    * the fixed-size training shards (shard_id, pos_in_shard) a data
+    * loader addresses directly.
+    *
+    * Scale shape (100 TB): the corpus-sized window is PARTITIONED by
+    * bucket — nothing corpus-sized ever passes through one partition
+    * (the naive `ROW_NUMBER() OVER (ORDER BY …)` plans a
+    * SinglePartition exchange: the whole corpus through one task).
+    * The only single-partition work is the cumsum over the counts
+    * frame, one row per bucket — size it via the bucket width (set
+    * width ≈ corpus/10·cores so the frame stays ~10⁴ rows at any
+    * scale). Spec asserts the two-phase ids equal the naive global
+    * window bit-for-bit and that the corpus window keeps its
+    * partition keys.
+    */
+  def pipelineGlobalIds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+      expr("doc_id DIV 4096").as("b"))
+    val off = d.groupBy("n_chars", "b").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window
+          .orderBy(col("n_chars").asc_nulls_first, col("b").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("n_chars", "b", "offset")
+    d.join(broadcast(off), Seq("n_chars", "b"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("n_chars"), col("b"))
+        .orderBy(col("doc_id").asc_nulls_first)))
+      .withColumn("global_id", col("offset") + col("rn") - 1L)
+      .select(col("doc_id"), col("n_chars"), col("global_id"),
+        expr("global_id DIV 256").as("shard_id"),
+        expr("global_id % 256").as("pos_in_shard"))
+  }
+
+  /** Proportional stratified sampling with exact largest-remainder
+    * allocation (`sample_stratified_proportional`): a 100-doc budget
+    * split across the (skewed) language strata by the Hamilton
+    * apportionment rule — base seats `B·cnt DIV N`, leftover seats to
+    * the largest remainders (ties → lang asc) — then each stratum
+    * contributes its quota in digest order (md5 = the deterministic
+    * pseudo-random pick, append-stable like the diversity quota).
+    * Integer DIV/% throughout, so the allocation arithmetic
+    * hash-gates; Σ quota = B exactly by construction (spec-asserted),
+    * which rounding-based proportional samplers cannot promise.
+    *
+    * Scale shape (100 TB): allocation runs on the per-stratum COUNTS
+    * frame (|langs| rows — its global windows are over that tiny
+    * frame, never the corpus); the corpus-side pick is the native
+    * bounded-heap TopK with k = B (quota ≤ B always), so no stratum
+    * is ever sorted — the dominant 'en' stratum streams through
+    * per-partition B-heaps and only ≤ B rows per stratum cross the
+    * final exchange, where a per-stratum ROW_NUMBER window would push
+    * the whole majority language through one partition.
+    */
+  def sampleStratifiedProportional(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = 100L
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      md5(col("text").cast("binary")).as("digest"))
+    val n = d.agg(count(lit(1)).as("__n"))
+    val allocW = Window.orderBy(col("rem").desc_nulls_last, col("lang").asc_nulls_first)
+    val alloc = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .withColumn("base", expr(s"$b * cnt DIV __n"))
+      .withColumn("rem", expr(s"($b * cnt) % __n"))
+      .withColumn("rk", row_number().over(allocW).cast("long"))
+      .withColumn("tot", sum(col("base")).over(
+        allocW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("lang"),
+        (col("base") + when(col("rk") <= lit(b) - col("tot"), 1L).otherwise(0L)).as("quota"))
+    LatestPerKey.topKRanked(d, b.toInt, Seq(col("lang")),
+        Seq(col("digest").asc_nulls_first, col("doc_id").asc_nulls_first), "sample_rank")
+      .join(broadcast(alloc), "lang")
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col("doc_id"), col("lang"),
+        col("sample_rank").cast("long").as("sample_rank"), col("quota"))
   }
 }

@@ -1023,6 +1023,39 @@ object Queries {
         min(col("digest")).as("min_digest"))
   }
 
+  /** Schema-evolution roundtrip (`source_schema_evolution`): a table
+    * whose writer gained a column mid-life — generation 1 files carry
+    * the narrow schema, generation 2 adds `event_type` — read back as
+    * ONE table via `mergeSchema` (the Parquet/Delta/Iceberg
+    * add-column evolution path: old files are NEVER rewritten, the
+    * scan fills the missing column with null) and aggregated with an
+    * explicit null-fill default. The gate proves the merge-read
+    * semantics end to end: write two generations → merged scan →
+    * normalize → aggregate must equal computing directly off the
+    * source table.
+    *
+    * Scale shape (100 TB): add-column evolution is METADATA-ONLY —
+    * zero bytes of the old generation are rewritten; the fill is a
+    * per-file constant the scan synthesizes. The footer-schema merge
+    * is per-file work at planning time (Spark samples footers in
+    * parallel); the aggregate is the usual one-scan
+    * map-side-combined groupBy.
+    */
+  def sourceSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_schema_evo").toString
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.parquet(s"$out/g1")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.parquet(s"$out/g2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/g1", s"$out/g2")
+      .groupBy(coalesce(col("event_type"), lit("unknown")).as("event_type_norm"))
+      .agg(count(lit(1)).as("n_events"),
+        fixedPointSum(col("value"), 6).as("sum_value"))
+  }
+
   /** As-of join: each purchase event picks up the latest prior (or
     * simultaneous) view event of the same user — union+window operator
     * (see operators.AsofJoin), oracled against DuckDB's native ASOF JOIN.

@@ -226,7 +226,21 @@ object SparkEntry {
     // driver r8: the expectation suite in-flight (Deequ on streams)
     "streaming_expectation_suite" -> (ExtQueries.streamingExpectationSuite _),
     // driver r8: MERGE INTO semantics (upsert verb) as one outer join
-    "pipeline_merge_upsert" -> (ExtQueries.pipelineMergeUpsert _)
+    "pipeline_merge_upsert" -> (ExtQueries.pipelineMergeUpsert _),
+    // driver r8: real BM25 (exact integer fixed point) behind the
+    // hybrid stack's lexical leg
+    "text_bm25_topk" -> (ExtQueries.textBm25TopK _),
+    // driver r8: k-anonymity generalization ladder (privacy QA)
+    "qa_k_anonymity" -> (ExtQueries.qaKAnonymity _),
+    // driver r8: dense global ids without a single-partition sort
+    "pipeline_global_ids" -> (ExtQueries.pipelineGlobalIds _),
+    // driver r8: exactly-once streaming file-sink commit (idempotent
+    // batchId-keyed foreachBatch; the gate reads the committed artifact)
+    "streaming_publish_exactly_once" -> (ExtQueries.streamingPublishExactlyOnce _),
+    // driver r8: add-column schema evolution through a mergeSchema read
+    "source_schema_evolution" -> (Queries.sourceSchemaEvolution _),
+    // driver r8: exact Hamilton-apportionment stratified sampling
+    "sample_stratified_proportional" -> (ExtQueries.sampleStratifiedProportional _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -299,7 +313,12 @@ object SparkEntry {
     // driver r8: train->encode times the full tokenizer loop; the
     // expectation suite stays correctness-only (six-row output, its
     // aggregate shape is already timed via qa_profile_activities)
-    "text_bpe_train_encode", "sim_hybrid_rrf")
+    "text_bpe_train_encode", "sim_hybrid_rrf",
+    // driver r8 late adds: BM25 times the inverted-index scoring join;
+    // global-ids times the two-phase rank (k-anonymity stays
+    // correctness-only: three-row-ladder aggregate, shape already
+    // timed via qa_profile_activities — see BASELINE.md policy)
+    "text_bm25_topk", "pipeline_global_ids")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1392,6 +1411,19 @@ object SparkEntry {
     "qa_expectation_suite" -> ExtOracleSql.qaExpectationSuite,
     "layout_compaction" -> ExtOracleSql.layoutCompaction,
     "sim_hybrid_rrf" -> ExtOracleSql.simHybridRrf,
+    "text_bm25_topk" -> ExtOracleSql.textBm25TopK,
+    "qa_k_anonymity" -> ExtOracleSql.qaKAnonymity,
+    "pipeline_global_ids" -> ExtOracleSql.pipelineGlobalIds,
+    "sample_stratified_proportional" -> ExtOracleSql.sampleStratifiedProportional,
+    // the merge-read over both generations must equal computing off the
+    // source table directly (gen-1 rows carry the null-filled default)
+    "source_schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END
+        |    AS event_type_norm,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY 1""".stripMargin,
 
     // MERGE semantics: full outer + case-wise resolution; deletions are
     // proven by ABSENCE (missing rows move the sorted-values hash)
@@ -1525,6 +1557,17 @@ object SparkEntry {
     // streaming twins: the oracle is the BATCH semantics — streaming
     // (AvailableNow) must converge to the same result.
     "streaming_hourly_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the committed exactly-once artifact must hold exactly the batch
+    // aggregate — the hourly-agg twin verbatim, proven through the
+    // stream -> idempotent commit -> disk -> read-back chain
+    "streaming_publish_exactly_once" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type,
         |  COUNT(*) AS n_events,

@@ -157,6 +157,91 @@ object StreamingStage {
   def streamingHourlyAgg(spark: SparkSession, dir: String): DataFrame =
     runToTable(hourlyAgg(eventsStream(spark, dir)), "streaming_hourly_agg", "complete")
 
+  /** Idempotent per-micro-batch commit — the foreachBatch half of
+    * streaming exactly-once: Structured Streaming guarantees each
+    * batchId is REDELIVERED (at-least-once) after a crash between
+    * sink write and offset commit; the sink must make the redelivery
+    * a no-op. Contract: (a) a batch directory becomes visible ONLY
+    * via its `_COMMITTED` marker, written by one atomic move after
+    * the parquet lands (readers see fully-written data or nothing);
+    * (b) a replayed batchId whose marker exists is SKIPPED — even if
+    * the retry carries different rows (the spec replays a corrupted
+    * frame); (c) a torn previous attempt (dir without marker) is
+    * discarded and rewritten. This is the same commit discipline as
+    * [[graft.operators.Publish]], keyed by batchId instead of max+1
+    * because idempotence (not versioning) is the contract here.
+    *
+    * @return true if this call committed the batch, false if the
+    *         marker already existed (replay detected)
+    */
+  def commitBatch(df: DataFrame, rootPath: String, batchId: Long): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(rootPath)
+    Files.createDirectories(root)
+    val dir = root.resolve("batch-%05d".format(batchId))
+    val marker = dir.resolve("_COMMITTED")
+    if (Files.exists(marker)) false
+    else {
+      // a dir without its marker is a torn earlier attempt: discard
+      graft.operators.Checkpoints.deleteTree(dir)
+      df.write.parquet(dir.toString)
+      require(Files.exists(dir.resolve("_SUCCESS")),
+        s"commitBatch: batch $batchId write left no _SUCCESS marker")
+      val tmp = root.resolve(s"_COMMITTED.tmp-$batchId")
+      Files.write(tmp, batchId.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+      true
+    }
+  }
+
+  /** Read back the highest COMMITTED batch (complete-mode output: the
+    * last batch holds the full table). Uncommitted/torn dirs are
+    * unreachable by construction — only marker-bearing dirs count.
+    */
+  def readCommitted(spark: SparkSession, rootPath: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val s = Files.list(Paths.get(rootPath))
+    val last =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("batch-") &&
+            Files.exists(Paths.get(rootPath, n, "_COMMITTED")))
+          .maxOption
+      } finally s.close()
+    spark.read.parquet(s"$rootPath/${last.getOrElse(
+      sys.error(s"readCommitted: no committed batch under $rootPath"))}")
+  }
+
+  /** The hourly aggregate streamed through an EXACTLY-ONCE foreachBatch
+    * file sink (`streaming_publish_exactly_once`): checkpointed source
+    * offsets give at-least-once redelivery; [[commitBatch]]'s
+    * batchId-keyed idempotent commit upgrades it to exactly-once — the
+    * standard Structured Streaming contract for file/object-store
+    * sinks. The gate reads the committed output BACK FROM DISK and
+    * hash-matches it against the batch oracle, so the whole
+    * stream→commit→read chain is what's proven, not the in-memory
+    * frame.
+    */
+  def streamingPublishExactlyOnce(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-eo-publish").toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    val q =
+      try hourlyAgg(eventsStream(spark, dir)).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/_chk")
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          commitBatch(b.toDF(), root, id); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    readCommitted(spark, root)
+  }
+
   def streamingExpectationSuite(spark: SparkSession, dir: String): DataFrame =
     runToTable(qualityMetrics(eventsStream(spark, dir)),
       "streaming_expectation_suite", "complete")

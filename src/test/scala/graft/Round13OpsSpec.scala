@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 ops: BM25 retrieval, k-anonymity generalization, dense
+  * global ids.
+  */
+class Round13OpsSpec extends SparkSpec {
+
+  test("textBm25TopK: matches an independent driver-side BM25 reference") {
+    val docs = ExtQueries.docs(spark, sfSmoke)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toLong
+    val l = docs.valuesIterator.map(_.size.toLong).sum
+    val tf = docs.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong } }
+    val df = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    // the exact integer arithmetic of the operator, restated independently
+    def term(word: String, cand: Long): Long = {
+      val t = tf(cand)(word); val d = df(word); val dl = docs(cand).size.toLong
+      val idf = (2L * (n - d) + 1L) * 1000L / (2L * d + 1L)
+      idf * t * 2200000L / (t * 1000000L + 300000L + 900000L * dl * n / l)
+    }
+    val expected = docs.keys.filter(_ % 25 == 0).flatMap { q =>
+      val cands = docs.keys.filter(c => c != q).flatMap { c =>
+        val shared = docs(q).distinct.filter(tf(c).contains)
+        if (shared.isEmpty) None
+        else Some((c, shared.map(term(_, c)).sum, shared.size.toLong))
+      }.toSeq.sortBy { case (c, s, _) => (-s, c) }.take(10)
+      cands.zipWithIndex.map { case ((c, s, nt), i) => (q, i + 1L, c, s, nt) }
+    }.toSet
+    val got = ExtQueries.textBm25TopK(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("qaKAnonymity: released groups clear k, counts conserved, ladder non-vacuous") {
+    // sf0.01: the smoke SF's ~150 customers spread over ~1500 QI cells
+    // leave every level-0 group below k, so the ladder's released rung
+    // only appears from sf0.01 up (the gated SFs)
+    val sfDir = "/root/testdata/sf0.01"
+    val rows = ExtQueries.qaKAnonymity(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // every level-0/1 release clears k; flags are honest everywhere
+    rows.foreach { case (_, seg, band, level, cnt, anon) =>
+      assert(anon == (cnt >= 4L))
+      if (level < 2) assert(cnt >= 4L, s"level-$level group below k released")
+      assert((level >= 1) == (band == "*"), "band generalized iff level >= 1")
+      assert((level == 2) == (seg == "*"), "segment generalized iff level == 2")
+    }
+    // conservation: nobody dropped, nobody double-counted
+    assert(rows.map(_._5).sum ==
+      sources.Tables.load(spark, sfDir, "customer").count())
+    // the fixture actually exercises the ladder
+    assert(rows.exists(_._4 == 0L) && rows.exists(_._4 > 0L),
+      "generalization ladder vacuous at the smoke SF")
+  }
+
+  test("pipelineGlobalIds: equals the naive global window, ids dense, window partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    val got = ExtQueries.pipelineGlobalIds(spark, sfSmoke)
+    val naive = ExtQueries.docs(spark, sfSmoke)
+      .withColumn("global_id", row_number().over(
+        Window.orderBy(col("n_chars").asc_nulls_first, col("doc_id").asc_nulls_first))
+        .cast("long") - 1L)
+      .select("doc_id", "global_id")
+    val gotMap = got.select("doc_id", "global_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naiveMap = naive.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMap == naiveMap)
+    // dense: a permutation of 0..N-1
+    assert(gotMap.values.toSeq.sorted == (0L until gotMap.size.toLong))
+    // the corpus-sized window keeps its partition keys — the whole point
+    val plan = got.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(w => w.contains("row_number") && w.contains("n_chars")),
+      "per-bucket window lost its partitioning:\n" + plan)
+  }
+
+  test("commitBatch: replayed batchId is a no-op even with different retry content") {
+    import streaming.StreamingStage
+    val root = java.nio.file.Files.createTempDirectory("graft-eo-spec").toString
+    val df = spark.range(10).toDF("v")
+    assert(StreamingStage.commitBatch(df, root, 0L), "first commit must land")
+    // redelivery after a crash-between-write-and-offset-commit: same
+    // batchId, and the retry even carries DIFFERENT rows — must skip
+    assert(!StreamingStage.commitBatch(df.limit(2), root, 0L), "replay must be skipped")
+    assert(StreamingStage.readCommitted(spark, root).count() == 10L,
+      "replay must not overwrite the committed content")
+    // next batch commits alongside; read-back follows the max committed id
+    assert(StreamingStage.commitBatch(df.limit(3), root, 1L))
+    assert(StreamingStage.readCommitted(spark, root).count() == 3L)
+    // a torn attempt (dir without marker) is discarded and rewritten
+    val torn = java.nio.file.Paths.get(root, "batch-00002")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-junk"), "torn")
+    assert(StreamingStage.commitBatch(df.limit(5), root, 2L), "torn attempt must rewrite")
+    assert(StreamingStage.readCommitted(spark, root).count() == 5L)
+  }
+
+  test("streamingPublishExactlyOnce: committed artifact equals the batch aggregate") {
+    val got = ExtQueries.streamingPublishExactlyOnce(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Queries.eventsHourlyAgg(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
+  test("sourceSchemaEvolution: merged read fills the evolved column, totals conserved") {
+    val got = Queries.sourceSchemaEvolution(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // gen-1 rows (even event_id) surface ONLY under the null-filled default
+    assert(got.contains("unknown"), "null-filled generation missing from merge read")
+    val evTotal = sources.Tables.events(spark, sfSmoke).count()
+    assert(got.values.sum == evTotal, "merge read lost or duplicated rows")
+    assert(got.keySet.size > 1, "evolved generation's real types missing")
+  }
+
+  test("sampleStratifiedProportional: quotas sum to the budget, picks respect quota") {
+    val rows = ExtQueries.sampleStratifiedProportional(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // Hamilton apportionment: the sample is EXACTLY the budget
+    assert(rows.length == 100, s"sample size ${rows.length} != budget 100")
+    val byLang = rows.groupBy(_._2)
+    byLang.foreach { case (lang, g) =>
+      val quota = g.head._4
+      assert(g.forall(_._4 == quota))
+      assert(g.length.toLong == quota, s"$lang: picked ${g.length} != quota $quota")
+      assert(g.map(_._3).sorted.toSeq == (1L to quota), s"$lang: ranks not contiguous")
+    }
+    // proportionality: each stratum's quota is within 1 seat of exact share
+    val counts = ExtQueries.docs(spark, sfSmoke).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    byLang.foreach { case (lang, g) =>
+      val exact = 100.0 * counts(lang) / n
+      assert(math.abs(g.head._4 - exact) < 1.0, s"$lang: quota off by >= 1 seat")
+    }
+  }
+}
