@@ -3527,4 +3527,47 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"),
         col("sample_rank").cast("long").as("sample_rank"), col("quota"))
   }
+
+  /** Idempotent partition backfill (`pipeline_backfill_overwrite`):
+    * the daily-pipeline repair verb — a day-partitioned aggregate
+    * table where a subset of days landed corrupted (the fixture
+    * inflates `day % 5 = 0` counts by 1000) is healed by recomputing
+    * ONLY those days and writing them with DYNAMIC partition
+    * overwrite: `mode("overwrite")` under
+    * `partitionOverwriteMode=dynamic` replaces exactly the partitions
+    * present in the incoming frame and leaves every other day's files
+    * physically untouched (spec asserts the untouched days' part-files
+    * are byte-identical before/after). The gate reads the healed
+    * table BACK FROM DISK and must equal the clean computation — so
+    * write → corrupt → backfill → read is the proven chain.
+    *
+    * Scale shape (100 TB): a backfill rewrites data ∝ the bad days,
+    * not the table — static overwrite (or drop-and-rewrite) would
+    * rewrite everything; MERGE would read-join everything. Dynamic
+    * overwrite is the only verb whose IO tracks the repair size, and
+    * it is idempotent: re-running the same backfill converges to the
+    * same bytes (same day partitions replaced with the same rows).
+    */
+  def pipelineBackfillOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_backfill")
+      .resolve("table").toString
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("ts_ns DIV 86400000000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 1000000).cast("long")).cast("double") / 1000000)
+          .as("sum_value"))
+    val bad = col("day") % 5 === 0
+    // initial load: the bad days land corrupted
+    daily.withColumn("n_events",
+        when(bad, col("n_events") + 1000L).otherwise(col("n_events")))
+      .write.partitionBy("day").parquet(out)
+    // backfill: recompute ONLY the bad days; dynamic overwrite replaces
+    // exactly those partitions
+    daily.filter(bad)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out)
+    s.read.parquet(out)
+      .select(col("day").cast("long").as("day"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
 }

@@ -240,7 +240,10 @@ object SparkEntry {
     // driver r8: add-column schema evolution through a mergeSchema read
     "source_schema_evolution" -> (Queries.sourceSchemaEvolution _),
     // driver r8: exact Hamilton-apportionment stratified sampling
-    "sample_stratified_proportional" -> (ExtQueries.sampleStratifiedProportional _)
+    "sample_stratified_proportional" -> (ExtQueries.sampleStratifiedProportional _),
+    // driver r8: dynamic-partition-overwrite backfill (repair IO ∝ bad
+    // days, untouched partitions byte-identical)
+    "pipeline_backfill_overwrite" -> (ExtQueries.pipelineBackfillOverwrite _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1415,6 +1418,14 @@ object SparkEntry {
     "qa_k_anonymity" -> ExtOracleSql.qaKAnonymity,
     "pipeline_global_ids" -> ExtOracleSql.pipelineGlobalIds,
     "sample_stratified_proportional" -> ExtOracleSql.sampleStratifiedProportional,
+    // the healed day-partitioned table must equal the clean computation
+    // (write -> corrupt -> dynamic-overwrite backfill -> read back)
+    "pipeline_backfill_overwrite" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
     // the merge-read over both generations must equal computing off the
     // source table directly (gen-1 rows carry the null-filled default)
     "source_schema_evolution" ->

@@ -141,4 +141,44 @@ class Round13OpsSpec extends SparkSpec {
       assert(math.abs(g.head._4 - exact) < 1.0, s"$lang: quota off by >= 1 seat")
     }
   }
+
+  test("pipelineBackfillOverwrite: healed table equals clean; dynamic overwrite is surgical") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // the op end-to-end: corrupted initial load, healed by the backfill
+    val got = ExtQueries.pipelineBackfillOverwrite(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = sources.Tables.events(spark, sfSmoke)
+      .groupBy(org.apache.spark.sql.functions.expr("ts_ns DIV 86400000000000").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.round(col("value") * 1000000).cast("long"))
+          .cast("double") / 1000000).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    // surgical-overwrite mechanics: untouched partitions keep their exact
+    // files (names AND bytes) across a dynamic-overwrite of other ones
+    val out = java.nio.file.Files.createTempDirectory("graft_backfill_spec")
+      .resolve("t").toString
+    spark.range(100).selectExpr("id % 4 AS day", "id AS v")
+      .write.partitionBy("day").parquet(out)
+    def files(day: Int) = {
+      val d = java.nio.file.Paths.get(out, s"day=$day")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(p => p.getFileName.toString ->
+          java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(p)))
+        .toMap
+    }
+    val before = (1 to 3).map(files)
+    spark.range(1000, 1010).selectExpr("CAST(0 AS BIGINT) AS day", "id AS v")
+      .select(col("v"), col("day"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out)
+    assert((1 to 3).map(files) == before,
+      "dynamic overwrite touched partitions outside the incoming frame")
+    assert(spark.read.parquet(out).filter(col("day") === 0).count() == 10L,
+      "target partition not replaced")
+  }
 }
