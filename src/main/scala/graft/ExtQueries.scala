@@ -3386,17 +3386,38 @@ object ExtQueries {
     val qTerms = d.filter(col("doc_id") % 25 === 0)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(words)).as("word"))
-    val scored = withDf
-      .join(broadcast(qTerms), "word")
-      .filter(col("query_id") =!= col("doc_id"))
+    // term_fp depends ONLY on the candidate-side posting (tf, df, dl, N,
+    // L) — compute it per POSTING (|vocab·docs| rows) and REPARTITION BY
+    // CAND before the broadcast join. Two measured effects (8.7 → 2.7 s
+    // at sf0.1, PLANS.md #26): (a) the barrier materializes the three
+    // integer divisions per posting instead of per matched pair inside
+    // the join loop (PLANS.md #18); (b) hashpartitioning(doc_id) already
+    // satisfies the pair groupBy's ClusteredDistribution(query_id,
+    // cand_id), so the matched-pair stream — ~180× the posting count on
+    // this dense-vocab corpus — aggregates COMPLETELY in place with NO
+    // exchange: word-partitioned postings scatter a pair's terms across
+    // tasks (map-side combine does nothing, the full pair stream
+    // shuffles), cand-partitioned postings keep every pair in one task
+    // and only the combined pair rows exist at all.
+    // idf_milli = (2(N−df)+1)·1000 DIV (2·df+1); saturation quotient
+    // numerator/denominator ×20·10⁶ clears k1 = 6/5, b = 3/4 exactly:
+    // term = idf_milli·tf·2 200 000 DIV (tf·10⁶ + 300 000 + 900 000·dl·N DIV L)
+    val scoredPostings = withDf
       .crossJoin(broadcast(stats))
-      // idf_milli = (2(N−df)+1)·1000 DIV (2·df+1); saturation quotient
-      // numerator/denominator ×20·10⁶ clears k1 = 6/5, b = 3/4 exactly:
-      // term = idf_milli·tf·2 200 000 DIV (tf·10⁶ + 300 000 + 900 000·dl·N DIV L)
       .withColumn("term_fp", expr(
         """((2 * (__n - df) + 1) * 1000 DIV (2 * df + 1)) * tf * 2200000
            DIV (tf * 1000000 + 300000 + (900000 * dl * __n) DIV __l)"""))
-    val perPair = scored.groupBy(col("query_id"), col("doc_id").as("cand_id"))
+      .select(col("word"), col("doc_id"), col("term_fp"))
+      // PINNED width, not repartition(col): AQE sizes an exchange by its
+      // own bytes (116k slim posting rows ≈ one advisory partition) and
+      // is blind to the ~180× row amplification the broadcast join does
+      // DOWNSTREAM of it — coalescing here serialized the 17.6M-row
+      // join+agg loop onto ~1 core (measured 5.5 → 2.0 s pinned)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+    val perPair = scoredPostings
+      .join(broadcast(qTerms), "word")
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id").as("cand_id"))
       .agg(sum(col("term_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
     LatestPerKey.topKRanked(perPair, 10, Seq(col("query_id")),
         Seq(col("score_fp").desc_nulls_last, col("cand_id").asc_nulls_first))
