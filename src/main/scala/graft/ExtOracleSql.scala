@@ -2384,4 +2384,42 @@ object ExtOracleSql {
       |SELECT r.doc_id, r.lang, r.sample_rank, al.quota
       |FROM r JOIN al USING (lang)
       |WHERE r.sample_rank <= al.quota""".stripMargin
+
+  /** PCA power-iteration twin: all three rounds re-derived from data
+    * as CTEs; every division is the sign-split truncating form so
+    * DuckDB's floor `//` agrees with Spark's toward-zero DIV on
+    * negatives.
+    */
+  val embedPcaPower: String = {
+    def signDiv(num: String, den: String) =
+      s"CASE WHEN $num < 0 THEN -((-($num)) // ($den)) ELSE ($num) // ($den) END"
+    def round(i: Int, prev: String) =
+      s"""s$i AS (
+         |  SELECT xl.vec_id, CAST(SUM(xl.x_fp * v.v_fp) AS BIGINT) AS s
+         |  FROM xl JOIN $prev v USING (dim) GROUP BY xl.vec_id),
+         |sm$i AS (SELECT MAX(abs(s)) AS smax FROM s$i),
+         |t$i AS (
+         |  SELECT vec_id, ${signDiv("s", "1 + smax // 1048576")} AS t
+         |  FROM s$i CROSS JOIN sm$i),
+         |vr$i AS (
+         |  SELECT xl.dim, CAST(SUM(t$i.t * xl.x_fp) AS BIGINT) AS vr
+         |  FROM xl JOIN t$i USING (vec_id) GROUP BY xl.dim),
+         |vm$i AS (SELECT MAX(abs(vr)) AS vmax FROM vr$i),
+         |v$i AS (
+         |  SELECT dim, ${signDiv("vr", "1 + vmax // 1000000")} AS v_fp
+         |  FROM vr$i CROSS JOIN vm$i)""".stripMargin
+    s"""WITH xl AS (
+       |  SELECT vec_id, CAST(u.dim AS BIGINT) AS dim,
+       |    CAST(round(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS x_fp
+       |  FROM (
+       |    SELECT vec_id,
+       |      unnest([{'dim': i - 1, 'x': embedding[i]}
+       |              for i in range(1, len(embedding) + 1)]) AS u
+       |    FROM embeddings)),
+       |v0 AS (SELECT unnest(range(0, 64)) AS dim, CAST(1000000 AS BIGINT) AS v_fp),
+       |${round(1, "v0")},
+       |${round(2, "v1")},
+       |${round(3, "v2")}
+       |SELECT dim, v_fp FROM v3""".stripMargin
+  }
 }

@@ -3549,6 +3549,52 @@ object ExtQueries {
         col("sample_rank").cast("long").as("sample_rank"), col("quota"))
   }
 
+  /** Top principal direction of the embedding corpus
+    * (`embed_pca_power`): three unrolled power-iteration rounds
+    * `v ← Xᵀ(Xv)` in EXACT integer fixed point — the dimensionality-
+    * reduction/whitening primitive an embedding pipeline runs before
+    * compressing or re-projecting vectors (the PCA sibling of the
+    * k-means/PageRank unrolled-iteration family). Determinism: every
+    * quantity is a bounded integer — embeddings quantized ×10⁶, the
+    * per-vector projection s = Σ x·v summed exactly, both rescalings
+    * stated as SIGN-SPLIT truncating division (`-((-s) DIV d)` for
+    * negatives — Spark DIV truncates toward zero where DuckDB `//`
+    * floors, so negative operands NEVER meet a bare DIV), and the
+    * normalizers (max |s|, max |v|) are exact integer maxima. The
+    * oracle re-derives all three rounds from data as CTEs — nothing
+    * engine-computed is baked in.
+    *
+    * Scale shape (100 TB): the classic distributed power iteration —
+    * per round ONE corpus pass for s (x-exploded join against the
+    * broadcast 64-row v, map-side-combined sum per vec) and one for
+    * vᵣₐᵥ (keyed join s⋈x, map-side-combined sum per dim → 64 rows);
+    * the only driver-sized frames are v and the two scalar maxima.
+    * Overflow headroom: |s| ≤ 64·x̂·10⁶ ≈ 3.4e13, t capped at 2²⁰ by
+    * its rescale, |v_raw| ≤ n·2²⁰·x̂ — raise the t shift with log₂ n
+    * past ~10⁷ vectors (documented, not silently truncated).
+    */
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val xl = vecs(s, dir).select(col("vec_id"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+          .as(Seq("pos", "x_fp")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"), col("x_fp"))
+    val v0 = s.range(0, 64).select(col("id").as("dim"), lit(1000000L).as("v_fp"))
+    def signDiv(num: String, den: String) =
+      expr(s"CASE WHEN $num < 0 THEN -((-$num) DIV ($den)) ELSE $num DIV ($den) END")
+    def round(v: DataFrame): DataFrame = {
+      val sRow = xl.join(broadcast(v), "dim")
+        .groupBy("vec_id").agg(sum(col("x_fp") * col("v_fp")).as("s"))
+      val t = sRow.crossJoin(broadcast(sRow.agg(max(abs(col("s"))).as("smax"))))
+        .select(col("vec_id"), signDiv("s", "1 + smax DIV 1048576").as("t"))
+      val vraw = xl.join(t, "vec_id")
+        .groupBy("dim").agg(sum(col("t") * col("x_fp")).as("vr"))
+      vraw.crossJoin(broadcast(vraw.agg(max(abs(col("vr"))).as("vmax"))))
+        .select(col("dim"), signDiv("vr", "1 + vmax DIV 1000000").as("v_fp"))
+    }
+    round(round(round(v0)))
+  }
+
   /** Idempotent partition backfill (`pipeline_backfill_overwrite`):
     * the daily-pipeline repair verb — a day-partitioned aggregate
     * table where a subset of days landed corrupted (the fixture

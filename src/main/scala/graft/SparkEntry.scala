@@ -243,7 +243,9 @@ object SparkEntry {
     "sample_stratified_proportional" -> (ExtQueries.sampleStratifiedProportional _),
     // driver r8: dynamic-partition-overwrite backfill (repair IO ∝ bad
     // days, untouched partitions byte-identical)
-    "pipeline_backfill_overwrite" -> (ExtQueries.pipelineBackfillOverwrite _)
+    "pipeline_backfill_overwrite" -> (ExtQueries.pipelineBackfillOverwrite _),
+    // driver r8: distributed PCA power iteration in exact fixed point
+    "embed_pca_power" -> (ExtQueries.embedPcaPower _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -320,8 +322,9 @@ object SparkEntry {
     // driver r8 late adds: BM25 times the inverted-index scoring join;
     // global-ids times the two-phase rank (k-anonymity stays
     // correctness-only: three-row-ladder aggregate, shape already
-    // timed via qa_profile_activities — see BASELINE.md policy)
-    "text_bm25_topk", "pipeline_global_ids")
+    // timed via qa_profile_activities — see BASELINE.md policy);
+    // PCA times the unrolled distributed power iteration
+    "text_bm25_topk", "pipeline_global_ids", "embed_pca_power")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1418,6 +1421,7 @@ object SparkEntry {
     "qa_k_anonymity" -> ExtOracleSql.qaKAnonymity,
     "pipeline_global_ids" -> ExtOracleSql.pipelineGlobalIds,
     "sample_stratified_proportional" -> ExtOracleSql.sampleStratifiedProportional,
+    "embed_pca_power" -> ExtOracleSql.embedPcaPower,
     // the healed day-partitioned table must equal the clean computation
     // (write -> corrupt -> dynamic-overwrite backfill -> read back)
     "pipeline_backfill_overwrite" ->

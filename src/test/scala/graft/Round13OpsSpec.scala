@@ -142,6 +142,30 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("embedPcaPower: matches an independent driver-side fixed-point power iteration") {
+    val x = sources.Tables.load(spark, sfSmoke, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xfp")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val dims = x.values.head.length
+    def signDiv(n: Long, d: Long): Long = if (n < 0) -((-n) / d) else n / d
+    var v = Array.fill(dims)(1000000L)
+    for (_ <- 1 to 3) {
+      val sByVec = x.map { case (id, row) =>
+        id -> row.indices.map(j => row(j) * v(j)).sum }
+      val smax = sByVec.values.map(math.abs).max
+      val t = sByVec.map { case (id, s) => id -> signDiv(s, 1 + smax / 1048576) }
+      val vr = Array.tabulate(dims)(j => x.map { case (id, row) => t(id) * row(j) }.sum)
+      val vmax = vr.map(math.abs).max
+      v = vr.map(signDiv(_, 1 + vmax / 1000000))
+    }
+    val got = ExtQueries.embedPcaPower(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == v.indices.map(j => j.toLong -> v(j)).toMap)
+    // the direction is non-degenerate and normalized to the 10^6 scale
+    assert(got.values.map(math.abs).max <= 1000000L && got.values.exists(_ != 0L))
+  }
+
   test("pipelineBackfillOverwrite: healed table equals clean; dynamic overwrite is surgical") {
     import org.apache.spark.sql.functions.{col, count, lit}
     // the op end-to-end: corrupted initial load, healed by the backfill
