@@ -2385,6 +2385,49 @@ object ExtOracleSql {
       |FROM r JOIN al USING (lang)
       |WHERE r.sample_rank <= al.quota""".stripMargin
 
+  /** Incremental-ids twin: state ids from the restricted corpus, batch
+    * ids offset by |state| — the append-stable assignment stated
+    * directly off the base table.
+    */
+  val pipelineGlobalIdsIncremental: String =
+    """WITH st AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(ROW_NUMBER() OVER (
+      |      ORDER BY n_chars ASC NULLS FIRST, doc_id ASC NULLS FIRST) - 1
+      |      AS BIGINT) AS global_id
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |n0 AS (SELECT COUNT(*) AS c FROM st),
+      |bt AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(ROW_NUMBER() OVER (
+      |      ORDER BY n_chars ASC NULLS FIRST, doc_id ASC NULLS FIRST) - 1 + c
+      |      AS BIGINT) AS global_id
+      |  FROM documents CROSS JOIN n0 WHERE doc_id % 7 = 0)
+      |SELECT doc_id, n_chars, global_id, FALSE AS is_new FROM st
+      |UNION ALL
+      |SELECT doc_id, n_chars, global_id, TRUE AS is_new FROM bt""".stripMargin
+
+  /** Detector-eval twin: the detector CTE is [[dedupMinhashLsh]]
+    * verbatim (as a subquery); counts exact, ratios integer ppm.
+    */
+  val qaDedupEval: String =
+    s"""WITH truth AS (
+       |  SELECT doc_id AS a, doc_id + 1000000 AS b
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |det AS (
+       |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM ($dedupMinhashLsh)),
+       |c AS (SELECT
+       |  (SELECT COUNT(*) FROM truth) AS n_truth,
+       |  (SELECT COUNT(*) FROM det) AS n_detected,
+       |  (SELECT COUNT(*) FROM det JOIN truth USING (a, b)) AS tp)
+       |SELECT n_truth, n_detected, tp,
+       |  n_detected - tp AS fp, n_truth - tp AS fn,
+       |  tp * 1000000 // n_detected AS precision_ppm,
+       |  tp * 1000000 // n_truth AS recall_ppm,
+       |  2 * (tp * 1000000 // n_detected) * (tp * 1000000 // n_truth)
+       |    // ((tp * 1000000 // n_detected) + (tp * 1000000 // n_truth)) AS f1_ppm
+       |FROM c""".stripMargin
+
   /** PCA power-iteration twin: all three rounds re-derived from data
     * as CTEs; every division is the sign-split truncating form so
     * DuckDB's floor `//` agrees with Spark's toward-zero DIV on

@@ -3486,9 +3486,18 @@ object ExtQueries {
     * window bit-for-bit and that the corpus window keeps its
     * partition keys.
     */
-  def pipelineGlobalIds(s: SparkSession, dir: String): DataFrame = {
+  def pipelineGlobalIds(s: SparkSession, dir: String): DataFrame =
+    denseCurriculumIds(docs(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("global_id"),
+        expr("global_id DIV 256").as("shard_id"),
+        expr("global_id % 256").as("pos_in_shard"))
+
+  /** The E125 two-phase bucketed rank: dense 0-based ids in
+    * (n_chars, doc_id) order with no single-partition corpus window.
+    */
+  private def denseCurriculumIds(d0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+    val d = d0.select(col("doc_id"), col("n_chars"),
       expr("doc_id DIV 4096").as("b"))
     val off = d.groupBy("n_chars", "b").agg(count(lit(1)).as("cnt"))
       .withColumn("offset", coalesce(
@@ -3499,10 +3508,35 @@ object ExtQueries {
     d.join(broadcast(off), Seq("n_chars", "b"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("n_chars"), col("b"))
         .orderBy(col("doc_id").asc_nulls_first)))
-      .withColumn("global_id", col("offset") + col("rn") - 1L)
-      .select(col("doc_id"), col("n_chars"), col("global_id"),
-        expr("global_id DIV 256").as("shard_id"),
-        expr("global_id % 256").as("pos_in_shard"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("offset") + col("rn") - 1L).as("global_id"))
+  }
+
+  /** Append-stable ID assignment (`pipeline_global_ids_incremental`):
+    * the daily-ingest face of E125 — yesterday's assignment (corpus
+    * minus the `doc_id % 7 = 0` batch) is IMMUTABLE state; the batch
+    * receives fresh ids starting at |state| in the same curriculum
+    * order among themselves. The stability contract is the point: a
+    * full re-rank over the grown corpus RENUMBERS existing documents
+    * (new short docs shift every longer doc's id — spec proves it),
+    * which invalidates every stored shard pointer and resume
+    * checkpoint that references them; append-stable ids only ever
+    * grow the tail.
+    *
+    * Scale shape (100 TB): both halves are the E125 two-phase rank
+    * (bounded-bucket windows, tiny offsets frames); the state side is
+    * READ, not recomputed, in production — here it is re-derived so
+    * the oracle can state the whole assignment from the base table.
+    */
+  def pipelineGlobalIdsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    val state = denseCurriculumIds(d.filter(col("doc_id") % 7 =!= 0))
+    val batch = denseCurriculumIds(d.filter(col("doc_id") % 7 === 0))
+      .crossJoin(broadcast(state.agg(count(lit(1)).as("__n0"))))
+      .select(col("doc_id"), col("n_chars"),
+        (col("global_id") + col("__n0")).as("global_id"))
+    state.withColumn("is_new", lit(false))
+      .unionByName(batch.withColumn("is_new", lit(true)))
   }
 
   /** Proportional stratified sampling with exact largest-remainder
@@ -3547,6 +3581,39 @@ object ExtQueries {
       .filter(col("sample_rank") <= col("quota"))
       .select(col("doc_id"), col("lang"),
         col("sample_rank").cast("long").as("sample_rank"), col("quota"))
+  }
+
+  /** Detector-quality evaluation (`qa_dedup_eval`): precision / recall
+    * / F1 of the MinHash-LSH near-dup detector against the PLANTED
+    * ground truth (every 10th doc's first-5-words-dropped copy) — the
+    * gated metric row a pipeline publishes before trusting a dedup
+    * config at scale, turning what was spec-only planted-pair checking
+    * into an auditable artifact. All counts are exact integers and the
+    * three ratios exact ppm DIV quotients, so the evaluation itself
+    * hash-gates (an eval that drifts with partitioning would be worse
+    * than none).
+    *
+    * Scale shape (100 TB): truth is a projection of the corpus (no
+    * extra scan — the same %10 rule the fixture states); tp is one
+    * pair-keyed join between the detector output and truth (both pair
+    * lists, ≪ corpus); the metric arithmetic is a 1-row frame.
+    */
+  def qaDedupEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = docs(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+    val det = dedupMinhashLsh(s, dir)
+      .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+    val c = det.join(truth, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(det.agg(count(lit(1)).as("n_detected"))))
+    c.select(col("n_truth"), col("n_detected"), col("tp"),
+        (col("n_detected") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        expr("tp * 1000000 DIV n_detected").as("precision_ppm"),
+        expr("tp * 1000000 DIV n_truth").as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("2 * precision_ppm * recall_ppm DIV (precision_ppm + recall_ppm)"))
   }
 
   /** Top principal direction of the embedding corpus

@@ -245,7 +245,12 @@ object SparkEntry {
     // days, untouched partitions byte-identical)
     "pipeline_backfill_overwrite" -> (ExtQueries.pipelineBackfillOverwrite _),
     // driver r8: distributed PCA power iteration in exact fixed point
-    "embed_pca_power" -> (ExtQueries.embedPcaPower _)
+    "embed_pca_power" -> (ExtQueries.embedPcaPower _),
+    // driver r8: gated precision/recall/F1 of the minhash detector
+    // against the planted ground truth
+    "qa_dedup_eval" -> (ExtQueries.qaDedupEval _),
+    // driver r8: append-stable id assignment (ids never renumber)
+    "pipeline_global_ids_incremental" -> (ExtQueries.pipelineGlobalIdsIncremental _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1422,6 +1427,8 @@ object SparkEntry {
     "pipeline_global_ids" -> ExtOracleSql.pipelineGlobalIds,
     "sample_stratified_proportional" -> ExtOracleSql.sampleStratifiedProportional,
     "embed_pca_power" -> ExtOracleSql.embedPcaPower,
+    "qa_dedup_eval" -> ExtOracleSql.qaDedupEval,
+    "pipeline_global_ids_incremental" -> ExtOracleSql.pipelineGlobalIdsIncremental,
     // the healed day-partitioned table must equal the clean computation
     // (write -> corrupt -> dynamic-overwrite backfill -> read back)
     "pipeline_backfill_overwrite" ->

@@ -166,6 +166,38 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.values.map(math.abs).max <= 1000000L && got.values.exists(_ != 0L))
   }
 
+  test("pipelineGlobalIdsIncremental: existing ids stable, tail appended, full re-rank would renumber") {
+    val rows = ExtQueries.pipelineGlobalIdsIncremental(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val (newDocs, oldDocs) = rows.partition(_._4)
+    val n0 = oldDocs.length.toLong
+    // stability: old ids are exactly the pre-batch assignment
+    val want = ExtQueries.docs(spark, sfSmoke).filter(col("doc_id") % 7 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).sortBy(x => (x._2, x._1))
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(oldDocs.forall { case (id, _, gid, _) => want(id) == gid })
+    // tail-append: every new id lands after the state, densely
+    assert(newDocs.forall(_._3 >= n0))
+    assert(rows.map(_._3).sorted.toSeq == (0L until rows.length.toLong))
+    // and the CONTRAST: a full re-rank over the grown corpus renumbers
+    // existing docs — the failure mode append-stability exists to avoid
+    val full = ExtQueries.pipelineGlobalIds(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(oldDocs.exists { case (id, _, gid, _) => full(id) != gid },
+      "fixture degenerate: full re-rank did not renumber any existing doc")
+  }
+
+  test("qaDedupEval: metrics consistent, detector finds the planted pairs") {
+    val r = ExtQueries.qaDedupEval(spark, sfSmoke).collect().head
+    val Seq(nTruth, nDet, tp, fp, fn, prec, rec, f1) =
+      (0 to 7).map(r.getLong(_))
+    assert(tp + fp == nDet && tp + fn == nTruth)
+    assert(prec == tp * 1000000L / nDet && rec == tp * 1000000L / nTruth)
+    assert(f1 == 2 * prec * rec / (prec + rec))
+    assert(nTruth > 0 && tp > 0, "eval vacuous: no planted pairs found")
+    assert(rec >= 900000L, s"detector recall $rec ppm below 90% on planted copies")
+  }
+
   test("pipelineBackfillOverwrite: healed table equals clean; dynamic overwrite is surgical") {
     import org.apache.spark.sql.functions.{col, count, lit}
     // the op end-to-end: corrupted initial load, healed by the backfill
