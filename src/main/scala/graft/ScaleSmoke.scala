@@ -196,7 +196,30 @@ object ScaleSmoke {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$adv/embeddings.parquet")
 
+    // driver r8 close: dominant-length corpus for the global-id
+    // assignment — 90% of the 10× corpus shares ONE n_chars value, so
+    // a per-length window would push ~50k rows through one partition;
+    // the E125 two-phase rank's (n_chars, id DIV 4096) bucket bounds
+    // every window partition at 4096 regardless. The naive global
+    // ROW_NUMBER twin is timed for contrast (its sort is ONE task by
+    // construction — the shape the operator exists to avoid).
+    val advIds = s"$work/adv_ids"
+    spark.read.parquet(s"$work/documents.parquet")
+      .withColumn("n_chars",
+        when(col("doc_id") % 10 =!= 0, lit(100L)).otherwise(col("n_chars")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$advIds/documents.parquet")
+
     val queries = Seq(
+      "global_ids_two_phase" ->
+        ((s: SparkSession, _: String) => ExtQueries.pipelineGlobalIds(s, advIds)),
+      "global_ids_naive_window" -> ((s: SparkSession, _: String) => {
+        import org.apache.spark.sql.expressions.Window
+        sources.Tables.load(s, advIds, "documents").select(col("doc_id"), col("n_chars"))
+          .withColumn("global_id", row_number().over(Window
+            .orderBy(col("n_chars").asc_nulls_first, col("doc_id").asc_nulls_first))
+            .cast("long") - 1L)
+      }),
       "dedup_ngram_jaccard" -> (ExtQueries.dedupNgramJaccard _),
       // round 7: the scale-safe composition — candidates from LSH bands,
       // exact Jaccard only on candidates; at 10× dup density the exact
