@@ -62,16 +62,25 @@ object EntityResolution {
     * within-maxDist registry count is the weight sum.
     */
   def resolve(dirty: DataFrame, clean: DataFrame, maxDist: Int): DataFrame = {
+    val n = dirty.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val dn = dirty.select(col("name").as("d_name")).distinct()
     val cn = clean.groupBy(col("name").as("c_name"))
       .agg(min(col("key")).as("min_key"), count(lit(1)).as("cnt"))
     val dv = dn.select(col("d_name"), explode(deletionKeys(col("d_name"))).as("k"))
     val cv = cn.select(col("c_name"), explode(deletionKeys(col("c_name"))).as("k"))
     // a name pair can collide on several variant keys -> distinct, and
-    // the registry's (min_key, cnt) joins back once per surviving pair
-    val cand = dv.join(cv, Seq("k"))
+    // the registry's (min_key, cnt) joins back once per surviving pair.
+    // PINNED repartitions (PLANS.md #26): the variant frames are a few
+    // MB, so AQE coalesces their exchanges to ~1 partition and the
+    // ~60×-amplified pair stream plus ~1M codegen Levenshtein DPs run
+    // near-single-core (measured 10.0 s; pinned 1.8 s at sf0.1). The
+    // d_name pin doubles as lesson 26a: hashpartitioning(d_name)
+    // satisfies the best-match groupBy's clustering, so the scored
+    // stream aggregates in place.
+    val cand = dv.repartition(n, col("k")).join(cv.repartition(n, col("k")), Seq("k"))
       .select("d_name", "c_name")
       .distinct()
+      .repartition(n, col("d_name"))
     val scored = cand
       .join(cn, Seq("c_name"))
       .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
