@@ -3662,6 +3662,47 @@ object ExtQueries {
     round(round(round(v0)))
   }
 
+  /** Time-travel reads over the WAP version history
+    * (`pipeline_time_travel` — the `VERSION AS OF` verb completing
+    * the table-format set next to MERGE/E122, OPTIMIZE/E118+E43 and
+    * dynamic-overwrite backfill/E129): publish a balance snapshot,
+    * publish an updated snapshot over it, then read BOTH — the
+    * superseded version by NAME from the immutable history
+    * ([[graft.operators.Publish.readVersion]]), the current one
+    * through the pointer — and emit per-snapshot totals plus the
+    * changed-row audit (count and exact summed delta between the two
+    * reads). The gate proves the old version survives the new publish
+    * byte-exactly: its totals come from the DISK read-back, and the
+    * oracle states them from the source table.
+    *
+    * Scale shape (100 TB): time travel is free at write time —
+    * versions are immutable dirs the commit already produces; the
+    * diff is one key-partitioned join between two snapshot reads
+    * (column-pruned to key + the compared column).
+    */
+  def pipelineTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Publish
+    val root = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val t = Tables.load(s, dir, "customer").select(col("c_custkey").as("key"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_fp"))
+    val v1 = Publish.publish(t, root)
+    val v2 = Publish.publish(
+      t.withColumn("bal_fp", when(col("key") % 7 === 0, col("bal_fp") + 10000L)
+        .otherwise(col("bal_fp"))), root)
+    val old = Publish.readVersion(s, root, v1)
+    val cur = Publish.read(s, root)
+    def snap(label: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("bal_fp")).as("sum_bal_fp"))
+        .select(lit(label).as("snapshot"), col("n_rows"), col("sum_bal_fp"))
+    val changed = old.select(col("key"), col("bal_fp").as("old_bal"))
+      .join(cur.select(col("key"), col("bal_fp").as("new_bal")), "key")
+      .filter(col("old_bal") =!= col("new_bal"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("new_bal") - col("old_bal")).as("sum_bal_fp"))
+      .select(lit("changed").as("snapshot"), col("n_rows"), col("sum_bal_fp"))
+    snap(v1, old).unionByName(snap(v2, cur)).unionByName(changed)
+  }
+
   /** Idempotent partition backfill (`pipeline_backfill_overwrite`):
     * the daily-pipeline repair verb — a day-partitioned aggregate
     * table where a subset of days landed corrupted (the fixture

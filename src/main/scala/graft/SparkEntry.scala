@@ -250,7 +250,9 @@ object SparkEntry {
     // against the planted ground truth
     "qa_dedup_eval" -> (ExtQueries.qaDedupEval _),
     // driver r8: append-stable id assignment (ids never renumber)
-    "pipeline_global_ids_incremental" -> (ExtQueries.pipelineGlobalIdsIncremental _)
+    "pipeline_global_ids_incremental" -> (ExtQueries.pipelineGlobalIdsIncremental _),
+    // driver r8: VERSION AS OF over the WAP history (time travel)
+    "pipeline_time_travel" -> (ExtQueries.pipelineTimeTravel _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1429,6 +1431,20 @@ object SparkEntry {
     "embed_pca_power" -> ExtOracleSql.embedPcaPower,
     "qa_dedup_eval" -> ExtOracleSql.qaDedupEval,
     "pipeline_global_ids_incremental" -> ExtOracleSql.pipelineGlobalIdsIncremental,
+    // the superseded version's DISK read-back must equal the source
+    // snapshot (immutability across a later publish), and the diff
+    // between the two time-travel reads must be exactly the update rule
+    "pipeline_time_travel" ->
+      """WITH t AS (SELECT c_custkey AS key,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer)
+        |SELECT 'v00001' AS snapshot, COUNT(*) AS n_rows,
+        |  CAST(SUM(bal) AS BIGINT) AS sum_bal_fp FROM t
+        |UNION ALL
+        |SELECT 'v00002', COUNT(*),
+        |  CAST(SUM(bal + CASE WHEN key % 7 = 0 THEN 10000 ELSE 0 END) AS BIGINT) FROM t
+        |UNION ALL
+        |SELECT 'changed', COUNT(*), CAST(SUM(10000) AS BIGINT)
+        |FROM t WHERE key % 7 = 0""".stripMargin,
     // the healed day-partitioned table must equal the clean computation
     // (write -> corrupt -> dynamic-overwrite backfill -> read back)
     "pipeline_backfill_overwrite" ->

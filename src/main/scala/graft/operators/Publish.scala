@@ -180,4 +180,23 @@ object Publish {
       throw new IllegalStateException(s"Publish.read: no published version under $rootPath"))
     spark.read.parquet(root(rootPath).resolve(v).toString)
   }
+
+  /** TIME TRAVEL: read a specific version from the immutable history
+    * by name. Versions are append-only and never mutated after their
+    * audit, so a superseded version reads back byte-identical to what
+    * its publish committed — the Delta/Iceberg `VERSION AS OF` verb.
+    * Audit-failed tombstones (`v<N>.failed`) and purged markers are
+    * refused by name. Caveat shared with Iceberg's orphaned-but-valid
+    * snapshots: a crash strictly between audit pass and pointer swap
+    * leaves an audited version that was never current readable here
+    * until a janitor ([[retireHistory]]) expires it.
+    */
+  def readVersion(spark: SparkSession, rootPath: String, version: String): DataFrame = {
+    require(version.matches("v\\d+"),
+      s"Publish.readVersion: '$version' is not a live version name")
+    val dir = root(rootPath).resolve(version)
+    require(java.nio.file.Files.isDirectory(dir),
+      s"Publish.readVersion: $version does not exist under $rootPath (retired or never written)")
+    spark.read.parquet(dir.toString)
+  }
 }

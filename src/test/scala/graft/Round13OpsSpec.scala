@@ -187,6 +187,27 @@ class Round13OpsSpec extends SparkSpec {
       "fixture degenerate: full re-rank did not renumber any existing doc")
   }
 
+  test("readVersion: superseded versions stay readable, tombstones and orphans refused") {
+    import operators.Publish
+    val root = java.nio.file.Files.createTempDirectory("graft_tt_spec").toString
+    val v1 = Publish.publish(spark.range(10).toDF("v"), root)
+    val v1Rows = Publish.readVersion(spark, root, v1).collect().map(_.getLong(0)).sorted
+    val v2 = Publish.publish(spark.range(100, 105).toDF("v"), root)
+    // time travel: v1 unchanged by the later publish; pointer follows v2
+    assert(Publish.readVersion(spark, root, v1).collect().map(_.getLong(0)).sorted
+      .sameElements(v1Rows))
+    assert(Publish.read(spark, root).count() == 5L)
+    assert(Publish.readVersion(spark, root, v2).count() == 5L)
+    // a failed (audit-vetoed) attempt is NOT time-travel-reachable
+    intercept[Exception] {
+      Publish.publish(spark.range(3).toDF("v"), root,
+        audit = _ => sys.error("veto"))
+    }
+    intercept[IllegalArgumentException](Publish.readVersion(spark, root, "v00003"))
+    intercept[IllegalArgumentException](Publish.readVersion(spark, root, "v00003.failed"))
+    intercept[IllegalArgumentException](Publish.readVersion(spark, root, "v00099"))
+  }
+
   test("qaDedupEval: metrics consistent, detector finds the planted pairs") {
     val r = ExtQueries.qaDedupEval(spark, sfSmoke).collect().head
     val Seq(nTruth, nDet, tp, fp, fn, prec, rec, f1) =
