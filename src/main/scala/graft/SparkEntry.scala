@@ -252,7 +252,9 @@ object SparkEntry {
     // driver r8: append-stable id assignment (ids never renumber)
     "pipeline_global_ids_incremental" -> (ExtQueries.pipelineGlobalIdsIncremental _),
     // driver r8: VERSION AS OF over the WAP history (time travel)
-    "pipeline_time_travel" -> (ExtQueries.pipelineTimeTravel _)
+    "pipeline_time_travel" -> (ExtQueries.pipelineTimeTravel _),
+    // driver r8: additive-state MV maintenance (fold ∝ batch)
+    "pipeline_incremental_mv" -> (ExtQueries.pipelineIncrementalMv _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1445,6 +1447,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'changed', COUNT(*), CAST(SUM(10000) AS BIGINT)
         |FROM t WHERE key % 7 = 0""".stripMargin,
+    // the incremental fold must be indistinguishable from the one-shot
+    // aggregate over all events
+    "pipeline_incremental_mv" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
     // the healed day-partitioned table must equal the clean computation
     // (write -> corrupt -> dynamic-overwrite backfill -> read back)
     "pipeline_backfill_overwrite" ->

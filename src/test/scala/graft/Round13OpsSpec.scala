@@ -208,6 +208,21 @@ class Round13OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Publish.readVersion(spark, root, "v00099"))
   }
 
+  test("pipelineIncrementalMv: fold equals one-shot aggregate, both arms non-vacuous") {
+    val got = ExtQueries.pipelineIncrementalMv(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = sources.Tables.events(spark, sfSmoke)
+      .groupBy(expr("ts_ns DIV 86400000000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 1000000).cast("long")).cast("double") / 1000000).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    // the split actually exercises both the stored and the batch arm
+    val ev = sources.Tables.events(spark, sfSmoke)
+    assert(ev.filter(col("event_id") % 4 === 0).count() > 0)
+    assert(ev.filter(col("event_id") % 4 =!= 0).count() > 0)
+  }
+
   test("qaDedupEval: metrics consistent, detector finds the planted pairs") {
     val r = ExtQueries.qaDedupEval(spark, sfSmoke).collect().head
     val Seq(nTruth, nDet, tp, fp, fn, prec, rec, f1) =
