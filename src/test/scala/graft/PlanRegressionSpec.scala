@@ -287,6 +287,56 @@ class PlanRegressionSpec extends SparkSpec {
       "qa_key_skew must read the checkpointed counts, not re-scan events:\n" + ks.take(3000))
   }
 
+  test("r13 ops: BM25 pair agg runs in place behind a pinned exchange; global-ids window partitioned") {
+    // BM25 (PLANS.md #26): the cand-pinned repartition must survive as a
+    // REPARTITION_BY_COL exchange on doc_id, and the pair groupBy must
+    // aggregate IN PLACE — no exchange between the join and the final
+    // hash aggregate (word-partitioned or AQE-coalesced shapes both
+    // reintroduce one and re-serialize the amplified pair stream)
+    val bm = staticPlan(ExtQueries.textBm25TopK(spark, sfSmoke))
+    assert(planLines(bm, "REPARTITION_BY_NUM").nonEmpty ||
+      planLines(bm, "hashpartitioning(doc_id").exists(_.contains("REPARTITION")),
+      "BM25 lost its pinned cand repartition:\n" + bm.take(3000))
+    // tree shape: the pair HashAggregates sit DIRECTLY above the
+    // broadcast join (partial+final fused, no exchange between) — any
+    // non-broadcast Exchange in that span means the in-place clustering
+    // was lost
+    val tree = bm.linesIterator.takeWhile(!_.startsWith("(")).toVector
+    val joinIdx = tree.indexWhere(_.contains("BroadcastHashJoin"))
+    val aggsAbove = tree.zipWithIndex
+      .filter { case (l, i) => l.contains("HashAggregate") && i < joinIdx }
+    assert(joinIdx >= 0 && aggsAbove.size >= 2,
+      "BM25 tree lost its fused pair aggregates:\n" + bm.take(3000))
+    val span = tree.slice(aggsAbove.map(_._2).min, joinIdx)
+    assert(!span.exists(l => l.contains("Exchange") && !l.contains("Broadcast")),
+      "BM25 pair aggregation no longer satisfies its clustering in place:\n" + bm.take(3000))
+    // global ids: the corpus-sized row_number window keeps its bucket
+    // partition keys (never a SinglePartition corpus window); the only
+    // global window is over the tiny counts frame
+    val gi = staticPlan(ExtQueries.pipelineGlobalIds(spark, sfSmoke))
+    // formatted mode puts window functions in Arguments detail lines:
+    // the row_number spec must carry the (n_chars, b) bucket partition
+    val rnSpecs = planLines(gi, "row_number")
+    assert(rnSpecs.nonEmpty && rnSpecs.forall(l =>
+        l.contains("windowspecdefinition(n_chars")),
+      "global-ids corpus window lost its bucket partitioning:\n" + gi.take(3000))
+  }
+
+  test("r13 ops: ER blocking join pinned, PCA corpus passes bounded") {
+    // ER (PLANS.md #26): both variant-frame exchanges are width-pinned
+    // repartitions on the block key, and the distinct pair frame
+    // repartitions on d_name so the best-match agg runs in place
+    val er = staticPlan(ExtQueries.erFuzzyMatch(spark, sfSmoke))
+    assert(planLines(er, "hashpartitioning(k").size >= 2,
+      "ER blocking join lost its pinned key exchanges:\n" + er.take(3000))
+    assert(planLines(er, "hashpartitioning(d_name").nonEmpty,
+      "ER scoring stage lost its d_name repartition:\n" + er.take(3000))
+    // PCA: three rounds = six corpus-frame consumers; the plan must
+    // stay join+aggregate shaped with no cartesian anywhere
+    val pca = staticPlan(ExtQueries.embedPcaPower(spark, sfSmoke))
+    assert(!pca.contains("CartesianProduct"), pca.take(3000))
+  }
+
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
     // codegen spans only show on the executed plan, as `*(n)` stage
     // markers (AQE's static formatted plan omits the annotation)
