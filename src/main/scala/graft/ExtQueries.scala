@@ -43,8 +43,18 @@ object ExtQueries {
   /** N-gram Jaccard near-duplicate pairs: shingle → inverted index →
     * shared-shingle counts → Jaccard ≥ 0.5.
     */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val all = withNearDups(docs(s, dir))
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramPairStats(withNearDups(docs(s, dir)))
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+
+  /** Shared exact n-gram pair machinery: capped inverted index →
+    * packed-long pair expansion → intersection counts joined with both
+    * sides' distinct-shingle sizes. Consumed by the Jaccard detector
+    * (symmetric overlap) and the containment detector (asymmetric).
+    */
+  private def ngramPairStats(all: DataFrame): DataFrame = {
     val distinctShingles = array_distinct(TextFunctions.shingles(col("words"), 3))
     // Inverted index as ONE groupBy(shingle) + in-bucket pair expansion:
     // a posting-list self-join would shuffle the exploded shingle table
@@ -80,10 +90,36 @@ object ExtQueries {
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("n_sh", "n1"), "doc_id_1")
       .join(sizes.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("n_sh", "n2"), "doc_id_2")
-      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_id_1", "doc_id_2", "jaccard")
   }
+
+  /** Asymmetric containment near-dup (`dedup_containment`): pairs where
+    * the SMALLER shingle set sits (almost) inside the larger —
+    * `inter / min(n1, n2) ≥ 0.9` — the quote/boilerplate/subsumption
+    * detector Jaccard structurally misses: a snippet fully contained in
+    * a long document scores Jaccard ≈ |snippet|/|doc| (arbitrarily low)
+    * but containment 1.0. The planted trimmed copies are TRUE
+    * containment pairs by construction (a suffix's shingles are a
+    * subset of the original's), several below the Jaccard gate's 0.5.
+    * Direction is emitted: `contained_id` is the smaller-set side
+    * (ties → the higher id, which is the planted copy).
+    *
+    * Scale shape: identical to the Jaccard detector — the pair
+    * machinery is shared ([[ngramPairStats]]), so the capped postings
+    * and packed-long pair stream price both detectors once.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    ngramPairStats(withNearDups(docs(s, dir)))
+      .withColumn("containment", col("inter") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= 0.9)
+      .select(
+        when(col("n1") < col("n2"), col("doc_id_2"))
+          .when(col("n2") < col("n1"), col("doc_id_1"))
+          .otherwise(greatest(col("doc_id_1"), col("doc_id_2"))).as("container_id"),
+        when(col("n1") < col("n2"), col("doc_id_1"))
+          .when(col("n2") < col("n1"), col("doc_id_2"))
+          .otherwise(least(col("doc_id_1"), col("doc_id_2"))).as("contained_id"),
+        least(col("n1"), col("n2")).cast("long").as("n_contained_sh"),
+        col("containment"))
 
   /** Token + char counting (whitespace tokenizer). */
   def textTokenCount(s: SparkSession, dir: String): DataFrame =

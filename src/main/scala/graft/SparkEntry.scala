@@ -254,7 +254,9 @@ object SparkEntry {
     // driver r8: VERSION AS OF over the WAP history (time travel)
     "pipeline_time_travel" -> (ExtQueries.pipelineTimeTravel _),
     // driver r8: additive-state MV maintenance (fold ∝ batch)
-    "pipeline_incremental_mv" -> (ExtQueries.pipelineIncrementalMv _)
+    "pipeline_incremental_mv" -> (ExtQueries.pipelineIncrementalMv _),
+    // driver r8: asymmetric containment (quote/subsumption detection)
+    "dedup_containment" -> (ExtQueries.dedupContainment _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1103,6 +1105,42 @@ object SparkEntry {
         |JOIN sizes s1 ON s1.doc_id = doc_id_1
         |JOIN sizes s2 ON s2.doc_id = doc_id_2
         |WHERE inter / (s1.n_sh + s2.n_sh - inter) >= 0.5""".stripMargin,
+
+    // asymmetric containment: same machinery as the Jaccard twin, the
+    // smaller-set side must sit (almost) inside the larger
+    "dedup_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    (string_split(text, ' '))[6:len(string_split(text, ' '))] AS words
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(words) < 3 THEN []
+        |         ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)] END)) AS sh
+        |  FROM base),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |counts AS (SELECT sh, COUNT(*) AS c FROM sh GROUP BY sh),
+        |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN counts USING (sh)
+        |        WHERE c BETWEEN 2 AND 500),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS inter
+        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT
+        |  CASE WHEN s1.n_sh < s2.n_sh THEN doc_id_2
+        |       WHEN s2.n_sh < s1.n_sh THEN doc_id_1
+        |       ELSE greatest(doc_id_1, doc_id_2) END AS container_id,
+        |  CASE WHEN s1.n_sh < s2.n_sh THEN doc_id_1
+        |       WHEN s2.n_sh < s1.n_sh THEN doc_id_2
+        |       ELSE least(doc_id_1, doc_id_2) END AS contained_id,
+        |  CAST(least(s1.n_sh, s2.n_sh) AS BIGINT) AS n_contained_sh,
+        |  inter / least(s1.n_sh, s2.n_sh) AS containment
+        |FROM pairs
+        |JOIN sizes s1 ON s1.doc_id = doc_id_1
+        |JOIN sizes s2 ON s2.doc_id = doc_id_2
+        |WHERE inter / least(s1.n_sh, s2.n_sh) >= 0.9""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

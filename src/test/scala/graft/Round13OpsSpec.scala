@@ -223,6 +223,26 @@ class Round13OpsSpec extends SparkSpec {
     assert(ev.filter(col("event_id") % 4 =!= 0).count() > 0)
   }
 
+  test("dedupContainment: planted suffix copies are perfect containments; some escape Jaccard") {
+    val rows = ExtQueries.dedupContainment(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // planted pairs: trimmed copy (id + 1000000) contained in its base
+    val planted = rows.filter { case (container, contained, _, _) =>
+      contained == container + 1000000L }
+    assert(planted.nonEmpty, "no planted containment pairs detected")
+    planted.foreach { case (_, _, _, c) =>
+      assert(c == 1.0, s"suffix copy must be a perfect containment, got $c") }
+    // the structural claim: at sf0.1 (where short docs exist) some
+    // contained pairs sit BELOW the Jaccard gate — the detector's point
+    val sf01 = "/root/testdata/sf0.1"
+    val cont = ExtQueries.dedupContainment(spark, sf01).collect()
+      .map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1))).toSet
+    val jac = ExtQueries.dedupNgramJaccard(spark, sf01).collect()
+      .map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1))).toSet
+    assert((cont -- jac).nonEmpty,
+      "every containment pair also passed Jaccard - the asymmetric detector adds nothing")
+  }
+
   test("qaDedupEval: metrics consistent, detector finds the planted pairs") {
     val r = ExtQueries.qaDedupEval(spark, sfSmoke).collect().head
     val Seq(nTruth, nDet, tp, fp, fn, prec, rec, f1) =
