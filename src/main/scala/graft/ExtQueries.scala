@@ -3698,6 +3698,41 @@ object ExtQueries {
     round(round(round(v0)))
   }
 
+  /** Seasonality-adjusted anomaly detection (`events_anomaly_seasonal`):
+    * the deseasonalized upgrade of the rolling z-score — each hourly
+    * count is judged against the baseline of its OWN hour-of-day slot
+    * per event type (traffic at 03:00 is compared to other 03:00s, so
+    * a quiet-hour spike isn't masked by the daily cycle's variance).
+    * The 3σ test is EXACT INTEGER: `(x−μ)² > 9σ²` over the slot's
+    * (n, S = Σc, Q = Σc²) multiplies through by n² into
+    * `(n·x − S)² > 9·(n·Q − S²)` — no square root, no float mean, so
+    * the flags (and both sides of the inequality, emitted for audit)
+    * hash-gate bit-exactly where a σ-based form would hinge on libm.
+    *
+    * Scale shape (100 TB): one map-side-combined hourly groupBy, then
+    * baselines as a window over (type, hod) — 24·|types| slots, each
+    * ~|days| rows; nothing row-sized shuffles twice. The sqrt-free
+    * rewrite is the same move as the OLS/PageRank fixed-point family:
+    * state every comparison in the integers the sums already live in.
+    */
+  def eventsAnomalySeasonal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("ts_ns DIV 86400000000000").as("day"),
+        expr("(ts_ns % 86400000000000) DIV 3600000000000").as("hod"),
+        col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val slot = Window.partitionBy(col("event_type"), col("hod"))
+    hourly
+      .withColumn("n", count(lit(1)).over(slot))
+      .withColumn("s", sum(col("x")).over(slot))
+      .withColumn("q", sum(col("x") * col("x")).over(slot))
+      .select(col("day"), col("hod"), col("event_type"), col("x").as("n_events"),
+        ((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))).as("dev_sq_n2"),
+        (lit(9L) * (col("n") * col("q") - col("s") * col("s"))).as("thr_sq_n2"))
+      .withColumn("is_anomaly", col("dev_sq_n2") > col("thr_sq_n2"))
+  }
+
   /** Incremental materialized-view maintenance (`pipeline_incremental_mv`):
     * the additive-aggregate sibling of the latest-row incremental
     * staging — a stored daily (day, type) summary (rows, exact

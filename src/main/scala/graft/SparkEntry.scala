@@ -256,7 +256,10 @@ object SparkEntry {
     // driver r8: additive-state MV maintenance (fold ∝ batch)
     "pipeline_incremental_mv" -> (ExtQueries.pipelineIncrementalMv _),
     // driver r8: asymmetric containment (quote/subsumption detection)
-    "dedup_containment" -> (ExtQueries.dedupContainment _)
+    "dedup_containment" -> (ExtQueries.dedupContainment _),
+    // driver r8: deseasonalized anomaly flags via an exact integer
+    // (n·x−S)² > 9·(n·Q−S²) test — no sqrt, no float σ
+    "events_anomaly_seasonal" -> (ExtQueries.eventsAnomalySeasonal _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1485,6 +1488,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'changed', COUNT(*), CAST(SUM(10000) AS BIGINT)
         |FROM t WHERE key % 7 = 0""".stripMargin,
+    // the seasonal 3σ test stated in exact integers — both inequality
+    // sides replayed, flags must match bit-for-bit
+    "events_anomaly_seasonal" ->
+      """WITH h AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    (epoch_ns(ts) % 86400000000000) // 3600000000000 AS hod,
+        |    event_type, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT *,
+        |    COUNT(*) OVER (PARTITION BY event_type, hod) AS n,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type, hod) AS BIGINT) AS s,
+        |    CAST(SUM(x * x) OVER (PARTITION BY event_type, hod) AS BIGINT) AS q
+        |  FROM h)
+        |SELECT day, hod, event_type, x AS n_events,
+        |  (n * x - s) * (n * x - s) AS dev_sq_n2,
+        |  9 * (n * q - s * s) AS thr_sq_n2,
+        |  (n * x - s) * (n * x - s) > 9 * (n * q - s * s) AS is_anomaly
+        |FROM b""".stripMargin,
+
     // the incremental fold must be indistinguishable from the one-shot
     // aggregate over all events
     "pipeline_incremental_mv" ->

@@ -243,6 +243,34 @@ class Round13OpsSpec extends SparkSpec {
       "every containment pair also passed Jaccard - the asymmetric detector adds nothing")
   }
 
+  test("eventsAnomalySeasonal: integer test equals the float 3-sigma rule, flags non-degenerate") {
+    val rows = ExtQueries.eventsAnomalySeasonal(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // the integer inequality must agree with the float population
+    // 3-sigma rule it restates (away from exact-equality boundaries
+    // the fixture's integer counts never hit)
+    val bySlot = rows.groupBy(r => (r._3, r._2))
+    bySlot.foreach { case (_, g) =>
+      val n = g.length.toDouble
+      val mu = g.map(_._4).sum / n
+      val sig2 = g.map(x => x._4 * x._4.toDouble).sum / n - mu * mu
+      g.foreach { case (_, _, _, x, devSq, thrSq, flag) =>
+        assert(flag == (devSq > thrSq))
+        // away from the exact boundary the float rule must agree; AT
+        // the boundary (devSq == thrSq, which the fixture's small
+        // integer counts do hit) float roundoff flips either way —
+        // that fragility is exactly why the test ships integer-exact
+        if (devSq != thrSq) {
+          val floatFlag = (x - mu) * (x - mu) > 9.0 * sig2
+          assert(flag == floatFlag, s"integer and float 3-sigma disagree at x=$x mu=$mu")
+        }
+      }
+    }
+    assert(rows.exists(_._7) && rows.exists(!_._7),
+      "fixture degenerate: anomaly flags all one value")
+  }
+
   test("qaDedupEval: metrics consistent, detector finds the planted pairs") {
     val r = ExtQueries.qaDedupEval(spark, sfSmoke).collect().head
     val Seq(nTruth, nDet, tp, fp, fn, prec, rec, f1) =
