@@ -3698,6 +3698,43 @@ object ExtQueries {
     round(round(round(v0)))
   }
 
+  /** Token-budget source mixing (`mix_token_budget`): each source
+    * contributes documents in digest order until a 600-TOKEN budget is
+    * exhausted — the unit a training mix is actually specified in
+    * (tokens, not document counts; a source of long documents fills
+    * its slice with fewer docs). Greedy prefix rule: a doc is taken
+    * while the running token total BEFORE it is under budget, so the
+    * crossing document is included (progress is guaranteed even when
+    * one document exceeds the whole budget) and the selection is a
+    * contiguous digest-order prefix — append-stable like the quota
+    * samplers.
+    *
+    * Scale shape (100 TB): the per-source cumulative sum is bounded
+    * BEFORE it runs — a taken prefix has at most B docs (tokens ≥ 1),
+    * so the native bounded-heap TopK cuts every source to ≤ B rows
+    * map-side and only those survivors reach the window; the dominant
+    * source never sorts (the stratified sampler's bound, with the
+    * budget as k).
+    */
+  def mixTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = 600L
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("digest"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cut = LatestPerKey.topKRanked(d, b.toInt, Seq(col("source")),
+      Seq(col("digest").asc_nulls_first, col("doc_id").asc_nulls_first), "pick_rank")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("digest").asc_nulls_first, col("doc_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cut
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < b)
+      .select(col("source"), col("pick_rank").cast("long").as("pick_rank"),
+        col("doc_id"), col("n_tokens"),
+        (col("cum_before") + col("n_tokens")).as("cum_tokens"))
+  }
+
   /** Seasonality-adjusted anomaly detection (`events_anomaly_seasonal`):
     * the deseasonalized upgrade of the rolling z-score — each hourly
     * count is judged against the baseline of its OWN hour-of-day slot

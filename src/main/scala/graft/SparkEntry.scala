@@ -259,7 +259,10 @@ object SparkEntry {
     "dedup_containment" -> (ExtQueries.dedupContainment _),
     // driver r8: deseasonalized anomaly flags via an exact integer
     // (n·x−S)² > 9·(n·Q−S²) test — no sqrt, no float σ
-    "events_anomaly_seasonal" -> (ExtQueries.eventsAnomalySeasonal _)
+    "events_anomaly_seasonal" -> (ExtQueries.eventsAnomalySeasonal _),
+    // driver r8: source mixing in TOKEN units (greedy digest-order
+    // prefix per source under a 600-token budget)
+    "mix_token_budget" -> (ExtQueries.mixTokenBudget _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1488,6 +1491,28 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'changed', COUNT(*), CAST(SUM(10000) AS BIGINT)
         |FROM t WHERE key % 7 = 0""".stripMargin,
+    // greedy digest-order token-budget prefix per source: the crossing
+    // doc is included (cum BEFORE < budget), replayed via the same
+    // exclusive-frame window sum
+    "mix_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS digest,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY digest ASC NULLS FIRST, doc_id ASC NULLS FIRST)
+        |      AS BIGINT) AS pick_rank,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY digest ASC NULLS FIRST, doc_id ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM d)
+        |SELECT source, pick_rank, doc_id, n_tokens,
+        |  cum_before + n_tokens AS cum_tokens
+        |FROM r WHERE cum_before < 600""".stripMargin,
+
     // the seasonal 3σ test stated in exact integers — both inequality
     // sides replayed, flags must match bit-for-bit
     "events_anomaly_seasonal" ->

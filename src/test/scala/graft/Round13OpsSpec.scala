@@ -271,6 +271,26 @@ class Round13OpsSpec extends SparkSpec {
       "fixture degenerate: anomaly flags all one value")
   }
 
+  test("mixTokenBudget: contiguous prefixes, budget binds, crossing doc included") {
+    val rows = ExtQueries.mixTokenBudget(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.size == 20, "every source contributes")
+    bySrc.foreach { case (src, g) =>
+      val sorted = g.sortBy(_._2)
+      // contiguous digest-order prefix
+      assert(sorted.map(_._2).toSeq == (1L to g.length.toLong), s"$src: ranks not a prefix")
+      // cum_tokens is the running sum and every PRIOR total is under budget
+      sorted.foldLeft(0L) { case (before, (_, _, _, nt, cum)) =>
+        assert(cum == before + nt, s"$src: cum_tokens not a running sum")
+        assert(before < 600L, s"$src: doc taken with budget already exhausted")
+        cum
+      }
+      // the budget actually binds: the final total crosses it
+      assert(sorted.last._5 >= 600L, s"$src: budget never reached (vacuous fixture)")
+    }
+  }
+
   test("qaDedupEval: metrics consistent, detector finds the planted pairs") {
     val r = ExtQueries.qaDedupEval(spark, sfSmoke).collect().head
     val Seq(nTruth, nDet, tp, fp, fn, prec, rec, f1) =
