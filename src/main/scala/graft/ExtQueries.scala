@@ -3698,6 +3698,41 @@ object ExtQueries {
     round(round(round(v0)))
   }
 
+  /** Compaction EXECUTION (`layout_compaction_exec`): the rewrite half
+    * of OPTIMIZE, completing E118's bin-packing planner — a
+    * day-partitioned events table written with a deliberately
+    * fragmented layout (32-way shuffle before the partitioned write →
+    * every task contributes a file to every day it touches) is
+    * compacted by re-clustering on the PARTITION KEY (each day lands
+    * wholly in one task → one file per day) and rewritten. The gate
+    * reads the COMPACTED table back from disk and its per-day
+    * aggregate must equal computing directly off the source — the
+    * rewrite moved bytes, not data. The spec asserts the physical
+    * claims the hash can't see: strictly fewer files, identical
+    * row-level content.
+    *
+    * Scale shape (100 TB): compaction IO ∝ the fragmented partitions
+    * being rewritten (here: all, by construction); the re-cluster is
+    * ONE shuffle on the partition key and each output task writes
+    * sequentially — the same verb as E129's backfill with "rewrite
+    * small files" instead of "recompute bad days" as the reason.
+    */
+  def layoutCompactionExec(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("value"), expr("ts_ns DIV 86400000000000").as("day"))
+    // fragmented initial layout: many writers per day partition
+    ev.repartition(32).write.partitionBy("day").parquet(s"$out/frag")
+    // OPTIMIZE: re-cluster on the partition key, rewrite compacted
+    s.read.parquet(s"$out/frag").repartition(col("day"))
+      .write.partitionBy("day").parquet(s"$out/compact")
+    s.read.parquet(s"$out/compact")
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 1000000).cast("long")).cast("double") / 1000000)
+          .as("sum_value"))
+  }
+
   /** Token-budget source mixing (`mix_token_budget`): each source
     * contributes documents in digest order until a 600-TOKEN budget is
     * exhausted — the unit a training mix is actually specified in

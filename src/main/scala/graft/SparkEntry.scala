@@ -262,7 +262,10 @@ object SparkEntry {
     "events_anomaly_seasonal" -> (ExtQueries.eventsAnomalySeasonal _),
     // driver r8: source mixing in TOKEN units (greedy digest-order
     // prefix per source under a 600-token budget)
-    "mix_token_budget" -> (ExtQueries.mixTokenBudget _)
+    "mix_token_budget" -> (ExtQueries.mixTokenBudget _),
+    // driver r8: OPTIMIZE's rewrite half — compact the fragmented
+    // layout, gate the read-back (the E118 planner's executor)
+    "layout_compaction_exec" -> (ExtQueries.layoutCompactionExec _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1491,6 +1494,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'changed', COUNT(*), CAST(SUM(10000) AS BIGINT)
         |FROM t WHERE key % 7 = 0""".stripMargin,
+    // the compacted table's read-back must equal computing off the
+    // source — the rewrite moved bytes, not data
+    "layout_compaction_exec" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+
     // greedy digest-order token-budget prefix per source: the crossing
     // doc is included (cum BEFORE < budget), replayed via the same
     // exclusive-frame window sum

@@ -291,6 +291,36 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("layoutCompactionExec-mechanics: fewer files, identical content") {
+    // the physical claims the hash gate can't see, on the same shapes
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    val ev = sources.Tables.events(spark, sfSmoke).select(col("event_id"),
+      expr("ts_ns DIV 86400000000000").as("day"))
+    ev.repartition(8).write.partitionBy("day").parquet(s"$out/frag")
+    spark.read.parquet(s"$out/frag").repartition(col("day"))
+      .write.partitionBy("day").parquet(s"$out/compact")
+    def nFiles(p: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .count(f => f.getFileName.toString.startsWith("part-")).toLong
+    }
+    assert(nFiles(s"$out/compact") < nFiles(s"$out/frag"),
+      "compaction did not reduce the file count")
+    // per-day: exactly one output file
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/compact")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("day=")).foreach { d =>
+        val parts = java.nio.file.Files.list(d).iterator().asScala
+          .count(_.getFileName.toString.startsWith("part-"))
+        assert(parts == 1, s"${d.getFileName}: $parts files after compaction")
+      }
+    // identical row-level content (partition col reads back as int)
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).sorted
+    assert(rows(s"$out/frag").sameElements(rows(s"$out/compact")),
+      "compaction changed table content")
+  }
+
   test("qaDedupEval: metrics consistent, detector finds the planted pairs") {
     val r = ExtQueries.qaDedupEval(spark, sfSmoke).collect().head
     val Seq(nTruth, nDet, tp, fp, fn, prec, rec, f1) =
