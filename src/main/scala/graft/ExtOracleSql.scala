@@ -2385,6 +2385,46 @@ object ExtOracleSql {
       |FROM r JOIN al USING (lang)
       |WHERE r.sample_rank <= al.quota""".stripMargin
 
+  /** Two-stage rerank twin: the int8-quantized shortlist CTE
+    * (simQuantizedTopK's qz verbatim), exact full-dim cosine
+    * re-score, both ranks carried.
+    */
+  val simRerankTwoStage: String =
+    s"""WITH $vecsDouble,
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(vec, x -> CAST(CAST(round(x / s) AS BIGINT) AS DOUBLE)) AS q
+       |  FROM (
+       |    SELECT vec_id, vec,
+       |      CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS s
+       |    FROM (SELECT vec_id, vec,
+       |            list_reduce(list_transform(vec, x -> abs(x)), (a, b) -> greatest(a, b)) AS m
+       |          FROM v))),
+       |q8 AS (SELECT vec_id AS query_id, q AS q_vec FROM qz WHERE vec_id % 25 = 0),
+       |coarse AS (
+       |  SELECT q8.query_id, c.vec_id AS neighbor_id,
+       |    ${cosine("q8.q_vec", "c.q")} AS cscore
+       |  FROM qz c JOIN q8 ON q8.query_id <> c.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS coarse_rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cscore DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rn
+       |    FROM coarse) WHERE rn <= 50),
+       |qf AS (SELECT vec_id AS query_id, vec AS q_vec FROM v WHERE vec_id % 25 = 0),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id, s.coarse_rank,
+       |    ${cosine("qf.q_vec", "cf.vec")} AS score
+       |  FROM short s
+       |  JOIN v cf ON cf.vec_id = s.neighbor_id
+       |  JOIN qf ON qf.query_id = s.query_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+       |  round(score, 6) AS score, coarse_rank
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rn
+       |  FROM rr)
+       |WHERE rn <= 5""".stripMargin
+
   /** Incremental-ids twin: state ids from the restricted corpus, batch
     * ids offset by |state| — the append-stable assignment stated
     * directly off the base table.

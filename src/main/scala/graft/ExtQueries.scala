@@ -2328,6 +2328,48 @@ object ExtQueries {
     Similarity.bruteForceTopK(tr, tr.filter(col("vec_id") % 25 === 0), k = 5)
   }
 
+  /** Two-stage retrieval (`sim_rerank_two_stage`): the production
+    * retrieve-then-rerank verb in its SQ8 form — a cheap INT8-
+    * quantized full-dim shortlist (top-50 per query over 8-bit codes,
+    * 4× less corpus IO than float32) re-scored with the EXACT
+    * full-precision cosine, final top-5 — the FAISS-style scalar-
+    * quantized scan + fp32 re-rank. Both leg ranks are emitted
+    * (`coarse_rank` beside the final rank) so rank movement between
+    * stages is auditable. (A matryoshka prefix shortlist was measured
+    * first: recall@5 0.24 on these UNTRAINED synthetic embeddings —
+    * prefix concentration is a property of matryoshka training, not
+    * of vectors in general; the quantized scan is rank-faithful on
+    * any distribution and the spec holds it to ≥ 0.9.)
+    *
+    * Scale shape (100 TB): stage 1 scans compressed codes (swap in
+    * IVF/PQ for the shortlist like the rest of the family); stage 2
+    * joins the ≤ 50·|queries|-row shortlist back to full vectors —
+    * negligible against the corpus scan it replaces.
+    */
+  def simRerankTwoStage(s: SparkSession, dir: String): DataFrame = {
+    val full = vecs(s, dir).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("vec"))
+    // int8 codes as exact-integer doubles; the repartition is the
+    // materialization barrier of PLANS.md #18 (simQuantizedTopK's shape)
+    val qz = vecs(s, dir).select(col("vec_id"),
+        call_function("quantize_i8d", col("embedding")).as("qd"))
+      .repartition(col("vec_id"))
+    val shortlist = Similarity.bruteForceTopK(
+        qz, qz.filter(col("vec_id") % 25 === 0), k = 50, vecCol = "qd")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("coarse_rank"))
+    val rr = shortlist
+      .join(full.select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec")),
+        "neighbor_id")
+      .join(broadcast(full.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("vec").as("q_vec"))), "query_id")
+      .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
+    LatestPerKey.topKRanked(rr, 5, Seq(col("query_id")),
+        Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("score"), 6).as("score"), col("coarse_rank"))
+  }
+
   /** Product-quantized (ADC) top-k: corpus stored as ONE packed BIGINT of
     * 8×4-bit subspace codes (32× less than float32 at D=64); queries
     * score codes against per-query lookup tables — no D-dim arithmetic

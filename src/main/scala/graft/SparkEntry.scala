@@ -265,7 +265,9 @@ object SparkEntry {
     "mix_token_budget" -> (ExtQueries.mixTokenBudget _),
     // driver r8: OPTIMIZE's rewrite half — compact the fragmented
     // layout, gate the read-back (the E118 planner's executor)
-    "layout_compaction_exec" -> (ExtQueries.layoutCompactionExec _)
+    "layout_compaction_exec" -> (ExtQueries.layoutCompactionExec _),
+    // driver r8: retrieve-then-rerank (8-dim shortlist, exact re-score)
+    "sim_rerank_two_stage" -> (ExtQueries.simRerankTwoStage _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1480,6 +1482,7 @@ object SparkEntry {
     "embed_pca_power" -> ExtOracleSql.embedPcaPower,
     "qa_dedup_eval" -> ExtOracleSql.qaDedupEval,
     "pipeline_global_ids_incremental" -> ExtOracleSql.pipelineGlobalIdsIncremental,
+    "sim_rerank_two_stage" -> ExtOracleSql.simRerankTwoStage,
     // the superseded version's DISK read-back must equal the source
     // snapshot (immutability across a later publish), and the diff
     // between the two time-travel reads must be exactly the update rule

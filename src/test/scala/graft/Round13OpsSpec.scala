@@ -321,6 +321,24 @@ class Round13OpsSpec extends SparkSpec {
       "compaction changed table content")
   }
 
+  test("simRerankTwoStage: high recall vs exact, reranking genuinely reorders") {
+    val got = ExtQueries.simRerankTwoStage(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val exact = ExtQueries.simCosineTopK(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotPairs = got.map { case (q, _, n, _) => (q, n) }.toSet
+    val recall = (gotPairs intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"two-stage recall@5 vs exact = $recall < 0.9")
+    // the exact re-score must genuinely reorder the shortlist somewhere
+    // (final rank != coarse rank), else stage 2 is vacuous
+    assert(got.exists { case (_, rank, _, coarse) => rank != coarse },
+      "rerank never changed an order - stage 2 vacuous")
+    got.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1L to 5L), s"query $q: ranks not 1..5")
+      assert(g.forall(_._4 <= 50L), s"query $q: candidate outside the shortlist")
+    }
+  }
+
   test("qaDedupEval: metrics consistent, detector finds the planted pairs") {
     val r = ExtQueries.qaDedupEval(spark, sfSmoke).collect().head
     val Seq(nTruth, nDet, tp, fp, fn, prec, rec, f1) =
