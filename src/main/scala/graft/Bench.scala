@@ -97,6 +97,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load":$loads,"load_post":$loadsPost,"load_end":${loadAvg()},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.length},"n_failed":$nFailed,"full":"bench_last.json"}"""
     // Full line first (humans / generous captures), durable file second,
     // and a SHORT summary as the very last stdout line. The driver keeps
     // only the TAIL of stdout, so rounds 6-7 lost the front of this ~5 KB
@@ -129,10 +130,17 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
         java.nio.file.Files.writeString(
           repoRoot.resolve("bench_last.json"), line + "\n")
+      // third round of "parsed": null in the driver artifact (VERDICT r8
+      // #6): the stdout tail keeps losing the summary to sbt's [info]
+      // prefixing / trailing [success] lines. Emit the SHORT summary to
+      // a fixed sidecar too — a file a parser can read without touching
+      // stdout at all. One line, <200 bytes, valid JSON, no prefix.
+      java.nio.file.Files.writeString(
+        repoRoot.resolve("target/bench_summary.json"), summary + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist bench_last.json: $e")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.length},"n_failed":$nFailed,"full":"bench_last.json"}""")
+    println(summary)
     spark.stop()
   }
 }

@@ -2460,13 +2460,18 @@ object ExtOracleSql {
        |  (SELECT COUNT(*) FROM truth) AS n_truth,
        |  (SELECT COUNT(*) FROM det) AS n_detected,
        |  (SELECT COUNT(*) FROM det JOIN truth USING (a, b)) AS tp)
-       |SELECT n_truth, n_detected, tp,
+       |, m AS (SELECT n_truth, n_detected, tp,
        |  n_detected - tp AS fp, n_truth - tp AS fn,
-       |  tp * 1000000 // n_detected AS precision_ppm,
-       |  tp * 1000000 // n_truth AS recall_ppm,
-       |  2 * (tp * 1000000 // n_detected) * (tp * 1000000 // n_truth)
-       |    // ((tp * 1000000 // n_detected) + (tp * 1000000 // n_truth)) AS f1_ppm
-       |FROM c""".stripMargin
+       |  CASE WHEN n_detected = 0 THEN 0
+       |       ELSE tp * 1000000 // n_detected END AS precision_ppm,
+       |  CASE WHEN n_truth = 0 THEN 0
+       |       ELSE tp * 1000000 // n_truth END AS recall_ppm
+       |FROM c)
+       |SELECT n_truth, n_detected, tp, fp, fn, precision_ppm, recall_ppm,
+       |  CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+       |       ELSE 2 * precision_ppm * recall_ppm
+       |            // (precision_ppm + recall_ppm) END AS f1_ppm
+       |FROM m""".stripMargin
 
   /** PCA power-iteration twin: all three rounds re-derived from data
     * as CTEs; every division is the sign-split truncating form so

@@ -3685,14 +3685,29 @@ object ExtQueries {
       .agg(count(lit(1)).as("tp"))
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
       .crossJoin(broadcast(det.agg(count(lit(1)).as("n_detected"))))
+    dedupEvalMetrics(c)
+  }
+
+  /** Metric arithmetic of [[qaDedupEval]] over a (n_truth, n_detected,
+    * tp) count frame. Degenerate-fixture guards (ADVICE r8): a detector
+    * returning no pairs (n_detected = 0), an empty truth set, or tp = 0
+    * must report zero metrics, not crash — Spark's DIV yields NULL on
+    * /0 while the DuckDB oracle's // raises, so an unguarded quotient
+    * would turn a degenerate input into a gate crash/mismatch instead
+    * of a 0 row.
+    */
+  private[graft] def dedupEvalMetrics(c: DataFrame): DataFrame =
     c.select(col("n_truth"), col("n_detected"), col("tp"),
         (col("n_detected") - col("tp")).as("fp"),
         (col("n_truth") - col("tp")).as("fn"),
-        expr("tp * 1000000 DIV n_detected").as("precision_ppm"),
-        expr("tp * 1000000 DIV n_truth").as("recall_ppm"))
+        expr("CASE WHEN n_detected = 0 THEN 0 ELSE tp * 1000000 DIV n_detected END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_truth = 0 THEN 0 ELSE tp * 1000000 DIV n_truth END")
+          .as("recall_ppm"))
       .withColumn("f1_ppm",
-        expr("2 * precision_ppm * recall_ppm DIV (precision_ppm + recall_ppm)"))
-  }
+        expr("""CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+               |ELSE 2 * precision_ppm * recall_ppm DIV (precision_ppm + recall_ppm)
+               |END""".stripMargin))
 
   /** Top principal direction of the embedding corpus
     * (`embed_pca_power`): three unrolled power-iteration rounds

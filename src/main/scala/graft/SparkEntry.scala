@@ -266,7 +266,8 @@ object SparkEntry {
     // driver r8: OPTIMIZE's rewrite half — compact the fragmented
     // layout, gate the read-back (the E118 planner's executor)
     "layout_compaction_exec" -> (ExtQueries.layoutCompactionExec _),
-    // driver r8: retrieve-then-rerank (8-dim shortlist, exact re-score)
+    // driver r8: retrieve-then-rerank (SQ8 int8-quantized shortlist,
+    // exact re-score)
     "sim_rerank_two_stage" -> (ExtQueries.simRerankTwoStage _)
   )
 

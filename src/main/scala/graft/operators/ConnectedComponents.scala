@@ -27,6 +27,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Edge count past which a DRIVER-side union-find solve is flagged
+    * (VERDICT r8 #7): the driver path exists for batch-sized quotient
+    * graphs; anything near this bound should be on [[runStar]].
+    */
+  val DriverPathWarnEdges: Long = 100000L
+
+  /** Observability counters for [[solveAuto]]'s routing decisions —
+    * specs assert the distributed fallback actually fires past the
+    * bound, and a production log scraper can watch the warning count.
+    */
+  val starFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+  val driverPathWarnings = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Fixed-round min-label propagation, one lazy composed plan (the
     * hash-gate form — a fixed round count is plain unrollable SQL).
     *
@@ -121,10 +134,22 @@ object ConnectedComponents {
                 maxCollected: Long = 1000000L): DataFrame = {
     val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val ne = es.count()
-    if (ne > maxCollected) runStar(vertices, edges)
+    if (ne > maxCollected) { starFallbacks.incrementAndGet(); runStar(vertices, edges) }
     else {
+      // VERDICT r8 #7: the driver path is for BATCH-sized quotient
+      // graphs (a few MB). A future call site routing a corpus-scale
+      // graph through here would silently centralize it — flag any
+      // driver-side solve past 100k edges so the misuse is visible in
+      // logs and counters before it becomes an OOM at a bigger SF.
+      if (ne > DriverPathWarnEdges) {
+        driverPathWarnings.incrementAndGet()
+        System.err.println(
+          s"[graft] ConnectedComponents.solveAuto: driver union-find on $ne edges " +
+          s"(> $DriverPathWarnEdges) — this path is for batch-sized quotient graphs; " +
+          "corpus-scale graphs belong on runStar (raise via a smaller maxCollected)")
+      }
       val vs = vertices.select(col("id").cast("long")).distinct().collect().map(_.getLong(0))
-      if (vs.length + ne > maxCollected) runStar(vertices, edges)
+      if (vs.length + ne > maxCollected) { starFallbacks.incrementAndGet(); runStar(vertices, edges) }
       else {
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {

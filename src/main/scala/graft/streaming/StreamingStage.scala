@@ -205,10 +205,14 @@ object StreamingStage {
     val last =
       try {
         import scala.jdk.CollectionConverters._
+        // max by the NUMERIC id, not the name (ADVICE r8): lexicographic
+        // max over 'batch-%05d' breaks at id 100000, where the format
+        // widens to 6 digits and 'batch-100000' < 'batch-99999' as text
         s.iterator().asScala.map(_.getFileName.toString)
           .filter(n => n.startsWith("batch-") &&
+            n.stripPrefix("batch-").forall(_.isDigit) &&
             Files.exists(Paths.get(rootPath, n, "_COMMITTED")))
-          .maxOption
+          .maxByOption(_.stripPrefix("batch-").toLong)
       } finally s.close()
     spark.read.parquet(s"$rootPath/${last.getOrElse(
       sys.error(s"readCommitted: no committed batch under $rootPath"))}")
