@@ -1223,7 +1223,12 @@ object ExtOracleSql {
     * is positive. Integer sums are order-free, so the hash gate holds
     * under any partitioning.
     */
-  val graphPageRank: String = {
+  /** The full-corpus pagerank CTE chain (edges → degrees → 3 damped
+    * updates) shared by the one-shot twin and the stored/incremental
+    * twins — those gates' engine paths all resolve to the same row
+    * set, so they share the oracle body too.
+    */
+  private val graphPageRankCtes: String = {
     val S = graft.operators.PageRank.Scale
     val iters = (1 to 3).map { i =>
       s"""c$i AS (SELECT e.dst AS node,
@@ -1237,7 +1242,7 @@ object ExtOracleSql {
          |  FROM nodes CROSS JOIN nn
          |  LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cs AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+    s"""cs AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |e AS (SELECT a AS src, b AS dst FROM cs
        |      UNION ALL SELECT b AS src, a AS dst FROM cs),
@@ -1245,10 +1250,33 @@ object ExtOracleSql {
        |nodes AS (SELECT DISTINCT src AS node FROM e),
        |nn AS (SELECT COUNT(*) AS n FROM nodes),
        |r0 AS (SELECT node, $S // n AS r FROM nodes CROSS JOIN nn),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  val graphPageRank: String =
+    s"""WITH $graphPageRankCtes
        |SELECT r3.node, o.out_deg, CAST(r3.r AS BIGINT) AS rank_fp
        |FROM r3 JOIN outdeg o ON r3.node = o.src""".stripMargin
-  }
+
+  /** graph_pagerank_maintain twin: the drift decision replayed from
+    * exact counts — n_base = yesterday's (`o_orderkey % 2 != 0`)
+    * distinct symmetric edges, n_new = the full set minus them (what
+    * the anti-join append admits), rebuilt = the `n_new·2 > n_base`
+    * trigger — plus the rank aggregates over the full corpus (ranks
+    * are branch-invariant: both branches hold the identical edge
+    * row set).
+    */
+  val graphPageRankMaintain: String =
+    s"""WITH $graphPageRankCtes,
+       |csb AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_orderkey % 2 != 0),
+       |counts AS (SELECT
+       |  2 * (SELECT COUNT(*) FROM csb) AS n_base,
+       |  2 * ((SELECT COUNT(*) FROM cs) - (SELECT COUNT(*) FROM csb)) AS n_new),
+       |agg AS (SELECT COUNT(*) AS n_nodes, CAST(SUM(r) AS BIGINT) AS rank_sum FROM r3)
+       |SELECT n_base, n_new, n_new * 2 > n_base AS rebuilt, n_nodes, rank_sum
+       |FROM counts CROSS JOIN agg""".stripMargin
 
   /** qa_sketch_reagg twin: the per-source and global KMV estimates via
     * the same min-k + 63/(v_64/2^52) arithmetic as the engine

@@ -1649,17 +1649,139 @@ object ExtQueries {
     * many customers and customers spread across many suppliers
     * accumulate rank.
     */
-  def graphPageRank(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.load(s, dir, "orders")
+  def graphPageRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank.run(graphEdges(s, dir), iterations = 3)
+
+  /** The customer↔supplier SYMMETRIC edge list (orders⋈lineitem,
+    * distinct pairs, both directions) shared by the one-shot pagerank
+    * and the stored/incremental graph-artifact gates. `pred` restricts
+    * the ORDERS side — the yesterday/today corpus splits the
+    * incremental gates replay.
+    */
+  private def graphEdges(s: SparkSession, dir: String,
+                         pred: Column = lit(true)): DataFrame = {
+    val orders = Tables.load(s, dir, "orders").filter(pred)
     val lineitem = Tables.load(s, dir, "lineitem")
     val cs = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("a"),
         concat(lit("s"), col("l_suppkey")).as("b"))
       .distinct()
-    val edges = cs.select(col("a").as("src"), col("b").as("dst"))
+    cs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(cs.select(col("b").as("src"), col("a").as("dst")))
-    graft.operators.PageRank.run(edges, iterations = 3)
+  }
+
+  /** Bump when the graph-artifact layout or edge derivation changes —
+    * the content-keyed stored artifact below must miss rather than
+    * serve a stale layout (the [[graft.operators.Multimodal]]
+    * stored-fixture discipline).
+    */
+  private val GraphArtifactVersion = 1
+
+  /** STORED graph artifact for this corpus, content-keyed (VERDICT r8
+    * #1 — the video-phash stored-fixture lifecycle, not the
+    * per-invocation UUID one): the nightly edge-derivation job's
+    * output, rebuilt only when the corpus content (count + order-free
+    * xxhash64 fold over the join inputs' key columns) or
+    * [[GraphArtifactVersion]] changes. Signature cost is two
+    * column-pruned scans — no join, no distinct; every later
+    * invocation (and bench rep) reads only the stored bucketed edges
+    * + degree spine.
+    */
+  private def graphStoredArtifact(s: SparkSession, dir: String): graft.operators.GraphIndex.Stored = {
+    val so = Tables.load(s, dir, "orders")
+      .agg(count(lit(1)).cast("string"),
+        sum(xxhash64(col("o_orderkey"), col("o_custkey"))).cast("string")).head()
+    val sl = Tables.load(s, dir, "lineitem")
+      .agg(count(lit(1)).cast("string"),
+        sum(xxhash64(col("l_orderkey"), col("l_suppkey"))).cast("string")).head()
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"gv$GraphArtifactVersion|${so.getString(0)}|${so.getString(1)}|${sl.getString(0)}|${sl.getString(1)}"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-graph-$key")
+    val tbl = s"graft_graph_edges_$key"
+    val stored = graft.operators.GraphIndex.Stored(tbl, base.toString, 0)
+    val ready = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stored.edgesPath, "_SUCCESS")) &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stored.spinePath, "_SUCCESS")) &&
+      s.catalog.tableExists(tbl)
+    if (ready) stored
+    else {
+      // files may survive a previous JVM whose in-memory catalog died —
+      // rebuild the artifact whole (overwrite) rather than trusting a
+      // half-present state
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.operators.GraphIndex.build(s, graphEdges(s, dir), tbl, base.toString)
+    }
+  }
+
+  /** `graph_pagerank_stored`: ranks from the STORED artifact only —
+    * the query path never touches orders/lineitem (plan-asserted in
+    * the spec); the derivation cost sits in the nightly
+    * [[graphStoredArtifact]] build. Oracle = the full in-flow
+    * arithmetic, so the storage round trip is load-bearing in the
+    * hash match.
+    */
+  def graphPageRankStored(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphIndex.ranks(s, graphStoredArtifact(s, dir), iterations = 3)
+
+  /** `graph_pagerank_append`: the INCREMENTAL edge-batch fold — the
+    * `o_orderkey % 7 != 0` split plays yesterday's corpus (its stored
+    * artifact built per invocation), the `% 7 == 0` split is today's
+    * batch, folded in by anti-join append + a spine fold ∝ batch
+    * (NO re-derivation of yesterday's edges, no corpus-wide degree
+    * re-aggregate). Oracle = one-shot pagerank over the FULL corpus:
+    * stored ∪ appended is the full distinct edge set and the folded
+    * spine equals the from-scratch degree aggregate, so the match
+    * proves the fold exact. This split stays on the append branch of
+    * the drift rule at both SFs (measured: new·2 ≤ base).
+    */
+  def graphPageRankAppend(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GraphIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_graph_app").toString
+    val tbl = "graft_graph_append_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored0 = GraphIndex.build(s,
+      graphEdges(s, dir, col("o_orderkey") % 7 =!= 0), tbl, base)
+    val (stored1, _) = GraphIndex.append(s, stored0,
+      graphEdges(s, dir, col("o_orderkey") % 7 === 0), gen = 1)
+    retirePrev(graphAppendPrev, s, tbl, base)
+    GraphIndex.ranks(s, stored1, iterations = 3)
+  }
+
+  /** `graph_pagerank_maintain`: the drift/retrigger decision (the
+    * E95/E96 analog for graphs) on a split that TRIPS it — yesterday
+    * = `% 2 != 0`, batch = the other half; the would-be state's
+    * appended edges outgrow the base (`n_new·2 > n_base`, measured
+    * true at both SFs), so the fold is rejected and a compacting
+    * gen-0 REBUILD runs. Output: one decision row (exact counts +
+    * branch flag) plus rank aggregates off the resulting artifact —
+    * ranks are branch-invariant (identical row set either way), so
+    * the oracle replays the counts and the full-corpus rank sum.
+    */
+  def graphPageRankMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GraphIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_graph_mnt").toString
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tbl = s"graft_graph_mnt_$suffix"
+    val rebuildTbl = s"graft_graph_mnt_rb_$suffix"
+    val stored0 = GraphIndex.build(s,
+      graphEdges(s, dir, col("o_orderkey") % 2 =!= 0), tbl, s"$base/a")
+    val r = GraphIndex.maintain(s, stored0,
+      graphEdges(s, dir, col("o_orderkey") % 2 === 0), gen = 1,
+      rebuildTbl, s"$base/b")
+    // dead-branch retirement within the invocation (the IvfIndex
+    // discipline): on rebuild the pre-maintenance artifact is dead; on
+    // append the rebuild table was never created
+    if (r.rebuilt) s.sql(s"DROP TABLE IF EXISTS $tbl")
+    retirePrev(graphMaintainPrev, s, r.stored.edgesTable, base)
+    GraphIndex.ranks(s, r.stored, iterations = 3)
+      .agg(count(lit(1)).as("n_nodes"), sum(col("rank_fp")).as("rank_sum"))
+      .select(lit(r.nBase).as("n_base"), lit(r.nNew).as("n_new"),
+        lit(r.rebuilt).as("rebuilt"), col("n_nodes"), col("rank_sum"))
   }
 
   /** [[dedupClusters]] over an explicit (doc_id, text) frame (fixture entry). */
@@ -2064,6 +2186,12 @@ object ExtQueries {
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private val ivfMaintainRtPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val graphAppendPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val graphMaintainPrev =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private def deleteTree(p: java.nio.file.Path): Unit =

@@ -152,6 +152,82 @@ object ScaleSmoke {
       graft.operators.IvfIndex.drift(s.table(st.listsTable))
     }
 
+    // r14 (VERDICT r8 #1): stored-graph maintenance at 10× edge volume.
+    // The base customer↔supplier graph (sf0.1: ~1.2M symmetric edges)
+    // replicates into 10 disjoint node namespaces; copies 0-8 play
+    // yesterday's corpus (stored artifact pre-built, the offline
+    // amortized cost), copy 9 is today's edge batch. The timed pair is
+    // the daily fold (batch anti-join — stored side bucket-local since
+    // the bucketed src satisfies the (src,dst) join's distribution —
+    // + spine fold ∝ batch + append write ∝ batch) vs the rebuild it
+    // replaces (distinct + full bucketed rewrite + spine re-aggregate
+    // over 10×|E|); the query path over the stored artifact is timed
+    // alongside.
+    // The 10× RAW inputs (shifted key namespaces, disjoint graphs) —
+    // the rebuild must pay the raw orders⋈lineitem derivation a
+    // production rebuild pays; a rebuild timed off pre-derived edges
+    // would hide exactly the cost the stored artifact exists to
+    // amortize (measured: such a rebuild "wins", 3.8 s vs 4.3 s).
+    val graphRaw = s"$work/graph_raw"
+    // FULL-WIDTH raw copies (all columns, keys shifted): the raw:artifact
+    // byte ratio is what the stored pattern amortizes — a skinny
+    // keys-only fixture would make "re-derive from raw" artificially as
+    // cheap as reading the artifact (measured: rebuild 9.5 s ≈ append
+    // 10.5 s on 2-column raws), which no production corpus looks like
+    locally {
+      val orders = sources.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      val lineitem = sources.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+      (0 until copies).map { c =>
+        orders
+          .withColumn("o_orderkey", col("o_orderkey") + lit(c * 1000000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(c * 100000000L))
+      }.reduce(_.unionByName(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$graphRaw/orders.parquet")
+      (0 until copies).map { c =>
+        lineitem
+          .withColumn("l_orderkey", col("l_orderkey") + lit(c * 1000000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(c * 100000000L))
+      }.reduce(_.unionByName(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$graphRaw/lineitem.parquet")
+    }
+    // BOTH raw sides filter to the requested day-range — today's
+    // lineitems live in today's ingest partition, so a batch
+    // derivation scans batch-sized raw data, not the full history
+    def derive10(s: SparkSession, lo: Long, hi: Long) = {
+      val cs = s.read.parquet(s"$graphRaw/orders.parquet")
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        .join(s.read.parquet(s"$graphRaw/lineitem.parquet")
+          .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b")).distinct()
+      cs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(cs.select(col("b").as("src"), col("a").as("dst")))
+    }
+    // copies 0-8 are yesterday's corpus; copy 9 (orderkey ≥ 9e9) is today
+    val graphTblSmoke = "graft_smoke_graph"
+    spark.sql(s"DROP TABLE IF EXISTS $graphTblSmoke")
+    val storedGraph = graft.operators.GraphIndex.build(spark,
+      derive10(spark, 0L, 9000000000L), graphTblSmoke, s"$work/graph_index")
+    val graphGen = new java.util.concurrent.atomic.AtomicInteger(0)
+    def graphAppendMaint(s: SparkSession, dir: String) = {
+      val (next, _) = graft.operators.GraphIndex.append(s, storedGraph,
+        derive10(s, 9000000000L, Long.MaxValue), gen = graphGen.incrementAndGet())
+      s.read.parquet(next.spinePath)
+        .agg(count(lit(1)).as("n_nodes"), sum("out_deg").as("n_edges"))
+    }
+    def graphRebuildMaint(s: SparkSession, dir: String) = {
+      val n = graphGen.incrementAndGet()
+      val tbl = s"graft_smoke_graph_rebuild_$n"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val st = graft.operators.GraphIndex.build(s, derive10(s, 0L, Long.MaxValue),
+        tbl, s"$work/graph_rebuild_$n")
+      s.read.parquet(st.spinePath)
+        .agg(count(lit(1)).as("n_nodes"), sum("out_deg").as("n_edges"))
+    }
+    def graphRanksStored(s: SparkSession, dir: String) =
+      graft.operators.GraphIndex.ranks(s, storedGraph, iterations = 3)
+
     // driver r8 (VERDICT r7 #4): ADVERSARIAL fixtures for the r7
     // curation ops, in a sibling dir so the historical 10× rows keep
     // their fixture unchanged.
@@ -236,6 +312,11 @@ object ScaleSmoke {
       // round 9: daily IVF maintenance vs the full retrain it replaces
       "sim_ivf_append_maint" -> (simIvfAppendMaint _),
       "sim_ivf_rebuild_maint" -> (simIvfRebuildMaint _),
+      // r14: daily graph-edge maintenance vs the rebuild it replaces,
+      // plus the stored-artifact query path, all at 10× edge volume
+      "graph_append_maint" -> (graphAppendMaint _),
+      "graph_rebuild_maint" -> (graphRebuildMaint _),
+      "graph_ranks_stored_10x" -> (graphRanksStored _),
       "pipeline_dedup_incremental_clusters" -> (ExtQueries.pipelineDedupIncrementalClusters _),
       "dedup_clusters_incremental_vs_stored" -> (dedupClustersIncrementalVsStored _),
       "dedup_simhash" -> (ExtQueries.dedupSimhash _),

@@ -76,21 +76,7 @@ object PageRank {
       // precedent — k centroid rows there, a single count here; a lazy
       // crossJoin(count-agg) would re-aggregate the spine every round)
       val n = out.count()
-      val base: Column = lit(((100 - dampingPct) * Scale / 100) / n)
-      var ranks = out.select(col("node"), lit(Scale / n).as("rank_fp"))
-      (1 to iterations).foreach { _ =>
-        val contrib = eo
-          .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum(expr("rank_fp div out_deg")).as("contrib"))
-        ranks = out.select(col("node"))
-          .join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (base + expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
-              .as("rank_fp"))
-      }
-      val result = ranks.join(out, "node")
-        .select(col("node"), col("out_deg"), col("rank_fp"))
+      val result = supersteps(eo, out, n, iterations, dampingPct)
       // Materialize the result PAST the caches before releasing them: a
       // reliable checkpoint writes the |V|-row result once and truncates
       // lineage, so the frame we return references neither eo nor out
@@ -98,5 +84,34 @@ object PageRank {
       Checkpoints.ensure(result.sparkSession.sparkContext)
       result.checkpoint()
     } finally { eo.unpersist(); out.unpersist(); () }
+  }
+
+  /** The damped-update loop shared by [[run]] (edges derived in-flow)
+    * and [[GraphIndex.ranks]] (edges/spine read from a STORED
+    * artifact) — one code path means the stored query is bit-identical
+    * to the one-shot derivation by construction, which is exactly what
+    * the stored gate's oracle (the full in-flow arithmetic) proves.
+    *
+    * @param eo  (src, dst, out_deg) — edges with the source's degree
+    * @param out (node, out_deg) — the node spine
+    * @param n   |V|, driver-side
+    */
+  private[operators] def supersteps(eo: DataFrame, out: DataFrame, n: Long,
+                                    iterations: Int, dampingPct: Int): DataFrame = {
+    val base: Column = lit(((100 - dampingPct) * Scale / 100) / n)
+    var ranks = out.select(col("node"), lit(Scale / n).as("rank_fp"))
+    (1 to iterations).foreach { _ =>
+      val contrib = eo
+        .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank_fp div out_deg")).as("contrib"))
+      ranks = out.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (base + expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
+            .as("rank_fp"))
+    }
+    ranks.join(out, "node")
+      .select(col("node"), col("out_deg"), col("rank_fp"))
   }
 }

@@ -47,6 +47,81 @@ class Round14OpsSpec extends SparkSpec {
     assert(got == Seq(100000L))
   }
 
+  private def tmpGraph(): (String, String) = (
+    java.nio.file.Files.createTempDirectory("graft-gidx").toString,
+    "gidx_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+
+  test("GraphIndex: append folds NEW edges only and the spine tracks folded degrees") {
+    import spark.implicits._
+    val (base, tbl) = tmpGraph()
+    val y = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")).toDF("src", "dst")
+    // batch overlaps stored on (a,b)/(b,a) — only (b,c)/(c,b) are new
+    val t = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("src", "dst")
+    val s0 = operators.GraphIndex.build(spark, y, tbl, base)
+    val (s1, nNew) = operators.GraphIndex.append(spark, s0, t, gen = 1)
+    assert(nNew == 2)
+    val edges = spark.table(tbl).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(edges == Set(("a", "b", 0), ("b", "a", 0), ("a", "c", 0),
+      ("c", "a", 0), ("b", "c", 1), ("c", "b", 1)))
+    // the regression this spec pins: the spine fold must consume the
+    // anti-join BEFORE the table append invalidates its cached plan —
+    // a post-append fold sees an empty delta and freezes degrees
+    val spine = spark.read.parquet(s1.spinePath).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(spine == Set(("a", 2L), ("b", 2L), ("c", 2L)))
+    // folded ranks == one-shot run over the union (the gate's contract)
+    val got = operators.GraphIndex.ranks(spark, s1, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = operators.PageRank.run(y.unionByName(t), 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("GraphIndex.maintain: small batch folds, outgrown batch rebuilds to gen 0") {
+    import spark.implicits._
+    val (base, tbl) = tmpGraph()
+    val (rbBase, rbTbl) = tmpGraph()
+    // base: an 8-edge ring (symmetric closure of a 4-cycle)
+    val ring = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val y = (ring ++ ring.map(_.swap)).toDF("src", "dst")
+    val s0 = operators.GraphIndex.build(spark, y, tbl, base)
+    // batch 1: ONE new symmetric pair — 2·2 ≤ 8, append branch
+    val small = Seq(("a", "c"), ("c", "a")).toDF("src", "dst")
+    val r1 = operators.GraphIndex.maintain(spark, s0, small, 1, rbTbl, rbBase)
+    assert(!r1.rebuilt && r1.nBase == 8 && r1.nNew == 2)
+    assert(r1.stored.edgesTable == tbl && r1.stored.spineGen == 1)
+    // batch 2: six new pairs — would-be state 12·2 > 8, rebuild branch
+    val big = (Seq(("a", "e"), ("b", "e"), ("c", "e"), ("d", "e"), ("a", "d"), ("b", "d"))
+      .flatMap(p => Seq(p, p.swap))).toDF("src", "dst")
+    val r2 = operators.GraphIndex.maintain(spark, r1.stored, big, 2, rbTbl, rbBase)
+    // (a,d)/(d,a) already sit in the ring closure, so 10 of 12 are new:
+    // would-be state n_new = 2 + 10 = 12, 12·2 > 8 trips the rebuild
+    assert(r2.rebuilt && r2.nBase == 8 && r2.nNew == 12)
+    assert(r2.stored.edgesTable == rbTbl && r2.stored.spineGen == 0)
+    // the rebuilt artifact is gen-0 throughout and holds the full set
+    val gens = spark.table(rbTbl).select("gen").distinct().collect().map(_.getInt(0)).toSeq
+    assert(gens == Seq(0))
+    assert(spark.table(rbTbl).count() == 8 + 2 + 10)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $rbTbl")
+  }
+
+  test("graph_pagerank_stored query path reads ONLY stored artifacts (no raw-table scan)") {
+    import spark.implicits._
+    val (base, tbl) = tmpGraph()
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val stored = operators.GraphIndex.build(spark, e, tbl, base)
+    val plan = operators.GraphIndex.ranksUnmaterialized(spark, stored, 3, 85)
+      .queryExecution.optimizedPlan.toString
+    // a raw-corpus rescan would drag o_orderkey/l_orderkey columns in;
+    // the stored path's only relations are the artifact table + spine
+    assert(!plan.contains("o_orderkey") && !plan.contains("l_orderkey"))
+    assert(plan.contains(tbl), s"expected the stored edge table in:\n$plan")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("dedupEvalMetrics: degenerate zero counts report zero, not NULL/crash") {
     import spark.implicits._
     val zeroAll = ExtQueries.dedupEvalMetrics(
