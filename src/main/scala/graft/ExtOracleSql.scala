@@ -977,6 +977,55 @@ object ExtOracleSql {
       |  end_pos - start_pos + 1 AS n_words
       |FROM sp""".stripMargin
 
+  /** text_substring_extend twin: the planted variable-length repeats
+    * (words 3..L+2 of every 10th doc, L = 33/17/9 by doc_id % 30),
+    * then seed pairs sharing an 8-window digest chained along
+    * diagonals (pb − pa) into maximal runs — the same
+    * gaps-and-islands arithmetic as the engine, with the identical
+    * ≥2/≤1000 posting bounds. The NULL-lag CASE breaks on the first
+    * row of every diagonal in both engines (NULL = 1 is not true).
+    */
+  val textSubstringExtend: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id,
+      |    COALESCE(array_to_string(
+      |      ws[3 : 2 + (CASE WHEN doc_id % 30 = 0 THEN 33
+      |                       WHEN doc_id % 30 = 10 THEN 17
+      |                       ELSE 9 END)], ' '), '') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE doc_id % 10 = 0),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+      |wins0 AS (
+      |  SELECT doc_id,
+      |    unnest([{'p': p, 'dig': md5(array_to_string(w[p : p+7], ' '))}
+      |            for p in range(1, len(w) - 6)]) AS s
+      |  FROM toks WHERE len(w) >= 8),
+      |wins AS (SELECT doc_id, s.p AS p, s.dig AS dig FROM wins0),
+      |ok AS (SELECT dig FROM wins GROUP BY dig
+      |       HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000),
+      |m AS (SELECT w.doc_id, w.p, w.dig FROM wins w JOIN ok USING (dig)),
+      |seeds AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa,
+      |         b.p - a.p AS diag
+      |  FROM m a JOIN m b USING (dig)
+      |  WHERE a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.p < b.p)),
+      |isl AS (
+      |  SELECT doc_a, doc_b, pa, diag,
+      |    CASE WHEN pa - lag(pa) OVER (PARTITION BY doc_a, doc_b, diag
+      |                                 ORDER BY pa) = 1
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM seeds),
+      |isl2 AS (
+      |  SELECT doc_a, doc_b, pa, diag,
+      |    CAST(SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_idx
+      |  FROM isl)
+      |SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pa) + diag AS b_start,
+      |  MAX(pa) - MIN(pa) + 8 AS len_words
+      |FROM isl2 GROUP BY doc_a, doc_b, diag, run_idx""".stripMargin
+
   /** text_segment_dedup twin: 10-word segments (list-comprehension
     * unnest, the textSubstringSpans precedent), cross-doc duplication
     * as MIN(doc_id) <> MAX(doc_id) over the segment partition (the

@@ -275,7 +275,11 @@ object SparkEntry {
     // decision acting on a split that trips the rebuild
     "graph_pagerank_stored" -> (ExtQueries.graphPageRankStored _),
     "graph_pagerank_append" -> (ExtQueries.graphPageRankAppend _),
-    "graph_pagerank_maintain" -> (ExtQueries.graphPageRankMaintain _)
+    "graph_pagerank_maintain" -> (ExtQueries.graphPageRankMaintain _),
+    // r14 (VERDICT r8 #2): variable-length exact substring repeats by
+    // anchored diagonal extension — maximal per-pair match lengths,
+    // gated on planted 33/17/9-word repeats
+    "text_substring_extend" -> (ExtQueries.textSubstringExtend _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1293,6 +1297,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 3""".stripMargin,
 
     "text_substring_spans" -> ExtOracleSql.textSubstringSpans,
+    "text_substring_extend" -> ExtOracleSql.textSubstringExtend,
     "text_segment_dedup" -> ExtOracleSql.textSegmentDedup,
     "qa_sketch_reagg" -> ExtOracleSql.qaSketchReagg,
     "agg_quantile_sketch" -> ExtOracleSql.aggQuantileSketch,

@@ -122,6 +122,40 @@ class Round14OpsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("substringMaxRuns: planted 9/17/33-word repeats report EXACT maximal lengths") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val a = words("t", 80)
+    val docs = Seq(
+      (1L, a.mkString(" ")),
+      (2L, a.slice(4, 13).mkString(" ")),   // words 5..13 of doc 1 → 9
+      (3L, a.slice(19, 36).mkString(" ")),  // words 20..36 → 17
+      (4L, a.slice(39, 72).mkString(" ")),  // words 40..72 → 33
+      // intra-doc repeat: x1..x10 twice around distinct filler
+      (5L, (words("x", 10) ++ words("f", 12) ++ words("x", 10)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = ExtQueries.substringMaxRuns(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // a fixed-W span detector reports ≥-8 spans; the extension must
+    // report the exact planted lengths, anchored at the exact offsets
+    val want = Set(
+      (1L, 2L, 5L, 1L, 9L),
+      (1L, 3L, 20L, 1L, 17L),
+      (1L, 4L, 40L, 1L, 33L),
+      (5L, 5L, 1L, 23L, 10L))
+    assert(got == want)
+  }
+
+  test("substringMaxRuns: maxPostings drops ultra-common seed windows whole") {
+    import spark.implicits._
+    // the same 8 words in 3 docs: 3 postings for one digest
+    val d = (1 to 3).map(i => (i.toLong, (1 to 8).map(j => s"c$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(ExtQueries.substringMaxRuns(d, maxPostings = 2).count() == 0)
+    assert(ExtQueries.substringMaxRuns(d, maxPostings = 3).count() == 3) // 3 doc pairs
+  }
+
   test("dedupEvalMetrics: degenerate zero counts report zero, not NULL/crash") {
     import spark.implicits._
     val zeroAll = ExtQueries.dedupEvalMetrics(
