@@ -1671,6 +1671,116 @@ object ExtOracleSql {
       |           MIN(CASE WHEN is_new THEN doc_id END)) AS canonical_id
       |FROM tagged GROUP BY digest""".stripMargin
 
+  /** The end-to-end corpus-build CTE chain shared by the
+    * pipeline_build_corpus shard-stats and audit twins: planted-dup
+    * corpus with text → Gopher quality → minhash-LSH pairs → 4-round
+    * components → min-surviving-member canonical keep → eval holdout +
+    * fuzzy decontamination → BPE-count packing → dense global ids in
+    * (pack_group, pack_bin) order. Every stage is the already-gated
+    * operator's oracle form, chained.
+    */
+  private val buildCorpusCtes: String = {
+    val mtl = """(CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+                |          / CAST(len(string_split(text, ' ')) AS DOUBLE)""".stripMargin
+    s"""aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    COALESCE(array_to_string(ws[6:len(ws)], ' '), '') AS text
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE doc_id % 10 = 0),
+       |q AS (
+       |  SELECT doc_id FROM aug
+       |  WHERE len(string_split(text, ' ')) >= 10
+       |    AND len(string_split(text, ' ')) <= 100000
+       |    AND $mtl >= 2.0
+       |    AND $mtl <= 12.0
+       |    AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |          / CAST(length(text) AS DOUBLE) >= 0.5
+       |    AND len(list_filter(string_split(text, ' '),
+       |          w -> w IN ('the','data','order','key','value'))) >= 1),
+       |pairs AS ($dedupMinhashLsh),
+       |$nearDupCorpus,
+       |sym AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+       |        UNION SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+       |        UNION SELECT doc_id AS src, doc_id AS dst FROM nd),
+       |l0 AS (SELECT doc_id AS id, doc_id AS component FROM nd),
+       |${(1 to 4).map(ccIter).mkString(",\n")},
+       |s2 AS (
+       |  SELECT id AS doc_id FROM (
+       |    SELECT l4.id, MIN(l4.id) OVER (PARTITION BY l4.component) AS m
+       |    FROM l4 JOIN q ON l4.id = q.doc_id)
+       |  WHERE id = m),
+       |cont AS (SELECT doc_id FROM ($textDecontaminateFuzzy) WHERE contaminated),
+       |s3 AS (
+       |  SELECT doc_id FROM s2
+       |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)
+       |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+       |enc AS (
+       |  SELECT a.doc_id,
+       |    CAST(len(flatten(list_transform(
+       |      list_filter(string_split(a.text, ' '), x -> x <> ''),
+       |      w -> ${bpeWordTokensSql("w")}))) AS BIGINT) AS n_tokens,
+       |    md5(a.text) AS digest,
+       |    CAST(('0x' || substr(md5(a.text), 1, 1))::UBIGINT AS BIGINT) AS pack_group
+       |  FROM aug a JOIN s3 USING (doc_id)),
+       |packed AS (
+       |  SELECT doc_id, pack_group, n_tokens, digest,
+       |    CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group
+       |      ORDER BY digest ASC NULLS FIRST, doc_id ASC NULLS FIRST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+       |      AS pack_bin
+       |  FROM enc),
+       |offs AS (
+       |  SELECT pack_group, pack_bin,
+       |    COALESCE(SUM(cnt) OVER (ORDER BY pack_group ASC NULLS FIRST,
+       |      pack_bin ASC NULLS FIRST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM (SELECT pack_group, pack_bin, COUNT(*) AS cnt
+       |        FROM packed GROUP BY 1, 2)),
+       |ids AS (
+       |  SELECT p.doc_id, p.pack_group, p.pack_bin, p.n_tokens, p.digest,
+       |    CAST(o.off + ROW_NUMBER() OVER (PARTITION BY p.pack_group, p.pack_bin
+       |      ORDER BY p.digest ASC NULLS FIRST, p.doc_id ASC NULLS FIRST) - 1
+       |      AS BIGINT) AS global_id
+       |  FROM packed p JOIN offs o USING (pack_group, pack_bin))""".stripMargin
+  }
+
+  /** pipeline_build_corpus twin: the chain's published shards
+    * re-aggregated per pack_group — the engine computes this off the
+    * READ-BACK rows, so equality proves chain + round trip together.
+    */
+  val pipelineBuildCorpus: String =
+    s"""WITH $buildCorpusCtes
+       |SELECT pack_group,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT pack_bin) AS BIGINT) AS n_bins,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       |  MIN(global_id) AS min_global_id,
+       |  MAX(global_id) AS max_global_id,
+       |  CAST(SUM(CAST(('0x' || substr(digest, 1, 8))::UBIGINT AS BIGINT)) AS BIGINT)
+       |    AS content_sum
+       |FROM ids GROUP BY pack_group""".stripMargin
+
+  /** pipeline_build_corpus_audit twin: the per-stage funnel counts;
+    * the publish stage states rows_out = rows_in — the losslessness
+    * claim the engine checks against the read-back row count.
+    */
+  val pipelineBuildCorpusAudit: String =
+    s"""WITH $buildCorpusCtes,
+       |c AS (SELECT
+       |  (SELECT COUNT(*) FROM aug) AS n0,
+       |  (SELECT COUNT(*) FROM q) AS n1,
+       |  (SELECT COUNT(*) FROM s2) AS n2,
+       |  (SELECT COUNT(*) FROM s3) AS n3,
+       |  (SELECT COUNT(*) FROM ids) AS n4)
+       |SELECT CAST(1 AS BIGINT) AS stage_no, 'quality' AS stage,
+       |  n0 AS rows_in, n1 AS rows_out, n0 - n1 AS rows_dropped FROM c
+       |UNION ALL SELECT 2, 'dedup_canonical', n1, n2, n1 - n2 FROM c
+       |UNION ALL SELECT 3, 'decontaminate_fuzzy', n2, n3, n2 - n3 FROM c
+       |UNION ALL SELECT 4, 'pack_ids_bpe', n3, n4, n3 - n4 FROM c
+       |UNION ALL SELECT 5, 'publish', n4, n4, 0 FROM c""".stripMargin
+
   /** pipeline_dedup_canonical twin: the minhash query nested as a CTE,
     * symmetric+self-loop edges over the full dup corpus, 4 unrolled
     * propagation rounds, keep = (id = component).

@@ -1067,6 +1067,163 @@ object ExtQueries {
           .otherwise(lit("test")).as("split"))
   }
 
+  /** The END-TO-END corpus build (VERDICT r8 #4) as one deterministic
+    * stage chain over the planted-near-dup corpus — every stage is the
+    * already-gated operator, composed:
+    *
+    *  1. Gopher quality conjunction ([[textQualityFilter]]'s rules);
+    *  2. canonical near-dup removal — minhash-LSH pairs → 4-round
+    *     connected components ([[pipelineDedupCanonical]]'s clusters),
+    *     keep = minimum SURVIVING member per cluster (a cluster whose
+    *     canonical failed quality falls to its next member);
+    *  3. eval holdout + FUZZY decontamination — the `% 50` eval slice
+    *     leaves the corpus, and so does any training doc
+    *     [[textDecontaminateFuzzy]] flags (the planted +1M copies of
+    *     eval docs are the load-bearing fixture: near-dups of
+    *     benchmarks that exact 8-gram matching would keep);
+    *  4. BPE sequence packing — real tokenizer counts
+    *     ([[packSequencesBpe]]'s budget), digest-grouped parallel bins;
+    *  5. dense global ids in (pack_group, pack_bin) order — the E125
+    *     two-phase rank (per-bin windows, one #bins-row offsets
+    *     cumsum), so ids are contiguous per shard by construction.
+    *
+    * Scale shape (100 TB): every stage is the gated operator's own
+    * scale shape (banded pairs, bounded buckets, broadcast eval side,
+    * digest-group windows, bin-bounded rank windows); the composition
+    * adds id-set joins only (16-byte keys).
+    */
+  private[graft] def buildCorpusStages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val aug = base.unionByName(base.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      array_join(expr(
+        "slice(split(text, ' '), 6, greatest(size(split(text, ' ')) - 5, 0))"),
+        " ").as("text")))
+    val words = split(col("text"), " ")
+    val nTok = size(words).cast("long")
+    val len = length(col("text")).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / len
+    val meanTokLen = (len - (nTok - 1).cast("double")) / nTok.cast("double")
+    val stopHits = size(filter(words,
+      w => w.isin("the", "data", "order", "key", "value"))).cast("long")
+    val s1 = aug.filter(nTok >= 10 && nTok <= 100000 &&
+        meanTokLen >= 2.0 && meanTokLen <= 12.0 && alpha >= 0.5 && stopHits >= 1)
+      .select("doc_id")
+    val pairs = dedupMinhashLsh(s, dir)
+    val labels = ConnectedComponents.labelPropagate(
+      withNearDups(docs(s, dir)).select(col("doc_id").as("id")),
+      pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")),
+      iterations = 4)
+    val s2 = labels.join(s1, labels("id") === s1("doc_id"))
+      .select(col("id"), col("component"))
+      .withColumn("mkeep", min("id").over(Window.partitionBy("component")))
+      .filter(col("id") === col("mkeep"))
+      .select(col("id").as("doc_id"))
+    val cont = textDecontaminateFuzzy(s, dir)
+      .filter(col("contaminated")).select("doc_id")
+    val s3 = s2.filter(!(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L))
+      .join(cont, Seq("doc_id"), "left_anti")
+    val enc = aug.join(s3, "doc_id").select(col("doc_id"),
+        size(TextFunctions.bpeEncodeDoc(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text").cast("binary")).as("digest"))
+      .withColumn("pack_group",
+        conv(substring(col("digest"), 1, 1), 16, 10).cast("long"))
+    val w = Window.partitionBy("pack_group")
+      .orderBy(col("digest").asc_nulls_first, col("doc_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = enc
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_bin", floor(col("cum_before") / 512L).cast("long"))
+      .drop("cum_before")
+    val off = packed.groupBy("pack_group", "pack_bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum("cnt").over(Window
+          .orderBy(col("pack_group").asc_nulls_first, col("pack_bin").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pack_group", "pack_bin", "offset")
+    val ids = packed.join(broadcast(off), Seq("pack_group", "pack_bin"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pack_group", "pack_bin")
+          .orderBy(col("digest").asc_nulls_first, col("doc_id").asc_nulls_first)))
+      .select(col("doc_id"), col("pack_group"), col("pack_bin"),
+        col("n_tokens"), col("digest"),
+        (col("offset") + col("rn") - 1L).as("global_id"))
+    (aug, s1, s2, s3, ids)
+  }
+
+  private val buildCorpusPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private val buildCorpusAuditPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def retirePrevDir(ref: java.util.concurrent.atomic.AtomicReference[String],
+                            base: String): Unit =
+    Option(ref.getAndSet(base)).foreach(p =>
+      deleteTree(java.nio.file.Paths.get(p)))
+
+  /** `pipeline_build_corpus`: the [[buildCorpusStages]] chain
+    * WAP-PUBLISHED as pack_group-partitioned shard files (the
+    * [[graft.operators.Publish]] write-audit-publish lifecycle, audit =
+    * global-id uniqueness on the READ-BACK rows), then read back from
+    * the published version and aggregated per shard. The oracle states
+    * the whole chain from the raw table — so the gate proves curation,
+    * packing, id assignment AND the storage round trip in one hash.
+    * Global ids are contiguous per shard by construction
+    * (max − min + 1 = n_docs; the spec asserts it).
+    */
+  def pipelineBuildCorpus(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, _, ids) = buildCorpusStages(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_pub").toString
+    graft.operators.Publish.publish(ids, root,
+      audit = b => require(
+        b.select("global_id").distinct().count() == b.count(),
+        "pipeline_build_corpus: duplicate global ids in published shards"),
+      partitionBy = Seq("pack_group"))
+    retirePrevDir(buildCorpusPrev, root)
+    graft.operators.Publish.read(s, root)
+      .groupBy(col("pack_group").cast("long").as("pack_group"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("pack_bin")).as("n_bins"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        min("global_id").as("min_global_id"),
+        max("global_id").as("max_global_id"),
+        sum(conv(substring(col("digest"), 1, 8), 16, 10).cast("long"))
+          .as("content_sum"))
+  }
+
+  /** `pipeline_build_corpus_audit`: the per-stage funnel counts of the
+    * same chain, with the PUBLISH stage counted from the rows read
+    * back from the published version — rows_out = rows_in there is
+    * the losslessness claim the hash gate proves (the oracle states
+    * n5 = n4).
+    */
+  def pipelineBuildCorpusAudit(s: SparkSession, dir: String): DataFrame = {
+    val (aug, s1, s2, s3, ids) = buildCorpusStages(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_pub_a").toString
+    graft.operators.Publish.publish(ids, root, partitionBy = Seq("pack_group"))
+    retirePrevDir(buildCorpusAuditPrev, root)
+    val n5 = graft.operators.Publish.read(s, root).count()
+    val c = aug.agg(count(lit(1)).as("n0"))
+      .crossJoin(broadcast(s1.agg(count(lit(1)).as("n1"))))
+      .crossJoin(broadcast(s2.agg(count(lit(1)).as("n2"))))
+      .crossJoin(broadcast(s3.agg(count(lit(1)).as("n3"))))
+      .crossJoin(broadcast(ids.agg(count(lit(1)).as("n4"))))
+    def st(no: Int, nm: String, in: Column, out: Column) =
+      struct(lit(no.toLong).as("stage_no"), lit(nm).as("stage"),
+        in.as("rows_in"), out.as("rows_out"))
+    c.select(explode(array(
+        st(1, "quality", col("n0"), col("n1")),
+        st(2, "dedup_canonical", col("n1"), col("n2")),
+        st(3, "decontaminate_fuzzy", col("n2"), col("n3")),
+        st(4, "pack_ids_bpe", col("n3"), col("n4")),
+        st(5, "publish", col("n4"), lit(n5)))).as("s"))
+      .select(col("s.stage_no"), col("s.stage"), col("s.rows_in"),
+        col("s.rows_out"), (col("s.rows_in") - col("s.rows_out")).as("rows_dropped"))
+  }
+
   /** Deterministic content-hash Bernoulli sample (~10%): keep a doc iff
     * the first 4 hex chars of md5(text) land under the threshold. The
     * pipeline-correct way to sample at 100 TB — reproducible across

@@ -279,7 +279,13 @@ object SparkEntry {
     // r14 (VERDICT r8 #2): variable-length exact substring repeats by
     // anchored diagonal extension — maximal per-pair match lengths,
     // gated on planted 33/17/9-word repeats
-    "text_substring_extend" -> (ExtQueries.textSubstringExtend _)
+    "text_substring_extend" -> (ExtQueries.textSubstringExtend _),
+    // r14 (VERDICT r8 #4): the end-to-end corpus build — quality →
+    // canonical near-dup removal → fuzzy decontamination → BPE packing
+    // → dense global ids → WAP-published pack_group shards, gated by
+    // reading the PUBLISHED shards back; plus its per-stage audit
+    "pipeline_build_corpus" -> (ExtQueries.pipelineBuildCorpus _),
+    "pipeline_build_corpus_audit" -> (ExtQueries.pipelineBuildCorpusAudit _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1298,6 +1304,8 @@ object SparkEntry {
 
     "text_substring_spans" -> ExtOracleSql.textSubstringSpans,
     "text_substring_extend" -> ExtOracleSql.textSubstringExtend,
+    "pipeline_build_corpus" -> ExtOracleSql.pipelineBuildCorpus,
+    "pipeline_build_corpus_audit" -> ExtOracleSql.pipelineBuildCorpusAudit,
     "text_segment_dedup" -> ExtOracleSql.textSegmentDedup,
     "qa_sketch_reagg" -> ExtOracleSql.qaSketchReagg,
     "agg_quantile_sketch" -> ExtOracleSql.aggQuantileSketch,

@@ -72,7 +72,8 @@ object Publish {
     *              marker are always checked first
     */
   def publish(df: DataFrame, rootPath: String,
-              audit: DataFrame => Unit = _ => ()): String = {
+              audit: DataFrame => Unit = _ => (),
+              partitionBy: Seq[String] = Nil): String = {
     val spark = df.sparkSession
     val r = root(rootPath)
     java.nio.file.Files.createDirectories(r)
@@ -82,7 +83,13 @@ object Publish {
     val version = "v%05d".format(versionDirs(r).foldLeft(0L)(math.max) + 1)
     val dir = r.resolve(version)
     try {
-      df.write.parquet(dir.toString)
+      // optional SHARDING: hive-style partition dirs inside the
+      // immutable version (pack_group=N shard files for a corpus
+      // build); the commit protocol is unchanged — the version dir
+      // is still the atom, _SUCCESS still lands at its root
+      val w = df.write
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(dir.toString)
       // AUDIT what landed on disk, not the plan that produced it
       require(java.nio.file.Files.exists(dir.resolve("_SUCCESS")),
         s"publish: $version write left no _SUCCESS marker")
