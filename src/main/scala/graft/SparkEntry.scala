@@ -285,7 +285,12 @@ object SparkEntry {
     // → dense global ids → WAP-published pack_group shards, gated by
     // reading the PUBLISHED shards back; plus its per-stage audit
     "pipeline_build_corpus" -> (ExtQueries.pipelineBuildCorpus _),
-    "pipeline_build_corpus_audit" -> (ExtQueries.pipelineBuildCorpusAudit _)
+    "pipeline_build_corpus_audit" -> (ExtQueries.pipelineBuildCorpusAudit _),
+    // r14 (VERDICT r8 #5): micro-batch appends as TIME-TRAVELABLE WAP
+    // versions — batchId-idempotent commit composed with the version
+    // history; the gate reads every pointer-history version back
+    "streaming_versioned_publish" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingVersionedPublish(s, d))
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1306,6 +1311,29 @@ object SparkEntry {
     "text_substring_extend" -> ExtOracleSql.textSubstringExtend,
     "pipeline_build_corpus" -> ExtOracleSql.pipelineBuildCorpus,
     "pipeline_build_corpus_audit" -> ExtOracleSql.pipelineBuildCorpusAudit,
+    // v00001 = the hourly aggregate over ingest wave 1 (event_id % 2),
+    // v00002 = over everything (complete mode): the versioned-publish
+    // history replayed from the raw table
+    "streaming_versioned_publish" ->
+      """WITH a1 AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS fp
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS fp
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'v00001' AS version, CAST(0 AS BIGINT) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n) AS BIGINT) AS n_events_total,
+        |  CAST(SUM(fp) AS BIGINT) AS sum_fp_total
+        |FROM a1
+        |UNION ALL
+        |SELECT 'v00002', 1, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n) AS BIGINT), CAST(SUM(fp) AS BIGINT)
+        |FROM a2""".stripMargin,
     "text_segment_dedup" -> ExtOracleSql.textSegmentDedup,
     "qa_sketch_reagg" -> ExtOracleSql.qaSketchReagg,
     "agg_quantile_sketch" -> ExtOracleSql.aggQuantileSketch,

@@ -71,9 +71,16 @@ object Publish {
     *              (throw to veto); row-count > 0 and Spark's _SUCCESS
     *              marker are always checked first
     */
+  /** @param meta key=value pairs written as a `_META` file INSIDE the
+    *             version directory before the pointer swap — part of
+    *             the immutable version atom (like `_SUCCESS`), so a
+    *             version's provenance (e.g. the micro-batch id that
+    *             produced it) survives exactly as long as the version
+    */
   def publish(df: DataFrame, rootPath: String,
               audit: DataFrame => Unit = _ => (),
-              partitionBy: Seq[String] = Nil): String = {
+              partitionBy: Seq[String] = Nil,
+              meta: Map[String, String] = Map.empty): String = {
     val spark = df.sparkSession
     val r = root(rootPath)
     java.nio.file.Files.createDirectories(r)
@@ -96,6 +103,10 @@ object Publish {
       val back = spark.read.parquet(dir.toString)
       require(back.count() > 0, s"publish: $version is empty")
       audit(back)
+      if (meta.nonEmpty)
+        java.nio.file.Files.write(dir.resolve("_META"),
+          meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Throwable =>
         // tombstone, don't delete: renaming to `.failed` makes the
@@ -186,6 +197,20 @@ object Publish {
     val v = currentVersion(rootPath).getOrElse(
       throw new IllegalStateException(s"Publish.read: no published version under $rootPath"))
     spark.read.parquet(root(rootPath).resolve(v).toString)
+  }
+
+  /** The `_META` pairs a version was published with (empty map if the
+    * version carries none). Reads tombstoned versions too — a failed
+    * attempt's provenance is still evidence.
+    */
+  def readMeta(rootPath: String, version: String): Map[String, String] = {
+    val f = root(rootPath).resolve(version).resolve("_META")
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
   }
 
   /** TIME TRAVEL: read a specific version from the immutable history

@@ -250,6 +250,93 @@ object StreamingStage {
     runToTable(qualityMetrics(eventsStream(spark, dir)),
       "streaming_expectation_suite", "complete")
 
+  /** Micro-batch commit INTO THE VERSIONED STORE (VERDICT r8 #5 — the
+    * composition of [[commitBatch]]'s batchId idempotence with
+    * [[graft.operators.Publish]]'s version history): each micro-batch
+    * publishes a WAP version carrying its batchId as `_META`, and a
+    * REDELIVERED batchId (Structured Streaming's at-least-once
+    * contract after a crash between sink write and offset commit) is
+    * detected by comparing against the CURRENT version's batchId —
+    * batch ids are monotone per query, so `last >= incoming` means
+    * replay, and the store is untouched even if the retry carries
+    * different rows. Unlike [[commitBatch]] (latest-batch-wins flat
+    * dirs), every committed batch stays a TIME-TRAVELABLE version.
+    *
+    * Crash contract, composed from the two layers': a crash anywhere
+    * before Publish's pointer swap leaves the previous version current
+    * and its batchId in force — the replay re-publishes under a fresh
+    * (burned-number) version name. A crash after the swap means the
+    * batch committed — the replay sees its own batchId current and
+    * no-ops. Either way exactly one pointer-history version per
+    * batchId.
+    *
+    * @return true if this call published, false on replay detection
+    */
+  def publishVersioned(df: DataFrame, rootPath: String, batchId: Long): Boolean = {
+    val last = graft.operators.Publish.currentVersion(rootPath)
+      .flatMap(v => graft.operators.Publish.readMeta(rootPath, v).get("batchId"))
+      .map(_.toLong)
+    if (last.exists(_ >= batchId)) false
+    else {
+      graft.operators.Publish.publish(df, rootPath,
+        meta = Map("batchId" -> batchId.toString))
+      true
+    }
+  }
+
+  /** `streaming_versioned_publish`: two ingest waves (`event_id % 2`
+    * splits the corpus) stream through ONE checkpointed query run
+    * twice with AvailableNow — batch 0 sees wave 1, batch 1 the full
+    * corpus (complete mode) — and each micro-batch lands as a
+    * versioned publish. The gate then TIME-TRAVELS the pointer
+    * history: per version, the batchId from `_META` plus exact
+    * aggregates of the version's rows read back from disk. The oracle
+    * states v00001 = the hourly aggregate over wave 1 and v00002 =
+    * over everything, so the hash proves stream → versioned commit →
+    * history → read-back in one chain.
+    */
+  def streamingVersionedPublish(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Publish
+    val root = java.nio.file.Files.createTempDirectory("graft-vpub").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-vpub-src").toString
+    val ev = graft.sources.Tables.events(spark, dir)
+    def runWave(): Unit = {
+      val sch = spark.read.parquet(stage).schema
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      val q =
+        try hourlyAgg(spark.readStream.schema(sch).parquet(stage)).writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$root/_chk")
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            publishVersioned(b.toDF(), root, id); ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      q.awaitTermination()
+    }
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(stage)
+    runWave()
+    ev.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(stage)
+    runWave()
+    val versions = (Publish.staleVersions(root).filter(_.matches("v\\d+"))
+      :+ Publish.currentVersion(root).getOrElse(
+        sys.error(s"streamingVersionedPublish: nothing published under $root")))
+      .sorted
+    versions.map { v =>
+      val bid = Publish.readMeta(root, v).getOrElse("batchId",
+        sys.error(s"version $v has no batchId meta")).toLong
+      Publish.readVersion(spark, root, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_events")).as("n_events_total"),
+          sum(expr("CAST(round(sum_value * 1000000.0) AS BIGINT)"))
+            .as("sum_fp_total"))
+        .select(lit(v).as("version"), lit(bid).as("batch_id"),
+          col("n_rows"), col("n_events_total"), col("sum_fp_total"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Streaming hourly DISTINCT-USER estimates: the KMV sketch aggregate
     * running INSIDE a watermarked streaming aggregation — the sketch
     * buffer (≤ k longs) is the state-store value per (hour, type)

@@ -156,6 +156,53 @@ class Round14OpsSpec extends SparkSpec {
     assert(ExtQueries.substringMaxRuns(d, maxPostings = 3).count() == 3) // 3 doc pairs
   }
 
+  test("publishVersioned: replay no-ops, history keeps one time-travelable version per batch") {
+    import spark.implicits._
+    import operators.Publish
+    val root = java.nio.file.Files.createTempDirectory("graft-vpub-spec").toString
+    val b0 = Seq((1L, "a")).toDF("k", "v")
+    assert(streaming.StreamingStage.publishVersioned(b0, root, 0L))
+    // crash-replay of batch 0 delivers DIFFERENT (corrupted) rows — the
+    // committed store must be untouched
+    assert(!streaming.StreamingStage.publishVersioned(
+      Seq((9L, "x")).toDF("k", "v"), root, 0L))
+    assert(Publish.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    assert(streaming.StreamingStage.publishVersioned(
+      Seq((2L, "b")).toDF("k", "v"), root, 1L))
+    // batch 0's version stays time-travelable AFTER batch 1, with its
+    // provenance in _META
+    assert(Publish.readVersion(spark, root, "v00001").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    assert(Publish.readMeta(root, "v00001")("batchId") == "0")
+    assert(Publish.readMeta(root, "v00002")("batchId") == "1")
+    // a stale redelivery of batch 0 after batch 1 is also a no-op
+    assert(!streaming.StreamingStage.publishVersioned(b0, root, 0L))
+    assert(Publish.currentVersion(root).contains("v00002"))
+  }
+
+  test("publishVersioned: a failed attempt burns its number, the replay completes the batch") {
+    import spark.implicits._
+    import operators.Publish
+    val root = java.nio.file.Files.createTempDirectory("graft-vpub-crash").toString
+    assert(streaming.StreamingStage.publishVersioned(
+      Seq((1L, "a")).toDF("k", "v"), root, 0L))
+    // simulate a crash mid-publish of batch 1: the audit veto leaves a
+    // tombstone and the pointer untouched (so batch 1 is NOT committed)
+    intercept[IllegalArgumentException] {
+      Publish.publish(Seq((2L, "b")).toDF("k", "v"), root,
+        audit = _ => require(false, "injected crash"),
+        meta = Map("batchId" -> "1"))
+    }
+    assert(Publish.currentVersion(root).contains("v00001"))
+    // the redelivery of batch 1 must still commit — under a FRESH
+    // version number (the tombstone's number is burned)
+    assert(streaming.StreamingStage.publishVersioned(
+      Seq((2L, "b")).toDF("k", "v"), root, 1L))
+    assert(Publish.currentVersion(root).contains("v00003"))
+    assert(Publish.readMeta(root, "v00003")("batchId") == "1")
+  }
+
   test("dedupEvalMetrics: degenerate zero counts report zero, not NULL/crash") {
     import spark.implicits._
     val zeroAll = ExtQueries.dedupEvalMetrics(
