@@ -985,8 +985,8 @@ object ExtOracleSql {
     * ≥2/≤1000 posting bounds. The NULL-lag CASE breaks on the first
     * row of every diagonal in both engines (NULL = 1 is not true).
     */
-  val textSubstringExtend: String =
-    """WITH aug AS (
+  private val substringExtendCtes: String =
+    """aug AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 3000000 AS doc_id,
@@ -1021,10 +1021,46 @@ object ExtOracleSql {
       |  SELECT doc_a, doc_b, pa, diag,
       |    CAST(SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_idx
-      |  FROM isl)
-      |SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pa) + diag AS b_start,
-      |  MAX(pa) - MIN(pa) + 8 AS len_words
-      |FROM isl2 GROUP BY doc_a, doc_b, diag, run_idx""".stripMargin
+      |  FROM isl),
+      |runs AS (
+      |  SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pa) + diag AS b_start,
+      |    MAX(pa) - MIN(pa) + 8 AS len_words
+      |  FROM isl2 GROUP BY doc_a, doc_b, diag, run_idx)""".stripMargin
+
+  val textSubstringExtend: String =
+    s"""WITH $substringExtendCtes
+       |SELECT doc_a, doc_b, a_start, b_start, len_words FROM runs""".stripMargin
+
+  /** text_substring_cut twin: the extension chain's maximal runs
+    * turned into doc_b-side cut intervals, positions marked by a
+    * doc-keyed BETWEEN join, survivors reassembled in position order
+    * (string_agg ORDER BY p — the engine's array_sort(struct(p, w))).
+    */
+  val textSubstringCut: String =
+    s"""WITH $substringExtendCtes,
+       |cuts AS (SELECT doc_b AS doc_id, b_start AS s,
+       |  b_start + len_words - 1 AS e FROM runs),
+       |tokv AS (
+       |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS p, w FROM toks),
+       |tokw AS (SELECT doc_id, p, w[p] AS word FROM tokv),
+       |cutpos AS (
+       |  SELECT DISTINCT t.doc_id, t.p
+       |  FROM tokw t JOIN cuts c ON t.doc_id = c.doc_id
+       |   AND t.p BETWEEN c.s AND c.e),
+       |kept AS (
+       |  SELECT v.doc_id, v.p, v.word FROM tokw v
+       |  WHERE NOT EXISTS (SELECT 1 FROM cutpos cp
+       |    WHERE cp.doc_id = v.doc_id AND cp.p = v.p)),
+       |rebuilt AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(word, ' ' ORDER BY p) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT a.doc_id,
+       |  CAST(len(string_split(a.text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(len(string_split(a.text, ' ')) - COALESCE(r.n_kept, 0) AS BIGINT)
+       |    AS n_cut,
+       |  md5(COALESCE(r.clean_text, '')) AS clean_md5
+       |FROM aug a LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
 
   /** text_segment_dedup twin: 10-word segments (list-comprehension
     * unnest, the textSubstringSpans precedent), cross-doc duplication
@@ -1326,6 +1362,53 @@ object ExtOracleSql {
        |agg AS (SELECT COUNT(*) AS n_nodes, CAST(SUM(r) AS BIGINT) AS rank_sum FROM r3)
        |SELECT n_base, n_new, n_new * 2 > n_base AS rebuilt, n_nodes, rank_sum
        |FROM counts CROSS JOIN agg""".stripMargin
+
+  /** graph_pagerank_warmstart twin: yesterday's 3 rounds over the
+    * `% 7 != 0` graph unrolled, then TWO warm rounds over the full
+    * graph seeded by that vector (new nodes take the uniform 1/|V|
+    * mass) — the identical fixed-point arithmetic per round, so the
+    * stored-ranks → fold → warm-iterate chain is replayed verbatim.
+    */
+  val graphPageRankWarmstart: String = {
+    val S = graft.operators.PageRank.Scale
+    def rounds(pfx: String, e: String, o: String, nodes: String,
+               nn: String, r0: String, n: Int) =
+      (1 to n).map { i =>
+        val prev = if (i == 1) r0 else s"$pfx${i - 1}"
+        s"""c$pfx$i AS (SELECT $e.dst AS node,
+           |    CAST(SUM($prev.r // o2.out_deg) AS BIGINT) AS contrib
+           |  FROM $e JOIN $prev ON $e.src = $prev.node
+           |         JOIN $o o2 ON $e.src = o2.src
+           |  GROUP BY $e.dst),
+           |$pfx$i AS (SELECT $nodes.node,
+           |    ((15 * $S // 100) // $nn.n)
+           |      + (85 * COALESCE(c$pfx$i.contrib, 0)) // 100 AS r
+           |  FROM $nodes CROSS JOIN $nn
+           |  LEFT JOIN c$pfx$i ON $nodes.node = c$pfx$i.node)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH csy AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_orderkey % 7 != 0),
+       |ey AS (SELECT a AS src, b AS dst FROM csy
+       |       UNION ALL SELECT b AS src, a AS dst FROM csy),
+       |outy AS (SELECT src, COUNT(*) AS out_deg FROM ey GROUP BY src),
+       |nodesy AS (SELECT DISTINCT src AS node FROM ey),
+       |nny AS (SELECT COUNT(*) AS n FROM nodesy),
+       |ry0 AS (SELECT node, $S // n AS r FROM nodesy CROSS JOIN nny),
+       |${rounds("ry", "ey", "outy", "nodesy", "nny", "ry0", 3)},
+       |cs AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM cs
+       |      UNION ALL SELECT b AS src, a AS dst FROM cs),
+       |outdeg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |rw0 AS (SELECT nodes.node, COALESCE(ry3.r, $S // nn.n) AS r
+       |  FROM nodes CROSS JOIN nn LEFT JOIN ry3 ON nodes.node = ry3.node),
+       |${rounds("rw", "e", "outdeg", "nodes", "nn", "rw0", 2)}
+       |SELECT rw2.node, o.out_deg, CAST(rw2.r AS BIGINT) AS rank_fp
+       |FROM rw2 JOIN outdeg o ON rw2.node = o.src""".stripMargin
+  }
 
   /** qa_sketch_reagg twin: the per-source and global KMV estimates via
     * the same min-k + 63/(v_64/2^52) arithmetic as the engine

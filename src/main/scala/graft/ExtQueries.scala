@@ -501,6 +501,67 @@ object ExtQueries {
         (col("a_end") - col("a_start") + lit(W.toLong)).as("len_words"))
   }
 
+  /** VARIABLE-LENGTH duplicated-substring REMOVAL — the rewrite half
+    * of Lee et al. 2021 (the detector half is [[substringMaxRuns]]):
+    * for every maximal cross-site repeat, the CANONICAL occurrence
+    * (the lexicographically smaller (doc, position) site — doc_a in
+    * the run's orientation) survives and the doc_b-side span is cut;
+    * survivors reassemble in position order. So a doc that is wholly
+    * a later copy of earlier content loses everything, while the
+    * original keeps everything — the substring-granular sibling of
+    * [[segmentDedup]]'s fixed-segment cuts, without its "cut BOTH
+    * sides" information loss.
+    *
+    * Scale shape: runs come from the bounded seed machinery; the cut
+    * materialization joins each doc's positions against ITS OWN cut
+    * intervals only (doc-keyed join, intervals per doc bounded by the
+    * doc's run count); reassembly is one doc-keyed groupBy with state
+    * bounded by document length.
+    */
+  def substringCut(d: DataFrame, W: Int = 8, maxPostings: Int = 1000): DataFrame = {
+    val runs = substringMaxRuns(d, W, maxPostings)
+    val cuts = runs.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+      (col("b_start") + col("len_words") - 1).as("e"))
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("w"))
+    val cutPos = toks.select(col("doc_id"), col("p"))
+      .join(cuts, Seq("doc_id"))
+      .filter(col("p").between(col("s"), col("e")))
+      .select(col("doc_id"), col("p")).distinct()
+    val kept = toks.join(cutPos, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        md5(coalesce(col("clean_text"), lit("")).cast("binary")).as("clean_md5"))
+  }
+
+  /** `text_substring_cut`: [[substringCut]] over the same planted
+    * variable-length-repeat corpus as `text_substring_extend` — the
+    * planted +3M snippets are wholly later copies of original content,
+    * so they cut to empty while their originals stay intact (both
+    * directions of the canonical-keep rule exercised, plus natural
+    * intra-corpus repeats).
+    */
+  def textSubstringCut(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val planted = d.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + lit(3000000L)).as("doc_id"),
+      array_join(expr(
+        """slice(split(text, ' '), 3,
+          |  CASE WHEN doc_id % 30 = 0 THEN 33
+          |       WHEN doc_id % 30 = 10 THEN 17
+          |       ELSE 9 END)""".stripMargin), " ").as("text"))
+    substringCut(d.select(col("doc_id"), col("text")).unionByName(planted))
+  }
+
   /** `text_substring_extend`: [[substringMaxRuns]] over the corpus
     * plus PLANTED variable-length repeats — every 10th doc re-appears
     * (+3000000) as ONLY words 3..L+2 of the original, L cycling
@@ -1994,6 +2055,35 @@ object ExtQueries {
     GraphIndex.ranks(s, stored1, iterations = 3)
   }
 
+  /** `graph_pagerank_warmstart`: INCREMENTAL RANK maintenance — the
+    * daily composition of the stored family: yesterday's artifact
+    * (`% 7 != 0`) yields a 3-round rank vector, STORED as a |V|-row
+    * parquet; today's batch folds into the edge artifact; and the new
+    * ranks come from TWO warm rounds over the folded graph seeded by
+    * the stored vector (new nodes start uniform). Yesterday's ranks
+    * replace a cold round — the warm path runs 2 corpus-wide rounds
+    * where the cold path runs 3, and its input is a |V|-row artifact
+    * instead of nothing. The oracle unrolls yesterday's 3 rounds and
+    * the 2 warm rounds verbatim, so the whole
+    * stored-ranks → fold → warm-iterate chain hash-gates.
+    */
+  def graphPageRankWarmstart(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GraphIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_graph_ws").toString
+    val tbl = "graft_graph_ws_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored0 = GraphIndex.build(s,
+      graphEdges(s, dir, col("o_orderkey") % 7 =!= 0), tbl, base)
+    GraphIndex.ranks(s, stored0, iterations = 3)
+      .select(col("node"), col("rank_fp"))
+      .write.parquet(s"$base/ranks-g0")
+    val (stored1, _) = GraphIndex.append(s, stored0,
+      graphEdges(s, dir, col("o_orderkey") % 7 === 0), gen = 1)
+    retirePrev(graphWarmstartPrev, s, tbl, base)
+    GraphIndex.warmStartRanks(s, stored1,
+      s.read.parquet(s"$base/ranks-g0"), iterations = 2)
+  }
+
   /** `graph_pagerank_maintain`: the drift/retrigger decision (the
     * E95/E96 analog for graphs) on a split that TRIPS it — yesterday
     * = `% 2 != 0`, batch = the other half; the would-be state's
@@ -2434,6 +2524,9 @@ object ExtQueries {
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private val graphMaintainPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val graphWarmstartPrev =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private def deleteTree(p: java.nio.file.Path): Unit =

@@ -276,10 +276,16 @@ object SparkEntry {
     "graph_pagerank_stored" -> (ExtQueries.graphPageRankStored _),
     "graph_pagerank_append" -> (ExtQueries.graphPageRankAppend _),
     "graph_pagerank_maintain" -> (ExtQueries.graphPageRankMaintain _),
+    // r14: incremental RANK maintenance — stored rank vector + edge
+    // fold + 2 warm rounds instead of a cold start
+    "graph_pagerank_warmstart" -> (ExtQueries.graphPageRankWarmstart _),
     // r14 (VERDICT r8 #2): variable-length exact substring repeats by
     // anchored diagonal extension — maximal per-pair match lengths,
     // gated on planted 33/17/9-word repeats
     "text_substring_extend" -> (ExtQueries.textSubstringExtend _),
+    // r14: the rewrite half — cut every non-canonical maximal repeat,
+    // reassemble survivors (Lee et al.'s removal, substring-granular)
+    "text_substring_cut" -> (ExtQueries.textSubstringCut _),
     // r14 (VERDICT r8 #4): the end-to-end corpus build — quality →
     // canonical near-dup removal → fuzzy decontamination → BPE packing
     // → dense global ids → WAP-published pack_group shards, gated by
@@ -1309,6 +1315,7 @@ object SparkEntry {
 
     "text_substring_spans" -> ExtOracleSql.textSubstringSpans,
     "text_substring_extend" -> ExtOracleSql.textSubstringExtend,
+    "text_substring_cut" -> ExtOracleSql.textSubstringCut,
     "pipeline_build_corpus" -> ExtOracleSql.pipelineBuildCorpus,
     "pipeline_build_corpus_audit" -> ExtOracleSql.pipelineBuildCorpusAudit,
     // v00001 = the hourly aggregate over ingest wave 1 (event_id % 2),
@@ -1513,6 +1520,7 @@ object SparkEntry {
     "graph_pagerank_stored" -> ExtOracleSql.graphPageRank,
     "graph_pagerank_append" -> ExtOracleSql.graphPageRank,
     "graph_pagerank_maintain" -> ExtOracleSql.graphPageRankMaintain,
+    "graph_pagerank_warmstart" -> ExtOracleSql.graphPageRankWarmstart,
     "dedup_semantic" -> ExtOracleSql.dedupSemantic,
     "pipeline_dedup_canonical" -> ExtOracleSql.pipelineDedupCanonical,
     "pipeline_dedup_weights" -> ExtOracleSql.pipelineDedupWeights,

@@ -97,9 +97,22 @@ object PageRank {
     * @param n   |V|, driver-side
     */
   private[operators] def supersteps(eo: DataFrame, out: DataFrame, n: Long,
-                                    iterations: Int, dampingPct: Int): DataFrame = {
+                                    iterations: Int, dampingPct: Int): DataFrame =
+    iterate(eo, out, n,
+      out.select(col("node"), lit(Scale / n).as("rank_fp")),
+      iterations, dampingPct)
+
+  /** The damped loop from an EXPLICIT initial rank vector — uniform
+    * init gives the classic cold start ([[supersteps]]); yesterday's
+    * converged ranks give [[GraphIndex.warmStartRanks]]' incremental
+    * maintenance. `init` must cover every node in `out` (coalesce
+    * upstream for nodes the init has never seen).
+    */
+  private[operators] def iterate(eo: DataFrame, out: DataFrame, n: Long,
+                                 init: DataFrame, iterations: Int,
+                                 dampingPct: Int): DataFrame = {
     val base: Column = lit(((100 - dampingPct) * Scale / 100) / n)
-    var ranks = out.select(col("node"), lit(Scale / n).as("rank_fp"))
+    var ranks = init
     (1 to iterations).foreach { _ =>
       val contrib = eo
         .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")

@@ -108,6 +108,22 @@ class Round14OpsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $rbTbl")
   }
 
+  test("warmStartRanks: k warm rounds from a j-round vector == (j+k)-round cold start") {
+    import spark.implicits._
+    val (base, tbl) = tmpGraph()
+    val p = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+    val edges = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val stored = operators.GraphIndex.build(spark, edges, tbl, base)
+    val r3 = operators.GraphIndex.ranks(spark, stored, 3)
+      .select(col("node"), col("rank_fp"))
+    val warm = operators.GraphIndex.warmStartRanks(spark, stored, r3, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val cold5 = operators.PageRank.run(edges, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(warm == cold5)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("graph_pagerank_stored query path reads ONLY stored artifacts (no raw-table scan)") {
     import spark.implicits._
     val (base, tbl) = tmpGraph()
@@ -144,6 +160,27 @@ class Round14OpsSpec extends SparkSpec {
       (1L, 3L, 20L, 1L, 17L),
       (1L, 4L, 40L, 1L, 33L),
       (5L, 5L, 1L, 23L, 10L))
+    assert(got == want)
+  }
+
+  test("substringCut: non-canonical repeats cut to nothing, canonicals stay intact") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val t = words("t", 20)
+    val d3 = (words("x", 10) ++ words("f", 12) ++ words("x", 10)).mkString(" ")
+    val docs = Seq(
+      (1L, t.mkString(" ")),
+      (2L, t.slice(2, 14).mkString(" ")),  // wholly a copy of doc 1 words 3..14
+      (3L, d3)                             // intra-doc repeat of x1..x10
+    ).toDF("doc_id", "text")
+    val got = ExtQueries.substringCut(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val want = Set(
+      (1L, 20L, 0L, md5hex(t.mkString(" "))),                      // canonical intact
+      (2L, 12L, 12L, md5hex("")),                                  // later copy fully cut
+      (3L, 32L, 10L, md5hex((words("x", 10) ++ words("f", 12)).mkString(" "))))
     assert(got == want)
   }
 
