@@ -2116,6 +2116,84 @@ object ExtQueries {
         lit(r.rebuilt).as("rebuilt"), col("n_nodes"), col("rank_sum"))
   }
 
+  /** Bump when the BM25 postings layout or tokenization changes — the
+    * content-keyed stored artifact below must miss rather than serve a
+    * stale layout.
+    */
+  private val Bm25ArtifactVersion = 1
+
+  /** STORED BM25 inverted index for this corpus, content-keyed (the
+    * [[graphStoredArtifact]] lifecycle): the nightly index-build job's
+    * output, rebuilt only when the corpus content (count + order-free
+    * xxhash64 fold) or [[Bm25ArtifactVersion]] changes. Every later
+    * invocation (and bench rep) reads only the stored bucketed
+    * postings + df/stats spines — the raw corpus is never re-tokenized
+    * on the query path.
+    */
+  private def bm25StoredArtifact(s: SparkSession, dir: String): graft.operators.Bm25Index.Stored = {
+    val sd = docs(s, dir)
+      .agg(count(lit(1)).cast("string"),
+        sum(xxhash64(col("doc_id"), col("text"))).cast("string")).head()
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"bm$Bm25ArtifactVersion|${sd.getString(0)}|${sd.getString(1)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-bm25-$key")
+    val tbl = s"graft_bm25_postings_$key"
+    val stored = graft.operators.Bm25Index.Stored(tbl, base.toString, 0)
+    val ready = Seq(stored.postingsPath, stored.dfPath, stored.statsPath)
+      .forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))) &&
+      s.catalog.tableExists(tbl)
+    if (ready) stored
+    else {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.operators.Bm25Index.build(s, docs(s, dir), tbl, base.toString)
+    }
+  }
+
+  /** Query terms off the stored postings themselves: a posting row
+    * exists per distinct (doc, word), so the `doc_id % 25` slice of
+    * the index IS the query workload's distinct-term list — the whole
+    * query path (corpus side AND query side) reads stored artifacts
+    * only.
+    */
+  private def bm25QueryTerms(s: SparkSession, stored: graft.operators.Bm25Index.Stored): DataFrame =
+    s.table(stored.postingsTable).filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
+
+  /** `text_bm25_stored_topk`: BM25 top-10 from the STORED index only —
+    * no tokenize, no df window, no corpus-stat scan at query time; the
+    * derivation cost sits in the nightly [[bm25StoredArtifact]] build.
+    * Oracle = the full one-shot Robertson computation, so the postings
+    * + spine storage round trip is load-bearing in the hash match.
+    */
+  def textBm25StoredTopK(s: SparkSession, dir: String): DataFrame = {
+    val stored = bm25StoredArtifact(s, dir)
+    graft.operators.Bm25Index.scoredTopK(s, stored, bm25QueryTerms(s, stored))
+  }
+
+  /** `text_bm25_append_topk`: the INCREMENTAL document-batch fold —
+    * `doc_id % 3 != 0` plays yesterday's indexed corpus, `% 3 == 0` is
+    * today's batch, folded in by a bucket-local doc anti-join + df/
+    * stats spine folds ∝ batch (no corpus re-tokenize). BM25 makes
+    * this fold non-trivially global: every appended doc moves N, L and
+    * the df of each term it mentions, so EVERY stored doc's score
+    * shifts — the oracle (one-shot BM25 over the full corpus) proves
+    * the folded statistics exact, not just the appended postings.
+    */
+  def textBm25AppendTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bm25Index
+    val d = docs(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_app").toString
+    val tbl = "graft_bm25_app_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored0 = Bm25Index.build(s, d.filter(col("doc_id") % 3 =!= 0), tbl, base)
+    val (stored1, _) = Bm25Index.append(s, stored0,
+      d.filter(col("doc_id") % 3 === 0), gen = 1)
+    retirePrev(bm25AppendPrev, s, tbl, base)
+    Bm25Index.scoredTopK(s, stored1, bm25QueryTerms(s, stored1))
+  }
+
   /** [[dedupClusters]] over an explicit (doc_id, text) frame (fixture entry). */
   def dedupClustersOf(d: DataFrame): DataFrame = {
     val (verts, edges) = chunkGraph(d)
@@ -2527,6 +2605,9 @@ object ExtQueries {
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private val graphWarmstartPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val bm25AppendPrev =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private def deleteTree(p: java.nio.file.Path): Unit =

@@ -296,7 +296,14 @@ object SparkEntry {
     // versions — batchId-idempotent commit composed with the version
     // history; the gate reads every pointer-history version back
     "streaming_versioned_publish" ->
-      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingVersionedPublish(s, d))
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingVersionedPublish(s, d)),
+    // r15: the stored/incremental inverted-index family — BM25 top-k
+    // from the content-keyed stored postings + df/stats spines (zero
+    // corpus-side exchanges; no query-time tokenize), and the
+    // document-batch fold whose global-statistics updates (N, L, df)
+    // the full-corpus oracle proves exact
+    "text_bm25_stored_topk" -> (ExtQueries.textBm25StoredTopK _),
+    "text_bm25_append_topk" -> (ExtQueries.textBm25AppendTopK _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -383,7 +390,13 @@ object SparkEntry {
     // their per-invocation yesterday-artifact build is fixture cost,
     // and the fold's plan shape (anti-join + spine fold) is asserted
     // in PlanRegressionSpec instead of timed.
-    "graph_pagerank_stored")
+    "graph_pagerank_stored",
+    // r15: the stored-BM25 query path — same rationale as the stored
+    // graph row (reps after the first read only the stored postings +
+    // spines; the one-shot text_bm25_topk row keeps timing the
+    // in-flow derivation). The append gate stays correctness-only:
+    // its yesterday-index build is per-invocation fixture cost.
+    "text_bm25_stored_topk")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1546,6 +1559,10 @@ object SparkEntry {
     "layout_compaction" -> ExtOracleSql.layoutCompaction,
     "sim_hybrid_rrf" -> ExtOracleSql.simHybridRrf,
     "text_bm25_topk" -> ExtOracleSql.textBm25TopK,
+    // the stored-index and fold paths must reproduce the one-shot
+    // full-corpus computation bit-for-bit — same oracle verbatim
+    "text_bm25_stored_topk" -> ExtOracleSql.textBm25TopK,
+    "text_bm25_append_topk" -> ExtOracleSql.textBm25TopK,
     "qa_k_anonymity" -> ExtOracleSql.qaKAnonymity,
     "pipeline_global_ids" -> ExtOracleSql.pipelineGlobalIds,
     "sample_stratified_proportional" -> ExtOracleSql.sampleStratifiedProportional,
