@@ -4485,6 +4485,106 @@ object ExtQueries {
     snap(v1, old).unionByName(snap(v2, cur)).unionByName(changed)
   }
 
+  /** CHANGE DATA FEED across the stored version history
+    * (`pipeline_change_feed` — the Delta CDF / Iceberg
+    * changelog-scan verb, completing the CDC story E78 started):
+    * three corpus versions land as WAP publishes (v2 = the
+    * snapshot-diff perturbation plant: drop %17, edit %13 → ' rev2',
+    * insert %29; v3 = additionally drop %19, edit %11 → ' rev3',
+    * insert %31), then the feed derives insert/update/delete rows for
+    * EVERY consecutive version pair by reading the versions BACK FROM
+    * DISK — so publish → history → per-pair diff is one gated chain,
+    * and a consumer can replay the table's evolution without the
+    * writer having logged anything beyond the commits themselves.
+    * Unchanged rows are not emitted (the CDF contract: feed volume ∝
+    * change volume, not table size).
+    *
+    * Scale shape (100 TB): each pair diff joins two snapshot reads
+    * column-pruned to (id, 16-byte digest) — ~32 bytes/doc moves, the
+    * E78 bound, never payloads; pairs are independent (a backfill
+    * over N versions runs N−1 parallel diffs). In production the
+    * digest would come from stored column statistics instead of
+    * re-hashing the payload.
+    */
+  def pipelineChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Publish
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val d = docs(s, dir)
+    val rev2 = when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+      .otherwise(col("text"))
+    val v1 = d.select(col("doc_id"), col("text"))
+    val v2 = d.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), rev2.as("text"))
+      .unionByName(d.filter(col("doc_id") % 29 === 0).select(
+        (col("doc_id") + lit(3000000L)).as("doc_id"),
+        concat(lit("new "), col("text")).as("text")))
+    val v3 = d.filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 19 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(rev2, lit(" rev3")))
+          .otherwise(rev2).as("text"))
+      .unionByName(d.filter(col("doc_id") % 29 === 0).select(
+        (col("doc_id") + lit(3000000L)).as("doc_id"),
+        concat(lit("new "), col("text")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 31 === 0).select(
+        (col("doc_id") + lit(6000000L)).as("doc_id"),
+        concat(lit("brand "), col("text")).as("text")))
+    Seq(v1, v2, v3).foreach(Publish.publish(_, root))
+    val history = (Publish.staleVersions(root).filter(_.matches("v\\d+"))
+      :+ Publish.currentVersion(root).get).sorted
+    history.sliding(2).map { case Seq(va, vb) =>
+      val a = Publish.readVersion(s, root, va)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("old_md5"))
+      val b = Publish.readVersion(s, root, vb)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("new_md5"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(lit(va).as("version_from"), lit(vb).as("version_to"),
+          col("doc_id"),
+          when(col("old_md5").isNull, lit("insert"))
+            .when(col("new_md5").isNull, lit("delete"))
+            .when(col("old_md5") =!= col("new_md5"), lit("update"))
+            .otherwise(lit(null).cast("string")).as("change"),
+          col("old_md5"), col("new_md5"))
+        .filter(col("change").isNotNull)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** VACUUM with a retention window (`pipeline_vacuum_retention` —
+    * the verb that makes unbounded WAP history affordable, next to
+    * time travel/E133 and the compliance purge): four snapshots
+    * publish, then [[graft.operators.Publish.vacuumRetain]] keeps the
+    * newest two and physically reclaims the rest (burned-number
+    * `.purged` markers stay behind). The gate emits one row per
+    * version — vacuumed versions carry NULL aggregates (they are
+    * GONE; the spec asserts readVersion refuses them and their dirs
+    * are deleted), retained/current versions aggregate their DISK
+    * read-back — so the oracle states exactly which history survives
+    * a retention pass and proves the survivors byte-intact.
+    */
+  def pipelineVacuumRetention(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Publish
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val t = Tables.load(s, dir, "customer").select(col("c_custkey").as("key"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_fp"))
+    (1 to 4).foreach(i => Publish.publish(t.filter(col("key") % 7 < i), root))
+    Publish.vacuumRetain(root, keepLast = 2)
+    val cur = Publish.currentVersion(root)
+    (1 to 4).map { i =>
+      val v = "v%05d".format(i)
+      val live = java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root, v))
+      if (!live)
+        s.range(1).select(lit(v).as("version"), lit("vacuumed").as("status"),
+          lit(null).cast("long").as("n_rows"), lit(null).cast("long").as("sum_bal_fp"))
+      else {
+        val status = if (cur.contains(v)) "current" else "retained"
+        Publish.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("bal_fp")).as("sum_bal_fp"))
+          .select(lit(v).as("version"), lit(status).as("status"),
+            col("n_rows"), col("sum_bal_fp"))
+      }
+    }.reduce(_.unionByName(_))
+  }
+
   /** Idempotent partition backfill (`pipeline_backfill_overwrite`):
     * the daily-pipeline repair verb — a day-partitioned aggregate
     * table where a subset of days landed corrupted (the fixture

@@ -303,7 +303,14 @@ object SparkEntry {
     // document-batch fold whose global-statistics updates (N, L, df)
     // the full-corpus oracle proves exact
     "text_bm25_stored_topk" -> (ExtQueries.textBm25StoredTopK _),
-    "text_bm25_append_topk" -> (ExtQueries.textBm25AppendTopK _)
+    "text_bm25_append_topk" -> (ExtQueries.textBm25AppendTopK _),
+    // r15: change data feed over the WAP history — insert/update/
+    // delete rows for every consecutive version pair, read back from
+    // the stored versions (the Delta CDF / changelog-scan verb)
+    "pipeline_change_feed" -> (ExtQueries.pipelineChangeFeed _),
+    // r15: VACUUM with a retention window — keep the newest two
+    // versions, physically reclaim the rest, prove survivors intact
+    "pipeline_vacuum_retention" -> (ExtQueries.pipelineVacuumRetention _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1584,6 +1591,65 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'changed', COUNT(*), CAST(SUM(10000) AS BIGINT)
         |FROM t WHERE key % 7 = 0""".stripMargin,
+    // change feed: the three version bodies restated as CTEs off the
+    // source table; per-pair full-outer digest diffs, unchanged rows
+    // not emitted (the CDF contract)
+    "pipeline_change_feed" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, md5('new ' || text)
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |v3 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0
+        |          THEN (CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) || ' rev3'
+        |          ELSE (CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) END) AS h
+        |  FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 19 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, md5('new ' || text)
+        |  FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, md5('brand ' || text)
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |d12 AS (
+        |  SELECT 'v00001' AS version_from, 'v00002' AS version_to,
+        |    COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.h IS NULL THEN 'insert'
+        |         WHEN b.h IS NULL THEN 'delete'
+        |         WHEN a.h <> b.h THEN 'update' END AS change,
+        |    a.h AS old_md5, b.h AS new_md5
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+        |d23 AS (
+        |  SELECT 'v00002' AS version_from, 'v00003' AS version_to,
+        |    COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.h IS NULL THEN 'insert'
+        |         WHEN b.h IS NULL THEN 'delete'
+        |         WHEN a.h <> b.h THEN 'update' END AS change,
+        |    a.h AS old_md5, b.h AS new_md5
+        |  FROM v2 a FULL OUTER JOIN v3 b ON a.doc_id = b.doc_id)
+        |SELECT * FROM d12 WHERE change IS NOT NULL
+        |UNION ALL
+        |SELECT * FROM d23 WHERE change IS NOT NULL""".stripMargin,
+    // vacuum retention: keepLast=2 of four publishes — v1/v2 reclaimed
+    // (NULL aggregates: the data is gone), v3 retained, v4 current;
+    // survivors' aggregates stated off the source table
+    "pipeline_vacuum_retention" ->
+      """WITH t AS (SELECT c_custkey AS key,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer)
+        |SELECT 'v00001' AS version, 'vacuumed' AS status,
+        |  CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS sum_bal_fp
+        |UNION ALL
+        |SELECT 'v00002', 'vacuumed', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |UNION ALL
+        |SELECT 'v00003', 'retained', COUNT(*), CAST(SUM(bal) AS BIGINT)
+        |FROM t WHERE key % 7 < 3
+        |UNION ALL
+        |SELECT 'v00004', 'current', COUNT(*), CAST(SUM(bal) AS BIGINT)
+        |FROM t WHERE key % 7 < 4""".stripMargin,
     // the compacted table's read-back must equal computing off the
     // source — the rewrite moved bytes, not data
     "layout_compaction_exec" ->

@@ -170,6 +170,53 @@ object Publish {
     }
   }
 
+  /** VACUUM with a RETENTION WINDOW — the bounded-history sibling of
+    * [[retireHistory]] (which keeps only the current version, the
+    * compliance-purge posture): keep the newest `keepLast` live
+    * versions (plus the current one, always), physically delete every
+    * older live version and every `v<N>.failed` tombstone, and leave a
+    * `v<N>.purged` marker per removed name so the number stays burned.
+    * This is the Delta/Iceberg `VACUUM ... RETAIN` verb: immutable
+    * history is the crash contract, but unbounded history is unbounded
+    * storage — a retention window keeps time travel alive for the
+    * window and reclaims everything older. Failed tombstones hold no
+    * committed data and are reclaimed regardless of age.
+    *
+    * Returns the removed names (dirs actually deleted this call).
+    * Idempotent: a crash mid-vacuum leaves some victims live and a
+    * re-run completes the reclaim; re-running after completion removes
+    * nothing. The pointer and every retained version are untouched.
+    *
+    * Scale shape (100 TB): cost ∝ removed versions (directory deletes
+    * + one marker file each) — no data is read, rewritten, or moved;
+    * the retained window's bytes are exactly as the commits left them.
+    */
+  def vacuumRetain(rootPath: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"vacuumRetain: keepLast must be >= 1, got $keepLast")
+    val r = root(rootPath)
+    val current = currentVersion(rootPath)
+    if (!java.nio.file.Files.isDirectory(r)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(r)
+      val names =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.matches("v\\d+(\\.failed)?")).toSeq.sorted
+        } finally s.close()
+      val retained = names.filter(_.matches("v\\d+")).takeRight(keepLast).toSet ++ current
+      names.filterNot(retained.contains).map { n =>
+        val dir = r.resolve(n)
+        if (java.nio.file.Files.isDirectory(dir)) Checkpoints.deleteTree(dir)
+        else java.nio.file.Files.deleteIfExists(dir)
+        val marker = r.resolve(s"${n.stripSuffix(".failed")}.purged")
+        if (!java.nio.file.Files.exists(marker))
+          java.nio.file.Files.createFile(marker)
+        n
+      }
+    }
+  }
+
   /** Live (readable-by-name) versions other than the current one —
     * the compliance audit's probe for un-retired history: after
     * [[retireHistory]] this must be empty, and a purge audit that

@@ -86,4 +86,52 @@ class Round15OpsSpec extends SparkSpec {
       s"expected ≤1 exchange (topk only):\n${df.queryExecution.executedPlan}")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("vacuumRetain: physical reclaim outside the window, survivors byte-intact, idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vac-spec").toString
+    (1 to 4).foreach(i =>
+      operators.Publish.publish(Seq((i, s"snap$i")).toDF("n", "tag"), root))
+    val beforeBytes = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "v00003")).toArray.length
+    val removed = operators.Publish.vacuumRetain(root, keepLast = 2)
+    assert(removed == Seq("v00001", "v00002"))
+    // the hash gate can't see the physical claims: dirs actually gone,
+    // burned-number markers behind, survivors untouched on disk
+    Seq("v00001", "v00002").foreach { v =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, v)))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, s"$v.purged")))
+      intercept[IllegalArgumentException] {
+        operators.Publish.readVersion(spark, root, v)
+      }
+    }
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "v00003")).toArray.length == beforeBytes)
+    assert(operators.Publish.readVersion(spark, root, "v00003")
+      .collect().map(_.getString(1)).toSeq == Seq("snap3"))
+    assert(operators.Publish.read(spark, root)
+      .collect().map(_.getString(1)).toSeq == Seq("snap4"))
+    // idempotent: a second pass finds nothing in the window to reclaim
+    assert(operators.Publish.vacuumRetain(root, keepLast = 2).isEmpty)
+    // a window wider than the history removes nothing
+    assert(operators.Publish.vacuumRetain(root, keepLast = 10).isEmpty)
+  }
+
+  test("vacuumRetain: failed-publish tombstones are reclaimed regardless of the window") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vac-fail").toString
+    operators.Publish.publish(Seq((1, "ok")).toDF("n", "tag"), root)
+    intercept[IllegalArgumentException] {
+      operators.Publish.publish(Seq((2, "bad")).toDF("n", "tag"), root,
+        audit = _ => throw new IllegalArgumentException("veto"))
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v00002.failed")))
+    val removed = operators.Publish.vacuumRetain(root, keepLast = 5)
+    // the live v00001 sits inside the window; the tombstone holds no
+    // committed data and goes regardless
+    assert(removed == Seq("v00002.failed"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v00002.purged")))
+    // the burned number is NOT reused by the next publish
+    assert(operators.Publish.publish(Seq((3, "next")).toDF("n", "tag"), root) == "v00003")
+  }
 }
