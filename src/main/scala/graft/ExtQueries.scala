@@ -4510,23 +4510,28 @@ object ExtQueries {
     import graft.operators.Publish
     val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
     val d = docs(s, dir)
+    // planted-insert id namespace derived from the corpus, not a fixed
+    // constant: off = max(doc_id)+1 keeps doc_id+off and doc_id+2*off
+    // disjoint from every real id (and from each other) at ANY SF —
+    // a fixed 3000000 collides once orderkey-derived ids pass 3M
+    val off = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val rev2 = when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
       .otherwise(col("text"))
     val v1 = d.select(col("doc_id"), col("text"))
     val v2 = d.filter(col("doc_id") % 17 =!= 0)
       .select(col("doc_id"), rev2.as("text"))
       .unionByName(d.filter(col("doc_id") % 29 === 0).select(
-        (col("doc_id") + lit(3000000L)).as("doc_id"),
+        (col("doc_id") + lit(off)).as("doc_id"),
         concat(lit("new "), col("text")).as("text")))
     val v3 = d.filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 19 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 11 === 0, concat(rev2, lit(" rev3")))
           .otherwise(rev2).as("text"))
       .unionByName(d.filter(col("doc_id") % 29 === 0).select(
-        (col("doc_id") + lit(3000000L)).as("doc_id"),
+        (col("doc_id") + lit(off)).as("doc_id"),
         concat(lit("new "), col("text")).as("text")))
       .unionByName(d.filter(col("doc_id") % 31 === 0).select(
-        (col("doc_id") + lit(6000000L)).as("doc_id"),
+        (col("doc_id") + lit(2L * off)).as("doc_id"),
         concat(lit("brand "), col("text")).as("text")))
     Seq(v1, v2, v3).foreach(Publish.publish(_, root))
     val history = (Publish.staleVersions(root).filter(_.matches("v\\d+"))

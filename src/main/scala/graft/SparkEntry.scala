@@ -1595,13 +1595,14 @@ object SparkEntry {
     // source table; per-pair full-outer digest diffs, unchanged rows
     // not emitted (the CDF contract)
     "pipeline_change_feed" ->
-      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+        |v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
         |v2 AS (
         |  SELECT doc_id,
         |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS h
         |  FROM documents WHERE doc_id % 17 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 3000000, md5('new ' || text)
+        |  SELECT doc_id + (SELECT o FROM off), md5('new ' || text)
         |  FROM documents WHERE doc_id % 29 = 0),
         |v3 AS (
         |  SELECT doc_id,
@@ -1610,10 +1611,10 @@ object SparkEntry {
         |          ELSE (CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) END) AS h
         |  FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 19 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 3000000, md5('new ' || text)
+        |  SELECT doc_id + (SELECT o FROM off), md5('new ' || text)
         |  FROM documents WHERE doc_id % 29 = 0
         |  UNION ALL
-        |  SELECT doc_id + 6000000, md5('brand ' || text)
+        |  SELECT doc_id + 2 * (SELECT o FROM off), md5('brand ' || text)
         |  FROM documents WHERE doc_id % 31 = 0),
         |d12 AS (
         |  SELECT 'v00001' AS version_from, 'v00002' AS version_to,

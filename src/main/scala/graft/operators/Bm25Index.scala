@@ -132,17 +132,13 @@ object Bm25Index {
              gen: Int): (Stored, Long) = {
     require(gen > stored.gen,
       s"append: generation must advance past ${stored.gen}, got $gen")
-    val fresh = {
-      val flag = "spark.sql.requireAllClusterKeysForCoPartition"
-      val prev = spark.conf.get(flag)
-      try {
-        spark.conf.set(flag, "false")
-        postingsOf(batchDocs)
-          .join(spark.table(stored.postingsTable).select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      } finally spark.conf.set(flag, prev)
-    }
+    // no requireAllClusterKeysForCoPartition toggle here (unlike
+    // GraphIndex.append): the anti-join key (doc_id) IS the full
+    // bucket key, so the stored side is already bucket-local
+    val fresh = postingsOf(batchDocs)
+      .join(spark.table(stored.postingsTable).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val next = stored.copy(gen = gen)
       val freshDocs = fresh.select(col("doc_id"), col("dl")).distinct()

@@ -38,10 +38,12 @@ object Publish {
 
   private def root(path: String): java.nio.file.Path = java.nio.file.Paths.get(path)
 
-  /** Every number ever attempted — live `v<N>` dirs AND `v<N>.failed`
-    * tombstones — so max+1 never reuses a number (a reused name would
-    * let one version string refer to two different contents across
-    * time, breaking any observer that correlates by name).
+  /** Every number ever attempted — live `v<N>` dirs, `v<N>.failed`
+    * tombstones AND `v<N>.purged` markers (a vacuumed tombstone's
+    * number stays burned through its marker) — so max+1 never reuses a
+    * number (a reused name would let one version string refer to two
+    * different contents across time, breaking any observer that
+    * correlates by name).
     */
   private def versionDirs(p: java.nio.file.Path): Seq[Long] =
     if (!java.nio.file.Files.isDirectory(p)) Seq.empty
@@ -50,7 +52,7 @@ object Publish {
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.matches("v\\d+(\\.failed)?") =>
+          .collect { case n if n.matches("v\\d+(\\.failed|\\.purged)?") =>
             n.drop(1).takeWhile(_.isDigit).toLong }
           .toSeq
       } finally s.close()
@@ -202,7 +204,10 @@ object Publish {
         try {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.matches("v\\d+(\\.failed)?")).toSeq.sorted
+            .filter(_.matches("v\\d+(\\.failed)?")).toSeq
+            // numeric order, not lexicographic: past v99999 the %05d
+            // padding overflows and "v100000" sorts before "v99999"
+            .sortBy(n => n.drop(1).takeWhile(_.isDigit).toLong)
         } finally s.close()
       val retained = names.filter(_.matches("v\\d+")).takeRight(keepLast).toSet ++ current
       names.filterNot(retained.contains).map { n =>
