@@ -1313,7 +1313,7 @@ object ExtOracleSql {
     * twins — those gates' engine paths all resolve to the same row
     * set, so they share the oracle body too.
     */
-  private val graphPageRankCtes: String = {
+  private def graphPageRankCtes(csWhere: String = ""): String = {
     val S = graft.operators.PageRank.Scale
     val iters = (1 to 3).map { i =>
       s"""c$i AS (SELECT e.dst AS node,
@@ -1328,7 +1328,7 @@ object ExtOracleSql {
          |  LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
     }.mkString(",\n")
     s"""cs AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey$csWhere),
        |e AS (SELECT a AS src, b AS dst FROM cs
        |      UNION ALL SELECT b AS src, a AS dst FROM cs),
        |outdeg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
@@ -1339,7 +1339,21 @@ object ExtOracleSql {
   }
 
   val graphPageRank: String =
-    s"""WITH $graphPageRankCtes
+    s"""WITH ${graphPageRankCtes()}
+       |SELECT r3.node, o.out_deg, CAST(r3.r AS BIGINT) AS rank_fp
+       |FROM r3 JOIN outdeg o ON r3.node = o.src""".stripMargin
+
+  /** graph_pagerank_purge twin: the identical superstep unroll over
+    * the graph RE-DERIVED from the filtered source — dropping
+    * `o_custkey % 89 = 0` from the edge derivation removes every edge
+    * touching a purged customer in both symmetric directions, and the
+    * downstream nodes/outdeg/rank CTEs recompute from the survivors
+    * (suppliers orphaned by the purge vanish with their edges), which
+    * is exactly what the folded spine + rewritten edge artifact must
+    * reproduce.
+    */
+  val graphPageRankPurge: String =
+    s"""WITH ${graphPageRankCtes(" WHERE o_custkey % 89 <> 0")}
        |SELECT r3.node, o.out_deg, CAST(r3.r AS BIGINT) AS rank_fp
        |FROM r3 JOIN outdeg o ON r3.node = o.src""".stripMargin
 
@@ -1352,7 +1366,7 @@ object ExtOracleSql {
     * row set).
     */
   val graphPageRankMaintain: String =
-    s"""WITH $graphPageRankCtes,
+    s"""WITH ${graphPageRankCtes()},
        |csb AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |  WHERE o_orderkey % 2 != 0),
@@ -2559,15 +2573,24 @@ object ExtOracleSql {
     * integer `//` quotients (all operands positive, so DuckDB floor
     * division ≡ Spark DIV), the same associative integer score sum.
     */
-  val textBm25TopK: String =
-    """WITH toks AS (
+  val textBm25TopK: String = textBm25TopKSql("")
+
+  /** text_bm25_purge_topk twin: the same one-shot computation over the
+    * PURGED corpus — filtering `doc_id % 89 = 0` out of the corpus CTE
+    * moves N, L and every touched df, so the restated scores equal the
+    * folded-retraction spines only if the retraction was exact.
+    */
+  val textBm25PurgeTopK: String = textBm25TopKSql(" WHERE doc_id % 89 <> 0")
+
+  private def textBm25TopKSql(corpusWhere: String): String =
+    s"""WITH toks AS (
       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
       |    unnest(string_split(text, ' ')) AS word
-      |  FROM documents),
+      |  FROM documents$corpusWhere),
       |tf AS (SELECT doc_id, dl, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
       |wdf AS (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df FROM tf),
       |st AS (SELECT COUNT(*) AS n,
-      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS l FROM documents),
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS l FROM documents$corpusWhere),
       |qw AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 25 = 0),
       |sc AS (
       |  SELECT query_id, c.doc_id AS cand_id,

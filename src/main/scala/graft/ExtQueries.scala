@@ -2084,6 +2084,42 @@ object ExtQueries {
       s.read.parquet(s"$base/ranks-g0"), iterations = 2)
   }
 
+  /** `graph_pagerank_purge`: DELETE PROPAGATION into the stored graph
+    * artifact (VERDICT r9 #5) — the full-corpus artifact is built,
+    * then the purge roster (customer nodes `c<custkey>` with
+    * `c_custkey % 89 = 0`) is removed: every edge touching a roster
+    * node is physically rewritten away in BOTH directions of the
+    * symmetric closure and the degree spine folds a retraction ∝
+    * removed edges ([[graft.operators.GraphIndex.purge]] — suppliers
+    * left with zero surviving edges drop out of the graph entirely).
+    * Ranks then run the unchanged stored-artifact path. Oracle =
+    * one-shot PageRank over the graph re-derived from the filtered
+    * source (`o_custkey % 89 <> 0`), so the hash proves retracted
+    * degrees, vanished nodes, and the redistributed rank mass all
+    * equal a rebuild over the surviving edges. (The spec additionally
+    * audits the stored artifact for zero roster nodes.)
+    */
+  def graphPageRankPurge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GraphIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_graph_prg").toString
+    val tbl = "graft_graph_prg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored0 = GraphIndex.build(s, graphEdges(s, dir), tbl, base)
+    val roster = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 89 === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    val base2 = java.nio.file.Files.createTempDirectory("graft_graph_prgd").toString
+    val tbl2 = "graft_graph_prgd_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val (stored1, _) = GraphIndex.purge(s, stored0, roster, tbl2, base2)
+    // the unpurged artifact is dead within this invocation (it still
+    // holds roster edges); the purged one follows the usual lifecycle
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    deleteTree(java.nio.file.Paths.get(base))
+    retirePrev(graphPurgePrev, s, tbl2, base2)
+    GraphIndex.ranks(s, stored1, iterations = 3)
+  }
+
   /** `graph_pagerank_maintain`: the drift/retrigger decision (the
     * E95/E96 analog for graphs) on a split that TRIPS it — yesterday
     * = `% 2 != 0`, batch = the other half; the would-be state's
@@ -2191,6 +2227,40 @@ object ExtQueries {
     val (stored1, _) = Bm25Index.append(s, stored0,
       d.filter(col("doc_id") % 3 === 0), gen = 1)
     retirePrev(bm25AppendPrev, s, tbl, base)
+    Bm25Index.scoredTopK(s, stored1, bm25QueryTerms(s, stored1))
+  }
+
+  /** `text_bm25_purge_topk`: DELETE PROPAGATION into the stored BM25
+    * index (VERDICT r9 #4) — the full-corpus index is built, the purge
+    * roster's (`doc_id % 89 = 0`) postings are physically rewritten
+    * away and the df/stats spines fold a retraction ∝ roster
+    * ([[graft.operators.Bm25Index.purge]]), then top-k runs off the
+    * purged artifacts with the surviving `% 25` query slice. Oracle =
+    * one-shot BM25 over the purged corpus, so the hash proves the
+    * folded statistics (N, L, every touched df) equal a
+    * rebuild-over-survivors — BM25's global coupling means ALL
+    * surviving scores shift on purge, and the gate measures exactly
+    * that, not just the roster rows' absence. (The spec additionally
+    * audits the stored artifact content for zero roster doc_ids.)
+    */
+  def textBm25PurgeTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bm25Index
+    val d = docs(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_prg").toString
+    val tbl = "graft_bm25_prg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stored0 = Bm25Index.build(s, d, tbl, base)
+    val roster = d.filter(purgeRule()).select(col("doc_id"))
+    val base2 = java.nio.file.Files.createTempDirectory("graft_bm25_prgd").toString
+    val tbl2 = "graft_bm25_prgd_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val (stored1, _) = Bm25Index.purge(s, stored0, roster, tbl2, base2)
+    // the unpurged index is dead within this invocation (it still
+    // holds roster postings); the purged one follows the usual
+    // cross-invocation lifecycle
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    deleteTree(java.nio.file.Paths.get(base))
+    retirePrev(bm25PurgePrev, s, tbl2, base2)
     Bm25Index.scoredTopK(s, stored1, bm25QueryTerms(s, stored1))
   }
 
@@ -2608,6 +2678,12 @@ object ExtQueries {
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private val bm25AppendPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val bm25PurgePrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val graphPurgePrev =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private def deleteTree(p: java.nio.file.Path): Unit =

@@ -310,7 +310,20 @@ object SparkEntry {
     "pipeline_change_feed" -> (ExtQueries.pipelineChangeFeed _),
     // r15: VACUUM with a retention window — keep the newest two
     // versions, physically reclaim the rest, prove survivors intact
-    "pipeline_vacuum_retention" -> (ExtQueries.pipelineVacuumRetention _)
+    "pipeline_vacuum_retention" -> (ExtQueries.pipelineVacuumRetention _),
+    // r16 (VERDICT r9 #4/#5): delete propagation into the two stored
+    // artifacts that only had append folds — BM25 postings/spines and
+    // the graph edges/degree spine; both physically rewrite the roster
+    // away and fold spine retractions, gated against one-shot
+    // computations over the purged corpus
+    "text_bm25_purge_topk" -> (ExtQueries.textBm25PurgeTopK _),
+    "graph_pagerank_purge" -> (ExtQueries.graphPageRankPurge _),
+    // r16 (VERDICT r9 #2): vacuum composed with the STREAMING version
+    // history — vacuum reclaims an old micro-batch version, a stale
+    // batchId replay no-ops against the vacuumed store, and the next
+    // batch publishes under a fresh (never-reused) version name
+    "streaming_vacuum_replay" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingVacuumReplay(s, d))
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1570,6 +1583,36 @@ object SparkEntry {
     // full-corpus computation bit-for-bit — same oracle verbatim
     "text_bm25_stored_topk" -> ExtOracleSql.textBm25TopK,
     "text_bm25_append_topk" -> ExtOracleSql.textBm25TopK,
+    "text_bm25_purge_topk" -> ExtOracleSql.textBm25PurgeTopK,
+    "graph_pagerank_purge" -> ExtOracleSql.graphPageRankPurge,
+    // vacuum × streaming history: v00001 reclaimed (NULLs — data and
+    // meta are gone), v00002 retained (waves 0+1 under complete mode),
+    // v00003 current (everything), and the stale batch-0 redelivery
+    // after the vacuum published nothing
+    "streaming_vacuum_replay" ->
+      """WITH a12 AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS fp
+        |  FROM events WHERE event_id % 3 IN (0, 1) GROUP BY 1, 2),
+        |a AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS fp
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'v00001' AS version, 'vacuumed' AS status,
+        |  CAST(NULL AS BIGINT) AS batch_id, CAST(NULL AS BIGINT) AS n_rows,
+        |  CAST(NULL AS BIGINT) AS n_events_total,
+        |  CAST(NULL AS BIGINT) AS sum_fp_total
+        |UNION ALL
+        |SELECT 'v00002', 'retained', 1, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n) AS BIGINT), CAST(SUM(fp) AS BIGINT) FROM a12
+        |UNION ALL
+        |SELECT 'v00003', 'current', 2, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n) AS BIGINT), CAST(SUM(fp) AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT 'replay_b00000', 'noop', 0, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)""".stripMargin,
     "qa_k_anonymity" -> ExtOracleSql.qaKAnonymity,
     "pipeline_global_ids" -> ExtOracleSql.pipelineGlobalIds,
     "sample_stratified_proportional" -> ExtOracleSql.sampleStratifiedProportional,

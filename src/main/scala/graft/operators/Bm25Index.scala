@@ -165,6 +165,75 @@ object Bm25Index {
     } finally { fresh.unpersist(); () }
   }
 
+  /** PURGE propagation into the stored index (VERDICT r9 #4 — the
+    * GDPR-delete verb the append fold lacks): a deleted document's
+    * postings must not survive in the artifact the queries read, so
+    * the purge is a PHYSICAL REWRITE of the postings minus the roster
+    * (the [[IvfIndex]] purge posture: a logical filter would leave the
+    * rows in old parquet files), while the two spines fold a
+    * RETRACTION ∝ roster — df loses the roster docs' per-word posting
+    * counts (words wholly owned by purged docs leave the spine), stats
+    * lose their doc count and length mass. BM25 makes the retraction
+    * non-trivially global: every surviving doc's score shifts when N,
+    * L and df move, and the folded spines reproduce the
+    * rebuild-over-survivors statistics EXACTLY — which is what the
+    * oracle (one-shot BM25 over the purged corpus) states.
+    *
+    * The purged artifact lands under a NEW table/base (fresh gen-0):
+    * the rewrite compacts any append fragmentation, and writing a new
+    * table sidesteps the CacheManager recompute hazard of folding
+    * against a table mid-overwrite. The caller retires the old
+    * (roster-bearing) artifact.
+    *
+    * Scale shape (100 TB): retraction aggregates are a broadcast
+    * semi-join against the bucketed postings (stored side bucket-local)
+    * + a shuffle ∝ roster postings; the rewrite is one full postings
+    * scan + bucketed write — ∝ index size, not corpus size, and only
+    * on purge events (compliance cadence), never on the query path.
+    *
+    * @param roster (doc_id) — documents to forget; broadcast
+    * @return the purged handle and the number of docs actually removed
+    */
+  def purge(spark: SparkSession, stored: Stored, roster: DataFrame,
+            newTable: String, newBase: String): (Stored, Long) = {
+    val ids = roster.select(col("doc_id"))
+    // retraction deltas FROM THE STORED POSTINGS of the roster docs,
+    // pinned before anything is rewritten
+    val victim = spark.table(stored.postingsTable)
+      .select(col("doc_id"), col("dl"), col("word"))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val next = Stored(newTable, newBase, 0)
+      val vd = victim.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("l"))
+        .head()
+      val nPurged = vd.getLong(0)
+      spark.read.parquet(stored.dfPath)
+        .join(victim.groupBy(col("word")).agg(count(lit(1)).as("d")),
+          Seq("word"), "left")
+        .select(col("word"),
+          (col("df") - coalesce(col("d"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+        .write.mode("overwrite").parquet(next.dfPath)
+      val st = spark.read.parquet(stored.statsPath).head()
+      spark.range(1).select(
+          lit(st.getLong(0) - nPurged).as("n_docs"),
+          lit(st.getLong(1) - vd.getLong(1)).as("sum_dl"))
+        .write.mode("overwrite").parquet(next.statsPath)
+      spark.table(stored.postingsTable)
+        .select(col("doc_id"), col("dl"), col("word"), col("tf"))
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .withColumn("gen", lit(0))
+        .repartition(NumBuckets, pmod(hash(col("doc_id")), lit(NumBuckets)))
+        .write.mode("overwrite").format("parquet")
+        .option("path", next.postingsPath)
+        .bucketBy(NumBuckets, "doc_id").sortBy("doc_id", "word")
+        .saveAsTable(newTable)
+      (next, nPurged)
+    } finally { victim.unpersist(); () }
+  }
+
   /** Query-time BM25 top-k over the STORED artifacts only — the exact
     * Robertson scorer of `text_bm25_topk` (k1 = 1.2, b = 0.75,
     * log-free rational idf, all-integer fixed point) with df/N/L read

@@ -180,6 +180,66 @@ object GraphIndex {
     } else MaintainResult(next, false, nBase, nNew)
   }
 
+  /** PURGE propagation into the stored graph artifact (VERDICT r9 #5 —
+    * the GDPR-delete verb the append fold lacks): removing a NODE
+    * roster retracts every edge touching a roster node, in both
+    * directions (the artifact stores the symmetric closure, so a
+    * purged account appears as src of its own edges and as dst of the
+    * reverse edges). A purged account's edges must not survive in the
+    * parquet the queries read, so the edge side is a PHYSICAL REWRITE
+    * of the survivors into a NEW bucketed table (fresh gen-0 — also
+    * compacts append fragmentation); the degree spine folds a
+    * RETRACTION ∝ removed edges: roster rows drop, surviving nodes
+    * lose one out-degree per retracted edge they sourced, and nodes
+    * whose degree hits zero leave the spine entirely (they no longer
+    * exist in the graph — exactly what a from-scratch degree aggregate
+    * over the surviving edges produces, which is what the oracle
+    * states by re-deriving the graph from the filtered source).
+    *
+    * Scale shape (100 TB): the retraction delta is a broadcast
+    * semi-join on dst against the bucketed edges (stored side
+    * bucket-local) + a groupBy ∝ removed edges; the rewrite is one
+    * edge scan + bucketed write — ∝ |E|, not corpus, and only on purge
+    * events. Ranks over the purged artifact then run the unchanged
+    * [[ranks]] path.
+    *
+    * @param roster (node) — nodes to forget; broadcast
+    * @return the purged handle and the number of edges retracted
+    */
+  def purge(spark: SparkSession, stored: Stored, roster: DataFrame,
+            newTable: String, newBase: String): (Stored, Long) = {
+    val ids = roster.select(col("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = spark.table(stored.edgesTable).select(col("src"), col("dst"))
+      // spine retraction, pinned before the rewrite: out-edges a
+      // SURVIVING src loses are exactly its edges into the roster
+      // (its edges FROM a roster src disappear with the src's row)
+      val delta = edges
+        .join(broadcast(ids).withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .join(broadcast(ids).withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      val next = Stored(newTable, newBase, 0)
+      spark.read.parquet(stored.spinePath)
+        .join(broadcast(ids), Seq("node"), "left_anti")
+        .join(delta, Seq("node"), "left")
+        .select(col("node"),
+          (col("out_deg") - coalesce(col("d"), lit(0L))).as("out_deg"))
+        .filter(col("out_deg") > 0)
+        .write.mode("overwrite").parquet(next.spinePath)
+      val survivors = edges
+        .join(broadcast(ids).withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+        .join(broadcast(ids).withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+      val nEdges = spark.table(stored.edgesTable).count()
+      survivors.withColumn("gen", lit(0))
+        .repartition(NumBuckets, pmod(hash(col("src")), lit(NumBuckets)))
+        .write.mode("overwrite").format("parquet")
+        .option("path", next.edgesPath)
+        .bucketBy(NumBuckets, "src").sortBy("src", "dst").saveAsTable(newTable)
+      (next, nEdges - spark.table(newTable).count())
+    } finally { ids.unpersist(); () }
+  }
+
   /** Query-time PageRank over the STORED artifacts only — the same
     * [[PageRank.supersteps]] loop as the in-flow [[PageRank.run]],
     * fed from the bucketed edge table (joins on src read the edge
