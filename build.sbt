@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No trailing "[success] Total time ..." on stdout: the driver parses
+// the LAST stdout line of `sbt "runMain graft.Bench"` as JSON, and
+// sbt's success banner after the program's own final line is exactly
+// what produced five rounds of `"parsed": null` bench artifacts.
+Global / showSuccess := false
+// ... and no "[info] " logger prefix on the forked program's own
+// stdout (inherit sbt's stdout directly): the bench summary must be
+// the last line AND parse bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

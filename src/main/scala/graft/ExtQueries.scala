@@ -3839,20 +3839,31 @@ object ExtQueries {
     * scale the lexical leg takes tf-idf-weighted postings with
     * stop-word caps exactly like the n-gram dedup's posting cap.
     */
-  def simHybridRrf(s: SparkSession, dir: String): DataFrame = {
+  def simHybridRrf(s: SparkSession, dir: String): DataFrame =
+    simHybridRrfWithQueries(s, dir, lit(true), lit(true))
+
+  /** [[simHybridRrf]] with an extra query-side predicate per leg
+    * (lexical doc queries and vector queries live in parallel id
+    * namespaces) — the fixed-workload scaling fixture; see
+    * [[textBm25TopKWithQueries]].
+    */
+  private[graft] def simHybridRrfWithQueries(s: SparkSession, dir: String,
+                                             docPred: Column, vecPred: Column): DataFrame = {
     val d = docs(s, dir)
     def toks(df: DataFrame, idAs: String): DataFrame =
       df.select(col("doc_id").as(idAs),
         explode(array_distinct(split(col("text"), " "))).as("word"))
     val overlap = toks(d, "cand_id")
-      .join(broadcast(toks(d.filter(col("doc_id") % 25 === 0), "query_id")), "word")
+      .join(broadcast(toks(d.filter(col("doc_id") % 25 === 0
+        && docPred), "query_id")), "word")
       .filter(col("query_id") =!= col("cand_id"))
       .groupBy("query_id", "cand_id").agg(count(lit(1)).as("n_shared"))
     val lex = LatestPerKey.topKRanked(overlap, 20, Seq(col("query_id")),
         Seq(col("n_shared").desc_nulls_last, col("cand_id").asc_nulls_first), "r_lex")
       .select(col("query_id"), col("cand_id"), col("r_lex").cast("long").as("r_lex"))
     val all = vecs(s, dir)
-    val vec = Similarity.bruteForceTopK(all, all.filter(col("vec_id") % 25 === 0), k = 20)
+    val vec = Similarity.bruteForceTopK(all,
+      all.filter(col("vec_id") % 25 === 0 && vecPred), k = 20)
       .select(col("query_id"), col("neighbor_id").as("cand_id"), col("rank").as("r_vec"))
     val fused = lex.join(vec, Seq("query_id", "cand_id"), "full_outer")
       .withColumn("rrf_fp",
@@ -4071,7 +4082,19 @@ object ExtQueries {
     * the native bounded-heap TopK. At web scale the postings take the
     * stop-word df cap exactly like the n-gram dedup's posting cap.
     */
-  def textBm25TopK(s: SparkSession, dir: String): DataFrame = {
+  def textBm25TopK(s: SparkSession, dir: String): DataFrame =
+    textBm25TopKWithQueries(s, dir, lit(true))
+
+  /** [[textBm25TopK]] with an extra QUERY-SIDE predicate — the
+    * fixed-workload scaling fixture (VERDICT r9 #3): the heterogeneous
+    * smoke corpora grow by disjoint namespaced copies, so pinning the
+    * query population to the 1x namespace holds the workload fixed
+    * while the corpus scales, isolating the corpus-side exponent the
+    * production (fixed-query) deployment sees. `lit(true)` recovers
+    * the gate exactly.
+    */
+  private[graft] def textBm25TopKWithQueries(s: SparkSession, dir: String,
+                                             qPred: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val words = split(col("text"), " ")
@@ -4081,7 +4104,7 @@ object ExtQueries {
     val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
     val stats = d.agg(count(lit(1)).as("__n"),
       sum(size(words).cast("long")).as("__l"))
-    val qTerms = d.filter(col("doc_id") % 25 === 0)
+    val qTerms = d.filter(col("doc_id") % 25 === 0 && qPred)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(words)).as("word"))
     // term_fp depends ONLY on the candidate-side posting (tf, df, dl, N,

@@ -490,10 +490,24 @@ object ScaleExponents {
     gen(10, w10)
     gen(100, w100)
 
+    // fixed-workload variants (VERDICT r9 #3): the copies live in
+    // disjoint doc_id/vec_id namespaces at +c·10⁷, so `id < 10⁷` pins
+    // the query population to the 1× namespace at every scale — the
+    // production shape (a fixed query workload against a growing
+    // corpus), where the expected exponent is ~1 (scoring join ∝
+    // corpus), versus the %25-grows-with-corpus fixture whose honest
+    // exponent trends toward 2 (queries×corpus)
+    val OneXNamespace = 10000000L
     val heads: Seq[(String, (SparkSession, String) => DataFrame, Boolean)] = Seq(
       ("graph_pagerank", ExtQueries.graphPageRank _, true),
       ("pipeline_curation_funnel", ExtQueries.pipelineCurationFunnel _, false),
       ("text_bm25_topk", ExtQueries.textBm25TopK _, false),
+      ("text_bm25_topk_fixedq",
+        (s: SparkSession, d: String) => ExtQueries.textBm25TopKWithQueries(
+          s, d, col("doc_id") < OneXNamespace), false),
+      ("sim_hybrid_rrf_fixedq",
+        (s: SparkSession, d: String) => ExtQueries.simHybridRrfWithQueries(
+          s, d, col("doc_id") < OneXNamespace, col("vec_id") < OneXNamespace), false),
       ("text_bpe_train_encode", ExtQueries.textBpeTrainEncode _, false),
       ("pipeline_delete_propagate_state", ExtQueries.pipelineDeletePropagateState _, false),
       ("sim_hybrid_rrf", ExtQueries.simHybridRrf _, false),
