@@ -989,7 +989,7 @@ object ExtOracleSql {
     """aug AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 3000000 AS doc_id,
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
       |    COALESCE(array_to_string(
       |      ws[3 : 2 + (CASE WHEN doc_id % 30 = 0 THEN 33
       |                       WHEN doc_id % 30 = 10 THEN 17

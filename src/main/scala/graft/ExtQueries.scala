@@ -552,8 +552,9 @@ object ExtQueries {
     */
   def textSubstringCut(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    val off = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val planted = d.filter(col("doc_id") % 10 === 0).select(
-      (col("doc_id") + lit(3000000L)).as("doc_id"),
+      (col("doc_id") + lit(off)).as("doc_id"),
       array_join(expr(
         """slice(split(text, ' '), 3,
           |  CASE WHEN doc_id % 30 = 0 THEN 33
@@ -572,8 +573,9 @@ object ExtQueries {
     */
   def textSubstringExtend(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    val off = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val planted = d.filter(col("doc_id") % 10 === 0).select(
-      (col("doc_id") + lit(3000000L)).as("doc_id"),
+      (col("doc_id") + lit(off)).as("doc_id"),
       array_join(expr(
         """slice(split(text, ' '), 3,
           |  CASE WHEN doc_id % 30 = 0 THEN 33
@@ -848,13 +850,16 @@ object ExtQueries {
     */
   def pipelineSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // planted-insert ids from max(doc_id)+1, not a fixed constant that
+    // collides with real ids at large SFs (the pipelineChangeFeed rule)
+    val off = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val v1 = d.select(col("doc_id"), md5(col("text").cast("binary")).as("old_md5"))
     val v2base = d.filter(col("doc_id") % 17 =!= 0).select(col("doc_id"),
       when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
         .otherwise(col("text")).as("text"))
     val v2 = v2base.unionByName(
       d.filter(col("doc_id") % 29 === 0).select(
-        (col("doc_id") + lit(3000000L)).as("doc_id"),
+        (col("doc_id") + lit(off)).as("doc_id"),
         concat(lit("new "), col("text")).as("text")))
       .select(col("doc_id"), md5(col("text").cast("binary")).as("new_md5"))
     v1.join(v2, Seq("doc_id"), "full_outer")

@@ -1388,7 +1388,8 @@ object SparkEntry {
         |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS new_md5
         |  FROM documents WHERE doc_id % 17 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id, md5('new ' || text) AS new_md5
+        |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+        |    md5('new ' || text) AS new_md5
         |  FROM documents WHERE doc_id % 29 = 0)
         |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
         |  CASE WHEN v1.old_md5 IS NULL THEN 'added'
