@@ -2582,8 +2582,40 @@ object ExtOracleSql {
     */
   val textBm25PurgeTopK: String = textBm25TopKSql(" WHERE doc_id % 89 <> 0")
 
+  /** text_bm25_maintain_topk twin: the drift decision replayed from
+    * exact posting counts — n_base = yesterday's (`doc_id % 3 = 0`)
+    * distinct (doc, word) postings, n_new = the batch's, rebuilt =
+    * the `n_new·2 > n_base` trigger (this split trips it) — plus
+    * top-k aggregates off the full-corpus one-shot computation (the
+    * row set is branch-invariant: fold and compaction hold identical
+    * postings).
+    */
+  val textBm25MaintainTopK: String =
+    s"""WITH ${textBm25Ctes("")},
+       |topk AS (
+       |  SELECT query_id, cand_id, score_fp FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_fp DESC NULLS LAST, cand_id ASC NULLS FIRST) AS rn
+       |    FROM pp) WHERE rn <= 10),
+       |counts AS (SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tf WHERE doc_id % 3 = 0) AS n_base,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tf WHERE doc_id % 3 <> 0) AS n_new)
+       |SELECT n_base, n_new, n_new * 2 > n_base AS rebuilt,
+       |  CAST(COUNT(*) AS BIGINT) AS n_topk,
+       |  CAST(SUM(score_fp) AS BIGINT) AS score_sum
+       |FROM topk CROSS JOIN counts GROUP BY 1, 2, 3""".stripMargin
+
   private def textBm25TopKSql(corpusWhere: String): String =
-    s"""WITH toks AS (
+    s"""WITH ${textBm25Ctes(corpusWhere)}
+      |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id, score_fp, n_terms
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score_fp DESC NULLS LAST, cand_id ASC NULLS FIRST) AS rn
+      |  FROM pp)
+      |WHERE rn <= 10""".stripMargin
+
+  private def textBm25Ctes(corpusWhere: String): String =
+    s"""toks AS (
       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
       |    unnest(string_split(text, ' ')) AS word
       |  FROM documents$corpusWhere),
@@ -2601,13 +2633,7 @@ object ExtOracleSql {
       |pp AS (
       |  SELECT query_id, cand_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp,
       |    COUNT(*) AS n_terms
-      |  FROM sc GROUP BY 1, 2)
-      |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id, score_fp, n_terms
-      |FROM (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-      |    ORDER BY score_fp DESC NULLS LAST, cand_id ASC NULLS FIRST) AS rn
-      |  FROM pp)
-      |WHERE rn <= 10""".stripMargin
+      |  FROM sc GROUP BY 1, 2)""".stripMargin
 
   /** k-anonymity twin: the same three-rung generalization ladder as
     * shrinking CTEs; floor(double/1000) is the same IEEE op on both

@@ -2269,6 +2269,40 @@ object ExtQueries {
     Bm25Index.scoredTopK(s, stored1, bm25QueryTerms(s, stored1))
   }
 
+  /** `text_bm25_maintain_topk`: the DRIFT rule for the stored BM25
+    * index — the [[graphPageRankMaintain]] verb completing the
+    * build/append/purge lifecycle: yesterday's index (`doc_id % 3 = 0`)
+    * takes a batch twice its size, the exact integer posting counts
+    * trip `n_new·2 > n_base`, and the fold is rejected in favor of a
+    * COMPACTING rebuild to a fresh gen-0 artifact (self-contained —
+    * postings rewrite from the stored table, spines re-derive from the
+    * compacted table, no corpus re-tokenize). The gate emits the
+    * decision as exact counts plus top-k aggregates over the resulting
+    * artifact; the oracle replays the counts from the corpus and the
+    * aggregates from the full one-shot computation (the posting row
+    * set is branch-invariant).
+    */
+  def textBm25MaintainTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bm25Index
+    val d = docs(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_mnt").toString
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tbl = s"graft_bm25_mnt_$suffix"
+    val rebuildTbl = s"graft_bm25_mnt_rb_$suffix"
+    val stored0 = Bm25Index.build(s, d.filter(col("doc_id") % 3 === 0), tbl, s"$base/a")
+    val r = Bm25Index.maintain(s, stored0, d.filter(col("doc_id") % 3 =!= 0),
+      gen = 1, rebuildTbl, s"$base/b")
+    // dead-branch retirement within the invocation (the GraphIndex
+    // discipline): on rebuild the pre-maintenance artifact is dead; on
+    // append the rebuild table was never created
+    if (r.rebuilt) s.sql(s"DROP TABLE IF EXISTS $tbl")
+    retirePrev(bm25MaintainPrev, s, r.stored.postingsTable, base)
+    Bm25Index.scoredTopK(s, r.stored, bm25QueryTerms(s, r.stored))
+      .agg(count(lit(1)).as("n_topk"), sum(col("score_fp")).as("score_sum"))
+      .select(lit(r.nBase).as("n_base"), lit(r.nNew).as("n_new"),
+        lit(r.rebuilt).as("rebuilt"), col("n_topk"), col("score_sum"))
+  }
+
   /** [[dedupClusters]] over an explicit (doc_id, text) frame (fixture entry). */
   def dedupClustersOf(d: DataFrame): DataFrame = {
     val (verts, edges) = chunkGraph(d)
@@ -2686,6 +2720,9 @@ object ExtQueries {
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private val bm25PurgePrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val bm25MaintainPrev =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private val graphPurgePrev =

@@ -318,6 +318,10 @@ object SparkEntry {
     // computations over the purged corpus
     "text_bm25_purge_topk" -> (ExtQueries.textBm25PurgeTopK _),
     "graph_pagerank_purge" -> (ExtQueries.graphPageRankPurge _),
+    // r16: the drift rule for the BM25 index — fold while small,
+    // compacting gen-0 rebuild once appends outgrow the base, the
+    // decision emitted as exact replayable counts
+    "text_bm25_maintain_topk" -> (ExtQueries.textBm25MaintainTopK _),
     // r16 (VERDICT r9 #2): vacuum composed with the STREAMING version
     // history — vacuum reclaims an old micro-batch version, a stale
     // batchId replay no-ops against the vacuumed store, and the next
@@ -1586,6 +1590,7 @@ object SparkEntry {
     "text_bm25_append_topk" -> ExtOracleSql.textBm25TopK,
     "text_bm25_purge_topk" -> ExtOracleSql.textBm25PurgeTopK,
     "graph_pagerank_purge" -> ExtOracleSql.graphPageRankPurge,
+    "text_bm25_maintain_topk" -> ExtOracleSql.textBm25MaintainTopK,
     // vacuum × streaming history: v00001 reclaimed (NULLs — data and
     // meta are gone), v00002 retained (waves 0+1 under complete mode),
     // v00003 current (everything), and the stale batch-0 redelivery

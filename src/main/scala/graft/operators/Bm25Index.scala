@@ -165,6 +165,56 @@ object Bm25Index {
     } finally { fresh.unpersist(); () }
   }
 
+  /** Base-vs-appended posting counts off the generation stamps — the
+    * drift metric [[maintain]] reads (one bucketed-table aggregate, no
+    * corpus scan).
+    */
+  def genCounts(spark: SparkSession, stored: Stored): (Long, Long) = {
+    val r = spark.table(stored.postingsTable)
+      .agg(sum(when(col("gen") === 0, 1L).otherwise(0L)),
+        sum(when(col("gen") > 0, 1L).otherwise(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  final case class MaintainResult(stored: Stored, rebuilt: Boolean,
+                                  nBase: Long, nNew: Long)
+
+  /** Fold the batch if the appended population is still small next to
+    * the base, COMPACT to a fresh gen-0 artifact once accumulated
+    * appends outgrow it — the [[GraphIndex.maintain]] drift rule
+    * (`n_new·2 > n_base` over exact integer posting counts of the
+    * WOULD-BE state, so the decision is a pure function of the inputs
+    * and the oracle can replay it). The rebuild is self-contained: the
+    * postings rewrite from the stored table itself (no corpus
+    * re-tokenize) and both spines re-derive FROM the compacted table
+    * (the Publish audit discipline); either branch holds an identical
+    * posting row set and bit-identical scores. The caller retires the
+    * old artifact on the rebuild branch.
+    *
+    * Scale shape: the fold is ∝ batch; the compaction pays one
+    * postings scan + bucketed write to buy back the per-fold file
+    * fragmentation (one file per touched bucket per fold) — amortized
+    * by the drift rule to once per doubling.
+    */
+  def maintain(spark: SparkSession, stored: Stored, batchDocs: DataFrame,
+               gen: Int, rebuildTable: String, rebuildBase: String): MaintainResult = {
+    val (next, _) = append(spark, stored, batchDocs, gen)
+    val (nBase, nNew) = genCounts(spark, next)
+    if (nNew * 2 > nBase) {
+      val compacted = Stored(rebuildTable, rebuildBase, 0)
+      spark.table(next.postingsTable)
+        .select(col("doc_id"), col("dl"), col("word"), col("tf"))
+        .withColumn("gen", lit(0))
+        .repartition(NumBuckets, pmod(hash(col("doc_id")), lit(NumBuckets)))
+        .write.mode("overwrite").format("parquet")
+        .option("path", compacted.postingsPath)
+        .bucketBy(NumBuckets, "doc_id").sortBy("doc_id", "word")
+        .saveAsTable(rebuildTable)
+      writeSpines(spark, compacted)
+      MaintainResult(compacted, true, nBase, nNew)
+    } else MaintainResult(next, false, nBase, nNew)
+  }
+
   /** PURGE propagation into the stored index (VERDICT r9 #4 — the
     * GDPR-delete verb the append fold lacks): a deleted document's
     * postings must not survive in the artifact the queries read, so

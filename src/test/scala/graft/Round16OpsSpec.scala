@@ -92,6 +92,47 @@ class Round16OpsSpec extends SparkSpec {
     Seq(tA, tP, tB).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("Bm25Index.maintain: drift rule picks fold vs compacting rebuild; scores branch-invariant") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "apple banana cherry date"),
+      (2L, "apple apple banana"),
+      (3L, "cherry date elder fig"),
+      (4L, "banana fig fig grape")).toDF("doc_id", "text")
+    val small = Seq((5L, "apple grape")).toDF("doc_id", "text")
+    val big = Seq(
+      (6L, "apple banana cherry elder fig grape"),
+      (7L, "date elder fig grape apple banana"),
+      (8L, "cherry cherry date date elder")).toDF("doc_id", "text")
+    def q(tbl: String) = spark.table(tbl).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
+    // APPEND branch: a small batch stays under the drift threshold
+    val (bA, tA) = tmpIdx("graft-bm25mnt-a")
+    val s0 = operators.Bm25Index.build(spark, base, tA, bA)
+    val (bR1, tR1) = tmpIdx("graft-bm25mnt-r1")
+    val r1 = operators.Bm25Index.maintain(spark, s0, small, 1, tR1, bR1)
+    assert(!r1.rebuilt && r1.stored.postingsTable == tA)
+    assert(!spark.catalog.tableExists(tR1))
+    // REBUILD branch: a batch outgrowing the base trips n_new*2 > n_base
+    // and compacts to a fresh gen-0 artifact
+    val (bR2, tR2) = tmpIdx("graft-bm25mnt-r2")
+    val r2 = operators.Bm25Index.maintain(spark, r1.stored, big, 2, tR2, bR2)
+    assert(r2.rebuilt && r2.stored.postingsTable == tR2)
+    assert(r2.nNew * 2 > r2.nBase)
+    // the compacted artifact is all gen-0 (fragmentation bought back)
+    assert(spark.table(tR2).filter(col("gen") =!= 0).count() == 0)
+    // either branch == a from-scratch build over everything
+    val (bB, tB) = tmpIdx("graft-bm25mnt-b")
+    val oneShot = operators.Bm25Index.build(spark,
+      base.unionByName(small).unionByName(big), tB, bB)
+    val got = operators.Bm25Index.scoredTopK(spark, r2.stored, q(tR2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val want = operators.Bm25Index.scoredTopK(spark, oneShot, q(tB)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want && got.nonEmpty)
+    Seq(tA, tR2, tB).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("publishVersioned x vacuumRetain: burned numbers and replay detection survive a vacuum") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-vacrp-spec").toString
