@@ -4647,7 +4647,13 @@ object ExtQueries {
     * digest would come from stored column statistics instead of
     * re-hashing the payload.
     */
-  def pipelineChangeFeed(s: SparkSession, dir: String): DataFrame = {
+  /** The three planted corpus versions the change-feed gates publish
+    * (v2 = the snapshot-diff perturbation plant: drop %17, edit %13 →
+    * ' rev2', insert %29; v3 = additionally drop %19, edit %11 →
+    * ' rev3', insert %31), committed as WAP versions. Returns the
+    * store root and the sorted live version names.
+    */
+  private def changeFeedFixture(s: SparkSession, dir: String): (String, Seq[String]) = {
     import graft.operators.Publish
     val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
     val d = docs(s, dir)
@@ -4675,8 +4681,13 @@ object ExtQueries {
         (col("doc_id") + lit(2L * off)).as("doc_id"),
         concat(lit("brand "), col("text")).as("text")))
     Seq(v1, v2, v3).foreach(Publish.publish(_, root))
-    val history = (Publish.staleVersions(root).filter(_.matches("v\\d+"))
-      :+ Publish.currentVersion(root).get).sorted
+    (root, (Publish.staleVersions(root).filter(_.matches("v\\d+"))
+      :+ Publish.currentVersion(root).get).sorted)
+  }
+
+  def pipelineChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Publish
+    val (root, history) = changeFeedFixture(s, dir)
     history.sliding(2).map { case Seq(va, vb) =>
       val a = Publish.readVersion(s, root, va)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("old_md5"))
@@ -4692,6 +4703,54 @@ object ExtQueries {
           col("old_md5"), col("new_md5"))
         .filter(col("change").isNotNull)
     }.reduce(_.unionByName(_))
+  }
+
+  /** `pipeline_apply_change_feed`: the CONSUMER side of the change
+    * data feed (E149's missing half — a feed nobody can apply is just
+    * a diff): per consecutive version pair, a ROW-IMAGE-carrying feed
+    * (change kind + the new payload, the Delta CDF shape; `E149`'s
+    * digest-only feed is the bandwidth-lean variant of the same diff)
+    * is derived from the stored versions, then FOLDED over a replica
+    * seeded from v1 read back from disk — deletes/updates retract by
+    * key (anti-join), inserts/updates land their row images — and the
+    * gate emits the final replica's per-doc digests. Oracle = v3
+    * restated from the source table, so the proof is end-to-end:
+    * publish → history → per-pair feed → apply → replica ≡ the final
+    * snapshot, without the replica ever reading any version but v1.
+    *
+    * Scale shape (100 TB): the replica fold is the standard CDC
+    * downstream materialization — each apply is one key anti-join +
+    * union ∝ feed volume (∝ changes, not table size); a backfill over
+    * N versions is N−1 sequential folds of change-sized frames.
+    */
+  def pipelineApplyChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Publish
+    val (root, history) = changeFeedFixture(s, dir)
+    val replica0 = Publish.readVersion(s, root, history.head)
+    val replica = history.sliding(2).foldLeft(replica0) {
+      case (replica, Seq(va, vb)) =>
+        val a = Publish.readVersion(s, root, va)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("old_md5"))
+        val b = Publish.readVersion(s, root, vb)
+          .select(col("doc_id"), col("text").as("new_text"))
+        val feed = a.join(
+            b.withColumn("new_md5", md5(col("new_text").cast("binary"))),
+            Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("old_md5").isNull, lit("insert"))
+              .when(col("new_md5").isNull, lit("delete"))
+              .when(col("old_md5") =!= col("new_md5"), lit("update"))
+              .otherwise(lit(null).cast("string")).as("change"),
+            col("new_text"))
+          .filter(col("change").isNotNull)
+        replica
+          .join(feed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(feed.filter(col("change") =!= "delete")
+            .select(col("doc_id"), col("new_text").as("text")))
+      case (replica, _) => replica
+    }
+    replica.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("text_md5"))
   }
 
   /** VACUUM with a retention window (`pipeline_vacuum_retention` —

@@ -322,6 +322,9 @@ object SparkEntry {
     // compacting gen-0 rebuild once appends outgrow the base, the
     // decision emitted as exact replayable counts
     "text_bm25_maintain_topk" -> (ExtQueries.textBm25MaintainTopK _),
+    // r16: the CDC consumer — a row-image change feed folded over a
+    // v1-seeded replica reconstructs the final snapshot exactly
+    "pipeline_apply_change_feed" -> (ExtQueries.pipelineApplyChangeFeed _),
     // r16 (VERDICT r9 #2): vacuum composed with the STREAMING version
     // history — vacuum reclaims an old micro-batch version, a stale
     // batchId replay no-ops against the vacuumed store, and the next
@@ -1591,6 +1594,24 @@ object SparkEntry {
     "text_bm25_purge_topk" -> ExtOracleSql.textBm25PurgeTopK,
     "graph_pagerank_purge" -> ExtOracleSql.graphPageRankPurge,
     "text_bm25_maintain_topk" -> ExtOracleSql.textBm25MaintainTopK,
+    // the applied replica must equal the FINAL snapshot, restated
+    // directly from the source table — publish → feed → apply in one
+    // hash
+    "pipeline_apply_change_feed" ->
+      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+        |v3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN (CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) || ' rev3'
+        |      ELSE (CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 19 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT o FROM off), 'new ' || text
+        |  FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2 * (SELECT o FROM off), 'brand ' || text
+        |  FROM documents WHERE doc_id % 31 = 0)
+        |SELECT doc_id, md5(text) AS text_md5 FROM v3""".stripMargin,
     // vacuum × streaming history: v00001 reclaimed (NULLs — data and
     // meta are gone), v00002 retained (waves 0+1 under complete mode),
     // v00003 current (everything), and the stale batch-0 redelivery
