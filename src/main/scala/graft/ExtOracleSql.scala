@@ -1383,23 +1383,32 @@ object ExtOracleSql {
     * mass) — the identical fixed-point arithmetic per round, so the
     * stored-ranks → fold → warm-iterate chain is replayed verbatim.
     */
+  /** One damped PageRank round as DuckDB CTEs, parameterized over the
+    * edge/degree/node-spine CTE names — shared by every two-phase
+    * (cold-rounds-then-warm-rounds) oracle.
+    */
+  private def prRounds(pfx: String, e: String, o: String, nodes: String,
+                       nn: String, r0: String, n: Int): String = {
+    val S = graft.operators.PageRank.Scale
+    (1 to n).map { i =>
+      val prev = if (i == 1) r0 else s"$pfx${i - 1}"
+      s"""c$pfx$i AS (SELECT $e.dst AS node,
+         |    CAST(SUM($prev.r // o2.out_deg) AS BIGINT) AS contrib
+         |  FROM $e JOIN $prev ON $e.src = $prev.node
+         |         JOIN $o o2 ON $e.src = o2.src
+         |  GROUP BY $e.dst),
+         |$pfx$i AS (SELECT $nodes.node,
+         |    ((15 * $S // 100) // $nn.n)
+         |      + (85 * COALESCE(c$pfx$i.contrib, 0)) // 100 AS r
+         |  FROM $nodes CROSS JOIN $nn
+         |  LEFT JOIN c$pfx$i ON $nodes.node = c$pfx$i.node)""".stripMargin
+    }.mkString(",\n")
+  }
+
   val graphPageRankWarmstart: String = {
     val S = graft.operators.PageRank.Scale
     def rounds(pfx: String, e: String, o: String, nodes: String,
-               nn: String, r0: String, n: Int) =
-      (1 to n).map { i =>
-        val prev = if (i == 1) r0 else s"$pfx${i - 1}"
-        s"""c$pfx$i AS (SELECT $e.dst AS node,
-           |    CAST(SUM($prev.r // o2.out_deg) AS BIGINT) AS contrib
-           |  FROM $e JOIN $prev ON $e.src = $prev.node
-           |         JOIN $o o2 ON $e.src = o2.src
-           |  GROUP BY $e.dst),
-           |$pfx$i AS (SELECT $nodes.node,
-           |    ((15 * $S // 100) // $nn.n)
-           |      + (85 * COALESCE(c$pfx$i.contrib, 0)) // 100 AS r
-           |  FROM $nodes CROSS JOIN $nn
-           |  LEFT JOIN c$pfx$i ON $nodes.node = c$pfx$i.node)""".stripMargin
-      }.mkString(",\n")
+               nn: String, r0: String, n: Int) = prRounds(pfx, e, o, nodes, nn, r0, n)
     s"""WITH csy AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |  WHERE o_orderkey % 7 != 0),
@@ -1420,6 +1429,40 @@ object ExtOracleSql {
        |rw0 AS (SELECT nodes.node, COALESCE(ry3.r, $S // nn.n) AS r
        |  FROM nodes CROSS JOIN nn LEFT JOIN ry3 ON nodes.node = ry3.node),
        |${rounds("rw", "e", "outdeg", "nodes", "nn", "rw0", 2)}
+       |SELECT rw2.node, o.out_deg, CAST(rw2.r AS BIGINT) AS rank_fp
+       |FROM rw2 JOIN outdeg o ON rw2.node = o.src""".stripMargin
+  }
+
+  /** graph_pagerank_purge_warmstart twin: 3 cold rounds over the FULL
+    * graph (yesterday's stored ranks), then 2 warm rounds over the
+    * PURGED graph (`o_custkey % 89 <> 0`) seeded by those ranks —
+    * surviving nodes carry their pre-purge rank into the first warm
+    * round (every survivor existed yesterday, so the uniform fallback
+    * never fires), and the purged graph's own spine drives the warm
+    * arithmetic.
+    */
+  val graphPageRankPurgeWarmstart: String = {
+    val S = graft.operators.PageRank.Scale
+    s"""WITH csy AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |ey AS (SELECT a AS src, b AS dst FROM csy
+       |       UNION ALL SELECT b AS src, a AS dst FROM csy),
+       |outy AS (SELECT src, COUNT(*) AS out_deg FROM ey GROUP BY src),
+       |nodesy AS (SELECT DISTINCT src AS node FROM ey),
+       |nny AS (SELECT COUNT(*) AS n FROM nodesy),
+       |ry0 AS (SELECT node, $S // n AS r FROM nodesy CROSS JOIN nny),
+       |${prRounds("ry", "ey", "outy", "nodesy", "nny", "ry0", 3)},
+       |cs AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_custkey % 89 <> 0),
+       |e AS (SELECT a AS src, b AS dst FROM cs
+       |      UNION ALL SELECT b AS src, a AS dst FROM cs),
+       |outdeg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |rw0 AS (SELECT nodes.node, COALESCE(ry3.r, $S // nn.n) AS r
+       |  FROM nodes CROSS JOIN nn LEFT JOIN ry3 ON nodes.node = ry3.node),
+       |${prRounds("rw", "e", "outdeg", "nodes", "nn", "rw0", 2)}
        |SELECT rw2.node, o.out_deg, CAST(rw2.r AS BIGINT) AS rank_fp
        |FROM rw2 JOIN outdeg o ON rw2.node = o.src""".stripMargin
   }

@@ -2269,6 +2269,39 @@ object ExtQueries {
     Bm25Index.scoredTopK(s, stored1, bm25QueryTerms(s, stored1))
   }
 
+  /** `graph_pagerank_purge_warmstart`: incremental rank maintenance
+    * ACROSS a purge (E142 × E152) — the account-deletion day's cheap
+    * path: yesterday's stored rank vector (3 cold rounds over the full
+    * artifact) seeds 2 warm rounds over the PURGED artifact instead of
+    * a fresh cold start. Every survivor carries its pre-purge rank
+    * into round one (no new nodes can appear on a purge, so the
+    * uniform fallback never fires), while the purged spine's retracted
+    * degrees drive the warm arithmetic — the purged account's rank
+    * mass redistributes in exactly the rounds the oracle unrolls.
+    * Scale shape: one |V|-row init join + 2 rounds ∝ purged |E|,
+    * replacing a full cold iteration count after every compliance
+    * event.
+    */
+  def graphPageRankPurgeWarmstart(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GraphIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_graph_pws").toString
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tbl = s"graft_graph_pws_$suffix"
+    val tbl2 = s"graft_graph_pwsd_$suffix"
+    val stored0 = GraphIndex.build(s, graphEdges(s, dir), tbl, s"$base/a")
+    GraphIndex.ranks(s, stored0, iterations = 3)
+      .select(col("node"), col("rank_fp"))
+      .write.parquet(s"$base/ranks-g0")
+    val roster = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 89 === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    val (stored1, _) = GraphIndex.purge(s, stored0, roster, tbl2, s"$base/b")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    retirePrev(graphPurgeWarmstartPrev, s, tbl2, base)
+    GraphIndex.warmStartRanks(s, stored1,
+      s.read.parquet(s"$base/ranks-g0"), iterations = 2)
+  }
+
   /** `text_bm25_maintain_topk`: the DRIFT rule for the stored BM25
     * index — the [[graphPageRankMaintain]] verb completing the
     * build/append/purge lifecycle: yesterday's index (`doc_id % 3 = 0`)
@@ -2726,6 +2759,9 @@ object ExtQueries {
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private val graphPurgePrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  private val graphPurgeWarmstartPrev =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   private def deleteTree(p: java.nio.file.Path): Unit =

@@ -325,6 +325,9 @@ object SparkEntry {
     // r16: the CDC consumer — a row-image change feed folded over a
     // v1-seeded replica reconstructs the final snapshot exactly
     "pipeline_apply_change_feed" -> (ExtQueries.pipelineApplyChangeFeed _),
+    // r16: incremental rank maintenance ACROSS a purge — yesterday's
+    // stored ranks warm-start 2 rounds over the purged artifact
+    "graph_pagerank_purge_warmstart" -> (ExtQueries.graphPageRankPurgeWarmstart _),
     // r16 (VERDICT r9 #2): vacuum composed with the STREAMING version
     // history — vacuum reclaims an old micro-batch version, a stale
     // batchId replay no-ops against the vacuumed store, and the next
@@ -1593,6 +1596,7 @@ object SparkEntry {
     "text_bm25_append_topk" -> ExtOracleSql.textBm25TopK,
     "text_bm25_purge_topk" -> ExtOracleSql.textBm25PurgeTopK,
     "graph_pagerank_purge" -> ExtOracleSql.graphPageRankPurge,
+    "graph_pagerank_purge_warmstart" -> ExtOracleSql.graphPageRankPurgeWarmstart,
     "text_bm25_maintain_topk" -> ExtOracleSql.textBm25MaintainTopK,
     // the applied replica must equal the FINAL snapshot, restated
     // directly from the source table — publish → feed → apply in one
