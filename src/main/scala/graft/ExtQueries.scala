@@ -2269,6 +2269,79 @@ object ExtQueries {
     Bm25Index.scoredTopK(s, stored1, bm25QueryTerms(s, stored1))
   }
 
+  /** `pipeline_purge_indexes_audit`: the composed COMPLIANCE AUDIT for
+    * the two index families E110's headline gate doesn't cover — both
+    * stored retrieval artifacts (BM25 postings + df/stats spines, graph
+    * edges + degree spine) purge in one invocation and the gate emits
+    * the per-artifact audit a compliance review signs off on:
+    * `n_before`/`n_after` row counts (both measured from the artifacts
+    * ON DISK, not plans), `n_refs_purged` (the retraction the fold
+    * claims), and `n_leaked` — roster references found in the PURGED
+    * artifact by content scan (postings with roster doc_ids; spine
+    * rows with non-positive df; edges touching a roster node; roster
+    * nodes in the degree spine). The oracle restates every count from
+    * the raw corpus and pins `n_leaked = 0`, so the force of the gate
+    * is the Spark side's disk measurement: a purge bug — a missed
+    * bucket, a stale spine row, an un-retracted reverse edge — shows
+    * up as a nonzero leak or a count off by the leak size.
+    */
+  def pipelinePurgeIndexesAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bm25Index, GraphIndex}
+    val d = docs(s, dir)
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val base = java.nio.file.Files.createTempDirectory("graft_prgaudit").toString
+    // BM25 family
+    val bmTbl = s"graft_prgaudit_bm_$suffix"
+    val bmTbl2 = s"graft_prgaudit_bmd_$suffix"
+    val bm0 = Bm25Index.build(s, d, bmTbl, s"$base/bm")
+    val roster = d.filter(purgeRule()).select(col("doc_id"))
+    val postB = s.table(bmTbl).count()
+    val dfB = s.read.parquet(bm0.dfPath).count()
+    val statsB = s.read.parquet(bm0.statsPath).head().getLong(0)
+    val (bm1, _) = Bm25Index.purge(s, bm0, roster, bmTbl2, s"$base/bmd")
+    val postA = s.table(bmTbl2).count()
+    val postLeak = s.table(bmTbl2)
+      .join(broadcast(roster), Seq("doc_id"), "left_semi").count()
+    val dfA = s.read.parquet(bm1.dfPath).count()
+    val dfLeak = s.read.parquet(bm1.dfPath).filter(col("df") <= 0).count()
+    val statsA = s.read.parquet(bm1.statsPath).head().getLong(0)
+    // graph family
+    val gTbl = s"graft_prgaudit_g_$suffix"
+    val gTbl2 = s"graft_prgaudit_gd_$suffix"
+    val g0 = GraphIndex.build(s, graphEdges(s, dir), gTbl, s"$base/g")
+    val gRoster = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 89 === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    val edgeB = s.table(gTbl).count()
+    val spineB = s.read.parquet(g0.spinePath).count()
+    val (g1, nRetracted) = GraphIndex.purge(s, g0, gRoster, gTbl2, s"$base/gd")
+    val edgeA = s.table(gTbl2).count()
+    val edgeLeak = s.table(gTbl2)
+      .join(broadcast(gRoster.withColumnRenamed("node", "src")), Seq("src"), "left_semi")
+      .count() +
+      s.table(gTbl2)
+        .join(broadcast(gRoster.withColumnRenamed("node", "dst")), Seq("dst"), "left_semi")
+        .count()
+    val spineA = s.read.parquet(g1.spinePath).count()
+    val spineLeak = s.read.parquet(g1.spinePath)
+      .join(broadcast(gRoster), Seq("node"), "left_semi").count()
+    // the pre-purge artifacts are dead within this invocation
+    Seq(bmTbl, gTbl).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq(bmTbl2, gTbl2).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    deleteTree(java.nio.file.Paths.get(base))
+    def row(artifact: String, b: Long, a: Long, refs: Long, leaked: Long) =
+      s.range(1).select(lit(artifact).as("artifact"), lit(b).as("n_before"),
+        lit(a).as("n_after"), lit(refs).as("n_refs_purged"),
+        lit(leaked).as("n_leaked"))
+    Seq(
+      row("bm25_postings", postB, postA, postB - postA, postLeak),
+      row("bm25_df_spine", dfB, dfA, dfB - dfA, dfLeak),
+      row("bm25_stats", statsB, statsA, statsB - statsA, 0L),
+      row("graph_edges", edgeB, edgeA, nRetracted, edgeLeak),
+      row("graph_spine", spineB, spineA, spineB - spineA, spineLeak)
+    ).reduce(_.unionByName(_))
+  }
+
   /** `graph_pagerank_purge_warmstart`: incremental rank maintenance
     * ACROSS a purge (E142 × E152) — the account-deletion day's cheap
     * path: yesterday's stored rank vector (3 cold rounds over the full

@@ -328,6 +328,10 @@ object SparkEntry {
     // r16: incremental rank maintenance ACROSS a purge — yesterday's
     // stored ranks warm-start 2 rounds over the purged artifact
     "graph_pagerank_purge_warmstart" -> (ExtQueries.graphPageRankPurgeWarmstart _),
+    // r16: the composed compliance audit over BOTH index families —
+    // per-artifact before/after/refs/leak counts measured from the
+    // purged artifacts on disk; the oracle pins every leak at zero
+    "pipeline_purge_indexes_audit" -> (ExtQueries.pipelinePurgeIndexesAudit _),
     // r16 (VERDICT r9 #2): vacuum composed with the STREAMING version
     // history — vacuum reclaims an old micro-batch version, a stale
     // batchId replay no-ops against the vacuumed store, and the next
@@ -1597,6 +1601,34 @@ object SparkEntry {
     "text_bm25_purge_topk" -> ExtOracleSql.textBm25PurgeTopK,
     "graph_pagerank_purge" -> ExtOracleSql.graphPageRankPurge,
     "graph_pagerank_purge_warmstart" -> ExtOracleSql.graphPageRankPurgeWarmstart,
+    // every count restated from the raw corpus; leaks pinned at 0 —
+    // the Spark side measures them from the purged artifacts on disk
+    "pipeline_purge_indexes_audit" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+        |cs AS (SELECT DISTINCT o_custkey AS ck, 'c' || o_custkey AS a,
+        |    's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |p AS (SELECT
+        |  (SELECT COUNT(*) FROM dw) AS post_b,
+        |  (SELECT COUNT(*) FROM dw WHERE doc_id % 89 <> 0) AS post_a,
+        |  (SELECT COUNT(DISTINCT word) FROM dw) AS df_b,
+        |  (SELECT COUNT(DISTINCT word) FROM dw WHERE doc_id % 89 <> 0) AS df_a,
+        |  (SELECT COUNT(*) FROM documents) AS nd_b,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 89 <> 0) AS nd_a,
+        |  2 * (SELECT COUNT(*) FROM cs) AS edge_b,
+        |  2 * (SELECT COUNT(*) FROM cs WHERE ck % 89 <> 0) AS edge_a,
+        |  (SELECT COUNT(*) FROM (SELECT a AS n FROM cs UNION SELECT b FROM cs)) AS spine_b,
+        |  (SELECT COUNT(*) FROM (SELECT a AS n FROM cs WHERE ck % 89 <> 0
+        |     UNION SELECT b FROM cs WHERE ck % 89 <> 0)) AS spine_a)
+        |SELECT 'bm25_postings' AS artifact, CAST(post_b AS BIGINT) AS n_before,
+        |  CAST(post_a AS BIGINT) AS n_after,
+        |  CAST(post_b - post_a AS BIGINT) AS n_refs_purged,
+        |  CAST(0 AS BIGINT) AS n_leaked FROM p
+        |UNION ALL SELECT 'bm25_df_spine', df_b, df_a, df_b - df_a, 0 FROM p
+        |UNION ALL SELECT 'bm25_stats', nd_b, nd_a, nd_b - nd_a, 0 FROM p
+        |UNION ALL SELECT 'graph_edges', edge_b, edge_a, edge_b - edge_a, 0 FROM p
+        |UNION ALL SELECT 'graph_spine', spine_b, spine_a, spine_b - spine_a, 0 FROM p""".stripMargin,
     "text_bm25_maintain_topk" -> ExtOracleSql.textBm25MaintainTopK,
     // the applied replica must equal the FINAL snapshot, restated
     // directly from the source table — publish → feed → apply in one
