@@ -337,6 +337,21 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!pca.contains("CartesianProduct"), pca.take(3000))
   }
 
+  test("r16 ops: purged BM25 query path reads artifacts only; change-feed apply plans no cartesian") {
+    // the gate builds + purges the index (side effects), then returns
+    // the lazy stored-scoredTopK plan — which must reference ONLY the
+    // purged artifacts: no corpus parquet anywhere, no cartesian (the
+    // 1-row stats crossJoin broadcasts as a nested-loop, not a CP)
+    val pg = staticPlan(ExtQueries.textBm25PurgeTopK(spark, sfSmoke))
+    assert(!pg.contains("documents.parquet"),
+      "purged BM25 query path must not re-read the corpus:\n" + pg.take(3000))
+    assert(!pg.contains("CartesianProduct"), pg.take(3000))
+    // CDC apply: two sequential change-sized folds over the replica —
+    // anti-join + union shapes only, never a cartesian
+    val ap = staticPlan(ExtQueries.pipelineApplyChangeFeed(spark, sfSmoke))
+    assert(!ap.contains("CartesianProduct"), ap.take(3000))
+  }
+
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
     // codegen spans only show on the executed plan, as `*(n)` stage
     // markers (AQE's static formatted plan omits the annotation)
