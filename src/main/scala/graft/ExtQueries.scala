@@ -1966,8 +1966,8 @@ object ExtQueries {
     * the ORDERS side — the yesterday/today corpus splits the
     * incremental gates replay.
     */
-  private def graphEdges(s: SparkSession, dir: String,
-                         pred: Column = lit(true)): DataFrame = {
+  private[graft] def graphEdges(s: SparkSession, dir: String,
+                                pred: Column = lit(true)): DataFrame = {
     val orders = Tables.load(s, dir, "orders").filter(pred)
     val lineitem = Tables.load(s, dir, "lineitem")
     val cs = orders

@@ -444,6 +444,72 @@ object ScaleSmoke {
   *
   * Usage: `sbt "runMain graft.ScaleExponents [workDir] [head,head,...]"`.
   */
+/** Purge-verb cost decomposition at 1× / 10× (the VERDICT r9 #4/#5
+  * follow-through): turns the scale claims — purge cost ∝ index size
+  * (a rewrite, amortized to compliance cadence), retraction fold ∝
+  * roster, query path unchanged — into measured seconds per phase.
+  * Reuses the heterogeneous 10× corpus [[ScaleExponents]] generates
+  * (run it first, or pass a dir that has x10/).
+  *
+  * Usage: `sbt "runMain graft.PurgeSmoke [heteroWorkDir]"`.
+  */
+object PurgeSmoke {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("/tmp/graft_scale_hetero")
+    val spark = Sessions.local("graft-purge-smoke")
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def uuid() = java.util.UUID.randomUUID().toString.replace("-", "")
+    println("| scale | family | build (s) | purge (s) | query (s) | rows_before | rows_after |")
+    println("| --- | --- | --- | --- | --- | --- | --- |")
+    Seq(("1x", "/root/testdata/sf0.1", "/root/testdata/sf0.1"),
+        ("10x", s"$work/x10", s"$work/x10/graph_raw")).foreach {
+      case (scale, docsDir, graphDir) =>
+        // BM25 family
+        locally {
+          val base = java.nio.file.Files.createTempDirectory("graft-psmoke-bm").toString
+          val (tbl, tbl2) = (s"psmoke_bm_${uuid()}", s"psmoke_bmd_${uuid()}")
+          val d = ExtQueries.docs(spark, docsDir)
+          val (s0, tBuild) = t(operators.Bm25Index.build(spark, d, tbl, s"$base/a"))
+          val nB = spark.table(tbl).count()
+          val roster = d.filter(col("doc_id") % 89 === 0).select(col("doc_id"))
+          val ((s1, _), tPurge) =
+            t(operators.Bm25Index.purge(spark, s0, roster, tbl2, s"$base/b"))
+          val nA = spark.table(tbl2).count()
+          val q = spark.table(tbl2).filter(col("doc_id") % 25 === 0)
+            .select(col("doc_id").as("query_id"), col("word"))
+          val (_, tQuery) = t(operators.Bm25Index.scoredTopK(spark, s1, q)
+            .write.format("noop").mode("overwrite").save())
+          println(f"| $scale | bm25 | $tBuild%.1f | $tPurge%.1f | $tQuery%.1f | $nB | $nA |")
+          Seq(tbl, tbl2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+          operators.Checkpoints.deleteTree(java.nio.file.Paths.get(base))
+        }
+        // graph family
+        locally {
+          val base = java.nio.file.Files.createTempDirectory("graft-psmoke-g").toString
+          val (tbl, tbl2) = (s"psmoke_g_${uuid()}", s"psmoke_gd_${uuid()}")
+          val (s0, tBuild) =
+            t(operators.GraphIndex.build(spark, ExtQueries.graphEdges(spark, graphDir), tbl, s"$base/a"))
+          val nB = spark.table(tbl).count()
+          val roster = sources.Tables.load(spark, graphDir, "orders")
+            .filter(col("o_custkey") % 89 === 0)
+            .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+          val ((s1, _), tPurge) =
+            t(operators.GraphIndex.purge(spark, s0, roster, tbl2, s"$base/b"))
+          val nA = spark.table(tbl2).count()
+          val (_, tQuery) = t(operators.GraphIndex.ranks(spark, s1, iterations = 3)
+            .write.format("noop").mode("overwrite").save())
+          println(f"| $scale | graph | $tBuild%.1f | $tPurge%.1f | $tQuery%.1f | $nB | $nA |")
+          Seq(tbl, tbl2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+          operators.Checkpoints.deleteTree(java.nio.file.Paths.get(base))
+        }
+    }
+    spark.stop()
+  }
+}
+
 object ScaleExponents {
   def main(args: Array[String]): Unit = {
     val work = args.headOption.getOrElse("/tmp/graft_scale_hetero")
