@@ -2648,6 +2648,64 @@ object ExtOracleSql {
        |  CAST(SUM(score_fp) AS BIGINT) AS score_sum
        |FROM topk CROSS JOIN counts GROUP BY 1, 2, 3""".stripMargin
 
+  /** sim_hybrid_stored_rrf twin: the BM25 CTEs (rank <= 20 lexical
+    * leg) + the trained-IVF CTEs (rank <= 20 vector leg, 3 Lloyd
+    * iterations + nprobe-2 assignment — the simIvfKmeansTopK chain
+    * verbatim) + exact-integer reciprocal-rank fusion. Going through
+    * stored postings/spines and stored centroid/list artifacts must
+    * change nothing — both index builds are deterministic.
+    */
+  val simHybridStoredRrf: String =
+    s"""WITH ${textBm25Ctes("")},
+       |$vecsDouble,
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter(_)).mkString(",\n")},
+       |lists AS (
+       |  SELECT id AS neighbor_id, vec AS c_vec, cid FROM (
+       |    SELECT x.vec_id AS id, x.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v x CROSS JOIN c3 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT id AS query_id, vec AS q_vec, cid FROM (
+       |    SELECT q.vec_id AS id, q.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqDist("q.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM v q CROSS JOIN c3 c WHERE q.vec_id % 25 = 0)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, l.neighbor_id, ${cosine("p.q_vec", "l.c_vec")} AS score
+       |  FROM lists l JOIN probes p USING (cid)
+       |  WHERE p.query_id <> l.neighbor_id),
+       |vec20 AS (SELECT query_id, cand_id, r_vec FROM (
+       |  SELECT query_id, neighbor_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS r_vec
+       |  FROM scored) WHERE r_vec <= 20),
+       |lex20 AS (SELECT query_id, cand_id, r_lex FROM (
+       |  SELECT query_id, cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_fp DESC NULLS LAST, cand_id ASC NULLS FIRST) AS r_lex
+       |  FROM pp) WHERE r_lex <= 20),
+       |f AS (SELECT COALESCE(l.query_id, vv.query_id) AS query_id,
+       |  COALESCE(l.cand_id, vv.cand_id) AS cand_id, l.r_lex, vv.r_vec,
+       |  COALESCE(1000000 // (60 + l.r_lex), 0)
+       |    + COALESCE(1000000 // (60 + vv.r_vec), 0) AS rrf_fp
+       |  FROM lex20 l FULL OUTER JOIN vec20 vv
+       |    ON l.query_id = vv.query_id AND l.cand_id = vv.cand_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+       |  CAST(rrf_fp AS BIGINT) AS rrf_fp, r_lex, r_vec FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_fp DESC NULLS LAST, cand_id ASC NULLS FIRST) AS rank
+       |  FROM f)
+       |WHERE rank <= 5""".stripMargin
+
   private def textBm25TopKSql(corpusWhere: String): String =
     s"""WITH ${textBm25Ctes(corpusWhere)}
       |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id, score_fp, n_terms

@@ -2375,6 +2375,64 @@ object ExtQueries {
       s.read.parquet(s"$base/ranks-g0"), iterations = 2)
   }
 
+  private val hybridStoredPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  /** `sim_hybrid_stored_rrf`: the production RAG retrieval stack —
+    * BOTH hybrid legs served from NIGHTLY STORED ARTIFACTS with zero
+    * query-time corpus access: the lexical leg is true BM25 top-20
+    * off the content-keyed stored postings + spines (E147 — upgraded
+    * from `sim_hybrid_rrf`'s in-flow word-overlap leg), the vector leg
+    * is IVF top-20 off the stored centroid table + cid-bucketed lists
+    * (E66's stored shape), and reciprocal-rank fusion (k = 60, exact
+    * integer) merges them. The in-flow `sim_hybrid_rrf` derives both
+    * legs from raw tables per query — this gate is what a deployment
+    * actually runs: index nightly, serve from artifacts.
+    *
+    * Scale shape (100 TB): query cost = one bucketed postings scan
+    * (zero corpus-side exchanges, E147) + nprobe list reads (bucketed
+    * by cid) + a queries×40-row fusion join — the corpus appears
+    * nowhere in the query plan.
+    */
+  def simHybridStoredRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bm25Index, KMeans}
+    val bm = bm25StoredArtifact(s, dir)
+    val lex = Bm25Index.scoredTopK(s, bm, bm25QueryTerms(s, bm), k = 20)
+      .select(col("query_id"), col("cand_id"), col("rank").as("r_lex"))
+    // vector leg: the simIvfStoredTopK build + lifecycle, top-20
+    val all = vecs(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_hyb_ivf").toString
+    val tbl = "graft_hyb_ivf_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val centroids = KMeans.fit(all, k = 8, iterations = 3)
+    s.createDataFrame(centroids.map { case (cid, v) => (cid, v.toSeq) })
+      .toDF("cid", "vec")
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    KMeans.probe(all, centroids, nprobe = 1)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base/lists")
+      .bucketBy(8, "cid").saveAsTable(tbl)
+    retirePrev(hybridStoredPrev, s, tbl, base)
+    val storedCentroids = s.read.parquet(s"$base/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val lists = s.table(tbl)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
+    val probes = KMeans.probe(all.filter(col("vec_id") % 25 === 0),
+        storedCentroids, nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
+    val vec = ivfScore(lists, probes, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("rank").as("r_vec"))
+    val fused = lex.join(vec, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf_fp",
+        coalesce(expr("1000000 DIV (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L)))
+    LatestPerKey.topKRanked(fused, 5, Seq(col("query_id")),
+        Seq(col("rrf_fp").desc_nulls_last, col("cand_id").asc_nulls_first))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("rrf_fp"), col("r_lex"), col("r_vec"))
+  }
+
   /** `text_bm25_maintain_topk`: the DRIFT rule for the stored BM25
     * index — the [[graphPageRankMaintain]] verb completing the
     * build/append/purge lifecycle: yesterday's index (`doc_id % 3 = 0`)
@@ -2763,12 +2821,13 @@ object ExtQueries {
   /** Probed-list scoring + per-query top-k shared by the recompute and
     * stored-index IVF paths.
     */
-  private[graft] def ivfScore(lists: DataFrame, probes: DataFrame): DataFrame = {
+  private[graft] def ivfScore(lists: DataFrame, probes: DataFrame,
+                              k: Int = 5): DataFrame = {
     val scored = lists.join(probes, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
       .dropDuplicates("query_id", "neighbor_id")
-    LatestPerKey.topKRanked(scored, 5, Seq(col("query_id")),
+    LatestPerKey.topKRanked(scored, k, Seq(col("query_id")),
         Seq(col("score").desc_nulls_last, col("neighbor_id").asc_nulls_first))
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         round(col("score"), 6).as("score"))

@@ -332,6 +332,10 @@ object SparkEntry {
     // per-artifact before/after/refs/leak counts measured from the
     // purged artifacts on disk; the oracle pins every leak at zero
     "pipeline_purge_indexes_audit" -> (ExtQueries.pipelinePurgeIndexesAudit _),
+    // r16: the production RAG stack — BM25 leg from stored postings,
+    // IVF leg from stored lists, RRF fusion; zero corpus access at
+    // query time
+    "sim_hybrid_stored_rrf" -> (ExtQueries.simHybridStoredRrf _),
     // r16 (VERDICT r9 #2): vacuum composed with the STREAMING version
     // history — vacuum reclaims an old micro-batch version, a stale
     // batchId replay no-ops against the vacuumed store, and the next
@@ -430,7 +434,11 @@ object SparkEntry {
     // spines; the one-shot text_bm25_topk row keeps timing the
     // in-flow derivation). The append gate stays correctness-only:
     // its yesterday-index build is per-invocation fixture cost.
-    "text_bm25_stored_topk")
+    "text_bm25_stored_topk",
+    // r16: the stored-stack hybrid — times the full artifact-served
+    // RAG query path (stored BM25 leg + stored IVF leg + fusion);
+    // the in-flow sim_hybrid_rrf row keeps timing the raw derivation
+    "sim_hybrid_stored_rrf")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1601,6 +1609,7 @@ object SparkEntry {
     "text_bm25_purge_topk" -> ExtOracleSql.textBm25PurgeTopK,
     "graph_pagerank_purge" -> ExtOracleSql.graphPageRankPurge,
     "graph_pagerank_purge_warmstart" -> ExtOracleSql.graphPageRankPurgeWarmstart,
+    "sim_hybrid_stored_rrf" -> ExtOracleSql.simHybridStoredRrf,
     // every count restated from the raw corpus; leaks pinned at 0 —
     // the Spark side measures them from the purged artifacts on disk
     "pipeline_purge_indexes_audit" ->
