@@ -19,8 +19,40 @@ import graft.streaming.StreamingStage
   */
 object ExtQueries {
 
-  private[graft] def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  /** Dirs whose doc_id range has been validated against the planted-copy
+    * fixture namespace (one column-pruned max scan per dir per JVM).
+    */
+  private val plantNamespaceChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def docs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    // LOUD fixture guard: several planted-copy fixtures (withExactDups /
+    // withNearDups / the phash shift plants / the delete-propagation
+    // state CTEs) place copies at doc_id + 1e6. A corpus where some
+    // real id x coexists with real id x + 1e6 (orderkey-derived ids
+    // cross 1e6 near sf0.2) would let plants silently COLLIDE with real
+    // docs — duplicate doc_ids, fan-out in joins, wrong oracles (the
+    // ADVICE r9 collision rule). Check the actual hazard — the id set
+    // and its +1e6 shift must be disjoint — once per dir per JVM (two
+    // id-pruned scans + one join; the disjoint +1e7 namespaces of the
+    // heterogeneous scale corpora pass, a dense large-SF corpus fails
+    // loudly instead of corrupting). The max(doc_id)-derived offsets
+    // used by the change-feed/snapshot/substring fixtures are the cure;
+    // this guard keeps the legacy +1e6 family honest until it migrates.
+    if (!plantNamespaceChecked.contains(dir)) {
+      val ids = d.select(col("doc_id"))
+      val clash = ids
+        .join(ids.select((col("doc_id") + lit(1000000L)).as("doc_id")), "doc_id")
+        .limit(1).count()
+      require(clash == 0L,
+        s"planted-copy fixtures place copies at doc_id + 1e6, but $dir holds " +
+          "real ids exactly 1e6 apart — widen the plant offsets (and their " +
+          "oracle CTEs) before running the dedup/phash fixture gates here")
+      plantNamespaceChecked.add(dir)
+    }
+    d
+  }
 
   /** Corpus + exact duplicate copies of every 10th doc. */
   private def withExactDups(d: DataFrame): DataFrame =
