@@ -4990,6 +4990,40 @@ object ExtQueries {
     }.reduce(_.unionByName(_))
   }
 
+  /** `pipeline_vacuum_compact_markers`: the janitor's janitor —
+    * `.purged` markers keep vacuumed numbers burned one FILE per
+    * reclaimed version, unbounded at streaming-vacuum cadence;
+    * [[graft.operators.Publish.compactPurgedMarkers]] folds them into
+    * the single `_BURNED` watermark. The gate runs the full chain:
+    * four publishes, a `keepLast = 2` vacuum (two markers), the
+    * compaction (markers → watermark), then the PROOF that compaction
+    * preserved the burned-number contract — the next publish must
+    * allocate `v00005`, never a number the folded markers had burned.
+    * Oracle restates the deterministic filesystem trace.
+    */
+  def pipelineVacuumCompactMarkers(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Publish
+    val root = java.nio.file.Files.createTempDirectory("graft_vaccm").toString
+    val t = Tables.load(s, dir, "customer").select(col("c_custkey").as("key"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_fp"))
+    (1 to 4).foreach(i => Publish.publish(t.filter(col("key") % 7 < i), root))
+    Publish.vacuumRetain(root, keepLast = 2)
+    def markers(): Long = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(_.getFileName.toString.matches("v\\d+\\.purged")).toLong
+      } finally st.close()
+    }
+    val nBefore = markers()
+    val folded = Publish.compactPurgedMarkers(root).toLong
+    val nAfter = markers()
+    val next = Publish.publish(t.filter(col("key") % 7 < 5), root)
+    s.range(1).select(lit(nBefore).as("n_markers_before"),
+      lit(folded).as("n_folded"), lit(nAfter).as("n_markers_after"),
+      lit(next).as("next_version"))
+  }
+
   /** Idempotent partition backfill (`pipeline_backfill_overwrite`):
     * the daily-pipeline repair verb — a day-partitioned aggregate
     * table where a subset of days landed corrupted (the fixture

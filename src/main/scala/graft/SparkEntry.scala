@@ -336,6 +336,9 @@ object SparkEntry {
     // IVF leg from stored lists, RRF fusion; zero corpus access at
     // query time
     "sim_hybrid_stored_rrf" -> (ExtQueries.simHybridStoredRrf _),
+    // r16: purged-marker compaction into the _BURNED watermark — the
+    // burned-number contract survives the fold (next publish = v00005)
+    "pipeline_vacuum_compact_markers" -> (ExtQueries.pipelineVacuumCompactMarkers _),
     // r16 (VERDICT r9 #2): vacuum composed with the STREAMING version
     // history — vacuum reclaims an old micro-batch version, a stale
     // batchId replay no-ops against the vacuumed store, and the next
@@ -1610,6 +1613,14 @@ object SparkEntry {
     "graph_pagerank_purge" -> ExtOracleSql.graphPageRankPurge,
     "graph_pagerank_purge_warmstart" -> ExtOracleSql.graphPageRankPurgeWarmstart,
     "sim_hybrid_stored_rrf" -> ExtOracleSql.simHybridStoredRrf,
+    // deterministic filesystem trace: keepLast=2 of four publishes
+    // leaves markers v00001/v00002; compaction folds both into the
+    // watermark; the next publish must burn past it to v00005
+    "pipeline_vacuum_compact_markers" ->
+      """SELECT CAST(2 AS BIGINT) AS n_markers_before,
+        |  CAST(2 AS BIGINT) AS n_folded,
+        |  CAST(0 AS BIGINT) AS n_markers_after,
+        |  'v00005' AS next_version""".stripMargin,
     // every count restated from the raw corpus; leaks pinned at 0 —
     // the Spark side measures them from the purged artifacts on disk
     "pipeline_purge_indexes_audit" ->

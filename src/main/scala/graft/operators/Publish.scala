@@ -35,15 +35,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Publish {
 
   private val Pointer = "_CURRENT"
+  private val Burned = "_BURNED"
 
   private def root(path: String): java.nio.file.Path = java.nio.file.Paths.get(path)
 
+  /** The compacted burned-number watermark (max version number whose
+    * `.purged` markers were folded away by [[compactPurgedMarkers]]);
+    * 0 if none.
+    */
+  private def burnedWatermark(p: java.nio.file.Path): Long = {
+    val f = p.resolve(Burned)
+    if (!java.nio.file.Files.exists(f)) 0L
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
   /** Every number ever attempted — live `v<N>` dirs, `v<N>.failed`
-    * tombstones AND `v<N>.purged` markers (a vacuumed tombstone's
-    * number stays burned through its marker) — so max+1 never reuses a
-    * number (a reused name would let one version string refer to two
-    * different contents across time, breaking any observer that
-    * correlates by name).
+    * tombstones, `v<N>.purged` markers (a vacuumed tombstone's number
+    * stays burned through its marker) AND the compacted `_BURNED`
+    * watermark — so max+1 never reuses a number (a reused name would
+    * let one version string refer to two different contents across
+    * time, breaking any observer that correlates by name).
     */
   private def versionDirs(p: java.nio.file.Path): Seq[Long] =
     if (!java.nio.file.Files.isDirectory(p)) Seq.empty
@@ -54,9 +66,56 @@ object Publish {
         s.iterator().asScala.map(_.getFileName.toString)
           .collect { case n if n.matches("v\\d+(\\.failed|\\.purged)?") =>
             n.drop(1).takeWhile(_.isDigit).toLong }
-          .toSeq
+          .toSeq :+ burnedWatermark(p)
       } finally s.close()
     }
+
+  /** MARKER COMPACTION — the janitor's janitor: `.purged` markers keep
+    * numbers burned one file per reclaimed version, which is unbounded
+    * at streaming-vacuum cadence (one marker per vacuumed micro-batch,
+    * forever). Fold every marker into the single `_BURNED` watermark
+    * file (max marker number, monotone — staged write + ATOMIC_MOVE)
+    * and delete the markers. Burned-number accounting is preserved:
+    * [[versionDirs]] reads the watermark alongside the surviving
+    * markers, and numbers are allocated max+1, so burning "all numbers
+    * ≤ watermark" burns exactly what the markers burned (every number
+    * above the watermark that ever existed still has a dir, tombstone
+    * or marker of its own). The trade is the per-version purge audit
+    * trail — run compaction once vacuumed versions age out of audit
+    * scope, not on every vacuum.
+    *
+    * Crash contract: the watermark lands BEFORE any marker is deleted
+    * (both forms coexist harmlessly — max() is idempotent); a crash
+    * mid-delete leaves some markers, and a re-run completes the fold.
+    *
+    * @return the number of marker files folded away
+    */
+  def compactPurgedMarkers(rootPath: String): Int = {
+    val r = root(rootPath)
+    if (!java.nio.file.Files.isDirectory(r)) 0
+    else {
+      val s = java.nio.file.Files.list(r)
+      val markers =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.matches("v\\d+\\.purged")).toSeq
+        } finally s.close()
+      if (markers.isEmpty) 0
+      else {
+        val hi = (markers.map(_.drop(1).takeWhile(_.isDigit).toLong)
+          :+ burnedWatermark(r)).max
+        val tmp = r.resolve(s"$Burned.tmp")
+        java.nio.file.Files.write(tmp,
+          hi.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, r.resolve(Burned),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        markers.foreach(n => java.nio.file.Files.deleteIfExists(r.resolve(n)))
+        markers.size
+      }
+    }
+  }
 
   /** The currently published version name, if any. */
   def currentVersion(rootPath: String): Option[String] = {

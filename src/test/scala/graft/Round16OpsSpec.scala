@@ -154,6 +154,31 @@ class Round16OpsSpec extends SparkSpec {
     assert(operators.Publish.currentVersion(root).contains("v00004"))
   }
 
+  test("compactPurgedMarkers: watermark preserves burned numbers, idempotent, monotone") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cm-spec").toString
+    val d = Seq((1L, "a")).toDF("k", "v")
+    (0 to 2).foreach(i => streaming.StreamingStage.publishVersioned(d, root, i))
+    assert(operators.Publish.vacuumRetain(root, keepLast = 1) == Seq("v00001", "v00002"))
+    assert(operators.Publish.compactPurgedMarkers(root) == 2)
+    // markers gone, watermark in force: the next number still burns past
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "v00001.purged")))
+    assert(streaming.StreamingStage.publishVersioned(d, root, 3))
+    assert(operators.Publish.currentVersion(root).contains("v00004"))
+    // idempotent: nothing left to fold
+    assert(operators.Publish.compactPurgedMarkers(root) == 0)
+    // monotone across a second vacuum+fold cycle: the watermark only
+    // ever rises, and a crash-shaped leftover marker BELOW it is
+    // harmless (both forms coexist; max+1 unchanged)
+    assert(operators.Publish.vacuumRetain(root, keepLast = 1) == Seq("v00003"))
+    assert(operators.Publish.compactPurgedMarkers(root) == 1)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(root, "v00002.purged"))
+    assert(streaming.StreamingStage.publishVersioned(d, root, 4))
+    assert(operators.Publish.currentVersion(root).contains("v00005"))
+  }
+
   test("vacuumRetain orders versions numerically past the %05d padding overflow") {
     val root = java.nio.file.Files.createTempDirectory("graft-vac-num")
     // fabricate a history that straddles the padding boundary:
