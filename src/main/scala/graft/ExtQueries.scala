@@ -5066,4 +5066,56 @@ object ExtQueries {
       .select(col("day").cast("long").as("day"), col("event_type"),
         col("n_events"), col("sum_value"))
   }
+
+  private val statsSpinePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** File-level min/max DATA SKIPPING (`layout_stats_pruned_scan`,
+    * [[graft.operators.StatsSpine]]) — the stored-spine form of
+    * Delta/Iceberg log stats, completing the layout family: E118/E161
+    * plan and execute compaction, `layout_zorder` clusters, and this
+    * gate PRUNES. Lineitem is range-laid-out on `l_orderkey` into 16
+    * files (the nightly OPTIMIZE), a one-row-per-file min/max spine is
+    * built in one pass and STORED; the query path reads the spine,
+    * keeps only files whose [min, max] intersects the middle-decile
+    * order-key band [max/5, 3·max/10], and scans just those. The
+    * oracle states the same band filter over the RAW table, so the
+    * layout write, the spine build, the storage round trip, AND the
+    * driver-side file pruning are all load-bearing in the hash match;
+    * StatsSpineSpec asserts the physical claim the hash can't see
+    * (strictly fewer files scanned than written).
+    *
+    * Scale shape (100 TB): the spine is one row per file (~800k rows
+    * at 128 MB files — a few MB), built by a map-side-combinable
+    * groupBy during the layout pass and folded per batch thereafter
+    * ([[graft.operators.StatsSpine.append]]); each query plans by
+    * scanning the spine, not by listing/footer-reading 800k files,
+    * and a 10%-band query reads ~10% of the data bytes.
+    */
+  def layoutStatsPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.StatsSpine
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val base = java.nio.file.Files.createTempDirectory("graft_spine").toString
+    // nightly layout: range-cluster on the skip column, then store the spine
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$base/data")
+    StatsSpine.build(s, s"$base/data", Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$base/spine")
+    retirePrevDir(statsSpinePrev, base)
+    // query path: band bounds in integer arithmetic (oracle restates
+    // them with DuckDB's `//`), spine-pruned scan, predicate re-applied
+    // (skipping is a superset guarantee)
+    val maxK = li.agg(max("l_orderkey")).head.getLong(0)
+    val lo = maxK / 5
+    val hi = (3 * maxK) / 10
+    val spine = s.read.parquet(s"$base/spine")
+    StatsSpine.prunedRead(s, s"$base/data", spine, "l_orderkey", lo, hi)
+      .filter(col("l_orderkey").between(lo, hi))
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+  }
 }

@@ -344,7 +344,12 @@ object SparkEntry {
     // batchId replay no-ops against the vacuumed store, and the next
     // batch publishes under a fresh (never-reused) version name
     "streaming_vacuum_replay" ->
-      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingVacuumReplay(s, d))
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingVacuumReplay(s, d)),
+    // r16: file-level min/max data skipping — range-layout, stored
+    // one-row-per-file stats spine, spine-pruned scan; the oracle
+    // states the band filter over the raw table so layout + spine +
+    // pruning are load-bearing in the hash
+    "layout_stats_pruned_scan" -> (ExtQueries.layoutStatsPrunedScan _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -441,7 +446,11 @@ object SparkEntry {
     // r16: the stored-stack hybrid — times the full artifact-served
     // RAG query path (stored BM25 leg + stored IVF leg + fusion);
     // the in-flow sim_hybrid_rrf row keeps timing the raw derivation
-    "sim_hybrid_stored_rrf")
+    "sim_hybrid_stored_rrf",
+    // r16: data skipping — times the full verb (range layout + spine
+    // build + store + spine-pruned band scan), the nightly-OPTIMIZE +
+    // query cycle a production table pays
+    "layout_stats_pruned_scan")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1621,6 +1630,17 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_folded,
         |  CAST(0 AS BIGINT) AS n_markers_after,
         |  'v00005' AS next_version""".stripMargin,
+    // the band filter stated over the RAW table — the Spark side's
+    // layout write, stored spine, and file pruning must reproduce it
+    "layout_stats_pruned_scan" ->
+      """WITH m AS (SELECT max(l_orderkey) AS mk FROM lineitem)
+        |SELECT l_returnflag AS rf,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+        |FROM lineitem, m
+        |WHERE l_orderkey BETWEEN mk // 5 AND (3 * mk) // 10
+        |GROUP BY 1""".stripMargin,
     // every count restated from the raw corpus; leaks pinned at 0 —
     // the Spark side measures them from the purged artifacts on disk
     "pipeline_purge_indexes_audit" ->

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FILE-LEVEL min/max DATA-SKIPPING spine — the explicit, stored form
+  * of what Delta/Iceberg keep in their transaction logs: one row per
+  * data file with row count and per-column min/max. A range predicate
+  * consults the spine FIRST and hands the scan only the files whose
+  * [min, max] interval intersects the query range; combined with a
+  * clustering layout ([[Layout.zorderLayout]] or a plain
+  * `repartitionByRange`) most files drop out before a single data
+  * byte is read.
+  *
+  * Why not rely on parquet footer stats alone? At 100 TB the listing
+  * + footer reads are themselves a distributed job (~800k files at
+  * 128 MB); the spine is a SINGLE small parquet table built once per
+  * layout run (one scan, map-side-combinable groupBy over
+  * `input_file_name()`), then every query planning pass is a scan of
+  * that tiny table — exactly Delta's log-replay economics. New files
+  * fold in by appending their stats rows ([[append]]); no rebuild.
+  *
+  * Correctness contract: the spine prunes for RANGE predicates
+  * (`c BETWEEN lo AND hi`) and is a SUPERSET guarantee — the caller
+  * must still apply the predicate to the surviving files' rows.
+  * Nulls: min/max aggregate over non-null values, so a file whose
+  * column is entirely null carries null stats, fails the interval
+  * test, and is pruned — correct, because a range predicate never
+  * accepts null. A file with SOME nulls keeps its non-null bounds and
+  * is retained whenever a non-null row could match.
+  */
+object StatsSpine {
+
+  /** One stats row per parquet file under `dataDir`: row count plus
+    * `min_<c>` / `max_<c>` for each requested column. One pass over
+    * the data; the groupBy key is the file name, so partial
+    * aggregation completes within each file's own scan tasks and the
+    * shuffle carries one row per (file, reducer) — negligible.
+    */
+  def build(s: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "StatsSpine.build: at least one stats column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    s.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a new batch of files into an existing spine: stats for the
+    * batch dir only, unioned on — cost ∝ batch, never the table.
+    * Caller guarantees `batchDir`'s files are disjoint from those
+    * already in `spine` (append-only table layout).
+    */
+  def append(s: SparkSession, spine: DataFrame, batchDir: String,
+             cols: Seq[String]): DataFrame =
+    spine.unionByName(build(s, batchDir, cols))
+
+  /** Spine rows whose [min_c, max_c] interval intersects [lo, hi].
+    * Null bounds (all-null file) fail the conjunction → pruned.
+    */
+  def survivors(spine: DataFrame, c: String, lo: Any, hi: Any): DataFrame =
+    spine.filter(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
+
+  /** Read ONLY the files the spine says can hold `c BETWEEN lo AND
+    * hi`. The survivor file list is collected on the driver — one
+    * string per MATCHED file, the same driver-side planning Delta's
+    * log replay does; the spine filter runs distributed first, so the
+    * collect is bounded by the query's selectivity, not the table.
+    * Schema comes from `schemaDir` footers so an empty survivor set
+    * still returns a correctly-typed empty frame.
+    */
+  def prunedRead(s: SparkSession, schemaDir: String, spine: DataFrame,
+                 c: String, lo: Any, hi: Any): DataFrame = {
+    val files = survivors(spine, c, lo, hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val schema = s.read.parquet(schemaDir).schema
+    if (files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(files: _*)
+  }
+}
