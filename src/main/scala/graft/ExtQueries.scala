@@ -5118,4 +5118,54 @@ object ExtQueries {
         countDistinct(col("l_orderkey")).as("n_orders"),
         sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
   }
+
+  private val bloomSpinePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Bloom-sidecar POINT-LOOKUP skipping (`layout_bloom_pruned_scan`,
+    * [[graft.operators.StatsSpine.buildBloom]]) — the skipping verb
+    * min/max can't serve: documents are laid out in size tiers
+    * (range on `n_chars` — a realistic ingest clustering), so every
+    * file's doc_id [min, max] spans ~the whole domain and the E160
+    * spine prunes nothing; the per-file Bloom sidecar answers "which
+    * files hold THESE doc_ids?" — the planning question a GDPR delete
+    * or a targeted re-annotation asks — touching only true holders
+    * plus ~zero false positives. Keys are query constants, so their
+    * md5 bit positions are computed once on the driver and the spine
+    * probe is pure element_at/shift arithmetic per file row.
+    *
+    * The oracle states the IN-list over the RAW table, so the layout
+    * write, the bloom build (exact OR-merge under any task split),
+    * the storage round trip, and the no-false-negative probe are all
+    * load-bearing in the hash; StatsSpineSpec pins the physical
+    * claims: min/max keeps ALL files on this layout while the bloom
+    * survivor set equals the true holder set.
+    *
+    * Scale shape (100 TB): sidecar ≈ 1 KB per 128 MB file (~800 MB
+    * for 800k files — one executor's worth, scanned distributed);
+    * a k-id lookup reads ≤ k files instead of the table. Sizing rule:
+    * mBits ≥ ~13 bits per expected distinct key per file for <0.1% FP.
+    */
+  def layoutBloomPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.StatsSpine
+    val mBits = 1 << 13
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = java.nio.file.Files.createTempDirectory("graft_bloomspine").toString
+    docs.repartitionByRange(16, col("n_chars"), col("doc_id"))
+      .sortWithinPartitions("n_chars")
+      .write.mode("overwrite").parquet(s"$base/data")
+    StatsSpine.buildBloom(s, s"$base/data", "doc_id", mBits)
+      .write.mode("overwrite").parquet(s"$base/bloom")
+    retirePrevDir(bloomSpinePrev, base)
+    // the lookup set: 5 ids spread across the domain, stated by the
+    // oracle as (i*max)//7 — doc_ids are dense so they all exist
+    val mk = docs.agg(max("doc_id")).head.getLong(0)
+    val ids = (1L to 5L).map(i => (i * mk) / 7)
+    val spine = s.read.parquet(s"$base/bloom")
+    StatsSpine.prunedReadByKeys(s, s"$base/data", spine,
+        ids.map(_.toString), mBits)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
 }

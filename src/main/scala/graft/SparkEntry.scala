@@ -349,7 +349,12 @@ object SparkEntry {
     // one-row-per-file stats spine, spine-pruned scan; the oracle
     // states the band filter over the raw table so layout + spine +
     // pruning are load-bearing in the hash
-    "layout_stats_pruned_scan" -> (ExtQueries.layoutStatsPrunedScan _)
+    "layout_stats_pruned_scan" -> (ExtQueries.layoutStatsPrunedScan _),
+    // r16: bloom-sidecar point-lookup skipping — the file-finding
+    // question a targeted delete asks, on a layout where min/max
+    // skipping keeps everything; oracle states the IN-list over the
+    // raw table so build + storage + probe are load-bearing
+    "layout_bloom_pruned_scan" -> (ExtQueries.layoutBloomPrunedScan _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -450,7 +455,10 @@ object SparkEntry {
     // r16: data skipping — times the full verb (range layout + spine
     // build + store + spine-pruned band scan), the nightly-OPTIMIZE +
     // query cycle a production table pays
-    "layout_stats_pruned_scan")
+    "layout_stats_pruned_scan",
+    // r16: bloom-sidecar point lookup — layout + bloom build + store
+    // + probe, the delete-planning cycle
+    "layout_bloom_pruned_scan")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1641,6 +1649,15 @@ object SparkEntry {
         |FROM lineitem, m
         |WHERE l_orderkey BETWEEN mk // 5 AND (3 * mk) // 10
         |GROUP BY 1""".stripMargin,
+    // the IN-list stated over the RAW table — the Spark side's size-
+    // tier layout, stored bloom sidecar, and no-false-negative file
+    // probe must reproduce it
+    "layout_bloom_pruned_scan" ->
+      """WITH m AS (SELECT max(doc_id) AS mk FROM documents)
+        |SELECT doc_id, lang, n_chars
+        |FROM documents, m
+        |WHERE doc_id IN ((1 * mk) // 7, (2 * mk) // 7, (3 * mk) // 7,
+        |                 (4 * mk) // 7, (5 * mk) // 7)""".stripMargin,
     // every count restated from the raw corpus; leaks pinned at 0 —
     // the Spark side measures them from the purged artifacts on disk
     "pipeline_purge_indexes_audit" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** FILE-LEVEL min/max DATA-SKIPPING spine — the explicit, stored form
@@ -70,12 +70,68 @@ object StatsSpine {
     * still returns a correctly-typed empty frame.
     */
   def prunedRead(s: SparkSession, schemaDir: String, spine: DataFrame,
-                 c: String, lo: Any, hi: Any): DataFrame = {
-    val files = survivors(spine, c, lo, hi)
-      .select("file").collect().map(_.getString(0)).toSeq
+                 c: String, lo: Any, hi: Any): DataFrame =
+    readFiles(s, schemaDir,
+      survivors(spine, c, lo, hi).select("file").collect().map(_.getString(0)))
+
+  private def readFiles(s: SparkSession, schemaDir: String,
+                        files: Seq[String]): DataFrame = {
     val schema = s.read.parquet(schemaDir).schema
     if (files.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else s.read.schema(schema).parquet(files: _*)
   }
+
+  // ---- Bloom sidecar: point-lookup skipping where min/max can't ----
+
+  /** One Bloom bitmap per parquet file over `keyCol` (cast to string;
+    * [[graft.functions.BloomFilterAgg]] — md5-positioned, OR-merged
+    * partials, so the per-file bitmap is exact under any task split of
+    * the file). This is the sidecar min/max CANNOT replace: when the
+    * layout clusters some OTHER column (size tiers, ingest time,
+    * z-order on query dims), every file's [min, max] interval over a
+    * scattered unique key spans ~the whole domain and range-skipping
+    * keeps everything — but a point lookup ("which files hold THESE
+    * doc_ids?", the question a GDPR delete asks before rewriting)
+    * probes the blooms and touches only true holders + ~0 false
+    * positives. At 128 MB files, mBits ≈ 13–20 bits per expected
+    * distinct key per file keeps the sidecar a few KB per file —
+    * ~1000× smaller than the data it spares.
+    */
+  def buildBloom(s: SparkSession, dataDir: String, keyCol: String,
+                 mBits: Int): DataFrame =
+    s.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("bloom_agg", col(keyCol).cast("string"), lit(mBits))
+          .as("bloom"))
+
+  /** Survival predicate over a bloom-sidecar row for a LITERAL key
+    * set: each key's 4 bit positions are computed on the driver
+    * ([[graft.functions.BloomFilterAgg.positions]] — the keys are
+    * query constants), so the per-row test is pure `element_at` +
+    * shift arithmetic on the stored bitmap — no re-hashing per row,
+    * no UDF. No false negatives by construction; the caller re-applies
+    * the exact IN predicate to the surviving files' rows.
+    */
+  def bloomSurvives(bloom: Column, keys: Seq[String], mBits: Int): Column =
+    keys.map { k =>
+      graft.functions.BloomFilterAgg
+        .positions(k.getBytes(java.nio.charset.StandardCharsets.UTF_8), mBits)
+        .map { p =>
+          shiftright(element_at(bloom, p / 64 + 1), p % 64)
+            .bitwiseAND(lit(1L)) === lit(1L)
+        }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Read ONLY the files whose bloom says they might hold one of
+    * `keys` — the planning scan a point-lookup / targeted-delete pays
+    * instead of listing-and-reading the whole table.
+    */
+  def prunedReadByKeys(s: SparkSession, schemaDir: String,
+                       bloomSpine: DataFrame, keys: Seq[String],
+                       mBits: Int): DataFrame =
+    readFiles(s, schemaDir,
+      bloomSpine.filter(bloomSurvives(col("bloom"), keys, mBits))
+        .select("file").collect().map(_.getString(0)))
 }

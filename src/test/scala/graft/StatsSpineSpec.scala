@@ -61,6 +61,58 @@ class StatsSpineSpec extends SparkSpec {
     assert(got.count() == 4L)
   }
 
+  test("bloom sidecar: survivors == true holders where min/max keeps everything") {
+    import spark.implicits._
+    val mBits = 1 << 13
+    val base = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // scatter unique ids across 8 files (hash layout — the min/max
+    // killer: every file's id interval spans ~the whole domain)
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    df.repartition(8, col("k")).write.parquet(s"$base/data")
+    val mm = StatsSpine.build(spark, s"$base/data", Seq("k"))
+    val total = mm.count()
+    assert(total == 8L)
+    val keys = Seq(137L, 512L, 900L)
+    // min/max skipping is useless here: a point probe keeps ALL files
+    keys.foreach { k =>
+      assert(StatsSpine.survivors(mm, "k", k, k).count() == total)
+    }
+    val bloom = StatsSpine.buildBloom(spark, s"$base/data", "k", mBits)
+    // the true holder set, from the data itself
+    val holders = spark.read.parquet(s"$base/data")
+      .filter(col("k").isin(keys: _*))
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    val survived = bloom
+      .filter(StatsSpine.bloomSurvives(col("bloom"), keys.map(_.toString), mBits))
+      .select("file").as[String].collect().toSet
+    // no false negatives (⊇) and, at this load factor, no false
+    // positives either (deterministic fixture) — exactly the holders
+    assert(survived == holders)
+    assert(survived.size < total)
+    val got = StatsSpine.prunedReadByKeys(spark, s"$base/data", bloom,
+        keys.map(_.toString), mBits)
+      .filter(col("k").isin(keys: _*))
+    assert(got.select("k").as[Long].collect().toSet == keys.toSet)
+  }
+
+  test("bloom sidecar: absent keys and empty key set read nothing, typed") {
+    import spark.implicits._
+    val mBits = 1 << 13
+    val base = java.nio.file.Files.createTempDirectory("graft-bloom-miss").toString
+    (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4, col("k")).write.parquet(s"$base/data")
+    val bloom = StatsSpine.buildBloom(spark, s"$base/data", "k", mBits)
+    // absent keys: the exact re-filter makes any FP harmless — and at
+    // this load the probe itself already drops every file
+    val gotAbsent = StatsSpine.prunedReadByKeys(spark, s"$base/data", bloom,
+      Seq("99999", "123456"), mBits)
+    assert(gotAbsent.filter(col("k").isin(99999L, 123456L)).count() == 0L)
+    val gotEmpty = StatsSpine.prunedReadByKeys(spark, s"$base/data", bloom,
+      Seq.empty, mBits)
+    assert(gotEmpty.count() == 0L)
+    assert(gotEmpty.schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
   test("append fold: spine over base+batch == rebuild over the union") {
     import spark.implicits._
     val (base, _) = laidOut()
