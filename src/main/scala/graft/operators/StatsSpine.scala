@@ -134,4 +134,46 @@ object StatsSpine {
     readFiles(s, schemaDir,
       bloomSpine.filter(bloomSurvives(col("bloom"), keys, mBits))
         .select("file").collect().map(_.getString(0)))
+
+  /** Read exactly the files a (possibly pre-filtered) spine lists —
+    * the spine used this way IS the table manifest, Delta/Iceberg's
+    * model: the table is the file list the log names, not whatever a
+    * directory happens to contain. Lets callers compose pruning
+    * filters ([[survivors]] on several columns) before the read.
+    */
+  def readManifest(s: SparkSession, schemaDir: String,
+                   spine: DataFrame): DataFrame =
+    readFiles(s, schemaDir,
+      spine.select("file").collect().map(_.getString(0)))
+
+  /** Targeted DELETE with the spine as manifest: probe the bloom
+    * sidecar for the files that hold any doomed key, rewrite ONLY
+    * those files (surviving rows → fresh part-files under `genDir`),
+    * and fold BOTH sidecars — holder rows retracted, replacement
+    * stats/bloom rows appended. Untouched files are never copied,
+    * moved, or re-read: at 100 TB a k-id GDPR delete rewrites ≤ k
+    * files and the manifest swap publishes the new table. Returns the
+    * folded (statsSpine, bloomSpine) pair; both list the same file
+    * set (one manifest, two sidecar projections of it).
+    *
+    * The empty-holder case (no file holds any doomed key) returns the
+    * inputs unchanged — a delete of absent keys is a no-op, not a
+    * rewrite.
+    */
+  def deleteRewrite(s: SparkSession, spine: DataFrame, bloomSpine: DataFrame,
+                    keyCol: String, keys: Seq[String], mBits: Int,
+                    statCols: Seq[String], genDir: String): (DataFrame, DataFrame) = {
+    val holders = bloomSpine
+      .filter(bloomSurvives(col("bloom"), keys, mBits))
+      .select("file").collect().map(_.getString(0)).toSeq
+    if (holders.isEmpty) (spine, bloomSpine)
+    else {
+      s.read.parquet(holders: _*)
+        .filter(!col(keyCol).cast("string").isin(keys: _*))
+        .write.mode("overwrite").parquet(genDir)
+      val keep = !col("file").isin(holders: _*)
+      (spine.filter(keep).unionByName(build(s, genDir, statCols)),
+        bloomSpine.filter(keep).unionByName(buildBloom(s, genDir, keyCol, mBits)))
+    }
+  }
 }
