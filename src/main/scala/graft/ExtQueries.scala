@@ -2018,27 +2018,23 @@ object ExtQueries {
     */
   private val GraphArtifactVersion = 1
 
-  /** STORED graph artifact for this corpus, content-keyed (VERDICT r8
-    * #1 — the video-phash stored-fixture lifecycle, not the
-    * per-invocation UUID one): the nightly edge-derivation job's
-    * output, rebuilt only when the corpus content (count + order-free
-    * xxhash64 fold over the join inputs' key columns) or
-    * [[GraphArtifactVersion]] changes. Signature cost is two
-    * column-pruned scans — no join, no distinct; every later
-    * invocation (and bench rep) reads only the stored bucketed edges
-    * + degree spine.
+  /** STORED graph artifact for this corpus, commit-keyed (VERDICT r10
+    * #1, upgrading r8's content key): the nightly edge-derivation
+    * job's output, rebuilt only when the corpus COMMITS anew or
+    * [[GraphArtifactVersion]] bumps. The key is
+    * [[graft.operators.ArtifactKey]]'s metadata-only fold over the
+    * two input tables' file manifests (a Publish pointer read where
+    * one exists) — zero Spark jobs, zero corpus bytes, where the r8
+    * key paid two full-table xxhash64 aggregate scans PER QUERY
+    * INVOCATION just to decide cache validity (at 100 TB: a corpus
+    * read before every stored-path query). Every invocation (and
+    * bench rep) now reads only the stored bucketed edges + degree
+    * spine.
     */
-  private def graphStoredArtifact(s: SparkSession, dir: String): graft.operators.GraphIndex.Stored = {
-    val so = Tables.load(s, dir, "orders")
-      .agg(count(lit(1)).cast("string"),
-        sum(xxhash64(col("o_orderkey"), col("o_custkey"))).cast("string")).head()
-    val sl = Tables.load(s, dir, "lineitem")
-      .agg(count(lit(1)).cast("string"),
-        sum(xxhash64(col("l_orderkey"), col("l_suppkey"))).cast("string")).head()
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"gv$GraphArtifactVersion|${so.getString(0)}|${so.getString(1)}|${sl.getString(0)}|${sl.getString(1)}"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+  private[graft] def graphStoredArtifact(s: SparkSession, dir: String): graft.operators.GraphIndex.Stored = {
+    val key = graft.operators.ArtifactKey.compositeKey(
+      s"gv$GraphArtifactVersion",
+      Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"))
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-graph-$key")
     val tbl = s"graft_graph_edges_$key"
@@ -2195,21 +2191,19 @@ object ExtQueries {
     */
   private val Bm25ArtifactVersion = 1
 
-  /** STORED BM25 inverted index for this corpus, content-keyed (the
+  /** STORED BM25 inverted index for this corpus, commit-keyed (the
     * [[graphStoredArtifact]] lifecycle): the nightly index-build job's
-    * output, rebuilt only when the corpus content (count + order-free
-    * xxhash64 fold) or [[Bm25ArtifactVersion]] changes. Every later
-    * invocation (and bench rep) reads only the stored bucketed
-    * postings + df/stats spines — the raw corpus is never re-tokenized
-    * on the query path.
+    * output, rebuilt only when the corpus commits anew (metadata-only
+    * [[graft.operators.ArtifactKey]] manifest fold — zero Spark jobs,
+    * zero corpus bytes at key time; VERDICT r10 #1 replaced the
+    * full-corpus text-hash aggregate that ran per invocation) or
+    * [[Bm25ArtifactVersion]] bumps. Every invocation (and bench rep)
+    * reads only the stored bucketed postings + df/stats spines — the
+    * raw corpus is never re-tokenized or re-read on the query path.
     */
-  private def bm25StoredArtifact(s: SparkSession, dir: String): graft.operators.Bm25Index.Stored = {
-    val sd = docs(s, dir)
-      .agg(count(lit(1)).cast("string"),
-        sum(xxhash64(col("doc_id"), col("text"))).cast("string")).head()
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"bm$Bm25ArtifactVersion|${sd.getString(0)}|${sd.getString(1)}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+  private[graft] def bm25StoredArtifact(s: SparkSession, dir: String): graft.operators.Bm25Index.Stored = {
+    val key = graft.operators.ArtifactKey.compositeKey(
+      s"bm$Bm25ArtifactVersion", Seq(s"$dir/documents.parquet"))
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-bm25-$key")
     val tbl = s"graft_bm25_postings_$key"
@@ -2348,12 +2342,18 @@ object ExtQueries {
     val spineB = s.read.parquet(g0.spinePath).count()
     val (g1, nRetracted) = GraphIndex.purge(s, g0, gRoster, gTbl2, s"$base/gd")
     val edgeA = s.table(gTbl2).count()
+    // ONE boolean-or scan (ADVICE r10): src-semi + dst-semi counts
+    // would double-count an edge whose BOTH endpoints are roster nodes
+    // — correct at the pinned zero, wrong magnitude when a purge bug
+    // actually fires. Two broadcast left joins mark each side; an edge
+    // leaks once iff either mark lands.
     val edgeLeak = s.table(gTbl2)
-      .join(broadcast(gRoster.withColumnRenamed("node", "src")), Seq("src"), "left_semi")
-      .count() +
-      s.table(gTbl2)
-        .join(broadcast(gRoster.withColumnRenamed("node", "dst")), Seq("dst"), "left_semi")
-        .count()
+      .join(broadcast(gRoster.withColumnRenamed("node", "src")
+        .withColumn("hit_src", lit(1))), Seq("src"), "left")
+      .join(broadcast(gRoster.withColumnRenamed("node", "dst")
+        .withColumn("hit_dst", lit(1))), Seq("dst"), "left")
+      .filter(col("hit_src").isNotNull || col("hit_dst").isNotNull)
+      .count()
     val spineA = s.read.parquet(g1.spinePath).count()
     val spineLeak = s.read.parquet(g1.spinePath)
       .join(broadcast(gRoster), Seq("node"), "left_semi").count()
@@ -4614,6 +4614,13 @@ object ExtQueries {
     * broadcast 64-row v, map-side-combined sum per vec) and one for
     * vᵣₐᵥ (keyed join s⋈x, map-side-combined sum per dim → 64 rows);
     * the only driver-sized frames are v and the two scalar maxima.
+    * The exploded fixed-point corpus `xl` is PERSISTED for the run
+    * (VERDICT r10 #5 — the [[graft.operators.PageRank.run]]
+    * lifecycle): the unrolled 3-round plan references it twice per
+    * round, and uncached each reference re-ran the explode from
+    * parquet — 6 corpus scans for a 64-row answer. The 64-row result
+    * is materialized through a reliable checkpoint past the cache so
+    * the finally releases it before returning.
     * Overflow headroom: |s| ≤ 64·x̂·10⁶ ≈ 3.4e13, t capped at 2²⁰ by
     * its rescale, |v_raw| ≤ n·2²⁰·x̂ — raise the t shift with log₂ n
     * past ~10⁷ vectors (documented, not silently truncated).
@@ -4624,6 +4631,7 @@ object ExtQueries {
           "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
           .as(Seq("pos", "x_fp")))
       .select(col("vec_id"), col("pos").cast("long").as("dim"), col("x_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v0 = s.range(0, 64).select(col("id").as("dim"), lit(1000000L).as("v_fp"))
     def signDiv(num: String, den: String) =
       expr(s"CASE WHEN $num < 0 THEN -((-$num) DIV ($den)) ELSE $num DIV ($den) END")
@@ -4637,7 +4645,11 @@ object ExtQueries {
       vraw.crossJoin(broadcast(vraw.agg(max(abs(col("vr"))).as("vmax"))))
         .select(col("dim"), signDiv("vr", "1 + vmax DIV 1000000").as("v_fp"))
     }
-    round(round(round(v0)))
+    try {
+      val result = round(round(round(v0)))
+      graft.operators.Checkpoints.ensure(s.sparkContext)
+      result.checkpoint()
+    } finally { xl.unpersist(); () }
   }
 
   /** Compaction EXECUTION (`layout_compaction_exec`): the rewrite half

@@ -230,13 +230,20 @@ object GraphIndex {
       val survivors = edges
         .join(broadcast(ids).withColumnRenamed("node", "src"), Seq("src"), "left_anti")
         .join(broadcast(ids).withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
-      val nEdges = spark.table(stored.edgesTable).count()
       survivors.withColumn("gen", lit(0))
         .repartition(NumBuckets, pmod(hash(col("src")), lit(NumBuckets)))
         .write.mode("overwrite").format("parquet")
         .option("path", next.edgesPath)
         .bucketBy(NumBuckets, "src").sortBy("src", "dst").saveAsTable(newTable)
-      (next, nEdges - spark.table(newTable).count())
+      // retracted-edge count from the DEGREE SPINES, not edge scans
+      // (VERDICT r10 #7): every edge has its src in its spine, so
+      // Σ out_deg == |E| on both sides and the difference of two
+      // |V|-row parquet sums is the retraction — the two full
+      // edge-table counts this replaces were ∝ |E| each.
+      def spineEdges(path: String): Long =
+        spark.read.parquet(path)
+          .agg(coalesce(sum(col("out_deg")), lit(0L))).head().getLong(0)
+      (next, spineEdges(stored.spinePath) - spineEdges(next.spinePath))
     } finally { ids.unpersist(); () }
   }
 

@@ -331,10 +331,15 @@ class PlanRegressionSpec extends SparkSpec {
       "ER blocking join lost its pinned key exchanges:\n" + er.take(3000))
     assert(planLines(er, "hashpartitioning(d_name").nonEmpty,
       "ER scoring stage lost its d_name repartition:\n" + er.take(3000))
-    // PCA: three rounds = six corpus-frame consumers; the plan must
-    // stay join+aggregate shaped with no cartesian anywhere
+    // PCA: three rounds = six consumers of the exploded corpus frame —
+    // since r11 that frame is persisted for the run (VERDICT r10 #5)
+    // and the 64-row result is materialized through a reliable
+    // checkpoint past the cache, so the returned plan is an RDD scan
+    // (the PageRank.run contract), not the unrolled join cascade
     val pca = staticPlan(ExtQueries.embedPcaPower(spark, sfSmoke))
     assert(!pca.contains("CartesianProduct"), pca.take(3000))
+    assert(pca.contains("ExistingRDD") || pca.contains("LogicalRDD"),
+      "embedPcaPower no longer checkpoints its result past the xl cache:\n" + pca.take(3000))
   }
 
   test("r16 ops: purged BM25 query path reads artifacts only; change-feed apply plans no cartesian") {
