@@ -354,7 +354,12 @@ object SparkEntry {
     // question a targeted delete asks, on a layout where min/max
     // skipping keeps everything; oracle states the IN-list over the
     // raw table so build + storage + probe are load-bearing
-    "layout_bloom_pruned_scan" -> (ExtQueries.layoutBloomPrunedScan _)
+    "layout_bloom_pruned_scan" -> (ExtQueries.layoutBloomPrunedScan _),
+    // r17: roster-DataFrame targeted delete — the GDPR verb with the
+    // doomed ids as a FRAME (distributed bloom probe join + anti-join
+    // rewrite), never a driver literal; oracle restates the surviving
+    // corpus so probe + rewrite + manifest fold are load-bearing
+    "layout_bloom_roster_delete" -> (ExtQueries.layoutBloomRosterDelete _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -458,7 +463,10 @@ object SparkEntry {
     "layout_stats_pruned_scan",
     // r16: bloom-sidecar point lookup — layout + bloom build + store
     // + probe, the delete-planning cycle
-    "layout_bloom_pruned_scan")
+    "layout_bloom_pruned_scan",
+    // r17: roster-frame targeted delete — probe join + holder rewrite
+    // + manifest fold, the GDPR-delete execution cycle
+    "layout_bloom_roster_delete")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1658,6 +1666,15 @@ object SparkEntry {
         |FROM documents, m
         |WHERE doc_id IN ((1 * mk) // 7, (2 * mk) // 7, (3 * mk) // 7,
         |                 (4 * mk) // 7, (5 * mk) // 7)""".stripMargin,
+    // the surviving corpus stated over the RAW table — the Spark
+    // side's roster probe join, holder rewrite, and folded manifest
+    // must reproduce it (a missed holder file leaks rows into n_docs,
+    // a stale manifest row double-reads a rewritten file)
+    "layout_bloom_roster_delete" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 43 <> 0""".stripMargin,
     // every count restated from the raw corpus; leaks pinned at 0 —
     // the Spark side measures them from the purged artifacts on disk
     "pipeline_purge_indexes_audit" ->

@@ -131,4 +131,115 @@ class StatsSpineSpec extends SparkSpec {
     assert(StatsSpine.prunedRead(spark, s"$base/data", folded, "k", 0L, 9L)
       .filter(col("k").between(0L, 9L)).count() == 10L)
   }
+
+  /** A hash-scattered table + both sidecars — the delete fixture. */
+  private def deleteFixture(n: Long = 1000L, files: Int = 8): (String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val mBits = 1 << 13
+    val base = java.nio.file.Files.createTempDirectory("graft-del").toString
+    (0L until n).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(files, col("k")).write.parquet(s"$base/data")
+    (base, StatsSpine.build(spark, s"$base/data", Seq("k")),
+      StatsSpine.buildBloom(spark, s"$base/data", "k", mBits))
+  }
+
+  test("deleteRewrite: doomed keys gone, survivors intact, spines consistent across a repeated delete") {
+    import spark.implicits._
+    val mBits = 1 << 13
+    val (base, spine0, bloom0) = deleteFixture()
+    val (s1, b1) = StatsSpine.deleteRewrite(spark, spine0, bloom0,
+      "k", Seq("137", "512"), mBits, Seq("k"), s"$base/gen1")
+    val t1 = StatsSpine.readManifest(spark, s"$base/data", s1)
+    assert(t1.count() == 998L)
+    assert(t1.filter(col("k").isin(137L, 512L)).count() == 0L)
+    // both sidecars list the same file set (one manifest, two projections)
+    assert(s1.select("file").except(b1.select("file")).count() == 0L)
+    assert(b1.select("file").except(s1.select("file")).count() == 0L)
+    // SECOND delete over the folded spines — fresh genDir per call
+    val (s2, b2) = StatsSpine.deleteRewrite(spark, s1, b1,
+      "k", Seq("700"), mBits, Seq("k"), s"$base/gen2")
+    val t2 = StatsSpine.readManifest(spark, s"$base/data", s2)
+    assert(t2.count() == 997L)
+    assert(t2.filter(col("k").isin(137L, 512L, 700L)).count() == 0L)
+    assert(s2.agg(sum("n_rows")).head.getLong(0) == 997L)
+    // deleting absent keys off the folded spines is a no-op
+    val (s3, b3) = StatsSpine.deleteRewrite(spark, s2, b2,
+      "k", Seq("999999"), mBits, Seq("k"), s"$base/gen3")
+    assert(s3.select("file").except(s2.select("file")).count() == 0L)
+    assert(b3.select("file").except(b2.select("file")).count() == 0L)
+  }
+
+  test("deleteRewrite refuses a reused genDir (holder files inside it)") {
+    import spark.implicits._
+    val mBits = 1 << 13
+    val (base, spine0, bloom0) = deleteFixture()
+    val (s1, b1) = StatsSpine.deleteRewrite(spark, spine0, bloom0,
+      "k", Seq("137"), mBits, Seq("k"), s"$base/gen1")
+    // a key CO-LOCATED with 137 now lives in a gen1 file: deleting it
+    // while writing to gen1 again would read-under-overwrite — the
+    // guard must fire before any data is touched
+    val cohabitant = spark.read.parquet(s"$base/gen1")
+      .filter(col("k") =!= 137L).select("k").as[Long].head()
+    val e = intercept[IllegalArgumentException] {
+      StatsSpine.deleteRewrite(spark, s1, b1,
+        "k", Seq(cohabitant.toString), mBits, Seq("k"), s"$base/gen1")
+    }
+    assert(e.getMessage.contains("fresh generation directory"))
+  }
+
+  test("deleteRewriteRoster: roster-frame delete equals the literal path, no IN-list in the probe") {
+    import spark.implicits._
+    val mBits = 1 << 13
+    val (base, spine0, bloom0) = deleteFixture()
+    // a LARGE planted roster (every 3rd key — 334 ids, past where the
+    // literal expression tree is sane)
+    val roster = (0L until 1000L by 3L).toDF("k")
+    // the probe is a JOIN, not a literal predicate: no giant IN-list
+    // anywhere in its optimized plan
+    val probePlan = StatsSpine.rosterHolders(bloom0, roster, "k", mBits)
+      .queryExecution.optimizedPlan.toString
+    assert(!probePlan.contains("k#: IN") && !probePlan.toLowerCase.contains(" in ("),
+      "roster probe must not unroll keys into a literal predicate:\n" + probePlan.take(2000))
+    assert(probePlan.contains("Join"), probePlan.take(2000))
+    // no false negatives: the probe's holder set covers the true one
+    val trueHolders = spark.read.parquet(s"$base/data")
+      .filter(col("k") % 3 === 0)
+      .select(input_file_name().as("file")).distinct()
+      .as[String].collect().toSet
+    val probed = StatsSpine.rosterHolders(bloom0, roster, "k", mBits)
+      .as[String].collect().toSet
+    assert(trueHolders.subsetOf(probed))
+    val (s1, b1) = StatsSpine.deleteRewriteRoster(spark, spine0, bloom0,
+      "k", roster, mBits, Seq("k"), s"$base/gen1")
+    val t1 = StatsSpine.readManifest(spark, s"$base/data", s1)
+    assert(t1.count() == 666L)
+    assert(t1.filter(col("k") % 3 === 0).count() == 0L)
+    assert(s1.agg(sum("n_rows")).head.getLong(0) == 666L)
+    assert(s1.select("file").except(b1.select("file")).count() == 0L)
+    // a disjoint roster over the FOLDED spines: repeated roster deletes
+    val roster2 = Seq(1L, 7L, 13L).toDF("k")
+    val (s2, _) = StatsSpine.deleteRewriteRoster(spark, s1, b1,
+      "k", roster2, mBits, Seq("k"), s"$base/gen2")
+    val t2 = StatsSpine.readManifest(spark, s"$base/data", s2)
+    assert(t2.count() == 663L)
+    assert(t2.filter(col("k").isin(1L, 7L, 13L)).count() == 0L)
+  }
+
+  test("rosterWords addresses the same bits as the driver-side positions") {
+    import spark.implicits._
+    val mBits = 1 << 13
+    val keys = Seq("137", "512", "hello world", "ünïcodé")
+    val got = StatsSpine.rosterWords(keys.toDF("k"), "k", mBits)
+      .select("k", "word_idx", "mask")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val want = keys.map { k =>
+      val ps = graft.functions.BloomFilterAgg.positions(
+        k.getBytes(java.nio.charset.StandardCharsets.UTF_8), mBits)
+      k -> ps.groupBy(_ / 64).map { case (w, bits) =>
+        (w.toLong, bits.map(p => 1L << (p % 64)).reduce(_ | _))
+      }.toSet
+    }.toMap
+    assert(got == want)
+  }
 }
