@@ -5222,4 +5222,48 @@ object ExtQueries {
         sum(col("doc_id")).as("sum_ids"),
         sum(col("n_chars").cast("long")).as("sum_chars"))
   }
+
+  private val versionedPublishPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Versioned table lifecycle (`layout_versioned_publish`, VERDICT
+    * r10 #3 — [[graft.operators.VersionedTable]]): the manifest-is-
+    * the-table model driven through its three verbs on one table —
+    * CREATE (docs ≡ 0 mod 3, range-laid-out on n_chars) → APPEND
+    * (docs ≡ 1 mod 3, fold ∝ batch) → DELETE a roster (doc_id ≡ 0
+    * mod 5, bloom-probed holder rewrite) — then every version read
+    * back THROUGH ITS OWN MANIFEST, plus a stats-pruned band read at
+    * the head version. The oracle restates each version's membership
+    * from the raw table, so the hash proves: the append folded
+    * without disturbing generation 0, the delete dropped exactly the
+    * roster from BOTH generations, time travel returns superseded
+    * content byte-identically after the delete, and the pruned band
+    * read misses nothing the band owns.
+    */
+  def layoutVersionedPublish(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_vtable").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec, layout)
+    val v2 = VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    val v3 = VersionedTable.deleteRoster(s, root, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    retirePrevDir(versionedPublishPrev, root)
+    def slice(tag: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .select(lit(tag).as("slice"), col("n_docs"), col("sum_ids"), col("sum_chars"))
+    slice(s"1_$v1", VersionedTable.readVersion(s, root, v1))
+      .unionByName(slice(s"2_$v2", VersionedTable.readVersion(s, root, v2)))
+      .unionByName(slice(s"3_$v3", VersionedTable.readVersion(s, root, v3)))
+      .unionByName(slice("4_band",
+        VersionedTable.prunedRead(s, root, "n_chars", 200, 400)
+          .filter(col("n_chars").between(200, 400))))
+  }
 }

@@ -359,7 +359,11 @@ object SparkEntry {
     // doomed ids as a FRAME (distributed bloom probe join + anti-join
     // rewrite), never a driver literal; oracle restates the surviving
     // corpus so probe + rewrite + manifest fold are load-bearing
-    "layout_bloom_roster_delete" -> (ExtQueries.layoutBloomRosterDelete _)
+    "layout_bloom_roster_delete" -> (ExtQueries.layoutBloomRosterDelete _),
+    // r17: sidecars composed with WAP versioning — create/append/
+    // delete fold one manifest-as-table; every version read through
+    // its own manifest, band read pruned off the head manifest
+    "layout_versioned_publish" -> (ExtQueries.layoutVersionedPublish _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -466,7 +470,10 @@ object SparkEntry {
     "layout_bloom_pruned_scan",
     // r17: roster-frame targeted delete — probe join + holder rewrite
     // + manifest fold, the GDPR-delete execution cycle
-    "layout_bloom_roster_delete")
+    "layout_bloom_roster_delete",
+    // r17: the versioned-table lifecycle — create/append/delete with
+    // manifest folds + time-travel reads, the table-format verb cycle
+    "layout_versioned_publish")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1675,6 +1682,27 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 43 <> 0""".stripMargin,
+    // each version's membership restated from the raw table — the
+    // Spark side's manifest folds, time-travel reads, and pruned band
+    // scan must reproduce all four slices
+    "layout_versioned_publish" ->
+      """SELECT '1_v00001' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT '2_v00002', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT '3_v00003', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT '4_band', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
+        |  AND n_chars BETWEEN 200 AND 400""".stripMargin,
     // every count restated from the raw corpus; leaks pinned at 0 —
     // the Spark side measures them from the purged artifacts on disk
     "pipeline_purge_indexes_audit" ->
