@@ -4609,18 +4609,21 @@ object ExtQueries {
     * oracle re-derives all three rounds from data as CTEs — nothing
     * engine-computed is baked in.
     *
-    * Scale shape (100 TB): the classic distributed power iteration —
-    * per round ONE corpus pass for s (x-exploded join against the
-    * broadcast 64-row v, map-side-combined sum per vec) and one for
-    * vᵣₐᵥ (keyed join s⋈x, map-side-combined sum per dim → 64 rows);
-    * the only driver-sized frames are v and the two scalar maxima.
-    * The exploded fixed-point corpus `xl` is PERSISTED for the run
-    * (VERDICT r10 #5 — the [[graft.operators.PageRank.run]]
-    * lifecycle): the unrolled 3-round plan references it twice per
-    * round, and uncached each reference re-ran the explode from
-    * parquet — 6 corpus scans for a 64-row answer. The 64-row result
-    * is materialized through a reliable checkpoint past the cache so
-    * the finally releases it before returning.
+    * Scale shape (100 TB): the classic distributed power iteration,
+    * MATERIALIZED per round (VERDICT r10 #5, reworked): the exploded
+    * fixed-point corpus `xl` is persisted for the run
+    * ([[graft.operators.PageRank.run]] lifecycle), each round persists
+    * its corpus-sized projection `s` for the two consumers inside the
+    * round, and only the bounded frames cross the driver — the scalar
+    * maxima (one `max(abs(…))` aggregate each) and the 64-row v (one
+    * row per dim), which re-enters the next round as a broadcast
+    * local relation. The r10 form instead composed all three rounds
+    * into ONE lazy plan whose nested `broadcast(agg)` normalizer
+    * subqueries re-executed their entire upstream lineage — round-1
+    * work ran ~2^rounds times (measured 10 s vs 1.5 s at sf0.1 for an
+    * identical answer). Per round: one job for s+smax, one corpus
+    * pass for vᵣₐᵥ (keyed join s⋈x, map-side-combined 64-row sum),
+    * v's rescale applied in exact integer arithmetic on the driver.
     * Overflow headroom: |s| ≤ 64·x̂·10⁶ ≈ 3.4e13, t capped at 2²⁰ by
     * its rescale, |v_raw| ≤ n·2²⁰·x̂ — raise the t shift with log₂ n
     * past ~10⁷ vectors (documented, not silently truncated).
@@ -4632,23 +4635,38 @@ object ExtQueries {
           .as(Seq("pos", "x_fp")))
       .select(col("vec_id"), col("pos").cast("long").as("dim"), col("x_fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val v0 = s.range(0, 64).select(col("id").as("dim"), lit(1000000L).as("v_fp"))
-    def signDiv(num: String, den: String) =
-      expr(s"CASE WHEN $num < 0 THEN -((-$num) DIV ($den)) ELSE $num DIV ($den) END")
-    def round(v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val vSchema = StructType(Seq(
+      StructField("dim", LongType, nullable = false),
+      StructField("v_fp", LongType, nullable = false)))
+    def localV(rows: Seq[Row]): DataFrame =
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), vSchema)
+    def signDiv(num: String, den: Long) =
+      expr(s"CASE WHEN $num < 0 THEN -((-$num) DIV $den) ELSE $num DIV $den END")
+    // one round, materialized: s + its scalar normalizer in one
+    // persisted pass, v_raw collected (64 rows) and rescaled on the
+    // driver with the SAME truncate-toward-zero division (Scala Long
+    // `/` truncates toward zero, matching the SQL CASE sign-split)
+    def round(v: DataFrame): Seq[Row] = {
       val sRow = xl.join(broadcast(v), "dim")
         .groupBy("vec_id").agg(sum(col("x_fp") * col("v_fp")).as("s"))
-      val t = sRow.crossJoin(broadcast(sRow.agg(max(abs(col("s"))).as("smax"))))
-        .select(col("vec_id"), signDiv("s", "1 + smax DIV 1048576").as("t"))
-      val vraw = xl.join(t, "vec_id")
-        .groupBy("dim").agg(sum(col("t") * col("x_fp")).as("vr"))
-      vraw.crossJoin(broadcast(vraw.agg(max(abs(col("vr"))).as("vmax"))))
-        .select(col("dim"), signDiv("vr", "1 + vmax DIV 1000000").as("v_fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val smaxRow = sRow.agg(max(abs(col("s")))).head()
+        val smax = if (smaxRow.isNullAt(0)) 0L else smaxRow.getLong(0)
+        val t = sRow.select(col("vec_id"), signDiv("s", 1L + smax / 1048576L).as("t"))
+        val vraw = xl.join(t, "vec_id")
+          .groupBy("dim").agg(sum(col("t") * col("x_fp")).as("vr"))
+          .collect().toSeq
+        val vmax = if (vraw.isEmpty) 0L
+          else vraw.map(r => math.abs(r.getLong(1))).max
+        vraw.map(r => Row(r.getLong(0), r.getLong(1) / (1L + vmax / 1000000L)))
+      } finally { sRow.unpersist(); () }
     }
     try {
-      val result = round(round(round(v0)))
-      graft.operators.Checkpoints.ensure(s.sparkContext)
-      result.checkpoint()
+      val v0 = (0L until 64L).map(d => Row(d, 1000000L))
+      localV(round(localV(round(localV(round(localV(v0)))))))
     } finally { xl.unpersist(); () }
   }
 

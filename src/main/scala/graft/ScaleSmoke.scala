@@ -613,3 +613,145 @@ object ScaleExponents {
     spark.stop()
   }
 }
+
+/** 100×-decade cost decomposition for the STORED retrieval paths
+  * (VERDICT r10 #6): [[PurgeSmoke]] stopped at 10× and had no hybrid
+  * row. The three production stored query paths — BM25 top-k off
+  * postings + spines, PageRank off the bucketed edges + degree spine,
+  * hybrid RRF off postings + IVF lists — run against the 1×/10×/100×
+  * heterogeneous corpora ([[ScaleExponents]] fixtures — run it first
+  * or pass its work dir) with a FIXED query workload (query ids
+  * pinned to the 1× namespace: the production shape, a fixed query
+  * set against a growing corpus). The table reports seconds per phase
+  * and per-decade exponents e = ln(t_b/t_a)/ln(10): build is the
+  * nightly job (e ≈ 1, ∝ corpus); query off the bucketed artifacts is
+  * the claim under test (expected e ≲ 0.3 — scoring joins against
+  * grown postings/lists, query side fixed).
+  *
+  * Usage: `sbt "runMain graft.StoredRetrievalSmoke [heteroWorkDir]"`.
+  */
+object StoredRetrievalSmoke {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("/tmp/graft_scale_hetero")
+    val spark = Sessions.local("graft-stored-retrieval-smoke")
+    spark.sparkContext.setLogLevel("WARN")
+    val OneX = 10000000L
+    def uuid() = java.util.UUID.randomUUID().toString.replace("-", "")
+    def timed(f: => Unit): Double = {
+      spark.catalog.clearCache()
+      operators.Checkpoints.sweep(spark.sparkContext)
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // unmeasured warm-up (JVM/codegen must not land on the 1× build)
+    try ExtQueries.pipelineCurationFunnel(spark, "/root/testdata/sf0.1")
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[warmup] $e") }
+
+    val scales = Seq(
+      ("1x", "/root/testdata/sf0.1", "/root/testdata/sf0.1"),
+      ("10x", s"$work/x10", s"$work/x10/graph_raw"),
+      ("100x", s"$work/x100", s"$work/x100/graph_raw"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double, Double)]
+
+    scales.foreach { case (scale, docsDir, graphDir) =>
+      // BM25: nightly build, then fixed-workload top-k off the artifact
+      locally {
+        val base = java.nio.file.Files.createTempDirectory("graft-srs-bm").toString
+        val tbl = s"srs_bm_${uuid()}"
+        var stored: operators.Bm25Index.Stored = null
+        val tBuild = timed {
+          stored = operators.Bm25Index.build(
+            spark, ExtQueries.docs(spark, docsDir), tbl, base)
+        }
+        // fixed query set: 1×-namespace docs only, same ids at every scale
+        val q = spark.table(tbl)
+          .filter(col("doc_id") < OneX && col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("query_id"), col("word"))
+        val tQuery = timed {
+          operators.Bm25Index.scoredTopK(spark, stored, q)
+            .write.format("noop").mode("overwrite").save()
+        }
+        rows += ((scale, "bm25_stored_topk", tBuild, tQuery))
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        operators.Checkpoints.deleteTree(java.nio.file.Paths.get(base))
+      }
+      // Graph: nightly edge-derivation build, then ranks off the artifact
+      locally {
+        val base = java.nio.file.Files.createTempDirectory("graft-srs-g").toString
+        val tbl = s"srs_g_${uuid()}"
+        var stored: operators.GraphIndex.Stored = null
+        val tBuild = timed {
+          stored = operators.GraphIndex.build(
+            spark, ExtQueries.graphEdges(spark, graphDir), tbl, base)
+        }
+        val tQuery = timed {
+          operators.GraphIndex.ranks(spark, stored, iterations = 3)
+            .write.format("noop").mode("overwrite").save()
+        }
+        rows += ((scale, "graph_pagerank_stored", tBuild, tQuery))
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        operators.Checkpoints.deleteTree(java.nio.file.Paths.get(base))
+      }
+      // Hybrid RRF: BM25 + IVF artifacts built, then the fused query
+      // with both legs' query ids pinned to the 1× namespace
+      locally {
+        import operators.{Bm25Index, KMeans, LatestPerKey}
+        val base = java.nio.file.Files.createTempDirectory("graft-srs-h").toString
+        val bmTbl = s"srs_hbm_${uuid()}"
+        val ivfTbl = s"srs_hivf_${uuid()}"
+        val all = sources.Tables.load(spark, docsDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        var bm: Bm25Index.Stored = null
+        var centroids: Seq[(Int, Array[Double])] = null
+        val tBuild = timed {
+          bm = Bm25Index.build(spark, ExtQueries.docs(spark, docsDir), bmTbl, s"$base/bm")
+          centroids = KMeans.fit(all, k = 8, iterations = 3)
+          KMeans.probe(all, centroids, nprobe = 1)
+            .write.mode("overwrite").format("parquet")
+            .option("path", s"$base/lists")
+            .bucketBy(8, "cid").saveAsTable(ivfTbl)
+        }
+        val lexQ = spark.table(bmTbl)
+          .filter(col("doc_id") < OneX && col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("query_id"), col("word"))
+        val tQuery = timed {
+          val lex = Bm25Index.scoredTopK(spark, bm, lexQ, k = 20)
+            .select(col("query_id"), col("cand_id"), col("rank").as("r_lex"))
+          val lists = spark.table(ivfTbl)
+            .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
+          val probes = KMeans.probe(
+              all.filter(col("vec_id") < OneX && col("vec_id") % 25 === 0),
+              centroids, nprobe = 2)
+            .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
+          val vec = ExtQueries.ivfScore(lists, probes, k = 20)
+            .select(col("query_id"), col("neighbor_id").as("cand_id"),
+              col("rank").as("r_vec"))
+          val fused = lex.join(vec, Seq("query_id", "cand_id"), "full_outer")
+            .withColumn("rrf_fp",
+              coalesce(expr("1000000 DIV (60 + r_lex)"), lit(0L)) +
+                coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L)))
+          LatestPerKey.topKRanked(fused, 5, Seq(col("query_id")),
+              Seq(col("rrf_fp").desc_nulls_last, col("cand_id").asc_nulls_first))
+            .write.format("noop").mode("overwrite").save()
+        }
+        rows += ((scale, "sim_hybrid_stored_rrf", tBuild, tQuery))
+        Seq(bmTbl, ivfTbl).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+        operators.Checkpoints.deleteTree(java.nio.file.Paths.get(base))
+      }
+    }
+
+    println("| family | phase | t_1x (s) | t_10x (s) | t_100x (s) | e(1→10) | e(10→100) |")
+    println("| --- | --- | --- | --- | --- | --- | --- |")
+    rows.map(_._2).distinct.foreach { fam =>
+      val byScale = rows.filter(_._2 == fam).map(r => r._1 -> (r._3, r._4)).toMap
+      def e(a: Double, b: Double) = math.log(b / a) / math.log(10.0)
+      Seq(("build", (p: (Double, Double)) => p._1),
+          ("query", (p: (Double, Double)) => p._2)).foreach { case (phase, pick) =>
+        val (t1, t10, t100) =
+          (pick(byScale("1x")), pick(byScale("10x")), pick(byScale("100x")))
+        println(f"| $fam | $phase | $t1%.1f | $t10%.1f | $t100%.1f | ${e(t1, t10)}%.2f | ${e(t10, t100)}%.2f |")
+      }
+    }
+    spark.stop()
+  }
+}

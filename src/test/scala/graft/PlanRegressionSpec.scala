@@ -333,13 +333,13 @@ class PlanRegressionSpec extends SparkSpec {
       "ER scoring stage lost its d_name repartition:\n" + er.take(3000))
     // PCA: three rounds = six consumers of the exploded corpus frame —
     // since r11 that frame is persisted for the run (VERDICT r10 #5)
-    // and the 64-row result is materialized through a reliable
-    // checkpoint past the cache, so the returned plan is an RDD scan
-    // (the PageRank.run contract), not the unrolled join cascade
+    // and the 64-row result is materialized once (bounded collect +
+    // local RDD re-wrap) past the cache, so the returned plan is an
+    // RDD scan, not the unrolled join cascade re-running per consumer
     val pca = staticPlan(ExtQueries.embedPcaPower(spark, sfSmoke))
     assert(!pca.contains("CartesianProduct"), pca.take(3000))
     assert(pca.contains("ExistingRDD") || pca.contains("LogicalRDD"),
-      "embedPcaPower no longer checkpoints its result past the xl cache:\n" + pca.take(3000))
+      "embedPcaPower no longer materializes its result past the xl cache:\n" + pca.take(3000))
   }
 
   test("r16 ops: purged BM25 query path reads artifacts only; change-feed apply plans no cartesian") {
