@@ -5284,4 +5284,147 @@ object ExtQueries {
         VersionedTable.prunedRead(s, root, "n_chars", 200, 400)
           .filter(col("n_chars").between(200, 400))))
   }
+
+  private def vtSlice(tag: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .select(lit(tag).as("slice"), col("n_docs"), col("sum_ids"), col("sum_chars"))
+
+  private val dvDeletePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Merge-on-read delete lifecycle (`layout_dv_delete`,
+    * [[graft.operators.VersionedTable.deleteRosterDV]]): the
+    * DELETION-VECTOR posture of the GDPR verb — CREATE the versioned
+    * table, then two stacked DV deletes (doc_id ≡ 0 mod 7, then ≡ 0
+    * mod 11 — the second covers files the first already vectorized,
+    * exercising the fold-forward), then COMPACTION materializing the
+    * vectors back to plain files. Every version is read back through
+    * its own manifest with the DV anti-join resolving, and the oracle
+    * restates each membership from the raw table — so the hash proves
+    * the vectors hide exactly the doomed rows at each commit, stack
+    * without resurrection, survive time travel, and compaction is
+    * content-identical to the merge-on-read view it replaces. The
+    * spec pins what the hash can't see: NO data file rewritten by
+    * either DV commit, the anti-join broadcast, vectors gone after
+    * compaction.
+    *
+    * Scale shape (100 TB): a DV commit costs ∝ bloom-probed holder
+    * files scanned + deleted-row positions written (KBs) — against
+    * the copy-on-write rewrite ∝ holder bytes; reads pay one
+    * broadcast anti-join ∝ total deleted rows until compaction
+    * resets the trade at maintenance cadence.
+    */
+  def layoutDvDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_dvtable").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d, root, spec, layout)
+    val v2 = VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+    val v3 = VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+    val v4 = VersionedTable.compactDeletes(s, root, spec)
+    retirePrevDir(dvDeletePrev, root)
+    vtSlice(s"1_$v1", VersionedTable.readVersion(s, root, v1))
+      .unionByName(vtSlice(s"2_$v2", VersionedTable.readVersion(s, root, v2)))
+      .unionByName(vtSlice(s"3_$v3", VersionedTable.readVersion(s, root, v3)))
+      .unionByName(vtSlice(s"4_$v4", VersionedTable.readVersion(s, root, v4)))
+      .unionByName(vtSlice("5_band",
+        VersionedTable.prunedRead(s, root, "n_chars", 200, 400)
+          .filter(col("n_chars").between(200, 400))))
+  }
+
+  private val versionedOccPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Multi-writer commit race (`layout_versioned_occ`,
+    * [[graft.operators.VersionedTable.appendOcc]]): writer A captures
+    * head v00001 and — in the window between its head read and its
+    * commit — a competing writer B lands an append (v00002). A's
+    * first attempt writes v00003, passes its audit, and is VETOED by
+    * the [[graft.operators.Publish.publishIf]] head check (tombstoned
+    * `.failed`, number burned); A rebases onto v00002 and commits
+    * v00004. The gate reads all three live versions back; the oracle
+    * restates each membership from the raw table, so the hash proves
+    * NO LOST UPDATE (B's rows survive in A's final fold) and NO
+    * DOUBLE APPLY (A's batch lands exactly once despite two
+    * attempts). The gate fails loudly if the race didn't take
+    * exactly two attempts.
+    */
+  def layoutVersionedOcc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_occtable").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec, layout)
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val (vA, attempts) = VersionedTable.appendOcc(s,
+      d.filter(col("doc_id") % 3 === 2), root, spec, layout,
+      beforeCommit = () =>
+        // the competing writer, landing INSIDE writer A's read→commit
+        // window — first attempt only, so A's retry goes through clean
+        if (raced.compareAndSet(false, true)) {
+          VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+          ()
+        })
+    require(attempts == 2,
+      s"occ gate expected exactly one conflict (2 attempts), got $attempts")
+    retirePrevDir(versionedOccPrev, root)
+    vtSlice(s"1_$v1", VersionedTable.readVersion(s, root, v1))
+      .unionByName(vtSlice("2_v00002", VersionedTable.readVersion(s, root, "v00002")))
+      .unionByName(vtSlice(s"3_$vA", VersionedTable.readVersion(s, root, vA)))
+  }
+
+  private val versionedEvoPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Schema evolution across versions (`layout_versioned_schema_evolution`):
+    * v1 CREATEs the table with (doc_id, n_chars); v2 APPENDs a batch
+    * carrying a NEW `lang` column. The head read resolves the merged
+    * schema (v1 files back-fill `lang` as NULL — parquet mergeSchema
+    * through the manifest's file list), while time travel to v1
+    * returns the original two-column schema untouched. Slices: v1
+    * membership, head legacy rows (every `lang` NULL — n_lang must be
+    * 0), head new rows (every `lang` present). The oracle restates
+    * all three from the raw table with the same NULL back-fill rule.
+    */
+  def layoutVersionedSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_evotable").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(4, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s,
+      d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("n_chars")),
+      root, spec, layout)
+    VersionedTable.append(s,
+      d.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("n_chars"), col("lang")),
+      root, spec, layout)
+    retirePrevDir(versionedEvoPrev, root)
+    val head = VersionedTable.read(s, root)
+    def evoSlice(tag: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          count(col("lang")).as("n_lang"))
+        .select(lit(tag).as("slice"), col("n_docs"), col("sum_ids"), col("n_lang"))
+    // time travel predates the column: n_lang stated as 0 (the spec
+    // pins the v1 schema literally lacking `lang`)
+    evoSlice(s"1_$v1", VersionedTable.readVersion(s, root, v1)
+        .withColumn("lang", lit(null).cast("string")))
+      .unionByName(evoSlice("2_head_legacy", head.filter(col("doc_id") % 2 === 0)))
+      .unionByName(evoSlice("3_head_new", head.filter(col("doc_id") % 2 === 1)))
+  }
 }

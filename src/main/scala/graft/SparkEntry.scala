@@ -363,7 +363,18 @@ object SparkEntry {
     // r17: sidecars composed with WAP versioning — create/append/
     // delete fold one manifest-as-table; every version read through
     // its own manifest, band read pruned off the head manifest
-    "layout_versioned_publish" -> (ExtQueries.layoutVersionedPublish _)
+    "layout_versioned_publish" -> (ExtQueries.layoutVersionedPublish _),
+    // r18: merge-on-read delete — two stacked deletion-vector commits
+    // (no data file rewritten), every read resolving the vector, then
+    // compaction materializing it; all four versions + a band read
+    "layout_dv_delete" -> (ExtQueries.layoutDvDelete _),
+    // r18: multi-writer commit race — conditional publish detects the
+    // competing append, loser tombstones + rebases; no lost update,
+    // no double apply
+    "layout_versioned_occ" -> (ExtQueries.layoutVersionedOcc _),
+    // r18: schema evolution across versions — evolved append, merged
+    // head read with NULL back-fill, time travel keeps the old schema
+    "layout_versioned_schema_evolution" -> (ExtQueries.layoutVersionedSchemaEvolution _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -473,7 +484,13 @@ object SparkEntry {
     "layout_bloom_roster_delete",
     // r17: the versioned-table lifecycle — create/append/delete with
     // manifest folds + time-travel reads, the table-format verb cycle
-    "layout_versioned_publish")
+    "layout_versioned_publish",
+    // r18: merge-on-read — DV commits + anti-join reads + compaction,
+    // the cost model (tiny commit, per-read resolve) is the point
+    "layout_dv_delete",
+    // r18: the OCC commit loop — conflict, tombstone, rebase, retry;
+    // times the multi-writer commit path end to end
+    "layout_versioned_occ")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1703,6 +1720,62 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
         |  AND n_chars BETWEEN 200 AND 400""".stripMargin,
+    // merge-on-read memberships: each DV commit hides exactly the
+    // doomed rows, compaction is content-identical, the band read at
+    // the compacted head misses nothing
+    "layout_dv_delete" ->
+      """SELECT '1_v00001' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT '2_v00002', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT '3_v00003', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+        |UNION ALL
+        |SELECT '4_v00004', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+        |UNION ALL
+        |SELECT '5_band', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+        |  AND n_chars BETWEEN 200 AND 400""".stripMargin,
+    // the commit race: B's append (v00002) and A's rebased commit
+    // (v00004 — v00003 is A's tombstoned first attempt) each land
+    // exactly once; the final membership is the full table
+    "layout_versioned_occ" ->
+      """SELECT '1_v00001' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT '2_v00002', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT '3_v00004', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents""".stripMargin,
+    // evolved-append memberships with the same NULL back-fill rule the
+    // merged head read applies to pre-evolution files
+    "layout_versioned_schema_evolution" ->
+      """SELECT '1_v00001' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(0 AS BIGINT) AS n_lang
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT '2_head_legacy', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT '3_head_new', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(count(lang) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     // every count restated from the raw corpus; leaks pinned at 0 —
     // the Spark side measures them from the purged artifacts on disk
     "pipeline_purge_indexes_audit" ->

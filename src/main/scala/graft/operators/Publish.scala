@@ -126,6 +126,17 @@ object Publish {
     else None
   }
 
+  /** Thrown by [[publishIf]] when the published head moved between the
+    * caller's read and its commit — the optimistic-concurrency loser's
+    * signal to REBASE (re-read the head, re-derive the update) and
+    * retry, never to overwrite. The losing attempt is already
+    * tombstoned (`v<N>.failed`) when this escapes.
+    */
+  final class PublishConflict(val expectedHead: Option[String],
+                              val foundHead: Option[String])
+    extends RuntimeException(
+      s"publish conflict: expected head $expectedHead but found $foundHead")
+
   /** Write → audit → publish. Returns the published version name.
     *
     * @param audit invariant checks run against the READ-BACK version
@@ -141,7 +152,37 @@ object Publish {
   def publish(df: DataFrame, rootPath: String,
               audit: DataFrame => Unit = _ => (),
               partitionBy: Seq[String] = Nil,
-              meta: Map[String, String] = Map.empty): String = {
+              meta: Map[String, String] = Map.empty): String =
+    publishGuarded(df, rootPath, audit, partitionBy, meta, () => ())
+
+  /** OPTIMISTIC-CONCURRENCY publish: commit only if the published head
+    * is still `expectedHead` (as the caller read it when deriving
+    * `df`) — otherwise tombstone the attempt and throw
+    * [[PublishConflict]]. This is the conditional-put half of a
+    * Delta/Iceberg commit: a writer that derived its new version from
+    * head N must not swap the pointer over a head N+1 someone else
+    * published meanwhile (lost update). The check runs after the
+    * write+audit, immediately before the pointer swap; on a real
+    * object store / catalog the swap itself is the conditional
+    * operation — local NIO gives us check-then-move, which is exact
+    * for cooperating writers in one JVM (the gate's shape) and the
+    * same-contract stand-in otherwise.
+    */
+  def publishIf(df: DataFrame, rootPath: String,
+                expectedHead: Option[String],
+                audit: DataFrame => Unit = _ => (),
+                partitionBy: Seq[String] = Nil,
+                meta: Map[String, String] = Map.empty): String =
+    publishGuarded(df, rootPath, audit, partitionBy, meta, () => {
+      val found = currentVersion(rootPath)
+      if (found != expectedHead) throw new PublishConflict(expectedHead, found)
+    })
+
+  private def publishGuarded(df: DataFrame, rootPath: String,
+                             audit: DataFrame => Unit,
+                             partitionBy: Seq[String],
+                             meta: Map[String, String],
+                             headGuard: () => Unit): String = {
     val spark = df.sparkSession
     val r = root(rootPath)
     java.nio.file.Files.createDirectories(r)
@@ -168,6 +209,9 @@ object Publish {
         java.nio.file.Files.write(dir.resolve("_META"),
           meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
             .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // CAS head check (publishIf): a moved head vetoes the commit the
+      // same way a failed audit does — attempt tombstoned, no swap
+      headGuard()
     } catch {
       case e: Throwable =>
         // tombstone, don't delete: renaming to `.failed` makes the

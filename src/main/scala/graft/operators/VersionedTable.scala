@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   *    ([[StatsSpine.rosterHolders]] — a distributed position join,
   *    roster never on the driver), rewrite ONLY holders into a fresh
   *    generation, manifest = survivors ∪ replacement rows;
+  *  - [[deleteRosterDV]] / [[compactDeletes]]: the MERGE-ON-READ
+  *    delete — commit a deletion vector instead of rewriting, reads
+  *    resolve it as a broadcast anti-join, compaction materializes
+  *    it back to copy-on-write at maintenance cadence;
+  *  - [[appendOcc]]: multi-writer append through the
+  *    [[Publish.publishIf]] conditional commit — conflict detection +
+  *    rebase-and-retry, no lost updates;
   *  - reads resolve through the POINTER: [[read]] /
   *    [[readVersion]] list exactly the manifest's files — a directory
   *    is never trusted, so superseded generations sitting on disk
@@ -56,9 +63,20 @@ object VersionedTable {
       spec.statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
         call_function("bloom_agg", col(spec.keyCol).cast("string"), lit(spec.mBits))
           .as("bloom")
+    // the manifest's file identity is `_metadata.file_path` — the SAME
+    // column the deletion-vector build and the DV read resolution use,
+    // so (file, pos) pairs join bit-identically across commits.
+    // (input_file_name() renders `file:///x` where _metadata.file_path
+    // renders `file:/x` — mixing them makes every join silently miss.)
     s.read.parquet(dataDir)
-      .groupBy(input_file_name().as("file"))
+      .groupBy(col("_metadata.file_path").as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      // merge-on-read bookkeeping: a freshly written file carries no
+      // deletion vector; stats/bloom/n_rows stay PHYSICAL (supersets
+      // of the live rows once a DV lands — the skipping contract is
+      // "may contain", so deleted rows only cost false positives)
+      .withColumn("dv_path", lit(null).cast("string"))
+      .withColumn("n_deleted", lit(0L))
   }
 
   /** WAP audit run against every read-back manifest before its
@@ -128,7 +146,9 @@ object VersionedTable {
       val gen = freshGen(root)
       val doomed = roster.select(col(spec.keyCol).cast("string").as("__doomed_k"))
         .filter(col("__doomed_k").isNotNull).distinct()
-      s.read.parquet(holders: _*)
+      // holder rows resolved THROUGH their deletion vectors (a prior
+      // merge-on-read delete must not resurrect in the rewrite)
+      readFiles(s, current.filter(col("file").isin(holders: _*)))
         .join(doomed, col(spec.keyCol).cast("string") === col("__doomed_k"), "left_anti")
         .write.parquet(gen)
       val hf = s.createDataFrame(
@@ -166,9 +186,166 @@ object VersionedTable {
                  lo: Any, hi: Any): DataFrame =
     readFiles(s, StatsSpine.survivors(manifest(s, root), c, lo, hi))
 
+  /** Resolve a manifest's rows to live data: list exactly its files
+    * (schema MERGED across generations — an evolved append's new
+    * column reads back NULL for older files), then apply any deletion
+    * vectors as ONE broadcast anti-join on (file, row-position). The
+    * DV side is ∝ deleted rows (Delta-DV economics: KBs per file),
+    * so the corpus never shuffles for a merge-on-read read — spec-
+    * pinned as a BroadcastHashJoin LeftAnti.
+    */
   private def readFiles(s: SparkSession, manifestRows: DataFrame): DataFrame = {
-    val files = manifestRows.select("file").collect().map(_.getString(0))
-    require(files.nonEmpty, "versioned table manifest lists no files")
-    s.read.parquet(files: _*)
+    val entries = manifestRows.select("file", "dv_path").collect()
+    require(entries.nonEmpty, "versioned table manifest lists no files")
+    val files = entries.map(_.getString(0)).toSeq
+    val dvPaths = entries.flatMap(r => Option(r.getString(1))).distinct.toSeq
+    val base = s.read.option("mergeSchema", "true").parquet(files: _*)
+    if (dvPaths.isEmpty) base
+    else {
+      // row identity at read time = (_metadata.file_path, row_index);
+      // the DV was BUILT from the same metadata columns over the same
+      // immutable files, so the pairs are bit-identical across commits
+      val dv = s.read.parquet(dvPaths: _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+        .distinct()
+      base
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(dv), Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    }
+  }
+
+  /** MERGE-ON-READ targeted delete (the deletion-vector sibling of
+    * [[deleteRoster]]): instead of rewriting holder files, commit a
+    * DELETION VECTOR — the (file, row-position) pairs of the doomed
+    * rows — and repoint the manifest. The commit costs ∝ holders
+    * scanned + DV bytes written; NO data file is rewritten (the gate's
+    * spec pins the data file set unchanged across the commit), and
+    * every read resolves the DV as a broadcast anti-join. This is the
+    * copy-on-write / merge-on-read trade made explicit: [[deleteRoster]]
+    * pays the rewrite at delete time for clean reads;
+    * [[deleteRosterDV]] pays a tiny commit and a per-read anti-join,
+    * and [[compactDeletes]] migrates from the second posture to the
+    * first at maintenance cadence.
+    *
+    * DV layout: one sidecar parquet per DV commit holding ALL deleted
+    * positions for every file it covers (prior DV rows fold forward,
+    * so the newest dv_path is each file's complete vector — Delta's
+    * latest-wins per-file DV in one commit-sized file). Stats, bloom
+    * and n_rows in the manifest stay physical supersets; `n_deleted`
+    * carries the live-row accounting.
+    */
+  def deleteRosterDV(s: SparkSession, root: String, spec: Spec,
+                     roster: DataFrame): String = {
+    val current = Publish.read(s, manifestRoot(root))
+    val holders = StatsSpine.rosterHolders(
+        current.select(col("file"), col("bloom")), roster, spec.keyCol, spec.mBits)
+      .collect().map(_.getString(0)).toSeq
+    if (holders.isEmpty)
+      publishManifest(current, root, Map("verb" -> "delete-dv-noop"))
+    else {
+      val dvDir = s"${filesDir(root)}/dv-" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val doomed = roster.select(col(spec.keyCol).cast("string").as("__doomed_k"))
+        .filter(col("__doomed_k").isNotNull).distinct()
+      // position scan over ONLY the bloom-probed holder files: the
+      // row identity the read path will anti-join on
+      val fresh = s.read.parquet(holders: _*)
+        .select(col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"),
+          col(spec.keyCol).cast("string").as("__k"))
+        .join(doomed, col("__k") === col("__doomed_k"), "left_semi")
+        .select("file", "pos")
+      // fold EVERY prior DV row forward so the new sidecar is the
+      // complete vector for each file it covers (distinct absorbs a
+      // roster that re-deletes an already-deleted row)
+      val priorPaths = current.filter(col("dv_path").isNotNull)
+        .select("dv_path").distinct().collect().map(_.getString(0)).toSeq
+      val dvAll =
+        if (priorPaths.isEmpty) fresh.distinct()
+        else fresh.unionByName(
+          s.read.parquet(priorPaths: _*).select("file", "pos")).distinct()
+      dvAll.repartition(1).write.parquet(dvDir)
+      // account from what LANDED (the publish-audit posture), and
+      // repoint every covered file at the one new complete vector
+      val counts = s.read.parquet(dvDir)
+        .groupBy("file").agg(count(lit(1)).as("__nd"))
+      publishManifest(
+        current.join(counts, Seq("file"), "left")
+          .withColumn("dv_path",
+            when(col("__nd").isNotNull, lit(dvDir)).otherwise(col("dv_path")))
+          .withColumn("n_deleted", coalesce(col("__nd"), lit(0L)))
+          .drop("__nd"),
+        root,
+        Map("verb" -> "delete-dv", "n_holders" -> holders.length.toString))
+    }
+  }
+
+  /** DV COMPACTION: materialize every deletion vector — rewrite the
+    * dv'd files (resolved through their vectors) into a fresh
+    * generation and publish a manifest with no dv_paths. Runs at
+    * maintenance cadence; cost ∝ dv'd files, exactly the rewrite
+    * [[deleteRosterDV]] deferred. After it, reads are anti-join-free
+    * until the next DV commit.
+    */
+  def compactDeletes(s: SparkSession, root: String, spec: Spec): String = {
+    val current = Publish.read(s, manifestRoot(root))
+    val dvd = current.filter(col("dv_path").isNotNull)
+    if (dvd.isEmpty)
+      publishManifest(current, root, Map("verb" -> "compact-dv-noop"))
+    else {
+      val gen = freshGen(root)
+      readFiles(s, dvd).write.parquet(gen)
+      publishManifest(
+        current.filter(col("dv_path").isNull)
+          .unionByName(sidecar(s, gen, spec)),
+        root,
+        Map("verb" -> "compact-dv", "n_compacted" -> dvd.count().toString))
+    }
+  }
+
+  /** OPTIMISTIC-CONCURRENCY append: the multi-writer commit loop every
+    * real table format runs. The batch generation is written ONCE;
+    * then each attempt (1) reads the CURRENT head version name, (2)
+    * folds the batch sidecar onto THAT version's manifest (head-pinned
+    * — never "whatever is current at write time"), and (3) commits
+    * with [[Publish.publishIf]] conditional on the head not having
+    * moved. A competing writer landing in between costs the loser a
+    * tombstoned attempt and a REBASE onto the new head — never a lost
+    * update (the competing commit's rows survive in the winner's fold)
+    * and never a double-apply (the batch folds exactly once per
+    * attempt, and only one attempt publishes).
+    *
+    * @param beforeCommit test/gate seam fired between head capture and
+    *                     commit — the window a real race occupies
+    * @return (published version, attempts taken)
+    */
+  def appendOcc(s: SparkSession, df: DataFrame, root: String, spec: Spec,
+                layout: DataFrame => DataFrame = identity,
+                beforeCommit: () => Unit = () => (),
+                maxAttempts: Int = 5): (String, Int) = {
+    val gen = freshGen(root)
+    layout(df).write.parquet(gen)
+    val batchRows = sidecar(s, gen, spec)
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val head = Publish.currentVersion(manifestRoot(root))
+      require(head.isDefined, s"appendOcc: no published version under $root")
+      val base = Publish.readVersion(s, manifestRoot(root), head.get)
+      beforeCommit()
+      try {
+        return (Publish.publishIf(base.unionByName(batchRows),
+          manifestRoot(root), head,
+          audit = auditFilesExist,
+          meta = Map("verb" -> "append-occ", "attempt" -> attempts.toString,
+            "base" -> head.get)), attempts)
+      } catch {
+        case _: Publish.PublishConflict if attempts < maxAttempts => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"appendOcc: no commit after $maxAttempts attempts under $root")
   }
 }

@@ -111,4 +111,138 @@ class VersionedTableSpec extends SparkSpec {
     assert(Publish.currentVersion(s"$root/manifest").contains(current),
       "a vetoed publish must leave the pointer untouched")
   }
+
+  // ---- merge-on-read (deletion vectors) ----
+
+  test("DV delete rewrites NO data file; vectors stack; accounting matches") {
+    import spark.implicits._
+    val root = fixture()
+    val filesBefore = VersionedTable.manifest(spark, root)
+      .select("file").as[String].collect().toSet
+    VersionedTable.deleteRosterDV(spark, root, spec, (0L until 600L by 7L).toDF("k"))
+    val m2 = VersionedTable.manifest(spark, root)
+    // merge-on-read: the data file set is IDENTICAL — only the
+    // manifest's dv columns moved
+    assert(m2.select("file").as[String].collect().toSet == filesBefore,
+      "a DV commit must not rewrite or retire any data file")
+    assert(m2.agg(sum("n_deleted")).head.getLong(0) == 86L)
+    assert(VersionedTable.read(spark, root).count() == 600L - 86L)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") % 7 === 0).count() == 0L)
+    // second, overlapping DV commit: stacks without resurrecting
+    VersionedTable.deleteRosterDV(spark, root, spec, (0L until 600L by 3L).toDF("k"))
+    val m3 = VersionedTable.manifest(spark, root)
+    assert(m3.select("file").as[String].collect().toSet == filesBefore)
+    val live = VersionedTable.read(spark, root)
+    assert(live.filter(col("k") % 7 === 0 || col("k") % 3 === 0).count() == 0L)
+    val expected = (0L until 600L).count(k => k % 7 != 0 && k % 3 != 0).toLong
+    assert(live.count() == expected)
+    assert(m3.agg(sum("n_deleted")).head.getLong(0) == 600L - expected)
+    // exactly one complete vector per file: every dv'd row points at
+    // the NEWEST sidecar (prior rows folded forward)
+    assert(m3.filter(col("dv_path").isNotNull)
+      .select("dv_path").distinct().count() == 1L)
+  }
+
+  test("DV read resolves as a broadcast anti-join — the corpus never shuffles") {
+    import spark.implicits._
+    val root = fixture()
+    VersionedTable.deleteRosterDV(spark, root, spec, (0L until 600L by 7L).toDF("k"))
+    val plan = VersionedTable.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV resolution must be a broadcast anti-join:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"DV resolution must not sort-merge the corpus:\n${plan.take(2000)}")
+  }
+
+  test("compaction materializes vectors content-identically; old versions keep resolving") {
+    import spark.implicits._
+    val root = fixture()
+    VersionedTable.deleteRosterDV(spark, root, spec, (0L until 600L by 7L).toDF("k"))
+    val dvVersion = Publish.currentVersion(s"$root/manifest").get
+    val viewBefore = VersionedTable.read(spark, root)
+      .orderBy("k").as[(Long, String)].collect()
+    val v4 = VersionedTable.compactDeletes(spark, root, spec)
+    val head = VersionedTable.manifest(spark, root)
+    assert(head.filter(col("dv_path").isNotNull).count() == 0L,
+      "compaction must clear every dv_path")
+    assert(head.agg(sum("n_deleted")).head.getLong(0) == 0L)
+    val viewAfter = VersionedTable.read(spark, root)
+      .orderBy("k").as[(Long, String)].collect()
+    assert(viewAfter.sameElements(viewBefore),
+      "compaction changed the table's content")
+    // physical accounting: compacted files really dropped the rows
+    assert(head.agg(sum("n_rows")).head.getLong(0) == 600L - 86L)
+    // the DV'd version still resolves through ITS vector (the sidecar
+    // outlives the compaction — generations and sidecars are immutable)
+    assert(VersionedTable.readVersion(spark, root, dvVersion).count() == 600L - 86L)
+    // and the pre-delete version still reads the full content
+    assert(VersionedTable.readVersion(spark, root, "v00002").count() == 600L)
+    assert(v4 != dvVersion)
+  }
+
+  test("copy-on-write delete over a DV'd holder does not resurrect vectored rows") {
+    import spark.implicits._
+    val root = fixture()
+    VersionedTable.deleteRosterDV(spark, root, spec, (0L until 600L by 7L).toDF("k"))
+    // the roster hits files that already carry vectors; the rewrite
+    // must apply those vectors, not re-read the physical rows
+    VersionedTable.deleteRoster(spark, root, spec, (0L until 600L by 5L).toDF("k"))
+    val live = VersionedTable.read(spark, root)
+    assert(live.filter(col("k") % 7 === 0 || col("k") % 5 === 0).count() == 0L)
+    assert(live.count() ==
+      (0L until 600L).count(k => k % 7 != 0 && k % 5 != 0).toLong)
+  }
+
+  // ---- optimistic concurrency ----
+
+  test("publishIf vetoes a stale head with a tombstone; appendOcc rebases exactly once") {
+    import spark.implicits._
+    val root = fixture()
+    val mroot = s"$root/manifest"
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val (vA, attempts) = VersionedTable.appendOcc(spark,
+      (600L until 700L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec,
+      beforeCommit = () =>
+        if (raced.compareAndSet(false, true)) {
+          VersionedTable.append(spark,
+            (700L until 800L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec)
+          ()
+        })
+    assert(attempts == 2, s"expected one conflict + one rebase, got $attempts")
+    assert(vA == "v00005", s"conflicted attempt must burn its number, got $vA")
+    // the loser's attempt is tombstoned, never silently deleted
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(mroot).resolve("v00004.failed")))
+    // no lost update, no double apply
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() == 800L)
+    assert(head.select(sum("k")).head.getLong(0) == (0L until 800L).sum)
+    // direct CAS check: a publish conditioned on a stale head throws
+    intercept[Publish.PublishConflict] {
+      Publish.publishIf(Seq(1L).toDF("x"), mroot, Some("v00001"))
+    }
+  }
+
+  // ---- schema evolution ----
+
+  test("evolved append: head merges with NULL back-fill; time travel keeps the old schema") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-evo").toString
+    VersionedTable.create(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec)
+    VersionedTable.append(spark,
+      (100L until 200L).map(i => (i, s"v$i", i * 10)).toDF("k", "v", "extra"),
+      root, spec)
+    val head = VersionedTable.read(spark, root)
+    assert(head.columns.toSeq.contains("extra"))
+    assert(head.filter(col("k") < 100 && col("extra").isNotNull).count() == 0L,
+      "pre-evolution rows must back-fill the new column as NULL")
+    assert(head.filter(col("k") >= 100).agg(sum("extra")).head.getLong(0) ==
+      (100L until 200L).map(_ * 10).sum)
+    // time travel predates the evolution: the column must NOT appear
+    assert(!VersionedTable.readVersion(spark, root, "v00001")
+      .columns.toSeq.contains("extra"))
+  }
 }
