@@ -5427,4 +5427,91 @@ object ExtQueries {
       .unionByName(evoSlice("2_head_legacy", head.filter(col("doc_id") % 2 === 0)))
       .unionByName(evoSlice("3_head_new", head.filter(col("doc_id") % 2 === 1)))
   }
+
+  private val dvUpsertPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Merge-on-read upsert (`layout_dv_upsert`,
+    * [[graft.operators.VersionedTable.upsertDV]]): replace-by-key in
+    * ONE commit — updates (doc_id ≡ 0 mod 13, n_chars bumped +1000)
+    * and brand-new inserts (ids offset past max(doc_id), from the
+    * ≡ 0 mod 17 slice) land as a fresh generation while every
+    * replaced row is deletion-vectored, atomically (one manifest
+    * publish carries both actions). The head read must show exactly
+    * the merged table: the oracle restates it as a CASE-adjusted
+    * UNION, sliced by whole-table / updated-band / inserted-band —
+    * a replaced row appearing twice (vector missed) or not at all
+    * (append missed) breaks a slice hash.
+    *
+    * Scale shape (100 TB): the MERGE cost model merge-on-read buys —
+    * commit ∝ bloom-probed holders scanned + batch written; zero
+    * existing files rewritten (spec-pinned), against copy-on-write
+    * MERGE's rewrite of every matched file.
+    */
+  def layoutDvUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_dvupsert").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d, root, spec, layout)
+    val off = d.agg(max("doc_id")).head.getLong(0) + 1L
+    val updates = d.filter(col("doc_id") % 13 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(d.filter(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(off)))
+    VersionedTable.upsertDV(s, root, spec, updates, layout)
+    retirePrevDir(dvUpsertPrev, root)
+    val head = VersionedTable.read(s, root)
+    vtSlice("1_head", head)
+      .unionByName(vtSlice("2_updated",
+        head.filter(col("doc_id") % 13 === 0 && col("doc_id") < off)))
+      .unionByName(vtSlice("3_inserted", head.filter(col("doc_id") >= off)))
+  }
+
+  private val versionedVacuumPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Versioned-table physical vacuum (`layout_versioned_vacuum`,
+    * [[graft.operators.VersionedTable.vacuum]]): the storage-reclaim
+    * half of the table model — a five-commit history (create, append,
+    * copy-on-write delete, DV delete, compaction) leaves superseded
+    * generation files and a consumed DV sidecar on disk for time
+    * travel; `vacuum(keepLast = 2)` retires manifests v1–v3 and
+    * deletes every file only they referenced, while v4 (the DV view)
+    * and v5 (compacted head) keep reading byte-identically from the
+    * retained set. The oracle restates both retained memberships; the
+    * spec pins the physical claims — files actually reclaimed, time
+    * travel to a vacuumed version refused, reclaim idempotent.
+    *
+    * Scale shape (100 TB): reclaim ∝ file-count listing + deletes
+    * (no data read/moved); the referenced set is manifest-sized —
+    * Delta `VACUUM ... RETAIN` economics on the explicit manifest.
+    */
+  def layoutVersionedVacuum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_vtvac").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d.filter(col("doc_id") % 2 === 0), root, spec, layout)
+    VersionedTable.append(s, d.filter(col("doc_id") % 2 === 1), root, spec, layout)
+    VersionedTable.deleteRoster(s, root, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    val v4 = VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    val v5 = VersionedTable.compactDeletes(s, root, spec)
+    val (retired, nFiles, _) = VersionedTable.vacuum(s, root, keepLast = 2)
+    require(retired.nonEmpty && nFiles > 0,
+      s"vacuum gate expected real reclaim, got retired=$retired files=$nFiles")
+    retirePrevDir(versionedVacuumPrev, root)
+    vtSlice(s"1_$v5", VersionedTable.read(s, root))
+      .unionByName(vtSlice(s"2_$v4", VersionedTable.readVersion(s, root, v4)))
+  }
 }

@@ -374,7 +374,13 @@ object SparkEntry {
     "layout_versioned_occ" -> (ExtQueries.layoutVersionedOcc _),
     // r18: schema evolution across versions — evolved append, merged
     // head read with NULL back-fill, time travel keeps the old schema
-    "layout_versioned_schema_evolution" -> (ExtQueries.layoutVersionedSchemaEvolution _)
+    "layout_versioned_schema_evolution" -> (ExtQueries.layoutVersionedSchemaEvolution _),
+    // r18: merge-on-read upsert — replace-by-key in one atomic commit
+    // (batch appended + replaced rows vectorized, one manifest publish)
+    "layout_dv_upsert" -> (ExtQueries.layoutDvUpsert _),
+    // r18: physical vacuum — retire old manifests, reclaim every file
+    // only they referenced; retained versions read byte-identically
+    "layout_versioned_vacuum" -> (ExtQueries.layoutVersionedVacuum _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -490,7 +496,10 @@ object SparkEntry {
     "layout_dv_delete",
     // r18: the OCC commit loop — conflict, tombstone, rebase, retry;
     // times the multi-writer commit path end to end
-    "layout_versioned_occ")
+    "layout_versioned_occ",
+    // r18: merge-on-read upsert — probe + vectorize + batch append in
+    // one commit; the MERGE cost model is the point
+    "layout_dv_upsert")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1761,6 +1770,39 @@ object SparkEntry {
         |SELECT '3_v00004', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents""".stripMargin,
+    // the merged table restated as a CASE-adjusted UNION: replaced
+    // rows once with bumped chars, inserts offset past max(doc_id)
+    "layout_dv_upsert" ->
+      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+        |merged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + o, n_chars FROM documents, off WHERE doc_id % 17 = 0)
+        |SELECT '1_head' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged
+        |UNION ALL
+        |SELECT '2_updated', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM merged, off WHERE doc_id % 13 = 0 AND doc_id < o
+        |UNION ALL
+        |SELECT '3_inserted', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM merged, off WHERE doc_id >= o""".stripMargin,
+    // both retained versions' memberships: the DV view (v4) and the
+    // compacted head (v5) survive the reclaim byte-identically
+    "layout_versioned_vacuum" ->
+      """SELECT '1_v00005' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT '2_v00004', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0""".stripMargin,
     // evolved-append memberships with the same NULL back-fill rule the
     // merged head read applies to pre-evolution files
     "layout_versioned_schema_evolution" ->

@@ -239,11 +239,29 @@ object VersionedTable {
   def deleteRosterDV(s: SparkSession, root: String, spec: Spec,
                      roster: DataFrame): String = {
     val current = Publish.read(s, manifestRoot(root))
+    vectorize(s, current, root, spec, roster) match {
+      case None =>
+        publishManifest(current, root, Map("verb" -> "delete-dv-noop"))
+      case Some((rows, nHolders)) =>
+        publishManifest(rows, root,
+          Map("verb" -> "delete-dv", "n_holders" -> nHolders.toString))
+    }
+  }
+
+  /** Shared DV core for the delete and upsert commits: write a new
+    * complete sidecar vectorizing `roster`'s rows (bloom-probed
+    * holders scanned once; EVERY prior DV row folds forward so the
+    * newest dv_path is each covered file's complete vector; distinct
+    * absorbs re-deletes of already-vectored rows) and return the
+    * repointed manifest rows — or None when no file holds any roster
+    * key. The caller publishes.
+    */
+  private def vectorize(s: SparkSession, current: DataFrame, root: String,
+                        spec: Spec, roster: DataFrame): Option[(DataFrame, Int)] = {
     val holders = StatsSpine.rosterHolders(
         current.select(col("file"), col("bloom")), roster, spec.keyCol, spec.mBits)
       .collect().map(_.getString(0)).toSeq
-    if (holders.isEmpty)
-      publishManifest(current, root, Map("verb" -> "delete-dv-noop"))
+    if (holders.isEmpty) None
     else {
       val dvDir = s"${filesDir(root)}/dv-" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -257,9 +275,6 @@ object VersionedTable {
           col(spec.keyCol).cast("string").as("__k"))
         .join(doomed, col("__k") === col("__doomed_k"), "left_semi")
         .select("file", "pos")
-      // fold EVERY prior DV row forward so the new sidecar is the
-      // complete vector for each file it covers (distinct absorbs a
-      // roster that re-deletes an already-deleted row)
       val priorPaths = current.filter(col("dv_path").isNotNull)
         .select("dv_path").distinct().collect().map(_.getString(0)).toSeq
       val dvAll =
@@ -271,15 +286,117 @@ object VersionedTable {
       // repoint every covered file at the one new complete vector
       val counts = s.read.parquet(dvDir)
         .groupBy("file").agg(count(lit(1)).as("__nd"))
-      publishManifest(
-        current.join(counts, Seq("file"), "left")
-          .withColumn("dv_path",
-            when(col("__nd").isNotNull, lit(dvDir)).otherwise(col("dv_path")))
-          .withColumn("n_deleted", coalesce(col("__nd"), lit(0L)))
-          .drop("__nd"),
-        root,
-        Map("verb" -> "delete-dv", "n_holders" -> holders.length.toString))
+      Some((current.join(counts, Seq("file"), "left")
+        .withColumn("dv_path",
+          when(col("__nd").isNotNull, lit(dvDir)).otherwise(col("dv_path")))
+        .withColumn("n_deleted", coalesce(col("__nd"), lit(0L)))
+        .drop("__nd"), holders.length))
     }
+  }
+
+  /** MERGE-ON-READ UPSERT — replace-by-key in ONE commit: every
+    * `updates` row is appended as a fresh generation, and every
+    * EXISTING row sharing a key with `updates` is deletion-vectored,
+    * in the same manifest publish (atomic: readers see neither action
+    * or both). Keys absent from the table are plain inserts (the DV
+    * half finds no holders). Caller contract: one row per key in
+    * `updates` — duplicate keys all land, as in a SQL MERGE whose
+    * source is keyed.
+    *
+    * This is the Delta/Iceberg merge-on-read UPDATE shape: commit
+    * cost ∝ bloom-probed holders scanned + batch written; no existing
+    * data file is rewritten.
+    */
+  def upsertDV(s: SparkSession, root: String, spec: Spec,
+               updates: DataFrame,
+               layout: DataFrame => DataFrame = identity): String = {
+    val current = Publish.read(s, manifestRoot(root))
+    val gen = freshGen(root)
+    layout(updates).write.parquet(gen)
+    val batchRows = sidecar(s, gen, spec)
+    val base = vectorize(s, current, root, spec,
+      updates.select(col(spec.keyCol))) match {
+      case None => current
+      case Some((rows, _)) => rows
+    }
+    publishManifest(base.unionByName(batchRows), root,
+      Map("verb" -> "upsert-dv"))
+  }
+
+  /** PHYSICAL VACUUM — the storage-reclaim half the manifest model
+    * owes: [[Publish.vacuumRetain]] retires old MANIFEST versions, and
+    * this walks the data root deleting every generation file and DV
+    * sidecar no retained manifest references. Two granularities: data
+    * files reclaim individually (a generation can be partially
+    * superseded — a delete retracted only its holder files), DV
+    * sidecar dirs reclaim whole (a sidecar is referenced or not).
+    * Safe by construction: everything a retained manifest names is in
+    * the referenced set, so every surviving version still reads
+    * byte-identically; time travel to a vacuumed version is refused
+    * by name (its manifest dir is gone).
+    *
+    * Returns (retired manifest versions, data files reclaimed, DV
+    * sidecars reclaimed). Idempotent; crash mid-reclaim leaves
+    * orphans a re-run removes.
+    *
+    * Scale shape (100 TB): cost ∝ file-count listing + deletes — no
+    * data is read or moved; the referenced set is manifest-sized.
+    */
+  def vacuum(s: SparkSession, root: String, keepLast: Int): (Seq[String], Int, Int) = {
+    val retiredManifests = Publish.vacuumRetain(manifestRoot(root), keepLast)
+    // referenced set across ALL manifest versions still on disk
+    val mroot = java.nio.file.Paths.get(manifestRoot(root))
+    val liveVersions = {
+      val st = java.nio.file.Files.list(mroot)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("v\\d+")).toSeq
+      } finally st.close()
+    }
+    def fsPath(uri: String): String =
+      java.nio.file.Paths.get(uri.stripPrefix("file:")).toString
+    val referenced = liveVersions.flatMap { v =>
+      Publish.readVersion(s, manifestRoot(root), v)
+        .select("file", "dv_path").collect()
+        .flatMap(r => Seq(Option(r.getString(0)), Option(r.getString(1))).flatten)
+    }.map(fsPath).toSet
+    // a dv_path is a directory; its whole subtree is referenced
+    val fdir = java.nio.file.Paths.get(filesDir(root))
+    var nFiles = 0
+    var nDvs = 0
+    if (java.nio.file.Files.isDirectory(fdir)) {
+      val st = java.nio.file.Files.list(fdir)
+      val children =
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.toSeq
+        } finally st.close()
+      children.foreach { child =>
+        val name = child.getFileName.toString
+        if (name.startsWith("dv-")) {
+          if (!referenced.contains(child.toString)) {
+            Checkpoints.deleteTree(child); nDvs += 1
+          }
+        } else if (java.nio.file.Files.isDirectory(child)) {
+          val gst = java.nio.file.Files.list(child)
+          val parts =
+            try {
+              import scala.jdk.CollectionConverters._
+              gst.iterator().asScala.toSeq
+            } finally gst.close()
+          val dataParts = parts.filter(_.toString.endsWith(".parquet"))
+          val (kept, doomed) =
+            dataParts.partition(p => referenced.contains(p.toString))
+          doomed.foreach { p =>
+            java.nio.file.Files.deleteIfExists(p); nFiles += 1
+          }
+          // a fully superseded generation goes entirely (markers too)
+          if (kept.isEmpty) Checkpoints.deleteTree(child)
+        }
+      }
+    }
+    (retiredManifests, nFiles, nDvs)
   }
 
   /** DV COMPACTION: materialize every deletion vector — rewrite the

@@ -225,6 +225,63 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("upsertDV replaces by key in one commit; no existing data file rewritten") {
+    import spark.implicits._
+    val root = fixture()
+    val filesBefore = VersionedTable.manifest(spark, root)
+      .select("file").as[String].collect().toSet
+    val versionsBefore = Publish.currentVersion(s"$root/manifest").get
+    // replace k in [0,50) with new payloads; insert k in [600,650)
+    val updates = ((0L until 50L).map(i => (i, s"UPD$i")) ++
+      (600L until 650L).map(i => (i, s"v$i"))).toDF("k", "v")
+    val v = VersionedTable.upsertDV(spark, root, spec, updates)
+    // ONE commit: exactly one version advanced
+    assert(v == "v%05d".format(versionsBefore.drop(1).toLong + 1))
+    val m = VersionedTable.manifest(spark, root)
+    // merge-on-read: every pre-existing data file is still listed
+    assert(filesBefore.subsetOf(m.select("file").as[String].collect().toSet),
+      "upsert must not rewrite or retire existing data files")
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() == 650L)
+    // replaced exactly once, with the new payload
+    assert(head.filter(col("k") < 50).count() == 50L)
+    assert(head.filter(col("k") < 50 && !col("v").startsWith("UPD")).count() == 0L)
+    assert(m.agg(sum("n_deleted")).head.getLong(0) == 50L)
+  }
+
+  test("vacuum reclaims only unreferenced files; retained versions read on; refused time travel") {
+    import spark.implicits._
+    val root = fixture()
+    VersionedTable.deleteRoster(spark, root, spec, (0L until 600L by 5L).toDF("k"))
+    val v4 = VersionedTable.deleteRosterDV(spark, root, spec,
+      (0L until 600L by 3L).toDF("k"))
+    val v5 = VersionedTable.compactDeletes(spark, root, spec)
+    val headBefore = VersionedTable.read(spark, root)
+      .orderBy("k").as[(Long, String)].collect()
+    val v4Before = VersionedTable.readVersion(spark, root, v4)
+      .orderBy("k").as[(Long, String)].collect()
+    val (retired, nFiles, nDvs) = VersionedTable.vacuum(spark, root, keepLast = 2)
+    assert(retired.toSet == Set("v00001", "v00002", "v00003"), retired.toString)
+    assert(nFiles > 0, "vacuum must reclaim the superseded generation files")
+    // the DV sidecar is still referenced by retained v4
+    assert(nDvs == 0, "v4's vector must survive a keepLast=2 vacuum")
+    assert(VersionedTable.read(spark, root)
+      .orderBy("k").as[(Long, String)].collect().sameElements(headBefore))
+    assert(VersionedTable.readVersion(spark, root, v4)
+      .orderBy("k").as[(Long, String)].collect().sameElements(v4Before))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, root, "v00002")
+    }
+    // idempotent: nothing further to reclaim
+    assert(VersionedTable.vacuum(spark, root, keepLast = 2) == (Seq(), 0, 0))
+    // tightening the window reclaims v4 and, with it, the vector
+    val (retired2, _, nDvs2) = VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(retired2 == Seq(v4) && nDvs2 == 1,
+      s"keepLast=1 must retire $v4 and its sidecar, got ($retired2, $nDvs2)")
+    assert(VersionedTable.read(spark, root)
+      .orderBy("k").as[(Long, String)].collect().sameElements(headBefore))
+  }
+
   // ---- schema evolution ----
 
   test("evolved append: head merges with NULL back-fill; time travel keeps the old schema") {
