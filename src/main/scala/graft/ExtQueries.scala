@@ -5514,4 +5514,51 @@ object ExtQueries {
     vtSlice(s"1_$v5", VersionedTable.read(s, root))
       .unionByName(vtSlice(s"2_$v4", VersionedTable.readVersion(s, root, v4)))
   }
+
+  private val dvChangeFeedPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Manifest-derived change feed (`layout_dv_change_feed`,
+    * [[graft.operators.VersionedTable.changeFeed]]): the row-level CDF
+    * between two versions computed from manifests + DV sidecars alone
+    * — inserts are the added files' rows resolved through the newer
+    * vectors, deletes are the DV delta resolved back to FULL OLD ROWS
+    * by a position join (vectored bytes stay on disk, so the feed
+    * carries payloads, not just keys). The gate drives create →
+    * append → DV-delete, pulls the v1→v3 feed, APPLIES it to a
+    * replica of v1 (anti-join deletes, union inserts), and slices
+    * feed inserts / feed deletes / applied replica — the applied
+    * hash equals the head membership only if the feed is exactly the
+    * net change (CDF semantics: a row inserted and deleted inside the
+    * window must net out of both sides).
+    *
+    * Scale shape (100 TB): feed ∝ changed files read + DV delta,
+    * never ∝ table — the incremental-consumer economics a CDC
+    * pipeline needs; planning inputs are two manifest reads.
+    */
+  def layoutDvChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_dvfeed").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec, layout)
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    val v3 = VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    val feed = VersionedTable.changeFeed(s, root, v1, v3)
+    retirePrevDir(dvChangeFeedPrev, root)
+    val ins = feed.filter(col("change_type") === "insert").drop("change_type")
+    val del = feed.filter(col("change_type") === "delete")
+    val applied = VersionedTable.readVersion(s, root, v1)
+      .join(del.select(col("doc_id").as("__del_id")),
+        col("doc_id") === col("__del_id"), "left_anti")
+      .unionByName(ins)
+    vtSlice("1_inserts", ins)
+      .unionByName(vtSlice("2_deletes", del))
+      .unionByName(vtSlice("3_applied", applied))
+  }
 }

@@ -297,6 +297,11 @@ object SparkEntry {
     // history; the gate reads every pointer-history version back
     "streaming_versioned_publish" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingVersionedPublish(s, d)),
+    // r18: stream → manifest-backed table — batchId-idempotent commits
+    // into VersionedTable (create then append), stale replay no-ops,
+    // every version read through its own manifest
+    "streaming_versioned_ingest" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingVersionedIngest(s, d)),
     // r15: the stored/incremental inverted-index family — BM25 top-k
     // from the content-keyed stored postings + df/stats spines (zero
     // corpus-side exchanges; no query-time tokenize), and the
@@ -380,7 +385,10 @@ object SparkEntry {
     "layout_dv_upsert" -> (ExtQueries.layoutDvUpsert _),
     // r18: physical vacuum — retire old manifests, reclaim every file
     // only they referenced; retained versions read byte-identically
-    "layout_versioned_vacuum" -> (ExtQueries.layoutVersionedVacuum _)
+    "layout_versioned_vacuum" -> (ExtQueries.layoutVersionedVacuum _),
+    // r18: manifest-derived row-level CDF — inserts from added files,
+    // deletes from the DV delta with full old payloads; apply-verified
+    "layout_dv_change_feed" -> (ExtQueries.layoutDvChangeFeed _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -499,7 +507,10 @@ object SparkEntry {
     "layout_versioned_occ",
     // r18: merge-on-read upsert — probe + vectorize + batch append in
     // one commit; the MERGE cost model is the point
-    "layout_dv_upsert")
+    "layout_dv_upsert",
+    // r18: the CDF pull + apply — manifest diff, DV-delta position
+    // join, replica fold; incremental-consumer economics
+    "layout_dv_change_feed")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1457,6 +1468,18 @@ object SparkEntry {
         |SELECT 'v00002', 1, CAST(COUNT(*) AS BIGINT),
         |  CAST(SUM(n) AS BIGINT), CAST(SUM(fp) AS BIGINT)
         |FROM a2""".stripMargin,
+    // v00001 = wave-1 membership (doc_id % 2 = 0, batch 0 creates the
+    // table), v00002 = everything (batch 1 appends); the stale replay
+    // published nothing or the v00002 row would double-count
+    "streaming_versioned_ingest" ->
+      """SELECT 'v00001' AS version, CAST(0 AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'v00002', 1, count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents""".stripMargin,
     "text_segment_dedup" -> ExtOracleSql.textSegmentDedup,
     "qa_sketch_reagg" -> ExtOracleSql.qaSketchReagg,
     "agg_quantile_sketch" -> ExtOracleSql.aggQuantileSketch,
@@ -1792,6 +1815,21 @@ object SparkEntry {
         |SELECT '3_inserted', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM merged, off WHERE doc_id >= o""".stripMargin,
+    // the net feed and its application: inserts = appended-and-still-
+    // live, deletes = vectored v1 rows, applied = head membership
+    "layout_dv_change_feed" ->
+      """SELECT '1_inserts' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT '2_deletes', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+        |UNION ALL
+        |SELECT '3_applied', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0""".stripMargin,
     // both retained versions' memberships: the DV view (v4) and the
     // compacted head (v5) survive the reclaim byte-identically
     "layout_versioned_vacuum" ->

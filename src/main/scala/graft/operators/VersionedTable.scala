@@ -108,22 +108,25 @@ object VersionedTable {
     * write generation 0, publish manifest v1. Returns the version.
     */
   def create(s: SparkSession, df: DataFrame, root: String, spec: Spec,
-             layout: DataFrame => DataFrame = identity): String = {
+             layout: DataFrame => DataFrame = identity,
+             extraMeta: Map[String, String] = Map.empty): String = {
     val gen = freshGen(root)
     layout(df).write.parquet(gen)
-    publishManifest(sidecar(s, gen, spec), root, Map("verb" -> "create"))
+    publishManifest(sidecar(s, gen, spec), root,
+      extraMeta + ("verb" -> "create"))
   }
 
   /** Append a batch: ONLY the batch generation is written and scanned;
     * the manifest folds batch sidecar rows onto the current version's.
     */
   def append(s: SparkSession, df: DataFrame, root: String, spec: Spec,
-             layout: DataFrame => DataFrame = identity): String = {
+             layout: DataFrame => DataFrame = identity,
+             extraMeta: Map[String, String] = Map.empty): String = {
     val gen = freshGen(root)
     layout(df).write.parquet(gen)
     publishManifest(
       Publish.read(s, manifestRoot(root)).unionByName(sidecar(s, gen, spec)),
-      root, Map("verb" -> "append"))
+      root, extraMeta + ("verb" -> "append"))
   }
 
   /** Targeted delete of a roster DataFrame: bloom-probe the CURRENT
@@ -163,9 +166,107 @@ object VersionedTable {
     }
   }
 
+  /** Verbs after which a manifest's file-level diff IS the content
+    * diff — a rewrite verb (copy-on-write delete, DV compaction)
+    * churns files without changing content, so [[changeFeed]] refuses
+    * windows containing one.
+    */
+  private val FeedSafeVerbs = Set(
+    "create", "append", "append-occ", "delete-dv", "delete-dv-noop",
+    "upsert-dv")
+
+  /** ROW-LEVEL CHANGE FEED between two versions, derived from
+    * manifests + DV sidecars ALONE — no content diff, no snapshot
+    * comparison scan:
+    *
+    *  - INSERTS = rows of files `toV` lists that `fromV` doesn't,
+    *    resolved through `toV`'s vectors (a row inserted AND deleted
+    *    inside the window nets out, CDF semantics);
+    *  - DELETES = the DV delta (toV's vector positions minus fromV's)
+    *    on files BOTH versions list, resolved back to FULL OLD ROWS by
+    *    a position join — the vectored bytes are still on disk, so the
+    *    feed can carry the deleted payload, not just a key.
+    *
+    * Sound only while every commit in the window is append/DV-shaped:
+    * a rewrite verb (copy-on-write delete, compaction) churns files
+    * without changing content, so the window is VERB-GUARDED via each
+    * version's `_META` and refused otherwise (use the rewrite-free
+    * cadence between maintenance windows, the Delta CDF posture).
+    *
+    * Scale shape (100 TB): feed cost ∝ changed files read + DV delta
+    * — never ∝ table; the planning inputs are two manifest reads.
+    */
+  def changeFeed(s: SparkSession, root: String,
+                 fromV: String, toV: String): DataFrame = {
+    val mroot = manifestRoot(root)
+    val lo = fromV.drop(1).toLong
+    val hi = toV.drop(1).toLong
+    require(lo < hi, s"changeFeed: $fromV must precede $toV")
+    (lo + 1 to hi).map("v%05d".format(_)).foreach { v =>
+      val dir = java.nio.file.Paths.get(mroot).resolve(v)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val verb = Publish.readMeta(mroot, v).getOrElse("verb", "?")
+        require(FeedSafeVerbs.contains(verb),
+          s"changeFeed: window contains rewrite commit $v (verb=$verb) — " +
+            "file diff is not content diff across a rewrite")
+      }
+    }
+    val mA = Publish.readVersion(s, mroot, fromV)
+    val mB = Publish.readVersion(s, mroot, toV)
+    def dvRows(m: DataFrame): Option[DataFrame] = {
+      val paths = m.filter(col("dv_path").isNotNull)
+        .select("dv_path").distinct().collect().map(_.getString(0)).toSeq
+      if (paths.isEmpty) None
+      else Some(s.read.parquet(paths: _*).select("file", "pos").distinct())
+    }
+    // inserts: added files resolved through toV's vectors (readFiles
+    // applies the manifest rows' own dv_path)
+    val addedFiles = mB.join(mA.select("file"), Seq("file"), "left_anti")
+    val inserts =
+      (if (addedFiles.isEmpty) None else Some(readFiles(s, addedFiles)))
+    // deletes: DV delta restricted to files fromV listed
+    val deltaOpt = (dvRows(mB), dvRows(mA)) match {
+      case (None, _) => None
+      case (Some(b), a) =>
+        val d = a.fold(b)(ar => b.join(ar, Seq("file", "pos"), "left_anti"))
+          .join(mA.select("file"), Seq("file"), "left_semi")
+        if (d.isEmpty) None else Some(d)
+    }
+    val deletes = deltaOpt.map { delta =>
+      val files = delta.select("file").distinct().collect().map(_.getString(0)).toSeq
+      s.read.option("mergeSchema", "true").parquet(files: _*)
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(delta.select(col("file").as("__dv_file"),
+          col("pos").as("__dv_pos"))), Seq("__dv_file", "__dv_pos"), "left_semi")
+        .drop("__dv_file", "__dv_pos")
+    }
+    val tagged = Seq(
+      inserts.map(_.withColumn("change_type", lit("insert"))),
+      deletes.map(_.withColumn("change_type", lit("delete")))).flatten
+    require(tagged.nonEmpty,
+      s"changeFeed: no changes between $fromV and $toV")
+    tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** The current version's manifest (the queryable table log). */
   def manifest(s: SparkSession, root: String): DataFrame =
     Publish.read(s, manifestRoot(root))
+
+  /** The published head version name, if the table exists yet. */
+  def headVersion(root: String): Option[String] =
+    Publish.currentVersion(manifestRoot(root))
+
+  /** The head version's `_META` value for `key`, if any — e.g. the
+    * `batchId` a streaming ingest stamped its commit with.
+    */
+  def headMeta(root: String, key: String): Option[String] =
+    headVersion(root).flatMap(v =>
+      Publish.readMeta(manifestRoot(root), v).get(key))
+
+  /** A named version's `_META` pairs (provenance surface). */
+  def versionMeta(root: String, v: String): Map[String, String] =
+    Publish.readMeta(manifestRoot(root), v)
 
   /** Read the current version: exactly the manifest's file list. */
   def read(s: SparkSession, root: String): DataFrame =

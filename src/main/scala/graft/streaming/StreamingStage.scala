@@ -1233,4 +1233,85 @@ object StreamingStage {
       .filter(col("user_id") >= 0)
     runToTable(sessions.toDF(), "streaming_sessionize", "append")
   }
+
+  /** Micro-batch APPEND into the MANIFEST-BACKED table
+    * ([[graft.operators.VersionedTable]]) — the streaming sink a real
+    * table format ships: [[publishVersioned]]'s batchId idempotence
+    * composed with the manifest fold, so each micro-batch lands as a
+    * versioned commit whose stats/bloom sidecar rows fold ∝ batch
+    * (never the table), and a redelivered batchId no-ops against the
+    * head's `_META`. Batch 0 creates the table; later batches append.
+    *
+    * @return true if this call committed, false on replay detection
+    */
+  def appendVersionedTable(batch: DataFrame, tableRoot: String,
+                           spec: graft.operators.VersionedTable.Spec,
+                           batchId: Long): Boolean = {
+    import graft.operators.VersionedTable
+    val last = VersionedTable.headMeta(tableRoot, "batchId").map(_.toLong)
+    if (last.exists(_ >= batchId)) false
+    else {
+      val meta = Map("batchId" -> batchId.toString)
+      if (VersionedTable.headVersion(tableRoot).isEmpty)
+        VersionedTable.create(batch.sparkSession, batch, tableRoot, spec,
+          extraMeta = meta)
+      else
+        VersionedTable.append(batch.sparkSession, batch, tableRoot, spec,
+          extraMeta = meta)
+      true
+    }
+  }
+
+  /** `streaming_versioned_ingest`: the stream → versioned-TABLE chain
+    * (where `streaming_versioned_publish` versions a flat artifact,
+    * this ingests into the manifest model with skipping sidecars and
+    * time travel): two ingest waves (`doc_id % 2`) through ONE
+    * checkpointed append-mode file stream — batch 0 CREATEs the table,
+    * batch 1 APPENDs — then a STALE REDELIVERY of batchId 0 carrying
+    * different rows must no-op (require()d in-line). Every version is
+    * read back THROUGH ITS OWN MANIFEST with its batchId from `_META`;
+    * the oracle restates both waves' memberships, so the hash proves
+    * stream → manifest commit → history → pointer-resolved read, and
+    * that the replay published nothing.
+    */
+  def streamingVersionedIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val troot = java.nio.file.Files.createTempDirectory("graft-vting").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-vting-src").toString
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def runWave(): Unit = {
+      val sch = spark.read.parquet(stage).schema
+      val q = spark.readStream.schema(sch).parquet(stage)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$troot/_chk")
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          appendVersionedTable(b.toDF(), s"$troot/table", spec, id); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    d.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(stage)
+    runWave()
+    d.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(stage)
+    runWave()
+    // at-least-once crash replay: a stale batchId 0 redelivery with
+    // DIFFERENT rows must leave the table untouched
+    val replayed = appendVersionedTable(
+      d.filter(col("doc_id") % 2 === 0).limit(5), s"$troot/table", spec, 0L)
+    require(!replayed, "stale batchId redelivery must no-op")
+    require(VersionedTable.headVersion(s"$troot/table").contains("v00002"),
+      "replay must not advance the head")
+    Seq("v00001", "v00002").map { v =>
+      val bid = VersionedTable.versionMeta(s"$troot/table", v)
+        .getOrElse("batchId", sys.error(s"$v has no batchId meta")).toLong
+      VersionedTable.readVersion(spark, s"$troot/table", v)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .select(lit(v).as("version"), lit(bid).as("batch_id"),
+          col("n_docs"), col("sum_ids"), col("sum_chars"))
+    }.reduce(_.unionByName(_))
+  }
 }

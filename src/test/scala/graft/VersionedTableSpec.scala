@@ -282,6 +282,43 @@ class VersionedTableSpec extends SparkSpec {
       .orderBy("k").as[(Long, String)].collect().sameElements(headBefore))
   }
 
+  test("changeFeed: net CDF semantics, full delete payloads, rewrite windows refused") {
+    import spark.implicits._
+    val root = fixture()                                   // v1: 0-399, v2: +400-599
+    // window v2 → v4: an append whose rows are PARTIALLY deleted by a
+    // later DV — inserted-then-deleted rows must net out of the feed
+    VersionedTable.append(spark,
+      (600L until 700L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec) // v3
+    VersionedTable.deleteRosterDV(spark, root, spec,
+      ((650L until 660L) ++ (0L until 10L)).toDF("k"))     // v4
+    val feed = VersionedTable.changeFeed(spark, root, "v00002", "v00004")
+    val ins = feed.filter(col("change_type") === "insert")
+    val del = feed.filter(col("change_type") === "delete")
+    // inserts: the appended 100 minus the 10 deleted inside the window
+    assert(ins.count() == 90L)
+    assert(ins.filter(col("k").between(650L, 659L)).count() == 0L,
+      "a row inserted and deleted inside the window must net out")
+    // deletes: only PRE-EXISTING rows (0-9), with their full payloads
+    assert(del.count() == 10L)
+    assert(del.select("k").as[Long].collect().toSet == (0L until 10L).toSet)
+    assert(del.filter(col("v").isNull).count() == 0L,
+      "deletes must carry the full old row, not just the key")
+    // applying the feed to a v2 replica reproduces v4 exactly
+    val applied = VersionedTable.readVersion(spark, root, "v00002")
+      .join(del.select(col("k").as("__dk")), col("k") === col("__dk"), "left_anti")
+      .unionByName(ins.drop("change_type"))
+      .orderBy("k").as[(Long, String)].collect()
+    val head = VersionedTable.read(spark, root)
+      .orderBy("k").as[(Long, String)].collect()
+    assert(applied.sameElements(head))
+    // a compaction inside the window is refused by the verb guard
+    VersionedTable.compactDeletes(spark, root, spec)       // v5 (rewrite)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, root, "v00002", "v00005")
+    }
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
+  }
+
   // ---- schema evolution ----
 
   test("evolved append: head merges with NULL back-fill; time travel keeps the old schema") {
