@@ -5561,4 +5561,125 @@ object ExtQueries {
       .unionByName(vtSlice("2_deletes", del))
       .unionByName(vtSlice("3_applied", applied))
   }
+
+  private val dvPurgeAuditPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** DV-delete ≠ erasure — the compliance decomposition
+    * (`layout_dv_purge_audit`): a deletion vector HIDES rows (the
+    * bytes stay on disk, that is the whole merge-on-read trade), so a
+    * GDPR purge through the versioned table is a three-verb chain —
+    * DV-delete (instant logical removal), compaction (head files
+    * rewritten without the rows), vacuum (history physically
+    * reclaimed). The gate measures BOTH ledgers at each stage: the
+    * logical view through the manifest (roster gone from stage 1) and
+    * a content scan of every generation file ON DISK (roster bytes
+    * present until the vacuum — n_physical only reaches 0 after all
+    * three verbs). The oracle restates every count from the raw
+    * table, pinning the stage-3 physical count at exactly 0 — the
+    * claim a compliance review actually signs.
+    *
+    * Scale shape (100 TB): the audit scan is the verification cost a
+    * purge pays once at compliance cadence; the purge itself is
+    * DV ∝ holders scanned, compact ∝ dv'd files, vacuum ∝ deletes.
+    */
+  def layoutDvPurgeAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_dvpurge").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d, root, spec, layout)
+    val roster = d.filter(col("doc_id") % 89 === 0).select(col("doc_id"))
+    def physicalRosterCount(): Long = {
+      // content scan of every GENERATION file on disk (dv-* sidecars
+      // hold positions, not rows) — what bytes would a seizure find?
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val fdir = java.nio.file.Paths.get(s"$root/files")
+      def walk(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.forEach(walk(_)) finally st.close()
+        } else if (p.toString.endsWith(".parquet")) buf += p.toString
+      val st = java.nio.file.Files.list(fdir)
+      try st.forEach(c =>
+        if (!c.getFileName.toString.startsWith("dv-")) walk(c))
+      finally st.close()
+      if (buf.isEmpty) 0L
+      else s.read.option("mergeSchema", "true").parquet(buf.toSeq: _*)
+        .join(broadcast(roster), Seq("doc_id"), "left_semi").count()
+    }
+    // each stage is measured EAGERLY: the later vacuum deletes files
+    // an earlier stage's lazy plan would still reference
+    def stage(tag: String): (String, Long, Long, Long) = {
+      val r = VersionedTable.read(s, root)
+        .agg(count(lit(1)), sum(col("doc_id"))).head()
+      (tag, r.getLong(0), r.getLong(1), physicalRosterCount())
+    }
+    VersionedTable.deleteRosterDV(s, root, spec, roster)
+    val s1 = stage("1_dv_delete")
+    VersionedTable.compactDeletes(s, root, spec)
+    val s2 = stage("2_compact")
+    VersionedTable.vacuum(s, root, keepLast = 1)
+    val s3 = stage("3_vacuum")
+    retirePrevDir(dvPurgeAuditPrev, root)
+    import s.implicits._
+    Seq(s1, s2, s3)
+      .toDF("stage", "n_live", "sum_live_ids", "n_physical_roster")
+  }
+
+  private val mvFromFeedPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Materialized view maintained off the change feed
+    * (`layout_mv_from_feed`): the CDC-consumer composition — a
+    * per-language aggregate (n_docs, Σchars) is materialized at v1,
+    * the table then takes an append and a DV-delete, and the MV is
+    * FOLDED from [[graft.operators.VersionedTable.changeFeed]] alone:
+    * MV' = MV ⊞ agg(inserts) ⊟ agg(deletes) via one full-outer join,
+    * groups draining to zero dropped. The oracle restates the head
+    * aggregate directly, so the hash proves fold == rebuild — the
+    * incremental-view-maintenance contract running on the feed's net
+    * semantics (the deletes carry full payloads, which is what makes
+    * the ⊟ side computable without touching the table).
+    *
+    * Scale shape (100 TB): maintenance ∝ feed (changed files + DV
+    * delta), never ∝ table — the nightly-MV economics; the fold is
+    * one small-side outer join on the group key.
+    */
+  def layoutMvFromFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_mvfeed").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec, layout)
+    def mvAgg(df: DataFrame): DataFrame =
+      df.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+    val mv0 = mvAgg(VersionedTable.readVersion(s, root, v1))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    val v3 = VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    val feed = VersionedTable.changeFeed(s, root, v1, v3)
+    retirePrevDir(mvFromFeedPrev, root)
+    val delta = mvAgg(feed.filter(col("change_type") === "insert"))
+      .select(col("lang"), col("n_docs").as("ins_n"), col("sum_chars").as("ins_c"))
+      .join(mvAgg(feed.filter(col("change_type") === "delete"))
+        .select(col("lang"), col("n_docs").as("del_n"), col("sum_chars").as("del_c")),
+        Seq("lang"), "full_outer")
+    mv0.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("ins_n"), lit(0L))
+          - coalesce(col("del_n"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("ins_c"), lit(0L))
+          - coalesce(col("del_c"), lit(0L))).as("sum_chars"))
+      .filter(col("n_docs") > 0)
+  }
 }

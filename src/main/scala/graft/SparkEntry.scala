@@ -388,7 +388,14 @@ object SparkEntry {
     "layout_versioned_vacuum" -> (ExtQueries.layoutVersionedVacuum _),
     // r18: manifest-derived row-level CDF — inserts from added files,
     // deletes from the DV delta with full old payloads; apply-verified
-    "layout_dv_change_feed" -> (ExtQueries.layoutDvChangeFeed _)
+    "layout_dv_change_feed" -> (ExtQueries.layoutDvChangeFeed _),
+    // r18: DV-delete is NOT erasure — the logical ledger vs a content
+    // scan of every generation on disk, across dv/compact/vacuum;
+    // physical roster bytes reach 0 only after all three verbs
+    "layout_dv_purge_audit" -> (ExtQueries.layoutDvPurgeAudit _),
+    // r18: MV folded from the change feed alone (⊞inserts ⊟deletes,
+    // one outer join); fold == rebuild against the head aggregate
+    "layout_mv_from_feed" -> (ExtQueries.layoutMvFromFeed _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -510,7 +517,11 @@ object SparkEntry {
     "layout_dv_upsert",
     // r18: the CDF pull + apply — manifest diff, DV-delta position
     // join, replica fold; incremental-consumer economics
-    "layout_dv_change_feed")
+    "layout_dv_change_feed",
+    // r18: the compliance decomposition — three purge verbs + three
+    // full content scans of the on-disk generations; the audit cost
+    // model is the point
+    "layout_dv_purge_audit")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1815,6 +1826,30 @@ object SparkEntry {
         |SELECT '3_inserted', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM merged, off WHERE doc_id >= o""".stripMargin,
+    // both ledgers restated per stage: live membership is roster-free
+    // from the DV commit on; physical roster bytes persist through
+    // compaction (history!) and reach 0 only after the vacuum
+    "layout_dv_purge_audit" ->
+      """SELECT '1_dv_delete' AS stage,
+        |  count(*) AS n_live, CAST(sum(doc_id) AS BIGINT) AS sum_live_ids,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 89 = 0) AS n_physical_roster
+        |FROM documents WHERE doc_id % 89 <> 0
+        |UNION ALL
+        |SELECT '2_compact', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  (SELECT count(*) FROM documents WHERE doc_id % 89 = 0)
+        |FROM documents WHERE doc_id % 89 <> 0
+        |UNION ALL
+        |SELECT '3_vacuum', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM documents WHERE doc_id % 89 <> 0""".stripMargin,
+    // fold == rebuild: the folded MV must equal the head aggregate
+    // computed directly
+    "layout_mv_from_feed" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
+        |GROUP BY lang""".stripMargin,
     // the net feed and its application: inserts = appended-and-still-
     // live, deletes = vectored v1 rows, applied = head membership
     "layout_dv_change_feed" ->
