@@ -2625,6 +2625,16 @@ object ExtOracleSql {
     */
   val textBm25PurgeTopK: String = textBm25TopKSql(" WHERE doc_id % 89 <> 0")
 
+  /** Feed-maintained index: the full Robertson computation over the
+    * HEAD membership (create %3=0, append %3=1, DV-delete %5=0) —
+    * the folded index must serve identical top-k. Query ids use
+    * % 23 here: the shared % 25 rule is a subset of the deleted
+    * % 5 roster, which would leave the gate vacuous.
+    */
+  val layoutIndexFromFeed: String =
+    textBm25TopKSql(" WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0",
+      queryMod = 23)
+
   /** text_bm25_maintain_topk twin: the drift decision replayed from
     * exact posting counts — n_base = yesterday's (`doc_id % 3 = 0`)
     * distinct (doc, word) postings, n_new = the batch's, rebuilt =
@@ -2706,8 +2716,8 @@ object ExtOracleSql {
        |  FROM f)
        |WHERE rank <= 5""".stripMargin
 
-  private def textBm25TopKSql(corpusWhere: String): String =
-    s"""WITH ${textBm25Ctes(corpusWhere)}
+  private def textBm25TopKSql(corpusWhere: String, queryMod: Int = 25): String =
+    s"""WITH ${textBm25Ctes(corpusWhere, queryMod)}
       |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id, score_fp, n_terms
       |FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2715,7 +2725,7 @@ object ExtOracleSql {
       |  FROM pp)
       |WHERE rn <= 10""".stripMargin
 
-  private def textBm25Ctes(corpusWhere: String): String =
+  private def textBm25Ctes(corpusWhere: String, queryMod: Int = 25): String =
     s"""toks AS (
       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
       |    unnest(string_split(text, ' ')) AS word
@@ -2724,7 +2734,7 @@ object ExtOracleSql {
       |wdf AS (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df FROM tf),
       |st AS (SELECT COUNT(*) AS n,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS l FROM documents$corpusWhere),
-      |qw AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 25 = 0),
+      |qw AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % $queryMod = 0),
       |sc AS (
       |  SELECT query_id, c.doc_id AS cand_id,
       |    ((2 * (n - df) + 1) * 1000 // (2 * df + 1)) * tf * 2200000

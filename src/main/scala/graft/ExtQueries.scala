@@ -5631,6 +5631,71 @@ object ExtQueries {
       .toDF("stage", "n_live", "sum_live_ids", "n_physical_roster")
   }
 
+  private val indexFromFeedPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val indexFromFeedIdxPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  /** Stored index maintained off the table's change feed
+    * (`layout_index_from_feed`): the full production stack in one
+    * chain — the VERSIONED TABLE is the source of truth, the stored
+    * BM25 index is DERIVED state, and the [[graft.operators
+    * .VersionedTable.changeFeed]] is the only thing that moves
+    * between them. v1 creates the table and the index is built from
+    * the v1 read (through the manifest, not the raw corpus); the
+    * table then takes an append and a DV-delete; the index folds the
+    * v1→v3 feed — [[graft.operators.Bm25Index.append]] for the
+    * insert docs (payloads from the feed), [[graft.operators
+    * .Bm25Index.purge]] for the delete ids — and serves top-k that
+    * must hash-match the full Robertson oracle over the HEAD
+    * membership. A missed insert, a resurrected delete, or a stale
+    * df/stats spine shifts a score and breaks the hash.
+    *
+    * Scale shape (100 TB): index maintenance ∝ feed (changed files +
+    * DV delta) + purge ∝ index — never a rebuild ∝ corpus; the same
+    * CDC economics [[layoutMvFromFeed]] proves for aggregates, now
+    * for the inverted index every RAG stack maintains.
+    */
+  def layoutIndexFromFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bm25Index, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_idxfeed").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec, layout)
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val base = java.nio.file.Files.createTempDirectory("graft_idxfeed_a").toString
+    val tbl = s"graft_idxfeed_$suffix"
+    val idx0 = Bm25Index.build(s,
+      VersionedTable.readVersion(s, root, v1).select(col("doc_id"), col("text")),
+      tbl, base)
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    val v3 = VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    val feed = VersionedTable.changeFeed(s, root, v1, v3)
+    val (idx1, _) = Bm25Index.append(s, idx0,
+      feed.filter(col("change_type") === "insert").select(col("doc_id"), col("text")),
+      gen = 1)
+    val base2 = java.nio.file.Files.createTempDirectory("graft_idxfeed_b").toString
+    val tbl2 = s"graft_idxfeed_p_$suffix"
+    val (idx2, _) = Bm25Index.purge(s, idx1,
+      feed.filter(col("change_type") === "delete").select(col("doc_id")),
+      tbl2, base2)
+    // the unpurged index is dead within this invocation; the table
+    // root and purged index follow the cross-invocation lifecycle
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    deleteTree(java.nio.file.Paths.get(base))
+    retirePrevDir(indexFromFeedPrev, root)
+    retirePrev(indexFromFeedIdxPrev, s, tbl2, base2)
+    // query ids ≡ 0 mod 23 — the shared % 25 rule is a subset of the
+    // deleted % 5 roster here, which would leave the gate vacuous
+    Bm25Index.scoredTopK(s, idx2,
+      s.table(idx2.postingsTable).filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("query_id"), col("word")))
+  }
+
   private val mvFromFeedPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

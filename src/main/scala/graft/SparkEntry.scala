@@ -395,7 +395,11 @@ object SparkEntry {
     "layout_dv_purge_audit" -> (ExtQueries.layoutDvPurgeAudit _),
     // r18: MV folded from the change feed alone (⊞inserts ⊟deletes,
     // one outer join); fold == rebuild against the head aggregate
-    "layout_mv_from_feed" -> (ExtQueries.layoutMvFromFeed _)
+    "layout_mv_from_feed" -> (ExtQueries.layoutMvFromFeed _),
+    // r18: stored BM25 maintained off the table's feed — append the
+    // insert docs, purge the delete ids, serve top-k vs the head
+    // membership's full Robertson oracle
+    "layout_index_from_feed" -> (ExtQueries.layoutIndexFromFeed _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -521,7 +525,10 @@ object SparkEntry {
     // r18: the compliance decomposition — three purge verbs + three
     // full content scans of the on-disk generations; the audit cost
     // model is the point
-    "layout_dv_purge_audit")
+    "layout_dv_purge_audit",
+    // r18: table→feed→index — build off v1, fold the feed (append +
+    // purge), serve top-k; the derived-state maintenance cycle
+    "layout_index_from_feed")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1702,6 +1709,7 @@ object SparkEntry {
     "text_bm25_stored_topk" -> ExtOracleSql.textBm25TopK,
     "text_bm25_append_topk" -> ExtOracleSql.textBm25TopK,
     "text_bm25_purge_topk" -> ExtOracleSql.textBm25PurgeTopK,
+    "layout_index_from_feed" -> ExtOracleSql.layoutIndexFromFeed,
     "graph_pagerank_purge" -> ExtOracleSql.graphPageRankPurge,
     "graph_pagerank_purge_warmstart" -> ExtOracleSql.graphPageRankPurgeWarmstart,
     "sim_hybrid_stored_rrf" -> ExtOracleSql.simHybridStoredRrf,
