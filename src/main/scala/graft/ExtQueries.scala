@@ -5696,6 +5696,58 @@ object ExtQueries {
         .select(col("doc_id").as("query_id"), col("word")))
   }
 
+  private val reclusterPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Layout evolution (`layout_recluster`,
+    * [[graft.operators.VersionedTable.recluster]]): the OPTIMIZE verb
+    * as a manifest commit — the table is CREATEd under a
+    * skip-hostile layout (hash repartition: every file's n_chars
+    * interval spans the domain, so a band predicate prunes nothing),
+    * takes a DV-delete (so the rewrite must resolve vectors, not
+    * resurrect), then RECLUSTERs by range on n_chars. The gate
+    * require()s the physical claim (the band's surviving-file count
+    * strictly drops) and hashes the content claims: identical
+    * membership before/after, and the post-recluster pruned band read
+    * equals the band stated from the raw table.
+    *
+    * Scale shape (100 TB): one rewrite at maintenance cadence buys
+    * every subsequent band read ∝ band instead of ∝ table — the
+    * reason OPTIMIZE exists; the pruning is manifest-driven, so the
+    * improvement lands with no reader change.
+    */
+  def layoutRecluster(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{StatsSpine, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_recluster").toString
+    // skip-hostile: hash-scatter — every file spans the n_chars domain
+    VersionedTable.create(s, d, root, spec, df => df.repartition(8))
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 9 === 0).select(col("doc_id")))
+    def bandFiles(): Long =
+      StatsSpine.survivors(VersionedTable.manifest(s, root), "n_chars", 200, 400).count()
+    val before = VersionedTable.read(s, root)
+      .agg(count(lit(1)), sum(col("doc_id"))).head()
+    val filesBefore = bandFiles()
+    VersionedTable.recluster(s, root, spec,
+      df => df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars"))
+    val filesAfter = bandFiles()
+    require(filesAfter < filesBefore,
+      s"recluster gate expected real pruning gains, got $filesBefore -> $filesAfter")
+    retirePrevDir(reclusterPrev, root)
+    import s.implicits._
+    Seq(("1_before", before.getLong(0), before.getLong(1)))
+      .toDF("slice", "n_docs", "sum_ids")
+      .unionByName(vtSlice("2_after", VersionedTable.read(s, root))
+        .drop("sum_chars"))
+      .unionByName(vtSlice("3_band",
+        VersionedTable.prunedRead(s, root, "n_chars", 200, 400)
+          .filter(col("n_chars").between(200, 400))).drop("sum_chars"))
+  }
+
   private val mvFromFeedPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

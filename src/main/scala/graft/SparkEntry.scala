@@ -399,7 +399,11 @@ object SparkEntry {
     // r18: stored BM25 maintained off the table's feed — append the
     // insert docs, purge the delete ids, serve top-k vs the head
     // membership's full Robertson oracle
-    "layout_index_from_feed" -> (ExtQueries.layoutIndexFromFeed _)
+    "layout_index_from_feed" -> (ExtQueries.layoutIndexFromFeed _),
+    // r18: OPTIMIZE as a manifest commit — DV-resolving rewrite under
+    // a new layout; band pruning strictly improves (require()d),
+    // content identical before/after
+    "layout_recluster" -> (ExtQueries.layoutRecluster _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -528,7 +532,10 @@ object SparkEntry {
     "layout_dv_purge_audit",
     // r18: table→feed→index — build off v1, fold the feed (append +
     // purge), serve top-k; the derived-state maintenance cycle
-    "layout_index_from_feed")
+    "layout_index_from_feed",
+    // r18: OPTIMIZE as a commit — the DV-resolving rewrite + pruning
+    // probes; the maintenance-rewrite cost model is the point
+    "layout_recluster")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1850,6 +1857,18 @@ object SparkEntry {
         |SELECT '3_vacuum', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 89 <> 0""".stripMargin,
+    // content identical across the rewrite; the post-recluster band
+    // read misses nothing the band owns
+    "layout_recluster" ->
+      """SELECT '1_before' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents WHERE doc_id % 9 <> 0
+        |UNION ALL
+        |SELECT '2_after', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 9 <> 0
+        |UNION ALL
+        |SELECT '3_band', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 9 <> 0 AND n_chars BETWEEN 200 AND 400""".stripMargin,
     // fold == rebuild: the folded MV must equal the head aggregate
     // computed directly
     "layout_mv_from_feed" ->

@@ -523,6 +523,29 @@ object VersionedTable {
     }
   }
 
+  /** RE-CLUSTER the table (the OPTIMIZE/Z-ORDER verb as a manifest
+    * commit): rewrite the CURRENT live rows — resolved through any
+    * deletion vectors — into a fresh generation under a new layout,
+    * and publish a manifest of only that generation (no dv_paths
+    * survive; the rewrite materialized them). Content-identical by
+    * construction; what changes is the files' VALUE TO THE PLANNER —
+    * a range layout on a hot predicate column turns the stats spine
+    * from "every file intersects every band" into real pruning.
+    * Prior versions keep reading their old file sets (time travel);
+    * reclaim is [[vacuum]]'s job.
+    *
+    * Scale shape (100 TB): one full rewrite at maintenance cadence —
+    * the price of every OPTIMIZE — in exchange for every subsequent
+    * band read scanning ∝ band instead of ∝ table.
+    */
+  def recluster(s: SparkSession, root: String, spec: Spec,
+                layout: DataFrame => DataFrame): String = {
+    val current = Publish.read(s, manifestRoot(root))
+    val gen = freshGen(root)
+    layout(readFiles(s, current)).write.parquet(gen)
+    publishManifest(sidecar(s, gen, spec), root, Map("verb" -> "recluster"))
+  }
+
   /** OPTIMISTIC-CONCURRENCY append: the multi-writer commit loop every
     * real table format runs. The batch generation is written ONCE;
     * then each attempt (1) reads the CURRENT head version name, (2)
