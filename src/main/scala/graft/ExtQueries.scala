@@ -5748,6 +5748,48 @@ object ExtQueries {
           .filter(col("n_chars").between(200, 400))).drop("sum_chars"))
   }
 
+  private val shallowClonePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val shallowCloneDstPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Zero-copy clone + divergence (`layout_shallow_clone`,
+    * [[graft.operators.VersionedTable.shallowClone]]): the clone's v1
+    * manifest references the SOURCE head's files — no data copied,
+    * commit = one manifest write — and the two tables then diverge:
+    * a DV-delete on the CLONE (doc_id ≡ 0 mod 7) must leave the
+    * source's head read byte-identical (the vector lives under the
+    * clone's root; the shared files are immutable), while the clone
+    * reads the source's bytes THROUGH its own manifest + vector. The
+    * oracle restates both memberships; the spec pins the physical
+    * zero-copy claim (no data files under the clone's root) and
+    * vacuum custody (the clone's vacuum cannot reclaim source files).
+    *
+    * Scale shape (100 TB): dev/test table copies and branch-like
+    * experimentation at O(manifest) cost instead of O(table) — the
+    * Delta SHALLOW CLONE economics.
+    */
+  def layoutShallowClone(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = java.nio.file.Files.createTempDirectory("graft_clone_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_clone_dst").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d.filter(col("doc_id") % 2 === 0), src, spec, layout)
+    VersionedTable.append(s, d.filter(col("doc_id") % 2 === 1), src, spec, layout)
+    VersionedTable.shallowClone(s, src, dst)
+    VersionedTable.deleteRosterDV(s, dst, spec,
+      d.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+    retirePrevDir(shallowClonePrev, src)
+    retirePrevDir(shallowCloneDstPrev, dst)
+    vtSlice("1_source", VersionedTable.read(s, src))
+      .unionByName(vtSlice("2_clone", VersionedTable.read(s, dst)))
+  }
+
   private val mvFromFeedPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -755,3 +755,72 @@ object StoredRetrievalSmoke {
     spark.stop()
   }
 }
+
+/** Cost decomposition of the VERSIONED-TABLE verbs at 1×/10×/100×
+  * (round 11, E163–E175): the copy-on-write vs merge-on-read trade
+  * the gates assert qualitatively, measured — CoW delete pays a
+  * holder rewrite at commit time; a DV delete commits positions and
+  * moves the cost to a per-read broadcast anti-join; compaction
+  * migrates back; vacuum is file deletes. Rosters: `% 97` for the
+  * CoW delete, `% 89` for the DV delete (≈1% each, both spread
+  * across every file).
+  *
+  * Usage: `sbt "runMain graft.TableVerbSmoke [heteroWorkDir]"`.
+  */
+object TableVerbSmoke {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.VersionedTable
+    val work = args.headOption.getOrElse("/tmp/graft_scale_hetero")
+    val spark = Sessions.local("graft-table-verb-smoke")
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(f: => Unit): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // unmeasured JVM/codegen warm-up
+    try ExtQueries.layoutVersionedPublish(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[warmup] $e") }
+
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val scales = Seq(("1x", "/root/testdata/sf0.1"),
+      ("10x", s"$work/x10"), ("100x", s"$work/x100"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    scales.foreach { case (scale, dir) =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val root = java.nio.file.Files.createTempDirectory("graft-tvs").toString
+      val layout = (df: org.apache.spark.sql.DataFrame) =>
+        df.repartitionByRange(16, col("n_chars"), col("doc_id"))
+          .sortWithinPartitions("n_chars")
+      def readAgg(): Unit = {
+        VersionedTable.read(spark, root)
+          .agg(count(lit(1)), sum(col("doc_id"))).head(); ()
+      }
+      rows += ((scale, "create",
+        timed { VersionedTable.create(spark, d, root, spec, layout); () }))
+      rows += ((scale, "delete_cow",
+        timed { VersionedTable.deleteRoster(spark, root, spec,
+          d.filter(col("doc_id") % 97 === 0).select(col("doc_id"))); () }))
+      rows += ((scale, "read_plain", timed { readAgg() }))
+      rows += ((scale, "delete_dv",
+        timed { VersionedTable.deleteRosterDV(spark, root, spec,
+          d.filter(col("doc_id") % 89 === 0).select(col("doc_id"))); () }))
+      rows += ((scale, "read_with_dv", timed { readAgg() }))
+      rows += ((scale, "compact_dv",
+        timed { VersionedTable.compactDeletes(spark, root, spec); () }))
+      rows += ((scale, "read_compacted", timed { readAgg() }))
+      rows += ((scale, "vacuum",
+        timed { VersionedTable.vacuum(spark, root, keepLast = 1); () }))
+      operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
+    }
+    println("| verb | t_1x (s) | t_10x (s) | t_100x (s) | e(1→10) | e(10→100) |")
+    println("| --- | --- | --- | --- | --- | --- |")
+    rows.map(_._2).distinct.foreach { verb =>
+      val t = rows.filter(_._2 == verb).map(r => r._1 -> r._3).toMap
+      def e(a: Double, b: Double) = math.log(b / a) / math.log(10.0)
+      println(f"| $verb | ${t("1x")}%.2f | ${t("10x")}%.2f | ${t("100x")}%.2f | ${e(t("1x"), t("10x"))}%.2f | ${e(t("10x"), t("100x"))}%.2f |")
+    }
+    spark.stop()
+  }
+}

@@ -403,7 +403,10 @@ object SparkEntry {
     // r18: OPTIMIZE as a manifest commit — DV-resolving rewrite under
     // a new layout; band pruning strictly improves (require()d),
     // content identical before/after
-    "layout_recluster" -> (ExtQueries.layoutRecluster _)
+    "layout_recluster" -> (ExtQueries.layoutRecluster _),
+    // r18: zero-copy clone + divergence — clone references the source
+    // files, DV-deletes independently; source head byte-identical
+    "layout_shallow_clone" -> (ExtQueries.layoutShallowClone _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1857,6 +1860,17 @@ object SparkEntry {
         |SELECT '3_vacuum', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 89 <> 0""".stripMargin,
+    // divergence after a zero-copy clone: the source keeps the full
+    // membership, the clone hides its vectored rows
+    "layout_shallow_clone" ->
+      """SELECT '1_source' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT '2_clone', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
     // content identical across the rewrite; the post-recluster band
     // read misses nothing the band owns
     "layout_recluster" ->

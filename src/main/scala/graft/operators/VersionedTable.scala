@@ -523,6 +523,24 @@ object VersionedTable {
     }
   }
 
+  /** SHALLOW CLONE: a new table root whose v1 manifest REFERENCES the
+    * source head's files — zero data copied, commit cost = one
+    * manifest write (Delta `CREATE TABLE ... SHALLOW CLONE`). The
+    * clone then diverges independently: its DV deletes write sidecars
+    * under ITS OWN files dir, its appends add its own generations,
+    * and its [[vacuum]] walks only its own root — source files are
+    * outside that walk and can never be reclaimed by the clone (the
+    * converse caveat is Delta's too: vacuuming the SOURCE can orphan
+    * a clone that still references the files; retention windows are
+    * the shared-custody contract).
+    */
+  def shallowClone(s: SparkSession, srcRoot: String, dstRoot: String): String = {
+    val current = Publish.read(s, manifestRoot(srcRoot))
+    publishManifest(current, dstRoot,
+      Map("verb" -> "clone",
+        "src" -> s"$srcRoot@${Publish.currentVersion(manifestRoot(srcRoot)).getOrElse("?")}"))
+  }
+
   /** RE-CLUSTER the table (the OPTIMIZE/Z-ORDER verb as a manifest
     * commit): rewrite the CURRENT live rows — resolved through any
     * deletion vectors — into a fresh generation under a new layout,

@@ -319,6 +319,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("rewrite"), e.getMessage)
   }
 
+  test("shallow clone: zero data copied, divergence isolated, vacuum custody respected") {
+    import spark.implicits._
+    val src = fixture()
+    val dst = java.nio.file.Files.createTempDirectory("graft-vt-clone").toString
+    VersionedTable.shallowClone(spark, src, dst)
+    // zero-copy: the clone's files dir holds NO data generations
+    def parquetsUnder(p: String): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(d)) {
+        def walk(q: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.isDirectory(q)) {
+            val st = java.nio.file.Files.list(q)
+            try st.forEach(walk(_)) finally st.close()
+          } else if (q.toString.endsWith(".parquet")) buf += q.toString
+        walk(d)
+      }
+      buf.toSeq
+    }
+    assert(parquetsUnder(s"$dst/files").isEmpty,
+      "a shallow clone must copy no data files")
+    assert(VersionedTable.read(spark, dst).count() == 600L)
+    // divergence: a DV delete on the clone leaves the source untouched
+    val srcBefore = VersionedTable.read(spark, src)
+      .orderBy("k").as[(Long, String)].collect()
+    VersionedTable.deleteRosterDV(spark, dst, spec, (0L until 600L by 7L).toDF("k"))
+    assert(VersionedTable.read(spark, dst).count() == 600L - 86L)
+    assert(VersionedTable.read(spark, src)
+      .orderBy("k").as[(Long, String)].collect().sameElements(srcBefore))
+    // the clone's DV sidecar lives under ITS root
+    assert(parquetsUnder(s"$dst/files").nonEmpty)
+    // vacuum custody: the clone's vacuum walks only its own root, so
+    // the source files it references stay untouched
+    VersionedTable.vacuum(spark, dst, keepLast = 1)
+    assert(VersionedTable.read(spark, src)
+      .orderBy("k").as[(Long, String)].collect().sameElements(srcBefore))
+    assert(VersionedTable.read(spark, dst).count() == 600L - 86L)
+  }
+
   // ---- schema evolution ----
 
   test("evolved append: head merges with NULL back-fill; time travel keeps the old schema") {
