@@ -406,7 +406,11 @@ object SparkEntry {
     "layout_recluster" -> (ExtQueries.layoutRecluster _),
     // r18: zero-copy clone + divergence — clone references the source
     // files, DV-deletes independently; source head byte-identical
-    "layout_shallow_clone" -> (ExtQueries.layoutShallowClone _)
+    "layout_shallow_clone" -> (ExtQueries.layoutShallowClone _),
+    // r19: OPTIMIZE ZORDER BY — Morton recluster through the manifest
+    // commit; box read prunes BOTH dims (require()d strictly better
+    // than the linear layout)
+    "layout_recluster_zorder" -> (ExtQueries.layoutReclusterZorder _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1871,6 +1875,19 @@ object SparkEntry {
         |SELECT '2_clone', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+    // content identical across BOTH rewrites (linear then z-order);
+    // the box-pruned read misses nothing the box owns
+    "layout_recluster_zorder" ->
+      """SELECT '1_after' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 9 <> 0
+        |UNION ALL
+        |SELECT '2_box', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 9 <> 0
+        |  AND n_chars BETWEEN 200 AND 400
+        |  AND doc_id BETWEEN 100 AND 200""".stripMargin,
     // content identical across the rewrite; the post-recluster band
     // read misses nothing the band owns
     "layout_recluster" ->

@@ -287,6 +287,20 @@ object VersionedTable {
                  lo: Any, hi: Any): DataFrame =
     readFiles(s, StatsSpine.survivors(manifest(s, root), c, lo, hi))
 
+  /** BOX-pruned read: only files whose stats interval intersects
+    * EVERY band survive — the multi-dimension skipping a Z-order
+    * layout exists to serve (a linear sort gives tight intervals on
+    * its leading column only; after [[recluster]] with
+    * [[Layout.zorderLayout]] every file's bounding box is tight in
+    * both dims, so the conjunction prunes multiplicatively). Same
+    * superset contract: the caller re-applies the exact predicates.
+    */
+  def prunedReadBands(s: SparkSession, root: String,
+                      bands: Seq[(String, Any, Any)]): DataFrame =
+    readFiles(s, bands.foldLeft(manifest(s, root)) {
+      case (m, (c, lo, hi)) => StatsSpine.survivors(m, c, lo, hi)
+    })
+
   /** Resolve a manifest's rows to live data: list exactly its files
     * (schema MERGED across generations — an evolved append's new
     * column reads back NULL for older files), then apply any deletion
