@@ -709,6 +709,51 @@ object ExtOracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** layout_ivf_from_feed twin: the full rebuild the feed-fed index
+    * must equal — 3 Lloyd iterations trained on the v1 split only
+    * (`vec_id % 3 = 0`: the frozen stored centroids), then ONE
+    * assignment of the HEAD membership (v1 ∪ appended `% 3 = 1`,
+    * minus the DV-deleted `% 5 = 0`) under c3. Assignment under fixed
+    * centroids is per-vector, so stored-lists ∪ feed-inserts minus
+    * feed-deletes must equal it exactly.
+    */
+  val layoutIvfFromFeed: String =
+    s"""WITH $vecsDouble,
+       |vc AS (SELECT * FROM v WHERE vec_id % 3 = 0),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC NULLS FIRST) - 1 AS INTEGER) AS cid,
+       |         vec AS centroid
+       |  FROM (SELECT vec_id, vec FROM vc ORDER BY vec_id ASC NULLS FIRST LIMIT 8)),
+       |${(1 to 3).map(kmeansIter(_, "vc")).mkString(",\n")},
+       |m AS (SELECT * FROM v WHERE vec_id % 3 < 2 AND vec_id % 5 <> 0),
+       |lists AS (
+       |  SELECT id AS neighbor_id, vec AS c_vec, cid FROM (
+       |    SELECT x.vec_id AS id, x.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${sqDist("x.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM m x CROSS JOIN c3 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT id AS query_id, vec AS q_vec, cid FROM (
+       |    SELECT q.vec_id AS id, q.vec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqDist("q.vec", "c.centroid")} ASC NULLS LAST,
+       |                 c.cid ASC NULLS FIRST) AS rn
+       |    FROM m q CROSS JOIN c3 c WHERE q.vec_id % 23 = 0)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, l.neighbor_id, ${cosine("p.q_vec", "l.c_vec")} AS score
+       |  FROM lists l JOIN probes p USING (cid)
+       |  WHERE p.query_id <> l.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= 5""".stripMargin
+
   /** sim_ivf_drift twin: the same corpus-trained c3 + full assignment,
     * grouped by list — counts split base/new by the % 7 batch rule,
     * residual means via the fixed-point trick (BIGINT sums first, one

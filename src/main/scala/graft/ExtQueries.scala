@@ -3760,14 +3760,7 @@ object ExtQueries {
     val base2 = java.nio.file.Files.createTempDirectory("graft_ivf_prgd").toString
     val tbl2 = "graft_ivf_prgd_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    s.read.parquet(stored.centroidsPath)
-      .write.mode("overwrite").parquet(s"$base2/centroids")
-    s.table(tbl)
-      .join(broadcast(roster), col("vec_id") === col("__pid"), "left_anti")
-      .repartition(8, pmod(hash(col("cid")), lit(8)))
-      .write.mode("overwrite").format("parquet")
-      .option("path", s"$base2/lists")
-      .bucketBy(8, "cid").sortBy("vec_id").saveAsTable(tbl2)
+    IvfIndex.purge(s, stored, roster, tbl2, base2)
     // the unpurged index is dead within this invocation (it still holds
     // roster rows); the purged one follows the cross-invocation lifecycle
     s.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -5694,6 +5687,76 @@ object ExtQueries {
     Bm25Index.scoredTopK(s, idx2,
       s.table(idx2.postingsTable).filter(col("doc_id") % 23 === 0)
         .select(col("doc_id").as("query_id"), col("word")))
+  }
+
+  private val ivfFromFeedPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val ivfFromFeedIdxPrev =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  /** Stored IVF index maintained off the change feed
+    * (`layout_ivf_from_feed`): the vector-index sibling of
+    * `layout_index_from_feed`, completing the derived-state symmetry —
+    * the versioned table (over EMBEDDINGS) is the source of truth,
+    * the cid-bucketed IVF lists are derived state, and the manifest
+    * change feed is the only thing that moves between them. v1
+    * (`vec_id % 3 = 0`) trains the coarse quantizer and seeds the
+    * lists; the table takes an append (`% 3 = 1`) and a DV-delete
+    * (`% 5 = 0`); the index folds the feed — [[operators.IvfIndex.append]]
+    * assigns insert payloads under the FROZEN centroids (cost ∝ feed),
+    * [[operators.IvfIndex.purge]] retracts delete ids by one broadcast
+    * anti-join + bucket-keyed rewrite (cost ∝ index) — and serves
+    * top-k for query ids ≡ 0 mod 23. Oracle = a full rebuild under
+    * the same v1-trained centroids over the HEAD membership
+    * (assignment under fixed centroids is per-vector, so fold ∪ purge
+    * must equal it exactly): a missed insert, resurrected delete, or
+    * drifted centroid shifts an assignment and breaks the hash.
+    *
+    * Scale shape (100 TB): maintenance ∝ feed + purge ∝ index, never
+    * rebuild ∝ corpus — the embedding-index CDC economics; the feed's
+    * delete payloads mean the consumer never rescans the table.
+    */
+  def layoutIvfFromFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IvfIndex, KMeans, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("vec_id"), "vec_id", 1 << 13)
+    val all = vecs(s, dir).select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivffeed").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+    val v1 = VersionedTable.create(s, all.filter(col("vec_id") % 3 === 0),
+      root, spec, layout)
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivffeed_a").toString
+    val tbl = s"graft_ivffeed_$suffix"
+    val idx0 = IvfIndex.build(s, VersionedTable.readVersion(s, root, v1),
+      k = 8, iterations = 3, tbl, base)
+    VersionedTable.append(s, all.filter(col("vec_id") % 3 === 1), root, spec, layout)
+    val v3 = VersionedTable.deleteRosterDV(s, root, spec,
+      all.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+    val feed = VersionedTable.changeFeed(s, root, v1, v3)
+    IvfIndex.append(s, idx0,
+      feed.filter(col("change_type") === "insert")
+        .select(col("vec_id"), col("embedding")), gen = 1)
+    val base2 = java.nio.file.Files.createTempDirectory("graft_ivffeed_p").toString
+    val tbl2 = s"graft_ivffeed_p_$suffix"
+    val idx2 = IvfIndex.purge(s, idx0,
+      feed.filter(col("change_type") === "delete").select(col("vec_id")),
+      tbl2, base2)
+    // the unpurged index is dead within this invocation; the table
+    // root and purged index follow the cross-invocation lifecycle
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    deleteTree(java.nio.file.Paths.get(base))
+    retirePrevDir(ivfFromFeedPrev, root)
+    retirePrev(ivfFromFeedIdxPrev, s, tbl2, base2)
+    val centroids = IvfIndex.readCentroids(s, idx2)
+    val lists = s.table(tbl2)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_vec"), col("cid"))
+    val probes = KMeans.probe(
+        s.table(tbl2).filter(col("vec_id") % 23 === 0)
+          .select(col("vec_id"), col("v").as("embedding")),
+        centroids, nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("v").as("q_vec"), col("cid"))
+    ivfScore(lists, probes)
   }
 
   private val reclusterPrev =

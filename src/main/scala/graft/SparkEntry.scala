@@ -400,6 +400,9 @@ object SparkEntry {
     // insert docs, purge the delete ids, serve top-k vs the head
     // membership's full Robertson oracle
     "layout_index_from_feed" -> (ExtQueries.layoutIndexFromFeed _),
+    // r19: table->feed->IVF — the vector-index sibling of
+    // layout_index_from_feed, completing derived-state symmetry
+    "layout_ivf_from_feed" -> (ExtQueries.layoutIvfFromFeed _),
     // r18: OPTIMIZE as a manifest commit — DV-resolving rewrite under
     // a new layout; band pruning strictly improves (require()d),
     // content identical before/after
@@ -540,6 +543,9 @@ object SparkEntry {
     // r18: table→feed→index — build off v1, fold the feed (append +
     // purge), serve top-k; the derived-state maintenance cycle
     "layout_index_from_feed",
+    // r19: the same cycle with the IVF vector index as the derived
+    // state — assign-under-frozen-centroids fold + bucketed purge
+    "layout_ivf_from_feed",
     // r18: OPTIMIZE as a commit — the DV-resolving rewrite + pruning
     // probes; the maintenance-rewrite cost model is the point
     "layout_recluster")
@@ -1724,6 +1730,7 @@ object SparkEntry {
     "text_bm25_append_topk" -> ExtOracleSql.textBm25TopK,
     "text_bm25_purge_topk" -> ExtOracleSql.textBm25PurgeTopK,
     "layout_index_from_feed" -> ExtOracleSql.layoutIndexFromFeed,
+    "layout_ivf_from_feed" -> ExtOracleSql.layoutIvfFromFeed,
     "graph_pagerank_purge" -> ExtOracleSql.graphPageRankPurge,
     "graph_pagerank_purge_warmstart" -> ExtOracleSql.graphPageRankPurgeWarmstart,
     "sim_hybrid_stored_rrf" -> ExtOracleSql.simHybridStoredRrf,

@@ -190,6 +190,33 @@ object IvfIndex {
     }
   }
 
+  /** Delete propagation into the stored lists (the GDPR verb, the
+    * same contract as `Bm25Index.purge`/`GraphIndex.purge`): roster
+    * vectors leave the cid-bucketed assignment lists by ONE broadcast
+    * anti-join + a bucket-keyed physical rewrite — a purged row must
+    * not survive in old parquet bytes, so the purge is a rewrite, not
+    * a logical filter. Centroids are NOT retrained: they are aggregate
+    * model parameters (no per-subject rows), and retraining on purge
+    * would change every assignment — [[drift]]/[[maintain]] own
+    * retraining. Cost ∝ index (one read + one bucket-keyed shuffle +
+    * one write) at compliance cadence only.
+    */
+  def purge(spark: SparkSession, stored: Stored, roster: DataFrame,
+            newTable: String, newBase: String,
+            idCol: String = "vec_id"): Stored = {
+    val next = Stored(newTable, newBase)
+    spark.read.parquet(stored.centroidsPath)
+      .write.mode("overwrite").parquet(next.centroidsPath)
+    val ids = roster.select(col(roster.columns.head).as("__pid")).distinct()
+    spark.table(stored.listsTable)
+      .join(broadcast(ids), col(idCol) === col("__pid"), "left_anti")
+      .repartition(8, pmod(hash(col("cid")), lit(8)))
+      .write.mode("overwrite").format("parquet")
+      .option("path", next.listsPath)
+      .bucketBy(8, "cid").sortBy(idCol).saveAsTable(newTable)
+    next
+  }
+
   def drift(lists: DataFrame): DataFrame = {
     val fp = expr("CAST(round(d2 * 1000000.0) AS BIGINT)")
     lists.groupBy("cid").agg(
