@@ -5916,6 +5916,33 @@ object ExtQueries {
       .unionByName(vtSlice("2_clone", VersionedTable.read(s, dst)))
   }
 
+  /** Per-language (n_docs, Σchars) — the MV head shared by the
+    * feed-maintenance and transaction gates.
+    */
+  private def mvLangAgg(df: DataFrame): DataFrame =
+    df.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars").cast("long")).as("sum_chars"))
+
+  /** Incremental MV fold off a change feed: MV' = MV ⊞ agg(inserts)
+    * ⊟ agg(deletes) via one full-outer join on the group key, groups
+    * draining to zero dropped — computable without touching the table
+    * because the feed's deletes carry full payloads.
+    */
+  private def mvLangFold(mv0: DataFrame, feed: DataFrame): DataFrame = {
+    val delta = mvLangAgg(feed.filter(col("change_type") === "insert"))
+      .select(col("lang"), col("n_docs").as("ins_n"), col("sum_chars").as("ins_c"))
+      .join(mvLangAgg(feed.filter(col("change_type") === "delete"))
+        .select(col("lang"), col("n_docs").as("del_n"), col("sum_chars").as("del_c")),
+        Seq("lang"), "full_outer")
+    mv0.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("ins_n"), lit(0L))
+          - coalesce(col("del_n"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("ins_c"), lit(0L))
+          - coalesce(col("del_c"), lit(0L))).as("sum_chars"))
+      .filter(col("n_docs") > 0)
+  }
+
   private val mvFromFeedPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
@@ -5945,26 +5972,93 @@ object ExtQueries {
       df.repartitionByRange(8, col("n_chars"), col("doc_id"))
         .sortWithinPartitions("n_chars")
     val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec, layout)
-    def mvAgg(df: DataFrame): DataFrame =
-      df.groupBy("lang").agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars").cast("long")).as("sum_chars"))
-    val mv0 = mvAgg(VersionedTable.readVersion(s, root, v1))
+    val mv0 = mvLangAgg(VersionedTable.readVersion(s, root, v1))
     VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
     val v3 = VersionedTable.deleteRosterDV(s, root, spec,
       d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
     val feed = VersionedTable.changeFeed(s, root, v1, v3)
     retirePrevDir(mvFromFeedPrev, root)
-    val delta = mvAgg(feed.filter(col("change_type") === "insert"))
-      .select(col("lang"), col("n_docs").as("ins_n"), col("sum_chars").as("ins_c"))
-      .join(mvAgg(feed.filter(col("change_type") === "delete"))
-        .select(col("lang"), col("n_docs").as("del_n"), col("sum_chars").as("del_c")),
-        Seq("lang"), "full_outer")
-    mv0.join(delta, Seq("lang"), "full_outer")
-      .select(col("lang"),
-        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("ins_n"), lit(0L))
-          - coalesce(col("del_n"), lit(0L))).as("n_docs"),
-        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("ins_c"), lit(0L))
-          - coalesce(col("del_c"), lit(0L))).as("sum_chars"))
-      .filter(col("n_docs") > 0)
+    mvLangFold(mv0, feed)
+  }
+
+  private val txnTablePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val txnMvPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val txnLogPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Cross-artifact atomic transaction (`layout_txn_commit`,
+    * [[graft.operators.Txn]]): a versioned documents table and its
+    * per-language MV are pinned as ONE consistent set behind the
+    * coordinator's single pointer. Both participants then evolve —
+    * the table appends and DV-deletes, the MV folds the change feed,
+    * each publishing NEW versions — but the coordinator commit is
+    * withheld (the crash window every two-pointer design has): a
+    * reader resolving THROUGH the coordinator must still see the OLD
+    * pair, consistent (require()d: MV == agg(table) at the pinned
+    * pair, via exceptAll both ways), while the TORN read the
+    * coordinator prevents — new MV head against the old table — is
+    * require()d to actually differ (the gate is vacuous otherwise).
+    * The second commit (conditional on the first head — the OCC loop
+    * lifted to the transaction level) flips readers to the new pair
+    * atomically. Oracle restates both memberships.
+    *
+    * Scale shape (100 TB): the coordinator commit is O(participants)
+    * rows; isolation is immutability + one pointer swap, so a
+    * 1000-executor read of table + derived state is never torn by a
+    * concurrent maintenance cycle.
+    */
+  def layoutTxnCommit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Publish, Txn, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tableRoot = java.nio.file.Files.createTempDirectory("graft_txn_t").toString
+    val mvRoot = java.nio.file.Files.createTempDirectory("graft_txn_mv").toString
+    val txnRoot = java.nio.file.Files.createTempDirectory("graft_txn_log").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    def consistent(mv: DataFrame, agg: DataFrame): Boolean =
+      mv.exceptAll(agg).isEmpty && agg.exceptAll(mv).isEmpty
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0),
+      tableRoot, spec, layout)
+    val m1 = Publish.publish(
+      mvLangAgg(VersionedTable.readVersion(s, tableRoot, v1)).coalesce(1),
+      mvRoot, meta = Map("verb" -> "mv"))
+    val t1 = Txn.commit(s, txnRoot,
+      Map("docs" -> (tableRoot, v1), "mv_lang" -> (mvRoot, m1)), None)
+    // both participants evolve and publish new versions...
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1),
+      tableRoot, spec, layout)
+    val v3 = VersionedTable.deleteRosterDV(s, tableRoot, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    val m2 = Publish.publish(
+      mvLangFold(Publish.readVersion(s, mvRoot, m1),
+        VersionedTable.changeFeed(s, tableRoot, v1, v3)).coalesce(1),
+      mvRoot, meta = Map("verb" -> "mv-fold"))
+    // ...CRASH window: the coordinator commit has not landed. Readers
+    // through the coordinator still see the old pair, consistent;
+    // the torn read (new MV head × old table) must actually differ.
+    val crashMv = Txn.readArtifact(s, txnRoot, "mv_lang")
+    require(consistent(crashMv, mvLangAgg(Txn.readTable(s, txnRoot, "docs"))),
+      "txn crash window: pinned pair must stay consistent")
+    require(!consistent(Publish.read(s, mvRoot),
+      mvLangAgg(Txn.readTable(s, txnRoot, "docs"))),
+      "txn gate vacuous: the torn read it prevents does not differ")
+    val crashOut = crashMv.select(lit("1_crash").as("slice"),
+      col("lang"), col("n_docs"), col("sum_chars"))
+    // the recovery/next cycle lands the coordinator commit atomically
+    Txn.commit(s, txnRoot,
+      Map("docs" -> (tableRoot, v3), "mv_lang" -> (mvRoot, m2)), Some(t1))
+    val headMv = Txn.readArtifact(s, txnRoot, "mv_lang")
+    require(consistent(headMv, mvLangAgg(Txn.readTable(s, txnRoot, "docs"))),
+      "txn committed head: new pair must be consistent")
+    retirePrevDir(txnTablePrev, tableRoot)
+    retirePrevDir(txnMvPrev, mvRoot)
+    retirePrevDir(txnLogPrev, txnRoot)
+    crashOut.unionByName(headMv.select(lit("2_committed").as("slice"),
+      col("lang"), col("n_docs"), col("sum_chars")))
   }
 }

@@ -413,7 +413,10 @@ object SparkEntry {
     // r19: OPTIMIZE ZORDER BY — Morton recluster through the manifest
     // commit; box read prunes BOTH dims (require()d strictly better
     // than the linear layout)
-    "layout_recluster_zorder" -> (ExtQueries.layoutReclusterZorder _)
+    "layout_recluster_zorder" -> (ExtQueries.layoutReclusterZorder _),
+    // r19: cross-artifact atomic commit — table + MV pinned behind one
+    // coordinator pointer; crash window reads the old consistent pair
+    "layout_txn_commit" -> (ExtQueries.layoutTxnCommit _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1871,6 +1874,16 @@ object SparkEntry {
         |SELECT '3_vacuum', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 89 <> 0""".stripMargin,
+    // the crash window reads the v1 pair; the committed head reads the
+    // evolved pair — both MV states restated from the raw table
+    "layout_txn_commit" ->
+      """SELECT '1_crash' AS slice, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
+        |UNION ALL
+        |SELECT '2_committed', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 < 2 AND doc_id % 5 <> 0
+        |GROUP BY lang""".stripMargin,
     // divergence after a zero-copy clone: the source keeps the full
     // membership, the clone hides its vectored rows
     "layout_shallow_clone" ->
