@@ -2091,6 +2091,32 @@ object ExtOracleSql {
     * proves splits and re-elected minima land exactly where a rebuild
     * puts them.
     */
+  /** pipeline_split_by_cluster twin: the unpurged LSH pairs → 6
+    * unrolled propagation rounds → per-component multiplicative-hash
+    * split (Knuth 2654435761 mod 2^32, buckets 0-7 train / 8 val /
+    * 9 test) → per-split rollup. Leak-freedom is require()d on the
+    * Spark side; here it holds by construction (one split per
+    * component).
+    */
+  val pipelineSplitByCluster: String =
+    s"""WITH pairs AS ($dedupMinhashLsh),
+       |$nearDupCorpus,
+       |sym AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+       |        UNION SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+       |        UNION SELECT doc_id AS src, doc_id AS dst FROM nd),
+       |l0 AS (SELECT doc_id AS id, doc_id AS component FROM nd),
+       |${(1 to 6).map(ccIter).mkString(",\n")},
+       |asg AS (
+       |  SELECT id AS doc_id, component,
+       |    CASE WHEN (component * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+       |         WHEN (component * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM l6)
+       |SELECT split, count(*) AS n_docs,
+       |  count(DISTINCT component) AS n_clusters,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM asg GROUP BY split""".stripMargin
+
   val pipelinePurgeClusters: String =
     s"""WITH pairs AS ($dedupMinhashLshPurged),
        |$nearDupCorpusPurged,

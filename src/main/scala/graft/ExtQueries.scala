@@ -3731,6 +3731,60 @@ object ExtQueries {
         (col("id") === col("component")).as("keep"))
   }
 
+  /** Cluster-aware train/val/test split with a leakage audit
+    * (`pipeline_split_by_cluster`): the training-data hygiene verb —
+    * a random per-DOCUMENT split leaks near-duplicates across the
+    * train/eval boundary (the eval set then scores memorization, not
+    * generalization), so the split unit must be the near-dup CLUSTER:
+    * MinHash-LSH pairs → connected components → every doc in a
+    * component inherits the split of its component id under a
+    * deterministic multiplicative hash (Knuth's 2654435761 mod 2^32;
+    * for id domains near 2^63 swap in a 128-bit mixer — the gate
+    * corpus ids are ≤ ~1e6 so the product stays exact). 80/10/10
+    * train/val/test. The gate AUDITS the claim from the output — the
+    * cross-split near-dup pair count is require()d ZERO — and guards
+    * against vacuousness by require()ing the naive per-doc hash split
+    * DOES leak on this corpus. Oracle restates pairs → components →
+    * split → per-split rollup, so sizes, cluster counts, and id sums
+    * all hash-match.
+    *
+    * Scale shape (100 TB): pairs and components are the already-
+    * bucketed dedup machinery (never all-pairs); the split is one
+    * deterministic projection; the audit is pairs ⋈ two 2-column
+    * maps — ∝ pairs, not corpus².
+    */
+  def pipelineSplitByCluster(s: SparkSession, dir: String): DataFrame = {
+    import operators.{ConnectedComponents, IncrementalDedup}
+    val nd = withNearDups(docs(s, dir))
+    val banded = minhashBanded(nd)
+    val pairs = IncrementalDedup.pairsAgainst(
+      IncrementalDedup.bandState(banded.limit(0)), banded)
+    val labels = ConnectedComponents.solveAuto(
+      nd.select(col("doc_id").as("id")),
+      pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+    def splitOf(c: Column): Column = {
+      val b = pmod(pmod(c * lit(2654435761L), lit(4294967296L)), lit(10L))
+      when(b < 8, lit("train")).when(b === 8, lit("val")).otherwise(lit("test"))
+    }
+    val asg = labels.select(col("id").as("doc_id"), col("component"),
+      splitOf(col("component")).as("split"))
+    def leakedPairs(a: DataFrame): Long =
+      pairs.join(a.select(col("doc_id").as("doc_id_1"), col("split").as("s1")),
+          Seq("doc_id_1"))
+        .join(a.select(col("doc_id").as("doc_id_2"), col("split").as("s2")),
+          Seq("doc_id_2"))
+        .filter(col("s1") =!= col("s2")).count()
+    require(leakedPairs(asg) == 0L,
+      "cluster split leaked a near-dup pair across splits")
+    require(leakedPairs(nd.select(col("doc_id"),
+        splitOf(col("doc_id")).as("split"))) > 0L,
+      "split gate vacuous: the naive per-doc split does not leak here")
+    asg.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("component")).as("n_clusters"),
+      sum(col("doc_id")).as("sum_ids"))
+  }
+
   private val ivfPurgePrev =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 

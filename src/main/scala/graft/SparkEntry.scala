@@ -206,6 +206,9 @@ object SparkEntry {
     "pipeline_purge_digest_state" -> (ExtQueries.pipelinePurgeDigestState _),
     "pipeline_purge_band_pairs" -> (ExtQueries.pipelinePurgeBandPairs _),
     "pipeline_purge_clusters" -> (ExtQueries.pipelinePurgeClusters _),
+    // r19: cluster-aware train/val/test split — near-dup components
+    // inherit one split; cross-split pair count require()d zero
+    "pipeline_split_by_cluster" -> (ExtQueries.pipelineSplitByCluster _),
     "sim_ivf_purge_topk" -> (ExtQueries.simIvfPurgeTopK _),
     "pipeline_delete_propagate_state" -> (ExtQueries.pipelineDeletePropagateState _),
     // driver r8: trained classifier (rule distillation, one-pass Rocchio)
@@ -1717,6 +1720,7 @@ object SparkEntry {
     "pipeline_purge_digest_state" -> ExtOracleSql.pipelinePurgeDigestState,
     "pipeline_purge_band_pairs" -> ExtOracleSql.pipelinePurgeBandPairs,
     "pipeline_purge_clusters" -> ExtOracleSql.pipelinePurgeClusters,
+    "pipeline_split_by_cluster" -> ExtOracleSql.pipelineSplitByCluster,
     "sim_ivf_purge_topk" -> ExtOracleSql.simIvfPurgeTopK,
     "pipeline_delete_propagate_state" -> ExtOracleSql.pipelineDeletePropagateState,
     "pipeline_classifier_centroid" -> ExtOracleSql.classifierCentroid,
