@@ -6035,6 +6035,111 @@ object ExtQueries {
     mvLangFold(mv0, feed)
   }
 
+  private val constraintsPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Durable CHECK constraints enforced at commit time
+    * (`layout_table_constraints`,
+    * [[graft.operators.VersionedTable.setConstraint]]): constraints
+    * are versioned table properties riding every manifest's `_META`
+    * (set/drop are property commits; every later commit inherits
+    * them), and every row-introducing verb validates its batch BEFORE
+    * anything is written — a violating append is vetoed atomically
+    * (require()d: head unmoved, read unchanged), and adding a
+    * constraint that EXISTING data violates is refused (the Delta
+    * `ADD CONSTRAINT` contract: a constraint is true the moment it
+    * exists). The vetoed-state and committed-state memberships both
+    * hash against the oracle.
+    *
+    * Scale shape (100 TB): enforcement is one scan of the BATCH (not
+    * the table) fused into the commit; the property set is O(bytes)
+    * in `_META`, surviving unrelated commits for free.
+    */
+  def layoutTableConstraints(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_cons").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec, layout)
+    VersionedTable.setConstraint(s, root, "n_chars_pos", "n_chars > 0")
+    VersionedTable.setConstraint(s, root, "has_id", "doc_id IS NOT NULL")
+    val headBefore = VersionedTable.headVersion(root)
+    def vetoed(f: => Any): Boolean =
+      try { f; false } catch { case _: IllegalArgumentException => true }
+    require(vetoed(VersionedTable.append(s,
+        d.filter(col("doc_id") % 3 === 2)
+          .withColumn("n_chars", -col("n_chars") - 1), root, spec, layout)),
+      "violating append must be vetoed")
+    require(VersionedTable.headVersion(root) == headBefore,
+      "a vetoed append must not move the head")
+    require(vetoed(VersionedTable.setConstraint(s, root, "too_short", "n_chars < 100")),
+      "a constraint existing data violates must be refused")
+    val afterVeto = vtSlice("1_vetoed", VersionedTable.read(s, root))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    require(VersionedTable.constraints(root).keySet == Set("n_chars_pos", "has_id"),
+      s"constraints must survive commits, got ${VersionedTable.constraints(root)}")
+    retirePrevDir(constraintsPrev, root)
+    afterVeto.unionByName(vtSlice("2_committed", VersionedTable.read(s, root)))
+  }
+
+  private val metaAggPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Metadata-only aggregates (`layout_metadata_agg`,
+    * [[graft.operators.VersionedTable.metadataAgg]]): COUNT/MIN/MAX
+    * answered from the MANIFEST alone — `count = Σ(n_rows −
+    * n_deleted)` stays exact THROUGH a DV delete (the accounting the
+    * merge-on-read commit maintains), while min/max are require()d to
+    * REFUSE on a vectored table (per-file stats are physical
+    * supersets — the DV may have deleted the extreme row) and return
+    * again after [[graft.operators.VersionedTable.compactDeletes]]
+    * restores tightness. The spec proves the zero-IO claim directly:
+    * the count still answers with every data file REMOVED from disk.
+    *
+    * Scale shape (100 TB): `SELECT count(*)` in manifest-row time —
+    * the Delta metadata-only query optimization, with the
+    * staleness hazard made an explicit refusal instead of a wrong
+    * answer.
+    */
+  def layoutMetadataAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_magg").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d.filter(col("doc_id") % 2 === 0), root, spec, layout)
+    VersionedTable.append(s, d.filter(col("doc_id") % 2 === 1), root, spec, layout)
+    def slice(tag: String, withMinMax: Boolean): DataFrame =
+      if (withMinMax)
+        VersionedTable.metadataAgg(s, root, Some("n_chars"))
+          .select(lit(tag).as("slice"), col("n_rows"),
+            col("min_n_chars"), col("max_n_chars"))
+      else
+        VersionedTable.metadataAgg(s, root, None)
+          .select(lit(tag).as("slice"), col("n_rows"),
+            lit(null).cast("long").as("min_n_chars"),
+            lit(null).cast("long").as("max_n_chars"))
+    val full = slice("1_full", withMinMax = true)
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+    require(
+      try { VersionedTable.metadataAgg(s, root, Some("n_chars")); false }
+      catch { case _: IllegalArgumentException => true },
+      "min/max over a vectored table must refuse, not return a stale bound")
+    val afterDv = slice("2_after_dv", withMinMax = false)
+    VersionedTable.compactDeletes(s, root, spec)
+    val compacted = slice("3_compacted", withMinMax = true)
+    retirePrevDir(metaAggPrev, root)
+    full.unionByName(afterDv).unionByName(compacted)
+  }
+
   private val txnTablePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val txnMvPrev =

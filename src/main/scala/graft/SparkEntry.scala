@@ -419,7 +419,13 @@ object SparkEntry {
     "layout_recluster_zorder" -> (ExtQueries.layoutReclusterZorder _),
     // r19: cross-artifact atomic commit — table + MV pinned behind one
     // coordinator pointer; crash window reads the old consistent pair
-    "layout_txn_commit" -> (ExtQueries.layoutTxnCommit _)
+    "layout_txn_commit" -> (ExtQueries.layoutTxnCommit _),
+    // r19: durable CHECK constraints — versioned properties enforced
+    // at commit time; violating commits vetoed atomically
+    "layout_table_constraints" -> (ExtQueries.layoutTableConstraints _),
+    // r19: metadata-only COUNT/MIN/MAX off the manifest; min/max
+    // refuses on a vectored table, returns after compaction
+    "layout_metadata_agg" -> (ExtQueries.layoutMetadataAgg _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1878,6 +1884,28 @@ object SparkEntry {
         |SELECT '3_vacuum', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 89 <> 0""".stripMargin,
+    // the vetoed state equals v1+constraints; the committed state adds
+    // only the VALID batch
+    "layout_table_constraints" ->
+      """SELECT '1_vetoed' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT '2_committed', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+    // count exact through the DV; min/max only where stats are tight
+    "layout_metadata_agg" ->
+      """SELECT '1_full' AS slice, count(*) AS n_rows,
+        |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT '2_after_dv', count(*), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT '3_compacted', count(*), min(n_chars), max(n_chars)
+        |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
     // the crash window reads the v1 pair; the committed head reads the
     // evolved pair — both MV states restated from the raw table
     "layout_txn_commit" ->

@@ -92,10 +92,73 @@ object VersionedTable {
         missing.take(3).mkString(", "))
   }
 
+  /** Durable CHECK constraints ride the version `_META` under
+    * `constraint:` keys; every publish inherits the head's (minus any
+    * being dropped), so a table property survives unrelated commits —
+    * the Delta table-properties posture with the property set versioned
+    * alongside the data it governed.
+    */
+  private val ConstraintPrefix = "constraint:"
+
+  private def constraintMeta(root: String): Map[String, String] =
+    headVersion(root)
+      .map(v => Publish.readMeta(manifestRoot(root), v)
+        .filter(_._1.startsWith(ConstraintPrefix)))
+      .getOrElse(Map.empty)
+
+  /** The table's active CHECK constraints (name → SQL expression). */
+  def constraints(root: String): Map[String, String] =
+    constraintMeta(root).map { case (k, v) => k.stripPrefix(ConstraintPrefix) -> v }
+
+  /** SQL CHECK semantics: a row violates only when the expression
+    * evaluates FALSE — NULL (unknown) passes, as in ANSI CHECK and
+    * Delta. Throws before anything is written or published, so a
+    * violating commit leaves no trace (head, files, and reads all
+    * unchanged).
+    */
+  private def enforce(df: DataFrame, cons: Map[String, String]): Unit =
+    cons.foreach { case (name, e) =>
+      val bad = df.filter(!coalesce(expr(e), lit(true)))
+      if (!bad.isEmpty) {
+        val n = bad.count()
+        throw new IllegalArgumentException(
+          s"CHECK constraint ${name.stripPrefix(ConstraintPrefix)} " +
+            s"violated by $n row(s): $e")
+      }
+    }
+
   private def publishManifest(manifest: DataFrame, root: String,
-                              meta: Map[String, String]): String =
+                              meta: Map[String, String],
+                              dropConstraints: Set[String] = Set.empty): String =
     Publish.publish(manifest, manifestRoot(root),
-      audit = auditFilesExist, meta = meta)
+      audit = auditFilesExist,
+      meta = (constraintMeta(root) -- dropConstraints.map(ConstraintPrefix + _)) ++ meta)
+
+  /** Add a durable CHECK constraint. EXISTING data is validated first
+    * (one scan through the head read — resolved through any DVs, the
+    * live rows are what the constraint governs) and the property
+    * commit is vetoed if any row violates — a constraint must be true
+    * the moment it exists (the Delta `ADD CONSTRAINT` contract).
+    * Enforced by every subsequent row-introducing commit ([[create]]
+    * happens-before, [[append]], [[appendOcc]], [[upsertDV]]).
+    */
+  def setConstraint(s: SparkSession, root: String,
+                    name: String, checkSql: String): String = {
+    require(name.nonEmpty && !name.contains("="),
+      s"constraint name must be non-empty without '=': $name")
+    enforce(read(s, root), Map(name -> checkSql))
+    publishManifest(Publish.read(s, manifestRoot(root)), root,
+      Map("verb" -> "set-constraint", ConstraintPrefix + name -> checkSql))
+  }
+
+  /** Drop a CHECK constraint (a property-only commit). */
+  def dropConstraint(s: SparkSession, root: String, name: String): String = {
+    require(constraints(root).contains(name),
+      s"no such constraint: $name (active: ${constraints(root).keys.mkString(", ")})")
+    publishManifest(Publish.read(s, manifestRoot(root)), root,
+      Map("verb" -> "drop-constraint", "dropped" -> name),
+      dropConstraints = Set(name))
+  }
 
   private def freshGen(root: String): String = {
     val g = s"${filesDir(root)}/g-" +
@@ -122,6 +185,7 @@ object VersionedTable {
   def append(s: SparkSession, df: DataFrame, root: String, spec: Spec,
              layout: DataFrame => DataFrame = identity,
              extraMeta: Map[String, String] = Map.empty): String = {
+    enforce(df, constraints(root))
     val gen = freshGen(root)
     layout(df).write.parquet(gen)
     publishManifest(
@@ -301,6 +365,34 @@ object VersionedTable {
       case (m, (c, lo, hi)) => StatsSpine.survivors(m, c, lo, hi)
     })
 
+  /** METADATA-ONLY aggregates: COUNT(*), MIN(c), MAX(c) answered from
+    * the manifest alone — zero data-file bytes read (the Delta
+    * metadata-only query optimization, explicit). COUNT is exact
+    * always: `n_deleted` carries the live-row accounting through DV
+    * commits, so count = Σ(n_rows − n_deleted). MIN/MAX are exact
+    * only while no file carries a deletion vector (the per-file stats
+    * are PHYSICAL supersets — a DV may have deleted the extreme row),
+    * so the call REFUSES min/max on a vectored table rather than
+    * return a possibly-stale bound ([[compactDeletes]] restores
+    * tightness).
+    *
+    * Scale shape (100 TB): the planner answers in manifest-row time
+    * (≈ file count) — a `SELECT count(*)` never touches 100 TB.
+    */
+  def metadataAgg(s: SparkSession, root: String, c: Option[String]): DataFrame = {
+    val m = manifest(s, root)
+    val n = m.agg((sum(col("n_rows")) - sum(col("n_deleted"))).as("n_rows")).select(col("n_rows"))
+    c match {
+      case None => n
+      case Some(cc) =>
+        require(m.filter(col("dv_path").isNotNull).isEmpty,
+          s"metadataAgg: min/max over '$cc' refused — deletion vectors make " +
+            "per-file stats a superset of live rows; compact first")
+        n.crossJoin(m.agg(min(col(s"min_$cc")).as(s"min_$cc"),
+          max(col(s"max_$cc")).as(s"max_$cc")))
+    }
+  }
+
   /** Resolve a manifest's rows to live data: list exactly its files
     * (schema MERGED across generations — an evolved append's new
     * column reads back NULL for older files), then apply any deletion
@@ -425,6 +517,7 @@ object VersionedTable {
   def upsertDV(s: SparkSession, root: String, spec: Spec,
                updates: DataFrame,
                layout: DataFrame => DataFrame = identity): String = {
+    enforce(updates, constraints(root))
     val current = Publish.read(s, manifestRoot(root))
     val gen = freshGen(root)
     layout(updates).write.parquet(gen)
@@ -550,8 +643,10 @@ object VersionedTable {
     */
   def shallowClone(s: SparkSession, srcRoot: String, dstRoot: String): String = {
     val current = Publish.read(s, manifestRoot(srcRoot))
+    // table properties travel with the clone (Delta clone semantics):
+    // the clone's v1 carries the source's CHECK constraints
     publishManifest(current, dstRoot,
-      Map("verb" -> "clone",
+      constraintMeta(srcRoot) ++ Map("verb" -> "clone",
         "src" -> s"$srcRoot@${Publish.currentVersion(manifestRoot(srcRoot)).getOrElse("?")}"))
   }
 
@@ -598,6 +693,7 @@ object VersionedTable {
                 layout: DataFrame => DataFrame = identity,
                 beforeCommit: () => Unit = () => (),
                 maxAttempts: Int = 5): (String, Int) = {
+    enforce(df, constraints(root))
     val gen = freshGen(root)
     layout(df).write.parquet(gen)
     val batchRows = sidecar(s, gen, spec)
@@ -612,8 +708,9 @@ object VersionedTable {
         return (Publish.publishIf(base.unionByName(batchRows),
           manifestRoot(root), head,
           audit = auditFilesExist,
-          meta = Map("verb" -> "append-occ", "attempt" -> attempts.toString,
-            "base" -> head.get)), attempts)
+          meta = constraintMeta(root) ++
+            Map("verb" -> "append-occ", "attempt" -> attempts.toString,
+              "base" -> head.get)), attempts)
       } catch {
         case _: Publish.PublishConflict if attempts < maxAttempts => ()
       }

@@ -358,6 +358,74 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dst).count() == 600L - 86L)
   }
 
+  test("CHECK constraints: NULL passes, veto writes nothing, drop re-enables, OCC+upsert enforce") {
+    import spark.implicits._
+    val root = fixture()
+    VersionedTable.setConstraint(spark, root, "k_small", "k < 1000")
+    VersionedTable.setConstraint(spark, root, "v_prefix", "v LIKE 'v%'")
+    def dataFiles(): Long = {
+      val d = java.nio.file.Paths.get(s"$root/files")
+      val st = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+      } finally st.close()
+    }
+    // ANSI CHECK: a NULL predicate result passes (unknown ≠ violation)
+    VersionedTable.append(spark,
+      Seq((700L, None: Option[String])).toDF("k", "v"), root, spec)
+    val filesBefore = dataFiles()
+    val headBefore = VersionedTable.headVersion(root)
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(spark,
+        Seq((5000L, "big")).toDF("k", "v"), root, spec)
+    }
+    // the veto left NO trace: no generation written, head unmoved
+    assert(dataFiles() == filesBefore, "vetoed append must not write a generation")
+    assert(VersionedTable.headVersion(root) == headBefore)
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendOcc(spark, Seq((5000L, "v-big")).toDF("k", "v"), root, spec)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.upsertDV(spark, root, spec, Seq((5000L, "v-big")).toDF("k", "v"))
+    }
+    // drop re-enables the previously-vetoed k (v still constrained)
+    VersionedTable.dropConstraint(spark, root, "k_small")
+    VersionedTable.append(spark, Seq((5000L, "v-big")).toDF("k", "v"), root, spec)
+    assert(VersionedTable.read(spark, root).count() == 602L)
+  }
+
+  test("CHECK constraints: a shallow clone inherits the source's properties") {
+    import spark.implicits._
+    val src = fixture()
+    VersionedTable.setConstraint(spark, src, "k_small", "k < 1000")
+    val dst = java.nio.file.Files.createTempDirectory("graft-vt-ccl").toString
+    VersionedTable.shallowClone(spark, src, dst)
+    assert(VersionedTable.constraints(dst) == Map("k_small" -> "k < 1000"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, Seq((5000L, "big")).toDF("k", "v"), dst, spec)
+    }
+  }
+
+  test("metadataAgg: count answers with every data file REMOVED (zero data IO)") {
+    import spark.implicits._
+    val root = fixture()
+    val n = VersionedTable.metadataAgg(spark, root, Some("k"))
+    assert(n.head.getLong(0) == 600L)
+    // the zero-IO proof: physically remove the data files; the
+    // manifest-only count must still answer
+    val files = java.nio.file.Paths.get(s"$root/files")
+    val st = java.nio.file.Files.walk(files)
+    val parquets =
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      } finally st.close()
+    assert(parquets.nonEmpty)
+    parquets.foreach(java.nio.file.Files.delete(_))
+    assert(VersionedTable.metadataAgg(spark, root, None).head.getLong(0) == 600L)
+  }
+
   // ---- schema evolution ----
 
   test("evolved append: head merges with NULL back-fill; time travel keeps the old schema") {
