@@ -6035,6 +6035,92 @@ object ExtQueries {
     mvLangFold(mv0, feed)
   }
 
+  private val asOfTsPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** TIMESTAMP AS OF (`layout_time_travel_ts`,
+    * [[graft.operators.VersionedTable.readAsOfTs]]): version-name time
+    * travel (E133) resolved by COMMIT STAMP instead — every verb's
+    * meta carries a `commit_ts`, and `readAsOfTs(ts)` reads the
+    * newest version at or before it, with unstamped property commits
+    * (a set-constraint between data commits here) resolved by
+    * inheritance to the preceding stamp's instant. Three probes:
+    * before the append, between append and delete (landing ON the
+    * property commit — content must equal the append's), and after
+    * the DV delete; a probe before the first stamp is require()d to
+    * refuse.
+    *
+    * Scale shape (100 TB): resolution reads version `_META` files
+    * only (O(versions)); the read itself is the normal manifest read.
+    */
+  def layoutTimeTravelTs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d.filter(col("doc_id") % 2 === 0), root, spec,
+      layout, extraMeta = Map("commit_ts" -> "100"))
+    VersionedTable.append(s, d.filter(col("doc_id") % 2 === 1), root, spec,
+      layout, extraMeta = Map("commit_ts" -> "200"))
+    // an unstamped property commit between the data commits: asOf(250)
+    // must land on it (same content as the append)
+    VersionedTable.setConstraint(s, root, "n_chars_pos", "n_chars > 0")
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+      extraMeta = Map("commit_ts" -> "300"))
+    require(
+      try { VersionedTable.readAsOfTs(s, root, 50L); false }
+      catch { case _: IllegalArgumentException => true },
+      "a probe before the first stamp must refuse")
+    retirePrevDir(asOfTsPrev, root)
+    vtSlice("1_t100", VersionedTable.readAsOfTs(s, root, 100L))
+      .unionByName(vtSlice("2_t250", VersionedTable.readAsOfTs(s, root, 250L)))
+      .unionByName(vtSlice("3_t999", VersionedTable.readAsOfTs(s, root, 999L)))
+  }
+
+  private val lineagePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Row-level commit lineage (`layout_commit_lineage`,
+    * [[graft.operators.VersionedTable.readWithCommitVersion]]): the
+    * head read with every row stamped by the version that INTRODUCED
+    * its file, derived from the manifest history alone (Delta CDF's
+    * `_commit_version` for inserts). Four commits — create, append,
+    * DV-delete (merge-on-read: no file churn, so lineage survives the
+    * delete), append — and the per-version rollup hashes against the
+    * oracle's membership arithmetic: v1 owns the surviving create
+    * rows, v2 the surviving first-append rows, v3 (the delete)
+    * introduces NO rows, v4 owns the second append whole (the delete
+    * predates it).
+    *
+    * Scale shape (100 TB): attribution is ∝ versions × manifest rows
+    * (file counts); the stamp lands via one broadcast map join — no
+    * lineage column is ever stored, the manifest IS the provenance.
+    */
+  def layoutCommitLineage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_lineage").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec, layout)
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 2), root, spec, layout)
+    retirePrevDir(lineagePrev, root)
+    VersionedTable.readWithCommitVersion(s, root)
+      .groupBy("_commit_version")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+  }
+
   private val constraintsPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -425,7 +425,13 @@ object SparkEntry {
     "layout_table_constraints" -> (ExtQueries.layoutTableConstraints _),
     // r19: metadata-only COUNT/MIN/MAX off the manifest; min/max
     // refuses on a vectored table, returns after compaction
-    "layout_metadata_agg" -> (ExtQueries.layoutMetadataAgg _)
+    "layout_metadata_agg" -> (ExtQueries.layoutMetadataAgg _),
+    // r19: TIMESTAMP AS OF — commit-stamp resolution with property
+    // commits inherited to the preceding stamp's instant
+    "layout_time_travel_ts" -> (ExtQueries.layoutTimeTravelTs _),
+    // r19: row lineage off the manifest history — _commit_version by
+    // first-manifest-listing attribution, broadcast map join
+    "layout_commit_lineage" -> (ExtQueries.layoutCommitLineage _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1895,6 +1901,33 @@ object SparkEntry {
         |SELECT '2_committed', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+    // three stamp probes: create-time, on the property commit (content
+    // = the append), after the DV delete
+    "layout_time_travel_ts" ->
+      """SELECT '1_t100' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT '2_t250', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT '3_t999', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+    // per-introducing-version rollup: the DV delete (v3) introduces no
+    // rows and removes %5 rows from v1/v2's files; v4 postdates it
+    "layout_commit_lineage" ->
+      """SELECT 'v00001' AS _commit_version, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT 'v00002', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT 'v00004', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     // count exact through the DV; min/max only where stats are tight
     "layout_metadata_agg" ->
       """SELECT '1_full' AS slice, count(*) AS n_rows,

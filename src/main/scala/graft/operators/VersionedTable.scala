@@ -401,12 +401,20 @@ object VersionedTable {
     * so the corpus never shuffles for a merge-on-read read — spec-
     * pinned as a BroadcastHashJoin LeftAnti.
     */
-  private def readFiles(s: SparkSession, manifestRows: DataFrame): DataFrame = {
+  private def readFiles(s: SparkSession, manifestRows: DataFrame): DataFrame =
+    readFilesKeep(s, manifestRows).drop("__file")
+
+  /** [[readFiles]] retaining each row's source file as `__file` — the
+    * lineage and per-file-audit reads join on it, everyone else drops
+    * it.
+    */
+  private def readFilesKeep(s: SparkSession, manifestRows: DataFrame): DataFrame = {
     val entries = manifestRows.select("file", "dv_path").collect()
     require(entries.nonEmpty, "versioned table manifest lists no files")
     val files = entries.map(_.getString(0)).toSeq
     val dvPaths = entries.flatMap(r => Option(r.getString(1))).distinct.toSeq
     val base = s.read.option("mergeSchema", "true").parquet(files: _*)
+      .withColumn("__file", col("_metadata.file_path"))
     if (dvPaths.isEmpty) base
     else {
       // row identity at read time = (_metadata.file_path, row_index);
@@ -421,6 +429,97 @@ object VersionedTable {
         .join(broadcast(dv), Seq("__dv_file", "__dv_pos"), "left_anti")
         .drop("__dv_file", "__dv_pos")
     }
+  }
+
+  /** Published manifest versions on disk, oldest-first — version dirs
+    * with their commit marker, at or before the pointer (a crashed
+    * publish's dir has no `_SUCCESS`; a tombstoned attempt is named
+    * `vN.failed` and doesn't match).
+    */
+  /** NUMERIC version order — "v%05d" widens past 99999, where
+    * lexicographic order breaks (the Publish.vacuumRetain lesson).
+    */
+  private def vNum(v: String): Long = v.drop(1).toLong
+
+  private def publishedVersions(root: String): Seq[String] =
+    headVersion(root).map { head =>
+      val mroot = java.nio.file.Paths.get(manifestRoot(root))
+      val st = java.nio.file.Files.list(mroot)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(v => v.matches("v\\d+") && vNum(v) <= vNum(head) &&
+            java.nio.file.Files.exists(mroot.resolve(v).resolve("_SUCCESS")))
+          .toSeq.sortBy(vNum)
+      } finally st.close()
+    }.getOrElse(Seq.empty)
+
+  /** TIMESTAMP AS OF: read the newest version whose commit stamp is
+    * ≤ `ts`. Stamps are the `commit_ts` values callers pass through
+    * each verb's meta (logical time here — a real deployment stamps
+    * wall clock; the monotone-per-table contract and the resolution
+    * rule are the same as Delta's `TIMESTAMP AS OF`). Versions
+    * without a stamp (property commits, unstamped verbs) are resolved
+    * by inheritance: they belong to the preceding stamped commit's
+    * instant, so the newest version at-or-under the winning stamp is
+    * what's read.
+    */
+  def readAsOfTs(s: SparkSession, root: String, ts: Long): DataFrame = {
+    val mroot = manifestRoot(root)
+    val versions = publishedVersions(root)
+    val stamped = versions.flatMap(v =>
+      Publish.readMeta(mroot, v).get("commit_ts").map(t => (v, t.toLong)))
+    require(stamped.nonEmpty,
+      s"readAsOfTs: no commit_ts-stamped versions under $root")
+    val eligible = stamped.filter(_._2 <= ts)
+    require(eligible.nonEmpty,
+      s"readAsOfTs: no version at or before ts=$ts " +
+        s"(earliest stamp ${stamped.map(_._2).min})")
+    val winner = eligible.maxBy(_._2)
+    // inheritance: unstamped commits after the winner but before the
+    // NEXT stamp (e.g. a set-constraint property commit) belong to
+    // the winner's instant
+    val nextStamped = stamped.filter(_._2 > ts).map(v => vNum(v._1))
+      .sorted.headOption
+    val v = versions.filter(v => vNum(v) >= vNum(winner._1) &&
+      nextStamped.forall(vNum(v) < _)).maxBy(vNum)
+    readVersion(s, root, v)
+  }
+
+  /** Row-level commit lineage (Delta CDF's `_commit_version` for
+    * inserts, derived from the manifest history ALONE): the head read
+    * with every row stamped by the version that INTRODUCED its file —
+    * attribution walks the retained manifests oldest-first and
+    * charges each file to the first manifest listing it, then one
+    * broadcast map joins onto the row's file identity. A
+    * copy-on-write rewrite (CoW delete, compaction, recluster) writes
+    * new files, so its survivors re-attribute to the rewrite commit —
+    * exactly Delta's semantics, stated in the gate; merge-on-read
+    * verbs keep original lineage (no file churn).
+    *
+    * Scale shape (100 TB): planning ∝ versions × manifest rows (file
+    * counts, not data); the stamp join is a broadcast of the
+    * file→version map.
+    */
+  def readWithCommitVersion(s: SparkSession, root: String): DataFrame = {
+    val mroot = manifestRoot(root)
+    val fileVer = publishedVersions(root).foldLeft(Map.empty[String, String]) {
+      (acc, v) =>
+        Publish.readVersion(s, mroot, v).select("file").collect()
+          .map(_.getString(0)).foldLeft(acc)((a, f) =>
+            if (a.contains(f)) a else a.updated(f, v))
+    }
+    val fv = s.createDataFrame(
+      java.util.Arrays.asList(fileVer.toSeq.map { case (f, v) =>
+        org.apache.spark.sql.Row(f, v) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__file",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    readFilesKeep(s, manifest(s, root))
+      .join(broadcast(fv), Seq("__file"))
+      .drop("__file")
   }
 
   /** MERGE-ON-READ targeted delete (the deletion-vector sibling of
@@ -444,14 +543,15 @@ object VersionedTable {
     * carries the live-row accounting.
     */
   def deleteRosterDV(s: SparkSession, root: String, spec: Spec,
-                     roster: DataFrame): String = {
+                     roster: DataFrame,
+                     extraMeta: Map[String, String] = Map.empty): String = {
     val current = Publish.read(s, manifestRoot(root))
     vectorize(s, current, root, spec, roster) match {
       case None =>
-        publishManifest(current, root, Map("verb" -> "delete-dv-noop"))
+        publishManifest(current, root, extraMeta + ("verb" -> "delete-dv-noop"))
       case Some((rows, nHolders)) =>
         publishManifest(rows, root,
-          Map("verb" -> "delete-dv", "n_holders" -> nHolders.toString))
+          extraMeta + ("verb" -> "delete-dv", "n_holders" -> nHolders.toString))
     }
   }
 
