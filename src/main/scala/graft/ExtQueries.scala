@@ -6035,6 +6035,59 @@ object ExtQueries {
     mvLangFold(mv0, feed)
   }
 
+  private val restoreTagPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** RESTORE + tag custody (`layout_restore_tag`,
+    * [[graft.operators.VersionedTable.restore]] /
+    * [[graft.operators.VersionedTable.tag]]): the rollback-and-pin
+    * pair every production table needs — v1 is TAGGED (`run47`, the
+    * "snapshot we trained on" ref), the table then appends and
+    * DV-deletes, and RESTORE(v2) makes the pre-delete content the
+    * head via a NEW commit (an UNDELETE: nothing rewound, the rolled-
+    * back versions stay in history). The gate require()s the feed
+    * algebra refuses windows across the restore (un-deletes are
+    * inexpressible in the DV-delta feed), then VACUUMs with
+    * keepLast=1 and proves custody: the tagged v1 still reads its
+    * exact slice while the untagged v2 is retired (readVersion
+    * refuses by name). Head and tag slices both hash.
+    *
+    * Scale shape (100 TB): restore is one manifest write (file
+    * references flip, no data moves); a tag is one ref file whose
+    * custody rides the existing referenced-set walk.
+    */
+  def layoutRestoreTag(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_restore").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 2 === 0),
+      root, spec, layout)
+    VersionedTable.tag(root, "run47", v1)
+    val v2 = VersionedTable.append(s, d.filter(col("doc_id") % 2 === 1),
+      root, spec, layout)
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+    val v4 = VersionedTable.restore(s, root, v2)
+    require(
+      try { VersionedTable.changeFeed(s, root, v2, v4); false }
+      catch { case _: IllegalArgumentException => true },
+      "a feed window across a restore must refuse (un-deletes are " +
+        "inexpressible in the DV-delta algebra)")
+    VersionedTable.vacuum(s, root, keepLast = 1)
+    require(
+      try { VersionedTable.readVersion(s, root, v2); false }
+      catch { case _: Throwable => true },
+      "the untagged v2 must be retired by keepLast=1")
+    retirePrevDir(restoreTagPrev, root)
+    vtSlice("1_head", VersionedTable.read(s, root))
+      .unionByName(vtSlice("2_tag", VersionedTable.readTag(s, root, "run47")))
+  }
+
   private val asOfTsPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -431,7 +431,10 @@ object SparkEntry {
     "layout_time_travel_ts" -> (ExtQueries.layoutTimeTravelTs _),
     // r19: row lineage off the manifest history — _commit_version by
     // first-manifest-listing attribution, broadcast map join
-    "layout_commit_lineage" -> (ExtQueries.layoutCommitLineage _)
+    "layout_commit_lineage" -> (ExtQueries.layoutCommitLineage _),
+    // r19: rollback-and-pin — RESTORE as an un-delete commit (feed
+    // windows across it refused) + tag custody across vacuum
+    "layout_restore_tag" -> (ExtQueries.layoutRestoreTag _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1901,6 +1904,17 @@ object SparkEntry {
         |SELECT '2_committed', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+    // head = the restored (pre-delete) content; the tagged v1 slice
+    // survives keepLast=1
+    "layout_restore_tag" ->
+      """SELECT '1_head' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT '2_tag', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     // three stamp probes: create-time, on the property commit (content
     // = the append), after the DV delete
     "layout_time_travel_ts" ->

@@ -296,7 +296,8 @@ object Publish {
     * + one marker file each) — no data is read, rewritten, or moved;
     * the retained window's bytes are exactly as the commits left them.
     */
-  def vacuumRetain(rootPath: String, keepLast: Int): Seq[String] = {
+  def vacuumRetain(rootPath: String, keepLast: Int,
+                   alsoKeep: Set[String] = Set.empty): Seq[String] = {
     require(keepLast >= 1, s"vacuumRetain: keepLast must be >= 1, got $keepLast")
     val r = root(rootPath)
     val current = currentVersion(rootPath)
@@ -312,7 +313,8 @@ object Publish {
             // padding overflows and "v100000" sorts before "v99999"
             .sortBy(n => n.drop(1).takeWhile(_.isDigit).toLong)
         } finally s.close()
-      val retained = names.filter(_.matches("v\\d+")).takeRight(keepLast).toSet ++ current
+      val retained = names.filter(_.matches("v\\d+")).takeRight(keepLast).toSet ++
+        current ++ alsoKeep
       names.filterNot(retained.contains).map { n =>
         val dir = r.resolve(n)
         if (java.nio.file.Files.isDirectory(dir)) Checkpoints.deleteTree(dir)

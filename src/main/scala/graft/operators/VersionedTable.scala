@@ -651,7 +651,10 @@ object VersionedTable {
     * data is read or moved; the referenced set is manifest-sized.
     */
   def vacuum(s: SparkSession, root: String, keepLast: Int): (Seq[String], Int, Int) = {
-    val retiredManifests = Publish.vacuumRetain(manifestRoot(root), keepLast)
+    // tagged versions are custody: their manifests survive any
+    // keepLast, so the referenced-set walk below keeps their data too
+    val retiredManifests = Publish.vacuumRetain(manifestRoot(root), keepLast,
+      alsoKeep = tags(root).values.toSet)
     // referenced set across ALL manifest versions still on disk
     val mroot = java.nio.file.Paths.get(manifestRoot(root))
     val liveVersions = {
@@ -728,6 +731,74 @@ object VersionedTable {
         root,
         Map("verb" -> "compact-dv", "n_compacted" -> dvd.count().toString))
     }
+  }
+
+  /** RESTORE (Delta `RESTORE TABLE ... VERSION AS OF`): make an old
+    * version's CONTENT the new head via a NEW commit republishing its
+    * manifest — history stays append-only (the rolled-back commits
+    * remain readable by name; nothing is rewound or deleted) and the
+    * restore itself is one manifest write: the file references flip,
+    * no data moves. The publish audit re-verifies every restored file
+    * still exists (a [[vacuum]] may have reclaimed what only the old
+    * version referenced — then the restore is vetoed, not silently
+    * hollow). NOT feed-safe by construction (verb `restore` is absent
+    * from the [[changeFeed]] allowlist): the file diff across a
+    * restore contains UN-deletes the DV-delta feed algebra cannot
+    * express, so feed windows spanning one are refused.
+    */
+  def restore(s: SparkSession, root: String, v: String): String = {
+    val head = headVersion(root)
+    require(!head.contains(v), s"restore: $v is already the head")
+    publishManifest(Publish.readVersion(s, manifestRoot(root), v), root,
+      Map("verb" -> "restore", "restored" -> v))
+  }
+
+  /** Named REFS (Iceberg tags): a tag pins a version name durably
+    * under `manifest/_refs/<name>` — read it back by name with
+    * [[readTag]], and [[vacuum]] keeps every tagged version's
+    * manifest AND data files alive regardless of `keepLast` (the
+    * audit/repro custody tags exist for: "the snapshot we trained
+    * run 47 on" survives the retention window).
+    */
+  def tag(root: String, name: String, v: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad tag name: $name")
+    val vdir = java.nio.file.Paths.get(manifestRoot(root)).resolve(v)
+    require(java.nio.file.Files.exists(vdir.resolve("_SUCCESS")),
+      s"tag $name: version $v is not a published version")
+    val refs = java.nio.file.Paths.get(manifestRoot(root)).resolve("_refs")
+    java.nio.file.Files.createDirectories(refs)
+    java.nio.file.Files.writeString(refs.resolve(name), v)
+    ()
+  }
+
+  /** All tags (name → version). */
+  def tags(root: String): Map[String, String] = {
+    val refs = java.nio.file.Paths.get(manifestRoot(root)).resolve("_refs")
+    if (!java.nio.file.Files.isDirectory(refs)) Map.empty
+    else {
+      val st = java.nio.file.Files.list(refs)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(p =>
+          p.getFileName.toString ->
+            java.nio.file.Files.readString(p).trim).toMap
+      } finally st.close()
+    }
+  }
+
+  /** Drop a tag (releases its vacuum custody). */
+  def dropTag(root: String, name: String): Unit = {
+    val ref = java.nio.file.Paths.get(manifestRoot(root))
+      .resolve("_refs").resolve(name)
+    require(java.nio.file.Files.deleteIfExists(ref), s"no such tag: $name")
+    ()
+  }
+
+  /** Read the version a tag pins. */
+  def readTag(s: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no such tag: $name"))
+    readVersion(s, root, v)
   }
 
   /** SHALLOW CLONE: a new table root whose v1 manifest REFERENCES the

@@ -358,6 +358,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dst).count() == 600L - 86L)
   }
 
+  test("restore: vetoed when the restored files were vacuumed; refuses restoring the head") {
+    import spark.implicits._
+    val root = fixture()
+    intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, root, VersionedTable.headVersion(root).get)
+    }
+    // CoW-delete EVERY file's rows so v3 references only fresh
+    // generations, then vacuum v1/v2 away: their gen0/gen1 files are
+    // unreferenced and reclaimed
+    VersionedTable.deleteRoster(spark, root, spec, (0L until 600L by 2L).toDF("k"))
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    val head = VersionedTable.headVersion(root)
+    intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, root, "v00001")
+    }
+    assert(VersionedTable.headVersion(root) == head,
+      "a vetoed restore must not move the head")
+    // tags: bad name and unpublished version are refused; drop releases
+    intercept[IllegalArgumentException] {
+      VersionedTable.tag(root, "bad name", head.get)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.tag(root, "ghost", "v99999")
+    }
+    VersionedTable.tag(root, "keeper", head.get)
+    assert(VersionedTable.tags(root) == Map("keeper" -> head.get))
+    VersionedTable.dropTag(root, "keeper")
+    assert(VersionedTable.tags(root).isEmpty)
+  }
+
   test("CHECK constraints: NULL passes, veto writes nothing, drop re-enables, OCC+upsert enforce") {
     import spark.implicits._
     val root = fixture()
