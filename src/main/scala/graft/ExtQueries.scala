@@ -6035,6 +6035,62 @@ object ExtQueries {
     mvLangFold(mv0, feed)
   }
 
+  private val consumerTablePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val consumerDerivedPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Checkpointed feed-consumer loop (`layout_feed_consumer`,
+    * [[graft.operators.FeedConsumer.advance]]): where the one-window
+    * gates fold a feed by hand, this drives the full consumer
+    * lifecycle across THREE wakes — bootstrap (state derived from the
+    * table head, offset stamped in the same publish), a fold across a
+    * two-commit window (append + DV-delete), a crash-REPLAY wake
+    * require()d to be a structural no-op (offset == head publishes
+    * nothing — the atomic state+offset commit means a replay cannot
+    * double-apply), and a final fold across a later append. The
+    * derived MV after the last wake hashes against the oracle stating
+    * the head aggregate directly, so every window landed exactly
+    * once.
+    *
+    * Scale shape (100 TB): each wake costs ∝ its feed window + the
+    * fold (one group-key outer join on MV-sized frames); offsets ride
+    * `_META` — the offsets-in-the-sink pattern, no coordinator.
+    */
+  def layoutFeedConsumer(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{FeedConsumer, Publish, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tableRoot = java.nio.file.Files.createTempDirectory("graft_fc_t").toString
+    val derivedRoot = java.nio.file.Files.createTempDirectory("graft_fc_d").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    def wake(): (String, String) =
+      FeedConsumer.advance(s, tableRoot, derivedRoot, mvLangAgg, mvLangFold)
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0),
+      tableRoot, spec, layout)
+    val (_, a1) = wake()
+    require(a1 == "bootstrap", s"first wake must bootstrap, got $a1")
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1),
+      tableRoot, spec, layout)
+    VersionedTable.deleteRosterDV(s, tableRoot, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    val (v2, a2) = wake()
+    require(a2 == "fold", s"second wake must fold, got $a2")
+    val (v3, a3) = wake()
+    require(a3 == "noop" && v3 == v2,
+      s"replay wake must be a structural no-op, got $a3 ($v2 -> $v3)")
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 2),
+      tableRoot, spec, layout)
+    val (_, a4) = wake()
+    require(a4 == "fold", s"fourth wake must fold, got $a4")
+    retirePrevDir(consumerTablePrev, tableRoot)
+    retirePrevDir(consumerDerivedPrev, derivedRoot)
+    Publish.read(s, derivedRoot)
+  }
+
   private val restoreTagPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -434,7 +434,10 @@ object SparkEntry {
     "layout_commit_lineage" -> (ExtQueries.layoutCommitLineage _),
     // r19: rollback-and-pin — RESTORE as an un-delete commit (feed
     // windows across it refused) + tag custody across vacuum
-    "layout_restore_tag" -> (ExtQueries.layoutRestoreTag _)
+    "layout_restore_tag" -> (ExtQueries.layoutRestoreTag _),
+    // r19: checkpointed feed-consumer loop — bootstrap/fold/replay-noop
+    // across three wakes; offset rides the derived commit atomically
+    "layout_feed_consumer" -> (ExtQueries.layoutFeedConsumer _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1904,6 +1907,14 @@ object SparkEntry {
         |SELECT '2_committed', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+    // the consumer's MV after three effective wakes == the head
+    // aggregate stated directly
+    "layout_feed_consumer" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE (doc_id % 3 < 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
+        |GROUP BY lang""".stripMargin,
     // head = the restored (pre-delete) content; the tagged v1 slice
     // survives keepLast=1
     "layout_restore_tag" ->

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CHECKPOINTED CHANGE-FEED CONSUMER: the loop that keeps a derived
+  * artifact continuously maintained off a [[VersionedTable]]'s
+  * manifest feed — the piece between the one-window folds
+  * (`layout_mv_from_feed`, `layout_index_from_feed` apply ONE window
+  * by hand) and a production pipeline (a scheduler wakes the consumer
+  * whenever; it must never miss or double-apply a window).
+  *
+  * The consumer's OFFSET — the last table version it consumed — rides
+  * the derived artifact's own commit `_META` (`consumed_upto`), so
+  * state and offset move in ONE atomic publish: there is no window
+  * for a crash between "fold applied" and "offset advanced", which is
+  * exactly the Kafka offsets-in-the-sink pattern and the same
+  * idempotence contract the streaming ingest stamps with `batchId`.
+  * Replays are structural no-ops: a wake that finds offset == head
+  * publishes nothing.
+  *
+  * Scale shape (100 TB): each advance costs ∝ the feed window
+  * (changed files + DV delta) plus the fold itself; the offset read
+  * is one `_META` file. The derived artifact never rebuilds ∝ table
+  * after bootstrap.
+  */
+object FeedConsumer {
+
+  /** Advance the consumer: bootstrap on first wake (derive state from
+    * the CURRENT table head), fold the feed window on later wakes,
+    * no-op when already caught up.
+    *
+    * @param init  bootstrap derivation: table head read → initial state
+    * @param fold  incremental maintenance: (state, feedWindow) → state'
+    * @return (published derived version or the unchanged head on a
+    *         no-op, what happened: "bootstrap" | "fold" | "noop")
+    */
+  def advance(s: SparkSession, tableRoot: String, derivedRoot: String,
+              init: DataFrame => DataFrame,
+              fold: (DataFrame, DataFrame) => DataFrame): (String, String) = {
+    val head = VersionedTable.headVersion(tableRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"feed consumer: no published table under $tableRoot"))
+    Publish.currentVersion(derivedRoot) match {
+      case None =>
+        val state = init(VersionedTable.readVersion(s, tableRoot, head))
+        (Publish.publish(state.coalesce(1), derivedRoot,
+          meta = Map("verb" -> "consumer-bootstrap", "consumed_upto" -> head)),
+          "bootstrap")
+      case Some(dv) =>
+        val upto = Publish.readMeta(derivedRoot, dv).getOrElse("consumed_upto",
+          throw new IllegalStateException(
+            s"feed consumer: derived $derivedRoot@$dv carries no consumed_upto"))
+        if (upto == head) (dv, "noop")
+        else {
+          val feed = VersionedTable.changeFeed(s, tableRoot, upto, head)
+          val state = fold(Publish.readVersion(s, derivedRoot, dv), feed)
+          (Publish.publish(state.coalesce(1), derivedRoot,
+            meta = Map("verb" -> "consumer-fold", "consumed_upto" -> head,
+              "consumed_from" -> upto)), "fold")
+        }
+    }
+  }
+}
