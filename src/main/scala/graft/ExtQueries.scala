@@ -5457,9 +5457,21 @@ object ExtQueries {
     val v1 = VersionedTable.create(s,
       d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("n_chars")),
       root, spec, layout)
+    // the evolving writer OPTS IN — an un-flagged drifting append is
+    // refused (E187's enforcement, require()d here so the evolution
+    // gate also pins the refusal default)
+    require(
+      try {
+        VersionedTable.append(s,
+          d.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("n_chars"), col("lang")),
+          root, spec, layout)
+        false
+      } catch { case _: IllegalArgumentException => true },
+      "an un-flagged drifting append must be refused")
     VersionedTable.append(s,
       d.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("n_chars"), col("lang")),
-      root, spec, layout)
+      root, spec, layout, allowEvolution = true)
     retirePrevDir(versionedEvoPrev, root)
     val head = VersionedTable.read(s, root)
     def evoSlice(tag: String, df: DataFrame): DataFrame =
@@ -6033,6 +6045,59 @@ object ExtQueries {
     val feed = VersionedTable.changeFeed(s, root, v1, v3)
     retirePrevDir(mvFromFeedPrev, root)
     mvLangFold(mv0, feed)
+  }
+
+  private val optimizePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** OPTIMIZE bin-packing compaction as a commit
+    * (`layout_optimize_compact`,
+    * [[graft.operators.VersionedTable.optimizeCompact]]): the
+    * small-file half of OPTIMIZE, next to E175/E177's re-sort half —
+    * a one-file create plus a 16-file append plant the classic
+    * post-streaming fragmentation, a DV-delete lands on BOTH (the
+    * rewrite must resolve vectors; the pass-through must keep its
+    * pointer), and the verb rewrites ONLY files below target while
+    * the at-target file PASSES THROUGH with its manifest row — name,
+    * DV pointer, lineage — verbatim (require()d: file count strictly
+    * drops AND the largest file's name survives). Content identity
+    * and a band read hash against the oracle.
+    *
+    * Scale shape (100 TB): after N micro-batch commits a partition
+    * pays N file opens per read; compaction is the maintenance verb
+    * that caps that, reading only the small files (never the table).
+    */
+  def layoutOptimizeCompact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_opt").toString
+    VersionedTable.create(s, d.filter(col("doc_id") % 2 === 0), root, spec,
+      df => df.repartition(1))
+    VersionedTable.append(s, d.filter(col("doc_id") % 2 === 1), root, spec,
+      df => df.repartition(16))
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 9 === 0).select(col("doc_id")))
+    def fileSizes(): Seq[(String, Long)] =
+      VersionedTable.manifest(s, root).select("file").collect()
+        .map(_.getString(0)).toSeq
+        .map(f => f -> java.nio.file.Files.size(
+          java.nio.file.Paths.get(f.stripPrefix("file:"))))
+    val before = fileSizes()
+    val bigFile = before.maxBy(_._2)._1
+    VersionedTable.optimizeCompact(s, root, spec,
+      targetBytes = before.map(_._2).max)
+    val after = fileSizes()
+    require(after.length < before.length,
+      s"optimize expected fewer files, got ${before.length} -> ${after.length}")
+    require(after.exists(_._1 == bigFile),
+      "the at-target file must pass through un-rewritten")
+    retirePrevDir(optimizePrev, root)
+    vtSlice("1_head", VersionedTable.read(s, root))
+      .unionByName(vtSlice("2_band",
+        VersionedTable.prunedRead(s, root, "n_chars", 200, 400)
+          .filter(col("n_chars").between(200, 400))))
   }
 
   private val consumerTablePrev =

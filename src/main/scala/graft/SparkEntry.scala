@@ -437,7 +437,10 @@ object SparkEntry {
     "layout_restore_tag" -> (ExtQueries.layoutRestoreTag _),
     // r19: checkpointed feed-consumer loop — bootstrap/fold/replay-noop
     // across three wakes; offset rides the derived commit atomically
-    "layout_feed_consumer" -> (ExtQueries.layoutFeedConsumer _)
+    "layout_feed_consumer" -> (ExtQueries.layoutFeedConsumer _),
+    // r19: OPTIMIZE bin-packing — small files consolidated (DV-resolving),
+    // at-target file passes through with its manifest row verbatim
+    "layout_optimize_compact" -> (ExtQueries.layoutOptimizeCompact _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1907,6 +1910,18 @@ object SparkEntry {
         |SELECT '2_committed', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+    // content identical across the compaction; the band read misses
+    // nothing the band owns
+    "layout_optimize_compact" ->
+      """SELECT '1_head' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 9 <> 0
+        |UNION ALL
+        |SELECT '2_band', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 9 <> 0
+        |  AND n_chars BETWEEN 200 AND 400""".stripMargin,
     // the consumer's MV after three effective wakes == the head
     // aggregate stated directly
     "layout_feed_consumer" ->

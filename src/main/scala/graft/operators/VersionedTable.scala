@@ -110,6 +110,32 @@ object VersionedTable {
   def constraints(root: String): Map[String, String] =
     constraintMeta(root).map { case (k, v) => k.stripPrefix(ConstraintPrefix) -> v }
 
+
+  /** SCHEMA ENFORCEMENT (Delta's writer-side contract): a batch may
+    * OMIT head columns (they read back NULL via merge-schema) but a
+    * NEW column or a CHANGED type is refused unless the caller opts
+    * into evolution — silent drift is how a typo'd producer forks a
+    * table. The head schema comes from the manifest's file footers
+    * (planning cost, no data read).
+    */
+  private def enforceSchema(s: SparkSession, root: String, df: DataFrame,
+                            allowEvolution: Boolean): Unit =
+    if (!allowEvolution) {
+      val head = read(s, root).schema
+      val headByName = head.map(f => f.name -> f.dataType).toMap
+      val drift = df.schema.flatMap { f =>
+        headByName.get(f.name) match {
+          case None => Some(s"new column ${f.name}: ${f.dataType.simpleString}")
+          case Some(t) if t != f.dataType =>
+            Some(s"${f.name}: ${t.simpleString} -> ${f.dataType.simpleString}")
+          case _ => None
+        }
+      }
+      require(drift.isEmpty,
+        "schema drift refused (pass allowEvolution=true to evolve): " +
+          drift.mkString("; "))
+    }
+
   /** SQL CHECK semantics: a row violates only when the expression
     * evaluates FALSE — NULL (unknown) passes, as in ANSI CHECK and
     * Delta. Throws before anything is written or published, so a
@@ -184,7 +210,9 @@ object VersionedTable {
     */
   def append(s: SparkSession, df: DataFrame, root: String, spec: Spec,
              layout: DataFrame => DataFrame = identity,
-             extraMeta: Map[String, String] = Map.empty): String = {
+             extraMeta: Map[String, String] = Map.empty,
+             allowEvolution: Boolean = false): String = {
+    enforceSchema(s, root, df, allowEvolution)
     enforce(df, constraints(root))
     val gen = freshGen(root)
     layout(df).write.parquet(gen)
@@ -616,7 +644,9 @@ object VersionedTable {
     */
   def upsertDV(s: SparkSession, root: String, spec: Spec,
                updates: DataFrame,
-               layout: DataFrame => DataFrame = identity): String = {
+               layout: DataFrame => DataFrame = identity,
+               allowEvolution: Boolean = false): String = {
+    enforceSchema(s, root, updates, allowEvolution)
     enforce(updates, constraints(root))
     val current = Publish.read(s, manifestRoot(root))
     val gen = freshGen(root)
@@ -730,6 +760,49 @@ object VersionedTable {
           .unionByName(sidecar(s, gen, spec)),
         root,
         Map("verb" -> "compact-dv", "n_compacted" -> dvd.count().toString))
+    }
+  }
+
+  /** OPTIMIZE (bin-packing compaction) as a manifest commit — the
+    * small-file half of OPTIMIZE, next to [[recluster]]'s re-sort
+    * half: files BELOW `targetBytes` are rewritten into
+    * ⌈Σsmall/target⌉ consolidated files (resolved through their
+    * deletion vectors — a vectored row must not resurrect in the
+    * rewrite), while at-target files PASS THROUGH with their manifest
+    * rows verbatim — same file names, same DV pointers, same lineage
+    * attribution. NOT feed-safe (a rewrite verb): file diff ≠ content
+    * diff across it, so [[changeFeed]] windows refuse it.
+    *
+    * Scale shape (100 TB): planning is a driver-side size probe of
+    * the manifest's file list (the Delta OPTIMIZE planner's shape);
+    * the rewrite reads only the small files — after N streaming
+    * micro-batch commits this is the verb that keeps reads from
+    * paying N file opens per partition.
+    */
+  def optimizeCompact(s: SparkSession, root: String, spec: Spec,
+                      targetBytes: Long,
+                      layout: DataFrame => DataFrame = identity): String = {
+    require(targetBytes > 0, s"optimizeCompact: targetBytes must be > 0")
+    val current = Publish.read(s, manifestRoot(root))
+    val files = current.select("file").collect().map(_.getString(0))
+    val sized = files.map(f =>
+      f -> java.nio.file.Files.size(
+        java.nio.file.Paths.get(f.stripPrefix("file:"))))
+    val small = sized.filter(_._2 < targetBytes).map(_._1)
+    if (small.length < 2)
+      publishManifest(current, root, Map("verb" -> "optimize-noop"))
+    else {
+      val smallBytes = sized.filter(_._2 < targetBytes).map(_._2).sum
+      val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+      val gen = freshGen(root)
+      layout(readFiles(s, current.filter(col("file").isin(small: _*))))
+        .repartition(nOut)
+        .write.parquet(gen)
+      publishManifest(
+        current.filter(!col("file").isin(small: _*))
+          .unionByName(sidecar(s, gen, spec)),
+        root, Map("verb" -> "optimize-compact",
+          "n_small" -> small.length.toString, "n_out" -> nOut.toString))
     }
   }
 
@@ -863,7 +936,9 @@ object VersionedTable {
   def appendOcc(s: SparkSession, df: DataFrame, root: String, spec: Spec,
                 layout: DataFrame => DataFrame = identity,
                 beforeCommit: () => Unit = () => (),
-                maxAttempts: Int = 5): (String, Int) = {
+                maxAttempts: Int = 5,
+                allowEvolution: Boolean = false): (String, Int) = {
+    enforceSchema(s, root, df, allowEvolution)
     enforce(df, constraints(root))
     val gen = freshGen(root)
     layout(df).write.parquet(gen)

@@ -463,9 +463,14 @@ class VersionedTableSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft-vt-evo").toString
     VersionedTable.create(spark,
       (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec)
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(spark,
+        (100L until 200L).map(i => (i, s"v$i", i * 10)).toDF("k", "v", "extra"),
+        root, spec)
+    }
     VersionedTable.append(spark,
       (100L until 200L).map(i => (i, s"v$i", i * 10)).toDF("k", "v", "extra"),
-      root, spec)
+      root, spec, allowEvolution = true)
     val head = VersionedTable.read(spark, root)
     assert(head.columns.toSeq.contains("extra"))
     assert(head.filter(col("k") < 100 && col("extra").isNotNull).count() == 0L,
