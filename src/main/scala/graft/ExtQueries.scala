@@ -6047,6 +6047,52 @@ object ExtQueries {
     mvLangFold(mv0, feed)
   }
 
+  private val updateWherePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Predicate UPDATE as a copy-on-write commit (`layout_update_where`,
+    * [[graft.operators.VersionedTable.updateWhere]]): the table is
+    * clustered by `n_chars`, takes a DV-delete (the rewrite must
+    * resolve it — a deleted row must not resurrect UPDATED), then
+    * `UPDATE SET lang='xx' WHERE n_chars BETWEEN 200 AND 400` runs as
+    * one column-pruned holder probe + a rewrite of ONLY the band's
+    * files — require()d: at least one untouched file's manifest row
+    * survives verbatim AND at least one was rewritten (the clustered
+    * layout is what makes the probe's holder set a strict subset).
+    * The per-lang rollup after the update hashes against the oracle's
+    * CASE restatement.
+    *
+    * Scale shape (100 TB): probe reads the predicate's columns only;
+    * rewrite ∝ holder files — a banded predicate under clustering
+    * touches the band, not the table.
+    */
+  def layoutUpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_upd").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d, root, spec, layout)
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 9 === 0).select(col("doc_id")))
+    def files(): Set[String] =
+      VersionedTable.manifest(s, root).select("file").collect()
+        .map(_.getString(0)).toSet
+    val before = files()
+    VersionedTable.updateWhere(s, root, spec,
+      col("n_chars").between(200, 400), Map("lang" -> lit("xx")), layout)
+    val after = files()
+    require((before & after).nonEmpty,
+      "a banded update under clustering must leave some files untouched")
+    require((before -- after).nonEmpty, "the update must rewrite the band's holders")
+    retirePrevDir(updateWherePrev, root)
+    VersionedTable.read(s, root).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+  }
+
   private val optimizePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

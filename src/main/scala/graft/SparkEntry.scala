@@ -440,7 +440,10 @@ object SparkEntry {
     "layout_feed_consumer" -> (ExtQueries.layoutFeedConsumer _),
     // r19: OPTIMIZE bin-packing — small files consolidated (DV-resolving),
     // at-target file passes through with its manifest row verbatim
-    "layout_optimize_compact" -> (ExtQueries.layoutOptimizeCompact _)
+    "layout_optimize_compact" -> (ExtQueries.layoutOptimizeCompact _),
+    // r19: predicate UPDATE as CoW — column-pruned holder probe, band
+    // files rewritten through their DVs, untouched rows pass verbatim
+    "layout_update_where" -> (ExtQueries.layoutUpdateWhere _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1910,6 +1913,14 @@ object SparkEntry {
         |SELECT '2_committed', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+    // the update lands exactly on the band's live rows; deleted rows
+    // must not resurrect updated
+    "layout_update_where" ->
+      """SELECT CASE WHEN n_chars BETWEEN 200 AND 400 THEN 'xx' ELSE lang END
+        |    AS lang,
+        |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents WHERE doc_id % 9 <> 0
+        |GROUP BY 1""".stripMargin,
     // content identical across the compaction; the band read misses
     // nothing the band owns
     "layout_optimize_compact" ->

@@ -763,6 +763,49 @@ object VersionedTable {
     }
   }
 
+  /** UPDATE ... SET ... WHERE as a COPY-ON-WRITE commit (the Delta
+    * UPDATE shape): one column-pruned probe pass finds the files
+    * holding matching rows (parquet reads only the predicate's
+    * columns + file identity; pushdown applies), then ONLY those
+    * files are rewritten — matching rows get the SET expressions,
+    * non-matching neighbors copy through, prior deletion vectors
+    * resolve in the rewrite (a vectored row must not resurrect as
+    * updated) — and every untouched file's manifest row survives
+    * verbatim. Schema enforcement applies to the rewritten output
+    * (a SET cannot smuggle a new column or type change) and CHECK
+    * constraints are enforced on the updated rows. NOT feed-safe
+    * (rewrite verb).
+    *
+    * Scale shape (100 TB): probe ∝ predicate columns read, rewrite
+    * ∝ holder files — under a clustered layout a banded predicate
+    * touches the band's files, not the table.
+    */
+  def updateWhere(s: SparkSession, root: String, spec: Spec,
+                  cond: Column, sets: Map[String, Column],
+                  layout: DataFrame => DataFrame = identity): String = {
+    require(sets.nonEmpty, "updateWhere: no SET expressions")
+    val current = Publish.read(s, manifestRoot(root))
+    val holders = readFilesKeep(s, current).filter(cond)
+      .select("__file").distinct().collect().map(_.getString(0)).toSeq
+    if (holders.isEmpty)
+      publishManifest(current, root, Map("verb" -> "update-noop"))
+    else {
+      val updated = sets.foldLeft(
+        readFilesKeep(s, current.filter(col("file").isin(holders: _*)))
+          .drop("__file")) { case (df, (c, e)) =>
+        df.withColumn(c, when(cond, e).otherwise(col(c)))
+      }
+      enforceSchema(s, root, updated, allowEvolution = false)
+      enforce(updated.filter(cond), constraints(root))
+      val gen = freshGen(root)
+      layout(updated).write.parquet(gen)
+      publishManifest(
+        current.filter(!col("file").isin(holders: _*))
+          .unionByName(sidecar(s, gen, spec)),
+        root, Map("verb" -> "update", "n_holders" -> holders.length.toString))
+    }
+  }
+
   /** OPTIMIZE (bin-packing compaction) as a manifest commit — the
     * small-file half of OPTIMIZE, next to [[recluster]]'s re-sort
     * half: files BELOW `targetBytes` are rewritten into
