@@ -6047,6 +6047,63 @@ object ExtQueries {
     mvLangFold(mv0, feed)
   }
 
+  private val renamePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** RENAME COLUMN via column mapping (`layout_rename_column`,
+    * [[graft.operators.VersionedTable.renameColumn]]): the logical
+    * name moves in ONE property commit — zero files rewritten (Delta
+    * column mapping, name mode). The gate pins the whole contract:
+    * the head reads under the NEW name; an un-flagged append still
+    * using the OLD name is refused (it is a new column now — E187's
+    * enforcement catches exactly the drift a rename creates); a
+    * logical-name append lands (written under the stable PHYSICAL
+    * name, so old and new files stay one merged schema); time travel
+    * to v1 shows the OLD name (each version owns its names); and the
+    * stats-spine band prune still fires on the PHYSICAL stat column —
+    * pruning survives a rename untouched.
+    *
+    * Scale shape (100 TB): a rename on a 100 TB table is one `_META`
+    * write; the alternative — rewriting every file under the new
+    * name — is the cost this mapping exists to avoid.
+    */
+  def layoutRenameColumn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ren").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 2 === 0),
+      root, spec, layout)
+    VersionedTable.renameColumn(s, root, "n_chars", "len_chars")
+    require(
+      try {
+        VersionedTable.append(s, d.filter(col("doc_id") % 2 === 1), root, spec)
+        false
+      } catch { case _: IllegalArgumentException => true },
+      "an append under the pre-rename name must be refused as drift")
+    VersionedTable.append(s,
+      d.filter(col("doc_id") % 2 === 1).withColumnRenamed("n_chars", "len_chars"),
+      root, spec,
+      df => df.repartitionByRange(8, col("len_chars"), col("doc_id"))
+        .sortWithinPartitions("len_chars"))
+    def sl(tag: String, df: DataFrame, c: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col(c).cast("long")).as("sum_chars"))
+        .select(lit(tag).as("slice"), col("n_docs"), col("sum_ids"), col("sum_chars"))
+    retirePrevDir(renamePrev, root)
+    // the band prune keys on the PHYSICAL stat column; the exact
+    // re-filter uses the logical name — both sides of the mapping
+    sl("1_head", VersionedTable.read(s, root), "len_chars")
+      .unionByName(sl("2_v1", VersionedTable.readVersion(s, root, v1), "n_chars"))
+      .unionByName(sl("3_band",
+        VersionedTable.prunedRead(s, root, "n_chars", 200, 400)
+          .filter(col("len_chars").between(200, 400)), "len_chars"))
+  }
+
   private val updateWherePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -443,7 +443,10 @@ object SparkEntry {
     "layout_optimize_compact" -> (ExtQueries.layoutOptimizeCompact _),
     // r19: predicate UPDATE as CoW — column-pruned holder probe, band
     // files rewritten through their DVs, untouched rows pass verbatim
-    "layout_update_where" -> (ExtQueries.layoutUpdateWhere _)
+    "layout_update_where" -> (ExtQueries.layoutUpdateWhere _),
+    // r19: RENAME COLUMN via column mapping — one property commit,
+    // zero rewrite; time travel keeps each version's names
+    "layout_rename_column" -> (ExtQueries.layoutRenameColumn _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1913,6 +1916,20 @@ object SparkEntry {
         |SELECT '2_committed', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+    // head under the new name, v1 under the old, the band still pruned
+    "layout_rename_column" ->
+      """SELECT '1_head' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT '2_v1', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT '3_band', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE n_chars BETWEEN 200 AND 400""".stripMargin,
     // the update lands exactly on the band's live rows; deleted rows
     // must not resurrect updated
     "layout_update_where" ->

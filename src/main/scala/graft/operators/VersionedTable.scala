@@ -153,12 +153,68 @@ object VersionedTable {
       }
     }
 
+  /** Column-mapping table property (Delta column mapping, name mode):
+    * `colmap:<physical>` → `<logical>` pairs ride the version `_META`
+    * like constraints. Data files ALWAYS carry physical names (the
+    * creation-time names, stable forever); public reads apply the
+    * version's mapping, so a RENAME is one property commit — no file
+    * is rewritten, and time travel shows each version under its own
+    * names.
+    */
+  private val ColmapPrefix = "colmap:"
+
+  private def metaAt(root: String, v: String): Map[String, String] =
+    Publish.readMeta(manifestRoot(root), v)
+
+  private def colmapOf(meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith(ColmapPrefix) =>
+      k.stripPrefix(ColmapPrefix) -> v }
+
+  /** The head's physical→logical column mapping (empty = no renames). */
+  def columnMapping(root: String): Map[String, String] =
+    headVersion(root).map(v => colmapOf(metaAt(root, v))).getOrElse(Map.empty)
+
+  private def applyColmap(df: DataFrame, m: Map[String, String]): DataFrame =
+    m.foldLeft(df) { case (d, (phys, logi)) => d.withColumnRenamed(phys, logi) }
+
+  private def toPhysical(df: DataFrame, m: Map[String, String]): DataFrame =
+    m.foldLeft(df) { case (d, (phys, logi)) => d.withColumnRenamed(logi, phys) }
+
+  /** Inheritable table properties: CHECK constraints and the column
+    * mapping — every publish carries the head's forward (minus any
+    * constraint being dropped).
+    */
+  private def inheritedMeta(root: String): Map[String, String] =
+    headVersion(root).map(v => metaAt(root, v).filter { case (k, _) =>
+      k.startsWith(ConstraintPrefix) || k.startsWith(ColmapPrefix)
+    }).getOrElse(Map.empty)
+
   private def publishManifest(manifest: DataFrame, root: String,
                               meta: Map[String, String],
                               dropConstraints: Set[String] = Set.empty): String =
     Publish.publish(manifest, manifestRoot(root),
       audit = auditFilesExist,
-      meta = (constraintMeta(root) -- dropConstraints.map(ConstraintPrefix + _)) ++ meta)
+      meta = (inheritedMeta(root) -- dropConstraints.map(ConstraintPrefix + _)) ++ meta)
+
+  /** RENAME COLUMN as a property commit (zero rewrite): the logical
+    * name moves, the physical (on-file) name never does. Appends keep
+    * using logical names (converted to physical at write), reads
+    * apply the mapping, time travel shows each version under its own
+    * names, and [[Spec]]/manifest stat columns stay physical (stable
+    * across renames — pruning survives a rename untouched). A feed
+    * window across a rename refuses (the verb is not feed-safe:
+    * consumers hold column expectations the window would silently
+    * break).
+    */
+  def renameColumn(s: SparkSession, root: String,
+                   from: String, to: String): String = {
+    val logical = read(s, root).schema.fieldNames.toSet
+    require(logical.contains(from), s"renameColumn: no such column $from")
+    require(!logical.contains(to), s"renameColumn: $to already exists")
+    val physical = columnMapping(root).find(_._2 == from).map(_._1).getOrElse(from)
+    publishManifest(Publish.read(s, manifestRoot(root)), root,
+      Map("verb" -> "rename-column", ColmapPrefix + physical -> to))
+  }
 
   /** Add a durable CHECK constraint. EXISTING data is validated first
     * (one scan through the head read — resolved through any DVs, the
@@ -215,7 +271,7 @@ object VersionedTable {
     enforceSchema(s, root, df, allowEvolution)
     enforce(df, constraints(root))
     val gen = freshGen(root)
-    layout(df).write.parquet(gen)
+    layout(toPhysical(df, columnMapping(root))).write.parquet(gen)
     publishManifest(
       Publish.read(s, manifestRoot(root)).unionByName(sidecar(s, gen, spec)),
       root, extraMeta + ("verb" -> "append"))
@@ -360,16 +416,20 @@ object VersionedTable {
   def versionMeta(root: String, v: String): Map[String, String] =
     Publish.readMeta(manifestRoot(root), v)
 
-  /** Read the current version: exactly the manifest's file list. */
+  /** Read the current version: exactly the manifest's file list,
+    * under the head's logical column names.
+    */
   def read(s: SparkSession, root: String): DataFrame =
-    readFiles(s, manifest(s, root))
+    applyColmap(readFiles(s, manifest(s, root)), columnMapping(root))
 
   /** TIME TRAVEL: read version `v`'s file set — immutable generations
     * mean the result is byte-identical to what `v`'s publish
-    * committed, regardless of later appends/deletes.
+    * committed, regardless of later appends/deletes — under THAT
+    * version's logical names (a later rename is invisible to it).
     */
   def readVersion(s: SparkSession, root: String, v: String): DataFrame =
-    readFiles(s, Publish.readVersion(s, manifestRoot(root), v))
+    applyColmap(readFiles(s, Publish.readVersion(s, manifestRoot(root), v)),
+      colmapOf(metaAt(root, v)))
 
   /** Range-pruned read off the current manifest: only files whose
     * [min, max] interval intersects the band are listed; the caller
@@ -377,7 +437,8 @@ object VersionedTable {
     */
   def prunedRead(s: SparkSession, root: String, c: String,
                  lo: Any, hi: Any): DataFrame =
-    readFiles(s, StatsSpine.survivors(manifest(s, root), c, lo, hi))
+    applyColmap(readFiles(s, StatsSpine.survivors(manifest(s, root), c, lo, hi)),
+      columnMapping(root))
 
   /** BOX-pruned read: only files whose stats interval intersects
     * EVERY band survive — the multi-dimension skipping a Z-order
@@ -389,9 +450,9 @@ object VersionedTable {
     */
   def prunedReadBands(s: SparkSession, root: String,
                       bands: Seq[(String, Any, Any)]): DataFrame =
-    readFiles(s, bands.foldLeft(manifest(s, root)) {
+    applyColmap(readFiles(s, bands.foldLeft(manifest(s, root)) {
       case (m, (c, lo, hi)) => StatsSpine.survivors(m, c, lo, hi)
-    })
+    }), columnMapping(root))
 
   /** METADATA-ONLY aggregates: COUNT(*), MIN(c), MAX(c) answered from
     * the manifest alone — zero data-file bytes read (the Delta
@@ -545,9 +606,9 @@ object VersionedTable {
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("_commit_version",
           org.apache.spark.sql.types.StringType, nullable = false))))
-    readFilesKeep(s, manifest(s, root))
+    applyColmap(readFilesKeep(s, manifest(s, root))
       .join(broadcast(fv), Seq("__file"))
-      .drop("__file")
+      .drop("__file"), columnMapping(root))
   }
 
   /** MERGE-ON-READ targeted delete (the deletion-vector sibling of
@@ -650,7 +711,7 @@ object VersionedTable {
     enforce(updates, constraints(root))
     val current = Publish.read(s, manifestRoot(root))
     val gen = freshGen(root)
-    layout(updates).write.parquet(gen)
+    layout(toPhysical(updates, columnMapping(root))).write.parquet(gen)
     val batchRows = sidecar(s, gen, spec)
     val base = vectorize(s, current, root, spec,
       updates.select(col(spec.keyCol))) match {
@@ -785,20 +846,21 @@ object VersionedTable {
                   layout: DataFrame => DataFrame = identity): String = {
     require(sets.nonEmpty, "updateWhere: no SET expressions")
     val current = Publish.read(s, manifestRoot(root))
-    val holders = readFilesKeep(s, current).filter(cond)
+    val holders = applyColmap(readFilesKeep(s, current), columnMapping(root))
+      .filter(cond)
       .select("__file").distinct().collect().map(_.getString(0)).toSeq
     if (holders.isEmpty)
       publishManifest(current, root, Map("verb" -> "update-noop"))
     else {
       val updated = sets.foldLeft(
-        readFilesKeep(s, current.filter(col("file").isin(holders: _*)))
-          .drop("__file")) { case (df, (c, e)) =>
+        applyColmap(readFilesKeep(s, current.filter(col("file").isin(holders: _*)))
+          .drop("__file"), columnMapping(root))) { case (df, (c, e)) =>
         df.withColumn(c, when(cond, e).otherwise(col(c)))
       }
       enforceSchema(s, root, updated, allowEvolution = false)
       enforce(updated.filter(cond), constraints(root))
       val gen = freshGen(root)
-      layout(updated).write.parquet(gen)
+      layout(toPhysical(updated, columnMapping(root))).write.parquet(gen)
       publishManifest(
         current.filter(!col("file").isin(holders: _*))
           .unionByName(sidecar(s, gen, spec)),
@@ -933,7 +995,7 @@ object VersionedTable {
     // table properties travel with the clone (Delta clone semantics):
     // the clone's v1 carries the source's CHECK constraints
     publishManifest(current, dstRoot,
-      constraintMeta(srcRoot) ++ Map("verb" -> "clone",
+      inheritedMeta(srcRoot) ++ Map("verb" -> "clone",
         "src" -> s"$srcRoot@${Publish.currentVersion(manifestRoot(srcRoot)).getOrElse("?")}"))
   }
 
@@ -984,7 +1046,7 @@ object VersionedTable {
     enforceSchema(s, root, df, allowEvolution)
     enforce(df, constraints(root))
     val gen = freshGen(root)
-    layout(df).write.parquet(gen)
+    layout(toPhysical(df, columnMapping(root))).write.parquet(gen)
     val batchRows = sidecar(s, gen, spec)
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -997,7 +1059,7 @@ object VersionedTable {
         return (Publish.publishIf(base.unionByName(batchRows),
           manifestRoot(root), head,
           audit = auditFilesExist,
-          meta = constraintMeta(root) ++
+          meta = inheritedMeta(root) ++
             Map("verb" -> "append-occ", "attempt" -> attempts.toString,
               "base" -> head.get)), attempts)
       } catch {
