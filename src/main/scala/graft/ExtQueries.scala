@@ -6047,6 +6047,57 @@ object ExtQueries {
     mvLangFold(mv0, feed)
   }
 
+  private val dropColPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** DROP COLUMN as a property commit (`layout_drop_column`,
+    * [[graft.operators.VersionedTable.dropColumn]]): the zero-rewrite
+    * sibling of the rename — reads hide the column from every
+    * generation, new batches omit it, time travel shows each
+    * version's own column set. The gate pins the two refusals that
+    * make name-mode dropping SAFE: re-introducing the dropped name is
+    * refused EVEN under `allowEvolution` (old files' bytes would
+    * resurrect through the merged schema — Delta needs column IDs to
+    * permit this; we refuse instead of corrupting), and dropping a
+    * stat/key column is refused (the pruning spine depends on it).
+    *
+    * Scale shape (100 TB): one `_META` write hides the column; the
+    * bytes age out as rewrites (compaction, CoW deletes) naturally
+    * regenerate files without it.
+    */
+  def layoutDropColumn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_dropc").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 2 === 0),
+      root, spec, layout)
+    VersionedTable.dropColumn(s, root, spec, "lang")
+    require(!VersionedTable.read(s, root).columns.contains("lang"),
+      "the head must hide the dropped column")
+    def vetoed(f: => Any): Boolean =
+      try { f; false } catch { case _: IllegalArgumentException => true }
+    require(vetoed(VersionedTable.append(s, d.filter(col("doc_id") % 2 === 1),
+        root, spec, layout, allowEvolution = true)),
+      "re-introducing a dropped column must refuse even under evolution")
+    require(vetoed(VersionedTable.dropColumn(s, root, spec, "n_chars")),
+      "dropping a stat column must refuse — the pruning spine depends on it")
+    VersionedTable.append(s, d.filter(col("doc_id") % 2 === 1).drop("lang"),
+      root, spec, layout)
+    def sl(tag: String, df: DataFrame, nLang: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          nLang.as("n_lang"))
+        .select(lit(tag).as("slice"), col("n_docs"), col("sum_ids"), col("n_lang"))
+    retirePrevDir(dropColPrev, root)
+    sl("1_head", VersionedTable.read(s, root), lit(0L))
+      .unionByName(sl("2_v1", VersionedTable.readVersion(s, root, v1),
+        count(col("lang"))))
+  }
+
   private val renamePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -446,7 +446,10 @@ object SparkEntry {
     "layout_update_where" -> (ExtQueries.layoutUpdateWhere _),
     // r19: RENAME COLUMN via column mapping — one property commit,
     // zero rewrite; time travel keeps each version's names
-    "layout_rename_column" -> (ExtQueries.layoutRenameColumn _)
+    "layout_rename_column" -> (ExtQueries.layoutRenameColumn _),
+    // r19: DROP COLUMN as a property commit — reads hide it, time
+    // travel keeps it; resurrection + stat-col drops refused
+    "layout_drop_column" -> (ExtQueries.layoutDropColumn _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1916,6 +1919,16 @@ object SparkEntry {
         |SELECT '2_committed', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+    // the head hides lang entirely; v1 still carries it
+    "layout_drop_column" ->
+      """SELECT '1_head' AS slice, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(0 AS BIGINT) AS n_lang
+        |FROM documents
+        |UNION ALL
+        |SELECT '2_v1', count(*), CAST(sum(doc_id) AS BIGINT),
+        |  count(lang)
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     // head under the new name, v1 under the old, the band still pruned
     "layout_rename_column" ->
       """SELECT '1_head' AS slice, count(*) AS n_docs,

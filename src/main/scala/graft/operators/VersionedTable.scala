@@ -180,13 +180,71 @@ object VersionedTable {
   private def toPhysical(df: DataFrame, m: Map[String, String]): DataFrame =
     m.foldLeft(df) { case (d, (phys, logi)) => d.withColumnRenamed(logi, phys) }
 
-  /** Inheritable table properties: CHECK constraints and the column
-    * mapping — every publish carries the head's forward (minus any
-    * constraint being dropped).
+  /** Logical column DROPs (`dropcol:<physical>` → the logical name at
+    * drop time) — the zero-rewrite sibling of the rename mapping: the
+    * bytes stay in the old files, reads hide them, new generations
+    * simply never carry the column. Re-introducing a dropped physical
+    * name is REFUSED even under evolution: in name-mode mapping the
+    * old files' bytes would resurrect into the reborn column through
+    * the merged schema (Delta needs column IDs to allow this; we
+    * refuse instead of corrupting).
+    */
+  private val DropPrefix = "dropcol:"
+
+  private def droppedPhysical(meta: Map[String, String]): Seq[String] =
+    meta.collect { case (k, _) if k.startsWith(DropPrefix) =>
+      k.stripPrefix(DropPrefix) }.toSeq
+
+  private def headMetaOf(root: String): Map[String, String] =
+    headVersion(root).map(metaAt(root, _)).getOrElse(Map.empty)
+
+  /** A version's LOGICAL view of physical rows: dropped columns hidden,
+    * then the rename mapping applied.
+    */
+  private def logicalView(df: DataFrame, meta: Map[String, String]): DataFrame =
+    applyColmap(df.drop(droppedPhysical(meta): _*), colmapOf(meta))
+
+  private def guardDropped(root: String, df: DataFrame): Unit = {
+    val dead = df.columns.toSet intersect droppedPhysical(headMetaOf(root)).toSet
+    require(dead.isEmpty,
+      s"batch re-introduces dropped column(s) ${dead.mkString(", ")} — old " +
+        "files' bytes would resurrect through the merged schema; use a new name")
+  }
+
+  /** DROP COLUMN as a property commit (zero rewrite): reads hide the
+    * column from every generation, new batches simply omit it, time
+    * travel shows each version's own column set. `spec`'s stat/key
+    * columns cannot be dropped (the manifest's pruning spine depends
+    * on them), and a drop that would orphan a CHECK constraint is
+    * refused (the constraint would fail analysis on every later
+    * commit — refuse now, loudly).
+    */
+  def dropColumn(s: SparkSession, root: String, spec: Spec,
+                 logical: String): String = {
+    val head = read(s, root)
+    require(head.schema.fieldNames.contains(logical),
+      s"dropColumn: no such column $logical")
+    val physical = columnMapping(root).find(_._2 == logical).map(_._1)
+      .getOrElse(logical)
+    require(physical != spec.keyCol && !spec.statCols.contains(physical),
+      s"dropColumn: $logical is a stat/key column — the pruning spine depends on it")
+    val post = head.drop(logical)
+    constraints(root).foreach { case (n, e) =>
+      require(scala.util.Try(post.limit(0).filter(expr(e))).isSuccess,
+        s"dropColumn: constraint $n references $logical — drop the constraint first")
+    }
+    publishManifest(Publish.read(s, manifestRoot(root)), root,
+      Map("verb" -> "drop-column", DropPrefix + physical -> logical))
+  }
+
+  /** Inheritable table properties: CHECK constraints, the column
+    * mapping, and logical drops — every publish carries the head's
+    * forward (minus any constraint being dropped).
     */
   private def inheritedMeta(root: String): Map[String, String] =
     headVersion(root).map(v => metaAt(root, v).filter { case (k, _) =>
-      k.startsWith(ConstraintPrefix) || k.startsWith(ColmapPrefix)
+      k.startsWith(ConstraintPrefix) || k.startsWith(ColmapPrefix) ||
+        k.startsWith(DropPrefix)
     }).getOrElse(Map.empty)
 
   private def publishManifest(manifest: DataFrame, root: String,
@@ -269,6 +327,7 @@ object VersionedTable {
              extraMeta: Map[String, String] = Map.empty,
              allowEvolution: Boolean = false): String = {
     enforceSchema(s, root, df, allowEvolution)
+    guardDropped(root, df)
     enforce(df, constraints(root))
     val gen = freshGen(root)
     layout(toPhysical(df, columnMapping(root))).write.parquet(gen)
@@ -420,7 +479,7 @@ object VersionedTable {
     * under the head's logical column names.
     */
   def read(s: SparkSession, root: String): DataFrame =
-    applyColmap(readFiles(s, manifest(s, root)), columnMapping(root))
+    logicalView(readFiles(s, manifest(s, root)), headMetaOf(root))
 
   /** TIME TRAVEL: read version `v`'s file set — immutable generations
     * mean the result is byte-identical to what `v`'s publish
@@ -428,8 +487,8 @@ object VersionedTable {
     * version's logical names (a later rename is invisible to it).
     */
   def readVersion(s: SparkSession, root: String, v: String): DataFrame =
-    applyColmap(readFiles(s, Publish.readVersion(s, manifestRoot(root), v)),
-      colmapOf(metaAt(root, v)))
+    logicalView(readFiles(s, Publish.readVersion(s, manifestRoot(root), v)),
+      metaAt(root, v))
 
   /** Range-pruned read off the current manifest: only files whose
     * [min, max] interval intersects the band are listed; the caller
@@ -437,8 +496,8 @@ object VersionedTable {
     */
   def prunedRead(s: SparkSession, root: String, c: String,
                  lo: Any, hi: Any): DataFrame =
-    applyColmap(readFiles(s, StatsSpine.survivors(manifest(s, root), c, lo, hi)),
-      columnMapping(root))
+    logicalView(readFiles(s, StatsSpine.survivors(manifest(s, root), c, lo, hi)),
+      headMetaOf(root))
 
   /** BOX-pruned read: only files whose stats interval intersects
     * EVERY band survive — the multi-dimension skipping a Z-order
@@ -450,9 +509,9 @@ object VersionedTable {
     */
   def prunedReadBands(s: SparkSession, root: String,
                       bands: Seq[(String, Any, Any)]): DataFrame =
-    applyColmap(readFiles(s, bands.foldLeft(manifest(s, root)) {
+    logicalView(readFiles(s, bands.foldLeft(manifest(s, root)) {
       case (m, (c, lo, hi)) => StatsSpine.survivors(m, c, lo, hi)
-    }), columnMapping(root))
+    }), headMetaOf(root))
 
   /** METADATA-ONLY aggregates: COUNT(*), MIN(c), MAX(c) answered from
     * the manifest alone — zero data-file bytes read (the Delta
@@ -606,9 +665,9 @@ object VersionedTable {
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("_commit_version",
           org.apache.spark.sql.types.StringType, nullable = false))))
-    applyColmap(readFilesKeep(s, manifest(s, root))
+    logicalView(readFilesKeep(s, manifest(s, root))
       .join(broadcast(fv), Seq("__file"))
-      .drop("__file"), columnMapping(root))
+      .drop("__file"), headMetaOf(root))
   }
 
   /** MERGE-ON-READ targeted delete (the deletion-vector sibling of
@@ -708,6 +767,7 @@ object VersionedTable {
                layout: DataFrame => DataFrame = identity,
                allowEvolution: Boolean = false): String = {
     enforceSchema(s, root, updates, allowEvolution)
+    guardDropped(root, updates)
     enforce(updates, constraints(root))
     val current = Publish.read(s, manifestRoot(root))
     val gen = freshGen(root)
@@ -846,15 +906,15 @@ object VersionedTable {
                   layout: DataFrame => DataFrame = identity): String = {
     require(sets.nonEmpty, "updateWhere: no SET expressions")
     val current = Publish.read(s, manifestRoot(root))
-    val holders = applyColmap(readFilesKeep(s, current), columnMapping(root))
+    val holders = logicalView(readFilesKeep(s, current), headMetaOf(root))
       .filter(cond)
       .select("__file").distinct().collect().map(_.getString(0)).toSeq
     if (holders.isEmpty)
       publishManifest(current, root, Map("verb" -> "update-noop"))
     else {
       val updated = sets.foldLeft(
-        applyColmap(readFilesKeep(s, current.filter(col("file").isin(holders: _*)))
-          .drop("__file"), columnMapping(root))) { case (df, (c, e)) =>
+        logicalView(readFilesKeep(s, current.filter(col("file").isin(holders: _*)))
+          .drop("__file"), headMetaOf(root))) { case (df, (c, e)) =>
         df.withColumn(c, when(cond, e).otherwise(col(c)))
       }
       enforceSchema(s, root, updated, allowEvolution = false)
@@ -1044,6 +1104,7 @@ object VersionedTable {
                 maxAttempts: Int = 5,
                 allowEvolution: Boolean = false): (String, Int) = {
     enforceSchema(s, root, df, allowEvolution)
+    guardDropped(root, df)
     enforce(df, constraints(root))
     val gen = freshGen(root)
     layout(toPhysical(df, columnMapping(root))).write.parquet(gen)
