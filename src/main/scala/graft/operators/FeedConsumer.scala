@@ -36,7 +36,10 @@ object FeedConsumer {
     */
   def advance(s: SparkSession, tableRoot: String, derivedRoot: String,
               init: DataFrame => DataFrame,
-              fold: (DataFrame, DataFrame) => DataFrame): (String, String) = {
+              fold: (DataFrame, DataFrame) => DataFrame,
+              maxVersionsPerWake: Int = Int.MaxValue): (String, String) = {
+    require(maxVersionsPerWake >= 1,
+      s"feed consumer: maxVersionsPerWake must be >= 1, got $maxVersionsPerWake")
     val head = VersionedTable.headVersion(tableRoot).getOrElse(
       throw new IllegalArgumentException(
         s"feed consumer: no published table under $tableRoot"))
@@ -52,10 +55,21 @@ object FeedConsumer {
             s"feed consumer: derived $derivedRoot@$dv carries no consumed_upto"))
         if (upto == head) (dv, "noop")
         else {
-          val feed = VersionedTable.changeFeed(s, tableRoot, upto, head)
+          // back-pressure (the maxFilesPerTrigger analog): cap the
+          // window at the newest PUBLISHED version within budget — a
+          // backlogged consumer catches up in bounded bites instead
+          // of one table-sized fold
+          def vNum(v: String) = v.drop(1).toLong
+          val target =
+            if (maxVersionsPerWake == Int.MaxValue) head
+            else VersionedTable.publishedVersions(tableRoot)
+              .filter(v => vNum(v) > vNum(upto) &&
+                vNum(v) <= vNum(upto) + maxVersionsPerWake)
+              .lastOption.getOrElse(head)
+          val feed = VersionedTable.changeFeed(s, tableRoot, upto, target)
           val state = fold(Publish.readVersion(s, derivedRoot, dv), feed)
           (Publish.publish(state.coalesce(1), derivedRoot,
-            meta = Map("verb" -> "consumer-fold", "consumed_upto" -> head,
+            meta = Map("verb" -> "consumer-fold", "consumed_upto" -> target,
               "consumed_from" -> upto)), "fold")
         }
     }

@@ -589,7 +589,7 @@ object VersionedTable {
     */
   private def vNum(v: String): Long = v.drop(1).toLong
 
-  private def publishedVersions(root: String): Seq[String] =
+  private[operators] def publishedVersions(root: String): Seq[String] =
     headVersion(root).map { head =>
       val mroot = java.nio.file.Paths.get(manifestRoot(root))
       val st = java.nio.file.Files.list(mroot)
