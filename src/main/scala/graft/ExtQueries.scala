@@ -6047,6 +6047,50 @@ object ExtQueries {
     mvLangFold(mv0, feed)
   }
 
+  private val feedAcrossPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Change feed ACROSS a content-identical rewrite
+    * (`layout_feed_across_optimize`): Delta CDF's `dataChange=false`
+    * skip, measured — the window create→append→DV-delete→RECLUSTER→
+    * append spans an OPTIMIZE, and [[graft.operators.VersionedTable.changeFeed]]
+    * SEGMENTS at it instead of refusing (each data segment's file
+    * diff runs against its own endpoint manifests, so the rewrite's
+    * churned files never masquerade as inserts). The v1-materialized
+    * MV folded from the ONE spanning window hashes against the head
+    * aggregate stated directly — an insert double-counted through
+    * the rewrite, a delete lost at the boundary, or a churned file
+    * leaking into the feed all break the hash.
+    *
+    * Scale shape (100 TB): maintenance rewrites no longer fence off
+    * CDC consumers — the nightly OPTIMIZE and the hourly MV fold
+    * coexist on one history, each segment still ∝ its changes.
+    */
+  def layoutFeedAcrossOptimize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_feedx").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0),
+      root, spec, layout)
+    val mv0 = mvLangAgg(VersionedTable.readVersion(s, root, v1))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    // the maintenance rewrite the window must span
+    VersionedTable.recluster(s, root, spec,
+      df => df.repartition(4))
+    val v5 = VersionedTable.append(s, d.filter(col("doc_id") % 3 === 2),
+      root, spec, layout)
+    val feed = VersionedTable.changeFeed(s, root, v1, v5)
+    retirePrevDir(feedAcrossPrev, root)
+    mvLangFold(mv0, feed)
+  }
+
   private val dropColPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -449,7 +449,10 @@ object SparkEntry {
     "layout_rename_column" -> (ExtQueries.layoutRenameColumn _),
     // r19: DROP COLUMN as a property commit — reads hide it, time
     // travel keeps it; resurrection + stat-col drops refused
-    "layout_drop_column" -> (ExtQueries.layoutDropColumn _)
+    "layout_drop_column" -> (ExtQueries.layoutDropColumn _),
+    // r19: CDF dataChange=false — the feed window SEGMENTS at a
+    // content-identical rewrite instead of refusing
+    "layout_feed_across_optimize" -> (ExtQueries.layoutFeedAcrossOptimize _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -1919,6 +1922,14 @@ object SparkEntry {
         |SELECT '2_committed', count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+    // the spanning-window fold equals the head aggregate: nothing
+    // double-counted, lost, or leaked at the rewrite boundary
+    "layout_feed_across_optimize" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE (doc_id % 3 < 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
+        |GROUP BY lang""".stripMargin,
     // the head hides lang entirely; v1 still carries it
     "layout_drop_column" ->
       """SELECT '1_head' AS slice, count(*) AS n_docs,

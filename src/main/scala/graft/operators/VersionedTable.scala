@@ -374,34 +374,55 @@ object VersionedTable {
   }
 
   /** Verbs after which a manifest's file-level diff IS the content
-    * diff — a rewrite verb (copy-on-write delete, DV compaction)
-    * churns files without changing content, so [[changeFeed]] refuses
-    * windows containing one.
+    * diff — the commits a feed segment reads directly.
     */
   private val FeedSafeVerbs = Set(
     "create", "append", "append-occ", "delete-dv", "delete-dv-noop",
     "upsert-dv")
 
+  /** CONTENT-IDENTICAL commits (Delta's `dataChange = false`): the
+    * table's bytes-as-content before and after are equal — rewrites
+    * at maintenance cadence (recluster, compaction in both senses)
+    * and property commits. [[changeFeed]] SEGMENTS a window at these
+    * instead of refusing: they contribute no feed rows by definition,
+    * and each data segment's file diff is computed against its own
+    * endpoint manifests, so the churned file names never masquerade
+    * as inserts.
+    */
+  private val ContentIdenticalVerbs = Set(
+    "recluster", "optimize-compact", "optimize-noop",
+    "compact-dv", "compact-dv-noop", "delete-noop", "update-noop",
+    "set-constraint", "drop-constraint", "rename-column", "drop-column")
+
   /** ROW-LEVEL CHANGE FEED between two versions, derived from
     * manifests + DV sidecars ALONE — no content diff, no snapshot
     * comparison scan:
     *
-    *  - INSERTS = rows of files `toV` lists that `fromV` doesn't,
-    *    resolved through `toV`'s vectors (a row inserted AND deleted
-    *    inside the window nets out, CDF semantics);
-    *  - DELETES = the DV delta (toV's vector positions minus fromV's)
-    *    on files BOTH versions list, resolved back to FULL OLD ROWS by
-    *    a position join — the vectored bytes are still on disk, so the
-    *    feed can carry the deleted payload, not just a key.
+    *  - INSERTS = rows of files a segment's end lists that its start
+    *    doesn't, resolved through the end's vectors (a row inserted
+    *    AND deleted inside the segment nets out, CDF semantics);
+    *  - DELETES = the DV delta (end's vector positions minus start's)
+    *    on files BOTH endpoints list, resolved back to FULL OLD ROWS
+    *    by a position join — the vectored bytes are still on disk, so
+    *    the feed can carry the deleted payload, not just a key.
     *
-    * Sound only while every commit in the window is append/DV-shaped:
-    * a rewrite verb (copy-on-write delete, compaction) churns files
-    * without changing content, so the window is VERB-GUARDED via each
-    * version's `_META` and refused otherwise (use the rewrite-free
-    * cadence between maintenance windows, the Delta CDF posture).
+    * Windows may span CONTENT-IDENTICAL rewrites (OPTIMIZE in both
+    * halves, DV compaction, property commits — Delta CDF's
+    * `dataChange = false` skip): the window is SEGMENTED at each one
+    * and the per-segment diffs union — a rewrite contributes nothing,
+    * and a later segment's diff runs against the post-rewrite
+    * manifest, so churned files never read as inserts. A
+    * CONTENT-CHANGING rewrite (copy-on-write delete, predicate
+    * UPDATE, restore) still refuses: its file diff is not its content
+    * diff and no segmentation fixes that.
+    *
+    * Output is under `toV`'s LOGICAL column names (segments read
+    * physical files; the window-end mapping is applied once at the
+    * end), so consumers survive renames inside the window.
     *
     * Scale shape (100 TB): feed cost ∝ changed files read + DV delta
-    * — never ∝ table; the planning inputs are two manifest reads.
+    * per segment — never ∝ table; planning inputs are two manifest
+    * reads per segment.
     */
   def changeFeed(s: SparkSession, root: String,
                  fromV: String, toV: String): DataFrame = {
@@ -409,51 +430,71 @@ object VersionedTable {
     val lo = fromV.drop(1).toLong
     val hi = toV.drop(1).toLong
     require(lo < hi, s"changeFeed: $fromV must precede $toV")
-    (lo + 1 to hi).map("v%05d".format(_)).foreach { v =>
-      val dir = java.nio.file.Paths.get(mroot).resolve(v)
-      if (java.nio.file.Files.isDirectory(dir)) {
-        val verb = Publish.readMeta(mroot, v).getOrElse("verb", "?")
-        require(FeedSafeVerbs.contains(verb),
-          s"changeFeed: window contains rewrite commit $v (verb=$verb) — " +
-            "file diff is not content diff across a rewrite")
+    val steps = (lo + 1 to hi).map("v%05d".format(_)).filter { v =>
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(mroot).resolve(v))
+    }.map { v => (v, Publish.readMeta(mroot, v).getOrElse("verb", "?")) }
+    steps.foreach { case (v, verb) =>
+      require(FeedSafeVerbs.contains(verb) || ContentIdenticalVerbs.contains(verb),
+        s"changeFeed: window contains content-changing rewrite $v " +
+          s"(verb=$verb) — file diff is not content diff across it")
+    }
+    // segment at content-identical commits: ordered(j) is the version
+    // after j window steps; a segment [ordered(i), ordered(j)] holds
+    // only data commits
+    val ordered = fromV +: steps.map(_._1)
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var segStart = 0
+    steps.zipWithIndex.foreach { case ((_, verb), i) =>
+      if (ContentIdenticalVerbs.contains(verb)) {
+        if (i > segStart) bounds += ((ordered(segStart), ordered(i)))
+        segStart = i + 1
       }
     }
-    val mA = Publish.readVersion(s, mroot, fromV)
-    val mB = Publish.readVersion(s, mroot, toV)
+    if (steps.length > segStart)
+      bounds += ((ordered(segStart), ordered(steps.length)))
     def dvRows(m: DataFrame): Option[DataFrame] = {
       val paths = m.filter(col("dv_path").isNotNull)
         .select("dv_path").distinct().collect().map(_.getString(0)).toSeq
       if (paths.isEmpty) None
       else Some(s.read.parquet(paths: _*).select("file", "pos").distinct())
     }
-    // inserts: added files resolved through toV's vectors (readFiles
-    // applies the manifest rows' own dv_path)
-    val addedFiles = mB.join(mA.select("file"), Seq("file"), "left_anti")
-    val inserts =
-      (if (addedFiles.isEmpty) None else Some(readFiles(s, addedFiles)))
-    // deletes: DV delta restricted to files fromV listed
-    val deltaOpt = (dvRows(mB), dvRows(mA)) match {
-      case (None, _) => None
-      case (Some(b), a) =>
-        val d = a.fold(b)(ar => b.join(ar, Seq("file", "pos"), "left_anti"))
-          .join(mA.select("file"), Seq("file"), "left_semi")
-        if (d.isEmpty) None else Some(d)
+    def segment(a: String, b: String): Seq[DataFrame] = {
+      val mA = Publish.readVersion(s, mroot, a)
+      val mB = Publish.readVersion(s, mroot, b)
+      // inserts: added files resolved through the segment end's
+      // vectors (readFiles applies the manifest rows' own dv_path)
+      val addedFiles = mB.join(mA.select("file"), Seq("file"), "left_anti")
+      val inserts =
+        (if (addedFiles.isEmpty) None else Some(readFiles(s, addedFiles)))
+      // deletes: DV delta restricted to files the segment start listed
+      val deltaOpt = (dvRows(mB), dvRows(mA)) match {
+        case (None, _) => None
+        case (Some(bb), aa) =>
+          val d = aa.fold(bb)(ar => bb.join(ar, Seq("file", "pos"), "left_anti"))
+            .join(mA.select("file"), Seq("file"), "left_semi")
+          if (d.isEmpty) None else Some(d)
+      }
+      val deletes = deltaOpt.map { delta =>
+        val files = delta.select("file").distinct().collect().map(_.getString(0)).toSeq
+        s.read.option("mergeSchema", "true").parquet(files: _*)
+          .withColumn("__dv_file", col("_metadata.file_path"))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .join(broadcast(delta.select(col("file").as("__dv_file"),
+            col("pos").as("__dv_pos"))), Seq("__dv_file", "__dv_pos"), "left_semi")
+          .drop("__dv_file", "__dv_pos")
+      }
+      Seq(
+        inserts.map(_.withColumn("change_type", lit("insert"))),
+        deletes.map(_.withColumn("change_type", lit("delete")))).flatten
     }
-    val deletes = deltaOpt.map { delta =>
-      val files = delta.select("file").distinct().collect().map(_.getString(0)).toSeq
-      s.read.option("mergeSchema", "true").parquet(files: _*)
-        .withColumn("__dv_file", col("_metadata.file_path"))
-        .withColumn("__dv_pos", col("_metadata.row_index"))
-        .join(broadcast(delta.select(col("file").as("__dv_file"),
-          col("pos").as("__dv_pos"))), Seq("__dv_file", "__dv_pos"), "left_semi")
-        .drop("__dv_file", "__dv_pos")
-    }
-    val tagged = Seq(
-      inserts.map(_.withColumn("change_type", lit("insert"))),
-      deletes.map(_.withColumn("change_type", lit("delete")))).flatten
+    val tagged = bounds.toSeq.flatMap { case (a, b) => segment(a, b) }
     require(tagged.nonEmpty,
       s"changeFeed: no changes between $fromV and $toV")
-    tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    val raw = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    // window-end logical names (rename/drop tolerance): change_type
+    // is never mapped, data columns follow toV's view
+    logicalView(raw, metaAt(root, toV))
   }
 
   /** The current version's manifest (the queryable table log). */

@@ -312,9 +312,27 @@ class VersionedTableSpec extends SparkSpec {
       .orderBy("k").as[(Long, String)].collect()
     assert(applied.sameElements(head))
     // a compaction inside the window is refused by the verb guard
+    // a CONTENT-IDENTICAL rewrite inside the window segments, not
+    // refuses (Delta CDF's dataChange=false skip): the feed across
+    // the compaction equals the pre-compaction feed
     VersionedTable.compactDeletes(spark, root, spec)       // v5 (rewrite)
+    val across = VersionedTable.changeFeed(spark, root, "v00002", "v00005")
+    assert(across.filter(col("change_type") === "insert").count() == 90L)
+    assert(across.filter(col("change_type") === "delete").count() == 10L)
+    assert(across.filter(col("change_type") === "insert")
+      .select("k").as[Long].collect().toSet ==
+      feed.filter(col("change_type") === "insert")
+        .select("k").as[Long].collect().toSet)
+    // changes AFTER the rewrite land in the post-rewrite segment
+    VersionedTable.deleteRosterDV(spark, root, spec, Seq(20L).toDF("k")) // v6
+    val spanning = VersionedTable.changeFeed(spark, root, "v00002", "v00006")
+    assert(spanning.filter(col("change_type") === "delete")
+      .select("k").as[Long].collect().toSet == ((0L until 10L).toSet + 20L))
+    // a CONTENT-CHANGING rewrite (CoW delete) still refuses — no
+    // segmentation makes its file diff a content diff
+    VersionedTable.deleteRoster(spark, root, spec, Seq(30L).toDF("k")) // v7
     val e = intercept[IllegalArgumentException] {
-      VersionedTable.changeFeed(spark, root, "v00002", "v00005")
+      VersionedTable.changeFeed(spark, root, "v00002", "v00007")
     }
     assert(e.getMessage.contains("rewrite"), e.getMessage)
   }
