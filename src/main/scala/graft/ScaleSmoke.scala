@@ -810,6 +810,17 @@ object TableVerbSmoke {
       rows += ((scale, "compact_dv",
         timed { VersionedTable.compactDeletes(spark, root, spec); () }))
       rows += ((scale, "read_compacted", timed { readAgg() }))
+      // r11 verbs: predicate UPDATE (CoW band rewrite under the range
+      // clustering) and OPTIMIZE bin-packing (threshold above every
+      // file: the worst case, everything consolidates)
+      rows += ((scale, "update_where",
+        timed { VersionedTable.updateWhere(spark, root, spec,
+          col("n_chars").between(200, 260), Map("lang" -> lit("xx")),
+          layout); () }))
+      rows += ((scale, "optimize_compact",
+        timed { VersionedTable.optimizeCompact(spark, root, spec,
+          targetBytes = 1L << 40); () }))
+      rows += ((scale, "read_optimized", timed { readAgg() }))
       rows += ((scale, "vacuum",
         timed { VersionedTable.vacuum(spark, root, keepLast = 1); () }))
       operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
