@@ -14,6 +14,41 @@ import org.apache.spark.sql.SparkSession
   * one-off noise. Reps run back-to-back per query (interleaving rounds
   * would thrash the page cache the real pipeline would keep warm).
   */
+/** Verdict policy for bench rows, factored out of [[Bench]] so the
+  * taxonomy is spec-testable over synthetic timings (the end-of-suite
+  * retest mislabeled `dedup_clusters_star` as `regressed` in a round
+  * where the retest itself ran inside a still-degraded window —
+  * VERDICT r11 #5: a retest can only CONVICT when the CPU probe shows
+  * the box actually delivering reference-class cycles).
+  */
+object BenchVerdicts {
+
+  /** How far above the quiet probe floor a retest may run and still be
+    * trusted to convict: within 10% the box is delivering quiet-run
+    * cycles; beyond it the retest is itself contaminated evidence.
+    */
+  val ProbeConvictionBand = 1.10
+
+  /** Final verdict for a row that was inflated on an apparently-quiet
+    * suite pass and re-measured solo at end of suite:
+    *  - under the bar          → `retested_ok` (transient, acquitted)
+    *  - over, ran hot          → `suspect` (contention, stamps say so)
+    *  - over, quiet stamps but probe above the conviction band
+    *                           → `suspect_unresolved` (the retest ran
+    *                             on a degraded box — evidence, not a
+    *                             conviction; re-measure quiet)
+    *  - over, probe at floor   → `regressed` (a real regression: the
+    *                             box was provably quiet and the row
+    *                             still missed)
+    */
+  def retestVerdict(t: Double, quietRef: Option[Double], hot: Boolean,
+                    probe: Double, probeFloor: Double): String =
+    if (t >= 0 && !quietRef.exists(q => t > q * 1.5)) "retested_ok"
+    else if (hot) "suspect"
+    else if (probe > probeFloor * ProbeConvictionBand) "suspect_unresolved"
+    else "regressed"
+}
+
 object Bench {
 
   /** 1-minute load average from /proc/loadavg; -1 if unreadable. */
@@ -208,10 +243,11 @@ object Bench {
         val r = timeQuery(name, math.min(reps, 2), extraOnHot = false)
         val t = if (r.tMin >= 0) r.tMin else r.median
         retest(name) = t
-        verdicts(name) =
-          if (t >= 0 && !overBar(name, t)) "retested_ok"
-          else if (r.hot) "suspect"
-          else "regressed"
+        // a retest can only CONVICT (`regressed`) when its own CPU
+        // probe sat at the quiet floor — otherwise the re-measure ran
+        // on the same degraded box it was meant to rule out
+        verdicts(name) = BenchVerdicts.retestVerdict(
+          t, ref.get(name), r.hot, r.probe, probeFloor)
       }
     // anything past the retest bound stays conservatively "regressed"
     verdicts.filterInPlace((_, v) => v != "needs_retest")
@@ -235,10 +271,11 @@ object Bench {
     val total = results.map(_.median).filter(_ >= 0).sum
     val nFailed = results.count(_.median < 0)
     val nSuspect = verdicts.valuesIterator.count(_ == "suspect")
+    val nUnresolved = verdicts.valuesIterator.count(_ == "suspect_unresolved")
     val nRegressed = verdicts.valuesIterator.count(_ == "regressed")
     val nRetestedOk = verdicts.valuesIterator.count(_ == "retested_ok")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"verdicts":$verdictJson,"retest":$retestJson,"quiet_ref":$refJson,"load":$loads,"load_post":$loadsPost,"cpu_probe":$probes,"cpu_probe_floor":$probeFloor,"load_hot":$hotFlags,"load_end":${loadAvg()},"sf":"$sfDir"}"""
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.length},"n_failed":$nFailed,"n_load_hot":${results.count(_.hot)},"n_suspect":$nSuspect,"n_retested_ok":$nRetestedOk,"n_regressed":$nRegressed,"full":"bench_last.json"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.length},"n_failed":$nFailed,"n_load_hot":${results.count(_.hot)},"n_suspect":$nSuspect,"n_suspect_unresolved":$nUnresolved,"n_retested_ok":$nRetestedOk,"n_regressed":$nRegressed,"full":"bench_last.json"}"""
     // Full line first (humans / generous captures), durable file second,
     // and a SHORT summary as the very last stdout line. The driver keeps
     // only the TAIL of stdout, so rounds 6-7 lost the front of this ~5 KB

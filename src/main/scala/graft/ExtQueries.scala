@@ -6091,6 +6091,55 @@ object ExtQueries {
     mvLangFold(mv0, feed)
   }
 
+  private val feedAcrossUpdPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Change feed ACROSS content-CHANGING rewrites
+    * (`layout_feed_across_update`): the writer-side-CDC half of the
+    * feed contract — where `layout_feed_across_optimize` spans a
+    * `dataChange=false` rewrite by SEGMENTING (the rewrite contributes
+    * nothing), this window spans a CoW UPDATE and a CoW roster DELETE,
+    * whose file diffs are NOT their content diffs. Each such commit
+    * emits Delta-style `_change_data` rows at write time
+    * ([[graft.operators.VersionedTable.updateWhere]] /
+    * [[graft.operators.VersionedTable.deleteRoster]] `cdc_path` meta)
+    * — delete pre-images + insert post-images of exactly the matched
+    * rows — and [[graft.operators.VersionedTable.changeFeed]] splices
+    * them between its segment diffs in window order. The MV folded
+    * from the ONE spanning window (create→append→UPDATE→CoW-delete→
+    * DV-delete) hashes against the head aggregate stated directly: a
+    * churned survivor leaking as an insert, a pre-image delete lost,
+    * or a post-image landing under the wrong group all break the hash.
+    *
+    * Scale shape (100 TB): the nightly UPDATE no longer fences off
+    * every downstream feed consumer — CDC bytes ∝ matched rows ×2,
+    * and the feed still costs ∝ changed files + CDC, never ∝ table.
+    */
+  def layoutFeedAcrossUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_feedu").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0),
+      root, spec, layout)
+    val mv0 = mvLangAgg(VersionedTable.readVersion(s, root, v1))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    // the content-changing rewrites the window must fold across
+    VersionedTable.updateWhere(s, root, spec,
+      col("n_chars").between(200, 400), Map("lang" -> lit("xx")), layout)
+    VersionedTable.deleteRoster(s, root, spec,
+      d.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+    val v5 = VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    val feed = VersionedTable.changeFeed(s, root, v1, v5)
+    retirePrevDir(feedAcrossUpdPrev, root)
+    mvLangFold(mv0, feed)
+  }
+
   private val dropColPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
@@ -6173,7 +6222,12 @@ object ExtQueries {
         .sortWithinPartitions("n_chars")
     val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 2 === 0),
       root, spec, layout)
-    VersionedTable.renameColumn(s, root, "n_chars", "len_chars")
+    VersionedTable.renameColumn(s, root, spec, "n_chars", "len_chars")
+    require(
+      try { VersionedTable.renameColumn(s, root, spec, "doc_id", "id"); false }
+      catch { case _: IllegalArgumentException => true },
+      "renaming the bloom key column must refuse — row-replacing verbs " +
+        "select it by name")
     require(
       try {
         VersionedTable.append(s, d.filter(col("doc_id") % 2 === 1), root, spec)
@@ -6392,11 +6446,16 @@ object ExtQueries {
     VersionedTable.deleteRosterDV(s, root, spec,
       d.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
     val v4 = VersionedTable.restore(s, root, v2)
-    require(
-      try { VersionedTable.changeFeed(s, root, v2, v4); false }
-      catch { case _: IllegalArgumentException => true },
-      "a feed window across a restore must refuse (un-deletes are " +
-        "inexpressible in the DV-delta algebra)")
+    // the restore's writer-side CDC makes the window FOLDABLE: the
+    // DV-delete's deletes and the restore's UN-deletes net to zero, so
+    // the v2-state MV folded through the spanning window must equal
+    // the head aggregate exactly
+    val mv2 = mvLangAgg(VersionedTable.readVersion(s, root, v2))
+    val folded = mvLangFold(mv2, VersionedTable.changeFeed(s, root, v2, v4))
+    val headAgg = mvLangAgg(VersionedTable.read(s, root))
+    require(folded.exceptAll(headAgg).isEmpty && headAgg.exceptAll(folded).isEmpty,
+      "folding the feed across a restore must reproduce the head " +
+        "aggregate (deletes and un-deletes net out)")
     VersionedTable.vacuum(s, root, keepLast = 1)
     require(
       try { VersionedTable.readVersion(s, root, v2); false }

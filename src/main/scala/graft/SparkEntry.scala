@@ -452,7 +452,10 @@ object SparkEntry {
     "layout_drop_column" -> (ExtQueries.layoutDropColumn _),
     // r19: CDF dataChange=false — the feed window SEGMENTS at a
     // content-identical rewrite instead of refusing
-    "layout_feed_across_optimize" -> (ExtQueries.layoutFeedAcrossOptimize _)
+    "layout_feed_across_optimize" -> (ExtQueries.layoutFeedAcrossOptimize _),
+    // r20: writer-side CDC — the feed window folds across CoW UPDATE /
+    // CoW delete via per-commit _change_data rows instead of refusing
+    "layout_feed_across_update" -> (ExtQueries.layoutFeedAcrossUpdate _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -587,7 +590,11 @@ object SparkEntry {
     "layout_ivf_from_feed",
     // r18: OPTIMIZE as a commit — the DV-resolving rewrite + pruning
     // probes; the maintenance-rewrite cost model is the point
-    "layout_recluster")
+    "layout_recluster",
+    // r20: writer-side CDC — times the UPDATE/CoW-delete commits WITH
+    // their _change_data emission plus the spanning-window fold; the
+    // CDC cost model (∝ matched rows, not table) is the point
+    "layout_feed_across_update")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1930,6 +1937,17 @@ object SparkEntry {
         |FROM documents
         |WHERE (doc_id % 3 < 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
         |GROUP BY lang""".stripMargin,
+    // the fold across the CoW UPDATE + CoW delete equals the head
+    // aggregate: CDC pre-images subtract under the OLD lang, post-
+    // images add under 'xx', and both CoW rewrites' churned survivors
+    // stay out of the feed
+    "layout_feed_across_update" ->
+      """SELECT CASE WHEN n_chars BETWEEN 200 AND 400 THEN 'xx' ELSE lang END
+        |    AS lang,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 3 < 2 AND doc_id % 7 <> 0 AND doc_id % 5 <> 0
+        |GROUP BY 1""".stripMargin,
     // the head hides lang entirely; v1 still carries it
     "layout_drop_column" ->
       """SELECT '1_head' AS slice, count(*) AS n_docs,

@@ -27,17 +27,31 @@ object FeedConsumer {
 
   /** Advance the consumer: bootstrap on first wake (derive state from
     * the CURRENT table head), fold the feed window on later wakes,
-    * no-op when already caught up.
+    * no-op when already caught up. A window holding ONLY property /
+    * content-identical commits (set-constraint, rename, optimize-noop
+    * — [[VersionedTable.changeFeed]] returns an empty typed frame)
+    * republishes the state unchanged with the offset advanced
+    * (action "skip") — the consumer must move past property commits,
+    * never crash on them until a data commit lands.
     *
-    * @param init  bootstrap derivation: table head read → initial state
-    * @param fold  incremental maintenance: (state, feedWindow) → state'
+    * @param init   bootstrap derivation: table head read → initial state
+    * @param fold   incremental maintenance: (state, feedWindow) → state'
+    * @param layout physical layout of the published derived state.
+    *               Default `coalesce(1)` fits MV-sized state (one
+    *               file, one read); an INDEX-sized derived artifact
+    *               must pass its own layout (e.g. the bucketing its
+    *               query path probes) or every fold funnels through
+    *               one task — the same caller-owns-layout contract as
+    *               [[VersionedTable.create]].
     * @return (published derived version or the unchanged head on a
-    *         no-op, what happened: "bootstrap" | "fold" | "noop")
+    *         no-op, what happened: "bootstrap" | "fold" | "skip" |
+    *         "noop")
     */
   def advance(s: SparkSession, tableRoot: String, derivedRoot: String,
               init: DataFrame => DataFrame,
               fold: (DataFrame, DataFrame) => DataFrame,
-              maxVersionsPerWake: Int = Int.MaxValue): (String, String) = {
+              maxVersionsPerWake: Int = Int.MaxValue,
+              layout: DataFrame => DataFrame = _.coalesce(1)): (String, String) = {
     require(maxVersionsPerWake >= 1,
       s"feed consumer: maxVersionsPerWake must be >= 1, got $maxVersionsPerWake")
     val head = VersionedTable.headVersion(tableRoot).getOrElse(
@@ -46,7 +60,7 @@ object FeedConsumer {
     Publish.currentVersion(derivedRoot) match {
       case None =>
         val state = init(VersionedTable.readVersion(s, tableRoot, head))
-        (Publish.publish(state.coalesce(1), derivedRoot,
+        (Publish.publish(layout(state), derivedRoot,
           meta = Map("verb" -> "consumer-bootstrap", "consumed_upto" -> head)),
           "bootstrap")
       case Some(dv) =>
@@ -67,10 +81,18 @@ object FeedConsumer {
                 vNum(v) <= vNum(upto) + maxVersionsPerWake)
               .lastOption.getOrElse(head)
           val feed = VersionedTable.changeFeed(s, tableRoot, upto, target)
-          val state = fold(Publish.readVersion(s, derivedRoot, dv), feed)
-          (Publish.publish(state.coalesce(1), derivedRoot,
-            meta = Map("verb" -> "consumer-fold", "consumed_upto" -> target,
-              "consumed_from" -> upto)), "fold")
+          val prior = Publish.readVersion(s, derivedRoot, dv)
+          if (feed.isEmpty)
+            // all-property window: state unchanged, offset still moves
+            // (the fold is skipped — a fold's algebra need not be
+            // no-op-safe on an empty window)
+            (Publish.publish(layout(prior), derivedRoot,
+              meta = Map("verb" -> "consumer-skip", "consumed_upto" -> target,
+                "consumed_from" -> upto)), "skip")
+          else
+            (Publish.publish(layout(fold(prior, feed)), derivedRoot,
+              meta = Map("verb" -> "consumer-fold", "consumed_upto" -> target,
+                "consumed_from" -> upto)), "fold")
         }
     }
   }

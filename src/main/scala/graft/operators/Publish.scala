@@ -117,6 +117,27 @@ object Publish {
     }
   }
 
+  /** True when `version`'s number was physically RECLAIMED by a vacuum
+    * ([[vacuumRetain]] / [[retireHistory]] left a `.purged` marker, or
+    * [[compactPurgedMarkers]] folded the marker into the `_BURNED`
+    * watermark). Distinct from a `.failed` tombstone (an attempt that
+    * never committed — safe for history walkers to skip) and from a
+    * plain gap (a number burned by a crashed attempt that left
+    * nothing): a reclaimed version DID commit content that is now
+    * gone, so anything diffing across it must refuse, not skip.
+    */
+  def isReclaimed(rootPath: String, version: String): Boolean = {
+    val r = root(rootPath)
+    java.nio.file.Files.exists(r.resolve(s"$version.purged")) ||
+      version.drop(1).takeWhile(_.isDigit).toLong <= burnedWatermark(r)
+  }
+
+  /** True when `version` is a `.failed` tombstone (an attempt vetoed
+    * before its pointer swap — it never held committed content).
+    */
+  def isFailedAttempt(rootPath: String, version: String): Boolean =
+    java.nio.file.Files.exists(root(rootPath).resolve(s"$version.failed"))
+
   /** The currently published version name, if any. */
   def currentVersion(rootPath: String): Option[String] = {
     val ptr = root(rootPath).resolve(Pointer)

@@ -259,17 +259,23 @@ object VersionedTable {
     * using logical names (converted to physical at write), reads
     * apply the mapping, time travel shows each version under its own
     * names, and [[Spec]]/manifest stat columns stay physical (stable
-    * across renames — pruning survives a rename untouched). A feed
-    * window across a rename refuses (the verb is not feed-safe:
-    * consumers hold column expectations the window would silently
-    * break).
+    * across renames — pruning survives a rename untouched; the gate
+    * proves a STAT column renames cleanly because [[sidecar]] and the
+    * band prune only ever touch physical files). The BLOOM KEY column
+    * refuses renaming (the [[dropColumn]] posture): [[upsertDV]] and
+    * [[deleteRoster]] select `spec.keyCol` against LOGICAL frames
+    * (the caller's updates/roster), so a renamed key wedges every
+    * row-replacing verb on its next call — refuse now, loudly.
     */
-  def renameColumn(s: SparkSession, root: String,
+  def renameColumn(s: SparkSession, root: String, spec: Spec,
                    from: String, to: String): String = {
     val logical = read(s, root).schema.fieldNames.toSet
     require(logical.contains(from), s"renameColumn: no such column $from")
     require(!logical.contains(to), s"renameColumn: $to already exists")
     val physical = columnMapping(root).find(_._2 == from).map(_._1).getOrElse(from)
+    require(physical != spec.keyCol,
+      s"renameColumn: $from is the bloom key column — upsertDV/deleteRoster " +
+        "select it by name on logical frames; the table would wedge")
     publishManifest(Publish.read(s, manifestRoot(root)), root,
       Map("verb" -> "rename-column", ColmapPrefix + physical -> to))
   }
@@ -358,9 +364,18 @@ object VersionedTable {
         .filter(col("__doomed_k").isNotNull).distinct()
       // holder rows resolved THROUGH their deletion vectors (a prior
       // merge-on-read delete must not resurrect in the rewrite)
-      readFiles(s, current.filter(col("file").isin(holders: _*)))
+      val holderRows = readFiles(s, current.filter(col("file").isin(holders: _*)))
+      holderRows
         .join(doomed, col(spec.keyCol).cast("string") === col("__doomed_k"), "left_anti")
         .write.parquet(gen)
+      // writer-side CDC: the removed rows ARE the commit's content
+      // diff (the rewrite's churned survivors are not) — emit them so
+      // feed windows fold across the CoW delete instead of refusing
+      val cdcMeta = writeCdc(s, root,
+        holderRows
+          .join(doomed, col(spec.keyCol).cast("string") === col("__doomed_k"),
+            "left_semi")
+          .withColumn("change_type", lit("delete")))
       val hf = s.createDataFrame(
         java.util.Arrays.asList(holders.map(org.apache.spark.sql.Row(_)): _*),
         org.apache.spark.sql.types.StructType(Seq(
@@ -369,7 +384,8 @@ object VersionedTable {
       publishManifest(
         current.join(hf, Seq("file"), "left_anti")
           .unionByName(sidecar(s, gen, spec)),
-        root, Map("verb" -> "delete", "n_holders" -> holders.length.toString))
+        root, cdcMeta ++
+          Map("verb" -> "delete", "n_holders" -> holders.length.toString))
     }
   }
 
@@ -394,6 +410,89 @@ object VersionedTable {
     "compact-dv", "compact-dv-noop", "delete-noop", "update-noop",
     "set-constraint", "drop-constraint", "rename-column", "drop-column")
 
+  /** CONTENT-CHANGING rewrites that carry WRITER-SIDE CDC (Delta's
+    * `_change_data` files): their file diff is NOT their content diff
+    * (a CoW UPDATE churns every holder file to change a few rows; a
+    * RESTORE can UN-delete, which the DV-delta algebra cannot
+    * express), so the WRITER emits the per-commit change rows at
+    * commit time — `cdc_path` in the version `_META` points at them —
+    * and [[changeFeed]] reads them instead of diffing across the
+    * commit. A commit from before this contract (verb in this set,
+    * no `cdc_path`/`cdc_empty` meta) still refuses.
+    */
+  private val CdcVerbs = Set("update", "delete", "restore")
+
+  /** Write `changes` (physical column names + `change_type`) as a
+    * commit's CDC sidecar and return the meta pairs recording it —
+    * `cdc_path` when rows exist, `cdc_empty` when the change set is
+    * provably empty (an empty parquet dir has no readable schema, so
+    * emptiness rides the meta instead).
+    */
+  private def writeCdc(s: SparkSession, root: String,
+                       changes: DataFrame): Map[String, String] =
+    if (changes.isEmpty) Map("cdc_empty" -> "true")
+    else {
+      val dir = s"${filesDir(root)}/cdc-" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      changes.write.parquet(dir)
+      Map("cdc_path" -> dir)
+    }
+
+  /** A manifest's distinct deletion-vector positions, if any. */
+  private def dvPositions(s: SparkSession, m: DataFrame): Option[DataFrame] = {
+    val paths = m.filter(col("dv_path").isNotNull)
+      .select("dv_path").distinct().collect().map(_.getString(0)).toSeq
+    if (paths.isEmpty) None
+    else Some(s.read.parquet(paths: _*).select("file", "pos").distinct())
+  }
+
+  /** Resolve (file, pos) pairs back to FULL ROWS by a position join —
+    * the vectored bytes are still on disk, so a feed can carry the
+    * deleted payload, not just a key.
+    */
+  private def rowsAtPositions(s: SparkSession, delta: DataFrame): DataFrame = {
+    val files = delta.select("file").distinct().collect().map(_.getString(0)).toSeq
+    s.read.option("mergeSchema", "true").parquet(files: _*)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .join(broadcast(delta.select(col("file").as("__dv_file"),
+        col("pos").as("__dv_pos"))), Seq("__dv_file", "__dv_pos"), "left_semi")
+      .drop("__dv_file", "__dv_pos")
+  }
+
+  /** The row-level content diff between two manifests — file diff plus
+    * DV-delta algebra, each side resolved through its own vectors:
+    * inserts = files B lists that A doesn't (through B's vectors) plus
+    * UN-deletes (positions vectored in A but not in B on common
+    * files); deletes = files A lists that B doesn't (through A's
+    * vectors) plus fresh vectors (positions in B but not in A on
+    * common files). [[changeFeed]] segments use the forward half
+    * (A-before-B inside a window can't un-delete); [[restore]]'s CDC
+    * uses the full algebra (head → restored content can).
+    */
+  private def manifestDiff(s: SparkSession, mA: DataFrame,
+                           mB: DataFrame): Seq[DataFrame] = {
+    val addedFiles = mB.join(mA.select("file"), Seq("file"), "left_anti")
+    val droppedFiles = mA.join(mB.select("file"), Seq("file"), "left_anti")
+    val (dvA, dvB) = (dvPositions(s, mA), dvPositions(s, mB))
+    // common-file vector deltas, each restricted to files BOTH list
+    def common(x: Option[DataFrame], y: Option[DataFrame]): Option[DataFrame] =
+      x.map { xx =>
+        val d = y.fold(xx)(yy => xx.join(yy, Seq("file", "pos"), "left_anti"))
+          .join(mA.select("file"), Seq("file"), "left_semi")
+          .join(mB.select("file"), Seq("file"), "left_semi")
+        d
+      }.filter(!_.isEmpty)
+    val inserts =
+      (if (addedFiles.isEmpty) None else Some(readFiles(s, addedFiles))) ++
+        common(dvA, dvB).map(rowsAtPositions(s, _)) // un-deletes
+    val deletes =
+      (if (droppedFiles.isEmpty) None else Some(readFiles(s, droppedFiles))) ++
+        common(dvB, dvA).map(rowsAtPositions(s, _)) // fresh vectors
+    (inserts.map(_.withColumn("change_type", lit("insert"))) ++
+      deletes.map(_.withColumn("change_type", lit("delete")))).toSeq
+  }
+
   /** ROW-LEVEL CHANGE FEED between two versions, derived from
     * manifests + DV sidecars ALONE — no content diff, no snapshot
     * comparison scan:
@@ -413,16 +512,25 @@ object VersionedTable {
     * and a later segment's diff runs against the post-rewrite
     * manifest, so churned files never read as inserts. A
     * CONTENT-CHANGING rewrite (copy-on-write delete, predicate
-    * UPDATE, restore) still refuses: its file diff is not its content
-    * diff and no segmentation fixes that.
+    * UPDATE, restore) also segments, contributing its WRITER-EMITTED
+    * CDC rows ([[CdcVerbs]], `cdc_path` meta) — only a pre-CDC-
+    * contract commit of those verbs still refuses. A version inside
+    * the window that a [[vacuum]] physically RECLAIMED (a `.purged`
+    * marker or the `_BURNED` watermark) refuses too: its diff is
+    * unrecoverable and skipping it would emit churned files as
+    * phantom inserts — only `.failed` tombstones (attempts that never
+    * committed) are safe to skip.
     *
     * Output is under `toV`'s LOGICAL column names (segments read
     * physical files; the window-end mapping is applied once at the
-    * end), so consumers survive renames inside the window.
+    * end), so consumers survive renames inside the window. A window
+    * of only property/content-identical commits returns an EMPTY
+    * frame under the head schema + `change_type` (a consumer must
+    * advance its offset past property commits, not crash on them).
     *
     * Scale shape (100 TB): feed cost ∝ changed files read + DV delta
-    * per segment — never ∝ table; planning inputs are two manifest
-    * reads per segment.
+    * per segment + CDC bytes — never ∝ table; planning inputs are two
+    * manifest reads per segment.
     */
   def changeFeed(s: SparkSession, root: String,
                  fromV: String, toV: String): DataFrame = {
@@ -430,71 +538,60 @@ object VersionedTable {
     val lo = fromV.drop(1).toLong
     val hi = toV.drop(1).toLong
     require(lo < hi, s"changeFeed: $fromV must precede $toV")
-    val steps = (lo + 1 to hi).map("v%05d".format(_)).filter { v =>
-      java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(mroot).resolve(v))
-    }.map { v => (v, Publish.readMeta(mroot, v).getOrElse("verb", "?")) }
-    steps.foreach { case (v, verb) =>
-      require(FeedSafeVerbs.contains(verb) || ContentIdenticalVerbs.contains(verb),
-        s"changeFeed: window contains content-changing rewrite $v " +
-          s"(verb=$verb) — file diff is not content diff across it")
+    val steps = (lo + 1 to hi).map("v%05d".format(_)).flatMap { v =>
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(mroot).resolve(v)))
+        Some((v, Publish.readMeta(mroot, v).getOrElse("verb", "?")))
+      else if (Publish.isFailedAttempt(mroot, v)) None // never committed
+      else {
+        // a plain gap (crashed attempt that left nothing) is safe to
+        // skip; a RECLAIMED commit is not — its content diff is gone
+        require(!Publish.isReclaimed(mroot, v),
+          s"changeFeed: window version $v was vacuumed — its diff is " +
+            "unrecoverable; re-bootstrap the consumer from the head")
+        None
+      }
     }
-    // segment at content-identical commits: ordered(j) is the version
-    // after j window steps; a segment [ordered(i), ordered(j)] holds
-    // only data commits
+    steps.foreach { case (v, verb) =>
+      val meta = Publish.readMeta(mroot, v)
+      require(FeedSafeVerbs.contains(verb) ||
+          ContentIdenticalVerbs.contains(verb) ||
+          (CdcVerbs.contains(verb) &&
+            (meta.contains("cdc_path") || meta.contains("cdc_empty"))),
+        s"changeFeed: window contains content-changing rewrite $v " +
+          s"(verb=$verb) without writer-side CDC — file diff is not " +
+          "content diff across it")
+    }
+    // segment at content-identical AND cdc commits: ordered(j) is the
+    // version after j window steps; a segment [ordered(i), ordered(j)]
+    // holds only feed-safe data commits. CDC commits contribute their
+    // writer-emitted rows in window order.
     val ordered = fromV +: steps.map(_._1)
-    val bounds = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def segment(a: String, b: String): Unit =
+      pieces ++= manifestDiff(s,
+        Publish.readVersion(s, mroot, a), Publish.readVersion(s, mroot, b))
     var segStart = 0
-    steps.zipWithIndex.foreach { case ((_, verb), i) =>
-      if (ContentIdenticalVerbs.contains(verb)) {
-        if (i > segStart) bounds += ((ordered(segStart), ordered(i)))
+    steps.zipWithIndex.foreach { case ((v, verb), i) =>
+      if (ContentIdenticalVerbs.contains(verb) || CdcVerbs.contains(verb)) {
+        if (i > segStart) segment(ordered(segStart), ordered(i))
+        if (CdcVerbs.contains(verb))
+          Publish.readMeta(mroot, v).get("cdc_path")
+            .foreach(p => pieces += s.read.parquet(p))
         segStart = i + 1
       }
     }
     if (steps.length > segStart)
-      bounds += ((ordered(segStart), ordered(steps.length)))
-    def dvRows(m: DataFrame): Option[DataFrame] = {
-      val paths = m.filter(col("dv_path").isNotNull)
-        .select("dv_path").distinct().collect().map(_.getString(0)).toSeq
-      if (paths.isEmpty) None
-      else Some(s.read.parquet(paths: _*).select("file", "pos").distinct())
-    }
-    def segment(a: String, b: String): Seq[DataFrame] = {
-      val mA = Publish.readVersion(s, mroot, a)
-      val mB = Publish.readVersion(s, mroot, b)
-      // inserts: added files resolved through the segment end's
-      // vectors (readFiles applies the manifest rows' own dv_path)
-      val addedFiles = mB.join(mA.select("file"), Seq("file"), "left_anti")
-      val inserts =
-        (if (addedFiles.isEmpty) None else Some(readFiles(s, addedFiles)))
-      // deletes: DV delta restricted to files the segment start listed
-      val deltaOpt = (dvRows(mB), dvRows(mA)) match {
-        case (None, _) => None
-        case (Some(bb), aa) =>
-          val d = aa.fold(bb)(ar => bb.join(ar, Seq("file", "pos"), "left_anti"))
-            .join(mA.select("file"), Seq("file"), "left_semi")
-          if (d.isEmpty) None else Some(d)
-      }
-      val deletes = deltaOpt.map { delta =>
-        val files = delta.select("file").distinct().collect().map(_.getString(0)).toSeq
-        s.read.option("mergeSchema", "true").parquet(files: _*)
-          .withColumn("__dv_file", col("_metadata.file_path"))
-          .withColumn("__dv_pos", col("_metadata.row_index"))
-          .join(broadcast(delta.select(col("file").as("__dv_file"),
-            col("pos").as("__dv_pos"))), Seq("__dv_file", "__dv_pos"), "left_semi")
-          .drop("__dv_file", "__dv_pos")
-      }
-      Seq(
-        inserts.map(_.withColumn("change_type", lit("insert"))),
-        deletes.map(_.withColumn("change_type", lit("delete")))).flatten
-    }
-    val tagged = bounds.toSeq.flatMap { case (a, b) => segment(a, b) }
-    require(tagged.nonEmpty,
-      s"changeFeed: no changes between $fromV and $toV")
-    val raw = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+      segment(ordered(segStart), ordered(steps.length))
     // window-end logical names (rename/drop tolerance): change_type
     // is never mapped, data columns follow toV's view
-    logicalView(raw, metaAt(root, toV))
+    if (pieces.isEmpty)
+      logicalView(readFiles(s, Publish.readVersion(s, mroot, toV)), metaAt(root, toV))
+        .withColumn("change_type", lit("insert")).limit(0)
+    else
+      logicalView(
+        pieces.reduce(_.unionByName(_, allowMissingColumns = true)),
+        metaAt(root, toV))
   }
 
   /** The current version's manifest (the queryable table log). */
@@ -643,6 +740,49 @@ object VersionedTable {
       } finally st.close()
     }.getOrElse(Seq.empty)
 
+  /** Compacted version→commit_ts index (`manifest/_ts_index`): one
+    * line per published version, `vNNNNN=<ts>` or `vNNNNN=-` for
+    * unstamped commits. Maintained LAZILY by [[readAsOfTs]]: each call
+    * reads the one index file, scans `_META` only for versions the
+    * index hasn't seen (∝ commits since the last resolution, amortized
+    * O(1)), and rewrites the index atomically (staged + ATOMIC_MOVE —
+    * a lost race between concurrent resolvers is harmless: entries
+    * are immutable facts and the loser's next call re-derives them).
+    * This is the `_last_checkpoint` economics: at 10⁵ commits,
+    * timestamp planning reads one file + the resolved manifest, not
+    * 10⁵ `_META` files.
+    */
+  private def tsIndex(root: String,
+                      versions: Seq[String]): Map[String, Option[Long]] = {
+    val p = java.nio.file.Paths.get(manifestRoot(root)).resolve("_ts_index")
+    val existing: Map[String, Option[Long]] =
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else java.nio.file.Files.readString(p).linesIterator
+        .filter(_.contains("=")).map { l =>
+          val i = l.indexOf('=')
+          val t = l.drop(i + 1)
+          l.take(i) -> (if (t == "-") None else Some(t.toLong))
+        }.toMap
+    val missing = versions.filterNot(existing.contains)
+    if (missing.isEmpty) existing
+    else {
+      val fresh = missing.map(v => v ->
+        Publish.readMeta(manifestRoot(root), v).get("commit_ts").map(_.toLong))
+      val keep = versions.toSet
+      val all = (existing ++ fresh).filter { case (v, _) => keep(v) }
+      val tmp = p.resolveSibling(
+        "_ts_index.tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      java.nio.file.Files.writeString(tmp,
+        all.toSeq.sortBy(e => vNum(e._1))
+          .map { case (v, t) => s"$v=${t.fold("-")(_.toString)}" }
+          .mkString("\n"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      all
+    }
+  }
+
   /** TIMESTAMP AS OF: read the newest version whose commit stamp is
     * ≤ `ts`. Stamps are the `commit_ts` values callers pass through
     * each verb's meta (logical time here — a real deployment stamps
@@ -651,13 +791,14 @@ object VersionedTable {
     * without a stamp (property commits, unstamped verbs) are resolved
     * by inheritance: they belong to the preceding stamped commit's
     * instant, so the newest version at-or-under the winning stamp is
-    * what's read.
+    * what's read. Resolution reads the compacted [[tsIndex]] (one
+    * file, lazily maintained) plus `_META` for only never-indexed
+    * versions — O(1) planning at 10⁵ commits, not O(versions).
     */
   def readAsOfTs(s: SparkSession, root: String, ts: Long): DataFrame = {
-    val mroot = manifestRoot(root)
     val versions = publishedVersions(root)
-    val stamped = versions.flatMap(v =>
-      Publish.readMeta(mroot, v).get("commit_ts").map(t => (v, t.toLong)))
+    val idx = tsIndex(root, versions)
+    val stamped = versions.flatMap(v => idx.getOrElse(v, None).map(t => (v, t)))
     require(stamped.nonEmpty,
       s"readAsOfTs: no commit_ts-stamped versions under $root")
     val eligible = stamped.filter(_._2 <= ts)
@@ -862,9 +1003,13 @@ object VersionedTable {
     val referenced = liveVersions.flatMap { v =>
       Publish.readVersion(s, manifestRoot(root), v)
         .select("file", "dv_path").collect()
-        .flatMap(r => Seq(Option(r.getString(0)), Option(r.getString(1))).flatten)
+        .flatMap(r => Seq(Option(r.getString(0)), Option(r.getString(1))).flatten) ++
+        // a live version's CDC sidecar is custody too: its feed rows
+        // must outlive exactly as long as the commit is in a window a
+        // retained consumer could still read
+        Publish.readMeta(manifestRoot(root), v).get("cdc_path")
     }.map(fsPath).toSet
-    // a dv_path is a directory; its whole subtree is referenced
+    // a dv_path / cdc_path is a directory; its whole subtree is referenced
     val fdir = java.nio.file.Paths.get(filesDir(root))
     var nFiles = 0
     var nDvs = 0
@@ -877,7 +1022,7 @@ object VersionedTable {
         } finally st.close()
       children.foreach { child =>
         val name = child.getFileName.toString
-        if (name.startsWith("dv-")) {
+        if (name.startsWith("dv-") || name.startsWith("cdc-")) {
           if (!referenced.contains(child.toString)) {
             Checkpoints.deleteTree(child); nDvs += 1
           }
@@ -933,39 +1078,66 @@ object VersionedTable {
     * non-matching neighbors copy through, prior deletion vectors
     * resolve in the rewrite (a vectored row must not resurrect as
     * updated) — and every untouched file's manifest row survives
-    * verbatim. Schema enforcement applies to the rewritten output
-    * (a SET cannot smuggle a new column or type change) and CHECK
-    * constraints are enforced on the updated rows. NOT feed-safe
-    * (rewrite verb).
+    * verbatim. SQL UPDATE binding semantics: the predicate match is
+    * materialized ONCE and every SET right-hand side evaluates
+    * against the PRE-update columns in a single projection — a SET
+    * can reference the predicate's own columns (or another SET's
+    * target) without order-dependence or self-invalidation. Schema
+    * enforcement applies to the rewritten output (a SET cannot
+    * smuggle a new column or type change) and CHECK constraints are
+    * enforced on the matched rows' post-images. The commit carries
+    * writer-side CDC (delete pre-images + insert post-images of
+    * exactly the matched rows), so [[changeFeed]] windows fold across
+    * it instead of refusing.
     *
     * Scale shape (100 TB): probe ∝ predicate columns read, rewrite
     * ∝ holder files — under a clustered layout a banded predicate
-    * touches the band's files, not the table.
+    * touches the band's files, not the table; CDC bytes ∝ matched
+    * rows ×2.
     */
   def updateWhere(s: SparkSession, root: String, spec: Spec,
                   cond: Column, sets: Map[String, Column],
                   layout: DataFrame => DataFrame = identity): String = {
     require(sets.nonEmpty, "updateWhere: no SET expressions")
     val current = Publish.read(s, manifestRoot(root))
-    val holders = logicalView(readFilesKeep(s, current), headMetaOf(root))
+    val headM = headMetaOf(root)
+    val holders = logicalView(readFilesKeep(s, current), headM)
       .filter(cond)
       .select("__file").distinct().collect().map(_.getString(0)).toSeq
     if (holders.isEmpty)
       publishManifest(current, root, Map("verb" -> "update-noop"))
     else {
-      val updated = sets.foldLeft(
-        logicalView(readFilesKeep(s, current.filter(col("file").isin(holders: _*)))
-          .drop("__file"), headMetaOf(root))) { case (df, (c, e)) =>
-        df.withColumn(c, when(cond, e).otherwise(col(c)))
-      }
-      enforceSchema(s, root, updated, allowEvolution = false)
-      enforce(updated.filter(cond), constraints(root))
+      val base = logicalView(
+        readFilesKeep(s, current.filter(col("file").isin(holders: _*)))
+          .drop("__file"), headM)
+      val unknown = sets.keySet -- base.columns.toSet
+      require(unknown.isEmpty,
+        s"updateWhere: SET names unknown column(s): ${unknown.mkString(", ")}")
+      // bind the match once against the original frame; NULL predicate
+      // = no match (SQL WHERE), all SETs project against pre-update
+      // columns simultaneously
+      val matched = base.withColumn("__match", coalesce(cond, lit(false)))
+      val updated = matched.select(base.columns.map { c =>
+        sets.get(c)
+          .map(e => when(col("__match"), e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      } :+ col("__match"): _*)
+      enforceSchema(s, root, updated.drop("__match"), allowEvolution = false)
+      enforce(updated.filter(col("__match")).drop("__match"), constraints(root))
+      val cm = columnMapping(root)
+      val cdcMeta = writeCdc(s, root,
+        toPhysical(matched.filter(col("__match")).drop("__match"), cm)
+          .withColumn("change_type", lit("delete"))
+          .unionByName(
+            toPhysical(updated.filter(col("__match")).drop("__match"), cm)
+              .withColumn("change_type", lit("insert"))))
       val gen = freshGen(root)
-      layout(toPhysical(updated, columnMapping(root))).write.parquet(gen)
+      layout(toPhysical(updated.drop("__match"), cm)).write.parquet(gen)
       publishManifest(
         current.filter(!col("file").isin(holders: _*))
           .unionByName(sidecar(s, gen, spec)),
-        root, Map("verb" -> "update", "n_holders" -> holders.length.toString))
+        root, cdcMeta ++
+          Map("verb" -> "update", "n_holders" -> holders.length.toString))
     }
   }
 
@@ -1020,16 +1192,28 @@ object VersionedTable {
     * no data moves. The publish audit re-verifies every restored file
     * still exists (a [[vacuum]] may have reclaimed what only the old
     * version referenced — then the restore is vetoed, not silently
-    * hollow). NOT feed-safe by construction (verb `restore` is absent
-    * from the [[changeFeed]] allowlist): the file diff across a
-    * restore contains UN-deletes the DV-delta feed algebra cannot
-    * express, so feed windows spanning one are refused.
+    * hollow). The commit carries writer-side CDC — the full
+    * head→restored content diff via [[manifestDiff]]'s bidirectional
+    * algebra (dropped files' live rows as deletes, added files' as
+    * inserts, and the DV deltas on common files in BOTH directions:
+    * a restore can UN-delete, which only the writer-emitted form can
+    * express) — so [[changeFeed]] windows fold across it. CDC cost
+    * ∝ changed files between the two versions, never ∝ table (a
+    * restore to the previous commit diffs one commit's worth).
     */
   def restore(s: SparkSession, root: String, v: String): String = {
     val head = headVersion(root)
     require(!head.contains(v), s"restore: $v is already the head")
-    publishManifest(Publish.readVersion(s, manifestRoot(root), v), root,
-      Map("verb" -> "restore", "restored" -> v))
+    val mroot = manifestRoot(root)
+    val mHead = Publish.read(s, mroot)
+    val mTo = Publish.readVersion(s, mroot, v)
+    val diff = manifestDiff(s, mHead, mTo)
+    val cdcMeta = writeCdc(s, root,
+      if (diff.isEmpty)
+        readFiles(s, mTo).withColumn("change_type", lit("insert")).limit(0)
+      else diff.reduce(_.unionByName(_, allowMissingColumns = true)))
+    publishManifest(mTo, root,
+      cdcMeta ++ Map("verb" -> "restore", "restored" -> v))
   }
 
   /** Named REFS (Iceberg tags): a tag pins a version name durably
@@ -1144,9 +1328,25 @@ object VersionedTable {
                 beforeCommit: () => Unit = () => (),
                 maxAttempts: Int = 5,
                 allowEvolution: Boolean = false): (String, Int) = {
-    enforceSchema(s, root, df, allowEvolution)
-    guardDropped(root, df)
-    enforce(df, constraints(root))
+    // validation re-runs inside the rebase loop whenever the head
+    // moved: a concurrent set-constraint / drop-column commit must not
+    // be overlaid by rebased rows that were never validated against
+    // the new table properties (Delta fails such metadata conflicts;
+    // re-validating either passes the batch against the new head or
+    // aborts the rebase loudly). The batch's physical files stay
+    // valid across a concurrent rename — physical names never move —
+    // so only the checks re-run, never the write.
+    var validatedHead: Option[String] = None
+    def validateAgainst(head: Option[String]): Unit =
+      if (validatedHead != head) {
+        enforceSchema(s, root, df, allowEvolution)
+        guardDropped(root, df)
+        enforce(df, constraints(root))
+        validatedHead = head
+      }
+    val entryHead = Publish.currentVersion(manifestRoot(root))
+    require(entryHead.isDefined, s"appendOcc: no published version under $root")
+    validateAgainst(entryHead)
     val gen = freshGen(root)
     layout(toPhysical(df, columnMapping(root))).write.parquet(gen)
     val batchRows = sidecar(s, gen, spec)
@@ -1155,6 +1355,7 @@ object VersionedTable {
       attempts += 1
       val head = Publish.currentVersion(manifestRoot(root))
       require(head.isDefined, s"appendOcc: no published version under $root")
+      validateAgainst(head)
       val base = Publish.readVersion(s, manifestRoot(root), head.get)
       beforeCommit()
       try {

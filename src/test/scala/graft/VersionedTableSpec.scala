@@ -263,8 +263,10 @@ class VersionedTableSpec extends SparkSpec {
     val (retired, nFiles, nDvs) = VersionedTable.vacuum(spark, root, keepLast = 2)
     assert(retired.toSet == Set("v00001", "v00002", "v00003"), retired.toString)
     assert(nFiles > 0, "vacuum must reclaim the superseded generation files")
-    // the DV sidecar is still referenced by retained v4
-    assert(nDvs == 0, "v4's vector must survive a keepLast=2 vacuum")
+    // the DV sidecar is still referenced by retained v4; the ONE
+    // sidecar reclaimed is retired v3's CDC dir (the CoW delete's
+    // writer-side change rows go with their commit)
+    assert(nDvs == 1, s"expected only v3's CDC sidecar reclaimed, got $nDvs")
     assert(VersionedTable.read(spark, root)
       .orderBy("k").as[(Long, String)].collect().sameElements(headBefore))
     assert(VersionedTable.readVersion(spark, root, v4)
@@ -328,13 +330,66 @@ class VersionedTableSpec extends SparkSpec {
     val spanning = VersionedTable.changeFeed(spark, root, "v00002", "v00006")
     assert(spanning.filter(col("change_type") === "delete")
       .select("k").as[Long].collect().toSet == ((0L until 10L).toSet + 20L))
-    // a CONTENT-CHANGING rewrite (CoW delete) still refuses — no
-    // segmentation makes its file diff a content diff
+    // a CONTENT-CHANGING rewrite (CoW delete) carries WRITER-SIDE CDC:
+    // the window folds across it — the removed row arrives as a
+    // full-payload delete, and the rewrite's churned survivors must
+    // NOT leak into the feed as inserts
     VersionedTable.deleteRoster(spark, root, spec, Seq(30L).toDF("k")) // v7
+    val withCow = VersionedTable.changeFeed(spark, root, "v00002", "v00007")
+    assert(withCow.filter(col("change_type") === "delete")
+      .select("k").as[Long].collect().toSet ==
+      ((0L until 10L).toSet + 20L + 30L))
+    assert(withCow.filter(col("change_type") === "delete" && col("v").isNull)
+      .count() == 0L, "CDC deletes must carry the full old row")
+    assert(withCow.filter(col("change_type") === "insert").count() == 90L,
+      "the CoW rewrite's churned survivors must not leak as inserts")
+  }
+
+  test("changeFeed: vacuumed window version refuses; failed tombstone skips; empty window typed") {
+    import spark.implicits._
+    val root = fixture()
+    val mroot = s"$root/manifest"
+    // an OCC conflict burns a number with a .failed tombstone inside
+    // the window — the feed must SKIP it (the attempt never committed)
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    VersionedTable.appendOcc(spark,
+      (600L until 650L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec,
+      beforeCommit = () =>
+        if (raced.compareAndSet(false, true)) {
+          VersionedTable.append(spark,
+            (700L until 750L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec)
+          ()
+        })
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(mroot).resolve("v00004.failed")))
+    val feed = VersionedTable.changeFeed(spark, root, "v00002", "v00005")
+    assert(feed.filter(col("change_type") === "insert").count() == 100L)
+    // an all-property window returns an EMPTY typed frame (consumers
+    // advance their offset past it instead of crashing)
+    VersionedTable.setConstraint(spark, root, "k_pos", "k >= 0") // v6
+    val empty = VersionedTable.changeFeed(spark, root, "v00005", "v00006")
+    assert(empty.isEmpty && empty.columns.contains("change_type")
+      && empty.columns.contains("k"))
+    // a VACUUMED version inside the window refuses — its diff is
+    // unrecoverable, and silently skipping it would emit the next
+    // segment's churn as phantom changes (ADVICE r11 #1)
+    VersionedTable.deleteRoster(spark, root, spec, Seq(30L).toDF("k")) // v7
+    VersionedTable.append(spark,
+      (800L until 810L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec) // v8
+    VersionedTable.vacuum(spark, root, keepLast = 2) // reclaims ≤ v6
     val e = intercept[IllegalArgumentException] {
-      VersionedTable.changeFeed(spark, root, "v00002", "v00007")
+      VersionedTable.changeFeed(spark, root, "v00002", "v00008")
     }
-    assert(e.getMessage.contains("rewrite"), e.getMessage)
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // ...and the refusal survives marker compaction into _BURNED
+    Publish.compactPurgedMarkers(mroot)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, root, "v00002", "v00008")
+    }
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+    // a window wholly inside the retained tail still folds
+    val tail = VersionedTable.changeFeed(spark, root, "v00007", "v00008")
+    assert(tail.filter(col("change_type") === "insert").count() == 10L)
   }
 
   test("shallow clone: zero data copied, divergence isolated, vacuum custody respected") {
@@ -472,6 +527,39 @@ class VersionedTableSpec extends SparkSpec {
     assert(parquets.nonEmpty)
     parquets.foreach(java.nio.file.Files.delete(_))
     assert(VersionedTable.metadataAgg(spark, root, None).head.getLong(0) == 600L)
+  }
+
+  test("readAsOfTs resolves from the compacted _ts_index, not per-version _META walks") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-ts").toString
+    VersionedTable.create(spark,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec,
+      extraMeta = Map("commit_ts" -> "100"))
+    VersionedTable.append(spark,
+      (10L until 20L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec,
+      extraMeta = Map("commit_ts" -> "200"))
+    VersionedTable.append(spark,
+      (20L until 30L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec,
+      extraMeta = Map("commit_ts" -> "300"))
+    // first resolution builds the index
+    assert(VersionedTable.readAsOfTs(spark, root, 250L).count() == 20L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/manifest/_ts_index")))
+    // destroy the NON-resolved versions' _META: a second resolution
+    // must not need them — stamps come from the one index file, and
+    // only the RESOLVED version's _META is read (for its logical view)
+    Seq("v00001", "v00003").foreach { v =>
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$root/manifest/$v/_META"))
+    }
+    assert(VersionedTable.readAsOfTs(spark, root, 250L).count() == 20L)
+    // a commit landing after the index was built is indexed
+    // incrementally (∝ new commits, not ∝ history)
+    VersionedTable.append(spark,
+      (30L until 40L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec,
+      extraMeta = Map("commit_ts" -> "400"))
+    assert(VersionedTable.readAsOfTs(spark, root, 350L).count() == 30L)
+    assert(VersionedTable.readAsOfTs(spark, root, 400L).count() == 40L)
   }
 
   // ---- schema evolution ----
