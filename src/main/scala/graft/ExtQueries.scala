@@ -1990,7 +1990,11 @@ object ExtQueries {
     * accumulate rank.
     */
   def graphPageRank(s: SparkSession, dir: String): DataFrame =
-    graft.operators.PageRank.run(graphEdges(s, dir), iterations = 3)
+    // edgesDistinct: graphEdges is distinct by construction (distinct
+    // pairs unioned in two directionally-disjoint orientations) — the
+    // redundant dedup exchange was part of this row's measured cost
+    graft.operators.PageRank.run(graphEdges(s, dir), iterations = 3,
+      edgesDistinct = true)
 
   /** The customer↔supplier SYMMETRIC edge list (orders⋈lineitem,
     * distinct pairs, both directions) shared by the one-shot pagerank
