@@ -363,19 +363,24 @@ object VersionedTable {
       val doomed = roster.select(col(spec.keyCol).cast("string").as("__doomed_k"))
         .filter(col("__doomed_k").isNotNull).distinct()
       // holder rows resolved THROUGH their deletion vectors (a prior
-      // merge-on-read delete must not resurrect in the rewrite)
+      // merge-on-read delete must not resurrect in the rewrite),
+      // persisted for the verb: the survivor rewrite and the CDC
+      // emission both read them — one holder scan, released below
       val holderRows = readFiles(s, current.filter(col("file").isin(holders: _*)))
-      holderRows
-        .join(doomed, col(spec.keyCol).cast("string") === col("__doomed_k"), "left_anti")
-        .write.parquet(gen)
-      // writer-side CDC: the removed rows ARE the commit's content
-      // diff (the rewrite's churned survivors are not) — emit them so
-      // feed windows fold across the CoW delete instead of refusing
-      val cdcMeta = writeCdc(s, root,
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cdcMeta = try {
         holderRows
-          .join(doomed, col(spec.keyCol).cast("string") === col("__doomed_k"),
-            "left_semi")
-          .withColumn("change_type", lit("delete")))
+          .join(doomed, col(spec.keyCol).cast("string") === col("__doomed_k"), "left_anti")
+          .write.parquet(gen)
+        // writer-side CDC: the removed rows ARE the commit's content
+        // diff (the rewrite's churned survivors are not) — emit them so
+        // feed windows fold across the CoW delete instead of refusing
+        writeCdc(s, root,
+          holderRows
+            .join(doomed, col(spec.keyCol).cast("string") === col("__doomed_k"),
+              "left_semi")
+            .withColumn("change_type", lit("delete")))
+      } finally { holderRows.unpersist(); () }
       val hf = s.createDataFrame(
         java.util.Arrays.asList(holders.map(org.apache.spark.sql.Row(_)): _*),
         org.apache.spark.sql.types.StructType(Seq(
@@ -1107,37 +1112,44 @@ object VersionedTable {
     if (holders.isEmpty)
       publishManifest(current, root, Map("verb" -> "update-noop"))
     else {
+      // holder rows persisted for the verb: the CDC pre-image pass,
+      // the CDC post-image pass, and the rewrite all read them — one
+      // scan of the band's files instead of three (bounded ∝ holders,
+      // released before returning)
       val base = logicalView(
         readFilesKeep(s, current.filter(col("file").isin(holders: _*)))
           .drop("__file"), headM)
-      val unknown = sets.keySet -- base.columns.toSet
-      require(unknown.isEmpty,
-        s"updateWhere: SET names unknown column(s): ${unknown.mkString(", ")}")
-      // bind the match once against the original frame; NULL predicate
-      // = no match (SQL WHERE), all SETs project against pre-update
-      // columns simultaneously
-      val matched = base.withColumn("__match", coalesce(cond, lit(false)))
-      val updated = matched.select(base.columns.map { c =>
-        sets.get(c)
-          .map(e => when(col("__match"), e).otherwise(col(c)).as(c))
-          .getOrElse(col(c))
-      } :+ col("__match"): _*)
-      enforceSchema(s, root, updated.drop("__match"), allowEvolution = false)
-      enforce(updated.filter(col("__match")).drop("__match"), constraints(root))
-      val cm = columnMapping(root)
-      val cdcMeta = writeCdc(s, root,
-        toPhysical(matched.filter(col("__match")).drop("__match"), cm)
-          .withColumn("change_type", lit("delete"))
-          .unionByName(
-            toPhysical(updated.filter(col("__match")).drop("__match"), cm)
-              .withColumn("change_type", lit("insert"))))
-      val gen = freshGen(root)
-      layout(toPhysical(updated.drop("__match"), cm)).write.parquet(gen)
-      publishManifest(
-        current.filter(!col("file").isin(holders: _*))
-          .unionByName(sidecar(s, gen, spec)),
-        root, cdcMeta ++
-          Map("verb" -> "update", "n_holders" -> holders.length.toString))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val unknown = sets.keySet -- base.columns.toSet
+        require(unknown.isEmpty,
+          s"updateWhere: SET names unknown column(s): ${unknown.mkString(", ")}")
+        // bind the match once against the original frame; NULL predicate
+        // = no match (SQL WHERE), all SETs project against pre-update
+        // columns simultaneously
+        val matched = base.withColumn("__match", coalesce(cond, lit(false)))
+        val updated = matched.select(base.columns.map { c =>
+          sets.get(c)
+            .map(e => when(col("__match"), e).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        } :+ col("__match"): _*)
+        enforceSchema(s, root, updated.drop("__match"), allowEvolution = false)
+        enforce(updated.filter(col("__match")).drop("__match"), constraints(root))
+        val cm = columnMapping(root)
+        val cdcMeta = writeCdc(s, root,
+          toPhysical(matched.filter(col("__match")).drop("__match"), cm)
+            .withColumn("change_type", lit("delete"))
+            .unionByName(
+              toPhysical(updated.filter(col("__match")).drop("__match"), cm)
+                .withColumn("change_type", lit("insert"))))
+        val gen = freshGen(root)
+        layout(toPhysical(updated.drop("__match"), cm)).write.parquet(gen)
+        publishManifest(
+          current.filter(!col("file").isin(holders: _*))
+            .unionByName(sidecar(s, gen, spec)),
+          root, cdcMeta ++
+            Map("verb" -> "update", "n_holders" -> holders.length.toString))
+      } finally { base.unpersist(); () }
     }
   }
 
