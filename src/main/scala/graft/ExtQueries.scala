@@ -5737,7 +5737,10 @@ object ExtQueries {
     VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
     val v3 = VersionedTable.deleteRosterDV(s, root, spec,
       d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    // one feed window, two consumers (insert fold + delete purge):
+    // persist it so the manifest diff runs once, not per fold
     val feed = VersionedTable.changeFeed(s, root, v1, v3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (idx1, _) = Bm25Index.append(s, idx0,
       feed.filter(col("change_type") === "insert").select(col("doc_id"), col("text")),
       gen = 1)
@@ -5746,6 +5749,7 @@ object ExtQueries {
     val (idx2, _) = Bm25Index.purge(s, idx1,
       feed.filter(col("change_type") === "delete").select(col("doc_id")),
       tbl2, base2)
+    feed.unpersist()
     // the unpurged index is dead within this invocation; the table
     // root and purged index follow the cross-invocation lifecycle
     s.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -5803,7 +5807,10 @@ object ExtQueries {
     VersionedTable.append(s, all.filter(col("vec_id") % 3 === 1), root, spec, layout)
     val v3 = VersionedTable.deleteRosterDV(s, root, spec,
       all.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+    // one feed window, two consumers (insert fold + delete purge):
+    // persist it so the manifest diff runs once, not per fold
     val feed = VersionedTable.changeFeed(s, root, v1, v3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex.append(s, idx0,
       feed.filter(col("change_type") === "insert")
         .select(col("vec_id"), col("embedding")), gen = 1)
@@ -5812,6 +5819,7 @@ object ExtQueries {
     val idx2 = IvfIndex.purge(s, idx0,
       feed.filter(col("change_type") === "delete").select(col("vec_id")),
       tbl2, base2)
+    feed.unpersist()
     // the unpurged index is dead within this invocation; the table
     // root and purged index follow the cross-invocation lifecycle
     s.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -6142,6 +6150,174 @@ object ExtQueries {
     val feed = VersionedTable.changeFeed(s, root, v1, v5)
     retirePrevDir(feedAcrossUpdPrev, root)
     mvLangFold(mv0, feed)
+  }
+
+  private val mergePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Three-clause MERGE (`layout_merge`,
+    * [[graft.operators.VersionedTable.merge]]): the SQL/Delta
+    * `MERGE INTO t USING s ON t.key = s.key` verb committed
+    * merge-on-read — WHEN MATCHED AND src divisible-by-7 THEN DELETE,
+    * WHEN MATCHED AND target even THEN UPDATE SET (lang suffixed,
+    * n_chars from source — a SET reading BOTH sides of the pair),
+    * WHEN NOT MATCHED AND key not divisible-by-5 THEN INSERT, and the
+    * matched rows neither clause claims COPY THROUGH with zero IO.
+    * The gate require()s the merge-on-read invariant directly: every
+    * pre-merge data file is still listed by the post-merge manifest
+    * (claimed rows were deletion-vectored, never rewritten). The
+    * oracle restates the final table as the three-way UNION the MERGE
+    * semantics define, so the hash proves clause routing, SQL binding
+    * (conditions over the pre-update pair), and the DV+append commit
+    * in one pass.
+    *
+    * Scale shape (100 TB): cost ∝ bloom-probed holder files + source
+    * + batch written — the nightly CDC-apply touches its changed band
+    * of a 100 TB table, and no existing file is rewritten.
+    */
+  def layoutMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0),
+      root, spec, layout)
+    val before = VersionedTable.manifest(s, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    val source = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") + 100000).as("n_chars"))
+    VersionedTable.merge(s, root, spec, source,
+      matchedUpdate = Map(
+        "lang" -> concat(col("lang"), lit("+")),
+        "n_chars" -> col("src_n_chars")),
+      matchedUpdateCond = Some(col("n_chars") % 2 === 0),
+      matchedDeleteCond = Some(col("src_n_chars") % 7 === 0),
+      notMatchedCond = Some(col("src_doc_id") % 5 =!= 0),
+      layout = layout)
+    val after = VersionedTable.manifest(s, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    require(before.subsetOf(after),
+      "merge must be merge-on-read: no pre-merge data file is rewritten")
+    retirePrevDir(mergePrev, root)
+    mvLangAgg(VersionedTable.read(s, root))
+  }
+
+  private val feedAcrossMergePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Change feed ACROSS a MERGE (`layout_feed_across_merge`): the
+    * feed-safety half of the merge contract — because
+    * [[graft.operators.VersionedTable.merge]] commits DV + append,
+    * its file-level diff IS its content diff, so a window spanning it
+    * needs NO writer-side CDC: updates surface as delete(pre-image)
+    * + insert(post-image) straight from the manifest algebra (fresh
+    * DV positions resolve to full old rows; the batch generation
+    * carries the new ones). The MV folded from the ONE window
+    * create→append→merge hashes against the head aggregate stated
+    * directly — a copy-through row leaking into the feed, a lost
+    * pre-image, or an insert routed under the wrong group all break
+    * the hash.
+    *
+    * Scale shape (100 TB): the CDC-apply verb and its downstream feed
+    * consumers compose with no extra sidecar bytes — feed cost stays
+    * ∝ changed files + DV delta.
+    */
+  def layoutFeedAcrossMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_feedm").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0),
+      root, spec, layout)
+    val mv0 = mvLangAgg(VersionedTable.readVersion(s, root, v1))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1),
+      root, spec, layout)
+    val source = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") + 100000).as("n_chars"))
+    val v3 = VersionedTable.merge(s, root, spec, source,
+      matchedUpdate = Map(
+        "lang" -> concat(col("lang"), lit("+")),
+        "n_chars" -> col("src_n_chars")),
+      matchedUpdateCond = Some(col("n_chars") % 2 === 0),
+      matchedDeleteCond = Some(col("src_n_chars") % 7 === 0),
+      notMatchedCond = Some(col("src_doc_id") % 5 =!= 0),
+      layout = layout)
+    val feed = VersionedTable.changeFeed(s, root, v1, v3)
+    retirePrevDir(feedAcrossMergePrev, root)
+    mvLangFold(mv0, feed)
+  }
+
+  private val vacConsumerTablePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val vacConsumerDerivedPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Consumer-aware VACUUM (`layout_vacuum_consumer`,
+    * [[graft.operators.VersionedTable.vacuum]] with `consumers`): the
+    * Delta retention-vs-streaming-reader collision closed at the
+    * SOURCE — a vacuum given the registered
+    * [[graft.operators.FeedConsumer]] derived roots keeps every
+    * version a lagging consumer's next window still needs (its
+    * `consumed_upto` offset is the diff base), regardless of
+    * keepLast. The gate drives the collision: consumer bootstraps at
+    * v1, the table takes an append + DV-delete, a keepLast=1 vacuum
+    * with the consumer registered retains v1–v3 (require()d), the
+    * consumer folds its window — which would have REFUSED had the
+    * vacuum purged v1 — and a second keepLast=1 vacuum now reclaims
+    * the history the caught-up consumer no longer pins (require()d).
+    * The folded MV hashes against the head aggregate: retention
+    * served the fold exactly once.
+    *
+    * Scale shape (100 TB): each consumer offset is one `_META` read;
+    * custody is manifest-sized names in the retained set — no data
+    * scanned to decide retention.
+    */
+  def layoutVacuumConsumer(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{FeedConsumer, Publish, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tableRoot = java.nio.file.Files.createTempDirectory("graft_vc_t").toString
+    val derivedRoot = java.nio.file.Files.createTempDirectory("graft_vc_d").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0),
+      tableRoot, spec, layout)
+    val (_, a1) = FeedConsumer.advance(s, tableRoot, derivedRoot,
+      mvLangAgg, mvLangFold)
+    require(a1 == "bootstrap", s"first wake must bootstrap, got $a1")
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1),
+      tableRoot, spec, layout)
+    VersionedTable.deleteRosterDV(s, tableRoot, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    VersionedTable.vacuum(s, tableRoot, keepLast = 1,
+      consumers = Seq(derivedRoot))
+    val lagging = VersionedTable.publishedVersions(tableRoot)
+    require(lagging.size == 3,
+      s"lagging consumer must pin v1-v3 against keepLast=1, got $lagging")
+    val (_, a2) = FeedConsumer.advance(s, tableRoot, derivedRoot,
+      mvLangAgg, mvLangFold)
+    require(a2 == "fold", s"second wake must fold, got $a2")
+    VersionedTable.vacuum(s, tableRoot, keepLast = 1,
+      consumers = Seq(derivedRoot))
+    val caught = VersionedTable.publishedVersions(tableRoot)
+    require(caught.size == 1,
+      s"caught-up consumer pins nothing extra: keepLast=1 must leave " +
+        s"one version, got $caught")
+    retirePrevDir(vacConsumerTablePrev, tableRoot)
+    retirePrevDir(vacConsumerDerivedPrev, derivedRoot)
+    Publish.read(s, derivedRoot)
   }
 
   private val dropColPrev =

@@ -817,6 +817,22 @@ object TableVerbSmoke {
         timed { VersionedTable.updateWhere(spark, root, spec,
           col("n_chars").between(200, 260), Map("lang" -> lit("xx")),
           layout); () }))
+      // r12 verb: three-clause MERGE (the CDC-apply) — ≈2% updates by
+      // key plus ≈1.7% fresh-key inserts; merge-on-read, so the cost
+      // is bloom-probed holder scans + the batch, never a rewrite
+      rows += ((scale, "merge", timed {
+        val idT = d.schema("doc_id").dataType
+        val src = d.filter(col("doc_id") % 53 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 7).as("n_chars"))
+          .unionByName(d.filter(col("doc_id") % 59 === 0)
+            .select((col("doc_id") + 1000000000L).cast(idT).as("doc_id"),
+              col("lang"), col("n_chars")))
+        VersionedTable.merge(spark, root, spec, src,
+          matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+          layout = layout); ()
+      }))
+      rows += ((scale, "read_merged", timed { readAgg() }))
       rows += ((scale, "optimize_compact",
         timed { VersionedTable.optimizeCompact(spark, root, spec,
           targetBytes = 1L << 40); () }))

@@ -455,7 +455,16 @@ object SparkEntry {
     "layout_feed_across_optimize" -> (ExtQueries.layoutFeedAcrossOptimize _),
     // r20: writer-side CDC — the feed window folds across CoW UPDATE /
     // CoW delete via per-commit _change_data rows instead of refusing
-    "layout_feed_across_update" -> (ExtQueries.layoutFeedAcrossUpdate _)
+    "layout_feed_across_update" -> (ExtQueries.layoutFeedAcrossUpdate _),
+    // r21: three-clause MERGE committed merge-on-read (DV + append in
+    // one publish; copy-through rows cost zero IO)
+    "layout_merge" -> (ExtQueries.layoutMerge _),
+    // r21: merge is feed-safe by construction — a spanning window
+    // folds it from the manifest algebra alone, no CDC sidecar
+    "layout_feed_across_merge" -> (ExtQueries.layoutFeedAcrossMerge _),
+    // r21: consumer-aware vacuum — a lagging consumer's offset pins
+    // the versions its next window needs against any keepLast
+    "layout_vacuum_consumer" -> (ExtQueries.layoutVacuumConsumer _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -594,7 +603,11 @@ object SparkEntry {
     // r20: writer-side CDC — times the UPDATE/CoW-delete commits WITH
     // their _change_data emission plus the spanning-window fold; the
     // CDC cost model (∝ matched rows, not table) is the point
-    "layout_feed_across_update")
+    "layout_feed_across_update",
+    // r21: the CDC-apply verb — bloom-probed match join + DV + batch
+    // in one commit; its cost model (∝ changed band, zero rewrite of
+    // existing files) is the 100 TB merge economics
+    "layout_merge")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -1948,6 +1961,63 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 3 < 2 AND doc_id % 7 <> 0 AND doc_id % 5 <> 0
         |GROUP BY 1""".stripMargin,
+    // MERGE routing restated as the three-way union its semantics
+    // define: survivors (unmatched, or matched-but-unclaimed),
+    // updates (SETs bound to the pre-update pair), inserts (unmatched
+    // source under the not-matched condition); deletes vanish
+    "layout_merge" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
+        |           WHERE doc_id % 3 = 0),
+        |     sr AS (SELECT doc_id, lang, n_chars + 100000 AS n_chars
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |     merged AS (
+        |       SELECT t.doc_id, t.lang, t.n_chars
+        |         FROM t LEFT JOIN sr ON t.doc_id = sr.doc_id
+        |        WHERE sr.doc_id IS NULL
+        |           OR (sr.n_chars % 7 <> 0 AND t.n_chars % 2 <> 0)
+        |       UNION ALL
+        |       SELECT t.doc_id, t.lang || '+' AS lang, sr.n_chars
+        |         FROM t JOIN sr ON t.doc_id = sr.doc_id
+        |        WHERE sr.n_chars % 7 <> 0 AND t.n_chars % 2 = 0
+        |       UNION ALL
+        |       SELECT sr.doc_id, sr.lang, sr.n_chars
+        |         FROM sr LEFT JOIN t ON sr.doc_id = t.doc_id
+        |        WHERE t.doc_id IS NULL AND sr.doc_id % 5 <> 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY lang""".stripMargin,
+    // the fold across the merge equals the head aggregate: DV'd
+    // pre-images subtract, batch post-images/inserts add, and
+    // copy-through rows never enter the feed
+    "layout_feed_across_merge" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
+        |           WHERE doc_id % 3 < 2),
+        |     sr AS (SELECT doc_id, lang, n_chars + 100000 AS n_chars
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |     merged AS (
+        |       SELECT t.doc_id, t.lang, t.n_chars
+        |         FROM t LEFT JOIN sr ON t.doc_id = sr.doc_id
+        |        WHERE sr.doc_id IS NULL
+        |           OR (sr.n_chars % 7 <> 0 AND t.n_chars % 2 <> 0)
+        |       UNION ALL
+        |       SELECT t.doc_id, t.lang || '+' AS lang, sr.n_chars
+        |         FROM t JOIN sr ON t.doc_id = sr.doc_id
+        |        WHERE sr.n_chars % 7 <> 0 AND t.n_chars % 2 = 0
+        |       UNION ALL
+        |       SELECT sr.doc_id, sr.lang, sr.n_chars
+        |         FROM sr LEFT JOIN t ON sr.doc_id = t.doc_id
+        |        WHERE t.doc_id IS NULL AND sr.doc_id % 5 <> 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY lang""".stripMargin,
+    // retention served the consumer's fold exactly once: the MV after
+    // the lagging-window fold equals the head aggregate
+    "layout_vacuum_consumer" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 3 < 2 AND doc_id % 5 <> 0
+        |GROUP BY lang""".stripMargin,
     // the head hides lang entirely; v1 still carries it
     "layout_drop_column" ->
       """SELECT '1_head' AS slice, count(*) AS n_docs,

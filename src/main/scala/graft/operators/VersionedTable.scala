@@ -399,7 +399,7 @@ object VersionedTable {
     */
   private val FeedSafeVerbs = Set(
     "create", "append", "append-occ", "delete-dv", "delete-dv-noop",
-    "upsert-dv")
+    "upsert-dv", "merge")
 
   /** CONTENT-IDENTICAL commits (Delta's `dataChange = false`): the
     * table's bytes-as-content before and after are equal — rewrites
@@ -413,6 +413,7 @@ object VersionedTable {
   private val ContentIdenticalVerbs = Set(
     "recluster", "optimize-compact", "optimize-noop",
     "compact-dv", "compact-dv-noop", "delete-noop", "update-noop",
+    "merge-noop",
     "set-constraint", "drop-constraint", "rename-column", "drop-column")
 
   /** CONTENT-CHANGING rewrites that carry WRITER-SIDE CDC (Delta's
@@ -732,7 +733,7 @@ object VersionedTable {
     */
   private def vNum(v: String): Long = v.drop(1).toLong
 
-  private[operators] def publishedVersions(root: String): Seq[String] =
+  def publishedVersions(root: String): Seq[String] =
     headVersion(root).map { head =>
       val mroot = java.nio.file.Paths.get(manifestRoot(root))
       val st = java.nio.file.Files.list(mroot)
@@ -969,6 +970,149 @@ object VersionedTable {
       Map("verb" -> "upsert-dv"))
   }
 
+  /** MERGE — the full three-clause conditional upsert (SQL/Delta
+    * `MERGE INTO target USING source ON target.key = source.key`)
+    * committed MERGE-ON-READ in ONE publish:
+    *
+    *  - WHEN MATCHED AND `matchedDeleteCond` THEN DELETE — the old
+    *    row is deletion-vectored;
+    *  - WHEN MATCHED AND `matchedUpdateCond` THEN UPDATE SET
+    *    `matchedUpdate` — the old row is vectored AND its post-image
+    *    lands in the commit's batch generation (delete clause wins
+    *    when both conditions hold, the Delta clause-order contract);
+    *  - WHEN NOT MATCHED AND `notMatchedCond` THEN INSERT — the
+    *    source row lands in the batch generation;
+    *  - a matched row no clause claims COPIES THROUGH untouched (not
+    *    vectored, not rewritten — zero IO for it).
+    *
+    * Matching is by `spec.keyCol` equality. Conditions and SET
+    * right-hand sides evaluate over the matched pair: the TARGET
+    * row's logical columns under their own names plus the source
+    * row's columns as `src_<name>` — so `col("status")` is the
+    * table's value and `col("src_status")` the incoming one, without
+    * alias ambiguity. `notMatchedCond` sees ONLY the `src_` namespace
+    * (there is no target row for an unmatched source row — SQL's
+    * not-matched clause can reference the source alone). All SETs
+    * bind to the PRE-update pair in one
+    * projection ([[updateWhere]]'s binding semantics); a NULL
+    * condition is no-match (SQL WHERE). Multiple source rows per key
+    * are REFUSED (SQL MERGE's non-deterministic-match error), and the
+    * source must carry every table column (extra source-only columns
+    * are fine — visible to clauses via `src_`, dropped on insert).
+    *
+    * Commit shape = [[upsertDV]] generalized: one DV sidecar covers
+    * every clause-claimed old row, one batch generation carries
+    * update post-images + inserts, one manifest publish makes both
+    * visible atomically. Because the commit is DV + append, its
+    * file-level diff IS its content diff — the verb is FEED-SAFE by
+    * construction ([[changeFeed]] reads it directly; updates surface
+    * as delete(old)+insert(new), CDF semantics) with no writer-side
+    * CDC sidecar needed.
+    *
+    * Scale shape (100 TB): cost ∝ bloom-probed holder files scanned
+    * (twice: match join + vectorize) + source + batch written — never
+    * ∝ table; no existing data file is rewritten. The nightly
+    * CDC-apply onto a 100 TB table pays for its changed band only.
+    */
+  def merge(s: SparkSession, root: String, spec: Spec,
+            source: DataFrame,
+            matchedUpdate: Map[String, Column] = Map.empty,
+            matchedUpdateCond: Option[Column] = None,
+            matchedDeleteCond: Option[Column] = None,
+            insertNotMatched: Boolean = true,
+            notMatchedCond: Option[Column] = None,
+            layout: DataFrame => DataFrame = identity): String = {
+    require(matchedUpdate.nonEmpty || matchedDeleteCond.nonEmpty ||
+      insertNotMatched, "merge: no clauses (update, delete, or insert)")
+    require(matchedUpdateCond.isEmpty || matchedUpdate.nonEmpty,
+      "merge: matchedUpdateCond without matchedUpdate SET expressions")
+    guardDropped(root, source)
+    val headM = headMetaOf(root)
+    val tableCols = read(s, root).columns.toSeq
+    val missing = tableCols.toSet -- source.columns.toSet
+    require(missing.isEmpty,
+      s"merge: source lacks table column(s): ${missing.mkString(", ")}")
+    // NULL keys never match (SQL ON equality), so they are not
+    // ambiguous — they fall through to the insert clause
+    val dupes = source.filter(col(spec.keyCol).isNotNull)
+      .groupBy(col(spec.keyCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+    require(dupes.isEmpty,
+      "merge: multiple source rows share a key — a target row would " +
+        "match more than one source row (SQL MERGE refuses this)")
+    val current = Publish.read(s, manifestRoot(root))
+    val holders = StatsSpine.rosterHolders(
+        current.select(col("file"), col("bloom")),
+        source.select(col(spec.keyCol)), spec.keyCol, spec.mBits)
+      .collect().map(_.getString(0)).toSeq
+    // source under the src_ namespace (key kept bare for the join)
+    val src = source.columns.foldLeft(source)((d, c) =>
+      d.withColumnRenamed(c, s"src_$c"))
+      .withColumn("__mk", col(s"src_${spec.keyCol}").cast("string"))
+    // matched pairs: bloom-probed holder rows (through their DVs,
+    // logical view) inner-joined with the source — persisted for the
+    // verb: the action split below reads them three ways
+    val matched =
+      if (holders.isEmpty) None
+      else Some {
+        logicalView(
+          readFiles(s, current.filter(col("file").isin(holders: _*))), headM)
+          .withColumn("__mk", col(spec.keyCol).cast("string"))
+          .join(src, "__mk")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    try {
+      val delC = matchedDeleteCond.map(coalesce(_, lit(false)))
+        .getOrElse(lit(false))
+      val updC =
+        if (matchedUpdate.isEmpty) lit(false)
+        else matchedUpdateCond.map(coalesce(_, lit(false))).getOrElse(lit(true))
+      val unknown = matchedUpdate.keySet -- tableCols.toSet
+      require(unknown.isEmpty,
+        s"merge: SET names unknown table column(s): ${unknown.mkString(", ")}")
+      // update post-images: SETs bind to the pre-update pair at once
+      val updated = matched.map(_.filter(!delC && updC).select(
+        tableCols.map(c => matchedUpdate.get(c).map(_.as(c))
+          .getOrElse(col(c))): _*))
+      // claimed keys: old rows the DV must cover (deleted OR updated)
+      val claimedKeys = matched.map(_.filter(delC || updC)
+        .select(col(spec.keyCol)))
+      // inserts: source keys no target row matched
+      val matchedKeys = matched.map(_.select(col("__mk")).distinct())
+      val inserts =
+        if (!insertNotMatched) None
+        else Some {
+          val unmatched = matchedKeys.fold(src)(mk =>
+            src.join(mk, Seq("__mk"), "left_anti"))
+          notMatchedCond.fold(unmatched)(c =>
+            unmatched.filter(coalesce(c, lit(false))))
+            .select(tableCols.map(c => col(s"src_$c").as(c)): _*)
+        }
+      val batch = (updated.toSeq ++ inserts.toSeq)
+        .reduceOption(_.unionByName(_))
+      val nBatch = batch.map(_.count()).getOrElse(0L)
+      val anyClaimed = claimedKeys.exists(!_.isEmpty)
+      if (nBatch == 0 && !anyClaimed)
+        publishManifest(current, root, Map("verb" -> "merge-noop"))
+      else {
+        batch.filter(_ => nBatch > 0).foreach { b =>
+          enforceSchema(s, root, b, allowEvolution = false)
+          enforce(b, constraints(root))
+        }
+        val base = claimedKeys.filter(_ => anyClaimed)
+          .flatMap(ck => vectorize(s, current, root, spec, ck).map(_._1))
+          .getOrElse(current)
+        val withBatch = batch.filter(_ => nBatch > 0).fold(base) { b =>
+          val gen = freshGen(root)
+          layout(toPhysical(b, columnMapping(root))).write.parquet(gen)
+          base.unionByName(sidecar(s, gen, spec))
+        }
+        publishManifest(withBatch, root,
+          Map("verb" -> "merge", "n_holders" -> holders.length.toString))
+      }
+    } finally { matched.foreach(_.unpersist()); () }
+  }
+
   /** PHYSICAL VACUUM — the storage-reclaim half the manifest model
     * owes: [[Publish.vacuumRetain]] retires old MANIFEST versions, and
     * this walks the data root deleting every generation file and DV
@@ -985,14 +1129,37 @@ object VersionedTable {
     * sidecars reclaimed). Idempotent; crash mid-reclaim leaves
     * orphans a re-run removes.
     *
+    * CONSUMER-AWARE retention: pass the derived roots of registered
+    * [[FeedConsumer]]s and every version a lagging consumer still
+    * needs survives regardless of `keepLast` — its offset (the
+    * `consumed_upto` riding the derived head's `_META`) marks the
+    * diff BASE of its next [[changeFeed]] window, so versions
+    * ≥ min(consumed_upto) are custody. Without this, a vacuum whose
+    * keepLast is smaller than a consumer's lag forces that consumer
+    * to re-bootstrap from the head (changeFeed refuses the purged
+    * window by design) — the Delta retention-vs-streaming-reader
+    * collision, closed at the source instead of detected downstream.
+    * An unbootstrapped consumer (no published derived version)
+    * constrains nothing: its first wake reads the head only.
+    *
     * Scale shape (100 TB): cost ∝ file-count listing + deletes — no
-    * data is read or moved; the referenced set is manifest-sized.
+    * data is read or moved; the referenced set is manifest-sized and
+    * each consumer offset is one `_META` read.
     */
-  def vacuum(s: SparkSession, root: String, keepLast: Int): (Seq[String], Int, Int) = {
+  def vacuum(s: SparkSession, root: String, keepLast: Int,
+             consumers: Seq[String] = Nil): (Seq[String], Int, Int) = {
+    val consumerNeeds: Set[String] = {
+      val offsets = consumers.flatMap(c =>
+        Publish.currentVersion(c)
+          .flatMap(dv => Publish.readMeta(c, dv).get("consumed_upto"))
+          .map(_.drop(1).toLong))
+      offsets.minOption.fold(Set.empty[String])(lo =>
+        publishedVersions(root).filter(_.drop(1).toLong >= lo).toSet)
+    }
     // tagged versions are custody: their manifests survive any
     // keepLast, so the referenced-set walk below keeps their data too
     val retiredManifests = Publish.vacuumRetain(manifestRoot(root), keepLast,
-      alsoKeep = tags(root).values.toSet)
+      alsoKeep = tags(root).values.toSet ++ consumerNeeds)
     // referenced set across ALL manifest versions still on disk
     val mroot = java.nio.file.Paths.get(manifestRoot(root))
     val liveVersions = {
@@ -1160,8 +1327,9 @@ object VersionedTable {
     * deletion vectors — a vectored row must not resurrect in the
     * rewrite), while at-target files PASS THROUGH with their manifest
     * rows verbatim — same file names, same DV pointers, same lineage
-    * attribution. NOT feed-safe (a rewrite verb): file diff ≠ content
-    * diff across it, so [[changeFeed]] windows refuse it.
+    * attribution. CONTENT-IDENTICAL (Delta's `dataChange = false`):
+    * [[changeFeed]] windows SEGMENT at it — the rewrite contributes
+    * no feed rows and churned file names never read as inserts.
     *
     * Scale shape (100 TB): planning is a driver-side size probe of
     * the manifest's file list (the Delta OPTIMIZE planner's shape);

@@ -587,4 +587,89 @@ class VersionedTableSpec extends SparkSpec {
     assert(!VersionedTable.readVersion(spark, root, "v00001")
       .columns.toSeq.contains("extra"))
   }
+
+  // ---- MERGE ----
+
+  test("merge routes all three clauses; copy-through and unmatched rows untouched") {
+    import spark.implicits._
+    val root = fixture() // keys 0..599, v = "v$k"
+    val filesBefore = VersionedTable.manifest(spark, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    // 500..599 matched, 600..699 unmatched
+    val source = (500L until 700L).map(i => (i, s"s$i")).toDF("k", "v")
+    VersionedTable.merge(spark, root, spec, source,
+      matchedUpdate = Map("v" -> col("src_v")),
+      matchedUpdateCond = Some(col("k") % 2 === 0),
+      matchedDeleteCond = Some(col("k") % 10 === 0),
+      notMatchedCond = Some(col("src_k") % 3 === 0))
+    val head = VersionedTable.read(spark, root)
+    // deleted: 500,510..590 (10); updated: even matched minus those
+    // (40); copy-through: odd matched (50); inserts: 600..699 % 3 == 0
+    // (34); untouched: 0..499 (500)
+    assert(head.count() == 500L + 40L + 50L + 34L)
+    val byK = head.filter(col("k") >= 500).as[(Long, String)]
+      .collect().toMap
+    assert(!byK.contains(510L), "matched delete clause must remove the row")
+    assert(byK(502L) == "s502", "matched update must take the source value")
+    assert(byK(503L) == "v503", "copy-through row must keep the target value")
+    assert(byK(603L) == "s603", "not-matched insert must land")
+    assert(!byK.contains(601L), "not-matched condition must filter inserts")
+    // merge-on-read: no pre-merge data file was rewritten
+    val filesAfter = VersionedTable.manifest(spark, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "merge must not rewrite existing data files")
+  }
+
+  test("merge refusals: ambiguous source, missing column, unknown SET target") {
+    import spark.implicits._
+    val root = fixture()
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, spec,
+        Seq((1L, "a"), (1L, "b")).toDF("k", "v"),
+        matchedUpdate = Map("v" -> col("src_v")))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, spec,
+        Seq(1L, 2L).toDF("k"), matchedUpdate = Map("v" -> lit("x")))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, spec,
+        Seq((1L, "a")).toDF("k", "v"), matchedUpdate = Map("zz" -> lit(1)))
+    }
+  }
+
+  test("merge no-op publishes merge-noop; NULL source keys insert, never match") {
+    import spark.implicits._
+    val root = fixture()
+    val before = VersionedTable.read(spark, root).count()
+    val v = VersionedTable.merge(spark, root, spec,
+      (9000L until 9005L).map(i => (i, s"s$i")).toDF("k", "v"),
+      insertNotMatched = false,
+      matchedUpdate = Map("v" -> col("src_v")))
+    assert(VersionedTable.versionMeta(root, v)("verb") == "merge-noop")
+    assert(VersionedTable.read(spark, root).count() == before)
+    // NULL keys fall through to the insert clause (SQL ON equality)
+    val withNulls = Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+      .toDF("k", "v")
+    VersionedTable.merge(spark, root, spec, withNulls,
+      matchedUpdate = Map("v" -> col("src_v")))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k").isNull).count() == 2L)
+  }
+
+  test("merge enforces CHECK constraints on post-images") {
+    import spark.implicits._
+    val root = fixture()
+    VersionedTable.setConstraint(spark, root, "v_present", "v IS NOT NULL")
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, spec,
+        Seq((500L, "x")).toDF("k", "v"),
+        matchedUpdate = Map("v" -> lit(null).cast("string")))
+    }
+    assert(ex.getMessage.contains("CHECK"))
+    // the violating merge left no trace
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 500L).as[(Long, String)].head()._2 == "v500")
+  }
 }
