@@ -80,19 +80,26 @@ object FeedConsumer {
               .filter(v => vNum(v) > vNum(upto) &&
                 vNum(v) <= vNum(upto) + maxVersionsPerWake)
               .lastOption.getOrElse(head)
+          // the window is persisted for the wake: the emptiness probe
+          // and a fold that reads the feed more than once (an MV fold
+          // filters it twice — inserts and deletes) must not re-run
+          // the manifest diff per materialization
           val feed = VersionedTable.changeFeed(s, tableRoot, upto, target)
-          val prior = Publish.readVersion(s, derivedRoot, dv)
-          if (feed.isEmpty)
-            // all-property window: state unchanged, offset still moves
-            // (the fold is skipped — a fold's algebra need not be
-            // no-op-safe on an empty window)
-            (Publish.publish(layout(prior), derivedRoot,
-              meta = Map("verb" -> "consumer-skip", "consumed_upto" -> target,
-                "consumed_from" -> upto)), "skip")
-          else
-            (Publish.publish(layout(fold(prior, feed)), derivedRoot,
-              meta = Map("verb" -> "consumer-fold", "consumed_upto" -> target,
-                "consumed_from" -> upto)), "fold")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val prior = Publish.readVersion(s, derivedRoot, dv)
+            if (feed.isEmpty)
+              // all-property window: state unchanged, offset still moves
+              // (the fold is skipped — a fold's algebra need not be
+              // no-op-safe on an empty window)
+              (Publish.publish(layout(prior), derivedRoot,
+                meta = Map("verb" -> "consumer-skip", "consumed_upto" -> target,
+                  "consumed_from" -> upto)), "skip")
+            else
+              (Publish.publish(layout(fold(prior, feed)), derivedRoot,
+                meta = Map("verb" -> "consumer-fold", "consumed_upto" -> target,
+                  "consumed_from" -> upto)), "fold")
+          } finally { feed.unpersist(); () }
         }
     }
   }
