@@ -193,10 +193,12 @@ object Bench {
       // the median in every case (ADVICE r10: min-substitution let
       // self-load trigger optimistic reporting); the min is emitted
       // alongside as the quiet-box estimate.
-      val loadBase = ref.getOrElse(s"load:$name", 0.0)
-      val hot = !failed &&
-        (repLoads.exists(_ > math.max(2.0, loadBase + 2.0)) ||
-          probe > probeFloor * 1.75)
+      // a row with NO committed load stamp (first round it appears)
+      // has no profile to exceed — suite self-load (~3–6) would flag
+      // every new row; the CPU probe alone carries its detection
+      val loadHot = ref.get(s"load:$name")
+        .exists(base => repLoads.exists(_ > math.max(2.0, base + 2.0)))
+      val hot = !failed && (loadHot || probe > probeFloor * 1.75)
       if (hot && extraOnHot && nReps > 1) runRep()
       val median =
         if (failed) -1.0
