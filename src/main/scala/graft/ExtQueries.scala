@@ -6257,6 +6257,68 @@ object ExtQueries {
     mvLangFold(mv0, feed)
   }
 
+  private val mergeScd2Prev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** SCD Type-2 dimension maintenance in ONE MERGE
+    * (`layout_merge_scd2`): the classic warehouse pattern the
+    * row-granular DV makes possible — a dimension keyed by `doc_id`
+    * carries history rows (status `closed`) next to each key's
+    * `current` row, and one [[graft.operators.VersionedTable.merge]]
+    * applies a change batch via the SQL null-key staging trick:
+    * real-key source rows CLOSE the changed current version (matched
+    * update, condition `status = current AND lang IS DISTINCT FROM
+    * new`) and insert brand-new keys; null-key rows (which can never
+    * match) insert the changed keys' NEW current versions, the real
+    * key restored through the custom insert projection
+    * (`notMatchedInsert`). Rows whose staged change is a no-op
+    * (`doc_id % 12 = 0` stages an unchanged lang) copy through
+    * unclaimed. Because the DV is row-granular, closing a current row
+    * cannot vector its key's history — the failure a key-granular
+    * upsert hits on any duplicate-key dimension.
+    *
+    * Scale shape (100 TB): a dimension's nightly SCD2 apply costs the
+    * change batch + its bloom-probed band — history depth adds
+    * holder rows, never rewrites.
+    */
+  def layoutMergeScd2(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("doc_id"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+    VersionedTable.create(s,
+      d.filter(col("doc_id") % 3 === 0).withColumn("status", lit("current")),
+      root, spec, layout)
+    val newLang = when(col("doc_id") % 12 === 0, col("lang"))
+      .otherwise(concat(coalesce(col("lang"), lit("")), lit("X")))
+    val changes = d.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"), newLang.as("new_lang"))
+    val freshKeys = d.filter(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(coalesce(col("lang"), lit("")), lit("X")).as("new_lang"))
+    val keyType = d.schema("doc_id").dataType
+    val source = changes.unionByName(freshKeys)
+      .select(col("doc_id"), col("doc_id").as("real_k"), col("new_lang"))
+      .unionByName(changes.filter(col("doc_id") % 12 =!= 0)
+        .select(lit(null).cast(keyType).as("doc_id"),
+          col("doc_id").as("real_k"), col("new_lang")))
+    VersionedTable.merge(s, root, spec, source,
+      matchedUpdate = Map("status" -> lit("closed")),
+      matchedUpdateCond = Some(col("status") === "current" &&
+        !(col("lang") <=> col("src_new_lang"))),
+      notMatchedInsert = Map(
+        "doc_id" -> col("src_real_k"),
+        "lang" -> col("src_new_lang"),
+        "status" -> lit("current")),
+      layout = layout)
+    retirePrevDir(mergeScd2Prev, root)
+    VersionedTable.read(s, root).groupBy("lang", "status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("long")).as("sum_ids"))
+  }
+
   private val vacConsumerTablePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val vacConsumerDerivedPrev =

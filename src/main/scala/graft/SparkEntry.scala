@@ -464,7 +464,10 @@ object SparkEntry {
     "layout_feed_across_merge" -> (ExtQueries.layoutFeedAcrossMerge _),
     // r21: consumer-aware vacuum — a lagging consumer's offset pins
     // the versions its next window needs against any keepLast
-    "layout_vacuum_consumer" -> (ExtQueries.layoutVacuumConsumer _)
+    "layout_vacuum_consumer" -> (ExtQueries.layoutVacuumConsumer _),
+    // r21: SCD2 in one merge — the row-granular DV keeps a key's
+    // history rows while its current row closes
+    "layout_merge_scd2" -> (ExtQueries.layoutMergeScd2 _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -2010,6 +2013,26 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM merged GROUP BY lang""".stripMargin,
+    // the SCD2 state restated as its four-way union: closed old
+    // currents, untouched/no-op currents, re-inserted new currents,
+    // brand-new keys — history rows surviving is what the row-granular
+    // DV buys
+    "layout_merge_scd2" ->
+      """WITH merged AS (
+        |  SELECT lang, 'closed' AS status, doc_id FROM documents
+        |   WHERE doc_id % 6 = 0 AND doc_id % 12 <> 0
+        |  UNION ALL
+        |  SELECT lang, 'current', doc_id FROM documents
+        |   WHERE (doc_id % 3 = 0 AND doc_id % 6 <> 0) OR doc_id % 12 = 0
+        |  UNION ALL
+        |  SELECT coalesce(lang,'') || 'X', 'current', doc_id FROM documents
+        |   WHERE doc_id % 6 = 0 AND doc_id % 12 <> 0
+        |  UNION ALL
+        |  SELECT coalesce(lang,'') || 'X', 'current', doc_id FROM documents
+        |   WHERE doc_id % 3 = 2 AND doc_id % 7 = 0)
+        |SELECT lang, status, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM merged GROUP BY lang, status""".stripMargin,
     // retention served the consumer's fold exactly once: the MV after
     // the lagging-window fold equals the head aggregate
     "layout_vacuum_consumer" ->

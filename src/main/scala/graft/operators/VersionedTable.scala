@@ -906,8 +906,6 @@ object VersionedTable {
       .collect().map(_.getString(0)).toSeq
     if (holders.isEmpty) None
     else {
-      val dvDir = s"${filesDir(root)}/dv-" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       val doomed = roster.select(col(spec.keyCol).cast("string").as("__doomed_k"))
         .filter(col("__doomed_k").isNotNull).distinct()
       // position scan over ONLY the bloom-probed holder files: the
@@ -918,23 +916,36 @@ object VersionedTable {
           col(spec.keyCol).cast("string").as("__k"))
         .join(doomed, col("__k") === col("__doomed_k"), "left_semi")
         .select("file", "pos")
-      val priorPaths = current.filter(col("dv_path").isNotNull)
-        .select("dv_path").distinct().collect().map(_.getString(0)).toSeq
-      val dvAll =
-        if (priorPaths.isEmpty) fresh.distinct()
-        else fresh.unionByName(
-          s.read.parquet(priorPaths: _*).select("file", "pos")).distinct()
-      dvAll.repartition(1).write.parquet(dvDir)
-      // account from what LANDED (the publish-audit posture), and
-      // repoint every covered file at the one new complete vector
-      val counts = s.read.parquet(dvDir)
-        .groupBy("file").agg(count(lit(1)).as("__nd"))
-      Some((current.join(counts, Seq("file"), "left")
-        .withColumn("dv_path",
-          when(col("__nd").isNotNull, lit(dvDir)).otherwise(col("dv_path")))
-        .withColumn("n_deleted", coalesce(col("__nd"), lit(0L)))
-        .drop("__nd"), holders.length))
+      Some((commitDv(s, current, root, fresh), holders.length))
     }
+  }
+
+  /** Write a new COMPLETE deletion-vector sidecar covering `fresh`
+    * (file, pos) rows — every prior DV row folds forward so the
+    * newest dv_path is each covered file's complete vector; distinct
+    * absorbs re-deletes — and return the repointed manifest rows.
+    * The caller publishes.
+    */
+  private def commitDv(s: SparkSession, current: DataFrame, root: String,
+                       fresh: DataFrame): DataFrame = {
+    val dvDir = s"${filesDir(root)}/dv-" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val priorPaths = current.filter(col("dv_path").isNotNull)
+      .select("dv_path").distinct().collect().map(_.getString(0)).toSeq
+    val dvAll =
+      if (priorPaths.isEmpty) fresh.distinct()
+      else fresh.unionByName(
+        s.read.parquet(priorPaths: _*).select("file", "pos")).distinct()
+    dvAll.repartition(1).write.parquet(dvDir)
+    // account from what LANDED (the publish-audit posture), and
+    // repoint every covered file at the one new complete vector
+    val counts = s.read.parquet(dvDir)
+      .groupBy("file").agg(count(lit(1)).as("__nd"))
+    current.join(counts, Seq("file"), "left")
+      .withColumn("dv_path",
+        when(col("__nd").isNotNull, lit(dvDir)).otherwise(col("dv_path")))
+      .withColumn("n_deleted", coalesce(col("__nd"), lit(0L)))
+      .drop("__nd")
   }
 
   /** MERGE-ON-READ UPSERT — replace-by-key in ONE commit: every
@@ -996,23 +1007,31 @@ object VersionedTable {
     * bind to the PRE-update pair in one
     * projection ([[updateWhere]]'s binding semantics); a NULL
     * condition is no-match (SQL WHERE). Multiple source rows per key
-    * are REFUSED (SQL MERGE's non-deterministic-match error), and the
-    * source must carry every table column (extra source-only columns
-    * are fine — visible to clauses via `src_`, dropped on insert).
+    * are REFUSED (SQL MERGE's non-deterministic-match error).
+    * `notMatchedInsert` customizes the insert projection (SQL's
+    * `INSERT (cols) VALUES (exprs)`, exprs over the `src_` namespace
+    * — the SCD2 null-key staging pattern needs it to insert the real
+    * key from a payload column); table columns it does not name come
+    * from the source verbatim, so without it the source must carry
+    * every table column (extra source-only columns are fine —
+    * visible to clauses via `src_`, dropped on insert).
     *
-    * Commit shape = [[upsertDV]] generalized: one DV sidecar covers
-    * every clause-claimed old row, one batch generation carries
-    * update post-images + inserts, one manifest publish makes both
-    * visible atomically. Because the commit is DV + append, its
+    * The DV is ROW-GRANULAR: exactly the clause-claimed rows are
+    * vectored — their (file, row-position) identities come straight
+    * off the match join — so a duplicate-key target keeps its
+    * unclaimed sibling rows (an SCD2 dimension closing its current
+    * row does NOT lose the key's history). One DV sidecar + one batch
+    * generation (update post-images + inserts) land in one atomic
+    * manifest publish. Because the commit is DV + append, its
     * file-level diff IS its content diff — the verb is FEED-SAFE by
     * construction ([[changeFeed]] reads it directly; updates surface
     * as delete(old)+insert(new), CDF semantics) with no writer-side
     * CDC sidecar needed.
     *
-    * Scale shape (100 TB): cost ∝ bloom-probed holder files scanned
-    * (twice: match join + vectorize) + source + batch written — never
-    * ∝ table; no existing data file is rewritten. The nightly
-    * CDC-apply onto a 100 TB table pays for its changed band only.
+    * Scale shape (100 TB): ONE scan of the bloom-probed holder files
+    * (persisted for the verb) + source + batch written — never ∝
+    * table; no existing data file is rewritten. The nightly CDC-apply
+    * onto a 100 TB table pays for its changed band only.
     */
   def merge(s: SparkSession, root: String, spec: Spec,
             source: DataFrame,
@@ -1021,6 +1040,7 @@ object VersionedTable {
             matchedDeleteCond: Option[Column] = None,
             insertNotMatched: Boolean = true,
             notMatchedCond: Option[Column] = None,
+            notMatchedInsert: Map[String, Column] = Map.empty,
             layout: DataFrame => DataFrame = identity): String = {
     require(matchedUpdate.nonEmpty || matchedDeleteCond.nonEmpty ||
       insertNotMatched, "merge: no clauses (update, delete, or insert)")
@@ -1029,9 +1049,16 @@ object VersionedTable {
     guardDropped(root, source)
     val headM = headMetaOf(root)
     val tableCols = read(s, root).columns.toSeq
-    val missing = tableCols.toSet -- source.columns.toSet
-    require(missing.isEmpty,
-      s"merge: source lacks table column(s): ${missing.mkString(", ")}")
+    if (insertNotMatched) {
+      val missing = tableCols.filterNot(notMatchedInsert.contains)
+        .toSet -- source.columns.toSet
+      require(missing.isEmpty,
+        s"merge: source lacks table column(s) the insert clause needs: " +
+          missing.mkString(", "))
+    }
+    require((notMatchedInsert.keySet -- tableCols.toSet).isEmpty,
+      "merge: notMatchedInsert names unknown table column(s): " +
+        (notMatchedInsert.keySet -- tableCols.toSet).mkString(", "))
     // NULL keys never match (SQL ON equality), so they are not
     // ambiguous — they fall through to the insert clause
     val dupes = source.filter(col(spec.keyCol).isNotNull)
@@ -1050,13 +1077,23 @@ object VersionedTable {
       d.withColumnRenamed(c, s"src_$c"))
       .withColumn("__mk", col(s"src_${spec.keyCol}").cast("string"))
     // matched pairs: bloom-probed holder rows (through their DVs,
-    // logical view) inner-joined with the source — persisted for the
-    // verb: the action split below reads them three ways
+    // under the logical view, KEEPING row identity for the DV build)
+    // inner-joined with the source — persisted for the verb: the
+    // action split below reads them three ways, and this is the ONE
+    // holder scan the verb pays
     val matched =
       if (holders.isEmpty) None
       else Some {
-        logicalView(
-          readFiles(s, current.filter(col("file").isin(holders: _*))), headM)
+        val withId = s.read.option("mergeSchema", "true").parquet(holders: _*)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val live = dvPositions(s,
+          current.filter(col("file").isin(holders: _*))).fold(withId)(dv =>
+          withId.join(
+            broadcast(dv.select(col("file").as("__file"),
+              col("pos").as("__pos"))),
+            Seq("__file", "__pos"), "left_anti"))
+        logicalView(live, headM)
           .withColumn("__mk", col(spec.keyCol).cast("string"))
           .join(src, "__mk")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1074,9 +1111,9 @@ object VersionedTable {
       val updated = matched.map(_.filter(!delC && updC).select(
         tableCols.map(c => matchedUpdate.get(c).map(_.as(c))
           .getOrElse(col(c))): _*))
-      // claimed keys: old rows the DV must cover (deleted OR updated)
-      val claimedKeys = matched.map(_.filter(delC || updC)
-        .select(col(spec.keyCol)))
+      // claimed ROW identities: exactly the rows the DV must cover
+      val claimedPos = matched.map(_.filter(delC || updC)
+        .select(col("__file").as("file"), col("__pos").as("pos")))
       // inserts: source keys no target row matched
       val matchedKeys = matched.map(_.select(col("__mk")).distinct())
       val inserts =
@@ -1086,12 +1123,13 @@ object VersionedTable {
             src.join(mk, Seq("__mk"), "left_anti"))
           notMatchedCond.fold(unmatched)(c =>
             unmatched.filter(coalesce(c, lit(false))))
-            .select(tableCols.map(c => col(s"src_$c").as(c)): _*)
+            .select(tableCols.map(c => notMatchedInsert.get(c).map(_.as(c))
+              .getOrElse(col(s"src_$c").as(c))): _*)
         }
       val batch = (updated.toSeq ++ inserts.toSeq)
         .reduceOption(_.unionByName(_))
       val nBatch = batch.map(_.count()).getOrElse(0L)
-      val anyClaimed = claimedKeys.exists(!_.isEmpty)
+      val anyClaimed = claimedPos.exists(!_.isEmpty)
       if (nBatch == 0 && !anyClaimed)
         publishManifest(current, root, Map("verb" -> "merge-noop"))
       else {
@@ -1099,8 +1137,8 @@ object VersionedTable {
           enforceSchema(s, root, b, allowEvolution = false)
           enforce(b, constraints(root))
         }
-        val base = claimedKeys.filter(_ => anyClaimed)
-          .flatMap(ck => vectorize(s, current, root, spec, ck).map(_._1))
+        val base = claimedPos.filter(_ => anyClaimed)
+          .map(cp => commitDv(s, current, root, cp))
           .getOrElse(current)
         val withBatch = batch.filter(_ => nBatch > 0).fold(base) { b =>
           val gen = freshGen(root)

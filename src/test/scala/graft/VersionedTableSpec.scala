@@ -658,6 +658,42 @@ class VersionedTableSpec extends SparkSpec {
       .filter(col("k").isNull).count() == 2L)
   }
 
+  test("merge is row-granular: SCD2 close-out keeps the key's history rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-scd").toString
+    // a dimension WITH history: key 1 carries a closed row and a
+    // current row — a key-granular DV would vector both
+    VersionedTable.create(spark,
+      Seq((1L, "a", false), (1L, "b", true), (2L, "c", true))
+        .toDF("k", "attr", "is_current"), root, spec)
+    // one merge, the SQL null-key staging pattern: real-key rows close
+    // the changed current version (and insert brand-new keys); the
+    // null-key row re-inserts the changed key's NEW current version
+    // (it can never match) with the real key restored via the custom
+    // insert projection
+    val source = Seq(
+      (Option(1L), 1L, "d"),   // matches → close-out (and 1 is not re-inserted here)
+      (Option(3L), 3L, "e"),   // brand-new key → plain insert
+      (Option.empty[Long], 1L, "d")) // staged new current version of key 1
+      .toDF("k", "real_k", "new_attr")
+    VersionedTable.merge(spark, root, spec, source,
+      matchedUpdate = Map("is_current" -> lit(false)),
+      matchedUpdateCond =
+        Some(col("is_current") && col("attr") =!= col("src_new_attr")),
+      notMatchedInsert = Map(
+        "k" -> col("src_real_k"),
+        "attr" -> col("src_new_attr"),
+        "is_current" -> lit(true)))
+    val head = VersionedTable.read(spark, root)
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(head == Set(
+      (1L, "a", false), // history row SURVIVES the sibling's close-out
+      (1L, "b", false), // the old current, closed
+      (1L, "d", true),  // the new current via the null-key insert
+      (2L, "c", true),  // untouched key
+      (3L, "e", true))) // brand-new key
+  }
+
   test("merge enforces CHECK constraints on post-images") {
     import spark.implicits._
     val root = fixture()
