@@ -305,6 +305,11 @@ object SparkEntry {
     // every version read through its own manifest
     "streaming_versioned_ingest" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingVersionedIngest(s, d)),
+    // r21: stream → MERGE (the CDC-apply sink) — per-batch pre-agg
+    // folds into a keyed profile table via batchId-idempotent merges;
+    // the oracle is batch-split-independent
+    "streaming_merge_apply" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingMergeApply(s, d)),
     // r15: the stored/incremental inverted-index family — BM25 top-k
     // from the content-keyed stored postings + df/stats spines (zero
     // corpus-side exchanges; no query-time tokenize), and the
@@ -1580,6 +1585,17 @@ object SparkEntry {
         |SELECT 'v00002', 1, count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents""".stripMargin,
+    // the merged profile equals the batch per-user aggregate no
+    // matter how events split across micro-batches — the exactly-once
+    // CDC-apply contract stated directly
+    "streaming_merge_apply" ->
+      """WITH per_user AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_eids
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        |SELECT n_events, count(*) AS n_users,
+        |  CAST(sum(sum_eids) AS BIGINT) AS sum_eids
+        |FROM per_user GROUP BY n_events""".stripMargin,
     "text_segment_dedup" -> ExtOracleSql.textSegmentDedup,
     "qa_sketch_reagg" -> ExtOracleSql.qaSketchReagg,
     "agg_quantile_sketch" -> ExtOracleSql.aggQuantileSketch,

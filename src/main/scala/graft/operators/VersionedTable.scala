@@ -1041,7 +1041,8 @@ object VersionedTable {
             insertNotMatched: Boolean = true,
             notMatchedCond: Option[Column] = None,
             notMatchedInsert: Map[String, Column] = Map.empty,
-            layout: DataFrame => DataFrame = identity): String = {
+            layout: DataFrame => DataFrame = identity,
+            extraMeta: Map[String, String] = Map.empty): String = {
     require(matchedUpdate.nonEmpty || matchedDeleteCond.nonEmpty ||
       insertNotMatched, "merge: no clauses (update, delete, or insert)")
     require(matchedUpdateCond.isEmpty || matchedUpdate.nonEmpty,
@@ -1131,7 +1132,7 @@ object VersionedTable {
       val nBatch = batch.map(_.count()).getOrElse(0L)
       val anyClaimed = claimedPos.exists(!_.isEmpty)
       if (nBatch == 0 && !anyClaimed)
-        publishManifest(current, root, Map("verb" -> "merge-noop"))
+        publishManifest(current, root, extraMeta + ("verb" -> "merge-noop"))
       else {
         batch.filter(_ => nBatch > 0).foreach { b =>
           enforceSchema(s, root, b, allowEvolution = false)
@@ -1145,7 +1146,7 @@ object VersionedTable {
           layout(toPhysical(b, columnMapping(root))).write.parquet(gen)
           base.unionByName(sidecar(s, gen, spec))
         }
-        publishManifest(withBatch, root,
+        publishManifest(withBatch, root, extraMeta ++
           Map("verb" -> "merge", "n_holders" -> holders.length.toString))
       }
     } finally { matched.foreach(_.unpersist()); () }

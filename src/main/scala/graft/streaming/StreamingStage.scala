@@ -1262,6 +1262,98 @@ object StreamingStage {
     }
   }
 
+  /** Micro-batch MERGE into the manifest-backed table — the streaming
+    * CDC-APPLY sink: each micro-batch (pre-aggregated per key by the
+    * caller, so the source is key-unique as
+    * [[graft.operators.VersionedTable.merge]] requires) folds into
+    * the target via matched-update SETs and not-matched inserts, with
+    * the same batchId idempotence as [[appendVersionedTable]] — a
+    * redelivered batchId no-ops against the head's `_META`, so the
+    * at-least-once foreachBatch contract composes with the atomic
+    * merge commit into exactly-once table state. Batch 0 creates the
+    * table.
+    *
+    * Scale shape (100 TB): each micro-batch pays the merge's economics
+    * — bloom-probed band scan + batch — so a continuous CDC stream
+    * maintains a 100 TB table at cost ∝ change rate, never ∝ table.
+    *
+    * @return true if this call committed, false on replay detection
+    */
+  def mergeVersionedTable(batch: DataFrame, tableRoot: String,
+                          spec: graft.operators.VersionedTable.Spec,
+                          batchId: Long,
+                          matchedUpdate: Map[String, org.apache.spark.sql.Column])
+      : Boolean = {
+    import graft.operators.VersionedTable
+    val last = VersionedTable.headMeta(tableRoot, "batchId").map(_.toLong)
+    if (last.exists(_ >= batchId)) false
+    else {
+      val meta = Map("batchId" -> batchId.toString)
+      if (VersionedTable.headVersion(tableRoot).isEmpty)
+        VersionedTable.create(batch.sparkSession, batch, tableRoot, spec,
+          extraMeta = meta)
+      else
+        VersionedTable.merge(batch.sparkSession, tableRoot, spec, batch,
+          matchedUpdate = matchedUpdate, extraMeta = meta)
+      true
+    }
+  }
+
+  /** `streaming_merge_apply`: the stream → MERGE chain — a per-user
+    * profile table (event count + event-id checksum per user)
+    * continuously maintained from the event stream by the CDC-apply
+    * sink: each micro-batch pre-aggregates per user (making the merge
+    * source key-unique), matched users FOLD the batch delta into
+    * their row (`n_events += src`, SETs reading both sides of the
+    * pair), unmatched users insert. Two ingest waves (`event_id % 2`)
+    * through ONE checkpointed stream, then a stale batchId-0
+    * redelivery carrying different rows must no-op (require()d). The
+    * oracle restates the profile straight from the batch events
+    * table, so the hash proves stream → per-batch fold → merge commit
+    * → exactly-once, independent of how events split across batches.
+    */
+  def streamingMergeApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("user_id"), "user_id", 1 << 13)
+    val troot = java.nio.file.Files.createTempDirectory("graft-smrg").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-smrg-src").toString
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"))
+    val folds = Map(
+      "n_events" -> (col("n_events") + col("src_n_events")),
+      "sum_eids" -> (col("sum_eids") + col("src_sum_eids")))
+    def preAgg(b: DataFrame): DataFrame =
+      b.filter(col("user_id").isNotNull).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id").cast("long")).as("sum_eids"))
+    def runWave(): Unit = {
+      val sch = spark.read.parquet(stage).schema
+      val q = spark.readStream.schema(sch).parquet(stage)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$troot/_chk")
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          mergeVersionedTable(preAgg(b.toDF()), s"$troot/table", spec, id,
+            folds); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(stage)
+    runWave()
+    ev.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(stage)
+    runWave()
+    // at-least-once crash replay: a stale batchId 0 redelivery with
+    // DIFFERENT rows must leave the table untouched
+    val replayed = mergeVersionedTable(
+      preAgg(ev.limit(50)), s"$troot/table", spec, 0L, folds)
+    require(!replayed, "stale batchId redelivery must no-op")
+    VersionedTable.read(spark, s"$troot/table")
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("sum_eids")).as("sum_eids"))
+  }
+
   /** `streaming_versioned_ingest`: the stream → versioned-TABLE chain
     * (where `streaming_versioned_publish` versions a flat artifact,
     * this ingests into the manifest model with skipping sidecars and
