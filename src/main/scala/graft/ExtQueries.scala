@@ -6319,6 +6319,56 @@ object ExtQueries {
         sum(col("doc_id").cast("long")).as("sum_ids"))
   }
 
+  private val historyPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** DESCRIBE HISTORY (`layout_history`,
+    * [[graft.operators.VersionedTable.history]]): the commit log as a
+    * queryable DataFrame — the gate drives a six-verb chain
+    * (create → append → DV-delete → set-constraint → merge →
+    * OPTIMIZE), reads the history, and joins each version's verb
+    * stamp to that version's ACTUAL row count via time travel. The
+    * oracle restates every (version, verb, n_rows) from the raw
+    * table, so the hash proves verbs stamp correctly across the whole
+    * chain AND each historical version still reads its exact
+    * membership (property commits inherit content; the merge's
+    * update and the OPTIMIZE rewrite preserve counts).
+    *
+    * Scale shape (100 TB): history is one `_META` read per version —
+    * no data IO; the per-version counts here are the gate's audit,
+    * not the verb's cost.
+    */
+  def layoutHistory(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec, layout)
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    VersionedTable.setConstraint(s, root, "chars_present", "n_chars IS NOT NULL")
+    VersionedTable.merge(s, root, spec,
+      d.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars")),
+      matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+      insertNotMatched = false, layout = layout)
+    VersionedTable.optimizeCompact(s, root, spec, targetBytes = 1L << 40)
+    val hist = VersionedTable.history(s, root)
+      .select("version", "verb").collect()
+    retirePrevDir(historyPrev, root)
+    hist.map { r =>
+      VersionedTable.readVersion(s, root, r.getString(0))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(r.getString(0)).as("version"),
+          lit(r.getString(1)).as("verb"), col("n_rows"))
+    }.reduce(_.unionByName(_))
+  }
+
   private val vacConsumerTablePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val vacConsumerDerivedPrev =

@@ -472,7 +472,10 @@ object SparkEntry {
     "layout_vacuum_consumer" -> (ExtQueries.layoutVacuumConsumer _),
     // r21: SCD2 in one merge — the row-granular DV keeps a key's
     // history rows while its current row closes
-    "layout_merge_scd2" -> (ExtQueries.layoutMergeScd2 _)
+    "layout_merge_scd2" -> (ExtQueries.layoutMergeScd2 _),
+    // r21: DESCRIBE HISTORY — verb stamps joined to each version's
+    // actual membership via time travel
+    "layout_history" -> (ExtQueries.layoutHistory _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -2049,6 +2052,22 @@ object SparkEntry {
         |SELECT lang, status, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM merged GROUP BY lang, status""".stripMargin,
+    // every version's verb stamp and exact membership: property
+    // commits inherit content, the merge update and the OPTIMIZE
+    // rewrite preserve counts
+    "layout_history" ->
+      """SELECT 'v00001' AS version, 'create' AS verb,
+        |  count(*) AS n_rows FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL SELECT 'v00002', 'append', count(*)
+        |  FROM documents WHERE doc_id % 3 < 2
+        |UNION ALL SELECT 'v00003', 'delete-dv', count(*)
+        |  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 5 <> 0
+        |UNION ALL SELECT 'v00004', 'set-constraint', count(*)
+        |  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 5 <> 0
+        |UNION ALL SELECT 'v00005', 'merge', count(*)
+        |  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 5 <> 0
+        |UNION ALL SELECT 'v00006', 'optimize-compact', count(*)
+        |  FROM documents WHERE doc_id % 3 < 2 AND doc_id % 5 <> 0""".stripMargin,
     // retention served the consumer's fold exactly once: the MV after
     // the lagging-window fold equals the head aggregate
     "layout_vacuum_consumer" ->

@@ -604,6 +604,23 @@ object VersionedTable {
   def manifest(s: SparkSession, root: String): DataFrame =
     Publish.read(s, manifestRoot(root))
 
+  /** DESCRIBE HISTORY: the table's commit log as a queryable
+    * DataFrame — one row per published version, oldest first:
+    * (version, verb, commit_ts if the writer stamped one, and the
+    * commit's remaining `_META` pairs as a map column: n_holders,
+    * batchId, cdc_path, constraint/colmap properties, ...). Planning
+    * inputs only (one `_META` read per version, manifest-sized) — no
+    * data IO, the Delta `DESCRIBE HISTORY` economics.
+    */
+  def history(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    publishedVersions(root).map { v =>
+      val m = metaAt(root, v)
+      (v, m.getOrElse("verb", "?"), m.get("commit_ts").map(_.toLong),
+        m.removedAll(Seq("verb", "commit_ts")))
+    }.toDF("version", "verb", "commit_ts", "meta")
+  }
+
   /** The published head version name, if the table exists yet. */
   def headVersion(root: String): Option[String] =
     Publish.currentVersion(manifestRoot(root))
@@ -1042,7 +1059,17 @@ object VersionedTable {
             notMatchedCond: Option[Column] = None,
             notMatchedInsert: Map[String, Column] = Map.empty,
             layout: DataFrame => DataFrame = identity,
-            extraMeta: Map[String, String] = Map.empty): String = {
+            extraMeta: Map[String, String] = Map.empty,
+            expectedHead: Option[String] = None): String = {
+    // expectedHead = the OCC conditional commit ([[Publish.publishIf]]):
+    // the pointer swaps only if the head is still what the caller read
+    // — [[mergeOcc]] threads it; direct callers are single-writer
+    def pub(m: DataFrame, meta: Map[String, String]): String =
+      expectedHead match {
+        case None => publishManifest(m, root, meta)
+        case some => Publish.publishIf(m, manifestRoot(root), some,
+          audit = auditFilesExist, meta = inheritedMeta(root) ++ meta)
+      }
     require(matchedUpdate.nonEmpty || matchedDeleteCond.nonEmpty ||
       insertNotMatched, "merge: no clauses (update, delete, or insert)")
     require(matchedUpdateCond.isEmpty || matchedUpdate.nonEmpty,
@@ -1132,7 +1159,7 @@ object VersionedTable {
       val nBatch = batch.map(_.count()).getOrElse(0L)
       val anyClaimed = claimedPos.exists(!_.isEmpty)
       if (nBatch == 0 && !anyClaimed)
-        publishManifest(current, root, extraMeta + ("verb" -> "merge-noop"))
+        pub(current, extraMeta + ("verb" -> "merge-noop"))
       else {
         batch.filter(_ => nBatch > 0).foreach { b =>
           enforceSchema(s, root, b, allowEvolution = false)
@@ -1146,10 +1173,59 @@ object VersionedTable {
           layout(toPhysical(b, columnMapping(root))).write.parquet(gen)
           base.unionByName(sidecar(s, gen, spec))
         }
-        publishManifest(withBatch, root, extraMeta ++
+        pub(withBatch, extraMeta ++
           Map("verb" -> "merge", "n_holders" -> holders.length.toString))
       }
     } finally { matched.foreach(_.unpersist()); () }
+  }
+
+  /** OPTIMISTIC-CONCURRENCY MERGE: [[merge]] with the conditional
+    * commit + retry loop, for multi-writer tables. Unlike
+    * [[appendOcc]]'s fold rebase (an append's batch is head-
+    * independent, so the retry just re-folds), a merge's ENTIRE
+    * result depends on the head — a concurrent commit can add, remove
+    * or rewrite rows the clauses would claim — so the only sound
+    * rebase is recomputing the merge against the freshly-read head,
+    * which is exactly what each retry does: [[merge]] re-reads the
+    * manifest, re-probes, re-validates against the new head's schema/
+    * constraints, and [[Publish.publishIf]] fences the pointer swap.
+    * A lost attempt's batch generation is unreferenced garbage the
+    * next [[vacuum]] reclaims.
+    *
+    * @param beforeCommit test seam fired at the start of each attempt,
+    *                     after the head read the attempt will fence on
+    *                     (the spec injects a conflicting writer here)
+    * @return (published version, attempts used)
+    */
+  def mergeOcc(s: SparkSession, root: String, spec: Spec,
+               source: DataFrame,
+               matchedUpdate: Map[String, Column] = Map.empty,
+               matchedUpdateCond: Option[Column] = None,
+               matchedDeleteCond: Option[Column] = None,
+               insertNotMatched: Boolean = true,
+               notMatchedCond: Option[Column] = None,
+               notMatchedInsert: Map[String, Column] = Map.empty,
+               layout: DataFrame => DataFrame = identity,
+               maxAttempts: Int = 5,
+               beforeCommit: () => Unit = () => ()): (String, Int) = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val head = Publish.currentVersion(manifestRoot(root))
+      require(head.isDefined, s"mergeOcc: no published version under $root")
+      beforeCommit()
+      try {
+        return (merge(s, root, spec, source, matchedUpdate,
+          matchedUpdateCond, matchedDeleteCond, insertNotMatched,
+          notMatchedCond, notMatchedInsert, layout,
+          extraMeta = Map("attempt" -> attempts.toString, "base" -> head.get),
+          expectedHead = head), attempts)
+      } catch {
+        case _: Publish.PublishConflict if attempts < maxAttempts => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"mergeOcc: no commit after $maxAttempts attempts under $root")
   }
 
   /** PHYSICAL VACUUM — the storage-reclaim half the manifest model

@@ -694,6 +694,37 @@ class VersionedTableSpec extends SparkSpec {
       (3L, "e", true))) // brand-new key
   }
 
+  test("mergeOcc retries by recompute: the rebased merge claims rows a concurrent writer added") {
+    import spark.implicits._
+    val root = fixture() // keys 0..599
+    // the concurrent writer lands key 700 BETWEEN mergeOcc's head read
+    // and its commit — attempt 1 must conflict, and attempt 2's
+    // recompute must see (and update) the interloper's row
+    var fired = false
+    val interloper: () => Unit = () => {
+      if (!fired) {
+        fired = true
+        VersionedTable.append(spark, Seq((700L, "race")).toDF("k", "v"),
+          root, spec)
+        ()
+      }
+    }
+    val source = Seq((500L, "m500"), (700L, "m700")).toDF("k", "v")
+    val (v, attempts) = VersionedTable.mergeOcc(spark, root, spec, source,
+      matchedUpdate = Map("v" -> col("src_v")),
+      insertNotMatched = false,
+      beforeCommit = interloper)
+    assert(attempts == 2, s"expected one conflict + one win, got $attempts")
+    val byK = VersionedTable.read(spark, root)
+      .filter(col("k").isin(500L, 700L)).as[(Long, String)].collect().toMap
+    assert(byK(500L) == "m500")
+    // key 700 did not exist at mergeOcc's first head read; the rebase
+    // recomputed against the post-append head, so it IS updated
+    assert(byK(700L) == "m700",
+      "the rebased merge must claim rows the concurrent commit added")
+    assert(VersionedTable.versionMeta(root, v)("attempt") == "2")
+  }
+
   test("merge enforces CHECK constraints on post-images") {
     import spark.implicits._
     val root = fixture()
