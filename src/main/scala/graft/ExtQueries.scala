@@ -6319,6 +6319,61 @@ object ExtQueries {
         sum(col("doc_id").cast("long")).as("sum_ids"))
   }
 
+  private val deleteBandPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Metadata-only band DELETE (`layout_delete_band`,
+    * [[graft.operators.VersionedTable.deleteBand]]): the
+    * drop-partition economics — under the range-clustered layout a
+    * `DELETE WHERE n_chars BETWEEN 150 AND 600` drops every
+    * fully-in-band file from the manifest WITHOUT reading it and
+    * deletion-vectors only the straddlers. The gate require()s the
+    * mechanism directly: at least one file dropped metadata-only,
+    * ZERO new data files written (the post-delete file set is a
+    * strict subset of the pre-delete one), and a spanning change-feed
+    * window folds across the commit (dropped files + DV delta ARE the
+    * content diff). The oracle restates the surviving rows.
+    *
+    * Scale shape (100 TB): the nightly retention purge is a manifest
+    * filter + ≤2 straddler scans — never a table-wide bloom probe or
+    * band rewrite.
+    */
+  def layoutDeleteBand(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_dband").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0),
+      root, spec, layout)
+    val mv0 = mvLangAgg(VersionedTable.readVersion(s, root, v1))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1),
+      root, spec, layout)
+    val before = VersionedTable.manifest(s, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    val v3 = VersionedTable.deleteBand(s, root, spec, "n_chars", 150, 600)
+    val after = VersionedTable.manifest(s, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    require(after.subsetOf(before) && after.size < before.size,
+      s"band delete must drop files metadata-only and write none " +
+        s"(${before.size} -> ${after.size})")
+    val meta = VersionedTable.versionMeta(root, v3)
+    require(meta("n_dropped_files").toInt >= 1,
+      "the clustered layout must yield at least one fully-in-band file")
+    // the feed folds across the metadata delete: dropped files + DV
+    // delta carry the full deleted payloads
+    val folded = mvLangFold(mv0, VersionedTable.changeFeed(s, root, v1, v3))
+    retirePrevDir(deleteBandPrev, root)
+    mvLangAgg(VersionedTable.read(s, root))
+      .select(lit("1_head").as("slice"), col("lang"), col("n_docs"),
+        col("sum_chars"))
+      .unionByName(folded.select(lit("2_folded").as("slice"), col("lang"),
+        col("n_docs"), col("sum_chars")))
+  }
+
   private val historyPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -837,6 +837,11 @@ object TableVerbSmoke {
         timed { VersionedTable.optimizeCompact(spark, root, spec,
           targetBytes = 1L << 40); () }))
       rows += ((scale, "read_optimized", timed { readAgg() }))
+      // r12 verb: metadata-only band delete — the decision is a
+      // manifest filter; IO is ∝ straddling files only
+      rows += ((scale, "delete_band",
+        timed { VersionedTable.deleteBand(spark, root, spec,
+          "n_chars", 300, 340); () }))
       rows += ((scale, "vacuum",
         timed { VersionedTable.vacuum(spark, root, keepLast = 1); () }))
       operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))

@@ -475,7 +475,10 @@ object SparkEntry {
     "layout_merge_scd2" -> (ExtQueries.layoutMergeScd2 _),
     // r21: DESCRIBE HISTORY — verb stamps joined to each version's
     // actual membership via time travel
-    "layout_history" -> (ExtQueries.layoutHistory _)
+    "layout_history" -> (ExtQueries.layoutHistory _),
+    // r21: metadata-only band delete — fully-in-band files drop from
+    // the manifest unread; only straddlers pay a DV scan
+    "layout_delete_band" -> (ExtQueries.layoutDeleteBand _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -2052,6 +2055,19 @@ object SparkEntry {
         |SELECT lang, status, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM merged GROUP BY lang, status""".stripMargin,
+    // the survivors of the band delete, stated twice: the head read
+    // and the feed fold across the metadata-delete commit must agree
+    "layout_delete_band" ->
+      """WITH survivors AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents
+        |  WHERE doc_id % 3 < 2
+        |    AND NOT coalesce(n_chars BETWEEN 150 AND 600, false)
+        |  GROUP BY lang)
+        |SELECT '1_head' AS slice, lang, n_docs, sum_chars FROM survivors
+        |UNION ALL
+        |SELECT '2_folded', lang, n_docs, sum_chars FROM survivors""".stripMargin,
     // every version's verb stamp and exact membership: property
     // commits inherit content, the merge update and the OPTIMIZE
     // rewrite preserve counts

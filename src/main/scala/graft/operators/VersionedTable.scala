@@ -399,7 +399,7 @@ object VersionedTable {
     */
   private val FeedSafeVerbs = Set(
     "create", "append", "append-occ", "delete-dv", "delete-dv-noop",
-    "upsert-dv", "merge")
+    "upsert-dv", "merge", "delete-band")
 
   /** CONTENT-IDENTICAL commits (Delta's `dataChange = false`): the
     * table's bytes-as-content before and after are equal — rewrites
@@ -413,7 +413,7 @@ object VersionedTable {
   private val ContentIdenticalVerbs = Set(
     "recluster", "optimize-compact", "optimize-noop",
     "compact-dv", "compact-dv-noop", "delete-noop", "update-noop",
-    "merge-noop",
+    "merge-noop", "delete-band-noop",
     "set-constraint", "drop-constraint", "rename-column", "drop-column")
 
   /** CONTENT-CHANGING rewrites that carry WRITER-SIDE CDC (Delta's
@@ -1177,6 +1177,62 @@ object VersionedTable {
           Map("verb" -> "merge", "n_holders" -> holders.length.toString))
       }
     } finally { matched.foreach(_.unpersist()); () }
+  }
+
+  /** METADATA-ONLY band DELETE — `DELETE WHERE c BETWEEN lo AND hi`
+    * priced by the manifest, not the data: files whose min/max stats
+    * prove every row is in the band are DROPPED from the manifest
+    * without being read (the Delta metadata-delete / drop-partition
+    * economics — retiring a day of a 100 TB table is O(manifest)),
+    * and only the ≤ handful of STRADDLING files (two, under a
+    * clustered layout) pay a position scan whose in-band rows are
+    * deletion-vectored. One commit carries both halves; no data file
+    * is written. SQL BETWEEN semantics: NULL never matches, so an
+    * all-null-stats file is untouched. `c` is a `spec.statCols`
+    * column (physical name — stats follow physical columns across
+    * renames, like [[prunedRead]]).
+    *
+    * Feed-safe by construction: dropped files + the DV delta ARE the
+    * content diff ([[changeFeed]] resolves both to full old rows).
+    *
+    * Scale shape (100 TB): the decision is a manifest filter; IO is
+    * ∝ straddling files only. This is the verb a retention pipeline
+    * calls nightly — without it every time-range purge pays a
+    * table-wide bloom probe or band rewrite.
+    */
+  def deleteBand(s: SparkSession, root: String, spec: Spec, c: String,
+                 lo: Any, hi: Any): String = {
+    require(spec.statCols.contains(c),
+      s"deleteBand: $c carries no min/max stats (statCols: ${spec.statCols})")
+    val current = Publish.read(s, manifestRoot(root))
+    val inBand = col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi)
+    val overlaps = col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    val fullFiles = current.filter(inBand)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val stFiles = current.filter(overlaps && !inBand)
+      .select("file").collect().map(_.getString(0)).toSeq
+    if (fullFiles.isEmpty && stFiles.isEmpty)
+      publishManifest(current, root, Map("verb" -> "delete-band-noop"))
+    else {
+      val afterDrop =
+        if (fullFiles.isEmpty) current
+        else current.filter(!col("file").isin(fullFiles: _*))
+      val base =
+        if (stFiles.isEmpty) afterDrop
+        else {
+          // position scan of ONLY the straddlers; re-deletes of
+          // already-vectored positions are absorbed by the DV fold
+          val fresh = s.read.parquet(stFiles: _*)
+            .select(col("_metadata.file_path").as("file"),
+              col("_metadata.row_index").as("pos"), col(c).as("__c"))
+            .filter(col("__c") >= lit(lo) && col("__c") <= lit(hi))
+            .select("file", "pos")
+          commitDv(s, afterDrop, root, fresh)
+        }
+      publishManifest(base, root, Map("verb" -> "delete-band",
+        "n_dropped_files" -> fullFiles.length.toString,
+        "n_straddlers" -> stFiles.length.toString))
+    }
   }
 
   /** OPTIMISTIC-CONCURRENCY MERGE: [[merge]] with the conditional

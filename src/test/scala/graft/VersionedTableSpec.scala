@@ -725,6 +725,43 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versionMeta(root, v)("attempt") == "2")
   }
 
+  test("deleteBand drops fully-in-band files unread and vectors only straddlers") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-band").toString
+    // 4 range files with known boundaries: [0,100), [100,200), [200,300), [300,400)
+    VersionedTable.create(spark,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("k", "v"), root, spec,
+      layout = df => df.repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    val before = VersionedTable.manifest(spark, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(before.size == 4)
+    // band [100, 299]: files 2 and 3 are fully in-band -> metadata
+    // drop; files 1 and 4 don't overlap -> untouched; no straddlers
+    val v2 = VersionedTable.deleteBand(spark, root, spec, "k", 100L, 299L)
+    val after = VersionedTable.manifest(spark, root)
+      .select("file", "dv_path").collect()
+    assert(after.map(_.getString(0)).toSet.subsetOf(before) &&
+      after.length == 2,
+      "exactly the two fully-in-band files must drop; none written")
+    assert(after.forall(_.isNullAt(1)), "no straddler -> no DV")
+    val m2 = VersionedTable.versionMeta(root, v2)
+    assert(m2("n_dropped_files") == "2" && m2("n_straddlers") == "0")
+    assert(VersionedTable.read(spark, root).count() == 200L)
+    // band [50, 149]: keys 100..149 are already gone; file [0,100)
+    // straddles -> rows 50..99 vector, the file itself survives
+    val v3 = VersionedTable.deleteBand(spark, root, spec, "k", 50L, 149L)
+    val m3 = VersionedTable.versionMeta(root, v3)
+    assert(m3("n_dropped_files") == "0" && m3("n_straddlers") == "1")
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() == 150L)
+    assert(head.filter(col("k").between(50L, 299L)).count() == 0L)
+    // out-of-range band no-ops
+    val v4 = VersionedTable.deleteBand(spark, root, spec, "k", 5000L, 6000L)
+    assert(VersionedTable.versionMeta(root, v4)("verb") == "delete-band-noop")
+    // time travel: v1 still reads the full pre-delete content
+    assert(VersionedTable.readVersion(spark, root, "v00001").count() == 400L)
+  }
+
   test("merge enforces CHECK constraints on post-images") {
     import spark.implicits._
     val root = fixture()
