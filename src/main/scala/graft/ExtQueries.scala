@@ -6374,6 +6374,113 @@ object ExtQueries {
         col("n_docs"), col("sum_chars")))
   }
 
+  private val hiddenPartPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Hidden partitioning (`layout_hidden_partition`,
+    * [[graft.operators.PartitionTransform]]): the table declares
+    * `bucket(8, doc_id)` as TABLE METADATA; writers cluster files by
+    * the derived bucket, the manifest carries per-file min/max of the
+    * bucket value, and a reader's point lookup on RAW `doc_id` prunes
+    * through the transform inside the manifest filter — no partition
+    * column stored in data files, no transform spelled in the query
+    * (the Iceberg hidden-partitioning contract; the Hive failure it
+    * retires is a raw-column predicate silently full-scanning a
+    * derived-column-partitioned table). The gate require()s the prune
+    * directly — each probe's survivor set is a small fraction of the
+    * manifest across BOTH generations — and hashes probe rows + the
+    * head aggregate against the raw restatement.
+    *
+    * Scale shape (100 TB): raw min/max can never serve a point lookup
+    * on a high-cardinality column under any other clustering (every
+    * file's [min, max] spans ~the whole id domain); bucket(N) makes
+    * the lookup read ~1/N of the files regardless of what else the
+    * layout optimizes for, and the prune itself is a manifest filter
+    * — planning-time, file-count rows.
+    */
+  def layoutHiddenPartition(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{BucketTransform, PartitionTransform, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val bucket = BucketTransform(8, "doc_id")
+    val layout = PartitionTransform.clusterLayout(8, Seq(bucket))
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_hpart").toString
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec,
+      layout, transforms = Seq(bucket))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    val total = VersionedTable.manifest(s, root).count()
+    val probes = Seq(1L, 300L, 400L)
+    probes.foreach { p =>
+      val hit = VersionedTable.partitionSurvivorFiles(s, root, "doc_id", p).length
+      require(hit * 4 <= total,
+        s"bucket(8) point lookup must prune: kept $hit of $total files for doc_id=$p")
+    }
+    val probeRows = probes.map { p =>
+      VersionedTable.partitionPrunedRead(s, root, "doc_id", p)
+        .filter(col("doc_id") === p)
+        .select(lit(s"1_probe_$p").as("slice"), col("lang"),
+          lit(1L).as("n_docs"), col("n_chars").cast("long").as("sum_chars"))
+    }.reduce(_.unionByName(_))
+    retirePrevDir(hiddenPartPrev, root)
+    probeRows.unionByName(
+      mvLangAgg(VersionedTable.read(s, root))
+        .select(lit("2_head").as("slice"), col("lang"), col("n_docs"),
+          col("sum_chars")))
+  }
+
+  private val partEvolvePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Partition-spec evolution (`layout_partition_evolution`,
+    * [[graft.operators.VersionedTable.evolvePartitioning]]): Iceberg's
+    * flagship — an UNPARTITIONED table declares `bucket(8, doc_id)` in
+    * a zero-rewrite property commit; data written before the evolution
+    * keeps NULL transform stats and every pruned read KEEPS it
+    * (correct, unpruned — pruning a NULL-stat file would lose rows),
+    * while data written after carries tight stats and prunes. One
+    * manifest filter serves the mixed table; old data ages into the
+    * new spec through natural rewrites, never a forced 100 TB
+    * rewrite. The gate require()s both halves of the contract — every
+    * pre-evolution file survives the probe AND the post-evolution
+    * generation strictly prunes — and hashes a pre-evolution probe, a
+    * post-evolution probe, and the head aggregate against the raw
+    * restatement.
+    */
+  def layoutPartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{BucketTransform, PartitionTransform, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val bucket = BucketTransform(8, "doc_id")
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_pevo").toString
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec,
+      layout = _.repartition(4))
+    val oldFiles = VersionedTable.manifest(s, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    VersionedTable.evolvePartitioning(s, root, Seq(bucket))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec,
+      PartitionTransform.clusterLayout(8, Seq(bucket)))
+    val total = VersionedTable.manifest(s, root).count()
+    val survivors = VersionedTable
+      .partitionSurvivorFiles(s, root, "doc_id", 400L).toSet
+    require(oldFiles.subsetOf(survivors),
+      "a pre-evolution (NULL-stat) file must never prune")
+    require(survivors.size < total,
+      s"post-evolution files must prune: kept ${survivors.size} of $total")
+    val probeRows = Seq(300L, 400L).map { p =>
+      VersionedTable.partitionPrunedRead(s, root, "doc_id", p)
+        .filter(col("doc_id") === p)
+        .select(lit(s"1_probe_$p").as("slice"), col("lang"),
+          lit(1L).as("n_docs"), col("n_chars").cast("long").as("sum_chars"))
+    }.reduce(_.unionByName(_))
+    retirePrevDir(partEvolvePrev, root)
+    probeRows.unionByName(
+      mvLangAgg(VersionedTable.read(s, root))
+        .select(lit("2_head").as("slice"), col("lang"), col("n_docs"),
+          col("sum_chars")))
+  }
+
   private val historyPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -844,6 +844,21 @@ object TableVerbSmoke {
           "n_chars", 300, 340); () }))
       rows += ((scale, "vacuum",
         timed { VersionedTable.vacuum(spark, root, keepLast = 1); () }))
+      // r12 verbs: hidden partitioning — declaring bucket(16, doc_id)
+      // LATE is one _META write (flat); migrating the existing data
+      // under it is one recluster rewrite (∝ table, the one-off
+      // OPTIMIZE price); the transform-pruned point lookup then reads
+      // ~1/16 of the files — the row whose gap vs read_plain widens
+      // a decade per decade
+      val bkt = graft.operators.BucketTransform(16, "doc_id")
+      rows += ((scale, "evolve_ptspec", timed {
+        VersionedTable.evolvePartitioning(spark, root, Seq(bkt)); () }))
+      rows += ((scale, "recluster_ptspec", timed {
+        VersionedTable.recluster(spark, root, spec,
+          graft.operators.PartitionTransform.clusterLayout(16, Seq(bkt))); () }))
+      rows += ((scale, "pt_lookup", timed {
+        VersionedTable.partitionPrunedRead(spark, root, "doc_id", 123L)
+          .filter(col("doc_id") === 123L).count(); () }))
       operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
     }
     println("| verb | t_1x (s) | t_10x (s) | t_100x (s) | e(1→10) | e(10→100) |")

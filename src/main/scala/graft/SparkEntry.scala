@@ -478,7 +478,14 @@ object SparkEntry {
     "layout_history" -> (ExtQueries.layoutHistory _),
     // r21: metadata-only band delete — fully-in-band files drop from
     // the manifest unread; only straddlers pay a DV scan
-    "layout_delete_band" -> (ExtQueries.layoutDeleteBand _)
+    "layout_delete_band" -> (ExtQueries.layoutDeleteBand _),
+    // r22: hidden partitioning — bucket(8, doc_id) declared as table
+    // metadata; raw-column point lookups prune through the transform
+    // inside the manifest filter
+    "layout_hidden_partition" -> (ExtQueries.layoutHiddenPartition _),
+    // r22: partition-spec evolution — zero-rewrite bucket declaration;
+    // NULL-stat old files survive, post-evolution files prune
+    "layout_partition_evolution" -> (ExtQueries.layoutPartitionEvolution _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -2068,6 +2075,40 @@ object SparkEntry {
         |SELECT '1_head' AS slice, lang, n_docs, sum_chars FROM survivors
         |UNION ALL
         |SELECT '2_folded', lang, n_docs, sum_chars FROM survivors""".stripMargin,
+    // hidden partitioning: each probe's transform-pruned read +
+    // exact filter must equal the raw point lookup, and the head
+    // aggregate proves the bucket-clustered commits lost nothing
+    "layout_hidden_partition" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 3 < 2)
+        |SELECT '1_probe_1' AS slice, lang, CAST(1 AS BIGINT) AS n_docs,
+        |  CAST(n_chars AS BIGINT) AS sum_chars FROM base WHERE doc_id = 1
+        |UNION ALL
+        |SELECT '1_probe_300', lang, CAST(1 AS BIGINT),
+        |  CAST(n_chars AS BIGINT) FROM base WHERE doc_id = 300
+        |UNION ALL
+        |SELECT '1_probe_400', lang, CAST(1 AS BIGINT),
+        |  CAST(n_chars AS BIGINT) FROM base WHERE doc_id = 400
+        |UNION ALL
+        |SELECT '2_head', lang, count(*),
+        |  CAST(sum(n_chars) AS BIGINT) FROM base GROUP BY lang""".stripMargin,
+    // partition-spec evolution: a pre-evolution probe (NULL-stat
+    // generation, unpruned but correct), a post-evolution probe
+    // (pruned generation), and the head aggregate across the mixed
+    // manifest
+    "layout_partition_evolution" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 3 < 2)
+        |SELECT '1_probe_300' AS slice, lang, CAST(1 AS BIGINT) AS n_docs,
+        |  CAST(n_chars AS BIGINT) AS sum_chars FROM base WHERE doc_id = 300
+        |UNION ALL
+        |SELECT '1_probe_400', lang, CAST(1 AS BIGINT),
+        |  CAST(n_chars AS BIGINT) FROM base WHERE doc_id = 400
+        |UNION ALL
+        |SELECT '2_head', lang, count(*),
+        |  CAST(sum(n_chars) AS BIGINT) FROM base GROUP BY lang""".stripMargin,
     // every version's verb stamp and exact membership: property
     // commits inherit content, the merge update and the OPTIMIZE
     // rewrite preserve counts

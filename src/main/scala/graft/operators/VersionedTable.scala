@@ -54,13 +54,25 @@ object VersionedTable {
   private def manifestRoot(root: String) = s"$root/manifest"
 
   /** ONE scan of `dataDir` producing the combined manifest rows:
-    * (file, n_rows, min_c/max_c per stat column, bloom). The groupBy
-    * key is the file name, so partial aggregation completes inside
-    * each file's own scan tasks.
+    * (file, n_rows, min_c/max_c per stat column, min/max per active
+    * PARTITION-TRANSFORM value, bloom). The groupBy key is the file
+    * name, so partial aggregation completes inside each file's own
+    * scan tasks. Transform stats are derived here — data files never
+    * store the partition value (hidden partitioning); a transform
+    * whose source column the batch legitimately omitted (schema
+    * contract: batches may omit head columns) is skipped, and the
+    * missing stat reads back NULL through the manifest union — that
+    * generation simply never prunes.
     */
-  private def sidecar(s: SparkSession, dataDir: String, spec: Spec): DataFrame = {
+  private def sidecar(s: SparkSession, dataDir: String, spec: Spec,
+                      transforms: Seq[PartitionTransform] = Nil): DataFrame = {
+    val present = s.read.parquet(dataDir).schema.fieldNames.toSet
+    val ptAggs = transforms.filter(t => present.contains(t.srcCol)).flatMap(t =>
+      Seq(min(t(col(t.srcCol))).as(s"min_${t.statName}"),
+        max(t(col(t.srcCol))).as(s"max_${t.statName}")))
     val aggs: Seq[Column] =
-      spec.statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      spec.statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        ptAggs :+
         call_function("bloom_agg", col(spec.keyCol).cast("string"), lit(spec.mBits))
           .as("bloom")
     // the manifest's file identity is `_metadata.file_path` — the SAME
@@ -238,21 +250,61 @@ object VersionedTable {
   }
 
   /** Inheritable table properties: CHECK constraints, the column
-    * mapping, and logical drops — every publish carries the head's
-    * forward (minus any constraint being dropped).
+    * mapping, logical drops, and the partition spec — every publish
+    * carries the head's forward (minus any constraint being dropped).
     */
   private def inheritedMeta(root: String): Map[String, String] =
     headVersion(root).map(v => metaAt(root, v).filter { case (k, _) =>
       k.startsWith(ConstraintPrefix) || k.startsWith(ColmapPrefix) ||
-        k.startsWith(DropPrefix)
+        k.startsWith(DropPrefix) || k.startsWith(PtSpecPrefix)
     }).getOrElse(Map.empty)
 
   private def publishManifest(manifest: DataFrame, root: String,
                               meta: Map[String, String],
-                              dropConstraints: Set[String] = Set.empty): String =
+                              dropConstraints: Set[String] = Set.empty,
+                              dropMetaKeys: Set[String] = Set.empty): String =
     Publish.publish(manifest, manifestRoot(root),
       audit = auditFilesExist,
-      meta = (inheritedMeta(root) -- dropConstraints.map(ConstraintPrefix + _)) ++ meta)
+      meta = (inheritedMeta(root) -- dropConstraints.map(ConstraintPrefix + _)
+        -- dropMetaKeys) ++ meta)
+
+  /** Hidden-partitioning table properties ride the version `_META`
+    * like constraints: one `ptspec:<statName>` → serialized transform
+    * per active transform, inherited by every commit. The table's
+    * meta — not a per-writer Spec — is the single source of truth, so
+    * a writer can never silently drift from the declared partitioning
+    * (the Iceberg table-metadata posture).
+    */
+  private val PtSpecPrefix = "ptspec:"
+
+  /** The table's active partition transforms (empty when the table
+    * declares none), sorted by stat name for deterministic order.
+    */
+  def activeTransforms(root: String): Seq[PartitionTransform] =
+    headVersion(root).map(v => metaAt(root, v)
+      .filter(_._1.startsWith(PtSpecPrefix)).toSeq.sortBy(_._1)
+      .map(kv => PartitionTransform.parse(kv._2))).getOrElse(Nil)
+
+  private def ptSpecMeta(ts: Seq[PartitionTransform]): Map[String, String] =
+    ts.map(t => (PtSpecPrefix + t.statName) -> t.serial).toMap
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's flagship): replace the
+    * table's transform set in a zero-rewrite property commit. Files
+    * written under the OLD spec keep their old stat columns (or none)
+    * — their entries for the NEW transforms read back NULL and every
+    * pruned read KEEPS them (correct, unpruned); files written after
+    * the evolution carry the new stats and prune. Old data ages into
+    * the new spec through natural rewrites (OPTIMIZE, recluster) —
+    * never a forced table rewrite.
+    */
+  def evolvePartitioning(s: SparkSession, root: String,
+                         transforms: Seq[PartitionTransform]): String = {
+    val stale = headVersion(root).map(v => metaAt(root, v).keySet
+      .filter(_.startsWith(PtSpecPrefix))).getOrElse(Set.empty)
+    publishManifest(Publish.read(s, manifestRoot(root)), root,
+      ptSpecMeta(transforms) + ("verb" -> "evolve-partitioning"),
+      dropMetaKeys = stale)
+  }
 
   /** RENAME COLUMN as a property commit (zero rewrite): the logical
     * name moves, the physical (on-file) name never does. Appends keep
@@ -318,11 +370,12 @@ object VersionedTable {
     */
   def create(s: SparkSession, df: DataFrame, root: String, spec: Spec,
              layout: DataFrame => DataFrame = identity,
-             extraMeta: Map[String, String] = Map.empty): String = {
+             extraMeta: Map[String, String] = Map.empty,
+             transforms: Seq[PartitionTransform] = Nil): String = {
     val gen = freshGen(root)
     layout(df).write.parquet(gen)
-    publishManifest(sidecar(s, gen, spec), root,
-      extraMeta + ("verb" -> "create"))
+    publishManifest(sidecar(s, gen, spec, transforms), root,
+      extraMeta ++ ptSpecMeta(transforms) + ("verb" -> "create"))
   }
 
   /** Append a batch: ONLY the batch generation is written and scanned;
@@ -338,7 +391,9 @@ object VersionedTable {
     val gen = freshGen(root)
     layout(toPhysical(df, columnMapping(root))).write.parquet(gen)
     publishManifest(
-      Publish.read(s, manifestRoot(root)).unionByName(sidecar(s, gen, spec)),
+      Publish.read(s, manifestRoot(root)).unionByName(
+        sidecar(s, gen, spec, activeTransforms(root)),
+        allowMissingColumns = true),
       root, extraMeta + ("verb" -> "append"))
   }
 
@@ -388,7 +443,8 @@ object VersionedTable {
             "file", org.apache.spark.sql.types.StringType, nullable = false))))
       publishManifest(
         current.join(hf, Seq("file"), "left_anti")
-          .unionByName(sidecar(s, gen, spec)),
+          .unionByName(sidecar(s, gen, spec, activeTransforms(root)),
+            allowMissingColumns = true),
         root, cdcMeta ++
           Map("verb" -> "delete", "n_holders" -> holders.length.toString))
     }
@@ -414,7 +470,8 @@ object VersionedTable {
     "recluster", "optimize-compact", "optimize-noop",
     "compact-dv", "compact-dv-noop", "delete-noop", "update-noop",
     "merge-noop", "delete-band-noop",
-    "set-constraint", "drop-constraint", "rename-column", "drop-column")
+    "set-constraint", "drop-constraint", "rename-column", "drop-column",
+    "evolve-partitioning")
 
   /** CONTENT-CHANGING rewrites that carry WRITER-SIDE CDC (Delta's
     * `_change_data` files): their file diff is NOT their content diff
@@ -673,6 +730,79 @@ object VersionedTable {
     logicalView(readFiles(s, bands.foldLeft(manifest(s, root)) {
       case (m, (c, lo, hi)) => StatsSpine.survivors(m, c, lo, hi)
     }), headMetaOf(root))
+
+  // ---- hidden-partitioning reads (transform-aware pruning) ----
+
+  private def physicalNameOf(root: String, logical: String): String =
+    columnMapping(root).find(_._2 == logical).map(_._1).getOrElse(logical)
+
+  /** Manifest rows surviving a transform-pruned predicate on LOGICAL
+    * column `c`. The predicate's transform value is computed IN-PLAN
+    * (`t(lit(v))` inside the manifest filter — the reader never
+    * re-implements the bucket hash driver-side), and the filter is
+    * NULL-KEEPING: a file written before the transform existed (or
+    * whose batch omitted the column) has NULL stats and SURVIVES —
+    * partition-spec evolution's correctness contract. A transform
+    * whose stat column hasn't reached the manifest yet (evolution
+    * with no append since) prunes nothing.
+    */
+  private def ptSurvivors(s: SparkSession, root: String, c: String,
+                          point: Option[Any],
+                          band: Option[(Any, Any)]): DataFrame = {
+    val phys = physicalNameOf(root, c)
+    val all = activeTransforms(root).filter(_.srcCol == phys)
+    require(all.nonEmpty,
+      s"no partition transform on '$c' — declare one at create() or " +
+        "evolvePartitioning(), or use prunedRead's raw stats")
+    val usable = if (point.isDefined) all else all.filter(_.orderPreserving)
+    val m = manifest(s, root)
+    usable.filter(t => m.columns.contains(s"min_${t.statName}"))
+      .foldLeft(m) { (mm, t) =>
+        val (lo, hi) = point.map(v => (t(lit(v)), t(lit(v))))
+          .getOrElse { val (l, h) = band.get; (t(lit(l)), t(lit(h))) }
+        mm.filter(col(s"min_${t.statName}").isNull ||
+          (col(s"min_${t.statName}") <= hi && col(s"max_${t.statName}") >= lo))
+      }
+  }
+
+  /** HIDDEN-PARTITION POINT LOOKUP: read only the files whose
+    * transform stats can hold `c = v` — under `bucket(N, c)` that is
+    * ~1/N of the files no matter what else the layout clusters, the
+    * pruning raw min/max can never provide on a scattered
+    * high-cardinality column. Superset contract as [[prunedRead]]:
+    * the caller re-applies the exact predicate.
+    *
+    * Scale shape (100 TB): the prune is a manifest filter (planning-
+    * time, ≈ file-count rows); a GDPR point lookup reads bucket-many
+    * files instead of the table.
+    */
+  def partitionPrunedRead(s: SparkSession, root: String,
+                          c: String, v: Any): DataFrame =
+    logicalView(readFiles(s, ptSurvivors(s, root, c, Some(v), None)),
+      headMetaOf(root))
+
+  /** HIDDEN-PARTITION BAND READ: `c BETWEEN lo AND hi` pruned through
+    * the ORDER-PRESERVING transforms on `c` (truncate, day — a bucket
+    * transform cannot serve a range and is skipped; if none qualify
+    * the read is the correct full superset). The raw predicate maps
+    * to a transform-value band in-plan: `day(ts) ∈ [day(lo), day(hi)]`
+    * — the reader filters raw `ts` and never spells the transform,
+    * the silent-full-scan failure hidden partitioning exists to
+    * retire.
+    */
+  def partitionPrunedBandRead(s: SparkSession, root: String,
+                              c: String, lo: Any, hi: Any): DataFrame =
+    logicalView(readFiles(s, ptSurvivors(s, root, c, None, Some((lo, hi)))),
+      headMetaOf(root))
+
+  /** The surviving file names of a transform-pruned point lookup —
+    * the audit surface gates and planners use to PROVE pruning
+    * happened (files read < files total) without reading data.
+    */
+  def partitionSurvivorFiles(s: SparkSession, root: String,
+                             c: String, v: Any): Array[String] =
+    ptSurvivors(s, root, c, Some(v), None)
+      .select("file").collect().map(_.getString(0))
 
   /** METADATA-ONLY aggregates: COUNT(*), MIN(c), MAX(c) answered from
     * the manifest alone — zero data-file bytes read (the Delta
@@ -988,14 +1118,14 @@ object VersionedTable {
     val current = Publish.read(s, manifestRoot(root))
     val gen = freshGen(root)
     layout(toPhysical(updates, columnMapping(root))).write.parquet(gen)
-    val batchRows = sidecar(s, gen, spec)
+    val batchRows = sidecar(s, gen, spec, activeTransforms(root))
     val base = vectorize(s, current, root, spec,
       updates.select(col(spec.keyCol))) match {
       case None => current
       case Some((rows, _)) => rows
     }
-    publishManifest(base.unionByName(batchRows), root,
-      Map("verb" -> "upsert-dv"))
+    publishManifest(base.unionByName(batchRows, allowMissingColumns = true),
+      root, Map("verb" -> "upsert-dv"))
   }
 
   /** MERGE — the full three-clause conditional upsert (SQL/Delta
@@ -1171,7 +1301,8 @@ object VersionedTable {
         val withBatch = batch.filter(_ => nBatch > 0).fold(base) { b =>
           val gen = freshGen(root)
           layout(toPhysical(b, columnMapping(root))).write.parquet(gen)
-          base.unionByName(sidecar(s, gen, spec))
+          base.unionByName(sidecar(s, gen, spec, activeTransforms(root)),
+            allowMissingColumns = true)
         }
         pub(withBatch, extraMeta ++
           Map("verb" -> "merge", "n_holders" -> holders.length.toString))
@@ -1407,7 +1538,8 @@ object VersionedTable {
       readFiles(s, dvd).write.parquet(gen)
       publishManifest(
         current.filter(col("dv_path").isNull)
-          .unionByName(sidecar(s, gen, spec)),
+          .unionByName(sidecar(s, gen, spec, activeTransforms(root)),
+            allowMissingColumns = true),
         root,
         Map("verb" -> "compact-dv", "n_compacted" -> dvd.count().toString))
     }
@@ -1484,7 +1616,8 @@ object VersionedTable {
         layout(toPhysical(updated.drop("__match"), cm)).write.parquet(gen)
         publishManifest(
           current.filter(!col("file").isin(holders: _*))
-            .unionByName(sidecar(s, gen, spec)),
+            .unionByName(sidecar(s, gen, spec, activeTransforms(root)),
+              allowMissingColumns = true),
           root, cdcMeta ++
             Map("verb" -> "update", "n_holders" -> holders.length.toString))
       } finally { base.unpersist(); () }
@@ -1529,7 +1662,8 @@ object VersionedTable {
         .write.parquet(gen)
       publishManifest(
         current.filter(!col("file").isin(small: _*))
-          .unionByName(sidecar(s, gen, spec)),
+          .unionByName(sidecar(s, gen, spec, activeTransforms(root)),
+            allowMissingColumns = true),
         root, Map("verb" -> "optimize-compact",
           "n_small" -> small.length.toString, "n_out" -> nOut.toString))
     }
@@ -1655,7 +1789,8 @@ object VersionedTable {
     val current = Publish.read(s, manifestRoot(root))
     val gen = freshGen(root)
     layout(readFiles(s, current)).write.parquet(gen)
-    publishManifest(sidecar(s, gen, spec), root, Map("verb" -> "recluster"))
+    publishManifest(sidecar(s, gen, spec, activeTransforms(root)), root,
+      Map("verb" -> "recluster"))
   }
 
   /** OPTIMISTIC-CONCURRENCY append: the multi-writer commit loop every
@@ -1700,7 +1835,7 @@ object VersionedTable {
     validateAgainst(entryHead)
     val gen = freshGen(root)
     layout(toPhysical(df, columnMapping(root))).write.parquet(gen)
-    val batchRows = sidecar(s, gen, spec)
+    val batchRows = sidecar(s, gen, spec, activeTransforms(root))
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
@@ -1710,7 +1845,8 @@ object VersionedTable {
       val base = Publish.readVersion(s, manifestRoot(root), head.get)
       beforeCommit()
       try {
-        return (Publish.publishIf(base.unionByName(batchRows),
+        return (Publish.publishIf(
+          base.unionByName(batchRows, allowMissingColumns = true),
           manifestRoot(root), head,
           audit = auditFilesExist,
           meta = inheritedMeta(root) ++
