@@ -1335,6 +1335,41 @@ object ExtQueries {
       .filter(col("h") < lit((65536 * 0.10).toInt))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Weighted sampling WITHOUT replacement (`sample_weighted`):
+    * Efraimidis–Spirakis A-ES — each row draws a deterministic
+    * uniform u from its id digest (52 md5 bits, exact in a double)
+    * and the B rows with the LARGEST priority u^(1/w) are the sample;
+    * inclusion probability rises with w (here w = n_chars: longer
+    * documents preferentially kept — the quality-weighted
+    * subsampling step of a corpus build). One pass, no global sort:
+    * the top-B by priority is Spark's TakeOrdered (per-partition
+    * bounded heaps, only B candidate rows cross the wire) — exactly
+    * the Efraimidis–Spirakis distributed-merge property (priorities
+    * are comparable across partitions because u is a pure row
+    * function). Priorities are computed per row (no accumulation →
+    * no float order-dependence); the hash gate compares the SELECTED
+    * rows + ranks, never the float keys.
+    *
+    * Scale shape (100 TB): map-side heaps of size B per partition,
+    * B rows shuffled to one reducer — the corpus never sorts and
+    * never shuffles; re-runs are reproducible under any partitioning.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val B = 100
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13),
+      16, 10).cast("double") + lit(1.0)) / lit(math.pow(2.0, 52))
+    val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+    val winners = docs(s, dir).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("__k"))
+      .orderBy(col("__k").desc, col("doc_id"))
+      .limit(B)
+    winners
+      .withColumn("sel_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__k").desc, col("doc_id"))).cast("int"))
+      .drop("__k")
+  }
+
   /** Deterministic train/val/test split (~80/10/10) by content digest —
     * the standard data-mix assignment, stable under re-partitioning and
     * dedup reruns. Emits the full assignment so the gate checks every

@@ -163,6 +163,9 @@ object SparkEntry {
     "text_fingerprint" -> (ExtQueries.textFingerprint _),
     "text_vocab_topk" -> (ExtQueries.textVocabTopK _),
     "sample_digest_bernoulli" -> (ExtQueries.sampleDigestBernoulli _),
+    // r22: Efraimidis–Spirakis weighted sampling w/o replacement —
+    // per-row digest priority u^(1/w), bounded-heap top-B
+    "sample_weighted" -> (ExtQueries.sampleWeighted _),
     "pipeline_train_split" -> (ExtQueries.pipelineTrainSplit _),
     "text_rolling_fingerprint" -> (ExtQueries.textRollingFingerprint _),
     "text_bpe_tokens" -> (ExtQueries.textBpeTokens _),
@@ -1761,6 +1764,21 @@ object SparkEntry {
     "sample_digest_bernoulli" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(('0x' || substr(md5(text), 1, 4))::UBIGINT AS BIGINT) < 6553""".stripMargin,
+
+    // Efraimidis–Spirakis A-ES: priority u^(1/w), u from 52 digest
+    // bits (exact in a double), w = n_chars; top-100 by priority.
+    // Both engines evaluate the same per-row pure expression — no
+    // accumulation, so no float order-dependence
+    "sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+        |           AS BIGINT) + 1.0) / 4503599627370496.0,
+        |        1.0 / n_chars) AS k
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS sel_rank
+        |FROM keyed ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
 
     "pipeline_train_split" ->
       """SELECT doc_id,
