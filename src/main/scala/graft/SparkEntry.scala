@@ -243,6 +243,10 @@ object SparkEntry {
     // driver r8: exactly-once streaming file-sink commit (idempotent
     // batchId-keyed foreachBatch; the gate reads the committed artifact)
     "streaming_publish_exactly_once" -> (ExtQueries.streamingPublishExactlyOnce _),
+    // r22: streaming A-ES weighted sample — commutative top-B fold,
+    // gated against the batch oracle verbatim
+    "streaming_weighted_sample" ->
+      ((s, dir) => graft.streaming.StreamingStage.streamingWeightedSample(s, dir)),
     // driver r8: add-column schema evolution through a mergeSchema read
     "source_schema_evolution" -> (Queries.sourceSchemaEvolution _),
     // driver r8: exact Hamilton-apportionment stratified sampling
@@ -1770,6 +1774,19 @@ object SparkEntry {
     // Both engines evaluate the same per-row pure expression — no
     // accumulation, so no float order-dependence
     "sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+        |           AS BIGINT) + 1.0) / 4503599627370496.0,
+        |        1.0 / n_chars) AS k
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS sel_rank
+        |FROM keyed ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
+
+    // the streaming fold converges to the batch A-ES sample exactly
+    // (commutative top-B merge) — same oracle, any micro-batch split
+    "streaming_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang, n_chars,
         |    pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT

@@ -246,6 +246,65 @@ object StreamingStage {
     readCommitted(spark, root)
   }
 
+  /** STREAMING A-ES weighted sample — [[graft.ExtQueries.sampleWeighted]]
+    * over an unbounded arrival stream: the priority `u^(1/w)` is a pure
+    * row function (comparable across micro-batches) and "keep the top-B
+    * by priority" is a COMMUTATIVE, merge-idempotent fold, so the final
+    * sample is EXACTLY the batch A-ES sample no matter how arrivals
+    * split — the gate reuses the batch oracle verbatim, the same
+    * batch≡streaming posture as the three sessionizer generations.
+    * Per-batch work is the distributed bounded-heap top-B; the carried
+    * state is B rows (the documented bounded-driver-state class —
+    * centroids, codebooks — NOT a corpus collect).
+    *
+    * Scale shape (100 TB ingest): each micro-batch contributes ≤B
+    * candidate rows regardless of batch size; nothing global ever
+    * sorts, and a re-run from any checkpoint converges to the same
+    * sample because merging top-Bs loses no global winner.
+    */
+  def streamingWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val B = 100
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    // stage the corpus as 4 arrival files so AvailableNow +
+    // maxFilesPerTrigger=1 delivers a genuinely multi-batch run
+    val staged = java.nio.file.Files.createTempDirectory("graft-sws").toString
+    spark.read.parquet(path).repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13),
+      16, 10).cast("double") + lit(1.0)) / lit(math.pow(2.0, 52))
+    val keyed = stream.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        pow(u, lit(1.0) / col("n_chars").cast("double")).as("__k"))
+    val state =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Double)]
+    var nBatches = 0
+    val chk = java.nio.file.Files.createTempDirectory("graft-sws-chk").toString
+    val q = keyed.writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches += 1
+        val top = b.orderBy(col("__k").desc, col("doc_id")).limit(B).collect()
+        state ++= top.map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        val merged = state.sortBy(t => (-t._4, t._1)).take(B)
+        state.clear(); state ++= merged
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(nBatches >= 2,
+      s"fixture must arrive in multiple micro-batches, got $nBatches")
+    import spark.implicits._
+    state.toSeq.toDF("doc_id", "lang", "n_chars", "__k")
+      .withColumn("sel_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__k").desc, col("doc_id"))).cast("int"))
+      .drop("__k")
+  }
+
   def streamingExpectationSuite(spark: SparkSession, dir: String): DataFrame =
     runToTable(qualityMetrics(eventsStream(spark, dir)),
       "streaming_expectation_suite", "complete")
