@@ -6516,6 +6516,115 @@ object ExtQueries {
           col("sum_chars")))
   }
 
+  private val partsTablePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** PARTITIONS metadata table (`layout_partitions_table`,
+    * [[graft.operators.VersionedTable.partitionsTable]]): live rows
+    * per `truncate(200, n_chars)` partition value, with the Iceberg
+    * economics made explicit — files PROVABLY single-value (manifest
+    * min == max, zero null transform rows, no DV) answer from the
+    * manifest with zero data IO; straddlers (an unclustered append)
+    * and DV'd files pay a scan of exactly those files. The fixture
+    * plants all three populations: a tight generation (32 range
+    * partitions over ~10 bins — equal keys can't split, so every
+    * non-empty file is single-bin), a 2-file unclustered append
+    * (straddlers), and a narrow DV delete (vectored holders); the
+    * gate require()s ≥1 file on the metadata-only path and ≥1 on the
+    * scan path, then hashes per-bin live counts against the raw
+    * restatement.
+    *
+    * Scale shape (100 TB): scan cost ∝ files not yet tight under the
+    * active spec — zero after maintenance; `SELECT partition,
+    * count(*)` never touches the clustered bulk.
+    */
+  def layoutPartitionsTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{PartitionTransform, TruncateTransform, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val t = TruncateTransform(200, "n_chars")
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ptab").toString
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec,
+      PartitionTransform.clusterLayout(32, Seq(t)), transforms = Seq(t))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec,
+      layout = _.repartition(2))
+    // a NARROW roster (≈0.1%) so the bloom probe vectors only a few
+    // of the tight files — most stay on the metadata-only path (a
+    // wide roster at sf0.1 touches every file and the require fires)
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 997 === 0).select(col("doc_id")))
+    val m = VersionedTable.manifest(s, root)
+    val sn = t.statName
+    val nExact = m.filter(col(s"min_$sn") === col(s"max_$sn") &&
+      col(s"nnull_$sn") === 0L && col("dv_path").isNull).count()
+    require(nExact >= 1,
+      "fixture must keep at least one file on the metadata-only path")
+    require(m.count() > nExact,
+      "fixture must put at least one file on the scan path")
+    retirePrevDir(partsTablePrev, root)
+    VersionedTable.partitionsTable(s, root)
+      .select(col(sn).as("bin_chars"), col("n_live"))
+  }
+
+  private val reclusterWherePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** SELECTIVE OPTIMIZE (`layout_optimize_where`,
+    * [[graft.operators.VersionedTable.reclusterWhere]]): the nightly
+    * hot-partition re-sort — only files whose n_chars interval
+    * intersects [150, 600] rewrite (resolved through their deletion
+    * vectors, materializing them); every out-of-band file PASSES
+    * THROUGH by name with its manifest row verbatim. The gate
+    * require()s the selectivity (every out-of-band file survives
+    * by name, ≥1 file rewritten, the rewrite is smaller than the
+    * table) and content identity two ways: the head hash against the
+    * raw restatement, and a change-feed window SPANNING the commit
+    * that segments over it (`dataChange = false`) and folds to the
+    * same state.
+    *
+    * Scale shape (100 TB): planning is the manifest band filter;
+    * rewrite IO ∝ the hot band — the verb that keeps a petabyte
+    * table's maintenance window constant as the cold bulk grows.
+    */
+  def layoutOptimizeWhere(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_rw").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0),
+      root, spec, layout)
+    val mv0 = mvLangAgg(VersionedTable.readVersion(s, root, v1))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 89 === 0).select(col("doc_id")))
+    val before = VersionedTable.manifest(s, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    val vOpt = VersionedTable.reclusterWhere(s, root, spec, "n_chars", 150, 600,
+      _.repartitionByRange(4, col("n_chars")).sortWithinPartitions("n_chars"))
+    val after = VersionedTable.manifest(s, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    val nRewritten = VersionedTable.versionMeta(root, vOpt)("n_rewritten").toInt
+    require(nRewritten >= 1 && nRewritten < before.size,
+      s"the band rewrite must be selective ($nRewritten of ${before.size})")
+    require((before intersect after).size == before.size - nRewritten,
+      "every out-of-band file must pass through by name")
+    // content-identical: the feed SEGMENTS over the rewrite — a
+    // window spanning create→append→DV-delete→reclusterWhere folds to
+    // the head state
+    val folded = mvLangFold(mv0, VersionedTable.changeFeed(s, root, v1, vOpt))
+    retirePrevDir(reclusterWherePrev, root)
+    mvLangAgg(VersionedTable.read(s, root))
+      .select(lit("1_head").as("slice"), col("lang"), col("n_docs"),
+        col("sum_chars"))
+      .unionByName(folded.select(lit("2_folded").as("slice"), col("lang"),
+        col("n_docs"), col("sum_chars")))
+  }
+
   private val historyPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -492,7 +492,13 @@ object SparkEntry {
     "layout_hidden_partition" -> (ExtQueries.layoutHiddenPartition _),
     // r22: partition-spec evolution — zero-rewrite bucket declaration;
     // NULL-stat old files survive, post-evolution files prune
-    "layout_partition_evolution" -> (ExtQueries.layoutPartitionEvolution _)
+    "layout_partition_evolution" -> (ExtQueries.layoutPartitionEvolution _),
+    // r22: Iceberg partitions metadata table — per-value live counts,
+    // metadata-only for provably single-value files, scan ∝ the rest
+    "layout_partitions_table" -> (ExtQueries.layoutPartitionsTable _),
+    // r22: OPTIMIZE ... WHERE — hot-band re-sort, out-of-band files
+    // pass through by name; content-identical (feeds segment over it)
+    "layout_optimize_where" -> (ExtQueries.layoutOptimizeWhere _)
   )
 
   /** Subset run by graft.Bench as the headline set (r02: widened so
@@ -2128,6 +2134,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT '2_head', lang, count(*),
         |  CAST(sum(n_chars) AS BIGINT) FROM base GROUP BY lang""".stripMargin,
+    // partitions metadata table: live rows per truncate(200, n_chars)
+    // value — the metadata-only path and the straddler/DV scan path
+    // must agree on one total
+    "layout_partitions_table" ->
+      """SELECT n_chars - n_chars % 200 AS bin_chars,
+        |  count(*) AS n_live
+        |FROM documents
+        |WHERE doc_id % 3 < 2 AND doc_id % 997 <> 0
+        |GROUP BY 1""".stripMargin,
+    // selective OPTIMIZE: content identity stated twice — the head
+    // read and the feed fold across the band rewrite must agree
+    "layout_optimize_where" ->
+      """WITH survivors AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents
+        |  WHERE doc_id % 3 < 2 AND doc_id % 89 <> 0
+        |  GROUP BY lang)
+        |SELECT '1_head' AS slice, lang, n_docs, sum_chars FROM survivors
+        |UNION ALL
+        |SELECT '2_folded', lang, n_docs, sum_chars FROM survivors""".stripMargin,
     // partition-spec evolution: a pre-evolution probe (NULL-stat
     // generation, unpruned but correct), a post-evolution probe
     // (pruned generation), and the head aggregate across the mixed

@@ -67,9 +67,15 @@ object VersionedTable {
   private def sidecar(s: SparkSession, dataDir: String, spec: Spec,
                       transforms: Seq[PartitionTransform] = Nil): DataFrame = {
     val present = s.read.parquet(dataDir).schema.fieldNames.toSet
+    // nnull makes "every row of this file belongs to value min"
+    // PROVABLE from the manifest (min/max ignore NULLs, so min == max
+    // alone cannot rule out null-transform rows hiding in the file) —
+    // the fact [[partitionsTable]]'s metadata-only path depends on
     val ptAggs = transforms.filter(t => present.contains(t.srcCol)).flatMap(t =>
       Seq(min(t(col(t.srcCol))).as(s"min_${t.statName}"),
-        max(t(col(t.srcCol))).as(s"max_${t.statName}")))
+        max(t(col(t.srcCol))).as(s"max_${t.statName}"),
+        sum(when(t(col(t.srcCol)).isNull, 1L).otherwise(0L))
+          .as(s"nnull_${t.statName}")))
     val aggs: Seq[Column] =
       spec.statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
         ptAggs :+
@@ -471,7 +477,7 @@ object VersionedTable {
     "compact-dv", "compact-dv-noop", "delete-noop", "update-noop",
     "merge-noop", "delete-band-noop",
     "set-constraint", "drop-constraint", "rename-column", "drop-column",
-    "evolve-partitioning")
+    "evolve-partitioning", "recluster-where", "recluster-where-noop")
 
   /** CONTENT-CHANGING rewrites that carry WRITER-SIDE CDC (Delta's
     * `_change_data` files): their file diff is NOT their content diff
@@ -829,6 +835,54 @@ object VersionedTable {
             "per-file stats a superset of live rows; compact first")
         n.crossJoin(m.agg(min(col(s"min_$cc")).as(s"min_$cc"),
           max(col(s"max_$cc")).as(s"max_$cc")))
+    }
+  }
+
+  /** PARTITIONS metadata table (Iceberg's `partitions`): live row
+    * count per partition-transform VALUE. Files PROVABLY single-value
+    * (min == max, zero null transform rows, no deletion vector)
+    * answer from the MANIFEST alone — zero data IO; everything else
+    * (straddlers under a loose layout, DV'd files whose stats are
+    * physical supersets, pre-evolution generations with no stats)
+    * pays a scan of exactly those files, resolved through their
+    * vectors. No refusal and no wrong answer: the metadata-only
+    * fraction grows to ~all of the table once a [[recluster]] under
+    * the active spec tightens the layout — the Iceberg economics,
+    * with the straddler honesty made explicit.
+    *
+    * Scale shape (100 TB): cost ∝ files NOT yet tight under the
+    * active spec (zero after maintenance); the manifest aggregate is
+    * file-count rows.
+    */
+  def partitionsTable(s: SparkSession, root: String): DataFrame = {
+    val ts = activeTransforms(root)
+    require(ts.nonEmpty,
+      s"partitionsTable: no partition transforms declared under $root")
+    val m = manifest(s, root)
+    val names = ts.map(_.statName)
+    val haveStats = ts.forall(t =>
+      m.columns.contains(s"min_${t.statName}") &&
+        m.columns.contains(s"nnull_${t.statName}"))
+    def scanOf(rows: DataFrame): DataFrame =
+      readFiles(s, rows)
+        .groupBy(ts.map(t => t(col(t.srcCol)).as(t.statName)): _*)
+        .agg(count(lit(1)).as("n_live"))
+    if (!haveStats) scanOf(m)
+    else {
+      val exactCond = ts.map(t =>
+        col(s"min_${t.statName}").isNotNull &&
+          (col(s"min_${t.statName}") === col(s"max_${t.statName}")) &&
+          (col(s"nnull_${t.statName}") === 0L)).reduce(_ && _) &&
+        col("dv_path").isNull
+      val exact = m.filter(coalesce(exactCond, lit(false)))
+      val loose = m.filter(!coalesce(exactCond, lit(false)))
+      val fromManifest = exact
+        .groupBy(names.map(n => col(s"min_$n").as(n)): _*)
+        .agg(sum(col("n_rows")).as("n_live"))
+      if (loose.isEmpty) fromManifest
+      else fromManifest.unionByName(scanOf(loose))
+        .groupBy(names.map(col(_)): _*)
+        .agg(sum(col("n_live")).as("n_live"))
     }
   }
 
@@ -1791,6 +1845,42 @@ object VersionedTable {
     layout(readFiles(s, current)).write.parquet(gen)
     publishManifest(sidecar(s, gen, spec, activeTransforms(root)), root,
       Map("verb" -> "recluster"))
+  }
+
+  /** SELECTIVE OPTIMIZE (Delta `OPTIMIZE ... WHERE`): re-sort ONLY the
+    * files whose `[min, max]` interval on stat column `c` intersects
+    * the band — the hot-partition maintenance a 100 TB table actually
+    * runs nightly, instead of [[recluster]]'s full rewrite. Band files
+    * are read THROUGH their deletion vectors (materializing them) and
+    * rewritten under `layout`; every other file PASSES THROUGH with
+    * its manifest row verbatim — name, DV pointer, lineage. Content-
+    * identical (`dataChange = false`): feeds segment over it. A band
+    * touching nothing publishes a noop commit.
+    *
+    * Scale shape (100 TB): planning is the manifest band filter;
+    * IO ∝ the hot band, never ∝ table.
+    */
+  def reclusterWhere(s: SparkSession, root: String, spec: Spec,
+                     c: String, lo: Any, hi: Any,
+                     layout: DataFrame => DataFrame): String = {
+    require(spec.statCols.contains(c),
+      s"reclusterWhere: $c carries no min/max stats (statCols: ${spec.statCols})")
+    val current = Publish.read(s, manifestRoot(root))
+    val hot = StatsSpine.survivors(current, c, lo, hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+    if (hot.isEmpty)
+      publishManifest(current, root, Map("verb" -> "recluster-where-noop"))
+    else {
+      val gen = freshGen(root)
+      layout(readFiles(s, current.filter(col("file").isin(hot: _*))))
+        .write.parquet(gen)
+      publishManifest(
+        current.filter(!col("file").isin(hot: _*))
+          .unionByName(sidecar(s, gen, spec, activeTransforms(root)),
+            allowMissingColumns = true),
+        root, Map("verb" -> "recluster-where",
+          "n_rewritten" -> hot.length.toString))
+    }
   }
 
   /** OPTIMISTIC-CONCURRENCY append: the multi-writer commit loop every

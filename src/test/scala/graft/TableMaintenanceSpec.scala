@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{PartitionTransform, Publish, TruncateTransform, VersionedTable}
+
+/** partitionsTable + reclusterWhere claims the hash gates can't
+  * state: the metadata-only path genuinely reads zero data bytes, the
+  * scan path handles straddlers / DVs / NULL transform values
+  * exactly, and the selective rewrite routes files by band with DV
+  * materialization.
+  */
+class TableMaintenanceSpec extends SparkSpec {
+
+  private val spec = VersionedTable.Spec(Seq("n"), "k", 1 << 13)
+  private val t200 = TruncateTransform(200, "n")
+
+  private def rows(lo: Long, hi: Long): DataFrame = {
+    import spark.implicits._
+    (lo until hi).map(i => (i, i % 1000)).toDF("k", "n")
+  }
+
+  test("partitionsTable answers metadata-only: correct with every data file deleted") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tm-z").toString
+    // 32 range partitions over 5 bins: equal keys can't split, so
+    // every non-empty file is single-bin (provably exact)
+    VersionedTable.create(spark, rows(0, 1000), root, spec,
+      PartitionTransform.clusterLayout(32, Seq(t200)), transforms = Seq(t200))
+    val expect = Map(0L -> 200L, 200L -> 200L, 400L -> 200L,
+      600L -> 200L, 800L -> 200L)
+    // physically remove the data files — the manifest alone must answer
+    VersionedTable.manifest(spark, root).select("file").collect()
+      .foreach(r => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(r.getString(0).stripPrefix("file:"))))
+    val got = VersionedTable.partitionsTable(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"metadata-only counts wrong: $got")
+  }
+
+  test("partitionsTable scan path: straddlers, DV'd files and NULL transform rows count exactly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tm-s").toString
+    VersionedTable.create(spark, rows(0, 1000), root, spec,
+      PartitionTransform.clusterLayout(32, Seq(t200)), transforms = Seq(t200))
+    // straddling append (one file spanning every bin) with a NULL n row
+    val extra = (1000L until 1100L).map(i => (i, Some(i % 1000))) :+
+      ((2000L, Option.empty[Long]))
+    VersionedTable.append(spark, extra.toDF("k", "n").coalesce(1), root, spec)
+    // DV a narrow roster out of the tight generation
+    VersionedTable.deleteRosterDV(spark, root, spec,
+      Seq(5L, 205L, 405L).toDF("k"))
+    val got = VersionedTable.partitionsTable(spark, root).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    // base: 200/bin; DV kills one in bins 0,200,400; append adds 20 to
+    // each of bins 0..800 (k%1000 of 1000..1099 → 0..99 → bin 0 only!)
+    // — 1000..1099 gives n = 0..99, ALL in bin 0; plus one NULL row
+    val expect = Map(0L -> (200L - 1 + 100), 200L -> 199L, 400L -> 199L,
+      600L -> 200L, 800L -> 200L, -1L -> 1L)
+    assert(got == expect, s"scan-path counts wrong: $got")
+  }
+
+  test("reclusterWhere: band files rewrite (DVs materialized), out-of-band pass through verbatim") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tm-r").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n")).sortWithinPartitions("n")
+    VersionedTable.create(spark, rows(0, 1000), root, spec, layout)
+    VersionedTable.deleteRosterDV(spark, root, spec, Seq(10L, 900L).toDF("k"))
+    val before = VersionedTable.manifest(spark, root)
+      .select("file", "dv_path").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val v = VersionedTable.reclusterWhere(spark, root, spec, "n", 0, 300,
+      _.repartitionByRange(2, col("n")))
+    val after = VersionedTable.manifest(spark, root)
+      .select("file", "dv_path").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val kept = before.keySet intersect after.keySet
+    val rewritten = before.keySet -- after.keySet
+    assert(rewritten.nonEmpty && kept.nonEmpty, "the rewrite must be selective")
+    // every kept file keeps its manifest row verbatim (incl. DV pointer)
+    kept.foreach(f => assert(after(f) == before(f)))
+    // rewritten files' DVs are materialized: new generation carries none
+    (after.keySet -- before.keySet).foreach(f => assert(after(f).isEmpty))
+    // out-of-band DV survives: k=900 (n=900) was outside the band
+    assert(after.values.flatten.nonEmpty,
+      "the out-of-band file must keep its deletion vector")
+    // content identity
+    val live = VersionedTable.read(spark, root)
+      .agg(count(lit(1)), sum(col("k"))).head
+    assert(live.getLong(0) == 998L)
+    assert(live.getLong(1) == (0L until 1000L).sum - 10L - 900L)
+    // noop band publishes a content-identical commit
+    val v2 = VersionedTable.reclusterWhere(spark, root, spec, "n", 5000, 6000,
+      identity)
+    assert(VersionedTable.versionMeta(root, v2)("verb") == "recluster-where-noop")
+    // the feed segments across the selective rewrite
+    val feed = VersionedTable.changeFeed(spark, root, v, v2)
+    assert(feed.count() == 0L, "a rewrite-only window must fold to nothing")
+  }
+}
