@@ -109,6 +109,17 @@ final case class DayTransform(srcCol: String) extends PartitionTransform {
   def serial: String = s"day:$srcCol"
 }
 
+/** `hour(c)`: hour-granularity binning as epoch-hours (a LONG, so the
+  * stat band stays integer-comparable across days). Order-preserving.
+  */
+final case class HourTransform(srcCol: String) extends PartitionTransform {
+  def statName: String = s"pt_hour_$srcCol"
+  def apply(raw: Column): Column =
+    floor(unix_timestamp(raw.cast("timestamp")) / lit(3600L)).cast("long")
+  def orderPreserving: Boolean = true
+  def serial: String = s"hour:$srcCol"
+}
+
 object PartitionTransform {
 
   /** Inverse of [[PartitionTransform.serial]]. */
@@ -116,6 +127,7 @@ object PartitionTransform {
     case Array("bucket", n, c) => BucketTransform(n.toInt, c)
     case Array("trunc", w, c)  => TruncateTransform(w.toLong, c)
     case Array("day", c)       => DayTransform(c)
+    case Array("hour", c)      => HourTransform(c)
     case _ => throw new IllegalArgumentException(
       s"unparseable partition transform '$s'")
   }

@@ -1305,7 +1305,8 @@ object StreamingStage {
     */
   def appendVersionedTable(batch: DataFrame, tableRoot: String,
                            spec: graft.operators.VersionedTable.Spec,
-                           batchId: Long): Boolean = {
+                           batchId: Long,
+                           layout: DataFrame => DataFrame = identity): Boolean = {
     import graft.operators.VersionedTable
     val last = VersionedTable.headMeta(tableRoot, "batchId").map(_.toLong)
     if (last.exists(_ >= batchId)) false
@@ -1313,10 +1314,10 @@ object StreamingStage {
       val meta = Map("batchId" -> batchId.toString)
       if (VersionedTable.headVersion(tableRoot).isEmpty)
         VersionedTable.create(batch.sparkSession, batch, tableRoot, spec,
-          extraMeta = meta)
+          layout = layout, extraMeta = meta)
       else
         VersionedTable.append(batch.sparkSession, batch, tableRoot, spec,
-          extraMeta = meta)
+          layout = layout, extraMeta = meta)
       true
     }
   }

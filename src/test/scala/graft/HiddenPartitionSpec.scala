@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{BucketTransform, DayTransform, PartitionTransform,
-  Publish, TruncateTransform, VersionedTable}
+import graft.operators.{BucketTransform, DayTransform, HourTransform,
+  PartitionTransform, Publish, TruncateTransform, VersionedTable}
 
 /** Hidden partitioning + partition-spec evolution: the claims the
   * `layout_hidden_partition` / `layout_partition_evolution` hash
@@ -197,9 +197,52 @@ class HiddenPartitionSpec extends SparkSpec {
 
   test("serial round-trips") {
     Seq(BucketTransform(16, "doc_id"), TruncateTransform(1000, "n_chars"),
-        DayTransform("ts")).foreach { t =>
+        DayTransform("ts"), HourTransform("ts")).foreach { t =>
       assert(PartitionTransform.parse(t.serial) == t)
     }
-    intercept[IllegalArgumentException] { PartitionTransform.parse("hour:ts") }
+    intercept[IllegalArgumentException] { PartitionTransform.parse("week:ts") }
+  }
+
+  test("hour transform: epoch-hour bins prune a raw-timestamp band across days") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-hp-h").toString
+    val h = HourTransform("ts")
+    val df = (0L until 96L).map(x =>
+      (x, java.sql.Timestamp.valueOf(f"2024-03-${1 + x / 24}%02d ${x % 24}%02d:30:00")))
+      .toDF("k", "ts")
+    VersionedTable.create(spark, df, root, spec,
+      layout = PartitionTransform.clusterLayout(8, Seq(h)),
+      transforms = Seq(h))
+    val total = VersionedTable.manifest(spark, root).count()
+    val got = VersionedTable.partitionPrunedBandRead(spark, root, "ts",
+        "2024-03-02 10:00:00", "2024-03-02 13:59:59")
+      .filter(col("ts").between(lit("2024-03-02 10:00:00"), lit("2024-03-02 13:59:59")))
+    assert(got.count() == 4L)
+    assert(got.select(input_file_name()).distinct().count() < total)
+  }
+
+  test("streaming ingest into a partitioned table: micro-batch files carry pt stats and prune") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-hp-si").toString
+    VersionedTable.create(spark, rows(0, 100), root, spec,
+      layout = PartitionTransform.clusterLayout(8, Seq(bucket)),
+      transforms = Seq(bucket))
+    // two idempotent micro-batch appends through the streaming sink,
+    // clustered by the caller-passed layout (the Iceberg fan-out
+    // writer posture: the sink clusters, the table meta declares)
+    val cl = PartitionTransform.clusterLayout(8, Seq(bucket))
+    assert(graft.streaming.StreamingStage.appendVersionedTable(
+      rows(100, 200), root, spec, batchId = 1L, layout = cl))
+    assert(!graft.streaming.StreamingStage.appendVersionedTable(
+      rows(100, 200), root, spec, batchId = 1L, layout = cl),
+      "a redelivered batchId must no-op")
+    val m = VersionedTable.manifest(spark, root)
+    assert(m.filter(col(s"min_${bucket.statName}").isNull).count() == 0L,
+      "every streaming generation must carry transform stats")
+    val survivors = VersionedTable.partitionSurvivorFiles(spark, root, "k", 150L)
+    assert(survivors.length < m.count(),
+      "the streaming batch must prune like any other generation")
+    assert(VersionedTable.partitionPrunedRead(spark, root, "k", 150L)
+      .filter(col("k") === 150L).count() == 1L)
   }
 }
