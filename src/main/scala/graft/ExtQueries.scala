@@ -6516,6 +6516,46 @@ object ExtQueries {
           col("sum_chars")))
   }
 
+  private val partRosterPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Hidden-partition ROSTER lookup (`layout_partition_roster`,
+    * [[graft.operators.VersionedTable.partitionPrunedIn]]): the batch
+    * point-lookup shape — a GDPR roster of 4 doc_ids against the
+    * bucket(8)-partitioned table reads only the files whose bucket
+    * stats can hold ANY of the roster's transform images (one
+    * manifest filter, each image computed in-plan), then the exact IN
+    * predicate. The gate require()s the union prune (≤ roster-many
+    * buckets of files survive across both generations) and hashes the
+    * roster rows against the raw restatement.
+    *
+    * Scale shape (100 TB): a k-key roster reads ~min(k, N)/N of the
+    * files BEFORE the row-level bloom/semi-join machinery sees a
+    * byte — file-level skipping is the only layer whose cost doesn't
+    * touch the table at all.
+    */
+  def layoutPartitionRoster(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{BucketTransform, PartitionTransform, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val bucket = BucketTransform(8, "doc_id")
+    val layout = PartitionTransform.clusterLayout(8, Seq(bucket))
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_prost").toString
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec,
+      layout, transforms = Seq(bucket))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+    val roster = Seq[Any](1L, 300L, 400L, 451L)
+    val total = VersionedTable.manifest(s, root).count()
+    val pruned = VersionedTable.partitionPrunedIn(s, root, "doc_id", roster)
+    val kept = pruned.select(input_file_name()).distinct().count()
+    require(kept * 2 <= total,
+      s"the roster prune must skip most files (kept $kept of $total)")
+    retirePrevDir(partRosterPrev, root)
+    pruned.filter(col("doc_id").isin(roster: _*))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   private val partsTablePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -493,6 +493,9 @@ object SparkEntry {
     // r22: partition-spec evolution — zero-rewrite bucket declaration;
     // NULL-stat old files survive, post-evolution files prune
     "layout_partition_evolution" -> (ExtQueries.layoutPartitionEvolution _),
+    // r22: roster point lookup — union of per-key bucket prunes in
+    // one manifest filter (the GDPR batch shape)
+    "layout_partition_roster" -> (ExtQueries.layoutPartitionRoster _),
     // r22: Iceberg partitions metadata table — per-value live counts,
     // metadata-only for provably single-value files, scan ∝ the rest
     "layout_partitions_table" -> (ExtQueries.layoutPartitionsTable _),
@@ -2134,6 +2137,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT '2_head', lang, count(*),
         |  CAST(sum(n_chars) AS BIGINT) FROM base GROUP BY lang""".stripMargin,
+    // roster lookup: the pruned read + exact IN must equal the raw
+    // point lookups
+    "layout_partition_roster" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (1, 300, 400, 451) AND doc_id % 3 < 2""".stripMargin,
     // partitions metadata table: live rows per truncate(200, n_chars)
     // value — the metadata-only path and the straddler/DV scan path
     // must agree on one total

@@ -810,6 +810,41 @@ object VersionedTable {
     ptSurvivors(s, root, c, Some(v), None)
       .select("file").collect().map(_.getString(0))
 
+  /** HIDDEN-PARTITION ROSTER LOOKUP — `c IN (values)` pruned through
+    * the transforms: the union of each value's point survivors, as
+    * ONE manifest filter (each value's transform image computed
+    * in-plan; the OR of per-value bands). This is the batch shape a
+    * GDPR roster lookup or a file-level dynamic join prune runs:
+    * under `bucket(N, c)` a roster of k keys reads ~min(k, N)/N of
+    * the files instead of the table — file-level skipping BEFORE the
+    * row-level bloom/semi-join machinery ever sees a byte. Bounded to
+    * driver-literal roster sizes (the predicate is |roster| terms on
+    * a manifest-sized frame); a corpus-sized roster belongs in a join,
+    * not a prune.
+    */
+  def partitionPrunedIn(s: SparkSession, root: String,
+                        c: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "partitionPrunedIn: empty roster")
+    require(values.length <= 1000,
+      s"partitionPrunedIn: ${values.length} probe values — a roster this " +
+        "large belongs in a semi-join, not a manifest predicate")
+    val phys = physicalNameOf(root, c)
+    val all = activeTransforms(root).filter(_.srcCol == phys)
+    require(all.nonEmpty,
+      s"no partition transform on '$c' — declare one at create() or " +
+        "evolvePartitioning(), or use prunedRead's raw stats")
+    val m = manifest(s, root)
+    val pruned = all.filter(t => m.columns.contains(s"min_${t.statName}"))
+      .foldLeft(m) { (mm, t) =>
+        val anyHit = values.map { v =>
+          val img = t(lit(v))
+          col(s"min_${t.statName}") <= img && col(s"max_${t.statName}") >= img
+        }.reduce(_ || _)
+        mm.filter(col(s"min_${t.statName}").isNull || anyHit)
+      }
+    logicalView(readFiles(s, pruned), headMetaOf(root))
+  }
+
   /** METADATA-ONLY aggregates: COUNT(*), MIN(c), MAX(c) answered from
     * the manifest alone — zero data-file bytes read (the Delta
     * metadata-only query optimization, explicit). COUNT is exact

@@ -203,6 +203,28 @@ class HiddenPartitionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { PartitionTransform.parse("week:ts") }
   }
 
+  test("roster lookup: union of point prunes in one manifest filter; exact; bounded") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hp-ro").toString
+    VersionedTable.create(spark, rows(0, 800), root, spec,
+      layout = PartitionTransform.clusterLayout(8, Seq(bucket)),
+      transforms = Seq(bucket))
+    val roster = Seq[Any](3L, 400L, 777L)
+    val got = VersionedTable.partitionPrunedIn(spark, root, "k", roster)
+      .filter(col("k").isin(roster: _*))
+    assert(got.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 400L, 777L))
+    val total = VersionedTable.manifest(spark, root).count()
+    val kept = VersionedTable.partitionPrunedIn(spark, root, "k", roster)
+      .select(input_file_name()).distinct().count()
+    assert(kept < total, s"roster prune kept $kept of $total")
+    intercept[IllegalArgumentException] {
+      VersionedTable.partitionPrunedIn(spark, root, "k", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.partitionPrunedIn(spark, root, "k", (0L until 1001L))
+    }
+  }
+
   test("hour transform: epoch-hour bins prune a raw-timestamp band across days") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-hp-h").toString
