@@ -1712,6 +1712,32 @@ object ExtOracleSql {
        |SELECT * FROM pairs
        |WHERE doc_id_1 % 7 = 0 OR doc_id_2 % 7 = 0""".stripMargin
 
+  /** graph_triangles twin: the algorithm-independent statement — a
+    * triangle is x < y < z with all three pair-edges present (the
+    * pair CTE already emits a < b, so the join chain enforces the
+    * order for free); per-node participation plus the global count
+    * under node = -1. The Spark side's degree orientation is an
+    * implementation detail the spec never mentions.
+    */
+  val graphTriangles: String =
+    s"""WITH pairs AS ($dedupMinhashLsh),
+       |e AS (SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |per_node AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT x AS node FROM tri
+       |    UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri) u
+       |  GROUP BY node)
+       |SELECT CAST(-1 AS BIGINT) AS node,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_tri
+       |UNION ALL
+       |SELECT node, n_tri FROM per_node""".stripMargin
+
   /** pipeline_dedup_embedding_incremental twin: the one-shot embedding
     * detector over corpus ∪ batch, restricted to batch-touching pairs
     * (batch = vec_id % 7 < 2 — see the Spark query's split rationale).

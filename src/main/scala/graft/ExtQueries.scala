@@ -6516,6 +6516,27 @@ object ExtQueries {
           col("sum_chars")))
   }
 
+  /** Triangle census over the near-dup pair graph (`graph_triangles`,
+    * [[graft.operators.Triangles]]): per-node triangle participation
+    * plus the global count (node = -1), by degree-ordered node
+    * iteration — wedge work Σ out-deg² bounded O(E^1.5), no hub
+    * explosion. The dedup-QA reading: triangle density separates
+    * true duplicate CLUSTERS (transitive) from similarity CHAINS
+    * (a~b~c without a~c) — the difference between safe cluster
+    * collapse and over-merging. The pair frame is checkpointed once
+    * (lesson 24: four downstream branches would re-run the minhash
+    * pipeline per branch); exact-integer counts, so the oracle states
+    * the algorithm-independent spec (all three edges present,
+    * x < y < z) with no orientation.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Checkpoints.ensure(s.sparkContext)
+    val pairs = dedupMinhashLsh(s, dir)
+      .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+      .checkpoint()
+    graft.operators.Triangles.census(pairs)
+  }
+
   private val partRosterPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

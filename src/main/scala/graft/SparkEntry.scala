@@ -496,6 +496,9 @@ object SparkEntry {
     // r22: roster point lookup — union of per-key bucket prunes in
     // one manifest filter (the GDPR batch shape)
     "layout_partition_roster" -> (ExtQueries.layoutPartitionRoster _),
+    // r22: triangle census over the near-dup pair graph — transitivity
+    // QA for dedup clusters (degree-ordered node iteration)
+    "graph_triangles" -> (ExtQueries.graphTriangles _),
     // r22: Iceberg partitions metadata table — per-value live counts,
     // metadata-only for provably single-value files, scan ∝ the rest
     "layout_partitions_table" -> (ExtQueries.layoutPartitionsTable _),
@@ -1828,6 +1831,7 @@ object SparkEntry {
     // same oracle as dedup_clusters by design
     "dedup_clusters_star" -> ExtOracleSql.dedupClusters,
     "graph_pagerank" -> ExtOracleSql.graphPageRank,
+    "graph_triangles" -> ExtOracleSql.graphTriangles,
     // the stored and append paths resolve to the identical row set as
     // the one-shot derivation — that equality IS what their gates prove
     "graph_pagerank_stored" -> ExtOracleSql.graphPageRank,
