@@ -122,6 +122,17 @@ final case class HourTransform(srcCol: String) extends PartitionTransform {
 
 object PartitionTransform {
 
+  /** The same transform re-targeted at another (physical) column —
+    * how the table layer resolves a caller's LOGICAL column name to
+    * the stable on-file name before storing the spec.
+    */
+  def withSrc(t: PartitionTransform, c: String): PartitionTransform = t match {
+    case b: BucketTransform   => b.copy(srcCol = c)
+    case tr: TruncateTransform => tr.copy(srcCol = c)
+    case d: DayTransform      => d.copy(srcCol = c)
+    case h: HourTransform     => h.copy(srcCol = c)
+  }
+
   /** Inverse of [[PartitionTransform.serial]]. */
   def parse(s: String): PartitionTransform = s.split(":", 3) match {
     case Array("bucket", n, c) => BucketTransform(n.toInt, c)

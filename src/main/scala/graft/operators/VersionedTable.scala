@@ -246,6 +246,10 @@ object VersionedTable {
       .getOrElse(logical)
     require(physical != spec.keyCol && !spec.statCols.contains(physical),
       s"dropColumn: $logical is a stat/key column — the pruning spine depends on it")
+    require(!activeTransforms(root).exists(_.srcCol == physical),
+      s"dropColumn: $logical is a partition-transform source — dropping it " +
+        "would silently end transform stats (and pruning) for every future " +
+        "batch; evolvePartitioning away from it first")
     val post = head.drop(logical)
     constraints(root).foreach { case (n, e) =>
       require(scala.util.Try(post.limit(0).filter(expr(e))).isSuccess,
@@ -305,10 +309,21 @@ object VersionedTable {
     */
   def evolvePartitioning(s: SparkSession, root: String,
                          transforms: Seq[PartitionTransform]): String = {
+    // accept LOGICAL column names (the caller's view) and store the
+    // stable PHYSICAL name — a transform declared against a renamed
+    // column must not silently produce no stats forever (the sidecar
+    // skips absent columns by contract)
+    val logical = read(s, root).schema.fieldNames.toSet
+    val resolved = transforms.map { t =>
+      require(logical.contains(t.srcCol),
+        s"evolvePartitioning: no such column '${t.srcCol}' " +
+          s"(columns: ${logical.mkString(", ")})")
+      PartitionTransform.withSrc(t, physicalNameOf(root, t.srcCol))
+    }
     val stale = headVersion(root).map(v => metaAt(root, v).keySet
       .filter(_.startsWith(PtSpecPrefix))).getOrElse(Set.empty)
     publishManifest(Publish.read(s, manifestRoot(root)), root,
-      ptSpecMeta(transforms) + ("verb" -> "evolve-partitioning"),
+      ptSpecMeta(resolved) + ("verb" -> "evolve-partitioning"),
       dropMetaKeys = stale)
   }
 
@@ -378,6 +393,9 @@ object VersionedTable {
              layout: DataFrame => DataFrame = identity,
              extraMeta: Map[String, String] = Map.empty,
              transforms: Seq[PartitionTransform] = Nil): String = {
+    transforms.foreach(t => require(df.columns.contains(t.srcCol),
+      s"create: partition transform on unknown column '${t.srcCol}' " +
+        s"(batch columns: ${df.columns.mkString(", ")})"))
     val gen = freshGen(root)
     layout(df).write.parquet(gen)
     publishManifest(sidecar(s, gen, spec, transforms), root,
@@ -919,6 +937,57 @@ object VersionedTable {
         .groupBy(names.map(col(_)): _*)
         .agg(sum(col("n_live")).as("n_live"))
     }
+  }
+
+  /** MAINTENANCE PLANNER (the "table doctor"): inspect the manifest
+    * and prescribe the maintenance verbs a production table runs on a
+    * schedule — ZERO data IO, planning inputs only (manifest rows +
+    * driver-side file-size stats):
+    *
+    *  - ≥2 files below `targetBytes`  → `optimize-compact` (mirrors
+    *    [[optimizeCompact]]'s own ≥2 threshold — one small file has
+    *    nothing to consolidate with);
+    *  - files carrying deletion vectors → `compact-dv`;
+    *  - files loose under the ACTIVE partition spec (stats missing,
+    *    spanning values, or holding null transform rows) →
+    *    `recluster` (they neither prune nor attribute metadata-only).
+    *
+    * Idempotent: a fully maintained table plans nothing — the spec
+    * drives the prescriptions and asserts the empty re-plan.
+    */
+  def maintenancePlan(s: SparkSession, root: String,
+                      targetBytes: Long): DataFrame = {
+    import s.implicits._
+    val m = manifest(s, root)
+    val ts = activeTransforms(root)
+    val looseCond =
+      if (ts.isEmpty) lit(false)
+      else ts.map { t =>
+        if (m.columns.contains(s"min_${t.statName}") &&
+            m.columns.contains(s"nnull_${t.statName}"))
+          col(s"min_${t.statName}").isNull ||
+            col(s"min_${t.statName}") =!= col(s"max_${t.statName}") ||
+            col(s"nnull_${t.statName}") > 0L
+        else lit(true)
+      }.reduce(_ || _)
+    val rows = m.select(col("file"), col("dv_path"),
+      coalesce(looseCond, lit(true)).as("__loose")).collect()
+    val sized = rows.map(r => r -> java.nio.file.Files.size(
+      java.nio.file.Paths.get(r.getString(0).stripPrefix("file:"))))
+    val nSmall = sized.count(_._2 < targetBytes)
+    val plan = sized.flatMap { case (r, size) =>
+      val f = r.getString(0)
+      Seq(
+        if (size < targetBytes && nSmall >= 2)
+          Some(("optimize-compact", f, s"$size bytes < $targetBytes")) else None,
+        if (r.getString(1) != null)
+          Some(("compact-dv", f, "carries a deletion vector")) else None,
+        if (r.getBoolean(2))
+          Some(("recluster", f, "loose under the active partition spec"))
+        else None
+      ).flatten
+    }
+    plan.toSeq.toDF("action", "file", "reason")
   }
 
   /** Resolve a manifest's rows to live data: list exactly its files

@@ -225,6 +225,43 @@ class HiddenPartitionSpec extends SparkSpec {
     }
   }
 
+  test("guards: unknown-column transforms refused; evolution accepts logical names post-rename; transform source can't drop") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-hp-g").toString
+    // n is ONLY a transform source (not a stat/key column) so the
+    // transform-source drop guard is the one that fires
+    val spec2 = VersionedTable.Spec(Seq("k"), "k", 1 << 13)
+    intercept[IllegalArgumentException] {
+      VersionedTable.create(spark, rows(0, 10), root, spec,
+        transforms = Seq(BucketTransform(8, "nope")))
+    }
+    VersionedTable.create(spark,
+      (0L until 400L).map(i => (i, i * 2)).toDF("k", "n"), root, spec2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolvePartitioning(spark, root,
+        Seq(TruncateTransform(100, "nope")))
+    }
+    // rename n -> n_chars, then declare the transform by its LOGICAL
+    // name: the spec must store the physical name so stats appear
+    VersionedTable.renameColumn(spark, root, spec2, "n", "n_chars")
+    VersionedTable.evolvePartitioning(spark, root,
+      Seq(TruncateTransform(100, "n_chars")))
+    assert(VersionedTable.activeTransforms(root).head.srcCol == "n",
+      "the stored spec must carry the stable physical name")
+    VersionedTable.append(spark,
+      (400L until 500L).map(i => (i, i * 2)).toDF("k", "n_chars"), root, spec2,
+      PartitionTransform.clusterLayout(4, Seq(TruncateTransform(100, "n"))))
+    val got = VersionedTable.partitionPrunedBandRead(spark, root,
+        "n_chars", 800L, 899L)
+      .filter(col("n_chars").between(800L, 899L))
+    assert(got.count() == 50L)
+    // dropping the transform's source column is refused
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, spec2, "n_chars")
+    }
+    assert(e.getMessage.contains("partition-transform source"))
+  }
+
   test("hour transform: epoch-hour bins prune a raw-timestamp band across days") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-hp-h").toString

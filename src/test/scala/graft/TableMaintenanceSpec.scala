@@ -59,6 +59,37 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(got == expect, s"scan-path counts wrong: $got")
   }
 
+  test("maintenancePlan prescribes compact/compact-dv/recluster; running them empties the plan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tm-p").toString
+    // tight create, then: a fragmented append (many small files), a
+    // straddler (loose under the spec), and a DV
+    VersionedTable.create(spark, rows(0, 1000), root, spec,
+      PartitionTransform.clusterLayout(32, Seq(t200)), transforms = Seq(t200))
+    // n = k % 1000 spans bins 0..400 across the 6 hash-split files —
+    // genuinely loose under the spec
+    VersionedTable.append(spark, rows(1000, 1600), root, spec,
+      layout = _.repartition(6))
+    VersionedTable.deleteRosterDV(spark, root, spec, Seq(7L).toDF("k"))
+    val plan = VersionedTable.maintenancePlan(spark, root, targetBytes = 4096L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val actions = plan.map(_._1).toSet
+    assert(actions.contains("compact-dv"), s"missing compact-dv in $actions")
+    assert(actions.contains("recluster"), s"missing recluster in $actions")
+    assert(plan.map(_._1).count(_ == "optimize-compact") >= 2,
+      "the fragmented append must prescribe compaction (≥2 small files)")
+    // run the prescriptions: DV compaction, then a full recluster
+    // under the active spec (tight + single generation)
+    VersionedTable.compactDeletes(spark, root, spec)
+    VersionedTable.recluster(spark, root, spec,
+      PartitionTransform.clusterLayout(32, Seq(t200)))
+    val replan = VersionedTable.maintenancePlan(spark, root, targetBytes = 1L)
+    assert(replan.isEmpty,
+      s"a maintained table plans nothing, got ${replan.collect().toSeq}")
+    // content untouched by the maintenance chain
+    assert(VersionedTable.read(spark, root).count() == 1599L)
+  }
+
   test("reclusterWhere: band files rewrite (DVs materialized), out-of-band pass through verbatim") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-tm-r").toString
