@@ -6516,6 +6516,81 @@ object ExtQueries {
           col("sum_chars")))
   }
 
+  private val applyChangesPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val applyChangesPrev2 =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** CDC table replication (`layout_apply_changes`,
+    * [[graft.operators.VersionedTable.applyChanges]]): the Delta
+    * APPLY CHANGES INTO pattern — a replica bootstraps from the
+    * source's v1 and then stays current by folding change-feed
+    * windows, each window ONE atomic merge-on-read commit (update =
+    * DV old + append new), idempotent by `applied_upto`. The source
+    * runs a four-verb chain (create → append → MERGE update →
+    * DV-delete), the replica applies it in TWO windows with a
+    * redelivery in between (require()d to no-op), and the gate hashes
+    * SOURCE and REPLICA head aggregates against ONE restatement — any
+    * lost pre-image, double-applied window, or misrouted insert
+    * diverges the slices. Bootstrap generation files are require()d
+    * to survive in the replica's final manifest (merge-on-read
+    * replication, never a rewrite).
+    *
+    * Scale shape (100 TB): a cross-cluster mirror pays feed bytes +
+    * bloom-probed holders per window — never table bytes; chaining
+    * works because the apply commit is itself feed-safe.
+    */
+  def layoutApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = java.nio.file.Files.createTempDirectory("graft_cdc_src").toString
+    val rep = java.nio.file.Files.createTempDirectory("graft_cdc_rep").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0),
+      src, spec, layout)
+    // replica bootstrap = the source's v1, applied_upto stamped
+    VersionedTable.create(s, VersionedTable.readVersion(s, src, v1), rep, spec,
+      layout, extraMeta = Map("applied_upto" -> v1))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), src, spec, layout)
+    VersionedTable.merge(s, src, spec,
+      d.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars")),
+      matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+      insertNotMatched = false, layout = layout)
+    val v4 = VersionedTable.deleteRosterDV(s, src, spec,
+      d.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+    val bootFiles = VersionedTable.manifest(s, rep)
+      .select("file").collect().map(_.getString(0)).toSet
+    // window 1: three verbs, one commit on the replica
+    require(VersionedTable.applyChanges(s, rep, spec,
+      VersionedTable.changeFeed(s, src, v1, v4), v4, layout).isDefined)
+    // redelivered window must no-op (exactly-once from at-least-once)
+    require(VersionedTable.applyChanges(s, rep, spec,
+      VersionedTable.changeFeed(s, src, v1, v4), v4, layout).isEmpty,
+      "a redelivered window must no-op")
+    // window 2: an incremental delete
+    val v5 = VersionedTable.deleteRosterDV(s, src, spec,
+      d.filter(col("doc_id") % 17 === 0).select(col("doc_id")))
+    require(VersionedTable.applyChanges(s, rep, spec,
+      VersionedTable.changeFeed(s, src, v4, v5), v5, layout).isDefined)
+    val repFiles = VersionedTable.manifest(s, rep)
+      .select("file").collect().map(_.getString(0)).toSet
+    require(bootFiles.subsetOf(repFiles),
+      "replication must be merge-on-read: bootstrap files survive")
+    retirePrevDir(applyChangesPrev, src)
+    retirePrevDir(applyChangesPrev2, rep)
+    mvLangAgg(VersionedTable.read(s, src))
+      .select(lit("1_source").as("slice"), col("lang"), col("n_docs"),
+        col("sum_chars"))
+      .unionByName(mvLangAgg(VersionedTable.read(s, rep))
+        .select(lit("2_replica").as("slice"), col("lang"), col("n_docs"),
+          col("sum_chars")))
+  }
+
   /** Triangle census over the near-dup pair graph (`graph_triangles`,
     * [[graft.operators.Triangles]]): per-node triangle participation
     * plus the global count (node = -1), by degree-ordered node

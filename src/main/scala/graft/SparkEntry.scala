@@ -499,6 +499,9 @@ object SparkEntry {
     // r22: triangle census over the near-dup pair graph — transitivity
     // QA for dedup clusters (degree-ordered node iteration)
     "graph_triangles" -> (ExtQueries.graphTriangles _),
+    // r22: APPLY CHANGES INTO — CDC table replication, one atomic
+    // merge-on-read commit per feed window, exactly-once by offset
+    "layout_apply_changes" -> (ExtQueries.layoutApplyChanges _),
     // r22: Iceberg partitions metadata table — per-value live counts,
     // metadata-only for provably single-value files, scan ∝ the rest
     "layout_partitions_table" -> (ExtQueries.layoutPartitionsTable _),
@@ -2141,6 +2144,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT '2_head', lang, count(*),
         |  CAST(sum(n_chars) AS BIGINT) FROM base GROUP BY lang""".stripMargin,
+    // CDC replication: source and replica head aggregates stated from
+    // ONE restatement of the four-verb chain — divergence breaks it
+    "layout_apply_changes" ->
+      """WITH final AS (
+        |  SELECT doc_id, lang,
+        |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 3 < 2 AND doc_id % 13 <> 0 AND doc_id % 17 <> 0),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM final GROUP BY lang)
+        |SELECT '1_source' AS slice, lang, n_docs, sum_chars FROM agg
+        |UNION ALL
+        |SELECT '2_replica', lang, n_docs, sum_chars FROM agg""".stripMargin,
     // roster lookup: the pruned read + exact IN must equal the raw
     // point lookups
     "layout_partition_roster" ->

@@ -479,7 +479,7 @@ object VersionedTable {
     */
   private val FeedSafeVerbs = Set(
     "create", "append", "append-occ", "delete-dv", "delete-dv-noop",
-    "upsert-dv", "merge", "delete-band")
+    "upsert-dv", "merge", "delete-band", "apply-changes")
 
   /** CONTENT-IDENTICAL commits (Delta's `dataChange = false`): the
     * table's bytes-as-content before and after are equal — rewrites
@@ -495,7 +495,8 @@ object VersionedTable {
     "compact-dv", "compact-dv-noop", "delete-noop", "update-noop",
     "merge-noop", "delete-band-noop",
     "set-constraint", "drop-constraint", "rename-column", "drop-column",
-    "evolve-partitioning", "recluster-where", "recluster-where-noop")
+    "evolve-partitioning", "recluster-where", "recluster-where-noop",
+    "apply-changes-noop")
 
   /** CONTENT-CHANGING rewrites that carry WRITER-SIDE CDC (Delta's
     * `_change_data` files): their file diff is NOT their content diff
@@ -936,6 +937,64 @@ object VersionedTable {
       else fromManifest.unionByName(scanOf(loose))
         .groupBy(names.map(col(_)): _*)
         .agg(sum(col("n_live")).as("n_live"))
+    }
+  }
+
+  /** APPLY CHANGES INTO (Delta Live Tables' verb — CDC TABLE
+    * REPLICATION): fold one [[changeFeed]] window from a SOURCE table
+    * into this replica as a SINGLE atomic merge-on-read commit. Keys
+    * appearing among the window's inserts are REPLACED (existing
+    * replica rows deletion-vectored, insert rows appended — a source
+    * UPDATE arrives as delete+insert of the same key); keys with only
+    * delete rows are vectored out; upstream CDF net semantics
+    * guarantee at most one delete + one insert per key per window.
+    * IDEMPOTENT by `applied_upto` in the commit meta (numeric version
+    * order): a redelivered window no-ops, so an at-least-once wakeup
+    * loop composes to exactly-once replica state — the
+    * [[FeedConsumer]] contract with a versioned TABLE as the derived
+    * state. The commit is feed-safe (DV + append, the [[upsertDV]]
+    * shape), so a replica can itself be a source: replication chains.
+    *
+    * Caller contract: keyed replica (one row per `spec.keyCol`), the
+    * [[upsertDV]] posture.
+    *
+    * Scale shape (100 TB): cost ∝ window rows + bloom-probed holder
+    * files — the replica never rescans itself; a mirror across
+    * clusters pays feed bytes, not table bytes.
+    *
+    * @return Some(version) when the window applied, None on a
+    *         redelivered (already-applied) window
+    */
+  def applyChanges(s: SparkSession, root: String, spec: Spec,
+                   feed: DataFrame, upTo: String,
+                   layout: DataFrame => DataFrame = identity): Option[String] = {
+    require(upTo.matches("v\\d+"), s"applyChanges: upTo must be a version name, got $upTo")
+    val applied = headMeta(root, "applied_upto")
+    if (applied.exists(a => vNum(a) >= vNum(upTo))) None
+    else {
+      val ins = feed.filter(col("change_type") === "insert").drop("change_type")
+      val del = feed.filter(col("change_type") === "delete").drop("change_type")
+      enforceSchema(s, root, ins, allowEvolution = false)
+      guardDropped(root, ins)
+      enforce(ins, constraints(root))
+      val current = Publish.read(s, manifestRoot(root))
+      val doomed = del.select(col(spec.keyCol))
+        .unionByName(ins.select(col(spec.keyCol))).distinct()
+      val base = vectorize(s, current, root, spec, doomed).map(_._1)
+        .getOrElse(current)
+      val meta = Map("applied_upto" -> upTo)
+      if (ins.isEmpty)
+        Some(publishManifest(base, root,
+          meta + ("verb" -> (if (base eq current) "apply-changes-noop"
+            else "apply-changes"))))
+      else {
+        val gen = freshGen(root)
+        layout(toPhysical(ins, columnMapping(root))).write.parquet(gen)
+        Some(publishManifest(
+          base.unionByName(sidecar(s, gen, spec, activeTransforms(root)),
+            allowMissingColumns = true),
+          root, meta + ("verb" -> "apply-changes")))
+      }
     }
   }
 

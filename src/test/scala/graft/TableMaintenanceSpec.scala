@@ -90,6 +90,40 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 1599L)
   }
 
+  test("applyChanges chains: a replica's own feed replicates to a third table") {
+    import spark.implicits._
+    val a = java.nio.file.Files.createTempDirectory("graft-tm-a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-tm-b").toString
+    val c = java.nio.file.Files.createTempDirectory("graft-tm-c").toString
+    val v1 = VersionedTable.create(spark, rows(0, 300), a, spec)
+    VersionedTable.create(spark, VersionedTable.readVersion(spark, a, v1), b, spec,
+      extraMeta = Map("applied_upto" -> v1))
+    val bBoot = VersionedTable.headVersion(b).get
+    VersionedTable.create(spark, VersionedTable.read(spark, b), c, spec,
+      extraMeta = Map("applied_upto" -> bBoot))
+    // source mutates: append + keyed update via upsert + delete
+    VersionedTable.append(spark, rows(300, 400), a, spec)
+    VersionedTable.upsertDV(spark, a, spec,
+      Seq((5L, 5000L), (6L, 6000L)).toDF("k", "n"))
+    val aHead = VersionedTable.deleteRosterDV(spark, a, spec, Seq(9L).toDF("k"))
+    // a → b (apply-changes is itself feed-safe) → c
+    assert(VersionedTable.applyChanges(spark, b, spec,
+      VersionedTable.changeFeed(spark, a, v1, aHead), aHead).isDefined)
+    val bHead = VersionedTable.headVersion(b).get
+    assert(VersionedTable.applyChanges(spark, c, spec,
+      VersionedTable.changeFeed(spark, b, bBoot, bHead), bHead).isDefined)
+    // all three tables agree exactly
+    def state(root: String) = VersionedTable.read(spark, root)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(state(b) == state(a), "replica diverged from source")
+    assert(state(c) == state(a), "chained replica diverged")
+    assert(state(a).toMap.get(5L).contains(5000L))
+    assert(!state(a).toMap.contains(9L))
+    // stale window against the chained replica no-ops
+    assert(VersionedTable.applyChanges(spark, c, spec,
+      VersionedTable.changeFeed(spark, b, bBoot, bHead), bHead).isEmpty)
+  }
+
   test("reclusterWhere: band files rewrite (DVs materialized), out-of-band pass through verbatim") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-tm-r").toString
