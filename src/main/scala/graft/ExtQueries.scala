@@ -6516,6 +6516,32 @@ object ExtQueries {
           col("sum_chars")))
   }
 
+  private val metaDistinctPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Metadata-only APPROX COUNT DISTINCT (`layout_metadata_distinct`,
+    * [[graft.operators.VersionedTable.metadataDistinct]]): the
+    * manifest's per-file KMV key sketches merge (min-k union,
+    * lossless) into the same estimate the sketch aggregate computes
+    * over the raw table — bit-equal, which is exactly what the hash
+    * proves against the oracle's direct KMV restatement. Completes
+    * the metadata-only aggregate family (COUNT/MIN/MAX → DISTINCT);
+    * the zero-IO claim and the DV refusal are spec-pinned.
+    */
+  def layoutMetadataDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_mdist").toString
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec,
+      layout = _.repartition(4))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec,
+      layout = _.repartition(4))
+    retirePrevDir(metaDistinctPrev, root)
+    VersionedTable.metadataDistinct(s, root)
+  }
+
   private val applyChangesPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val applyChangesPrev2 =

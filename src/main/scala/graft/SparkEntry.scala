@@ -502,6 +502,9 @@ object SparkEntry {
     // r22: APPLY CHANGES INTO — CDC table replication, one atomic
     // merge-on-read commit per feed window, exactly-once by offset
     "layout_apply_changes" -> (ExtQueries.layoutApplyChanges _),
+    // r22: metadata-only APPROX COUNT DISTINCT — per-file KMV sketches
+    // merged from the manifest alone, bit-equal to the direct sketch
+    "layout_metadata_distinct" -> (ExtQueries.layoutMetadataDistinct _),
     // r22: Iceberg partitions metadata table — per-value live counts,
     // metadata-only for provably single-value files, scan ∝ the rest
     "layout_partitions_table" -> (ExtQueries.layoutPartitionsTable _),
@@ -2144,6 +2147,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT '2_head', lang, count(*),
         |  CAST(sum(n_chars) AS BIGINT) FROM base GROUP BY lang""".stripMargin,
+    // metadata-only approx distinct: the manifest-merged KMV estimate
+    // equals the direct sketch over the raw keys bit-for-bit (min-k
+    // union losslessness; same 63/(v64/2^52) arithmetic both sides)
+    "layout_metadata_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS p
+        |  FROM documents WHERE doc_id % 3 < 2),
+        |r AS (SELECT p, ROW_NUMBER() OVER (ORDER BY p) AS rn,
+        |        COUNT(*) OVER () AS n FROM h)
+        |SELECT CASE WHEN MAX(n) < 64 THEN CAST(MAX(n) AS DOUBLE)
+        |  ELSE 63.0 / (CAST(list_reduce(
+        |    [strpos('0123456789abcdef', substr(MAX(CASE WHEN rn = 64 THEN p END), i, 1)) - 1
+        |     for i in range(1, 14)], (a, d) -> a * 16 + d) AS DOUBLE)
+        |    / 4503599627370496.0)
+        |  END AS n_distinct_est
+        |FROM r""".stripMargin,
     // CDC replication: source and replica head aggregates stated from
     // ONE restatement of the four-verb chain — divergence breaks it
     "layout_apply_changes" ->

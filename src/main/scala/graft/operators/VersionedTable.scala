@@ -53,6 +53,12 @@ object VersionedTable {
   private def filesDir(root: String) = s"$root/files"
   private def manifestRoot(root: String) = s"$root/manifest"
 
+  /** KMV width for the per-file key sketch (the qa-gate k: estimates
+    * derived from stored sketches are bit-equal to the direct
+    * aggregate, so the manifest-only distinct count hash-gates).
+    */
+  val KmvK = 64
+
   /** ONE scan of `dataDir` producing the combined manifest rows:
     * (file, n_rows, min_c/max_c per stat column, min/max per active
     * PARTITION-TRANSFORM value, bloom). The groupBy key is the file
@@ -80,7 +86,12 @@ object VersionedTable {
       spec.statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
         ptAggs :+
         call_function("bloom_agg", col(spec.keyCol).cast("string"), lit(spec.mBits))
-          .as("bloom")
+          .as("bloom") :+
+        // per-file KMV sketch of the key column: min-k union across
+        // files is lossless, so [[metadataDistinct]] answers APPROX
+        // COUNT DISTINCT from the manifest alone at any later time
+        call_function("kmv_sketch", col(spec.keyCol).cast("string"),
+          lit(KmvK)).as("kmv")
     // the manifest's file identity is `_metadata.file_path` — the SAME
     // column the deletion-vector build and the DV read resolution use,
     // so (file, pos) pairs join bit-identically across commits.
@@ -890,6 +901,39 @@ object VersionedTable {
         n.crossJoin(m.agg(min(col(s"min_$cc")).as(s"min_$cc"),
           max(col(s"max_$cc")).as(s"max_$cc")))
     }
+  }
+
+  /** METADATA-ONLY APPROX COUNT DISTINCT of the key column: merge the
+    * per-file KMV sketches the sidecar stored at write time — min-k
+    * union is lossless, so the manifest-merged estimate is BIT-EQUAL
+    * to running the sketch aggregate over the raw table (the
+    * qa_sketch_reagg property, now applied to the table format).
+    * Zero data IO: planning inputs are ≤ k longs per file. REFUSES on
+    * a vectored table (a file's sketch covers its PHYSICAL rows — a
+    * DV may have deleted distinct keys; [[compactDeletes]] restores
+    * exactness), the [[metadataAgg]] min/max posture: an explicit
+    * refusal instead of a silently-stale estimate.
+    *
+    * Scale shape (100 TB): `APPROX COUNT DISTINCT(key)` answers in
+    * manifest-row time — the question every dedup/ingest dashboard
+    * asks, never touching the table.
+    */
+  def metadataDistinct(s: SparkSession, root: String): DataFrame = {
+    val m = manifest(s, root)
+    require(m.columns.contains("kmv"),
+      "metadataDistinct: this manifest predates key sketches — recluster " +
+        "or compact once to regenerate sidecars")
+    require(m.filter(col("dv_path").isNotNull).isEmpty,
+      "metadataDistinct refused — deletion vectors make per-file sketches " +
+        "a superset of live rows; compact first")
+    // same estimate arithmetic as ExtQueries.kmvEstimate (two IEEE
+    // divides over the k-th smallest hash) — bit-parity is the gate
+    val est = when(size(col("msk")) < KmvK, size(col("msk")).cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) /
+        (element_at(col("msk"), KmvK).cast("double") /
+          lit(graft.functions.KmvDistinctAgg.HashSpace)))
+    m.agg(call_function("kmv_merge", col("kmv"), lit(KmvK)).as("msk"))
+      .select(est.as("n_distinct_est"))
   }
 
   /** PARTITIONS metadata table (Iceberg's `partitions`): live row

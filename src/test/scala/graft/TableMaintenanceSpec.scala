@@ -90,6 +90,49 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 1599L)
   }
 
+  test("metadataDistinct: zero data IO, DV refusal, compaction restores") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tm-d").toString
+    VersionedTable.create(spark, rows(0, 500), root, spec,
+      layout = _.repartition(4))
+    VersionedTable.append(spark, rows(400, 700), root, spec,
+      layout = _.repartition(4))
+    // direct truth: 700 distinct keys (overlap 400..499 dedups via
+    // min-k union across files)
+    def est(): Double = VersionedTable.metadataDistinct(spark, root)
+      .head.getDouble(0)
+    val e1 = est()
+    // k=64 ⇒ σ ≈ 13%; this fixed md5 population draws ~2.9σ high
+    // (968 for 700) — the accuracy band is a sanity rail, the REAL
+    // claim is the bit-parity with the direct sketch below
+    assert(math.abs(e1 - 700.0) / 700.0 < 0.5, s"KMV estimate off: $e1")
+    // bit-parity with the direct sketch aggregate over raw keys
+    val direct = VersionedTable.read(spark, root)
+      .agg(call_function("kmv_sketch", col("k").cast("string"),
+        lit(VersionedTable.KmvK)).as("sk"))
+      .select(ExtQueries.kmvEstimate(col("sk"), VersionedTable.KmvK))
+      .head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(e1) ==
+      java.lang.Double.doubleToLongBits(direct), s"$e1 != $direct")
+    // zero IO: the estimate still answers with every data file gone
+    VersionedTable.manifest(spark, root).select("file").collect()
+      .foreach(r => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(r.getString(0).stripPrefix("file:"))))
+    assert(java.lang.Double.doubleToLongBits(est()) ==
+      java.lang.Double.doubleToLongBits(e1))
+    // DV refusal, then compaction restores exactness
+    val root2 = java.nio.file.Files.createTempDirectory("graft-tm-d2").toString
+    VersionedTable.create(spark, rows(0, 500), root2, spec)
+    VersionedTable.deleteRosterDV(spark, root2, spec, Seq(3L).toDF("k"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.metadataDistinct(spark, root2)
+    }
+    assert(e.getMessage.contains("compact first"))
+    VersionedTable.compactDeletes(spark, root2, spec)
+    val e2 = VersionedTable.metadataDistinct(spark, root2).head.getDouble(0)
+    assert(math.abs(e2 - 499.0) / 499.0 < 0.5, s"post-compact estimate: $e2")
+  }
+
   test("applyChanges chains: a replica's own feed replicates to a third table") {
     import spark.implicits._
     val a = java.nio.file.Files.createTempDirectory("graft-tm-a").toString
