@@ -6530,7 +6530,8 @@ object ExtQueries {
     */
   def layoutMetadataDistinct(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.VersionedTable
-    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13,
+      keySketch = true)
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val root = java.nio.file.Files.createTempDirectory("graft_mdist").toString

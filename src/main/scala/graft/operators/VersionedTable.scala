@@ -46,9 +46,16 @@ import org.apache.spark.sql.functions._
 object VersionedTable {
 
   /** Table schema contract: which columns carry min/max stats and
-    * which key column the Bloom sidecar indexes.
+    * which key column the Bloom sidecar indexes. `keySketch` opts the
+    * per-file KMV key sketch IN (off by default, the Delta/Iceberg
+    * posture — distinct sketches are ANALYZE-style opt-in stats): it
+    * rides the same one-scan sidecar and buys [[metadataDistinct]],
+    * but the TypedImperativeAggregate costs a measured ~1.4× on the
+    * commit's sidecar scan (A/B at sf0.1), which a write-heavy table
+    * that never asks the distinct question should not pay.
     */
-  final case class Spec(statCols: Seq[String], keyCol: String, mBits: Int)
+  final case class Spec(statCols: Seq[String], keyCol: String, mBits: Int,
+                        keySketch: Boolean = false)
 
   private def filesDir(root: String) = s"$root/files"
   private def manifestRoot(root: String) = s"$root/manifest"
@@ -82,16 +89,19 @@ object VersionedTable {
         max(t(col(t.srcCol))).as(s"max_${t.statName}"),
         sum(when(t(col(t.srcCol)).isNull, 1L).otherwise(0L))
           .as(s"nnull_${t.statName}")))
+    // per-file KMV sketch of the key column: min-k union across
+    // files is lossless, so [[metadataDistinct]] answers APPROX
+    // COUNT DISTINCT from the manifest alone at any later time
+    val kmvAgg =
+      if (spec.keySketch)
+        Seq(call_function("kmv_sketch", col(spec.keyCol).cast("string"),
+          lit(KmvK)).as("kmv"))
+      else Nil
     val aggs: Seq[Column] =
-      spec.statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      (spec.statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
         ptAggs :+
         call_function("bloom_agg", col(spec.keyCol).cast("string"), lit(spec.mBits))
-          .as("bloom") :+
-        // per-file KMV sketch of the key column: min-k union across
-        // files is lossless, so [[metadataDistinct]] answers APPROX
-        // COUNT DISTINCT from the manifest alone at any later time
-        call_function("kmv_sketch", col(spec.keyCol).cast("string"),
-          lit(KmvK)).as("kmv")
+          .as("bloom")) ++ kmvAgg
     // the manifest's file identity is `_metadata.file_path` — the SAME
     // column the deletion-vector build and the DV read resolution use,
     // so (file, pos) pairs join bit-identically across commits.
@@ -923,6 +933,10 @@ object VersionedTable {
     require(m.columns.contains("kmv"),
       "metadataDistinct: this manifest predates key sketches — recluster " +
         "or compact once to regenerate sidecars")
+    require(m.filter(col("kmv").isNull).isEmpty,
+      "metadataDistinct: file(s) committed with keySketch = false — a " +
+        "merge over partial sketches would silently under-count; " +
+        "recluster under a sketching spec first")
     require(m.filter(col("dv_path").isNotNull).isEmpty,
       "metadataDistinct refused — deletion vectors make per-file sketches " +
         "a superset of live rows; compact first")

@@ -92,10 +92,11 @@ class TableMaintenanceSpec extends SparkSpec {
 
   test("metadataDistinct: zero data IO, DV refusal, compaction restores") {
     import spark.implicits._
+    val skSpec = spec.copy(keySketch = true)
     val root = java.nio.file.Files.createTempDirectory("graft-tm-d").toString
-    VersionedTable.create(spark, rows(0, 500), root, spec,
+    VersionedTable.create(spark, rows(0, 500), root, skSpec,
       layout = _.repartition(4))
-    VersionedTable.append(spark, rows(400, 700), root, spec,
+    VersionedTable.append(spark, rows(400, 700), root, skSpec,
       layout = _.repartition(4))
     // direct truth: 700 distinct keys (overlap 400..499 dedups via
     // min-k union across files)
@@ -120,17 +121,32 @@ class TableMaintenanceSpec extends SparkSpec {
         java.nio.file.Paths.get(r.getString(0).stripPrefix("file:"))))
     assert(java.lang.Double.doubleToLongBits(est()) ==
       java.lang.Double.doubleToLongBits(e1))
-    // DV refusal, then compaction restores exactness
+    // DV refusal, then compaction restores exactness (compaction
+    // re-derives the sidecar under the sketching spec)
     val root2 = java.nio.file.Files.createTempDirectory("graft-tm-d2").toString
-    VersionedTable.create(spark, rows(0, 500), root2, spec)
-    VersionedTable.deleteRosterDV(spark, root2, spec, Seq(3L).toDF("k"))
+    VersionedTable.create(spark, rows(0, 500), root2, skSpec)
+    VersionedTable.deleteRosterDV(spark, root2, skSpec, Seq(3L).toDF("k"))
     val e = intercept[IllegalArgumentException] {
       VersionedTable.metadataDistinct(spark, root2)
     }
     assert(e.getMessage.contains("compact first"))
-    VersionedTable.compactDeletes(spark, root2, spec)
+    VersionedTable.compactDeletes(spark, root2, skSpec)
     val e2 = VersionedTable.metadataDistinct(spark, root2).head.getDouble(0)
     assert(math.abs(e2 - 499.0) / 499.0 < 0.5, s"post-compact estimate: $e2")
+    // default spec (keySketch = false) sheds the per-commit cost; a
+    // mixed manifest refuses rather than silently under-count
+    val root3 = java.nio.file.Files.createTempDirectory("graft-tm-d3").toString
+    VersionedTable.create(spark, rows(0, 100), root3, spec)
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.metadataDistinct(spark, root3)
+    }
+    assert(e3.getMessage.contains("predates key sketches"))
+    VersionedTable.append(spark, rows(100, 200), root3, skSpec) // sketched batch
+    val e4 = intercept[IllegalArgumentException] {
+      VersionedTable.metadataDistinct(spark, root3)
+    }
+    assert(e4.getMessage.contains("keySketch = false"),
+      s"mixed manifest must refuse, got: ${e4.getMessage}")
   }
 
   test("applyChanges chains: a replica's own feed replicates to a third table") {
