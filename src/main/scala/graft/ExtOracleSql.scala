@@ -1719,6 +1719,30 @@ object ExtOracleSql {
     * under node = -1. The Spark side's degree orientation is an
     * implementation detail the spec never mentions.
     */
+  /** graph_transitivity twin: 3·triangles / wedges in exact-integer
+    * ppm over the same pair CTE; wedges = Σ deg·(deg−1) // 2.
+    */
+  val graphTransitivity: String =
+    s"""WITH pairs AS ($dedupMinhashLsh),
+       |e AS (SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) u
+       |  GROUP BY node),
+       |agg AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_tri,
+       |    CAST(SUM(deg * (deg - 1)) AS BIGINT) // 2 AS n_wedges
+       |  FROM deg)
+       |SELECT n_tri, n_wedges,
+       |  CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE (3 * n_tri * 1000000) // n_wedges END AS transitivity_ppm
+       |FROM agg""".stripMargin
+
   val graphTriangles: String =
     s"""WITH pairs AS ($dedupMinhashLsh),
        |e AS (SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs),

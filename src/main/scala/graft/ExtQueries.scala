@@ -6639,6 +6639,33 @@ object ExtQueries {
     graft.operators.Triangles.census(pairs)
   }
 
+  /** Global transitivity of the near-dup pair graph
+    * (`graph_transitivity`): 3·triangles / wedges as an exact-integer
+    * ppm ratio (wedges = Σ deg·(deg−1)/2) — the one-number dedup-QA
+    * dial on top of [[graphTriangles]]: ≈10⁶ ppm means near-dup
+    * clusters are transitive (safe to collapse), low ppm means the
+    * detector is producing similarity CHAINS whose collapse would
+    * over-merge. Same checkpointed pair frame; all quantities
+    * integer, so the ratio hash-gates (`div` ≡ DuckDB `//`).
+    */
+  def graphTransitivity(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Checkpoints.ensure(s.sparkContext)
+    val pairs = dedupMinhashLsh(s, dir)
+      .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+      .checkpoint()
+    val tri = graft.operators.Triangles.census(pairs)
+      .filter(col("node") === -1L).select(col("n_tri"))
+    val wedges = pairs.select(col("a").as("node"))
+      .unionByName(pairs.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .agg(sum(col("deg") * (col("deg") - 1)).as("tw"))
+      .select(expr("tw div 2").as("n_wedges"))
+    tri.crossJoin(wedges).select(col("n_tri"), col("n_wedges"),
+      when(col("n_wedges") === 0L, lit(0L))
+        .otherwise(expr("(3 * n_tri * 1000000) div n_wedges"))
+        .as("transitivity_ppm"))
+  }
+
   private val partRosterPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -499,6 +499,8 @@ object SparkEntry {
     // r22: triangle census over the near-dup pair graph — transitivity
     // QA for dedup clusters (degree-ordered node iteration)
     "graph_triangles" -> (ExtQueries.graphTriangles _),
+    // r22: global transitivity ppm — the one-number dedup-QA dial
+    "graph_transitivity" -> (ExtQueries.graphTransitivity _),
     // r22: APPLY CHANGES INTO — CDC table replication, one atomic
     // merge-on-read commit per feed window, exactly-once by offset
     "layout_apply_changes" -> (ExtQueries.layoutApplyChanges _),
@@ -1838,6 +1840,7 @@ object SparkEntry {
     "dedup_clusters_star" -> ExtOracleSql.dedupClusters,
     "graph_pagerank" -> ExtOracleSql.graphPageRank,
     "graph_triangles" -> ExtOracleSql.graphTriangles,
+    "graph_transitivity" -> ExtOracleSql.graphTransitivity,
     // the stored and append paths resolve to the identical row set as
     // the one-shot derivation — that equality IS what their gates prove
     "graph_pagerank_stored" -> ExtOracleSql.graphPageRank,

@@ -1723,6 +1723,28 @@ object VersionedTable {
     * data is read or moved; the referenced set is manifest-sized and
     * each consumer offset is one `_META` read.
     */
+  /** TIME-BASED RETENTION (the Delta `deletedFileRetentionDuration`
+    * posture, stated on commit stamps): vacuum keeping every version
+    * whose commit instant is AT-OR-AFTER `cutoffTs` — unstamped
+    * commits inherit the preceding stamped instant (the [[readAsOfTs]]
+    * rule), and the monotone-per-table stamp contract makes
+    * "instant ≥ cutoff" a version SUFFIX, so the retained set is
+    * exactly a derived keepLast handed to [[vacuum]] (tag + consumer
+    * custody identical). Always keeps at least the head.
+    */
+  def vacuumOlderThan(s: SparkSession, root: String, cutoffTs: Long,
+                      consumers: Seq[String] = Nil): (Seq[String], Int, Int) = {
+    val versions = publishedVersions(root)
+    val idx = tsIndex(root, versions)
+    var effective = Option.empty[Long]
+    val instants = versions.map { v =>
+      effective = idx.getOrElse(v, None).orElse(effective)
+      v -> effective
+    }
+    val keep = instants.count(_._2.exists(_ >= cutoffTs)).max(1)
+    vacuum(s, root, keepLast = keep, consumers = consumers)
+  }
+
   def vacuum(s: SparkSession, root: String, keepLast: Int,
              consumers: Seq[String] = Nil): (Seq[String], Int, Int) = {
     val consumerNeeds: Set[String] = {

@@ -149,6 +149,29 @@ class TableMaintenanceSpec extends SparkSpec {
       s"mixed manifest must refuse, got: ${e4.getMessage}")
   }
 
+  test("vacuumOlderThan: time-based retention with instant inheritance; head always survives") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tm-v").toString
+    val v1 = VersionedTable.create(spark, rows(0, 100), root, spec,
+      extraMeta = Map("commit_ts" -> "100"))
+    val v2 = VersionedTable.append(spark, rows(100, 200), root, spec,
+      extraMeta = Map("commit_ts" -> "200"))
+    // unstamped property commit inherits instant 200
+    val v3 = VersionedTable.setConstraint(spark, root, "k_pos", "k >= 0")
+    val v4 = VersionedTable.append(spark, rows(200, 300), root, spec,
+      extraMeta = Map("commit_ts" -> "300"))
+    VersionedTable.vacuumOlderThan(spark, root, cutoffTs = 250L)
+    // v4 (ts 300) retained; v1/v2/v3 (instants 100/200/200) reclaimed
+    assert(VersionedTable.read(spark, root).count() == 300L)
+    intercept[Exception] { VersionedTable.readVersion(spark, root, v1).count() }
+    intercept[Exception] { VersionedTable.readVersion(spark, root, v2).count() }
+    assert(VersionedTable.readVersion(spark, root, v4).count() == 300L)
+    // a cutoff beyond every stamp still keeps the head
+    VersionedTable.vacuumOlderThan(spark, root, cutoffTs = 9999L)
+    assert(VersionedTable.read(spark, root).count() == 300L)
+    assert(v3.nonEmpty) // touch to avoid unused warning
+  }
+
   test("applyChanges chains: a replica's own feed replicates to a third table") {
     import spark.implicits._
     val a = java.nio.file.Files.createTempDirectory("graft-tm-a").toString
