@@ -195,6 +195,23 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(feed.filter(col("change_type") === "delete").count() == 0L)
   }
 
+  test("pruned read PLANS exactly the survivor file set (inputFiles)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hp-pf").toString
+    VersionedTable.create(spark, rows(0, 800), root, spec,
+      layout = PartitionTransform.clusterLayout(8, Seq(bucket)),
+      transforms = Seq(bucket))
+    def norm(f: String) = f.replaceFirst("^file:/+", "/")
+    val survivors = VersionedTable.partitionSurvivorFiles(spark, root, "k", 42L)
+      .map(norm).toSet
+    val planned = VersionedTable.partitionPrunedRead(spark, root, "k", 42L)
+      .inputFiles.map(norm).toSet
+    assert(planned == survivors,
+      s"the scan must list exactly the survivors: planned ${planned.size}, " +
+        s"survivors ${survivors.size}")
+    val all = VersionedTable.read(spark, root).inputFiles.map(norm).toSet
+    assert(planned.subsetOf(all) && planned.size < all.size)
+  }
+
   test("serial round-trips") {
     Seq(BucketTransform(16, "doc_id"), TruncateTransform(1000, "n_chars"),
         DayTransform("ts"), HourTransform("ts")).foreach { t =>
