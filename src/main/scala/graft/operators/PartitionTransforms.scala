@@ -79,7 +79,11 @@ final case class BucketTransform(n: Int, srcCol: String) extends PartitionTransf
   def statName: String = s"pt_bucket${n}_$srcCol"
   // cast-to-string before hashing so the bucket of a literal equals
   // the bucket of the column value regardless of the literal's
-  // narrower type (an Int probe against a BIGINT column)
+  // narrower type (an Int probe against a BIGINT column). The string
+  // RENDERING must still match — "123" vs "123.0" on a DOUBLE/DECIMAL
+  // column would hash to different buckets — so the table layer casts
+  // every probe literal to the column's declared type first
+  // (VersionedTable.probeType) before computing the transform image.
   def apply(raw: Column): Column = pmod(xxhash64(raw.cast("string")), lit(n.toLong))
   def orderPreserving: Boolean = false
   def serial: String = s"bucket:$n:$srcCol"

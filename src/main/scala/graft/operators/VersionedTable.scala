@@ -281,13 +281,22 @@ object VersionedTable {
   }
 
   /** Inheritable table properties: CHECK constraints, the column
-    * mapping, logical drops, and the partition spec — every publish
-    * carries the head's forward (minus any constraint being dropped).
+    * mapping, logical drops, the partition spec, and the CDC-apply
+    * watermark — every publish carries the head's forward (minus any
+    * constraint being dropped). `applied_upto` MUST inherit (ADVICE
+    * r12): maintenance verbs the framework itself prescribes
+    * (compact-dv, optimize, recluster, set-constraint) land between
+    * [[applyChanges]] windows, and a head-only watermark would be
+    * erased by them — a redelivered window would then RE-APPLY, and
+    * an out-of-order redelivery of an OLDER window would re-insert
+    * stale key values over newer ones, diverging the replica despite
+    * the exactly-once contract.
     */
   private def inheritedMeta(root: String): Map[String, String] =
     headVersion(root).map(v => metaAt(root, v).filter { case (k, _) =>
       k.startsWith(ConstraintPrefix) || k.startsWith(ColmapPrefix) ||
-        k.startsWith(DropPrefix) || k.startsWith(PtSpecPrefix)
+        k.startsWith(DropPrefix) || k.startsWith(PtSpecPrefix) ||
+        k == "applied_upto"
     }).getOrElse(Map.empty)
 
   private def publishManifest(manifest: DataFrame, root: String,
@@ -298,6 +307,35 @@ object VersionedTable {
       audit = auditFilesExist,
       meta = (inheritedMeta(root) -- dropConstraints.map(ConstraintPrefix + _)
         -- dropMetaKeys) ++ meta)
+
+  /** Manifest ∪ batch-sidecar with a FAIL-FAST on stat-spec drift
+    * (ADVICE r12): `allowMissingColumns = true` exists for the
+    * schema-evolution direction (a batch introducing a NEW stat
+    * column back-fills NULL onto old rows, and transform stats are
+    * deliberately NULL-keeping), but it also silently tolerated the
+    * reverse — a writer whose Spec.statCols OMITS a column the
+    * table's manifest already carries. Those batch rows would read
+    * back NULL `min_c`/`max_c`, and [[StatsSpine.survivors]]'s
+    * conjunction evaluates NULL→false, so [[prunedRead]] /
+    * [[prunedReadBands]] / `reclusterWhere` would silently PRUNE
+    * that generation's files — missing rows, not an error. Transform
+    * stats (`min_pt_*`/`max_pt_*`) are exempt: a batch legitimately
+    * omitting a transform's source column simply never prunes
+    * (the NULL-keeping [[ptSurvivors]] contract).
+    */
+  private def unionSidecar(base: DataFrame, batch: DataFrame): DataFrame = {
+    def plainStats(cols: Array[String]): Set[String] = cols.iterator
+      .filter(c => (c.startsWith("min_") && !c.startsWith("min_pt_")) ||
+        (c.startsWith("max_") && !c.startsWith("max_pt_"))).toSet
+    val missing = plainStats(base.columns) -- plainStats(batch.columns)
+    require(missing.isEmpty,
+      s"stat-spec drift: batch sidecar omits stat column(s) " +
+        s"${missing.toSeq.sorted.mkString(", ")} the table's manifest " +
+        "already carries — the rows would read back NULL bounds and " +
+        "range pruning would silently SKIP the new files; pass a Spec " +
+        "whose statCols cover the table's existing stat columns")
+    base.unionByName(batch, allowMissingColumns = true)
+  }
 
   /** Hidden-partitioning table properties ride the version `_META`
     * like constraints: one `ptspec:<statName>` → serialized transform
@@ -436,9 +474,8 @@ object VersionedTable {
     val gen = freshGen(root)
     layout(toPhysical(df, columnMapping(root))).write.parquet(gen)
     publishManifest(
-      Publish.read(s, manifestRoot(root)).unionByName(
-        sidecar(s, gen, spec, activeTransforms(root)),
-        allowMissingColumns = true),
+      unionSidecar(Publish.read(s, manifestRoot(root)),
+        sidecar(s, gen, spec, activeTransforms(root))),
       root, extraMeta + ("verb" -> "append"))
   }
 
@@ -487,9 +524,8 @@ object VersionedTable {
           org.apache.spark.sql.types.StructField(
             "file", org.apache.spark.sql.types.StringType, nullable = false))))
       publishManifest(
-        current.join(hf, Seq("file"), "left_anti")
-          .unionByName(sidecar(s, gen, spec, activeTransforms(root)),
-            allowMissingColumns = true),
+        unionSidecar(current.join(hf, Seq("file"), "left_anti"),
+          sidecar(s, gen, spec, activeTransforms(root))),
         root, cdcMeta ++
           Map("verb" -> "delete", "n_holders" -> holders.length.toString))
     }
@@ -782,6 +818,23 @@ object VersionedTable {
   private def physicalNameOf(root: String, logical: String): String =
     columnMapping(root).find(_._2 == logical).map(_._1).getOrElse(logical)
 
+  /** The head schema's declared type for LOGICAL column `c` — probe
+    * literals must cast to it before a transform image is computed
+    * (ADVICE r12): [[BucketTransform]] hashes the STRING rendering of
+    * the value, so an Int/Long probe against a DOUBLE or DECIMAL
+    * column renders "123" where the stored column rendered "123.0" —
+    * a different bucket, and the pruned read would drop files that DO
+    * contain SQL-equal rows (a silent superset-contract violation).
+    * Casting the probe to the column's type makes probe and stored
+    * renderings identical for every SQL-equal value; order-preserving
+    * transforms gain the same defense for free. None when the head
+    * schema can't be resolved → the probe passes through uncast.
+    */
+  private def probeType(s: SparkSession, root: String,
+                        c: String): Option[org.apache.spark.sql.types.DataType] =
+    scala.util.Try(read(s, root).schema).toOption
+      .flatMap(_.find(_.name == c)).map(_.dataType)
+
   /** Manifest rows surviving a transform-pruned predicate on LOGICAL
     * column `c`. The predicate's transform value is computed IN-PLAN
     * (`t(lit(v))` inside the manifest filter — the reader never
@@ -802,10 +855,12 @@ object VersionedTable {
         "evolvePartitioning(), or use prunedRead's raw stats")
     val usable = if (point.isDefined) all else all.filter(_.orderPreserving)
     val m = manifest(s, root)
+    val dt = probeType(s, root, c)
+    def probe(v: Any): Column = dt.fold(lit(v))(t => lit(v).cast(t))
     usable.filter(t => m.columns.contains(s"min_${t.statName}"))
       .foldLeft(m) { (mm, t) =>
-        val (lo, hi) = point.map(v => (t(lit(v)), t(lit(v))))
-          .getOrElse { val (l, h) = band.get; (t(lit(l)), t(lit(h))) }
+        val (lo, hi) = point.map { v => val p = t(probe(v)); (p, p) }
+          .getOrElse { val (l, h) = band.get; (t(probe(l)), t(probe(h))) }
         mm.filter(col(s"min_${t.statName}").isNull ||
           (col(s"min_${t.statName}") <= hi && col(s"max_${t.statName}") >= lo))
       }
@@ -874,10 +929,12 @@ object VersionedTable {
       s"no partition transform on '$c' — declare one at create() or " +
         "evolvePartitioning(), or use prunedRead's raw stats")
     val m = manifest(s, root)
+    val dt = probeType(s, root, c)
+    def probe(v: Any): Column = dt.fold(lit(v))(t => lit(v).cast(t))
     val pruned = all.filter(t => m.columns.contains(s"min_${t.statName}"))
       .foldLeft(m) { (mm, t) =>
         val anyHit = values.map { v =>
-          val img = t(lit(v))
+          val img = t(probe(v))
           col(s"min_${t.statName}") <= img && col(s"max_${t.statName}") >= img
         }.reduce(_ || _)
         mm.filter(col(s"min_${t.statName}").isNull || anyHit)
@@ -1049,8 +1106,7 @@ object VersionedTable {
         val gen = freshGen(root)
         layout(toPhysical(ins, columnMapping(root))).write.parquet(gen)
         Some(publishManifest(
-          base.unionByName(sidecar(s, gen, spec, activeTransforms(root)),
-            allowMissingColumns = true),
+          unionSidecar(base, sidecar(s, gen, spec, activeTransforms(root))),
           root, meta + ("verb" -> "apply-changes")))
       }
     }
@@ -1399,7 +1455,7 @@ object VersionedTable {
       case None => current
       case Some((rows, _)) => rows
     }
-    publishManifest(base.unionByName(batchRows, allowMissingColumns = true),
+    publishManifest(unionSidecar(base, batchRows),
       root, Map("verb" -> "upsert-dv"))
   }
 
@@ -1576,8 +1632,7 @@ object VersionedTable {
         val withBatch = batch.filter(_ => nBatch > 0).fold(base) { b =>
           val gen = freshGen(root)
           layout(toPhysical(b, columnMapping(root))).write.parquet(gen)
-          base.unionByName(sidecar(s, gen, spec, activeTransforms(root)),
-            allowMissingColumns = true)
+          unionSidecar(base, sidecar(s, gen, spec, activeTransforms(root)))
         }
         pub(withBatch, extraMeta ++
           Map("verb" -> "merge", "n_holders" -> holders.length.toString))
@@ -1690,6 +1745,28 @@ object VersionedTable {
       s"mergeOcc: no commit after $maxAttempts attempts under $root")
   }
 
+  /** TIME-BASED RETENTION (the Delta `deletedFileRetentionDuration`
+    * posture, stated on commit stamps): vacuum keeping every version
+    * whose commit instant is AT-OR-AFTER `cutoffTs` — unstamped
+    * commits inherit the preceding stamped instant (the [[readAsOfTs]]
+    * rule), and the monotone-per-table stamp contract makes
+    * "instant ≥ cutoff" a version SUFFIX, so the retained set is
+    * exactly a derived keepLast handed to [[vacuum]] (tag + consumer
+    * custody identical). Always keeps at least the head.
+    */
+  def vacuumOlderThan(s: SparkSession, root: String, cutoffTs: Long,
+                      consumers: Seq[String] = Nil): (Seq[String], Int, Int) = {
+    val versions = publishedVersions(root)
+    val idx = tsIndex(root, versions)
+    var effective = Option.empty[Long]
+    val instants = versions.map { v =>
+      effective = idx.getOrElse(v, None).orElse(effective)
+      v -> effective
+    }
+    val keep = instants.count(_._2.exists(_ >= cutoffTs)).max(1)
+    vacuum(s, root, keepLast = keep, consumers = consumers)
+  }
+
   /** PHYSICAL VACUUM — the storage-reclaim half the manifest model
     * owes: [[Publish.vacuumRetain]] retires old MANIFEST versions, and
     * this walks the data root deleting every generation file and DV
@@ -1723,28 +1800,6 @@ object VersionedTable {
     * data is read or moved; the referenced set is manifest-sized and
     * each consumer offset is one `_META` read.
     */
-  /** TIME-BASED RETENTION (the Delta `deletedFileRetentionDuration`
-    * posture, stated on commit stamps): vacuum keeping every version
-    * whose commit instant is AT-OR-AFTER `cutoffTs` — unstamped
-    * commits inherit the preceding stamped instant (the [[readAsOfTs]]
-    * rule), and the monotone-per-table stamp contract makes
-    * "instant ≥ cutoff" a version SUFFIX, so the retained set is
-    * exactly a derived keepLast handed to [[vacuum]] (tag + consumer
-    * custody identical). Always keeps at least the head.
-    */
-  def vacuumOlderThan(s: SparkSession, root: String, cutoffTs: Long,
-                      consumers: Seq[String] = Nil): (Seq[String], Int, Int) = {
-    val versions = publishedVersions(root)
-    val idx = tsIndex(root, versions)
-    var effective = Option.empty[Long]
-    val instants = versions.map { v =>
-      effective = idx.getOrElse(v, None).orElse(effective)
-      v -> effective
-    }
-    val keep = instants.count(_._2.exists(_ >= cutoffTs)).max(1)
-    vacuum(s, root, keepLast = keep, consumers = consumers)
-  }
-
   def vacuum(s: SparkSession, root: String, keepLast: Int,
              consumers: Seq[String] = Nil): (Seq[String], Int, Int) = {
     val consumerNeeds: Set[String] = {
@@ -1834,9 +1889,8 @@ object VersionedTable {
       val gen = freshGen(root)
       readFiles(s, dvd).write.parquet(gen)
       publishManifest(
-        current.filter(col("dv_path").isNull)
-          .unionByName(sidecar(s, gen, spec, activeTransforms(root)),
-            allowMissingColumns = true),
+        unionSidecar(current.filter(col("dv_path").isNull),
+          sidecar(s, gen, spec, activeTransforms(root))),
         root,
         Map("verb" -> "compact-dv", "n_compacted" -> dvd.count().toString))
     }
@@ -1912,9 +1966,8 @@ object VersionedTable {
         val gen = freshGen(root)
         layout(toPhysical(updated.drop("__match"), cm)).write.parquet(gen)
         publishManifest(
-          current.filter(!col("file").isin(holders: _*))
-            .unionByName(sidecar(s, gen, spec, activeTransforms(root)),
-              allowMissingColumns = true),
+          unionSidecar(current.filter(!col("file").isin(holders: _*)),
+            sidecar(s, gen, spec, activeTransforms(root))),
           root, cdcMeta ++
             Map("verb" -> "update", "n_holders" -> holders.length.toString))
       } finally { base.unpersist(); () }
@@ -1958,9 +2011,8 @@ object VersionedTable {
         .repartition(nOut)
         .write.parquet(gen)
       publishManifest(
-        current.filter(!col("file").isin(small: _*))
-          .unionByName(sidecar(s, gen, spec, activeTransforms(root)),
-            allowMissingColumns = true),
+        unionSidecar(current.filter(!col("file").isin(small: _*)),
+          sidecar(s, gen, spec, activeTransforms(root))),
         root, Map("verb" -> "optimize-compact",
           "n_small" -> small.length.toString, "n_out" -> nOut.toString))
     }
@@ -2118,9 +2170,8 @@ object VersionedTable {
       layout(readFiles(s, current.filter(col("file").isin(hot: _*))))
         .write.parquet(gen)
       publishManifest(
-        current.filter(!col("file").isin(hot: _*))
-          .unionByName(sidecar(s, gen, spec, activeTransforms(root)),
-            allowMissingColumns = true),
+        unionSidecar(current.filter(!col("file").isin(hot: _*)),
+          sidecar(s, gen, spec, activeTransforms(root))),
         root, Map("verb" -> "recluster-where",
           "n_rewritten" -> hot.length.toString))
     }
@@ -2179,7 +2230,7 @@ object VersionedTable {
       beforeCommit()
       try {
         return (Publish.publishIf(
-          base.unionByName(batchRows, allowMissingColumns = true),
+          unionSidecar(base, batchRows),
           manifestRoot(root), head,
           audit = auditFilesExist,
           meta = inheritedMeta(root) ++

@@ -262,13 +262,31 @@ object StreamingStage {
     * sorts, and a re-run from any checkpoint converges to the same
     * sample because merging top-Bs loses no global winner.
     */
+  private val swsPrevStaged =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val swsPrevChk =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Swap `next` into `ref`, deleting the previous occupant's tree —
+    * the same one-live-dir-per-gate discipline ExtQueries'
+    * retirePrevDir applies to every layout fixture.
+    */
+  private def retirePrev(ref: java.util.concurrent.atomic.AtomicReference[String],
+                         next: String): Unit =
+    Option(ref.getAndSet(next)).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+
   def streamingWeightedSample(spark: SparkSession, dir: String): DataFrame = {
     val B = 100
     val path = s"$dir/documents.parquet"
     val schema = spark.read.parquet(path).schema
     // stage the corpus as 4 arrival files so AvailableNow +
-    // maxFilesPerTrigger=1 delivers a genuinely multi-batch run
+    // maxFilesPerTrigger=1 delivers a genuinely multi-batch run;
+    // the previous invocation's corpus-sized staged copy and its
+    // checkpoint are retired first (ADVICE r12: repeated bench/verify
+    // runs must not accumulate corpus-sized garbage in /tmp)
     val staged = java.nio.file.Files.createTempDirectory("graft-sws").toString
+    retirePrev(swsPrevStaged, staged)
     spark.read.parquet(path).repartitionByRange(4, col("doc_id"))
       .write.mode("overwrite").parquet(staged)
     val stream = spark.readStream.schema(schema)
@@ -282,6 +300,7 @@ object StreamingStage {
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Double)]
     var nBatches = 0
     val chk = java.nio.file.Files.createTempDirectory("graft-sws-chk").toString
+    retirePrev(swsPrevChk, chk)
     val q = keyed.writeStream
       .option("checkpointLocation", chk)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
