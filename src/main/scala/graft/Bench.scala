@@ -117,7 +117,16 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the SUITE's parallelism (the driver's local[32],
+    // capped by the box) — NOT a fixed small number. Round-12
+    // adjudication: a solo re-measure launched without
+    // SPARK_GRAFT_CPUS ran at 4 cores against a 32-core quiet
+    // reference and convicted er_fuzzy_match at "1.7×" (4.05 s) when
+    // the matched-methodology number was 0.75× (1.80 s). A verbatim
+    // solo retest must reproduce the reference's methodology unless
+    // the caller explicitly narrows it.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val spark = Sessions.tuned(
