@@ -6618,6 +6618,75 @@ object ExtQueries {
           col("sum_chars")))
   }
 
+  private val applyChangesSeqPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** APPLY CHANGES ... SEQUENCE BY (`layout_apply_changes_seq`,
+    * [[graft.operators.VersionedTable.applyChangesSeq]]): an EXTERNAL
+    * out-of-order CDC feed — multiple ops per key in one window, late
+    * rows, shuffled arrival — resolved to the net op per key by the
+    * sequence column (highest wins; at an equal sequence an insert
+    * outranks a delete — the fixture engineers exactly that tie) and
+    * folded as one atomic merge-on-read commit per window. Two
+    * windows, then the two redeliveries that break a naive replica:
+    * the SAME window again and the OLDER window after a newer one —
+    * both require()d to no-op (the `applied_upto` watermark, which
+    * survives maintenance commits by inheritance). The oracle
+    * restates the full resolution — the feed unions, the
+    * `row_number() OVER (ORDER BY seq DESC, change_type DESC)`
+    * window, and the two folds — so a wrong tie-break, a lost
+    * late-arriving op, or a re-applied window all hash-diverge.
+    *
+    * Scale shape (100 TB): resolution is ONE shuffle over WINDOW rows
+    * (never table rows); each fold pays window rows + bloom-probed
+    * holder files — a cross-cluster mirror consuming a raw Kafka-CDC
+    * topic pays topic bytes, not table bytes.
+    */
+  def layoutApplyChangesSeq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val rep = java.nio.file.Files.createTempDirectory("graft_cdcseq_rep").toString
+    VersionedTable.create(s, d.filter(col("doc_id") < 300), rep, spec,
+      extraMeta = Map("applied_upto" -> "v1"))
+    def op(rows: DataFrame, ct: String, seq: Int): DataFrame =
+      rows.withColumn("change_type", lit(ct)).withColumn("seq", lit(seq))
+    val feed1 = op(d.filter(col("doc_id") < 100)
+        .withColumn("n_chars", col("n_chars") + 1000), "insert", 1)
+      .unionByName(op(d.filter(col("doc_id") < 100 && col("doc_id") % 3 === 0),
+        "delete", 2))
+      .unionByName(op(d.filter(col("doc_id") < 100 && col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 3000), "insert", 3))
+      .unionByName(op(d.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000), "insert", 1))
+      // the engineered equal-sequence tie: insert must outrank delete
+      .unionByName(op(d.filter(col("doc_id") === 42)
+        .withColumn("n_chars", col("n_chars") + 9000), "insert", 9))
+      .unionByName(op(d.filter(col("doc_id") === 42), "delete", 9))
+      // arrival order scrambled — resolution must not depend on it
+      .repartition(7, col("seq"))
+    val feed2 = op(d.filter(col("doc_id") >= 200 && col("doc_id") < 240),
+        "delete", 7)
+      .unionByName(op(d.filter(col("doc_id") >= 150 && col("doc_id") < 160)
+        .withColumn("n_chars", col("n_chars") + 500), "insert", 1))
+      .repartition(5, col("doc_id"))
+    require(VersionedTable.applyChangesSeq(s, rep, spec, feed1, "v2", "seq")
+      .isDefined, "window 1 must apply")
+    require(VersionedTable.applyChangesSeq(s, rep, spec, feed2, "v3", "seq")
+      .isDefined, "window 2 must apply")
+    require(VersionedTable.applyChangesSeq(s, rep, spec, feed2, "v3", "seq")
+      .isEmpty, "a redelivered window must no-op")
+    require(VersionedTable.applyChangesSeq(s, rep, spec, feed1, "v2", "seq")
+      .isEmpty,
+      "an OUT-OF-ORDER redelivery of an older window must no-op — " +
+        "re-applying it would resurrect stale key values")
+    retirePrevDir(applyChangesSeqPrev, rep)
+    VersionedTable.read(s, rep).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** Triangle census over the near-dup pair graph (`graph_triangles`,
     * [[graft.operators.Triangles]]): per-node triangle participation
     * plus the global count (node = -1), by degree-ordered node

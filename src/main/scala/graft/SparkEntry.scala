@@ -504,6 +504,9 @@ object SparkEntry {
     // r22: APPLY CHANGES INTO — CDC table replication, one atomic
     // merge-on-read commit per feed window, exactly-once by offset
     "layout_apply_changes" -> (ExtQueries.layoutApplyChanges _),
+    // r23: APPLY CHANGES ... SEQUENCE BY — external out-of-order CDC
+    // feed resolved per key by sequence before the atomic fold
+    "layout_apply_changes_seq" -> (ExtQueries.layoutApplyChangesSeq _),
     // r22: metadata-only APPROX COUNT DISTINCT — per-file KMV sketches
     // merged from the manifest alone, bit-equal to the direct sketch
     "layout_metadata_distinct" -> (ExtQueries.layoutMetadataDistinct _),
@@ -2181,6 +2184,50 @@ object SparkEntry {
         |SELECT '1_source' AS slice, lang, n_docs, sum_chars FROM agg
         |UNION ALL
         |SELECT '2_replica', lang, n_docs, sum_chars FROM agg""".stripMargin,
+    // SEQUENCE BY: the oracle restates the full per-key resolution —
+    // highest seq wins, insert outranks delete at an equal sequence —
+    // and both window folds over the bootstrap state
+    "layout_apply_changes_seq" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 300),
+        |feed1 AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars,
+        |    'insert' AS change_type, 1 AS seq FROM documents WHERE doc_id < 100
+        |  UNION ALL SELECT doc_id, lang, n_chars, 'delete', 2
+        |    FROM documents WHERE doc_id < 100 AND doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, lang, n_chars + 3000, 'insert', 3
+        |    FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 1000, lang, n_chars, 'insert', 1
+        |    FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT doc_id, lang, n_chars + 9000, 'insert', 9
+        |    FROM documents WHERE doc_id = 42
+        |  UNION ALL SELECT doc_id, lang, n_chars, 'delete', 9
+        |    FROM documents WHERE doc_id = 42),
+        |feed2 AS (
+        |  SELECT doc_id, lang, n_chars, 'delete' AS change_type, 7 AS seq
+        |    FROM documents WHERE doc_id >= 200 AND doc_id < 240
+        |  UNION ALL SELECT doc_id, lang, n_chars + 500, 'insert', 1
+        |    FROM documents WHERE doc_id >= 150 AND doc_id < 160),
+        |net1 AS (SELECT doc_id, lang, n_chars, change_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY seq DESC, change_type DESC) AS rn FROM feed1) WHERE rn = 1),
+        |net2 AS (SELECT doc_id, lang, n_chars, change_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY seq DESC, change_type DESC) AS rn FROM feed2) WHERE rn = 1),
+        |after1 AS (
+        |  SELECT b.doc_id, b.lang, b.n_chars FROM base b
+        |  WHERE b.doc_id NOT IN (SELECT doc_id FROM net1)
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM net1 WHERE change_type = 'insert'),
+        |after2 AS (
+        |  SELECT a.doc_id, a.lang, a.n_chars FROM after1 a
+        |  WHERE a.doc_id NOT IN (SELECT doc_id FROM net2)
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM net2 WHERE change_type = 'insert')
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM after2 GROUP BY lang""".stripMargin,
     // roster lookup: the pruned read + exact IN must equal the raw
     // point lookups
     "layout_partition_roster" ->

@@ -72,6 +72,40 @@ class Round17OpsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 200L)
   }
 
+  test("applyChangesSeq: a STORED sequence column passes through; a transport-only one is dropped") {
+    import spark.implicits._
+    // replica whose schema carries the sequence column (updated_at)
+    val root = java.nio.file.Files.createTempDirectory("graft-r17-seq").toString
+    val sspec = VersionedTable.Spec(Seq("n"), "k", 1 << 13)
+    VersionedTable.create(spark,
+      Seq((1L, 10L, 100L), (2L, 20L, 100L)).toDF("k", "n", "updated_at"),
+      root, sspec, extraMeta = Map("applied_upto" -> "v1"))
+    // out-of-order feed: k=1 gets three ops, latest (updated_at=300)
+    // must win and its updated_at must LAND in the replica
+    val feed = Seq(
+      (1L, 11L, 300L, "insert"),
+      (1L, 99L, 200L, "insert"),
+      (1L, 10L, 250L, "delete"),
+      (2L, 20L, 150L, "delete")).toDF("k", "n", "updated_at", "change_type")
+      .repartition(3)
+    assert(VersionedTable.applyChangesSeq(spark, root, sspec, feed, "v2",
+      "updated_at").isDefined)
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 11L, 300L)), s"resolution wrong: $got")
+    // transport-only sequence column (not in the schema) is dropped
+    val root2 = java.nio.file.Files.createTempDirectory("graft-r17-seq2").toString
+    VersionedTable.create(spark, rows(0, 10), root2, spec,
+      extraMeta = Map("applied_upto" -> "v1"))
+    val feed2 = Seq((5L, 5000L, 7, "insert"), (5L, 4000L, 3, "insert"))
+      .toDF("k", "n", "__offset", "change_type")
+    assert(VersionedTable.applyChangesSeq(spark, root2, spec, feed2, "v2",
+      "__offset").isDefined)
+    val k5 = VersionedTable.read(spark, root2).filter(col("k") === 5L).collect()
+    assert(k5.map(_.getLong(1)).toSeq == Seq(5000L))
+    assert(!VersionedTable.read(spark, root2).columns.contains("__offset"))
+  }
+
   test("bucket probe literals cast to the column's type: Int/Long probes prune correctly on DOUBLE") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-r17-probe").toString
