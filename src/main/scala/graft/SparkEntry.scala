@@ -312,6 +312,11 @@ object SparkEntry {
     // every version read through its own manifest
     "streaming_versioned_ingest" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingVersionedIngest(s, d)),
+    // r23: the versioned table as a STREAMING SOURCE — readStream over
+    // the change feed with version-number offsets, one micro-batch per
+    // commit, stream-folded MV ≡ head read
+    "streaming_feed_source" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingFeedSource(s, d)),
     // r21: stream → MERGE (the CDC-apply sink) — per-batch pre-agg
     // folds into a keyed profile table via batchId-idempotent merges;
     // the oracle is batch-split-independent
@@ -1628,6 +1633,22 @@ object SparkEntry {
         |SELECT 'v00002', 1, count(*), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents""".stripMargin,
+    // streaming source over the change feed: the stream-folded MV and
+    // the head read state the SAME per-language aggregate — a missed
+    // window, double-applied batch, or lost pre-image diverges them
+    "streaming_feed_source" ->
+      """WITH final AS (
+        |  SELECT doc_id, lang,
+        |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 3 < 2 AND doc_id % 13 <> 0),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM final GROUP BY lang)
+        |SELECT '1_stream_mv' AS slice, lang, n_docs, sum_chars FROM agg
+        |UNION ALL
+        |SELECT '2_head', lang, n_docs, sum_chars FROM agg""".stripMargin,
     // the merged profile equals the batch per-user aggregate no
     // matter how events split across micro-batches — the exactly-once
     // CDC-apply contract stated directly

@@ -1485,4 +1485,97 @@ object StreamingStage {
           col("n_docs"), col("sum_ids"), col("sum_chars"))
     }.reduce(_.unionByName(_))
   }
+
+  private val feedSourcePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val feedSourceChkPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** The versioned table as a STREAMING SOURCE
+    * (`streaming_feed_source`, [[graft.sources.FeedStreamProvider]] —
+    * VERDICT r12 frontier gap #1, the Delta streaming-source / CDF
+    * analog): a four-verb chain (create → append → MERGE update →
+    * DV-delete) runs on the table, then
+    * `readStream.format("graft-feed")` consumes the change feed with
+    * VERSION-NUMBER OFFSETS, `maxVersionsPerTrigger = 1` forcing one
+    * micro-batch per commit (require()d ≥ 3), and each batch folds
+    * into a driver-held per-language MV exactly the way a
+    * [[graft.operators.FeedConsumer]] fold would (insert rows add,
+    * delete rows subtract — the feed's deletes carry full payloads).
+    * The gate hashes the STREAM-FOLDED MV against the HEAD-READ
+    * aggregate under one oracle restatement: a missed window, a
+    * double-applied batch, or an update emitted without its pre-image
+    * all diverge the slices.
+    *
+    * Scale shape (100 TB): each trigger pays its window's changed
+    * files + DV delta (never table bytes); the micro-batch data path
+    * reads the planner's feed spool directly on executors. The MV
+    * here is driver-held only because it is #languages rows — the
+    * bounded-state class, not a corpus collect.
+    */
+  def streamingFeedSource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = java.nio.file.Files.createTempDirectory("graft-feedsrc").toString
+    retirePrev(feedSourcePrev, src)
+    val chk = java.nio.file.Files.createTempDirectory("graft-feedsrc-chk").toString
+    retirePrev(feedSourceChkPrev, chk)
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(spark, d.filter(col("doc_id") % 3 === 0),
+      src, spec, layout)
+    VersionedTable.append(spark, d.filter(col("doc_id") % 3 === 1), src, spec,
+      layout)
+    VersionedTable.merge(spark, src, spec,
+      d.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars")),
+      matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+      insertNotMatched = false, layout = layout)
+    VersionedTable.deleteRosterDV(spark, src, spec,
+      d.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+    // bootstrap MV = the replica's v1 view; stream-fold the rest
+    val state = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    VersionedTable.readVersion(spark, src, v1).groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("s"))
+      .collect().foreach(r => state(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+    var nBatches = 0
+    val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+      .option("root", src)
+      .option("startingVersion", v1)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches += 1
+        b.groupBy("lang", "change_type")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("s"))
+          .collect().foreach { r =>
+            val sign = if (r.getString(1) == "insert") 1L else -1L
+            val (n0, s0) = state.getOrElse(r.getString(0), (0L, 0L))
+            state(r.getString(0)) =
+              (n0 + sign * r.getLong(2), s0 + sign * r.getLong(3))
+          }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(nBatches >= 3,
+      s"maxVersionsPerTrigger=1 over 3 data commits must micro-batch per " +
+        s"version, got $nBatches")
+    import spark.implicits._
+    val mv = state.toSeq.filter(_._2._1 > 0L)
+      .map { case (lang, (n, s)) => (lang, n, s) }
+      .toDF("lang", "n_docs", "sum_chars")
+    mv.select(lit("1_stream_mv").as("slice"), col("lang"), col("n_docs"),
+        col("sum_chars"))
+      .unionByName(VersionedTable.read(spark, src).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .select(lit("2_head").as("slice"), col("lang"), col("n_docs"),
+          col("sum_chars")))
+  }
 }
