@@ -2538,10 +2538,16 @@ object ExtQueries {
         lit(r.rebuilt).as("rebuilt"), col("n_topk"), col("score_sum"))
   }
 
-  /** [[dedupClusters]] over an explicit (doc_id, text) frame (fixture entry). */
+  /** [[dedupClusters]] over an explicit (doc_id, text) frame (fixture
+    * entry). Propagation runs the SALTED variant: at 10× dup density
+    * the fused ~70-vertex components concentrate message volume per
+    * reducer (SCALE_SMOKE round-4 measured the plain join AT the 2.0×
+    * worst-stage skew gate); salting is row-identical, so the oracle
+    * twin is unchanged.
+    */
   def dedupClustersOf(d: DataFrame): DataFrame = {
     val (verts, edges) = chunkGraph(d)
-    ConnectedComponents.labelPropagate(verts, edges, iterations = 7)
+    ConnectedComponents.labelPropagateSalted(verts, edges, iterations = 7)
       .select(expr("id DIV 10000").as("doc_id"), (col("id") % 10000).as("chunk_idx"),
         col("component"))
   }

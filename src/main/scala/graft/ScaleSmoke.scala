@@ -27,6 +27,14 @@ object ScaleSmoke {
     */
   private final class TaskBytes extends SparkListener {
     val byStage = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    val stageNames = scala.collection.mutable.Map[Int, String]()
+    override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      synchronized {
+        val scopes = e.stageInfo.rddInfos
+          .flatMap(_.scope.map(_.name)).distinct.mkString(" | ")
+        stageNames(e.stageInfo.stageId) =
+          s"${e.stageInfo.name} [$scopes]"
+      }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
       val m = e.taskMetrics
       if (m != null && m.shuffleReadMetrics.totalBytesRead > 0)
@@ -41,6 +49,23 @@ object ScaleSmoke {
         (s.last.toDouble / med, med / 1e6, s.last / 1e6, s.size)
       }
       if (stats.isEmpty) (0.0, 0.0, 0.0, 0) else stats.maxBy(_._1)
+    }
+    /** Diagnostic line naming the worst stage (stderr, not the table):
+      * without it a 2.0× ratio points at NO specific stage and the
+      * r12→r13 "fix the propagation join" detour happens — the salted
+      * join changed nothing because the offender was another stage.
+      */
+    def worstStageDetail: String = synchronized {
+      val stats = byStage.toSeq.filter(_._2.size >= 4).map { case (sid, b) =>
+        val s = b.sorted
+        val med = s(s.size / 2).max(1L)
+        (s.last.toDouble / med, sid)
+      }
+      if (stats.isEmpty) "no shuffle stage >= 4 tasks"
+      else {
+        val (ratio, sid) = stats.maxBy(_._1)
+        f"stage $sid ratio $ratio%.2f: ${stageNames.getOrElse(sid, "?")}"
+      }
     }
   }
 
@@ -411,6 +436,7 @@ object ScaleSmoke {
       val rows = df.count()
       val (ratio, medMb, maxMb, n) = listener.worstStage
       println(f"| $name | $rows | $sec%.1f | $n | $medMb%.1f | $maxMb%.1f | $ratio%.1f |")
+      System.err.println(s"[smoke] $name worst ${listener.worstStageDetail}")
     }
     spark.stop()
   }

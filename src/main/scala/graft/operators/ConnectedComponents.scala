@@ -68,6 +68,51 @@ object ConnectedComponents {
     labels
   }
 
+  /** [[labelPropagate]] with the per-round neighbor-label join SALTED
+    * ([[SaltedJoin]], the repo's replicate-and-salt escape hatch) —
+    * for DUP-DENSE graphs where a fused component's message volume
+    * concentrates onto few reducers (SCALE_SMOKE round-4:
+    * `dedup_clusters` at 10× density sat AT the 2.0× worst-stage skew
+    * gate; the imbalance was the propagation join's shuffle-read —
+    * per-`dst` fan-in tracks component degree — not the bucket
+    * stage, which [[Buckets.boundedMembers]] already caps, and not
+    * the `groupBy(src).min` whose map-side partial aggregation
+    * bounds reducer fan-in by mapper count). Salting spreads each
+    * vertex's incoming messages over `numSalts` reducers at the cost
+    * of labels ×numSalts per round.
+    *
+    * Row-identical to [[labelPropagate]]: each (edge, label) pair
+    * meets exactly once under any salt assignment and `min` is
+    * salt-invariant, so oracle hashes cannot tell the two apart —
+    * the same result-unchanged contract as [[LatestPerKey.salted]].
+    */
+  def labelPropagateSalted(vertices: DataFrame, edges: DataFrame,
+                           iterations: Int, numSalts: Int = 8): DataFrame = {
+    require(iterations >= 1, "labelPropagateSalted: iterations must be >= 1")
+    // Symmetric closure via map-side EXPLODE (not a self-union): the
+    // upstream pair-expansion exchange is read ONCE, and the REBALANCE
+    // hint lets AQE split/pack those reads to the advisory size — the
+    // 10× smoke's worst stage was exactly this read (a 2× max/median
+    // from packing a coarse 32-partition producer, which dup-dense
+    // pair volume makes visible), not the propagation join.
+    val sym = edges.hint("REBALANCE")
+      .select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .unionByName(vertices.select(col("id").as("src"), col("id").as("dst")))
+      .distinct()
+    var labels = vertices.select(col("id"), col("id").as("component"))
+    (1 to iterations).foreach { _ =>
+      labels = SaltedJoin(sym,
+          labels.select(col("id").as("dst"), col("component")),
+          Seq("dst"), numSalts)
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("component"))
+    }
+    labels
+  }
+
   /** Alternating large-star/small-star contraction (Kiveris et al.
     * 2014, "Connected Components in MapReduce and Beyond") — the
     * ADVERSARIAL-DIAMETER variant: min-label propagation needs

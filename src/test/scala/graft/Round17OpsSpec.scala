@@ -106,6 +106,23 @@ class Round17OpsSpec extends SparkSpec {
     assert(!VersionedTable.read(spark, root2).columns.contains("__offset"))
   }
 
+  test("labelPropagateSalted ≡ labelPropagate: row-identical under any salt count") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // chains, a star (hot key), singletons — mixed degree profile
+    val edges = ((1L to 40L).map(i => (i, i + 1)) ++        // 41-chain
+      (100L to 160L).map(i => (100L, i)) ++                  // hot star at 100
+      Seq((200L, 201L), (201L, 202L), (300L, 301L))).toDF("src", "dst")
+    val verts = (1L to 320L).toDF("id")
+    val plain = ConnectedComponents.labelPropagate(verts, edges, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(1, 3, 8).foreach { salts =>
+      val salted = ConnectedComponents.labelPropagateSalted(verts, edges, 6, salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(salted == plain, s"salted($salts) diverged from plain propagation")
+    }
+  }
+
   test("bucket probe literals cast to the column's type: Int/Long probes prune correctly on DOUBLE") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-r17-probe").toString
