@@ -317,6 +317,10 @@ object SparkEntry {
     // commit, stream-folded MV ≡ head read
     "streaming_feed_source" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingFeedSource(s, d)),
+    // r23: the medallion hop — bronze change feed streamed into a
+    // transformed SILVER versioned table, exactly-once per batch
+    "streaming_table_to_table" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingTableToTable(s, d)),
     // r21: stream → MERGE (the CDC-apply sink) — per-batch pre-agg
     // folds into a keyed profile table via batchId-idempotent merges;
     // the oracle is batch-split-independent
@@ -1649,6 +1653,24 @@ object SparkEntry {
         |SELECT '1_stream_mv' AS slice, lang, n_docs, sum_chars FROM agg
         |UNION ALL
         |SELECT '2_head', lang, n_docs, sum_chars FROM agg""".stripMargin,
+    // medallion hop: the streamed-and-transformed silver table and
+    // the directly-transformed bronze head state one aggregate
+    "streaming_table_to_table" ->
+      """WITH final AS (
+        |  SELECT doc_id, lang,
+        |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 3 < 2 AND doc_id % 13 <> 0),
+        |silver AS (
+        |  SELECT doc_id, lang, n_chars - n_chars % 100 AS chars_bin FROM final),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |    CAST(sum(chars_bin) AS BIGINT) AS sum_bins
+        |  FROM silver GROUP BY lang)
+        |SELECT '1_silver' AS slice, lang, n_docs, sum_ids, sum_bins FROM agg
+        |UNION ALL
+        |SELECT '2_bronze_head', lang, n_docs, sum_ids, sum_bins FROM agg""".stripMargin,
     // the merged profile equals the batch per-user aggregate no
     // matter how events split across micro-batches — the exactly-once
     // CDC-apply contract stated directly

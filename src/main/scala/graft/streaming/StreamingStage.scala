@@ -1490,6 +1490,104 @@ object StreamingStage {
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val feedSourceChkPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val t2tBronzePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val t2tSilverPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val t2tChkPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** The MEDALLION HOP (`streaming_table_to_table`): bronze → silver
+    * as one continuously-maintained pipeline — the composition a
+    * lakehouse user actually deploys, built ENTIRELY from this repo's
+    * own halves: [[graft.sources.FeedStreamProvider]] streams bronze's
+    * change feed (version offsets, one micro-batch per commit), each
+    * batch is TRANSFORMED (a projection deriving `chars_bin`) and
+    * folded into the SILVER versioned table by
+    * [[graft.operators.VersionedTable.applyChanges]] with a
+    * monotone per-batch watermark — so silver is exactly-once under
+    * Structured Streaming's at-least-once replay (a redelivered batch
+    * finds `applied_upto` already past its watermark and no-ops),
+    * and silver is itself a versioned, time-travelable, feed-emitting
+    * table (the hop CHAINS). An immediate second drain from the same
+    * checkpoint with no new bronze commits is require()d to leave
+    * silver's head untouched.
+    *
+    * Scale shape (100 TB): the hop pays bronze's window bytes +
+    * silver's bloom-probed holders per trigger — neither table is
+    * ever rescanned; N hops cost N × feed bytes, the medallion
+    * economics that make bronze→silver→gold viable at all.
+    */
+  def streamingTableToTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val bSpec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val sSpec = VersionedTable.Spec(Seq("chars_bin"), "doc_id", 1 << 13)
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val bronze = java.nio.file.Files.createTempDirectory("graft-t2t-b").toString
+    retirePrev(t2tBronzePrev, bronze)
+    val silver = java.nio.file.Files.createTempDirectory("graft-t2t-s").toString
+    retirePrev(t2tSilverPrev, silver)
+    val chk = java.nio.file.Files.createTempDirectory("graft-t2t-chk").toString
+    retirePrev(t2tChkPrev, chk)
+    def toSilver(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("lang"),
+      (col("n_chars") - col("n_chars") % 100).as("chars_bin"))
+    val v1 = VersionedTable.create(spark, d.filter(col("doc_id") % 3 === 0),
+      bronze, bSpec)
+    // silver bootstraps from bronze v1 TRANSFORMED, watermark v0
+    VersionedTable.create(spark,
+      toSilver(VersionedTable.readVersion(spark, bronze, v1)), silver, sSpec,
+      extraMeta = Map("applied_upto" -> "v0"))
+    VersionedTable.append(spark, d.filter(col("doc_id") % 3 === 1), bronze, bSpec)
+    VersionedTable.merge(spark, bronze, bSpec,
+      d.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars")),
+      matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+      insertNotMatched = false)
+    VersionedTable.deleteRosterDV(spark, bronze, bSpec,
+      d.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+    var nBatches = 0
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+        .option("root", bronze)
+        .option("startingVersion", v1)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          nBatches += 1
+          VersionedTable.applyChanges(spark, silver, sSpec,
+            b.toDF().select(col("doc_id"), col("lang"),
+              (col("n_chars") - col("n_chars") % 100).as("chars_bin"),
+              col("change_type")),
+            s"v${id + 1}")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    require(nBatches >= 3,
+      s"one micro-batch per bronze commit expected, got $nBatches")
+    val headAfter = VersionedTable.headVersion(silver)
+    // a second drain from the same checkpoint with no new bronze
+    // commits must leave silver untouched (restart no-op)
+    drain()
+    require(VersionedTable.headVersion(silver) == headAfter,
+      "an empty redrain must not commit to silver")
+    toSilver(VersionedTable.read(spark, bronze)).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+        sum(col("chars_bin")).as("sum_bins"))
+      .select(lit("2_bronze_head").as("slice"), col("lang"), col("n_docs"),
+        col("sum_ids"), col("sum_bins"))
+      .unionByName(VersionedTable.read(spark, silver).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("chars_bin")).as("sum_bins"))
+        .select(lit("1_silver").as("slice"), col("lang"), col("n_docs"),
+          col("sum_ids"), col("sum_bins")))
+  }
 
   /** The versioned table as a STREAMING SOURCE
     * (`streaming_feed_source`, [[graft.sources.FeedStreamProvider]] —
