@@ -6781,6 +6781,61 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  private val joinPrunePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Runtime file pruning from a JOIN (`layout_join_prune`,
+    * [[graft.operators.VersionedTable.joinPrunedRead]]): the
+    * star-schema scan under dynamic file pruning — the dim side is a
+    * filtered DataFrame (a ~14-key band, NOT driver literals), and
+    * the fact table's file set is cut at planning time by the dim's
+    * [min, max] band against raw stats, the dim keys' truncate-
+    * transform images, and the distributed bloom probe, before the
+    * exact broadcast join runs over the survivors. The fixture
+    * clusters generation 0 by `truncate(100, doc_id)` range layout
+    * (tight single-bin files, lesson 40) and leaves a 2-file
+    * unclustered append as the straddler population; the gate
+    * require()s the prune (≥2× fewer files read than the manifest
+    * lists) and hashes the joined aggregate against the raw
+    * restatement.
+    *
+    * Scale shape (100 TB): planning is two dim passes + a manifest
+    * probe join; the fact scan reads band ∪ bloom-hit files — the
+    * "one brand, one day" star join stops paying the full fact scan
+    * that raw min/max alone can't prevent on an unclustered key.
+    */
+  def layoutJoinPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{PartitionTransform, TruncateTransform, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("doc_id"), "doc_id", 1 << 13)
+    val t = TruncateTransform(100, "doc_id")
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_jprune").toString
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec,
+      PartitionTransform.clusterLayout(32, Seq(t)), transforms = Seq(t))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec,
+      layout = _.repartition(2))
+    // the dim arrives as a DataFrame with its own payload — the
+    // runtime-filter shape partitionPrunedIn's literal roster can't
+    // express; its keys sit in one truncate bin so the band and the
+    // image layers both bite
+    val dim = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").between(100, 199) && col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("k"), (col("n_chars") % 7).as("w"))
+    val total = VersionedTable.manifest(s, root).count()
+    val pruned = VersionedTable.joinPrunedRead(s, root, "doc_id", dim, "k",
+      bloomSpec = Some(spec))
+    val kept = pruned.select(input_file_name()).distinct().count()
+    require(kept * 2 <= total,
+      s"the join prune must skip most files (kept $kept of $total)")
+    retirePrevDir(joinPrunePrev, root)
+    pruned.join(broadcast(dim), pruned("doc_id") === dim("k"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("w")).cast("long").as("sum_w"))
+  }
+
   private val partsTablePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -505,6 +505,9 @@ object SparkEntry {
     // r22: roster point lookup — union of per-key bucket prunes in
     // one manifest filter (the GDPR batch shape)
     "layout_partition_roster" -> (ExtQueries.layoutPartitionRoster _),
+    // r23: dynamic file pruning — the dim side of a star join prunes
+    // the fact file set at planning time (band + images + bloom)
+    "layout_join_prune" -> (ExtQueries.layoutJoinPrune _),
     // r22: triangle census over the near-dup pair graph — transitivity
     // QA for dedup clusters (degree-ordered node iteration)
     "graph_triangles" -> (ExtQueries.graphTriangles _),
@@ -2276,6 +2279,20 @@ object SparkEntry {
     "layout_partition_roster" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (1, 300, 400, 451) AND doc_id % 3 < 2""".stripMargin,
+    // dynamic file pruning: the pruned fact read + exact join must
+    // equal the raw star join
+    "layout_join_prune" ->
+      """WITH fact AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 < 2
+        |), dim AS (
+        |  SELECT doc_id AS k, n_chars % 7 AS w FROM documents
+        |  WHERE doc_id BETWEEN 100 AND 199 AND doc_id % 7 = 3
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(w) AS BIGINT) AS sum_w
+        |FROM fact JOIN dim ON fact.doc_id = dim.k
+        |GROUP BY lang""".stripMargin,
     // partitions metadata table: live rows per truncate(200, n_chars)
     // value — the metadata-only path and the straddler/DV scan path
     // must agree on one total

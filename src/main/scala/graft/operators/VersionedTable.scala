@@ -942,6 +942,84 @@ object VersionedTable {
     logicalView(readFiles(s, pruned), headMetaOf(root))
   }
 
+  /** RUNTIME FILE PRUNING FROM A JOIN — the Delta dynamic-file-pruning
+    * / Iceberg runtime-filter shape: the star-schema scan where the
+    * fact side's file set is cut down by the DIM side's join keys at
+    * planning time, before a fact byte is read. Unlike
+    * [[partitionPrunedIn]] (driver-literal roster), the keys arrive as
+    * a DataFrame — the output of the dim table's own filters — and
+    * three manifest-only layers prune with them, each NULL-KEEPING
+    * (a file with missing stats/bloom survives — superset contract,
+    * the caller re-applies the exact join):
+    *
+    *  1. the dim's [min(k), max(k)] band against the raw per-file
+    *     stats (two scalars off one dim pass — the runtime min/max
+    *     filter, which bites when the fact layout clusters the key);
+    *  2. the dim keys' partition-transform IMAGES (computed in-plan
+    *     on the dim frame, collected only because transforms
+    *     COMPRESS — `bucket(N)` yields ≤ N images no matter the dim;
+    *     an image set wider than `maxImages` skips its layer rather
+    *     than ship an unbounded OR);
+    *  3. the distributed bloom probe ([[StatsSpine.rosterHolders]] —
+    *     a position JOIN against the manifest's bitmaps, so the dim
+    *     never lands on the driver), when `bloomSpec` names the
+    *     table's bloom key as the join column.
+    *
+    * Probe values cast to the fact column's declared type first (the
+    * [[probeType]] rendering defense), so an INT dim key joins a
+    * BIGINT or DOUBLE fact column without silently missing buckets.
+    *
+    * Scale shape (100 TB): planning cost = two dim passes + a
+    * manifest-sized probe join; a selective dim filter (one brand,
+    * one day) reads band ∪ bucket-image files instead of the fact
+    * table — the join's shuffle then sees only surviving-file rows.
+    */
+  def joinPrunedRead(s: SparkSession, root: String, c: String,
+                     dim: DataFrame, dimKey: String,
+                     bloomSpec: Option[Spec] = None,
+                     maxImages: Int = 1024): DataFrame = {
+    val phys = physicalNameOf(root, c)
+    val dt = probeType(s, root, c)
+    val keys = {
+      val k = dim.select(col(dimKey).as("k")).filter(col("k").isNotNull)
+      dt.fold(k)(t => k.select(col("k").cast(t).as("k"))).distinct()
+    }
+    // one dim pass for the band scalars; doubles as the non-empty gate
+    // every later layer relies on (an empty dim joins to nothing — a
+    // prune of "no files" would violate readFiles' contract instead)
+    val bounds = keys.agg(min(col("k")), max(col("k"))).head()
+    require(!bounds.isNullAt(0),
+      "joinPrunedRead: the dim side carries no join keys")
+    val (lo, hi) = (bounds.get(0), bounds.get(1))
+    val m = manifest(s, root)
+    val banded =
+      if (!m.columns.contains(s"min_$phys")) m
+      else m.filter(col(s"min_$phys").isNull ||
+        (col(s"min_$phys") <= lit(hi) && col(s"max_$phys") >= lit(lo)))
+    val imaged = activeTransforms(root).filter(_.srcCol == phys)
+      .filter(t => m.columns.contains(s"min_${t.statName}"))
+      .foldLeft(banded) { (mm, t) =>
+        val imgs = keys.select(t(col("k")).as("img")).distinct()
+          .limit(maxImages + 1).collect().map(_.get(0)).filter(_ != null)
+        if (imgs.isEmpty || imgs.length > maxImages) mm
+        else {
+          val anyHit = imgs.map(v =>
+            col(s"min_${t.statName}") <= lit(v) &&
+              col(s"max_${t.statName}") >= lit(v)).reduce(_ || _)
+          mm.filter(col(s"min_${t.statName}").isNull || anyHit)
+        }
+      }
+    val pruned = bloomSpec.fold(imaged) { sp =>
+      require(sp.keyCol == phys,
+        s"joinPrunedRead: bloom key '${sp.keyCol}' is not join column '$phys'")
+      val hits = StatsSpine.rosterHolders(
+        imaged.select(col("file"), col("bloom")), keys, "k", sp.mBits)
+      imaged.filter(col("bloom").isNull)
+        .unionByName(imaged.join(hits, Seq("file"), "left_semi"))
+    }
+    logicalView(readFiles(s, pruned), headMetaOf(root))
+  }
+
   /** METADATA-ONLY aggregates: COUNT(*), MIN(c), MAX(c) answered from
     * the manifest alone — zero data-file bytes read (the Delta
     * metadata-only query optimization, explicit). COUNT is exact

@@ -321,4 +321,73 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(VersionedTable.partitionPrunedRead(spark, root, "k", 150L)
       .filter(col("k") === 150L).count() == 1L)
   }
+
+  // ---- joinPrunedRead: runtime file pruning from a join ----
+
+  test("joinPrunedRead: dim band + images + bloom prune files; joined result is exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jp").toString
+    val t = TruncateTransform(100, "k")
+    VersionedTable.create(spark, rows(0, 800), root, spec,
+      layout = PartitionTransform.clusterLayout(16, Seq(t)),
+      transforms = Seq(t))
+    val total = VersionedTable.manifest(spark, root).count()
+    val dim = Seq((310L, "a"), (355L, "b"), (390L, "c"))
+      .toDF("dk", "payload")
+    val pruned = VersionedTable.joinPrunedRead(spark, root, "k", dim, "dk",
+      bloomSpec = Some(spec))
+    assert(pruned.select(input_file_name()).distinct().count() < total,
+      "a one-bin dim must not read the whole table")
+    val joined = pruned.join(dim, pruned("k") === dim("dk"))
+    assert(joined.count() == 3L)
+    assert(joined.select("v").as[String].collect().sorted
+      .sameElements(Array("v310", "v355", "v390")))
+  }
+
+  test("joinPrunedRead: NULL-stat evolution files survive the prune (superset contract)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jp-ev").toString
+    // generation 0 predates the transform: its manifest rows carry
+    // NULL transform stats and must survive every image prune
+    VersionedTable.create(spark, rows(0, 400), root, spec)
+    VersionedTable.evolvePartitioning(spark, root, Seq(TruncateTransform(100, "k")))
+    VersionedTable.append(spark, rows(400, 800), root, spec,
+      PartitionTransform.clusterLayout(8, Seq(TruncateTransform(100, "k"))))
+    val dim = Seq(120L, 450L).toDF("dk")
+    val got = VersionedTable.joinPrunedRead(spark, root, "k", dim, "dk")
+      .join(dim, col("k") === col("dk"))
+    assert(got.count() == 2L,
+      "a pre-evolution row must not be pruned away by missing transform stats")
+  }
+
+  test("joinPrunedRead: an INT dim key probes a LONG fact column without missing rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jp-ty").toString
+    VersionedTable.create(spark, rows(0, 800), root, spec,
+      layout = PartitionTransform.clusterLayout(8, Seq(bucket)),
+      transforms = Seq(bucket))
+    val dim = Seq(123, 456).toDF("dk") // Int, fact column is Long
+    val got = VersionedTable.joinPrunedRead(spark, root, "k", dim, "dk",
+      bloomSpec = Some(spec))
+      .join(dim, col("k") === col("dk").cast("long"))
+    assert(got.count() == 2L,
+      "the probe must cast to the fact column's type before imaging/hashing")
+  }
+
+  test("joinPrunedRead refusals: empty dim; bloom key mismatch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jp-rf").toString
+    VersionedTable.create(spark, rows(0, 100), root, spec)
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.joinPrunedRead(spark, root, "k",
+        Seq.empty[Long].toDF("dk"), "dk")
+    }
+    assert(e1.getMessage.contains("no join keys"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.joinPrunedRead(spark, root, "v",
+        Seq("v1").toDF("dk"), "dk",
+        bloomSpec = Some(spec)) // bloom key is "k", join column is "v"
+    }
+    assert(e2.getMessage.contains("not join column"))
+  }
 }
