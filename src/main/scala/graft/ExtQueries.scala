@@ -6781,6 +6781,64 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  private val branchWapPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val branchWapBrPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Branch + WRITE-AUDIT-PUBLISH (`layout_branch_wap`,
+    * [[graft.operators.VersionedTable.fastForward]]): the risky
+    * rewrite — an append plus a roster DV-delete — stages on a BRANCH
+    * (a [[graft.operators.VersionedTable.shallowClone]] whose v1
+    * records its base), the audit runs expectations against the
+    * branch READ while main's head is require()d UNCHANGED, and only
+    * then does `fastForward` publish the branch head onto main as one
+    * atomic commit. The gate also require()s the stale-base refusal
+    * (a second fast-forward of the same branch throws
+    * PublishConflict — main has moved past the base) and that time
+    * travel to the base version still reads the pre-branch content.
+    *
+    * Scale shape (100 TB): the branch pays the verbs' IO once; the
+    * publish is one manifest swap — unaudited rows are never visible
+    * to main's readers, the Iceberg WAP economics.
+    */
+  def layoutBranchWap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Publish, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("doc_id"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val main = java.nio.file.Files.createTempDirectory("graft_wap_m").toString
+    val br = java.nio.file.Files.createTempDirectory("graft_wap_b").toString + "/b"
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), main, spec)
+    val vBase = VersionedTable.headVersion(main).get
+    VersionedTable.shallowClone(s, main, br)
+    // WRITE: the risky rewrite stages on the branch only
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), br, spec)
+    VersionedTable.deleteRosterDV(s, br, spec,
+      d.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+    require(VersionedTable.headVersion(main).contains(vBase),
+      "branch writes must not move main's head (isolation)")
+    // AUDIT: expectations against the branch read, before main sees a row
+    require(VersionedTable.read(s, br)
+      .filter(col("doc_id") % 11 === 0).count() == 0L,
+      "audit: the roster delete must hold on the branch")
+    // PUBLISH: one atomic manifest swap
+    VersionedTable.fastForward(s, main, br)
+    val replayed =
+      try { VersionedTable.fastForward(s, main, br); false }
+      catch { case _: Publish.PublishConflict => true }
+    require(replayed, "a second fast-forward must refuse the stale base")
+    require(VersionedTable.readVersion(s, main, vBase).count() ==
+      d.filter(col("doc_id") % 3 === 0).count(),
+      "time travel to the base must still read pre-branch content")
+    retirePrevDir(branchWapPrev, main)
+    retirePrevDir(branchWapBrPrev,
+      br.substring(0, br.lastIndexOf('/')))
+    VersionedTable.read(s, main).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
   private val joinPrunePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

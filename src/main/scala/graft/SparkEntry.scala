@@ -508,6 +508,9 @@ object SparkEntry {
     // r23: dynamic file pruning — the dim side of a star join prunes
     // the fact file set at planning time (band + images + bloom)
     "layout_join_prune" -> (ExtQueries.layoutJoinPrune _),
+    // r23: branch + write-audit-publish — stage on a shallow-clone
+    // branch, audit the branch read, fast-forward main atomically
+    "layout_branch_wap" -> (ExtQueries.layoutBranchWap _),
     // r22: triangle census over the near-dup pair graph — transitivity
     // QA for dedup clusters (degree-ordered node iteration)
     "graph_triangles" -> (ExtQueries.graphTriangles _),
@@ -2279,6 +2282,14 @@ object SparkEntry {
     "layout_partition_roster" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (1, 300, 400, 451) AND doc_id % 3 < 2""".stripMargin,
+    // branch WAP: main's head after the fast-forward must equal the
+    // branch's audited edits over the raw table
+    "layout_branch_wap" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 3 < 2 AND doc_id % 11 <> 0
+        |GROUP BY lang""".stripMargin,
     // dynamic file pruning: the pruned fact read + exact join must
     // equal the raw star join
     "layout_join_prune" ->

@@ -565,7 +565,7 @@ object VersionedTable {
     * commit. A commit from before this contract (verb in this set,
     * no `cdc_path`/`cdc_empty` meta) still refuses.
     */
-  private val CdcVerbs = Set("update", "delete", "restore")
+  private val CdcVerbs = Set("update", "delete", "restore", "fast-forward")
 
   /** Write `changes` (physical column names + `change_type`) as a
     * commit's CDC sidecar and return the meta pairs recording it —
@@ -2243,6 +2243,77 @@ object VersionedTable {
     publishManifest(current, dstRoot,
       inheritedMeta(srcRoot) ++ Map("verb" -> "clone",
         "src" -> s"$srcRoot@${Publish.currentVersion(manifestRoot(srcRoot)).getOrElse("?")}"))
+  }
+
+  /** BRANCH FAST-FORWARD (the Iceberg WAP refs contract on the clone
+    * machinery): a BRANCH is a [[shallowClone]] — its v1 meta records
+    * `src = <mainRoot>@<vBase>` — written through by every verb in
+    * isolation from main. This publishes the branch HEAD manifest
+    * back onto main as ONE atomic commit, if and only if main's head
+    * is still the branch's base version (the fast-forward contract:
+    * no merge — a moved main means the branch must re-derive, which
+    * is exactly [[Publish.PublishConflict]]'s rebase posture, and
+    * that is what's thrown; [[Publish.publishIf]] re-fences at the
+    * pointer swap for racing writers). Table properties the branch
+    * evolved — constraints, column mapping, partition spec — carry
+    * through its inherited meta.
+    *
+    * This is WRITE-AUDIT-PUBLISH on one table: stage the risky
+    * rewrite on the branch, run expectations against the branch READ
+    * (the audit), fast-forward only when they hold. Main's readers
+    * never see an unaudited row; an abandoned branch is just an
+    * unreferenced root.
+    *
+    * Custody (the Delta shallow-clone caveat, in reverse): after a
+    * fast-forward main's manifest references generation files under
+    * the BRANCH root, so that directory becomes part of main's
+    * storage — drop the branch's POINTER, never its files; main's
+    * own vacuum keeps/retires them by reference like any generation.
+    *
+    * Scale shape (100 TB): branching is one manifest write (zero
+    * data bytes); the fast-forward is one manifest publish — the
+    * branch already paid its verbs' IO.
+    */
+  def fastForward(s: SparkSession, mainRoot: String,
+                  branchRoot: String): String = {
+    val vs = publishedVersions(branchRoot)
+    require(vs.nonEmpty, s"fastForward: no published versions under $branchRoot")
+    val born = metaAt(branchRoot, vs.head)
+    val src = born.get("src")
+    require(born.get("verb").contains("clone") && src.isDefined,
+      s"fastForward: $branchRoot is not a branch (its v1 is not a clone)")
+    val at = src.get.lastIndexOf('@')
+    val (srcRoot, vBase) = (src.get.substring(0, at), src.get.substring(at + 1))
+    require(srcRoot == mainRoot,
+      s"fastForward: branch was cut from $srcRoot, not $mainRoot")
+    // fast-path refusal before burning a version number; publishIf
+    // re-checks under the same contract at the pointer swap
+    val mainHead = Publish.currentVersion(manifestRoot(mainRoot))
+    if (!mainHead.contains(vBase))
+      throw new Publish.PublishConflict(Some(vBase), mainHead)
+    val branchHead = Publish.currentVersion(manifestRoot(branchRoot)).get
+    // the FF commit's content diff is the branch's OWN change feed
+    // (clone → head) — segmentation and writer-side CDC already
+    // resolved by the branch's commits — written as this commit's CDC
+    // sidecar under MAIN's storage (physical names: the feed's
+    // logical view un-maps through the branch's column mapping, which
+    // equals main's post-FF mapping because main hasn't moved). A
+    // branch whose own window can't state its diff (a pre-contract
+    // rewrite) refuses here, before main's feed is poisoned.
+    val cdcMeta =
+      if (branchHead == vs.head) Map("cdc_empty" -> "true")
+      else {
+        val feed = changeFeed(s, branchRoot, vs.head, branchHead)
+        val toPhys = columnMapping(branchRoot).map(_.swap).toMap
+        writeCdc(s, mainRoot, feed.columns.foldLeft(feed) { (f, c) =>
+          toPhys.get(c).fold(f)(p => f.withColumnRenamed(c, p))
+        })
+      }
+    Publish.publishIf(Publish.read(s, manifestRoot(branchRoot)),
+      manifestRoot(mainRoot), expectedHead = Some(vBase),
+      audit = auditFilesExist,
+      meta = inheritedMeta(branchRoot) ++ cdcMeta ++
+        Map("verb" -> "fast-forward", "src" -> s"$branchRoot@$branchHead"))
   }
 
   /** RE-CLUSTER the table (the OPTIMIZE/Z-ORDER verb as a manifest
