@@ -321,6 +321,10 @@ object SparkEntry {
     // transformed SILVER versioned table, exactly-once per batch
     "streaming_table_to_table" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingTableToTable(s, d)),
+    // r23: the gold hop — the feed streamed into an INCREMENTALLY
+    // maintained aggregate versioned table (IVM fold per micro-batch)
+    "streaming_gold_agg" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingGoldAgg(s, d)),
     // r21: stream → MERGE (the CDC-apply sink) — per-batch pre-agg
     // folds into a keyed profile table via batchId-idempotent merges;
     // the oracle is batch-split-independent
@@ -1677,6 +1681,21 @@ object SparkEntry {
         |SELECT '1_silver' AS slice, lang, n_docs, sum_ids, sum_bins FROM agg
         |UNION ALL
         |SELECT '2_bronze_head', lang, n_docs, sum_ids, sum_bins FROM agg""".stripMargin,
+    // gold hop: the incrementally-folded aggregate table and the
+    // directly-aggregated silver head state one rollup
+    "streaming_gold_agg" ->
+      """WITH final AS (
+        |  SELECT doc_id, lang,
+        |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 3 < 2 AND doc_id % 13 <> 0),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM final GROUP BY lang)
+        |SELECT '1_gold' AS slice, lang, n_docs, sum_chars FROM agg
+        |UNION ALL
+        |SELECT '2_silver_head', lang, n_docs, sum_chars FROM agg""".stripMargin,
     // the merged profile equals the batch per-user aggregate no
     // matter how events split across micro-batches — the exactly-once
     // CDC-apply contract stated directly

@@ -117,4 +117,48 @@ class FeedStreamSpec extends SparkSpec {
       s"only the appended window must stream: ${out2.size} rows")
     assert(out2.forall(_._3 == "insert"))
   }
+
+  test("gold IVM fold: a fully-drained group tombstones out of the aggregate table") {
+    import spark.implicits._
+    // a tiny gold table folded by the streaming_gold_agg shape, with a
+    // group whose rows ALL delete — the n_docs -> 0 path the gate's
+    // fixture can't force: the group must vanish from gold's head
+    val gSpec = VersionedTable.Spec(Seq("n_docs"), "lang", 1 << 13)
+    val gold = java.nio.file.Files.createTempDirectory("graft-gold-dr").toString
+    VersionedTable.create(spark,
+      Seq(("fi", 2L, 30L), ("sv", 1L, 7L)).toDF("lang", "n_docs", "sum_chars"),
+      gold, gSpec, extraMeta = Map("applied_upto" -> "v0"))
+    // feed window: both 'sv' rows... 'sv' has 1 doc; delete it, and
+    // add one 'fi' doc — 'sv' drains to zero, 'fi' updates
+    val batch = Seq(("sv", 7L, "delete"), ("fi", 5L, "insert"))
+      .toDF("lang", "n_chars", "change_type")
+    def aggOf(df: DataFrame) = df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    val delta = aggOf(batch.filter(col("change_type") === "insert"))
+      .select(col("lang"), col("n_docs").as("ins_n"), col("sum_chars").as("ins_c"))
+      .join(aggOf(batch.filter(col("change_type") === "delete"))
+        .select(col("lang"), col("n_docs").as("del_n"), col("sum_chars").as("del_c")),
+        Seq("lang"), "full_outer")
+    val folded = VersionedTable.read(spark, gold)
+      .join(delta, Seq("lang"), "right_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("ins_n"), lit(0L))
+          - coalesce(col("del_n"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("ins_c"), lit(0L))
+          - coalesce(col("del_c"), lit(0L))).as("sum_chars"))
+    val changes = folded.filter(col("n_docs") > 0)
+      .withColumn("change_type", lit("insert"))
+      .unionByName(folded.filter(col("n_docs") <= 0)
+        .withColumn("change_type", lit("delete")))
+    assert(VersionedTable.applyChanges(spark, gold, gSpec, changes, "v1").isDefined)
+    val head = VersionedTable.read(spark, gold).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(head == Set(("fi", 3L, 35L)),
+      s"'sv' must tombstone out and 'fi' must fold: $head")
+    // replay: the same window no-ops by watermark BEFORE the (now
+    // stale-state) fold could land
+    assert(VersionedTable.applyChanges(spark, gold, gSpec, changes, "v1").isEmpty,
+      "a redelivered window must no-op")
+    assert(VersionedTable.read(spark, gold).count() == 1L)
+  }
 }
