@@ -6781,6 +6781,58 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  private val typeWidenPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Type widening (`layout_type_widening`,
+    * [[graft.operators.VersionedTable.widenColumn]]): the id-column-
+    * outgrew-INT migration as a ZERO-REWRITE property commit — two
+    * narrow (INT) generations land, the widen commit flips the read
+    * schema to BIGINT immediately (require()d before any wide data
+    * exists), then a generation with values past 2³¹ appends. Old
+    * files stay narrow on disk and upcast at scan (the wide-merged
+    * read schema); the manifest's stat spine coerces through the
+    * sidecar union, so a band prune above INT range is require()d to
+    * read ONLY the wide generation's files. The hash states the
+    * mixed-width sum no single-width table could hold.
+    *
+    * Scale shape (100 TB): the alternative is the full-table rewrite
+    * every pre-widening engine schedules when ids overflow — here
+    * it's one manifest-sized commit and the old bytes age out through
+    * natural maintenance.
+    */
+  def layoutTypeWidening(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_small"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def narrow(m: Long) = d.filter(col("doc_id") % 3 === m)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_small"))
+    val root = java.nio.file.Files.createTempDirectory("graft_widen").toString
+    VersionedTable.create(s, narrow(0), root, spec)
+    VersionedTable.append(s, narrow(1), root, spec)
+    VersionedTable.widenColumn(s, root, spec, "n_small", "bigint")
+    require(VersionedTable.read(s, root).schema("n_small").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the read schema must widen at the property commit, before wide data")
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") + lit(3000000000L)).as("n_small")), root, spec)
+    // the stat spine coerces through the sidecar union: a band above
+    // INT range must plan only the wide generation's files
+    val wide = VersionedTable.prunedRead(s, root, "n_small",
+      3000000000L, Long.MaxValue)
+    require(wide.select(input_file_name()).distinct().count() <
+      VersionedTable.manifest(s, root).count(),
+      "the over-INT band must prune the narrow generations")
+    require(wide.filter(col("n_small") >= 3000000000L).count() ==
+      d.filter(col("doc_id") % 3 === 2).count(),
+      "the wide generation must read back complete")
+    retirePrevDir(typeWidenPrev, root)
+    VersionedTable.read(s, root).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_small")).as("sum_small"))
+  }
+
   private val branchWapPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val branchWapBrPrev =

@@ -515,6 +515,9 @@ object SparkEntry {
     // r23: branch + write-audit-publish — stage on a shallow-clone
     // branch, audit the branch read, fast-forward main atomically
     "layout_branch_wap" -> (ExtQueries.layoutBranchWap _),
+    // r23: type widening — zero-rewrite INT→BIGINT property commit;
+    // narrow files upcast at scan, wide values land immediately
+    "layout_type_widening" -> (ExtQueries.layoutTypeWidening _),
     // r22: triangle census over the near-dup pair graph — transitivity
     // QA for dedup clusters (degree-ordered node iteration)
     "graph_triangles" -> (ExtQueries.graphTriangles _),
@@ -2301,6 +2304,18 @@ object SparkEntry {
     "layout_partition_roster" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (1, 300, 400, 451) AND doc_id % 3 < 2""".stripMargin,
+    // type widening: the mixed-width table must sum past INT range
+    "layout_type_widening" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_small
+        |  FROM documents WHERE doc_id % 3 < 2
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars + 3000000000
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_small) AS BIGINT) AS sum_small
+        |FROM t GROUP BY lang""".stripMargin,
     // branch WAP: main's head after the fast-forward must equal the
     // branch's audited edits over the raw table
     "layout_branch_wap" ->

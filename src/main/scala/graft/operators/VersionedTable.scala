@@ -165,7 +165,10 @@ object VersionedTable {
       val drift = df.schema.flatMap { f =>
         headByName.get(f.name) match {
           case None => Some(s"new column ${f.name}: ${f.dataType.simpleString}")
-          case Some(t) if t != f.dataType =>
+          // a batch NARROWER than the head along a widening chain is
+          // conforming — [[toPhysical]] upcasts it at write (the
+          // Delta implicit-upcast posture after a widen commit)
+          case Some(t) if t != f.dataType && !widensTo(f.dataType, t) =>
             Some(s"${f.name}: ${t.simpleString} -> ${f.dataType.simpleString}")
           case _ => None
         }
@@ -216,8 +219,48 @@ object VersionedTable {
   private def applyColmap(df: DataFrame, m: Map[String, String]): DataFrame =
     m.foldLeft(df) { case (d, (phys, logi)) => d.withColumnRenamed(phys, logi) }
 
-  private def toPhysical(df: DataFrame, m: Map[String, String]): DataFrame =
-    m.foldLeft(df) { case (d, (phys, logi)) => d.withColumnRenamed(logi, phys) }
+  private def toPhysical(df: DataFrame, root: String): DataFrame = {
+    val renamed = columnMapping(root).foldLeft(df) {
+      case (d, (phys, logi)) => d.withColumnRenamed(logi, phys)
+    }
+    // upcast to declared widened types at write, so every generation
+    // written after a widen commit stores the wide width (narrow
+    // batches remain accepted — the Delta implicit-upcast posture)
+    widenOf(headMetaOf(root)).foldLeft(renamed) { case (d, (phys, ddl)) =>
+      if (d.columns.contains(phys)) d.withColumn(phys, col(phys).cast(ddl))
+      else d
+    }
+  }
+
+  /** Field-by-field schema merge with WIDENING tolerance, over one
+    * footer per generation dir (manifest generations are bounded by
+    * maintenance cadence, and a footer read is metadata-only): equal
+    * types keep, a [[widensTo]] pair keeps the wider, anything else
+    * re-throws as the schema conflict it is. All fields read back
+    * nullable (a file missing an evolved column fills NULL).
+    */
+  private def wideMergedSchema(s: SparkSession,
+                               files: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val perGen = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .map(_._2.head).toSeq.sorted
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    perGen.foreach { f =>
+      s.read.parquet(f).schema.foreach { fl =>
+        fields.get(fl.name) match {
+          case None => fields(fl.name) = fl.copy(nullable = true)
+          case Some(prev) if prev.dataType == fl.dataType => ()
+          case Some(prev) if widensTo(prev.dataType, fl.dataType) =>
+            fields(fl.name) = fl.copy(nullable = true)
+          case Some(prev) if widensTo(fl.dataType, prev.dataType) => ()
+          case Some(prev) => throw new IllegalArgumentException(
+            s"cannot merge generation schemas: ${fl.name} is " +
+              s"${prev.dataType.simpleString} vs ${fl.dataType.simpleString}")
+        }
+      }
+    }
+    StructType(fields.values.toSeq)
+  }
 
   /** Logical column DROPs (`dropcol:<physical>` → the logical name at
     * drop time) — the zero-rewrite sibling of the rename mapping: the
@@ -237,11 +280,48 @@ object VersionedTable {
   private def headMetaOf(root: String): Map[String, String] =
     headVersion(root).map(metaAt(root, _)).getOrElse(Map.empty)
 
-  /** A version's LOGICAL view of physical rows: dropped columns hidden,
-    * then the rename mapping applied.
+  /** TYPE WIDENING properties (`widen:<physical>` → target type DDL,
+    * the Delta type-widening feature): declared promotions along the
+    * safe numeric chains only. Physical files keep the width they
+    * were written with (zero rewrite); the declared target applies as
+    * a cast in every logical view — so the table's schema widens the
+    * INSTANT the property commits — and every generation written
+    * after the commit upcasts at write ([[toPhysical]]), so the wide
+    * value range is storable immediately. Mixed-width file sets read
+    * under an explicitly wide-merged schema ([[readFilesKeep]]'s
+    * fallback — Spark 4's Parquet readers upcast int32 under a
+    * BIGINT read schema, SPARK-40876).
     */
-  private def logicalView(df: DataFrame, meta: Map[String, String]): DataFrame =
-    applyColmap(df.drop(droppedPhysical(meta): _*), colmapOf(meta))
+  private val WidenPrefix = "widen:"
+
+  private val WidenChains = Seq(
+    Seq("tinyint", "smallint", "int", "bigint"), Seq("float", "double"))
+
+  /** Is `from` → `to` a safe promotion along one widening chain? */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean =
+    WidenChains.exists { c =>
+      val (i, j) = (c.indexOf(from.simpleString), c.indexOf(to.simpleString))
+      i >= 0 && j > i
+    }
+
+  private def widenOf(meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith(WidenPrefix) =>
+      k.stripPrefix(WidenPrefix) -> v
+    }
+
+  /** A version's LOGICAL view of physical rows: dropped columns hidden,
+    * declared type widenings applied (on physical names — stats and
+    * files track physical columns), then the rename mapping.
+    */
+  private def logicalView(df: DataFrame, meta: Map[String, String]): DataFrame = {
+    val widened = widenOf(meta).foldLeft(df.drop(droppedPhysical(meta): _*)) {
+      case (d, (phys, ddl)) =>
+        if (d.columns.contains(phys)) d.withColumn(phys, col(phys).cast(ddl))
+        else d
+    }
+    applyColmap(widened, colmapOf(meta))
+  }
 
   private def guardDropped(root: String, df: DataFrame): Unit = {
     val dead = df.columns.toSet intersect droppedPhysical(headMetaOf(root)).toSet
@@ -280,6 +360,46 @@ object VersionedTable {
       Map("verb" -> "drop-column", DropPrefix + physical -> logical))
   }
 
+  /** WIDEN COLUMN as a property commit (Delta type widening, zero
+    * rewrite): declare a safe numeric promotion (tinyint→…→bigint,
+    * float→double) for `logical`. The table's read schema widens
+    * IMMEDIATELY (the declared cast in [[logicalView]]); physical
+    * files keep their written width and upcast at scan under the
+    * wide-merged read schema; batches may keep arriving narrow
+    * ([[toPhysical]] upcasts at write) or arrive already wide, and
+    * time travel shows each version's own width. The bloom key and
+    * partition-transform sources are REFUSED: both hash/derive from
+    * the value's STRING RENDERING, which the float chain changes
+    * ("1.5" float vs its double rendering can differ), so a widened
+    * probe could silently land in the wrong bucket — the integral
+    * chain happens to render identically, but the refusal is cheaper
+    * than the per-chain proof and a key column's type is a contract.
+    *
+    * Scale shape (100 TB): one manifest-sized property commit; no
+    * data IO ever — the alternative is the full-table rewrite every
+    * pre-widening engine schedules when an id column outgrows INT.
+    */
+  def widenColumn(s: SparkSession, root: String, spec: Spec,
+                  logical: String, toType: String): String = {
+    val head = read(s, root)
+    val field = head.schema.find(_.name == logical).getOrElse(
+      throw new IllegalArgumentException(s"widenColumn: no such column $logical"))
+    val target = org.apache.spark.sql.types.DataType.fromDDL(toType)
+    require(widensTo(field.dataType, target),
+      s"widenColumn: ${field.dataType.simpleString} -> " +
+        s"${target.simpleString} is not a safe widening promotion")
+    val physical = physicalNameOf(root, logical)
+    require(physical != spec.keyCol,
+      s"widenColumn: $logical is the bloom key — the bitmap hashes the " +
+        "value's string rendering, which widening can change")
+    require(!activeTransforms(root).exists(_.srcCol == physical),
+      s"widenColumn: $logical is a partition-transform source — transform " +
+        "images derive from the value's rendering, which widening can change")
+    publishManifest(Publish.read(s, manifestRoot(root)), root,
+      Map("verb" -> "widen-column",
+        WidenPrefix + physical -> target.catalogString))
+  }
+
   /** Inheritable table properties: CHECK constraints, the column
     * mapping, logical drops, the partition spec, and the CDC-apply
     * watermark — every publish carries the head's forward (minus any
@@ -296,7 +416,7 @@ object VersionedTable {
     headVersion(root).map(v => metaAt(root, v).filter { case (k, _) =>
       k.startsWith(ConstraintPrefix) || k.startsWith(ColmapPrefix) ||
         k.startsWith(DropPrefix) || k.startsWith(PtSpecPrefix) ||
-        k == "applied_upto"
+        k.startsWith(WidenPrefix) || k == "applied_upto"
     }).getOrElse(Map.empty)
 
   private def publishManifest(manifest: DataFrame, root: String,
@@ -472,7 +592,7 @@ object VersionedTable {
     guardDropped(root, df)
     enforce(df, constraints(root))
     val gen = freshGen(root)
-    layout(toPhysical(df, columnMapping(root))).write.parquet(gen)
+    layout(toPhysical(df, root)).write.parquet(gen)
     publishManifest(
       unionSidecar(Publish.read(s, manifestRoot(root)),
         sidecar(s, gen, spec, activeTransforms(root))),
@@ -552,6 +672,7 @@ object VersionedTable {
     "compact-dv", "compact-dv-noop", "delete-noop", "update-noop",
     "merge-noop", "delete-band-noop",
     "set-constraint", "drop-constraint", "rename-column", "drop-column",
+    "widen-column",
     "evolve-partitioning", "recluster-where", "recluster-where-noop",
     "apply-changes-noop")
 
@@ -1182,7 +1303,7 @@ object VersionedTable {
             else "apply-changes"))))
       else {
         val gen = freshGen(root)
-        layout(toPhysical(ins, columnMapping(root))).write.parquet(gen)
+        layout(toPhysical(ins, root)).write.parquet(gen)
         Some(publishManifest(
           unionSidecar(base, sidecar(s, gen, spec, activeTransforms(root))),
           root, meta + ("verb" -> "apply-changes")))
@@ -1310,8 +1431,18 @@ object VersionedTable {
     require(entries.nonEmpty, "versioned table manifest lists no files")
     val files = entries.map(_.getString(0)).toSeq
     val dvPaths = entries.flatMap(r => Option(r.getString(1))).distinct.toSeq
-    val base = s.read.option("mergeSchema", "true").parquet(files: _*)
-      .withColumn("__file", col("_metadata.file_path"))
+    // mergeSchema covers the add-column evolution direction; a WIDTH
+    // conflict (a type-widened table whose old generations are still
+    // narrow) falls back to an explicitly wide-merged read schema —
+    // Spark 4's Parquet readers upcast narrow pages under it
+    val raw =
+      try s.read.option("mergeSchema", "true").parquet(files: _*)
+      catch {
+        case e: org.apache.spark.SparkException
+            if e.getMessage.contains("CANNOT_MERGE_SCHEMAS") =>
+          s.read.schema(wideMergedSchema(s, files)).parquet(files: _*)
+      }
+    val base = raw.withColumn("__file", col("_metadata.file_path"))
     if (dvPaths.isEmpty) base
     else {
       // row identity at read time = (_metadata.file_path, row_index);
@@ -1575,7 +1706,7 @@ object VersionedTable {
     enforce(updates, constraints(root))
     val current = Publish.read(s, manifestRoot(root))
     val gen = freshGen(root)
-    layout(toPhysical(updates, columnMapping(root))).write.parquet(gen)
+    layout(toPhysical(updates, root)).write.parquet(gen)
     val batchRows = sidecar(s, gen, spec, activeTransforms(root))
     val base = vectorize(s, current, root, spec,
       updates.select(col(spec.keyCol))) match {
@@ -1758,7 +1889,7 @@ object VersionedTable {
           .getOrElse(current)
         val withBatch = batch.filter(_ => nBatch > 0).fold(base) { b =>
           val gen = freshGen(root)
-          layout(toPhysical(b, columnMapping(root))).write.parquet(gen)
+          layout(toPhysical(b, root)).write.parquet(gen)
           unionSidecar(base, sidecar(s, gen, spec, activeTransforms(root)))
         }
         pub(withBatch, extraMeta ++
@@ -2083,15 +2214,14 @@ object VersionedTable {
         } :+ col("__match"): _*)
         enforceSchema(s, root, updated.drop("__match"), allowEvolution = false)
         enforce(updated.filter(col("__match")).drop("__match"), constraints(root))
-        val cm = columnMapping(root)
         val cdcMeta = writeCdc(s, root,
-          toPhysical(matched.filter(col("__match")).drop("__match"), cm)
+          toPhysical(matched.filter(col("__match")).drop("__match"), root)
             .withColumn("change_type", lit("delete"))
             .unionByName(
-              toPhysical(updated.filter(col("__match")).drop("__match"), cm)
+              toPhysical(updated.filter(col("__match")).drop("__match"), root)
                 .withColumn("change_type", lit("insert"))))
         val gen = freshGen(root)
-        layout(toPhysical(updated.drop("__match"), cm)).write.parquet(gen)
+        layout(toPhysical(updated.drop("__match"), root)).write.parquet(gen)
         publishManifest(
           unionSidecar(current.filter(!col("file").isin(holders: _*)),
             sidecar(s, gen, spec, activeTransforms(root))),
@@ -2416,7 +2546,7 @@ object VersionedTable {
     require(entryHead.isDefined, s"appendOcc: no published version under $root")
     validateAgainst(entryHead)
     val gen = freshGen(root)
-    layout(toPhysical(df, columnMapping(root))).write.parquet(gen)
+    layout(toPhysical(df, root)).write.parquet(gen)
     val batchRows = sidecar(s, gen, spec, activeTransforms(root))
     var attempts = 0
     while (attempts < maxAttempts) {
