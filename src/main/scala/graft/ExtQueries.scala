@@ -7765,4 +7765,38 @@ object ExtQueries {
     crashOut.unionByName(headMv.select(lit("2_committed").as("slice"),
       col("lang"), col("n_docs"), col("sum_chars")))
   }
+
+  /** Time-decayed engagement score (`events_decayed_score`): the
+    * recency weighting a training-data sampler feeds on — per user,
+    * Σ over events of weight(event_type) · 2^(−days_since). The decay
+    * is computed in EXACT DYADIC fixed point: day lag k ∈ [0, 30]
+    * makes each term `w · 2^(30−k)` an exact integer (engine-portable
+    * — no float pow whose last bit could differ between Spark and the
+    * oracle), summed as BIGINT; `score_fp` is the score at 2^30 scale.
+    * Top-100 users by (score DESC, user_id) — the rank a freshness-
+    * biased sampling quota or a decayed-popularity mix consumes.
+    *
+    * Scale shape (100 TB): one codegen'd projection + one groupBy
+    * (partial agg map-side) + the native bounded-heap top-k — no
+    * window, no second shuffle; the integer decay keeps the result
+    * partition-count-independent (doubles would make the sum order-
+    * dependent at the margin).
+    */
+  def eventsDecayedScore(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val w = when(col("event_type") === "view", 1L)
+      .when(col("event_type") === "click", 2L)
+      .when(col("event_type") === "signup", 5L)
+      .when(col("event_type") === "purchase", 10L)
+      .otherwise(0L)
+    val k = datediff(lit("2024-01-31").cast("date"), col("ts").cast("date"))
+    val term = when(k.between(0, 30),
+      w * expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - " +
+        "datediff(CAST('2024-01-31' AS DATE), CAST(ts AS DATE)) AS INT))"))
+      .otherwise(0L)
+    e.select(col("user_id"), term.as("__t"))
+      .groupBy("user_id").agg(sum(col("__t")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("user_id").asc)
+      .limit(100)
+  }
 }

@@ -859,6 +859,25 @@ object TableVerbSmoke {
           layout = layout); ()
       }))
       rows += ((scale, "read_merged", timed { readAgg() }))
+      // r13 pin (VERDICT r12 §6): the `merge` row's residual exponent
+      // is attributed to its roster growing with the table — this row
+      // holds the batch CONSTANT (the 1× doc_id namespace exists at
+      // every scale) so the verb's own cost is measured: expected
+      // FLAT across both decades (holders bloom-probed, match join
+      // reads only the batch's band, no existing file rewritten)
+      rows += ((scale, "merge_fixed", timed {
+        val idT = d.schema("doc_id").dataType
+        val win = d.filter(col("doc_id") < 5000)
+        val src = win.filter(col("doc_id") % 41 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 3).as("n_chars"))
+          .unionByName(win.filter(col("doc_id") % 43 === 0)
+            .select((col("doc_id") + 2000000000L).cast(idT).as("doc_id"),
+              col("lang"), col("n_chars")))
+        VersionedTable.merge(spark, root, spec, src,
+          matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+          layout = layout); ()
+      }))
       rows += ((scale, "optimize_compact",
         timed { VersionedTable.optimizeCompact(spark, root, spec,
           targetBytes = 1L << 40); () }))

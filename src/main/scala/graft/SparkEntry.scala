@@ -84,6 +84,9 @@ object SparkEntry {
     "q_grouping_sets" -> (Queries.qGroupingSets _),
     "events_sliding_agg" -> (Queries.eventsSlidingAgg _),
     "events_gap_fill" -> (Queries.eventsGapFill _),
+    // r23: exact-dyadic time-decayed engagement score — the recency
+    // weighting a freshness-biased sampler ranks on
+    "events_decayed_score" -> (ExtQueries.eventsDecayedScore _),
     "events_user_growth" -> (Queries.eventsUserGrowth _),
     "events_anomaly_zscore" -> (Queries.eventsAnomalyZscore _),
     "events_cohort_retention" -> (Queries.eventsCohortRetention _),
@@ -1003,6 +1006,24 @@ object SparkEntry {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.us >= a.us AND b.us <= a.us + 21600000000""".stripMargin,
+
+    // decayed score: exact dyadic terms (w * 2^(30-k)) summed as
+    // BIGINT — engine-portable, no float pow in either restatement
+    "events_decayed_score" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'signup' THEN 5 WHEN 'purchase' THEN 10 ELSE 0 END
+        |    * CASE WHEN date_diff('day', CAST(ts AS DATE), DATE '2024-01-31')
+        |             BETWEEN 0 AND 30
+        |           THEN CAST(1 AS BIGINT) <<
+        |             (30 - date_diff('day', CAST(ts AS DATE), DATE '2024-01-31'))
+        |           ELSE 0 END AS term
+        |  FROM events)
+        |SELECT user_id, CAST(sum(term) AS BIGINT) AS score_fp
+        |FROM t GROUP BY user_id
+        |ORDER BY score_fp DESC, user_id ASC
+        |LIMIT 100""".stripMargin,
 
     "events_gap_fill" ->
       """WITH hourly AS (

@@ -357,6 +357,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!ap.contains("CartesianProduct"), ap.take(3000))
   }
 
+  test("decayed score: bounded-heap top-k, one shuffle, no window") {
+    val plan = staticPlan(ExtQueries.eventsDecayedScore(spark, sfSmoke))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 must plan as the bounded heap, not a global sort:\n" + plan.take(2000))
+    assert(!plan.contains("Window"),
+      "the decay is a projection + groupBy — a Window here is a regression")
+  }
+
   test("q1: aggregation pipeline stays inside WholeStageCodegen") {
     // codegen spans only show on the executed plan, as `*(n)` stage
     // markers (AQE's static formatted plan omits the annotation)
