@@ -87,6 +87,9 @@ object SparkEntry {
     // r23: exact-dyadic time-decayed engagement score — the recency
     // weighting a freshness-biased sampler ranks on
     "events_decayed_score" -> (ExtQueries.eventsDecayedScore _),
+    // r23: LTTB downsample (parallel mean-anchor variant) — ≤60
+    // shape-preserving points per series, exact integer triangles
+    "events_downsample_lttb" -> (ExtQueries.eventsDownsampleLttb _),
     "events_user_growth" -> (Queries.eventsUserGrowth _),
     "events_anomaly_zscore" -> (Queries.eventsAnomalyZscore _),
     "events_cohort_retention" -> (Queries.eventsCohortRetention _),
@@ -1024,6 +1027,40 @@ object SparkEntry {
         |FROM t GROUP BY user_id
         |ORDER BY score_fp DESC, user_id ASC
         |LIMIT 100""".stripMargin,
+
+    // LTTB parallel variant: identical integer triangle arithmetic,
+    // identical tie-breaks — the per-bucket winner must be exact
+    "events_downsample_lttb" ->
+      """WITH lo AS (SELECT min(epoch_ns(ts)) AS lo FROM events),
+        |hourly AS (
+        |  SELECT event_type, (epoch_ns(ts) - lo) // 3600000000000 AS h,
+        |    SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS y
+        |  FROM events, lo GROUP BY 1, 2),
+        |pts AS (SELECT event_type, h, y, h // 12 AS b FROM hourly),
+        |bag AS (SELECT event_type, b, SUM(h) AS bt, SUM(y) AS by_,
+        |          COUNT(*) AS bn
+        |        FROM pts GROUP BY 1, 2),
+        |nb AS (SELECT event_type, b,
+        |         lag(bt) OVER w AS tp, lag(by_) OVER w AS yp,
+        |         lag(bn) OVER w AS np_,
+        |         lead(bt) OVER w AS tn, lead(by_) OVER w AS yn,
+        |         lead(bn) OVER w AS nn_,
+        |         min(b) OVER (PARTITION BY event_type) AS bmin,
+        |         max(b) OVER (PARTITION BY event_type) AS bmax
+        |       FROM bag WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+        |a AS (SELECT p.event_type, p.b, p.h, p.y, bmin, bmax, abs(
+        |        (tp * nn_ - np_ * nn_ * p.h) * (yn * np_ - np_ * nn_ * p.y) -
+        |        (tn * np_ - np_ * nn_ * p.h) * (yp * nn_ - np_ * nn_ * p.y))
+        |        AS area
+        |      FROM pts p JOIN nb USING (event_type, b)),
+        |r AS (SELECT event_type, h, y,
+        |        row_number() OVER (PARTITION BY event_type, b ORDER BY
+        |          CASE WHEN b = bmin THEN h
+        |               WHEN b = bmax THEN -h
+        |               ELSE -coalesce(area, 0) END ASC, h ASC) AS rn
+        |      FROM a)
+        |SELECT event_type, h, CAST(y AS BIGINT) AS y_fp FROM r
+        |WHERE rn = 1""".stripMargin,
 
     "events_gap_fill" ->
       """WITH hourly AS (
