@@ -437,6 +437,41 @@ object ExtOracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** kNN-graph twin (8 bands × 6 bits over the whole corpus, directed
+    * top-5 per node, then canonical undirected edges with the mutual
+    * flag; `min(score)` ≡ Spark's `first` because cosine's left fold
+    * is bit-symmetric, so both directions carry the identical double).
+    */
+  val embedKnnGraph: String =
+    s"""WITH $vecsDouble,
+       |s AS (SELECT vec_id, vec, ${signature("vec", 48)} AS sig FROM v),
+       |blocks AS (
+       |  SELECT vec_id, vec,
+       |    unnest([CAST(b AS VARCHAR) || '|' || substr(sig, 1 + b * 6, 6)
+       |            for b in range(0, 8)]) AS band
+       |  FROM s),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+       |  FROM blocks a JOIN blocks c
+       |    ON a.band = c.band AND a.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.src, cand.dst, ${cosine("q.vec", "c.vec")} AS score
+       |  FROM cand
+       |  JOIN v q ON q.vec_id = cand.src
+       |  JOIN v c ON c.vec_id = cand.dst),
+       |r AS (
+       |  SELECT src, dst, score,
+       |    ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY score DESC NULLS LAST, dst ASC NULLS FIRST) AS rank
+       |  FROM scored),
+       |t AS (SELECT src, dst, score FROM r WHERE rank <= 5),
+       |e AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |        count(*) AS ndir, min(score) AS score
+       |      FROM t GROUP BY 1, 2)
+       |SELECT a AS src, b AS dst, ndir = 2 AS mutual,
+       |  round(score, 6) AS score
+       |FROM e""".stripMargin
+
   private val activityCols = Seq(
     "account_id", "activity_date", "activity_time", "next_activity_date",
     "collection_channel", "contact_type", "contact_outcome", "non_payment_reason",

@@ -7861,4 +7861,48 @@ object ExtQueries {
     j.withColumn("__rn", rn).filter(col("__rn") === 1)
       .select(col("event_type"), col("h"), col("y").as("y_fp"))
   }
+
+  /** k-NN GRAPH construction (`embed_knn_graph`): the neighborhood
+    * graph graph-based dedup / clustering / label-propagation runs on
+    * — every corpus vector's top-5 cosine neighbors among its banded-
+    * LSH collisions (8 bands × 6 bits: finer keys than the ANN gate's
+    * 8×3 because BOTH sides are the corpus — bucket population sets
+    * the join's quadratic term, so more bits = smaller independent
+    * blocks), then symmetrized to canonical undirected edges with a
+    * MUTUAL flag (both endpoints in each other's top-k — the
+    * mutual-kNN edge set that resists hub contamination). The
+    * directed score is computed once per collided pair (multi-band
+    * collisions collapse via `first` — every collision yields the
+    * bit-identical cosine), and cosine's left fold is symmetric
+    * bit-for-bit, so the canonical edge's score is well-defined.
+    *
+    * Scale shape (100 TB): the corpus never self-joins — pairs exist
+    * only inside band buckets (population ∝ corpus/2^bits per band),
+    * the top-k is the native bounded-heap path, and symmetrization is
+    * a groupBy on edge keys. nDCG-style quality is the recall gate's
+    * job (`sim_ann_recall`); this gate pins the construction exactly.
+    */
+  def embedKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{LatestPerKey, Similarity}
+    val emb = Tables.load(s, dir, "embeddings")
+    val blocks = emb.select(col("vec_id"), col("embedding"),
+      explode(Similarity.hyperplaneBands(col("embedding"), 8, 6)).as("band"))
+    val scored = blocks.select(col("band"), col("vec_id").as("src"),
+        col("embedding").as("s_vec"))
+      .join(blocks.select(col("band"), col("vec_id").as("dst"),
+        col("embedding").as("d_vec")), Seq("band"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        Similarity.cosine(col("s_vec"), col("d_vec")).as("score"))
+      .groupBy("src", "dst").agg(first(col("score")).as("score"))
+    val topk = LatestPerKey.topKRanked(scored, 5, Seq(col("src")),
+        Seq(col("score").desc_nulls_last, col("dst").asc_nulls_first))
+      .select(col("src"), col("dst"), col("score"))
+    topk.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("score"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("ndir"), first(col("score")).as("score"))
+      .select(col("a").as("src"), col("b").as("dst"),
+        (col("ndir") === 2).as("mutual"), round(col("score"), 6).as("score"))
+  }
 }

@@ -177,6 +177,9 @@ object SparkEntry {
     "text_bpe_tokens" -> (ExtQueries.textBpeTokens _),
     "sim_cosine_topk" -> (ExtQueries.simCosineTopK _),
     "sim_ann_lsh_topk" -> (ExtQueries.simAnnLshTopK _),
+    // r23: mutual-kNN graph over the corpus — banded-LSH blocks,
+    // directed top-5, canonical undirected edges with the mutual flag
+    "embed_knn_graph" -> (ExtQueries.embedKnnGraph _),
     "sim_ivf_topk" -> (ExtQueries.simIvfTopK _),
     "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
     "sim_ivf_stored_topk" -> (ExtQueries.simIvfStoredTopK _),
@@ -686,7 +689,11 @@ object SparkEntry {
     // r21: the CDC-apply verb — bloom-probed match join + DV + batch
     // in one commit; its cost model (∝ changed band, zero rewrite of
     // existing files) is the 100 TB merge economics
-    "layout_merge")
+    "layout_merge",
+    // r23: corpus-side banded self-join + symmetrization — the one
+    // LSH shape where BOTH sides are the corpus (the ANN row's
+    // broadcast never exercises the bucket-keyed shuffle join)
+    "embed_knn_graph")
 
   private val lexValues = ExtQueries.langLexicon
     .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
@@ -2962,6 +2969,7 @@ object SparkEntry {
     "text_bpe_tokens" -> ExtOracleSql.textBpeTokens,
     "sim_cosine_topk" -> ExtOracleSql.simCosineTopK,
     "sim_ann_lsh_topk" -> ExtOracleSql.simAnnLshTopK,
+    "embed_knn_graph" -> ExtOracleSql.embedKnnGraph,
     "sim_ivf_topk" -> ExtOracleSql.simIvfTopK,
     "sim_ivf_kmeans_topk" -> ExtOracleSql.simIvfKmeansTopK,
     // the stored-index path must reproduce the recompute path exactly —
