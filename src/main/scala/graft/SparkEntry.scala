@@ -334,6 +334,11 @@ object SparkEntry {
     // maintained aggregate versioned table (IVM fold per micro-batch)
     "streaming_gold_agg" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingGoldAgg(s, d)),
+    // r23: auto-OPTIMIZE inside the ingest loop — manifest-priced plan
+    // consult per trigger, compaction absorbs the small generations,
+    // batchId replay watermark inherits across maintenance commits
+    "streaming_auto_optimize" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingAutoOptimize(s, d)),
     // r21: stream → MERGE (the CDC-apply sink) — per-batch pre-agg
     // folds into a keyed profile table via batchId-idempotent merges;
     // the oracle is batch-split-independent
@@ -1749,6 +1754,13 @@ object SparkEntry {
         |SELECT '1_silver' AS slice, lang, n_docs, sum_ids, sum_bins FROM agg
         |UNION ALL
         |SELECT '2_bronze_head', lang, n_docs, sum_ids, sum_bins FROM agg""".stripMargin,
+    // auto-optimize ingest: compaction is content-identical, so the
+    // head equals the full staged corpus no matter when it fired
+    "streaming_auto_optimize" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     // gold hop: the incrementally-folded aggregate table and the
     // directly-aggregated silver head state one rollup
     "streaming_gold_agg" ->

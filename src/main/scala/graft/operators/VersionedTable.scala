@@ -416,7 +416,13 @@ object VersionedTable {
     headVersion(root).map(v => metaAt(root, v).filter { case (k, _) =>
       k.startsWith(ConstraintPrefix) || k.startsWith(ColmapPrefix) ||
         k.startsWith(DropPrefix) || k.startsWith(PtSpecPrefix) ||
-        k.startsWith(WidenPrefix) || k == "applied_upto"
+        // both replay watermarks MUST inherit (the r12 applied_upto
+        // lesson, and its streaming-sink twin found by the r13
+        // auto-optimize gate): a maintenance commit landing between
+        // ingest commits would otherwise erase the idempotence
+        // high-water mark and a redelivered micro-batch would
+        // re-append. An ingest commit's own explicit meta overrides.
+        k.startsWith(WidenPrefix) || k == "applied_upto" || k == "batchId"
     }).getOrElse(Map.empty)
 
   private def publishManifest(manifest: DataFrame, root: String,

@@ -1589,6 +1589,86 @@ object StreamingStage {
           col("sum_ids"), col("sum_bins")))
   }
 
+  private val autoOptStagedPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val autoOptTablePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val autoOptChkPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** AUTO-OPTIMIZE inside the ingest loop (`streaming_auto_optimize`,
+    * the Delta auto-compaction posture): a continuous micro-batch
+    * ingest fragments a table — one small generation per trigger —
+    * so after each commit the sink consults
+    * [[graft.operators.VersionedTable.maintenancePlan]] (manifest
+    * rows + file sizes, zero data IO) and runs `optimizeCompact` when
+    * enough sub-target files accumulate, INSIDE the same foreachBatch
+    * hook. The gate require()s one batch per staged file, that
+    * compaction actually fired mid-stream (≥1 `optimize-compact`
+    * commit in the history), that the head's file count ends BELOW
+    * the batch count (the fragmentation is absorbed), and — the
+    * exactly-once claim the composition endangers — that a
+    * REDELIVERED batchId still no-ops AFTER a maintenance commit:
+    * the `batchId` watermark now INHERITS through commits like
+    * `applied_upto` (this gate found the erasure; same bug class as
+    * ADVICE r12's watermark).
+    *
+    * Scale shape (100 TB): the plan consult is manifest-sized per
+    * trigger; compaction IO ∝ the small generations it absorbs —
+    * ingest latency stays flat while read amplification is bounded,
+    * which is why every production table format ships this loop.
+    */
+  def streamingAutoOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val staged = java.nio.file.Files.createTempDirectory("graft-ao-s").toString
+    retirePrev(autoOptStagedPrev, staged)
+    val root = java.nio.file.Files.createTempDirectory("graft-ao-t").toString
+    retirePrev(autoOptTablePrev, root)
+    val chk = java.nio.file.Files.createTempDirectory("graft-ao-chk").toString
+    retirePrev(autoOptChkPrev, chk)
+    d.repartitionByRange(6, col("doc_id")).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    var nBatches = 0
+    var nCompactions = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        nBatches += 1
+        appendVersionedTable(b.toDF(), root, spec, id)
+        // auto-compaction: prescriptions from the manifest alone;
+        // fire once ≥4 sub-target generations accumulate
+        val due = VersionedTable.maintenancePlan(spark, root, 1L << 20)
+          .filter(col("action") === "optimize-compact").count()
+        if (due >= 4) {
+          VersionedTable.optimizeCompact(spark, root, spec, 1L << 20)
+          nCompactions += 1
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(nBatches == 6, s"one micro-batch per staged file, got $nBatches")
+    require(nCompactions >= 1,
+      "auto-compaction must fire at least once mid-stream")
+    require(VersionedTable.manifest(spark, root).count() < 6L,
+      "the head must carry fewer files than the batch count")
+    // the exactly-once claim across maintenance: batchId 0 redelivery
+    // AFTER optimize commits must still no-op (inherited watermark)
+    val replayed = appendVersionedTable(
+      spark.read.parquet(staged).limit(7), root, spec, 0L)
+    require(!replayed,
+      "a redelivered batchId must no-op across maintenance commits")
+    VersionedTable.read(spark, root).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+  }
+
   private val goldSilverPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val goldGoldPrev =
