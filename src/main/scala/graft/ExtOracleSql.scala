@@ -472,6 +472,41 @@ object ExtOracleSql {
        |  round(score, 6) AS score
        |FROM e""".stripMargin
 
+  /** One propagate + pointer-jump round — the unrolled twin of
+    * ConnectedComponents.labelPropagateJump: a neighbor-min step,
+    * then every vertex re-reads its own label's label (c(c(v))).
+    */
+  private def ccJumpIter(i: Int): String =
+    s"""p$i AS MATERIALIZED (
+       |  SELECT s.src AS id, MIN(l.component) AS component
+       |  FROM sym s JOIN l${i - 1} l ON l.id = s.dst
+       |  GROUP BY s.src),
+       |l$i AS MATERIALIZED (
+       |  SELECT p.id, MIN(p2.component) AS component
+       |  FROM p$i p JOIN p$i p2 ON p2.id = p.component
+       |  GROUP BY p.id)""".stripMargin
+
+  /** Communities over the mutual-kNN edge set: 8 unrolled
+    * propagate+jump rounds (the gate require()s convergence at 8, so
+    * these ARE the components — O(log diameter) convergence covers
+    * the sf0.1 mutual graph the plain 8-round form could not), then
+    * per-component size + intra-edge count.
+    */
+  val embedKnnCommunities: String =
+    s"""WITH g AS MATERIALIZED (SELECT src, dst FROM ($embedKnnGraph) WHERE mutual),
+       |verts AS (SELECT src AS id FROM g UNION SELECT dst FROM g),
+       |sym AS MATERIALIZED (SELECT src, dst FROM g
+       |        UNION SELECT dst AS src, src AS dst FROM g
+       |        UNION SELECT id AS src, id AS dst FROM verts),
+       |l0 AS (SELECT id, id AS component FROM verts),
+       |${(1 to 8).map(ccJumpIter).mkString(",\n")},
+       |sizes AS (SELECT component, COUNT(*) AS n_nodes FROM l8 GROUP BY 1),
+       |ec AS (SELECT l.component, COUNT(*) AS n_edges
+       |       FROM g JOIN l8 l ON l.id = g.src GROUP BY 1)
+       |SELECT s.component, CAST(s.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(ec.n_edges AS BIGINT) AS n_edges
+       |FROM sizes s JOIN ec USING (component)""".stripMargin
+
   private val activityCols = Seq(
     "account_id", "activity_date", "activity_time", "next_activity_date",
     "collection_channel", "contact_type", "contact_outcome", "non_payment_reason",

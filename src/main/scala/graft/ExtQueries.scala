@@ -7905,4 +7905,41 @@ object ExtQueries {
       .select(col("a").as("src"), col("b").as("dst"),
         (col("ndir") === 2).as("mutual"), round(col("score"), 6).as("score"))
   }
+
+  /** Communities over the mutual-kNN graph (`embed_knn_communities`):
+    * connected components of [[embedKnnGraph]]'s MUTUAL edge set —
+    * the embedding-space cluster inventory (component label = min
+    * vec_id, size, intra-edges) a semantic-dedup or topic-balance
+    * pass consumes. Components come from fixed-round min-label
+    * propagation WITH POINTER JUMPING
+    * ([[graft.operators.ConnectedComponents.labelPropagateJump]] —
+    * unrollable SQL converging in O(log diameter): the plain 8-round
+    * form was NOT enough at sf0.1, where the mutual graph's diameter
+    * outgrew it), with CONVERGENCE require()d in-gate (round 9 ≡
+    * round 8), so the oracle's 8 unrolled jump rounds state true
+    * components, and a future fixture outgrowing even those fails
+    * LOUDLY (lesson 42) instead of hash-diverging.
+    *
+    * Scale shape (100 TB): mutual edges are ≤ k·|V| by construction
+    * (top-k out-degree bounds the directed set), so the propagation
+    * joins are edge-bounded; an unknown-diameter production graph
+    * routes to the star-contraction solver instead — this gate's
+    * fixed-round form is chosen BECAUSE the oracle must restate it.
+    */
+  def embedKnnCommunities(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ConnectedComponents
+    val mutual = embedKnnGraph(s, dir).filter(col("mutual"))
+      .select(col("src"), col("dst"))
+    val verts = mutual.select(col("src").as("id"))
+      .unionByName(mutual.select(col("dst").as("id"))).distinct()
+    val comp = ConnectedComponents.labelPropagateJump(verts, mutual, 8)
+    require(ConnectedComponents.labelPropagateJump(verts, mutual, 9)
+      .exceptAll(comp).isEmpty,
+      "fixture must converge within 8 jump rounds (oracle unroll)")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_nodes"))
+    val edges = mutual.join(comp.withColumnRenamed("id", "src"), Seq("src"))
+      .groupBy("component").agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("component"))
+      .select(col("component"), col("n_nodes"), col("n_edges"))
+  }
 }

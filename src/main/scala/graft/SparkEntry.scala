@@ -180,6 +180,9 @@ object SparkEntry {
     // r23: mutual-kNN graph over the corpus — banded-LSH blocks,
     // directed top-5, canonical undirected edges with the mutual flag
     "embed_knn_graph" -> (ExtQueries.embedKnnGraph _),
+    // r23: communities over the mutual edges — fixed-round min-label
+    // components (convergence require()d so the unrolled oracle holds)
+    "embed_knn_communities" -> (ExtQueries.embedKnnCommunities _),
     "sim_ivf_topk" -> (ExtQueries.simIvfTopK _),
     "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
     "sim_ivf_stored_topk" -> (ExtQueries.simIvfStoredTopK _),
@@ -2982,6 +2985,7 @@ object SparkEntry {
     "sim_cosine_topk" -> ExtOracleSql.simCosineTopK,
     "sim_ann_lsh_topk" -> ExtOracleSql.simAnnLshTopK,
     "embed_knn_graph" -> ExtOracleSql.embedKnnGraph,
+    "embed_knn_communities" -> ExtOracleSql.embedKnnCommunities,
     "sim_ivf_topk" -> ExtOracleSql.simIvfTopK,
     "sim_ivf_kmeans_topk" -> ExtOracleSql.simIvfKmeansTopK,
     // the stored-index path must reproduce the recompute path exactly —

@@ -68,6 +68,53 @@ object ConnectedComponents {
     labels
   }
 
+  /** Fixed-round min-label propagation WITH POINTER JUMPING: each
+    * round is one neighbor-min step ([[labelPropagate]]'s round)
+    * followed by one shortcut step — every vertex re-reads its own
+    * LABEL's label (`c'(v) = c(c(v))`, well-defined because labels
+    * are min-ids so `c(u) ≤ u`, and monotone for the same reason).
+    * The shortcut halves remaining label-tree depth per round, so
+    * convergence needs O(log diameter) rounds where the plain form
+    * needs diameter — the unrollable-SQL hash-gate form for graphs
+    * whose diameter a fixture can't bound (a mutual-kNN graph grew
+    * past 8 plain rounds at sf0.1; 8 jump rounds cover diameters in
+    * the hundreds). Exact components once converged — same min-label
+    * contract as every other solver here.
+    */
+  def labelPropagateJump(vertices: DataFrame, edges: DataFrame,
+                         rounds: Int): DataFrame = {
+    require(rounds >= 1, "labelPropagateJump: rounds must be >= 1")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(vertices.select(col("id").as("src"), col("id").as("dst")))
+      .distinct()
+    // each round references its `prop` TWICE (the shortcut self-join),
+    // so an un-truncated lazy plan doubles per round — materialize
+    // every round like runStar's (the 2^rounds analysis blowup is
+    // real: the first lazy form of this function hung the sf0.01 gate)
+    var labels = vertices.select(col("id"), col("id").as("component"))
+    var held: DataFrame = null
+    try {
+      (1 to rounds).foreach { _ =>
+        val prop = sym
+          .join(labels.select(col("id").as("dst"), col("component")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("component")).as("component"))
+        val jumped = prop
+          .join(prop.select(col("id").as("component"),
+            col("component").as("c2")), "component")
+          .groupBy(col("id"))
+          .agg(min(col("c2")).as("component"))
+        val (mat, _) = materializeRound(jumped)
+        if (held != null) held.unpersist()
+        held = mat
+        labels = mat
+      }
+      Checkpoints.ensure(labels.sparkSession.sparkContext)
+      labels.checkpoint()
+    } finally { if (held != null) { held.unpersist(); () } }
+  }
+
   /** [[labelPropagate]] with the per-round neighbor-label join SALTED
     * ([[SaltedJoin]], the repo's replicate-and-salt escape hatch) —
     * for DUP-DENSE graphs where a fused component's message volume

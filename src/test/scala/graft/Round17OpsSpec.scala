@@ -123,6 +123,28 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagateJump: a 200-hop chain converges in 8 rounds; plain propagation cannot") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // the case that defeated the plain unroll at sf0.1: one long
+    // chain (diameter 200) plus a separate triangle and singletons
+    val edges = ((1L to 200L).map(i => (i, i + 1)) ++
+      Seq((500L, 501L), (501L, 502L), (500L, 502L))).toDF("src", "dst")
+    val verts = ((1L to 201L) ++ (500L to 502L) ++ Seq(900L)).toDF("id")
+    val jumped = ConnectedComponents.labelPropagateJump(verts, edges, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ConnectedComponents.runStar(verts, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jumped == exact,
+      "8 propagate+jump rounds must solve a diameter-200 chain exactly")
+    assert(jumped.count(_._2 == 1L) == 201,
+      "the whole chain must collapse to min label 1")
+    val plain = ConnectedComponents.labelPropagate(verts, edges, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain != exact,
+      "the fixture must actually exceed the plain form's 8-hop reach")
+  }
+
   test("bucket probe literals cast to the column's type: Int/Long probes prune correctly on DOUBLE") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-r17-probe").toString
