@@ -7942,4 +7942,91 @@ object ExtQueries {
     sizes.join(edges, Seq("component"))
       .select(col("component"), col("n_nodes"), col("n_edges"))
   }
+
+  /** HTML boilerplate strip (`text_html_strip`): the markup-removal
+    * pass a web-scrape corpus runs before any text analysis — strip
+    * comments, then tags, decode the five XML entities, collapse
+    * whitespace. The fixture HTML-ifies each document
+    * deterministically (wrapper tags + a class attribute + an entity
+    * substitution + a comment) so BOTH engines construct and strip
+    * the identical string; patterns are dialect-portable (no
+    * lookarounds — Java regex here, RE2 in the oracle). Output per
+    * doc: tag count, clean length, and a clean-text slice the hash
+    * can bite on.
+    *
+    * Scale shape (100 TB): pure codegen'd column expressions, zero
+    * shuffle — the cheapest pass in the curation funnel, which is why
+    * it runs FIRST (everything downstream sees ~30% fewer bytes).
+    */
+  def textHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(lit("<html><body class=\""), col("lang"),
+      lit("\"><h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+      regexp_replace(col("text"), " the ", " &amp; "),
+      lit("</p><!-- footer --></body></html>"))
+    val noComments = regexp_replace(html, "<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'").foldLeft(noTags) {
+      case (c, (e, ch)) => regexp_replace(c, e, ch)
+    }
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    docs(s, dir).select(
+      col("doc_id"),
+      (length(html) - length(regexp_replace(html, "<", ""))).cast("long")
+        .as("n_tags"),
+      length(clean).cast("long").as("clean_len"),
+      substring(clean, 1, 48).as("clean_head"))
+  }
+
+  /** DATASET CARD (`pipeline_dataset_card`): the one-table corpus
+    * summary a dataset release ships — size, language/source spread,
+    * exact-dup volume, token/char totals, quality pass count, and a
+    * fixed-point mean — every metric an exact INTEGER (counts, or
+    * 1e6-scaled integer-division means), so the card is
+    * engine-portable and partition-independent. One pass for the
+    * per-doc metrics + one tiny hash-dup aggregate; emitted as
+    * (metric, value) rows so downstream diffing of two cards is a
+    * join, not a schema migration.
+    *
+    * Scale shape (100 TB): two scans (metrics, dup-hash groupBy) —
+    * the dup aggregate shuffles 16-byte digests, never text; at a
+    * release cadence this is the cheapest full-corpus statement of
+    * record there is.
+    */
+  def pipelineDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val stop = Seq("the", "data", "order", "key", "value")
+    val words = split(col("text"), " ")
+    val nTok = size(words).cast("long")
+    val len = length(col("text")).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / len
+    val meanTokLen = (len - (nTok - 1).cast("double")) / nTok.cast("double")
+    val stopHits = size(filter(words, w => w.isin(stop: _*))).cast("long")
+    val passes = (nTok >= 10 && nTok <= 100000 &&
+      meanTokLen >= 2.0 && meanTokLen <= 12.0 &&
+      alpha >= 0.5 && stopHits >= 1).cast("long")
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(nTok).as("token_total"),
+      sum(col("n_chars").cast("long")).as("chars_total"),
+      sum(passes).as("quality_pass")).head()
+    val dupDocs = d.select(md5(col("text")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).agg(coalesce(sum(col("n")), lit(0L)))
+      .head().getLong(0)
+    val nDocs = base.getLong(0)
+    Seq(
+      ("chars_total", base.getLong(4)),
+      ("dup_docs", dupDocs),
+      ("mean_chars_fp", base.getLong(4) * 1000000L / nDocs),
+      ("n_docs", nDocs),
+      ("n_langs", base.getLong(1)),
+      ("n_sources", base.getLong(2)),
+      ("quality_pass", base.getLong(5)),
+      ("token_total", base.getLong(3))
+    ).toDF("metric", "value")
+  }
 }

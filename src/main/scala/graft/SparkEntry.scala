@@ -140,6 +140,12 @@ object SparkEntry {
     "text_chunks" -> (ExtQueries.textChunks _),
     "text_token_count" -> (ExtQueries.textTokenCount _),
     "text_quality_score" -> (ExtQueries.textQualityScore _),
+    // r23: HTML boilerplate strip — comments, tags, entities,
+    // whitespace; the first (cheapest) pass of a web-scrape funnel
+    "text_html_strip" -> (ExtQueries.textHtmlStrip _),
+    // r23: the dataset card — one integer-exact (metric, value) table
+    // per corpus release
+    "pipeline_dataset_card" -> (ExtQueries.pipelineDatasetCard _),
     "text_quality_filter" -> (ExtQueries.textQualityFilter _),
     "text_lang_id" -> (ExtQueries.textLangId _),
     "text_sentiment" -> (ExtQueries.textSentiment _),
@@ -1578,6 +1584,69 @@ object SparkEntry {
         |    AS avg_token_len
         |FROM documents""".stripMargin,
 
+    // html strip: both engines construct and strip the identical
+    // string; 'g' makes DuckDB's regexp_replace global like Spark's
+    "text_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body class="' || lang || '"><h1>Doc ' || doc_id ||
+        |    '</h1><p>' || regexp_replace(text, ' the ', ' &amp; ', 'g') ||
+        |    '</p><!-- footer --></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(html, '<!--.*?-->', ' ', 'g'),
+        |                       '<[^>]*>', ' ', 'g'),
+        |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'), '&#39;', ''''),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(length(html) - length(replace(html, '<', '')) AS BIGINT)
+        |    AS n_tags,
+        |  CAST(length(clean) AS BIGINT) AS clean_len,
+        |  substr(clean, 1, 48) AS clean_head
+        |FROM c""".stripMargin,
+    // dataset card: every metric an exact integer (counts or
+    // 1e6-scaled integer-division means) — engine-portable
+    "pipeline_dataset_card" ->
+      """WITH q AS (
+        |  SELECT lang, source, n_chars,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(length(text) AS DOUBLE) AS tlen,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS ar,
+        |    (CAST(length(text) AS DOUBLE)
+        |      - CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mtl,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','data','order','key','value'))) AS stop_hits
+        |  FROM documents),
+        |base AS (
+        |  SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    CAST(SUM(n_tok) AS BIGINT) AS token_total,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |    CAST(SUM(CASE WHEN n_tok >= 10 AND n_tok <= 100000
+        |      AND mtl >= 2.0 AND mtl <= 12.0 AND ar >= 0.5
+        |      AND stop_hits >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS quality_pass
+        |  FROM q),
+        |dup AS (
+        |  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS dup_docs FROM (
+        |    SELECT md5(text) AS hh, COUNT(*) AS n FROM documents
+        |    GROUP BY 1 HAVING COUNT(*) > 1))
+        |SELECT 'chars_total' AS metric, chars_total AS value FROM base
+        |UNION ALL SELECT 'dup_docs', dup_docs FROM dup
+        |UNION ALL SELECT 'mean_chars_fp', chars_total * 1000000 // n_docs
+        |  FROM base
+        |UNION ALL SELECT 'n_docs', CAST(n_docs AS BIGINT) FROM base
+        |UNION ALL SELECT 'n_langs', CAST(n_langs AS BIGINT) FROM base
+        |UNION ALL SELECT 'n_sources', CAST(n_sources AS BIGINT) FROM base
+        |UNION ALL SELECT 'quality_pass', quality_pass FROM base
+        |UNION ALL SELECT 'token_total', token_total FROM base""".stripMargin,
     "text_quality_filter" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
