@@ -472,6 +472,34 @@ object ExtOracleSql {
        |  round(score, 6) AS score
        |FROM e""".stripMargin
 
+  /** Incremental-kNN twin: the BATCH recompute over the final corpus
+    * (4 bands × 10 bits, directed top-5) — incremental ≡ batch is the
+    * claim, so the oracle is deliberately the non-incremental form.
+    */
+  val embedKnnIncremental: String =
+    s"""WITH $vecsDouble,
+       |s AS (SELECT vec_id, vec, ${signature("vec", 40)} AS sig FROM v),
+       |blocks AS (
+       |  SELECT vec_id, vec,
+       |    unnest([CAST(b AS VARCHAR) || '|' || substr(sig, 1 + b * 10, 10)
+       |            for b in range(0, 4)]) AS band
+       |  FROM s),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+       |  FROM blocks a JOIN blocks c
+       |    ON a.band = c.band AND a.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.src, cand.dst, ${cosine("q.vec", "c.vec")} AS score
+       |  FROM cand
+       |  JOIN v q ON q.vec_id = cand.src
+       |  JOIN v c ON c.vec_id = cand.dst),
+       |r AS (
+       |  SELECT src, dst, score,
+       |    ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY score DESC NULLS LAST, dst ASC NULLS FIRST) AS rank
+       |  FROM scored)
+       |SELECT src, dst, round(score, 6) AS score FROM r WHERE rank <= 5""".stripMargin
+
   /** One propagate + pointer-jump round — the unrolled twin of
     * ConnectedComponents.labelPropagateJump: a neighbor-min step,
     * then every vertex re-reads its own label's label (c(c(v))).

@@ -7882,22 +7882,34 @@ object ExtQueries {
     * a groupBy on edge keys. nDCG-style quality is the recall gate's
     * job (`sim_ann_recall`); this gate pins the construction exactly.
     */
-  def embedKnnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** Directed banded-LSH top-k: every `queries`-side vector's top-k
+    * cosine neighbors among its band collisions against `corpus`
+    * (both frames: vec_id, embedding). The shared core of the kNN
+    * graph (queries = corpus) and its incremental maintenance
+    * (queries = the touched subset).
+    */
+  private def knnDirected(queries: DataFrame, corpus: DataFrame, k: Int,
+                          bands: Int, rowsPerBand: Int): DataFrame = {
     import graft.operators.{LatestPerKey, Similarity}
-    val emb = Tables.load(s, dir, "embeddings")
-    val blocks = emb.select(col("vec_id"), col("embedding"),
-      explode(Similarity.hyperplaneBands(col("embedding"), 8, 6)).as("band"))
-    val scored = blocks.select(col("band"), col("vec_id").as("src"),
+    def blocks(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      explode(Similarity.hyperplaneBands(col("embedding"), bands,
+        rowsPerBand)).as("band"))
+    val scored = blocks(queries).select(col("band"), col("vec_id").as("src"),
         col("embedding").as("s_vec"))
-      .join(blocks.select(col("band"), col("vec_id").as("dst"),
+      .join(blocks(corpus).select(col("band"), col("vec_id").as("dst"),
         col("embedding").as("d_vec")), Seq("band"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         Similarity.cosine(col("s_vec"), col("d_vec")).as("score"))
       .groupBy("src", "dst").agg(first(col("score")).as("score"))
-    val topk = LatestPerKey.topKRanked(scored, 5, Seq(col("src")),
+    LatestPerKey.topKRanked(scored, k, Seq(col("src")),
         Seq(col("score").desc_nulls_last, col("dst").asc_nulls_first))
       .select(col("src"), col("dst"), col("score"))
+  }
+
+  def embedKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val topk = knnDirected(emb, emb, 5, 8, 6)
     topk.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("score"))
       .groupBy("a", "b")
@@ -7941,6 +7953,53 @@ object ExtQueries {
       .groupBy("component").agg(count(lit(1)).as("n_edges"))
     sizes.join(edges, Seq("component"))
       .select(col("component"), col("n_nodes"), col("n_edges"))
+  }
+
+  /** INCREMENTAL kNN-graph maintenance (`embed_knn_incremental`): the
+    * daily-delta path for E227's graph — a ~1% vector batch arrives,
+    * and only the nodes whose CANDIDATE SET can have changed
+    * recompute: a node's candidates are exactly its band buckets'
+    * members, so the affected set = existing nodes sharing ≥1 band
+    * key with a delta vector (plus the delta itself); every other
+    * node's yesterday edges are provably still its top-k and are
+    * KEPT, not recomputed. Incremental ≡ batch by construction — the
+    * oracle is the full recompute over the final corpus, so the hash
+    * proves the equivalence, and the gate require()s the
+    * incrementality itself (touched < half the corpus; kept-edge rows
+    * actually reused). Bands here are 4 × 10 bits (finer buckets than
+    * the 8×6 graph gate: the touched set tracks bucket population ×
+    * delta keys, so incremental maintenance WANTS small buckets even
+    * at some recall cost — the knob is the fixture's point).
+    *
+    * Scale shape (100 TB): delta work = |delta| + |bucket-mates of
+    * delta| candidate joins — the graph never rebuilds; this is the
+    * same state+delta contract as every `pipeline_*_incremental`
+    * family member, extended to the ANN-graph artifact.
+    */
+  def embedKnnIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = Tables.load(s, dir, "embeddings")
+    val v1 = emb.filter(col("vec_id") % 97 =!= 0)
+    val delta = emb.filter(col("vec_id") % 97 === 0)
+    // yesterday's artifact (recomputed here as fixture cost)
+    val g1 = knnDirected(v1, v1, 5, 4, 10)
+    def bandsOf(df: DataFrame) = df.select(col("vec_id"),
+      explode(Similarity.hyperplaneBands(col("embedding"), 4, 10)).as("band"))
+    val deltaBands = bandsOf(delta).select("band").distinct()
+    val affected = bandsOf(v1).join(deltaBands, Seq("band"))
+      .select(col("vec_id")).distinct()
+    val touchedIds = affected.unionByName(delta.select(col("vec_id"))).distinct()
+    val nTouched = touchedIds.count()
+    require(nTouched * 2 < emb.count(),
+      s"the delta must leave most nodes untouched (touched $nTouched)")
+    val recomputed = knnDirected(emb.join(touchedIds, Seq("vec_id")),
+      emb, 5, 4, 10)
+    val kept = g1.join(touchedIds.withColumnRenamed("vec_id", "src"),
+      Seq("src"), "left_anti")
+    require(kept.limit(1).count() == 1L,
+      "yesterday's edges must actually be reused")
+    kept.unionByName(recomputed)
+      .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
   }
 
   /** HTML boilerplate strip (`text_html_strip`): the markup-removal

@@ -189,6 +189,9 @@ object SparkEntry {
     // r23: communities over the mutual edges — fixed-round min-label
     // components (convergence require()d so the unrolled oracle holds)
     "embed_knn_communities" -> (ExtQueries.embedKnnCommunities _),
+    // r23: incremental kNN-graph maintenance — only bucket-touched
+    // nodes recompute; incremental = batch by construction
+    "embed_knn_incremental" -> (ExtQueries.embedKnnIncremental _),
     "sim_ivf_topk" -> (ExtQueries.simIvfTopK _),
     "sim_ivf_kmeans_topk" -> (ExtQueries.simIvfKmeansTopK _),
     "sim_ivf_stored_topk" -> (ExtQueries.simIvfStoredTopK _),
@@ -3055,6 +3058,7 @@ object SparkEntry {
     "sim_ann_lsh_topk" -> ExtOracleSql.simAnnLshTopK,
     "embed_knn_graph" -> ExtOracleSql.embedKnnGraph,
     "embed_knn_communities" -> ExtOracleSql.embedKnnCommunities,
+    "embed_knn_incremental" -> ExtOracleSql.embedKnnIncremental,
     "sim_ivf_topk" -> ExtOracleSql.simIvfTopK,
     "sim_ivf_kmeans_topk" -> ExtOracleSql.simIvfKmeansTopK,
     // the stored-index path must reproduce the recompute path exactly —
