@@ -8002,6 +8002,49 @@ object ExtQueries {
       .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
   }
 
+  /** EMBEDDING DRIFT QA (`qa_embedding_drift`): the
+    * did-the-encoder-change check between two corpus snapshots — an
+    * embedding model upgrade, a preprocessing regression, or silent
+    * truncation all show up as per-dimension mean shift before any
+    * downstream ANN metric moves. Snapshot B perturbs a deterministic
+    * 20% of snapshot A's vectors (+0.1 on dims 0–3, stated in-plan so
+    * both engines construct it identically); per-dimension SUMS are
+    * computed in EXACT fixed point (round(v·1e6) per row-dim, then
+    * integer sums — cross-row float sums would be partition-order
+    * dependent, and integer means would drag Spark-DIV-vs-DuckDB-`//`
+    * negative-rounding semantics into the hash), and the top-8
+    * most-shifted dimensions rank by (|shift| DESC, dim ASC). The
+    * expected answer is dims 0–3 at shift ≈ 0.1·1e6·(n/5) — the
+    * fixture makes the detector's SIGNAL checkable, not just its
+    * arithmetic.
+    *
+    * Scale shape (100 TB): one posexplode + one (dim)-keyed agg per
+    * snapshot — 64 groups regardless of corpus; the drift dashboard
+    * costs two scans at release cadence.
+    */
+  def qaEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(s, dir, "embeddings")
+    val b = a.select(col("vec_id"),
+      when(col("vec_id") % 5 === 0,
+        expr("transform(embedding, (x, i) -> " +
+          "CASE WHEN i < 4 THEN x + CAST(0.1 AS FLOAT) ELSE x END)"))
+        .otherwise(col("embedding")).as("embedding"))
+    // SUMS, not means: both snapshots carry identical row counts per
+    // dim, so the sum shift is n·(mean shift) and no integer division
+    // semantics (Spark DIV vs DuckDB // on negatives) enters the hash
+    def dimSums(df: DataFrame, tag: String): DataFrame =
+      df.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(sum(expr("CAST(round(v * 1000000.0) AS BIGINT)"))
+          .as(s"sum_${tag}_fp"))
+    dimSums(a, "a").join(dimSums(b, "b"), Seq("dim"))
+      .withColumn("shift_fp", col("sum_b_fp") - col("sum_a_fp"))
+      .orderBy(abs(col("shift_fp")).desc, col("dim").asc)
+      .limit(8)
+      .select(col("dim").cast("long").as("dim"), col("sum_a_fp"),
+        col("sum_b_fp"), col("shift_fp"))
+  }
+
   /** HTML boilerplate strip (`text_html_strip`): the markup-removal
     * pass a web-scrape corpus runs before any text analysis — strip
     * comments, then tags, decode the five XML entities, collapse

@@ -143,6 +143,9 @@ object SparkEntry {
     // r23: HTML boilerplate strip — comments, tags, entities,
     // whitespace; the first (cheapest) pass of a web-scrape funnel
     "text_html_strip" -> (ExtQueries.textHtmlStrip _),
+    // r23: embedding drift QA — per-dim fixed-point sum shift between
+    // snapshots, top-8 drifted dims (the encoder-regression detector)
+    "qa_embedding_drift" -> (ExtQueries.qaEmbeddingDrift _),
     // r23: the dataset card — one integer-exact (metric, value) table
     // per corpus release
     "pipeline_dataset_card" -> (ExtQueries.pipelineDatasetCard _),
@@ -1587,6 +1590,36 @@ object SparkEntry {
         |    AS avg_token_len
         |FROM documents""".stripMargin,
 
+    // embedding drift: parallel unnests zip dims with values; the
+    // fixed-point per-row rounding is the established parity
+    "qa_embedding_drift" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 5 = 0 THEN
+        |      [CASE WHEN i <= 4 THEN embedding[i] + CAST(0.1 AS FLOAT)
+        |            ELSE embedding[i] END
+        |       for i in range(1, len(embedding) + 1)]
+        |    ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |fa AS (SELECT unnest(range(0, len(embedding))) AS dim,
+        |              unnest(embedding) AS v FROM embeddings),
+        |fb AS (SELECT unnest(range(0, len(embedding))) AS dim,
+        |              unnest(embedding) AS v FROM b),
+        |sa AS (SELECT dim,
+        |         SUM(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+        |           AS sum_a_fp
+        |       FROM fa GROUP BY 1),
+        |sb AS (SELECT dim,
+        |         SUM(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+        |           AS sum_b_fp
+        |       FROM fb GROUP BY 1)
+        |SELECT CAST(sa.dim AS BIGINT) AS dim,
+        |  CAST(sum_a_fp AS BIGINT) AS sum_a_fp,
+        |  CAST(sum_b_fp AS BIGINT) AS sum_b_fp,
+        |  CAST(sum_b_fp - sum_a_fp AS BIGINT) AS shift_fp
+        |FROM sa JOIN sb USING (dim)
+        |ORDER BY abs(sum_b_fp - sum_a_fp) DESC, dim ASC
+        |LIMIT 8""".stripMargin,
     // html strip: both engines construct and strip the identical
     // string; 'g' makes DuckDB's regexp_replace global like Spark's
     "text_html_strip" ->
