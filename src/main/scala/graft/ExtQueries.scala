@@ -6781,6 +6781,56 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  private val mergeEvolvePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** MERGE with schema evolution (`layout_merge_evolve`, the Delta
+    * autoMerge posture): one merge whose source carries a column the
+    * table lacks (`quality`) lands updates (SET from source), inserts
+    * (source value by default) AND the new column in one atomic
+    * commit — existing files never rewrite, untouched rows read the
+    * new column as NULL through the merged read schema. The gate
+    * require()s the schema grew, that bootstrap files survived
+    * by name (merge-on-read, not a rewrite), and hashes the
+    * per-language rollup INCLUDING the evolution column's count/sum
+    * (NULL-for-untouched is part of the statement).
+    *
+    * Scale shape (100 TB): the backfill-free column add every feature
+    * pipeline wants — pay the batch, never the table; the column
+    * back-fills lazily through natural rewrites.
+    */
+  def layoutMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("doc_id"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_mev").toString
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 < 2), root, spec)
+    val before = VersionedTable.manifest(s, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    val src = d.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") + 1000L).as("n_chars"),
+        (col("n_chars") % 7).as("quality"))
+    VersionedTable.merge(s, root, spec, src,
+      matchedUpdate = Map("n_chars" -> col("src_n_chars"),
+        "quality" -> col("src_quality")),
+      allowEvolution = true)
+    val head = VersionedTable.read(s, root)
+    require(head.columns.contains("quality"),
+      "the merge must evolve the schema")
+    val after = VersionedTable.manifest(s, root)
+      .select("file").collect().map(_.getString(0)).toSet
+    require(before.subsetOf(after),
+      "evolution must not rewrite existing files (merge-on-read)")
+    retirePrevDir(mergeEvolvePrev, root)
+    head.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        count(col("quality")).as("n_quality"),
+        sum(col("quality").cast("long")).as("sum_quality"))
+  }
+
   private val typeWidenPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -547,6 +547,9 @@ object SparkEntry {
     // r23: type widening — zero-rewrite INT→BIGINT property commit;
     // narrow files upcast at scan, wide values land immediately
     "layout_type_widening" -> (ExtQueries.layoutTypeWidening _),
+    // r23: MERGE with schema evolution — the source's new column lands
+    // with the merge commit; untouched rows read it NULL, no rewrite
+    "layout_merge_evolve" -> (ExtQueries.layoutMergeEvolve _),
     // r22: triangle census over the near-dup pair graph — transitivity
     // QA for dedup clusters (degree-ordered node iteration)
     "graph_triangles" -> (ExtQueries.graphTriangles _),
@@ -2489,6 +2492,30 @@ object SparkEntry {
     "layout_partition_roster" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (1, 300, 400, 451) AND doc_id % 3 < 2""".stripMargin,
+    // merge evolution: updates, inserts and the new column in one
+    // commit; untouched rows carry NULL for it
+    "layout_merge_evolve" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 < 2),
+        |src AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars,
+        |    n_chars % 7 AS quality
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |upd AS (
+        |  SELECT t0.doc_id, t0.lang,
+        |    CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars
+        |         ELSE t0.n_chars END AS n_chars,
+        |    s.quality AS quality
+        |  FROM t0 LEFT JOIN src s USING (doc_id)),
+        |ins AS (
+        |  SELECT doc_id, lang, n_chars, quality FROM src
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM t0)),
+        |m AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(quality) AS n_quality,
+        |  CAST(sum(quality) AS BIGINT) AS sum_quality
+        |FROM m GROUP BY lang""".stripMargin,
     // type widening: the mixed-width table must sum past INT range
     "layout_type_widening" ->
       """WITH t AS (

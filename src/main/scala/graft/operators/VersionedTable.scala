@@ -1785,7 +1785,8 @@ object VersionedTable {
             notMatchedInsert: Map[String, Column] = Map.empty,
             layout: DataFrame => DataFrame = identity,
             extraMeta: Map[String, String] = Map.empty,
-            expectedHead: Option[String] = None): String = {
+            expectedHead: Option[String] = None,
+            allowEvolution: Boolean = false): String = {
     // expectedHead = the OCC conditional commit ([[Publish.publishIf]]):
     // the pointer swaps only if the head is still what the caller read
     // — [[mergeOcc]] threads it; direct callers are single-writer
@@ -1801,7 +1802,22 @@ object VersionedTable {
       "merge: matchedUpdateCond without matchedUpdate SET expressions")
     guardDropped(root, source)
     val headM = headMetaOf(root)
-    val tableCols = read(s, root).columns.toSeq
+    val headSchema = read(s, root).schema
+    val tableCols = headSchema.fieldNames.toSeq
+    // SCHEMA EVOLUTION on MERGE (the Delta autoMerge posture, opt-in):
+    // source columns the table lacks become new table columns — the
+    // batch generation carries them, existing files never rewrite
+    // (the new column reads NULL for untouched rows through the
+    // merged read schema), updated rows take a SET value or NULL (no
+    // pre-image exists), and inserts take the source value by
+    // default. Without the opt-in, extra source columns are ignored
+    // (SQL MERGE semantics: only named columns participate).
+    val newCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      if (!allowEvolution) Nil
+      else source.schema.filterNot(f => tableCols.contains(f.name))
+        .map(f => f.name -> f.dataType).toSeq
+    val outCols = tableCols ++ newCols.map(_._1)
+    val newColType = newCols.toMap
     if (insertNotMatched) {
       val missing = tableCols.filterNot(notMatchedInsert.contains)
         .toSet -- source.columns.toSet
@@ -1809,9 +1825,9 @@ object VersionedTable {
         s"merge: source lacks table column(s) the insert clause needs: " +
           missing.mkString(", "))
     }
-    require((notMatchedInsert.keySet -- tableCols.toSet).isEmpty,
+    require((notMatchedInsert.keySet -- outCols.toSet).isEmpty,
       "merge: notMatchedInsert names unknown table column(s): " +
-        (notMatchedInsert.keySet -- tableCols.toSet).mkString(", "))
+        (notMatchedInsert.keySet -- outCols.toSet).mkString(", "))
     // NULL keys never match (SQL ON equality), so they are not
     // ambiguous — they fall through to the insert clause
     val dupes = source.filter(col(spec.keyCol).isNotNull)
@@ -1846,7 +1862,17 @@ object VersionedTable {
             broadcast(dv.select(col("file").as("__file"),
               col("pos").as("__pos"))),
             Seq("__file", "__pos"), "left_anti"))
-        logicalView(live, headM)
+        // align the holder subset to the HEAD schema: a column a prior
+        // evolution added reads NULL when none of THESE holder files
+        // carry it yet (the full-table read gets this from mergeSchema;
+        // a subset read must state it explicitly — found by the
+        // evolve-then-merge-old-keys spec)
+        val aligned = headSchema.fields.foldLeft(logicalView(live, headM)) {
+          (f, fl) =>
+            if (f.columns.contains(fl.name)) f
+            else f.withColumn(fl.name, lit(null).cast(fl.dataType))
+        }
+        aligned
           .withColumn("__mk", col(spec.keyCol).cast("string"))
           .join(src, "__mk")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1857,13 +1883,15 @@ object VersionedTable {
       val updC =
         if (matchedUpdate.isEmpty) lit(false)
         else matchedUpdateCond.map(coalesce(_, lit(false))).getOrElse(lit(true))
-      val unknown = matchedUpdate.keySet -- tableCols.toSet
+      val unknown = matchedUpdate.keySet -- outCols.toSet
       require(unknown.isEmpty,
         s"merge: SET names unknown table column(s): ${unknown.mkString(", ")}")
-      // update post-images: SETs bind to the pre-update pair at once
+      // update post-images: SETs bind to the pre-update pair at once;
+      // an evolution column without a SET has no pre-image → NULL
       val updated = matched.map(_.filter(!delC && updC).select(
-        tableCols.map(c => matchedUpdate.get(c).map(_.as(c))
-          .getOrElse(col(c))): _*))
+        outCols.map(c => matchedUpdate.get(c).map(_.as(c)).getOrElse(
+          if (tableCols.contains(c)) col(c)
+          else lit(null).cast(newColType(c)).as(c))): _*))
       // claimed ROW identities: exactly the rows the DV must cover
       val claimedPos = matched.map(_.filter(delC || updC)
         .select(col("__file").as("file"), col("__pos").as("pos")))
@@ -1876,7 +1904,7 @@ object VersionedTable {
             src.join(mk, Seq("__mk"), "left_anti"))
           notMatchedCond.fold(unmatched)(c =>
             unmatched.filter(coalesce(c, lit(false))))
-            .select(tableCols.map(c => notMatchedInsert.get(c).map(_.as(c))
+            .select(outCols.map(c => notMatchedInsert.get(c).map(_.as(c))
               .getOrElse(col(s"src_$c").as(c))): _*)
         }
       val batch = (updated.toSeq ++ inserts.toSeq)
@@ -1887,7 +1915,7 @@ object VersionedTable {
         pub(current, extraMeta + ("verb" -> "merge-noop"))
       else {
         batch.filter(_ => nBatch > 0).foreach { b =>
-          enforceSchema(s, root, b, allowEvolution = false)
+          enforceSchema(s, root, b, allowEvolution = allowEvolution)
           enforce(b, constraints(root))
         }
         val base = claimedPos.filter(_ => anyClaimed)

@@ -104,4 +104,46 @@ class MergePropertySpec extends SparkSpec {
       operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
     }
   }
+
+  test("schema evolution on merge: defaults, NULL pre-images, refusal edges") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mev").toString
+    VersionedTable.create(spark,
+      (0L until 40L).map(i => (i, i * 2)).toDF("k", "v"), root, spec)
+    val src = Seq((1L, 100L, "a"), (50L, 500L, "b")).toDF("k", "v", "tag")
+    // naming the new column in SET without the opt-in refuses
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, spec, src,
+        matchedUpdate = Map("v" -> col("src_v"), "tag" -> col("src_tag")))
+    }
+    assert(e.getMessage.contains("unknown table column"))
+    // without the opt-in and without naming it, the extra column is
+    // IGNORED (SQL MERGE: only named columns participate)
+    VersionedTable.merge(spark, root, spec, src,
+      matchedUpdate = Map("v" -> col("src_v")))
+    assert(!VersionedTable.read(spark, root).columns.contains("tag"))
+    // with the opt-in: updated row takes the SET, inserted row takes
+    // the source default, untouched rows read NULL
+    val src2 = Seq((2L, 200L, "x"), (60L, 600L, "y")).toDF("k", "v", "tag")
+    VersionedTable.merge(spark, root, spec, src2,
+      matchedUpdate = Map("v" -> col("src_v"), "tag" -> col("src_tag")),
+      allowEvolution = true)
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.contains("tag"))
+    assert(got.filter(col("k") === 2L).select("tag").head().getString(0) == "x")
+    assert(got.filter(col("k") === 60L).select("tag").head().getString(0) == "y")
+    assert(got.filter(col("tag").isNull).count() == got.count() - 2,
+      "every untouched row must read the evolved column as NULL")
+    // an evolution column WITHOUT a SET: updated rows have no
+    // pre-image and land NULL; inserts still take the source value
+    val src3 = Seq((3L, 300L, "q", 7L), (70L, 700L, "r", 9L))
+      .toDF("k", "v", "tag", "w")
+    VersionedTable.merge(spark, root, spec, src3,
+      matchedUpdate = Map("v" -> col("src_v")),
+      allowEvolution = true)
+    val g2 = VersionedTable.read(spark, root)
+    assert(g2.filter(col("k") === 3L).select("w").head().isNullAt(0),
+      "an updated row without a SET for the new column must read NULL")
+    assert(g2.filter(col("k") === 70L).select("w").head().getLong(0) == 9L)
+  }
 }
