@@ -8052,6 +8052,35 @@ object ExtQueries {
       .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
   }
 
+  /** Week-over-week movers (`events_wow_movers`): the trend detector
+    * a monitoring dashboard runs — per event_type weekly volumes,
+    * each week's delta against the previous week (lag over an
+    * event_type window), top-8 movers by (|delta| DESC, type ASC,
+    * week ASC). All integers: counts, integer week bins (day DIV 7
+    * from a fixed anchor — non-negative, so Spark DIV and DuckDB `//`
+    * agree), exact deltas.
+    *
+    * Scale shape (100 TB): one keyed count (map-side partial), a
+    * #types×#weeks-sized window, and the bounded-heap top-8 — the
+    * weekly trend sweep costs one scan regardless of corpus.
+    */
+  def eventsWowMovers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+    val wk = expr(
+      "CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT) DIV 7")
+    val c = e.groupBy(col("event_type"), wk.as("week"))
+      .agg(count(lit(1)).as("n"))
+    val d = c.withColumn("prev_n",
+        lag("n", 1).over(Window.partitionBy("event_type").orderBy("week")))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("delta", col("n") - col("prev_n"))
+    d.orderBy(abs(col("delta")).desc, col("event_type").asc, col("week").asc)
+      .limit(8)
+      .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+        col("delta"))
+  }
+
   /** EMBEDDING DRIFT QA (`qa_embedding_drift`): the
     * did-the-encoder-change check between two corpus snapshots — an
     * embedding model upgrade, a preprocessing regression, or silent

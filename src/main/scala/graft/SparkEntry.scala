@@ -146,6 +146,9 @@ object SparkEntry {
     // r23: embedding drift QA — per-dim fixed-point sum shift between
     // snapshots, top-8 drifted dims (the encoder-regression detector)
     "qa_embedding_drift" -> (ExtQueries.qaEmbeddingDrift _),
+    // r23: week-over-week movers — integer weekly deltas per
+    // event_type, top-8 by absolute move (the trend sweep)
+    "events_wow_movers" -> (ExtQueries.eventsWowMovers _),
     // r23: the dataset card — one integer-exact (metric, value) table
     // per corpus release
     "pipeline_dataset_card" -> (ExtQueries.pipelineDatasetCard _),
@@ -1593,6 +1596,25 @@ object SparkEntry {
         |    AS avg_token_len
         |FROM documents""".stripMargin,
 
+    // wow movers: integer week bins (non-negative day DIV 7, so DIV
+    // and // agree), lag deltas, deterministic top-8
+    "events_wow_movers" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |      AS week,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, week, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |  FROM c)
+        |SELECT event_type, CAST(week AS BIGINT) AS week,
+        |  CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+        |  CAST(n - prev_n AS BIGINT) AS delta
+        |FROM d WHERE prev_n IS NOT NULL
+        |ORDER BY abs(n - prev_n) DESC, event_type ASC, week ASC
+        |LIMIT 8""".stripMargin,
     // embedding drift: parallel unnests zip dims with values; the
     // fixed-point per-row rounding is the established parity
     "qa_embedding_drift" ->
