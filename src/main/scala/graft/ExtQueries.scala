@@ -8052,6 +8052,29 @@ object ExtQueries {
       .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
   }
 
+  /** Sequence-length histogram (`text_length_histogram`): the
+    * packing planner's input — per 32-token bin, document count,
+    * token total, and the bin's share of corpus tokens in ppm
+    * (integer: bin_tokens·1e6 DIV total — non-negative, so DIV and
+    * `//` agree). Sizing pack_sequences' budget, the curriculum's
+    * bins, and the padding-waste estimate all start from exactly this
+    * table.
+    *
+    * Scale shape (100 TB): one projection + one ≤#bins-group
+    * aggregate with a broadcast scalar total — a single scan.
+    */
+  def textLengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+    val binned = d.select(expr("n_tok DIV 32").as("bin"), col("n_tok"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+    val total = binned.agg(sum(col("bin_tokens")).as("total"))
+    binned.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_docs"), col("bin_tokens"),
+        expr("bin_tokens * 1000000 DIV total").as("share_ppm"))
+  }
+
   /** Week-over-week movers (`events_wow_movers`): the trend detector
     * a monitoring dashboard runs — per event_type weekly volumes,
     * each week's delta against the previous week (lag over an

@@ -149,6 +149,9 @@ object SparkEntry {
     // r23: week-over-week movers — integer weekly deltas per
     // event_type, top-8 by absolute move (the trend sweep)
     "events_wow_movers" -> (ExtQueries.eventsWowMovers _),
+    // r23: sequence-length histogram — the packing planner's input
+    // (per-bin doc counts, token totals, integer ppm shares)
+    "text_length_histogram" -> (ExtQueries.textLengthHistogram _),
     // r23: the dataset card — one integer-exact (metric, value) table
     // per corpus release
     "pipeline_dataset_card" -> (ExtQueries.pipelineDatasetCard _),
@@ -1596,6 +1599,20 @@ object SparkEntry {
         |    AS avg_token_len
         |FROM documents""".stripMargin,
 
+    // length histogram: integer bins + integer ppm shares
+    "text_length_histogram" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tok // 32 AS bin, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(bin_tokens) AS BIGINT) AS total FROM b)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_docs AS BIGINT) AS n_docs,
+        |  bin_tokens,
+        |  CAST(bin_tokens * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM b, t""".stripMargin,
     // wow movers: integer week bins (non-negative day DIV 7, so DIV
     // and // agree), lag deltas, deterministic top-8
     "events_wow_movers" ->
