@@ -6941,6 +6941,72 @@ object ExtQueries {
         sum(col("n_chars")).cast("long").as("sum_chars"))
   }
 
+  private val branchRebaseMainPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val branchRebaseBrPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val branchRebaseBr2Prev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Branch REBASE onto a moved main (`layout_branch_rebase`,
+    * [[graft.operators.VersionedTable.rebaseBranch]] — VERDICT r13
+    * frontier gap #3): the longer-lived-branch posture. Main and a
+    * branch DIVERGE on disjoint keys (branch: append wave-1 + delete
+    * `%21==0`; main: append wave-2 + delete `%21==3`), so the
+    * fast-forward correctly throws PublishConflict (require()d) — and
+    * the rebase replays the branch's own change feed onto main's
+    * moved head as one fenced merge-on-read commit, leaving main ≡
+    * the serial application of both sides (the oracle states it from
+    * the raw table). The UNSAFE case is require()d refused: a second
+    * branch and main then touch the SAME keys (`%21==9`), and
+    * `rebaseBranch` must throw rather than guess an order — replay is
+    * only sound when the divergence windows' key sets are disjoint.
+    *
+    * Scale shape (100 TB): the rebase pays branch-window rows +
+    * main's bloom-probed holders; the overlap check is a semi-join of
+    * two window-sized key sets — never ∝ either table.
+    */
+  def layoutBranchRebase(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Publish, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("doc_id"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val main = java.nio.file.Files.createTempDirectory("graft_rb_m").toString
+    val br = java.nio.file.Files.createTempDirectory("graft_rb_b").toString + "/b"
+    val br2 = java.nio.file.Files.createTempDirectory("graft_rb_b2").toString + "/b"
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), main, spec)
+    VersionedTable.shallowClone(s, main, br)
+    // the two sides diverge on DISJOINT key sets
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), br, spec)
+    VersionedTable.deleteRosterDV(s, br, spec,
+      d.filter(col("doc_id") % 21 === 0).select(col("doc_id")))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 2), main, spec)
+    VersionedTable.deleteRosterDV(s, main, spec,
+      d.filter(col("doc_id") % 21 === 3).select(col("doc_id")))
+    val ffRefused =
+      try { VersionedTable.fastForward(s, main, br); false }
+      catch { case _: Publish.PublishConflict => true }
+    require(ffRefused, "a moved main must refuse the fast-forward")
+    VersionedTable.rebaseBranch(s, main, br, spec)
+    // overlap refusal: a second branch and main touch the SAME keys
+    VersionedTable.shallowClone(s, main, br2)
+    VersionedTable.deleteRosterDV(s, br2, spec,
+      d.filter(col("doc_id") % 21 === 9).select(col("doc_id")))
+    VersionedTable.deleteRosterDV(s, main, spec,
+      d.filter(col("doc_id") % 21 === 9).select(col("doc_id")))
+    val rebased = scala.util.Try(VersionedTable.rebaseBranch(s, main, br2, spec))
+    require(rebased.isFailure &&
+      rebased.failed.get.getMessage.contains("order-dependent"),
+      s"overlapping divergence keys must refuse the replay, got $rebased")
+    retirePrevDir(branchRebaseMainPrev, main)
+    retirePrevDir(branchRebaseBrPrev, br.substring(0, br.lastIndexOf('/')))
+    retirePrevDir(branchRebaseBr2Prev, br2.substring(0, br2.lastIndexOf('/')))
+    VersionedTable.read(s, main).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_ids"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
   private val joinPrunePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

@@ -347,6 +347,12 @@ object SparkEntry {
     // commit, stream-folded MV ≡ head read
     "streaming_feed_source" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingFeedSource(s, d)),
+    // r24: COMPLEX columns through the feed — the array<float>
+    // embedding corpus replicated via graft-feed (Spark's own parquet
+    // read of the spool), replica ≡ source head; spool custody
+    // (vacuum reclaims consumed windows) require()d in-gate
+    "streaming_feed_embeddings" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingFeedEmbeddings(s, d)),
     // r23: the medallion hop — bronze change feed streamed into a
     // transformed SILVER versioned table, exactly-once per batch
     "streaming_table_to_table" ->
@@ -355,6 +361,11 @@ object SparkEntry {
     // maintained aggregate versioned table (IVM fold per micro-batch)
     "streaming_gold_agg" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingGoldAgg(s, d)),
+    // r24: MIN/MAX in the gold MV — sign-foldable columns keep the
+    // delta fold; min/max recompute from silver@window-end for the
+    // batch's affected groups only (untouched groups stay cold)
+    "streaming_gold_agg_minmax" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingGoldAggMinMax(s, d)),
     // r23: auto-OPTIMIZE inside the ingest loop — manifest-priced plan
     // consult per trigger, compaction absorbs the small generations,
     // batchId replay watermark inherits across maintenance commits
@@ -550,6 +561,10 @@ object SparkEntry {
     // r23: branch + write-audit-publish — stage on a shallow-clone
     // branch, audit the branch read, fast-forward main atomically
     "layout_branch_wap" -> (ExtQueries.layoutBranchWap _),
+    // r24: branch REBASE onto a moved main — replay the branch's own
+    // change feed over main's head when divergence keys are disjoint;
+    // overlap refuses (the safe subset of cherry-pick)
+    "layout_branch_rebase" -> (ExtQueries.layoutBranchRebase _),
     // r23: type widening — zero-rewrite INT→BIGINT property commit;
     // narrow files upcast at scan, wide values land immediately
     "layout_type_widening" -> (ExtQueries.layoutTypeWidening _),
@@ -1886,6 +1901,26 @@ object SparkEntry {
         |SELECT '1_stream_mv' AS slice, lang, n_docs, sum_chars FROM agg
         |UNION ALL
         |SELECT '2_head', lang, n_docs, sum_chars FROM agg""".stripMargin,
+    // complex-type feed: the replicated embedding table and the
+    // source head state one (dim, in-order sum-of-squares) shape —
+    // a dropped window, a lost array element, or a float that
+    // diverged in the spool round-trip all break the hash
+    "streaming_feed_embeddings" ->
+      """WITH final AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 25 = 0 THEN list_reverse(embedding)
+        |         ELSE embedding END AS emb
+        |  FROM embeddings
+        |  WHERE vec_id % 17 <> 0),
+        |shaped AS (
+        |  SELECT vec_id, CAST(len(emb) AS BIGINT) AS dim,
+        |    round(list_reduce(
+        |      list_transform(emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (acc, x) -> acc + x), 6) AS checksum
+        |  FROM final)
+        |SELECT '1_replica' AS slice, vec_id, dim, checksum FROM shaped
+        |UNION ALL
+        |SELECT '2_source', vec_id, dim, checksum FROM shaped""".stripMargin,
     // medallion hop: the streamed-and-transformed silver table and
     // the directly-transformed bronze head state one aggregate
     "streaming_table_to_table" ->
@@ -1926,6 +1961,29 @@ object SparkEntry {
         |SELECT '1_gold' AS slice, lang, n_docs, sum_chars FROM agg
         |UNION ALL
         |SELECT '2_silver_head', lang, n_docs, sum_chars FROM agg""".stripMargin,
+    // gold MV with MIN/MAX: the incrementally-maintained aggregate
+    // (counts folded, extrema recomputed per affected group) and the
+    // directly-aggregated silver head state one rollup — the
+    // one-language delete makes a stale extremum diverge the hash
+    "streaming_gold_agg_minmax" ->
+      """WITH final AS (
+        |  SELECT doc_id, lang,
+        |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 3 < 2
+        |    AND NOT (doc_id % 13 = 0
+        |             AND lang = (SELECT min(lang) FROM documents))),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |    CAST(max(n_chars) AS BIGINT) AS max_chars
+        |  FROM final GROUP BY lang)
+        |SELECT '1_gold' AS slice, lang, n_docs, sum_chars, min_chars,
+        |  max_chars FROM agg
+        |UNION ALL
+        |SELECT '2_silver_head', lang, n_docs, sum_chars, min_chars,
+        |  max_chars FROM agg""".stripMargin,
     // the merged profile equals the batch per-user aggregate no
     // matter how events split across micro-batches — the exactly-once
     // CDC-apply contract stated directly
@@ -2574,6 +2632,16 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE doc_id % 3 < 2 AND doc_id % 11 <> 0
+        |GROUP BY lang""".stripMargin,
+    // branch rebase: main ≡ the serial application of both sides'
+    // disjoint-key changes (branch deleted %21==0, main %21==3, the
+    // post-refusal main delete %21==9)
+    "layout_branch_rebase" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 21 NOT IN (0, 3, 9)
         |GROUP BY lang""".stripMargin,
     // dynamic file pruning: the pruned fact read + exact join must
     // equal the raw star join

@@ -373,10 +373,19 @@ object StreamingStage {
     * over everything, so the hash proves stream → versioned commit →
     * history → read-back in one chain.
     */
+  private val vpubRootPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val vpubStagePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def streamingVersionedPublish(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Publish
+    // retire the previous invocation's dirs (ADVICE r12's leak class,
+    // backported per VERDICT r13 #3)
     val root = java.nio.file.Files.createTempDirectory("graft-vpub").toString
+    retirePrev(vpubRootPrev, root)
     val stage = java.nio.file.Files.createTempDirectory("graft-vpub-src").toString
+    retirePrev(vpubStagePrev, stage)
     val ev = graft.sources.Tables.events(spark, dir)
     def runWave(): Unit = {
       val sch = spark.read.parquet(stage).schema
@@ -436,10 +445,17 @@ object StreamingStage {
     * stale redelivery published nothing. The oracle restates the
     * retained window's aggregates from the raw table.
     */
+  private val vacrpRootPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val vacrpStagePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def streamingVacuumReplay(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Publish
     val root = java.nio.file.Files.createTempDirectory("graft-vacrp").toString
+    retirePrev(vacrpRootPrev, root)
     val stage = java.nio.file.Files.createTempDirectory("graft-vacrp-src").toString
+    retirePrev(vacrpStagePrev, stage)
     val ev = graft.sources.Tables.events(spark, dir)
     def runWave(): Unit = {
       val sch = spark.read.parquet(stage).schema
@@ -1391,11 +1407,18 @@ object StreamingStage {
     * table, so the hash proves stream → per-batch fold → merge commit
     * → exactly-once, independent of how events split across batches.
     */
+  private val smrgRootPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val smrgStagePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def streamingMergeApply(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.VersionedTable
     val spec = VersionedTable.Spec(Seq("user_id"), "user_id", 1 << 13)
     val troot = java.nio.file.Files.createTempDirectory("graft-smrg").toString
+    retirePrev(smrgRootPrev, troot)
     val stage = java.nio.file.Files.createTempDirectory("graft-smrg-src").toString
+    retirePrev(smrgStagePrev, stage)
     val ev = graft.sources.Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"))
     val folds = Map(
@@ -1445,11 +1468,18 @@ object StreamingStage {
     * stream → manifest commit → history → pointer-resolved read, and
     * that the replay published nothing.
     */
+  private val vtingRootPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val vtingStagePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def streamingVersionedIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.VersionedTable
     val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
     val troot = java.nio.file.Files.createTempDirectory("graft-vting").toString
+    retirePrev(vtingRootPrev, troot)
     val stage = java.nio.file.Files.createTempDirectory("graft-vting-src").toString
+    retirePrev(vtingStagePrev, stage)
     val d = graft.sources.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
     def runWave(): Unit = {
@@ -1788,6 +1818,183 @@ object StreamingStage {
           col("sum_chars")))
   }
 
+  private val goldMmSilverPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val goldMmGoldPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val goldMmChkPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** MIN/MAX in the gold MV (`streaming_gold_agg_minmax`, VERDICT r13
+    * frontier gap #4): a delete cannot FOLD out of a MIN/MAX — the
+    * retracted row may have been the extremum, and nothing in the
+    * aggregate remembers the runner-up. The IVM answer: per
+    * micro-batch, count/sum keep the sign-foldable delta fold, while
+    * min/max RECOMPUTE from silver AT THE WINDOW'S END VERSION —
+    * restricted to the batch's AFFECTED groups (left-semi against the
+    * batch's group keys), so untouched groups are never read, never
+    * folded, never rewritten. The fixture's last commit is a
+    * delete-heavy batch confined to ONE language — require()d to
+    * touch exactly one gold group — and the fold cross-checks itself:
+    * the folded count/sum must equal the recomputed count/sum on
+    * every affected group (a divergence means a missed pre-image, the
+    * bug class this machinery exists to catch). A group whose
+    * recompute comes back empty (fully drained) tombstones out.
+    *
+    * Scale shape (100 TB): the sign-foldable columns pay feed-window
+    * rows; the min/max recompute pays the affected groups' silver
+    * rows — under a lang-clustered silver layout that is the changed
+    * band, never the table; gold stays #groups-sized throughout.
+    */
+  /** One micro-batch of the MIN/MAX gold fold (shared by the
+    * `streaming_gold_agg_minmax` gate and its edge-case spec):
+    * count/sum fold sign-foldably against gold's head; min/max
+    * recompute from silver AT `endVersion`, restricted to the batch's
+    * affected groups; the fold self-audits (folded count/sum must
+    * equal the recompute's); drained groups tombstone out. Commits
+    * through [[graft.operators.VersionedTable.applyChanges]] under
+    * `watermark`. Gold schema contract: (lang, n_docs, sum_chars,
+    * min_chars, max_chars) keyed by lang; the batch is a feed window
+    * over (doc_id, lang, n_chars, change_type).
+    *
+    * @return the number of affected groups (the untouched-groups-
+    *         stay-cold claim, require()able by callers)
+    */
+  private[graft] def foldGoldMinMax(spark: SparkSession, gold: String,
+                                    gSpec: graft.operators.VersionedTable.Spec,
+                                    silver: String, batch: DataFrame,
+                                    endVersion: String,
+                                    watermark: String): Long = {
+    import graft.operators.VersionedTable
+    def cs(df: DataFrame): DataFrame = df.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("c"))
+    val delta = cs(batch.filter(col("change_type") === "insert"))
+      .select(col("lang"), col("n").as("ins_n"), col("c").as("ins_c"))
+      .join(cs(batch.filter(col("change_type") === "delete"))
+        .select(col("lang"), col("n").as("del_n"), col("c").as("del_c")),
+        Seq("lang"), "full_outer")
+    val affected = delta.count()
+    // the replay watermark gates BEFORE the fold: a redelivered window
+    // recomputed against gold's ALREADY-FOLDED head would fail its own
+    // self-audit (and double-fold if it didn't) — the check
+    // applyChanges runs internally must run here first
+    val stale = VersionedTable.headVersion(gold).exists(hv =>
+      VersionedTable.versionMeta(gold, hv).get("applied_upto")
+        .exists(a => a.drop(1).toLong >= watermark.drop(1).toLong))
+    if (stale) return affected
+    // sign-foldable columns: delta fold against gold's head
+    val folded = VersionedTable.read(spark, gold)
+      .select(col("lang"), col("n_docs"), col("sum_chars"))
+      .join(delta, Seq("lang"), "right_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("ins_n"), lit(0L))
+          - coalesce(col("del_n"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("ins_c"), lit(0L))
+          - coalesce(col("del_c"), lit(0L))).as("sum_chars"))
+    // non-sign-foldable columns: recompute the AFFECTED groups from
+    // silver at the window's END version
+    val recomputed = VersionedTable.readVersion(spark, silver, endVersion)
+      .join(delta.select("lang"), Seq("lang"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("n_chars").cast("long")).as("min_chars"),
+        max(col("n_chars").cast("long")).as("max_chars"))
+    // self-audit: fold and recompute must agree on the sign-foldable
+    // columns for every surviving affected group
+    val drift = folded.join(recomputed
+        .select(col("lang"), col("n_docs").as("r_n"),
+          col("sum_chars").as("r_c")),
+        Seq("lang"), "inner")
+      .filter(col("n_docs") =!= col("r_n") || col("sum_chars") =!= col("r_c"))
+    require(drift.isEmpty,
+      "gold fold diverged from the recompute on an affected group — a " +
+        "missed pre-image in the window")
+    val survivors = folded.join(recomputed
+        .select(col("lang"), col("min_chars"), col("max_chars")),
+      Seq("lang"), "inner")
+    val drained = folded.join(recomputed.select("lang"), Seq("lang"), "left_anti")
+      .withColumn("min_chars", lit(null).cast("long"))
+      .withColumn("max_chars", lit(null).cast("long"))
+    VersionedTable.applyChanges(spark, gold, gSpec,
+      survivors.withColumn("change_type", lit("insert"))
+        .unionByName(drained.withColumn("change_type", lit("delete"))),
+      watermark)
+    affected
+  }
+
+  def streamingGoldAggMinMax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val sSpec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val gSpec = VersionedTable.Spec(Seq("n_docs"), "lang", 1 << 13)
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val silver = java.nio.file.Files.createTempDirectory("graft-goldmm-s").toString
+    retirePrev(goldMmSilverPrev, silver)
+    val gold = java.nio.file.Files.createTempDirectory("graft-goldmm-g").toString
+    retirePrev(goldMmGoldPrev, gold)
+    val chk = java.nio.file.Files.createTempDirectory("graft-goldmm-chk").toString
+    retirePrev(goldMmChkPrev, chk)
+    def aggOf(df: DataFrame): DataFrame = df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("n_chars").cast("long")).as("min_chars"),
+        max(col("n_chars").cast("long")).as("max_chars"))
+    val delLang = d.agg(min(col("lang"))).head().getString(0)
+    val v1 = VersionedTable.create(spark, d.filter(col("doc_id") % 3 === 0),
+      silver, sSpec)
+    VersionedTable.create(spark,
+      aggOf(VersionedTable.readVersion(spark, silver, v1)), gold, gSpec,
+      extraMeta = Map("applied_upto" -> "v0"))
+    VersionedTable.append(spark, d.filter(col("doc_id") % 3 === 1), silver, sSpec)
+    VersionedTable.merge(spark, silver, sSpec,
+      d.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars")),
+      matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+      insertNotMatched = false)
+    // the delete-heavy commit confined to ONE language: the batch that
+    // forces the recompute path AND proves untouched groups stay cold
+    VersionedTable.deleteRosterDV(spark, silver, sSpec,
+      d.filter(col("doc_id") % 13 === 0 && col("lang") === delLang)
+        .select(col("doc_id")))
+    var nBatches = 0
+    var lastAffected = -1L
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+        .option("root", silver)
+        .option("startingVersion", v1)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          nBatches += 1
+          // one version per trigger from v1 ⇒ batch id ends at v(id+2)
+          lastAffected = foldGoldMinMax(spark, gold, gSpec, silver,
+            b.toDF(), "v%05d".format(id + 2), s"v${id + 1}")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    require(nBatches >= 3,
+      s"one micro-batch per silver commit expected, got $nBatches")
+    require(lastAffected == 1L,
+      s"the one-language delete batch must touch exactly one gold group, " +
+        s"got $lastAffected")
+    val headAfter = VersionedTable.headVersion(gold)
+    drain()
+    require(VersionedTable.headVersion(gold) == headAfter,
+      "an empty redrain must not commit to gold")
+    VersionedTable.read(spark, gold)
+      .select(lit("1_gold").as("slice"), col("lang"), col("n_docs"),
+        col("sum_chars"), col("min_chars"), col("max_chars"))
+      .unionByName(aggOf(VersionedTable.read(spark, silver))
+        .select(lit("2_silver_head").as("slice"), col("lang"), col("n_docs"),
+          col("sum_chars"), col("min_chars"), col("max_chars")))
+  }
+
   /** The versioned table as a STREAMING SOURCE
     * (`streaming_feed_source`, [[graft.sources.FeedStreamProvider]] —
     * VERDICT r12 frontier gap #1, the Delta streaming-source / CDF
@@ -1874,5 +2081,120 @@ object StreamingStage {
           sum(col("n_chars").cast("long")).as("sum_chars"))
         .select(lit("2_head").as("slice"), col("lang"), col("n_docs"),
           col("sum_chars")))
+  }
+
+  private val feedEmbSrcPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val feedEmbReplicaPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val feedEmbChkPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** COMPLEX columns through the streaming feed
+    * (`streaming_feed_embeddings`, VERDICT r13 next-round #2): the
+    * E227 embedding corpus — `array<float>`, the first real column
+    * type a training pipeline streams and exactly what the r13 spool
+    * reader refused — replicates through `graft-feed` into a second
+    * versioned table. Four-verb source history (create → append →
+    * MERGE reversing selected vectors → DV-delete), one micro-batch
+    * per commit, each batch folded by
+    * [[graft.operators.VersionedTable.applyChanges]] with the
+    * window's END VERSION as its watermark. The spool now reads back
+    * through Spark's own parquet path, so any Spark SQL type
+    * round-trips; the gate hashes the REPLICA head against the source
+    * head under one oracle restatement (dim + the in-order
+    * sum-of-squares checksum, rounded — the [[graft.ExtOracleSql]]
+    * double-fold convention).
+    *
+    * SPOOL CUSTODY exercised in-gate (VERDICT r13 next-round #1):
+    * after the drain, a vacuum with the REPLICA registered as
+    * consumer (its `applied_upto` = the last window's end version)
+    * must reclaim every `_stream` window spool — require()d empty —
+    * while the pre-vacuum require pins that the spools existed.
+    *
+    * Scale shape (100 TB): per-trigger cost ∝ the window's changed
+    * files (embedding bytes ride the spool once); the replica fold
+    * pays bloom-probed holders only; spool disk is bounded by
+    * consumer lag, reclaimed by the vacuum custody rule.
+    */
+  def streamingFeedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("vec_id"), "vec_id", 1 << 13)
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val src = java.nio.file.Files.createTempDirectory("graft-fe-src").toString
+    retirePrev(feedEmbSrcPrev, src)
+    val replica = java.nio.file.Files.createTempDirectory("graft-fe-rep").toString
+    retirePrev(feedEmbReplicaPrev, replica)
+    val chk = java.nio.file.Files.createTempDirectory("graft-fe-chk").toString
+    retirePrev(feedEmbChkPrev, chk)
+    val v1 = VersionedTable.create(spark, e.filter(col("vec_id") % 4 =!= 3),
+      src, spec)                                                    // v1
+    VersionedTable.append(spark, e.filter(col("vec_id") % 4 === 3), src, spec) // v2
+    VersionedTable.merge(spark, src, spec,
+      e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      matchedUpdate = Map("embedding" -> col("src_embedding")),
+      insertNotMatched = false)                                     // v3
+    VersionedTable.deleteRosterDV(spark, src, spec,
+      e.filter(col("vec_id") % 17 === 0).select(col("vec_id")))     // v4
+    // replica bootstraps from source v1; the stream folds the rest
+    VersionedTable.create(spark, VersionedTable.readVersion(spark, src, v1),
+      replica, spec, extraMeta = Map("applied_upto" -> "v1"))
+    var nBatches = 0
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+        .option("root", src)
+        .option("startingVersion", v1)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          nBatches += 1
+          // one version per trigger from v1 ⇒ batch id covers window
+          // v(id+1) → v(id+2); the END version is the replay watermark
+          VersionedTable.applyChanges(spark, replica, spec,
+            b.toDF().select(col("vec_id"), col("embedding"),
+              col("change_type")),
+            "v%05d".format(id + 2))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    require(nBatches >= 3,
+      s"one micro-batch per source commit expected, got $nBatches")
+    val headAfter = VersionedTable.headVersion(replica)
+    drain() // restart no-op: same checkpoint, no new commits
+    require(VersionedTable.headVersion(replica) == headAfter,
+      "an empty redrain must not commit to the replica")
+    // spool custody: the caught-up replica (applied_upto = source
+    // head) lets vacuum reclaim every window spool
+    def spools(): Set[String] = {
+      val p = java.nio.file.Paths.get(src, "_stream")
+      if (!java.nio.file.Files.isDirectory(p)) Set.empty
+      else {
+        val st = java.nio.file.Files.list(p)
+        try { import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString).toSet
+        } finally st.close()
+      }
+    }
+    require(spools().nonEmpty, "the drain must have spooled its windows")
+    VersionedTable.vacuum(spark, src,
+      keepLast = VersionedTable.publishedVersions(src).size,
+      consumers = Seq(replica))
+    require(spools().isEmpty,
+      s"a caught-up consumer pins no spool, got ${spools()}")
+    def shaped(df: DataFrame, slice: String): DataFrame = df.select(
+      lit(slice).as("slice"), col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      round(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")), 6)
+        .as("checksum"))
+    shaped(VersionedTable.read(spark, replica), "1_replica")
+      .unionByName(shaped(VersionedTable.read(spark, src), "2_source"))
   }
 }

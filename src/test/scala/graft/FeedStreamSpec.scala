@@ -118,6 +118,98 @@ class FeedStreamSpec extends SparkSpec {
     assert(out2.forall(_._3 == "insert"))
   }
 
+  test("spool custody: vacuum reclaims windows every registered consumer committed past; a lagging checkpoint's window survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fs-vc").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-fs-vcc").toString
+    val v1 = VersionedTable.create(spark, rows(0, 60), root, spec)
+    VersionedTable.append(spark, rows(60, 90), root, spec)   // v2
+    VersionedTable.append(spark, rows(90, 120), root, spec)  // v3
+    VersionedTable.append(spark, rows(120, 140), root, spec) // v4
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    drain(root, v1, chk, out, batches) // spools w_v1_v2, w_v2_v3, w_v3_v4
+    def spools(): Set[String] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(root, "_stream"))
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally st.close()
+    }
+    val all = spools()
+    assert(all == Set("w_v00001_v00002", "w_v00002_v00003", "w_v00003_v00004"), s"$all")
+    val keepAll = VersionedTable.publishedVersions(root).size
+    // no registered consumer → custody unknowable, nothing reclaimed
+    VersionedTable.vacuum(spark, root, keepLast = keepAll)
+    assert(spools() == all, "an unregistered checkpoint must keep every spool")
+    // a LAGGING replica (applied_upto=v3) + a caught-up one (v4): the
+    // floor is min over consumers, so w_v3_v4 (end past the lagger's
+    // commit — its restart could re-plan it) must survive
+    import spark.implicits._
+    val lagging = java.nio.file.Files.createTempDirectory("graft-fs-lag").toString
+    val caught = java.nio.file.Files.createTempDirectory("graft-fs-cau").toString
+    VersionedTable.create(spark, rows(0, 5), lagging, spec,
+      extraMeta = Map("applied_upto" -> "v00003"))
+    VersionedTable.create(spark, rows(0, 5), caught, spec,
+      extraMeta = Map("applied_upto" -> "v00004"))
+    VersionedTable.vacuum(spark, root, keepLast = keepAll,
+      consumers = Seq(lagging, caught))
+    assert(spools() == Set("w_v00003_v00004"),
+      s"fully-consumed windows reclaim, the lagging window survives: ${spools()}")
+    // every consumer past v4 → the last spool reclaims too
+    VersionedTable.vacuum(spark, root, keepLast = keepAll,
+      consumers = Seq(caught))
+    assert(spools().isEmpty, s"caught-up consumers pin nothing: ${spools()}")
+    Seq(root, chk, lagging, caught).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+  }
+
+  test("complex column types stream through the feed: array<float>, array<string>, timestamp, decimal") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fs-cx").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-fs-cxc").toString
+    def mk(lo: Long, hi: Long) = (lo until hi).map { i =>
+      (i, Array(i.toFloat, (i * 2).toFloat, 0.5f),
+        Seq(s"t$i", s"u${i % 7}"),
+        java.sql.Timestamp.valueOf(s"2026-01-0${1 + (i % 9)} 10:0${i % 6}:00"),
+        new java.math.BigDecimal(s"${i}.25"))
+    }.toDF("k", "emb", "tags", "ts", "amount")
+      .select(col("k"), col("emb"), col("tags"), col("ts"),
+        col("amount").cast("decimal(12,2)").as("amount"))
+    val cxSpec = VersionedTable.Spec(Seq.empty, "k", 1 << 13)
+    val v1 = VersionedTable.create(spark, mk(0, 40), root, cxSpec)
+    VersionedTable.append(spark, mk(40, 60), root, cxSpec)
+    // delete keys from the BASE version only: a same-window
+    // insert-then-delete pair nets out of the batch changeFeed the
+    // assertion compares against, while per-version micro-batches
+    // legitimately emit both
+    VersionedTable.deleteRosterDV(spark, root, cxSpec, Seq(3L, 7L).toDF("k"))
+    type R = (Long, Seq[Float], Seq[String], java.sql.Timestamp, java.math.BigDecimal, String)
+    def shape(r: org.apache.spark.sql.Row): R =
+      (r.getLong(0), r.getSeq[Float](1), r.getSeq[String](2),
+        r.getTimestamp(3), r.getDecimal(4), r.getString(5))
+    val out = scala.collection.mutable.ArrayBuffer.empty[R]
+    val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+      .option("root", root).option("startingVersion", v1)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val got = b.collect().map(shape)
+        synchronized { out ++= got }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val head = VersionedTable.headVersion(root).get
+    val expect = VersionedTable.changeFeed(spark, root, v1, head)
+      .collect().map(shape).toSeq
+    assert(out.sortBy(t => (t._1, t._6)).toSeq == expect.sortBy(t => (t._1, t._6)),
+      s"stream≠batch over complex types: ${out.size} vs ${expect.size}")
+    assert(out.exists(_._3.nonEmpty) && out.forall(_._2.length == 3))
+    Seq(root, chk).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+  }
+
   test("gold IVM fold: a fully-drained group tombstones out of the aggregate table") {
     import spark.implicits._
     // a tiny gold table folded by the streaming_gold_agg shape, with a

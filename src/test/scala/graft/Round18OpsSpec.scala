@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Publish, VersionedTable}
+
+/** Round-14-session operators: branch REBASE onto a moved main (the
+  * safe subset of cherry-pick — VERDICT r13 frontier gap #3) and the
+  * MIN/MAX gold fold's recompute path (gap #4). The gates prove the
+  * sf-data composition; these pin the edges the fixtures can't force:
+  * the extremum-removing delete, the drained group, the refusal
+  * surface, and the rebase commit's feed-safety.
+  */
+class Round18OpsSpec extends SparkSpec {
+
+  private val spec = VersionedTable.Spec(Seq("n"), "k", 1 << 13)
+
+  private def rows(ks: Long*): DataFrame = {
+    import spark.implicits._
+    ks.map(k => (k, k * 10)).toDF("k", "n")
+  }
+
+  private def keysOf(root: String): Set[Long] =
+    VersionedTable.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet
+
+  test("rebaseBranch: disjoint divergence replays onto the moved main ≡ serial application; the commit is feed-safe") {
+    val main = java.nio.file.Files.createTempDirectory("graft-rb-m").toString
+    val br = java.nio.file.Files.createTempDirectory("graft-rb-b").toString + "/b"
+    VersionedTable.create(spark, rows(1, 2, 3, 4), main, spec)
+    VersionedTable.shallowClone(spark, main, br)
+    // branch: insert {5,6}, delete {1}; main: insert {9,10}, delete {2}
+    VersionedTable.append(spark, rows(5, 6), br, spec)
+    VersionedTable.deleteRosterDV(spark, br, spec, rows(1).select("k"))
+    VersionedTable.append(spark, rows(9, 10), main, spec)
+    VersionedTable.deleteRosterDV(spark, main, spec, rows(2).select("k"))
+    intercept[Publish.PublishConflict] {
+      VersionedTable.fastForward(spark, main, br)
+    }
+    val preRebase = VersionedTable.headVersion(main).get
+    val v = VersionedTable.rebaseBranch(spark, main, br, spec)
+    assert(keysOf(main) == Set(3L, 4L, 5L, 6L, 9L, 10L),
+      s"rebased main must equal the serial application: ${keysOf(main)}")
+    assert(VersionedTable.versionMeta(main, v)("verb") == "branch-rebase")
+    // feed-safe: the rebase window states exactly the branch's net diff
+    val feed = VersionedTable.changeFeed(spark, main, preRebase, v)
+      .select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((1L, "delete"), (5L, "insert"), (6L, "insert")),
+      s"the rebase commit's feed must be the branch's own diff: $feed")
+    // time travel: the pre-rebase head still reads main's own line
+    assert(VersionedTable.readVersion(spark, main, preRebase)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L, 9L, 10L))
+  }
+
+  test("rebaseBranch: an unmoved main degenerates to fast-forward") {
+    val main = java.nio.file.Files.createTempDirectory("graft-rb-ff").toString
+    val br = java.nio.file.Files.createTempDirectory("graft-rb-ffb").toString + "/b"
+    VersionedTable.create(spark, rows(1, 2), main, spec)
+    VersionedTable.shallowClone(spark, main, br)
+    VersionedTable.append(spark, rows(3), br, spec)
+    val v = VersionedTable.rebaseBranch(spark, main, br, spec)
+    assert(VersionedTable.versionMeta(main, v)("verb") == "fast-forward")
+    assert(keysOf(main) == Set(1L, 2L, 3L))
+  }
+
+  test("rebaseBranch refusals: overlap, never-committed branch, not-a-branch, diverged schema") {
+    val main = java.nio.file.Files.createTempDirectory("graft-rb-rf").toString
+    VersionedTable.create(spark, rows(1, 2, 3, 4), main, spec)
+    // overlap: both sides delete key 3
+    val brO = java.nio.file.Files.createTempDirectory("graft-rb-o").toString + "/b"
+    VersionedTable.shallowClone(spark, main, brO)
+    VersionedTable.deleteRosterDV(spark, brO, spec, rows(3).select("k"))
+    VersionedTable.deleteRosterDV(spark, main, spec, rows(3).select("k"))
+    val e = intercept[IllegalStateException] {
+      VersionedTable.rebaseBranch(spark, main, brO, spec)
+    }
+    assert(e.getMessage.contains("order-dependent") && e.getMessage.contains("3"))
+    // never committed: nothing to replay
+    val brN = java.nio.file.Files.createTempDirectory("graft-rb-n").toString + "/b"
+    VersionedTable.shallowClone(spark, main, brN)
+    VersionedTable.append(spark, rows(7), main, spec) // move main
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.rebaseBranch(spark, main, brN, spec)
+    }.getMessage.contains("never committed"))
+    // not a branch: a plain table's v1 is not a clone
+    val plain = java.nio.file.Files.createTempDirectory("graft-rb-p").toString
+    VersionedTable.create(spark, rows(8), plain, spec)
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.rebaseBranch(spark, main, plain, spec)
+    }.getMessage.contains("not a branch"))
+    // diverged schema: the branch evolved a column main never saw
+    val brS = java.nio.file.Files.createTempDirectory("graft-rb-s").toString + "/b"
+    VersionedTable.shallowClone(spark, main, brS)
+    import spark.implicits._
+    VersionedTable.append(spark,
+      Seq((11L, 110L, "x")).toDF("k", "n", "extra"), brS, spec,
+      allowEvolution = true)
+    VersionedTable.append(spark, rows(12), main, spec) // move main again
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.rebaseBranch(spark, main, brS, spec)
+    }.getMessage.contains("diverged"))
+  }
+
+  test("gold MIN/MAX fold: an extremum-removing delete recomputes the runner-up; a drained group tombstones") {
+    import spark.implicits._
+    val sSpec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val gSpec = VersionedTable.Spec(Seq("n_docs"), "lang", 1 << 13)
+    val silver = java.nio.file.Files.createTempDirectory("graft-gmm-s").toString
+    val gold = java.nio.file.Files.createTempDirectory("graft-gmm-g").toString
+    // aa: {10, 99} (99 is the max), bb: {5} (drains entirely)
+    val v1 = VersionedTable.create(spark,
+      Seq((1L, "aa", 10L), (2L, "aa", 99L), (3L, "bb", 5L))
+        .toDF("doc_id", "lang", "n_chars"), silver, sSpec)
+    VersionedTable.create(spark,
+      VersionedTable.read(spark, silver).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          min(col("n_chars").cast("long")).as("min_chars"),
+          max(col("n_chars").cast("long")).as("max_chars")),
+      gold, gSpec, extraMeta = Map("applied_upto" -> "v0"))
+    VersionedTable.deleteRosterDV(spark, silver, sSpec,
+      Seq(2L, 3L).toDF("doc_id"))
+    val v2 = VersionedTable.headVersion(silver).get
+    val batch = VersionedTable.changeFeed(spark, silver, v1, v2)
+    val affected = streaming.StreamingStage.foldGoldMinMax(
+      spark, gold, gSpec, silver, batch, v2, "v1")
+    assert(affected == 2L, s"both groups are in the window: $affected")
+    val head = VersionedTable.read(spark, gold).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // a sign-fold would have left max_chars = 99 (the retracted
+    // extremum); the recompute must surface the runner-up — and 'bb'
+    // must vanish, not linger as a zero row
+    assert(head == Set(("aa", 1L, 10L, 10L, 10L)),
+      s"recomputed extrema + drained tombstone expected: ${head.mkString(", ")}")
+    // a redelivered window no-ops before the (stale) fold could land
+    val affected2 = streaming.StreamingStage.foldGoldMinMax(
+      spark, gold, gSpec, silver, batch, v2, "v1")
+    assert(affected2 == 2L && VersionedTable.read(spark, gold).count() == 1L)
+  }
+}
