@@ -878,6 +878,31 @@ object TableVerbSmoke {
           matchedUpdate = Map("n_chars" -> col("src_n_chars")),
           layout = layout); ()
       }))
+      // r14 verb: branch REBASE onto a moved main with a CONSTANT
+      // divergence window (the 1× namespace again, disjoint key
+      // offsets): setup (clone + the two sides' appends) is OUTSIDE
+      // the timer — the measured verb is the replay alone (two
+      // window-sized feeds + the disjointness semi-join + the
+      // bloom-probed fold). Expected FLAT across decades; the replay
+      // batch lands under MAIN's root, so the branch dir retires
+      // clean after.
+      val br = root + "-br"
+      locally {
+        val idT = d.schema("doc_id").dataType
+        val win = d.filter(col("doc_id") < 5000)
+        VersionedTable.shallowClone(spark, root, br)
+        VersionedTable.append(spark,
+          win.filter(col("doc_id") % 47 === 0)
+            .select((col("doc_id") + 3000000000L).cast(idT).as("doc_id"),
+              col("lang"), col("n_chars")), br, spec, layout)
+        VersionedTable.append(spark,
+          win.filter(col("doc_id") % 49 === 0)
+            .select((col("doc_id") + 4000000000L).cast(idT).as("doc_id"),
+              col("lang"), col("n_chars")), root, spec, layout)
+      }
+      rows += ((scale, "rebase_fixed",
+        timed { VersionedTable.rebaseBranch(spark, root, br, spec); () }))
+      operators.Checkpoints.deleteTree(java.nio.file.Paths.get(br))
       rows += ((scale, "optimize_compact",
         timed { VersionedTable.optimizeCompact(spark, root, spec,
           targetBytes = 1L << 40); () }))

@@ -210,6 +210,45 @@ class FeedStreamSpec extends SparkSpec {
       graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
   }
 
+  test("source schema evolution between drains: the next run picks up the evolved schema from its stream-start inference") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fs-ev").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-fs-evc").toString
+    val v1 = VersionedTable.create(spark, rows(0, 20), root, spec)
+    VersionedTable.append(spark, rows(20, 30), root, spec) // v2
+    def drainRows(shape: org.apache.spark.sql.Row => Seq[Any]): Seq[Seq[Any]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+        .option("root", root).option("startingVersion", v1).load()
+        .writeStream.option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val got = b.collect().map(shape)
+          synchronized { out ++= got.map(_.toSeq) }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      out.toSeq
+    }
+    val first = drainRows(r => Seq(r.getLong(0), r.getString(2)))
+    assert(first.map(_.head).toSet == (20L until 30L).toSet)
+    // the source evolves: a new column lands with v3; the NEXT drain's
+    // stream-start inference carries it (the running-stream schema is
+    // pinned at start — the Delta restart-on-evolution posture)
+    VersionedTable.append(spark,
+      (30L until 40L).map(i => (i, i % 1000, s"x$i")).toDF("k", "n", "x"),
+      root, spec, allowEvolution = true)
+    // evolved feed schema: (k, n, x, change_type)
+    val second = drainRows(r => Seq(r.getLong(0), r.getString(2), r.getString(3)))
+    assert(second.map(_.head).toSet == (30L until 40L).toSet,
+      s"only the evolved window streams: $second")
+    assert(second.forall(s => s(1) == s"x${s.head}" && s(2) == "insert"),
+      s"the evolved column's values must ride the feed: ${second.take(3)}")
+    Seq(root, chk).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+  }
+
   test("gold IVM fold: a fully-drained group tombstones out of the aggregate table") {
     import spark.implicits._
     // a tiny gold table folded by the streaming_gold_agg shape, with a
