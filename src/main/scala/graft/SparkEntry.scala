@@ -366,6 +366,11 @@ object SparkEntry {
     // batch's affected groups only (untouched groups stay cold)
     "streaming_gold_agg_minmax" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingGoldAggMinMax(s, d)),
+    // r24: the DECLARATIVE medallion hop — graft-feed piped straight
+    // into the graft-table sink (mode=apply), zero user code; the
+    // sink runs applyChanges per micro-batch, exactly-once
+    "streaming_sink_medallion" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingSinkMedallion(s, d)),
     // r23: auto-OPTIMIZE inside the ingest loop — manifest-priced plan
     // consult per trigger, compaction absorbs the small generations,
     // batchId replay watermark inherits across maintenance commits
@@ -1984,6 +1989,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT '2_silver_head', lang, n_docs, sum_chars, min_chars,
         |  max_chars FROM agg""".stripMargin,
+    // the declarative sink hop: replica ≡ source head — a missed
+    // window, a double-applied batch, or a sink that lost a delete
+    // all diverge the slices
+    "streaming_sink_medallion" ->
+      """WITH final AS (
+        |  SELECT doc_id, lang,
+        |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 3 < 2 AND doc_id % 13 <> 0),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM final GROUP BY lang)
+        |SELECT '1_replica' AS slice, lang, n_docs, sum_ids, sum_chars FROM agg
+        |UNION ALL
+        |SELECT '2_source', lang, n_docs, sum_ids, sum_chars FROM agg""".stripMargin,
     // the merged profile equals the batch per-user aggregate no
     // matter how events split across micro-batches — the exactly-once
     // CDC-apply contract stated directly

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.VersionedTable
+
+/** STREAMING SINK into a [[VersionedTable]] — the first-class
+  * `df.writeStream.format("graft-table")` form of the foreachBatch
+  * patterns the medallion gates established (the Delta streaming-sink
+  * analog; Delta's own sink is this same V1 `Sink` architecture: the
+  * micro-batch arrives DRIVER-side as a DataFrame and the commit runs
+  * through the table's ordinary verb machinery).
+  *
+  * Options:
+  *  - `root` (required): the versioned table's root directory.
+  *  - `keyCol` (required): the table's bloom key ([[VersionedTable.Spec]]).
+  *  - `statCols`: comma-separated min/max stat columns (default none).
+  *  - `mBits`: bloom bitmap bits (default 8192).
+  *  - `mode`:
+  *     - `append` (default): each micro-batch lands as one
+  *       create/append commit, exactly-once by the `batchId` watermark
+  *       (inherits through maintenance commits — the E228 contract).
+  *     - `apply`: the batch is a CHANGE FEED window (carries
+  *       `change_type`) folded by [[VersionedTable.applyChanges]] —
+  *       so `readStream.format("graft-feed") → writeStream
+  *       .format("graft-table").option("mode","apply")` is a complete
+  *       declarative table-to-table replication hop with zero user
+  *       code. Exactly-once by `applied_upto = v(batchId+1)`: a
+  *       replica bootstrapped out-of-band stamps `applied_upto=v0`
+  *       (the gate/t2t convention); an absent table bootstraps from
+  *       the first batch's inserts (the feed windows BEFORE stream
+  *       start are not replayed — bootstrap from a snapshot when the
+  *       source predates the stream).
+  *
+  * The incoming micro-batch frame is streaming-tagged, so it re-roots
+  * through [[GraftSqlBridge.fromInternalRdd]] (the Delta sink's toRdd
+  * re-wrap) before the verb consumes it as a batch frame.
+  *
+  * Scale shape (100 TB): per trigger the sink pays the batch's write
+  * + one manifest publish (`append`) or the applyChanges bill
+  * (window rows + bloom-probed holders, `apply`) — never table bytes;
+  * registering the sink's root as a vacuum consumer gives the
+  * upstream feed spools their custody floor.
+  */
+class TableSinkProvider extends StreamSinkProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    def req(k: String): String = p.getOrElse(k.toLowerCase,
+      throw new IllegalArgumentException(
+        s"graft-table sink needs option('$k', ...)"))
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+      s"graft-table sink supports append/update output modes, got $outputMode")
+    val spec = VersionedTable.Spec(
+      p.get("statcols").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil),
+      req("keyCol"),
+      p.get("mbits").map(_.toInt).getOrElse(1 << 13))
+    val mode = p.getOrElse("mode", "append")
+    require(mode == "append" || mode == "apply",
+      s"graft-table sink mode must be append|apply, got $mode")
+    new GraftTableSink(req("root"), spec, mode)
+  }
+}
+
+private[sources] class GraftTableSink(root: String,
+                                      spec: VersionedTable.Spec,
+                                      mode: String) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val s = data.sparkSession
+    // the streaming frame can't be consumed by batch verbs directly —
+    // re-root its physical rows as a batch frame (the Delta sink move)
+    val batch = GraftSqlBridge.fromInternalRdd(s,
+      data.queryExecution.toRdd, data.schema)
+    mode match {
+      case "append" =>
+        graft.streaming.StreamingStage.appendVersionedTable(
+          batch, root, spec, batchId)
+        ()
+      case "apply" =>
+        require(batch.columns.contains("change_type"),
+          "graft-table apply mode: the batch must carry change_type " +
+            "(stream from graft-feed)")
+        val upTo = s"v${batchId + 1}"
+        if (VersionedTable.headVersion(root).isEmpty)
+          VersionedTable.create(s,
+            batch.filter(col("change_type") === "insert").drop("change_type"),
+            root, spec, extraMeta = Map("applied_upto" -> upTo))
+        else
+          VersionedTable.applyChanges(s, root, spec, batch, upTo)
+        ()
+    }
+  }
+
+  override def toString: String = s"GraftTableSink($root, mode=$mode)"
+}

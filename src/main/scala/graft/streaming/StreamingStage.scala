@@ -1818,6 +1818,89 @@ object StreamingStage {
           col("sum_chars")))
   }
 
+  private val sinkMedSrcPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val sinkMedRepPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val sinkMedChkPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** The DECLARATIVE medallion hop (`streaming_sink_medallion`,
+    * [[graft.sources.TableSinkProvider]]): where E220
+    * (`streaming_table_to_table`) folds the feed in user foreachBatch
+    * code, this is the zero-code form — `readStream.format
+    * ("graft-feed")` piped straight into `writeStream.format
+    * ("graft-table").option("mode", "apply")`, the sink running
+    * [[graft.operators.VersionedTable.applyChanges]] per micro-batch
+    * with a monotone `applied_upto` watermark. Four-verb source
+    * history (create → append → MERGE update → DV-delete), one batch
+    * per commit, an empty redrain require()d to leave the replica
+    * untouched; the gate hashes the replica head against the source
+    * head under one oracle restatement.
+    *
+    * Scale shape (100 TB): identical to E220's (feed window bytes +
+    * bloom-probed replica holders per trigger) — the sink form buys
+    * the DECLARATIVE wiring, not a different plan; the replica root
+    * registered as a vacuum consumer is the feed spools' custody
+    * floor.
+    */
+  def streamingSinkMedallion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = java.nio.file.Files.createTempDirectory("graft-sm-src").toString
+    retirePrev(sinkMedSrcPrev, src)
+    val replica = java.nio.file.Files.createTempDirectory("graft-sm-rep").toString
+    retirePrev(sinkMedRepPrev, replica)
+    val chk = java.nio.file.Files.createTempDirectory("graft-sm-chk").toString
+    retirePrev(sinkMedChkPrev, chk)
+    val v1 = VersionedTable.create(spark, d.filter(col("doc_id") % 3 === 0),
+      src, spec)
+    // replica bootstraps from source v1, watermark v0 (the E220
+    // convention: the sink's batch 0 stamps v1)
+    VersionedTable.create(spark, VersionedTable.readVersion(spark, src, v1),
+      replica, spec, extraMeta = Map("applied_upto" -> "v0"))
+    VersionedTable.append(spark, d.filter(col("doc_id") % 3 === 1), src, spec)
+    VersionedTable.merge(spark, src, spec,
+      d.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars")),
+      matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+      insertNotMatched = false)
+    VersionedTable.deleteRosterDV(spark, src, spec,
+      d.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+        .option("root", src)
+        .option("startingVersion", v1)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("graft.sources.TableSinkProvider")
+        .option("root", replica)
+        .option("keyCol", "doc_id")
+        .option("statCols", "n_chars")
+        .option("mode", "apply")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val headAfter = VersionedTable.headVersion(replica)
+    require(VersionedTable.publishedVersions(replica).size >= 4,
+      "one replica commit per source commit expected")
+    drain() // restart no-op: same checkpoint, no new commits
+    require(VersionedTable.headVersion(replica) == headAfter,
+      "an empty redrain must not commit to the replica")
+    def aggOf(df: DataFrame, slice: String): DataFrame = df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .select(lit(slice).as("slice"), col("lang"), col("n_docs"),
+        col("sum_ids"), col("sum_chars"))
+    aggOf(VersionedTable.read(spark, replica), "1_replica")
+      .unionByName(aggOf(VersionedTable.read(spark, src), "2_source"))
+  }
+
   private val goldMmSilverPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val goldMmGoldPrev =

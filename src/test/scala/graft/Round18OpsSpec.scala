@@ -103,6 +103,68 @@ class Round18OpsSpec extends SparkSpec {
     }.getMessage.contains("diverged"))
   }
 
+  test("graft-table sink, append mode: one commit per micro-batch, empty redrain no-ops, content complete") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = java.nio.file.Files.createTempDirectory("graft-ts-st").toString
+    val table = java.nio.file.Files.createTempDirectory("graft-ts-t").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-ts-c").toString
+    def drain(): Unit = {
+      val sch = spark.read.parquet(stage).schema
+      val q = spark.readStream.schema(sch).parquet(stage)
+        .writeStream.format("graft.sources.TableSinkProvider")
+        .option("root", table).option("keyCol", "k").option("statCols", "n")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    rows(1, 2, 3).write.mode("append").parquet(stage)
+    drain()
+    assert(VersionedTable.headVersion(table).contains("v00001"))
+    rows(4, 5).write.mode("append").parquet(stage)
+    drain()
+    val head = VersionedTable.headVersion(table)
+    assert(head.exists(_ >= "v00002"), s"second wave must commit: $head")
+    drain() // nothing staged since → no commit
+    assert(VersionedTable.headVersion(table) == head,
+      "an empty redrain must not commit")
+    assert(keysOf(table) == Set(1L, 2L, 3L, 4L, 5L))
+    // a maintenance commit between batches must not erase the batchId
+    // watermark the sink's exactly-once rides on (the E228 contract)
+    VersionedTable.optimizeCompact(spark, table, spec, 1L << 30)
+    assert(VersionedTable.headMeta(table, "batchId").isDefined,
+      "batchId must inherit through maintenance commits")
+    Seq(stage, table, chk).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+  }
+
+  test("graft-table sink, apply mode: an absent replica bootstraps from the first window's inserts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("graft-ta-s").toString
+    val replica = java.nio.file.Files.createTempDirectory("graft-ta-r").toString + "/t"
+    val chk = java.nio.file.Files.createTempDirectory("graft-ta-c").toString
+    val v1 = VersionedTable.create(spark, rows(1, 2, 3), src, spec)
+    VersionedTable.append(spark, rows(10, 11), src, spec)
+    VersionedTable.deleteRosterDV(spark, src, spec, rows(1).select("k"))
+    val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+      .option("root", src).option("startingVersion", v1)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("graft.sources.TableSinkProvider")
+      .option("root", replica).option("keyCol", "k")
+      .option("mode", "apply")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // from-scratch bootstrap sees only post-v1 windows: the appended
+    // keys land, the base-key delete no-ops against the empty replica
+    // (bootstrap-from-a-snapshot is the documented posture for a
+    // source that predates the stream)
+    assert(keysOf(replica) == Set(10L, 11L), s"${keysOf(replica)}")
+    Seq(src, chk).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+    graft.operators.Checkpoints.deleteTree(
+      java.nio.file.Paths.get(replica).getParent)
+  }
+
   test("gold MIN/MAX fold: an extremum-removing delete recomputes the runner-up; a drained group tombstones") {
     import spark.implicits._
     val sSpec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
