@@ -371,6 +371,11 @@ object SparkEntry {
     // sink runs applyChanges per micro-batch, exactly-once
     "streaming_sink_medallion" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingSinkMedallion(s, d)),
+    // r24: initial-snapshot streaming — startingVersion=snapshot emits
+    // the table's current content as batch 0, so a from-scratch
+    // consumer needs no out-of-band bootstrap (the Delta posture)
+    "streaming_feed_snapshot" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingFeedSnapshot(s, d)),
     // r23: auto-OPTIMIZE inside the ingest loop — manifest-priced plan
     // consult per trigger, compaction absorbs the small generations,
     // batchId replay watermark inherits across maintenance commits
@@ -1993,6 +1998,23 @@ object SparkEntry {
     // window, a double-applied batch, or a sink that lost a delete
     // all diverge the slices
     "streaming_sink_medallion" ->
+      """WITH final AS (
+        |  SELECT doc_id, lang,
+        |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 3 < 2 AND doc_id % 13 <> 0),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM final GROUP BY lang)
+        |SELECT '1_replica' AS slice, lang, n_docs, sum_ids, sum_chars FROM agg
+        |UNION ALL
+        |SELECT '2_source', lang, n_docs, sum_ids, sum_chars FROM agg""".stripMargin,
+    // initial-snapshot replication: the from-scratch replica (snapshot
+    // batch + two window folds) equals the source head — a snapshot
+    // that missed pre-stream history or re-emitted on restart diverges
+    "streaming_feed_snapshot" ->
       """WITH final AS (
         |  SELECT doc_id, lang,
         |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars

@@ -33,12 +33,17 @@ import graft.operators.VersionedTable
   *
   *  - `root` (required): the versioned table's root directory.
   *  - `startingVersion`: stream changes AFTER this version (a replica
-  *    bootstrapped from `vK` passes `vK`). Default: the head at
-  *    stream start — only NEW commits (the Kafka "latest" posture).
+  *    bootstrapped from `vK` passes `vK`), or the literal `snapshot`:
+  *    batch 0 emits the table's CURRENT content as inserts (the Delta
+  *    initial-snapshot posture — a from-scratch consumer needs no
+  *    out-of-band bootstrap), then changes follow from that version.
+  *    Default: the head at stream start — only NEW commits (the
+  *    Kafka "latest" posture).
   *  - `maxVersionsPerTrigger`: back-pressure — each micro-batch ends
   *    at most this many versions past the previous one (the
   *    maxFilesPerTrigger analog; a backlogged stream catches up in
-  *    bounded bites).
+  *    bounded bites). The initial snapshot is always ONE batch — it
+  *    is a content read at a single version, not a version window.
   *
   * Micro-batch planning materializes the window's feed ONCE into an
   * idempotent spool under `<root>/_stream/w_<a>_<b>` (keyed by the
@@ -144,8 +149,14 @@ private[sources] class FeedMicroBatchStream(schema: StructType, root: String,
     vNum(VersionedTable.headVersion(root).getOrElse(throw
       new IllegalStateException(s"graft-feed: no published version under $root")))
 
+  // offset 0 = "before the initial snapshot": the first window (0, h)
+  // spools readVersion(h) as inserts instead of a change feed
   private lazy val initial: FeedOffset =
-    FeedOffset(startingVersion.map(vNum).getOrElse(head()))
+    FeedOffset(startingVersion match {
+      case Some("snapshot") => 0L
+      case Some(v) => vNum(v)
+      case None => head()
+    })
   // AvailableNow: the drain target is the head AT PREPARE TIME — the
   // run processes everything committed before it started, then stops
   // (commits racing in during the drain belong to the next run)
@@ -166,7 +177,10 @@ private[sources] class FeedMicroBatchStream(schema: StructType, root: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FeedOffset].version
     val h = availableNowTarget.getOrElse(head())
-    FeedOffset(math.max(from,
+    // the initial snapshot is one indivisible batch ending at the
+    // head: version-count back-pressure applies to change windows only
+    if (from == 0L) FeedOffset(h)
+    else FeedOffset(math.max(from,
       maxVersionsPerTrigger.fold(h)(m => math.min(h, from + m))))
   }
 
@@ -187,9 +201,17 @@ private[sources] class FeedMicroBatchStream(schema: StructType, root: String,
     val done = java.nio.file.Paths.get(spool, "_SUCCESS")
     if (!java.nio.file.Files.exists(done)) {
       // column order pinned to the declared schema so the spool's
-      // parquet field layout is stable across replays
-      VersionedTable.changeFeed(spark, root, vName(a), vName(b))
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      // parquet field layout is stable across replays. Window (0, b)
+      // is the INITIAL SNAPSHOT: the content AT version b as inserts
+      // (a replay re-reads the same version — byte-stable like any
+      // spool; vacuum custody keeps versions ≥ consumer offsets)
+      val feed =
+        if (a == 0L)
+          VersionedTable.readVersion(spark, root, vName(b))
+            .withColumn("change_type",
+              org.apache.spark.sql.functions.lit("insert"))
+        else VersionedTable.changeFeed(spark, root, vName(a), vName(b))
+      feed.select(schema.fieldNames.map(col).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(spool)
     }
     val files = {

@@ -1901,6 +1901,91 @@ object StreamingStage {
       .unionByName(aggOf(VersionedTable.read(spark, src), "2_source"))
   }
 
+  private val snapSrcPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val snapRepPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val snapChkPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** FROM-SCRATCH replication via the initial snapshot
+    * (`streaming_feed_snapshot`): `startingVersion=snapshot` makes the
+    * feed source emit the table's CURRENT content as batch 0 (the
+    * Delta initial-snapshot posture), so the declarative hop —
+    * graft-feed into the graft-table sink — replicates a table that
+    * PREDATES the stream with no out-of-band bootstrap at all: the
+    * sink's apply mode creates the replica from the snapshot batch,
+    * then folds each later commit's window. Two pre-stream commits
+    * prove the snapshot carries history the change feed alone never
+    * would; two post-snapshot commits (MERGE update + DV-delete)
+    * prove the offset hand-off (snapshot at v2 → windows v2→v3→v4,
+    * require()d); an empty redrain leaves the replica untouched. The
+    * gate hashes replica head ≡ source head.
+    *
+    * Scale shape (100 TB): the snapshot batch costs one table read —
+    * paid ONCE per consumer lifetime, exactly the bootstrap a
+    * replica must pay somewhere; every later trigger pays window
+    * bytes. The snapshot spool is w_v00000_v<h>, under the same
+    * vacuum custody floor as every window spool.
+    */
+  def streamingFeedSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = java.nio.file.Files.createTempDirectory("graft-snap-s").toString
+    retirePrev(snapSrcPrev, src)
+    val replica = java.nio.file.Files.createTempDirectory("graft-snap-r").toString
+    retirePrev(snapRepPrev, replica)
+    val chk = java.nio.file.Files.createTempDirectory("graft-snap-c").toString
+    retirePrev(snapChkPrev, chk)
+    // two commits BEFORE the stream exists — only a snapshot start
+    // can carry them to a from-scratch consumer
+    VersionedTable.create(spark, d.filter(col("doc_id") % 3 === 0), src, spec)
+    VersionedTable.append(spark, d.filter(col("doc_id") % 3 === 1), src, spec)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+        .option("root", src)
+        .option("startingVersion", "snapshot")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("graft.sources.TableSinkProvider")
+        .option("root", replica)
+        .option("keyCol", "doc_id")
+        .option("statCols", "n_chars")
+        .option("mode", "apply")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // batch 0 = the snapshot at v2: the replica bootstraps
+    require(VersionedTable.read(spark, replica).count() ==
+      d.filter(col("doc_id") % 3 < 2).count(),
+      "the snapshot batch must carry the full pre-stream content")
+    VersionedTable.merge(spark, src, spec,
+      d.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars")),
+      matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+      insertNotMatched = false)
+    VersionedTable.deleteRosterDV(spark, src, spec,
+      d.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+    drain() // windows v2→v3, v3→v4 — no snapshot re-emission
+    val headAfter = VersionedTable.headVersion(replica)
+    require(VersionedTable.publishedVersions(replica).size == 3,
+      "bootstrap + two window applies expected on the replica")
+    drain()
+    require(VersionedTable.headVersion(replica) == headAfter,
+      "an empty redrain must not commit to the replica")
+    def aggOf(df: DataFrame, slice: String): DataFrame = df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .select(lit(slice).as("slice"), col("lang"), col("n_docs"),
+        col("sum_ids"), col("sum_chars"))
+    aggOf(VersionedTable.read(spark, replica), "1_replica")
+      .unionByName(aggOf(VersionedTable.read(spark, src), "2_source"))
+  }
+
   private val goldMmSilverPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val goldMmGoldPrev =

@@ -210,6 +210,29 @@ class FeedStreamSpec extends SparkSpec {
       graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
   }
 
+  test("startingVersion=snapshot: batch 0 is the current content as inserts; a restart never re-emits it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fs-sn").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-fs-snc").toString
+    VersionedTable.create(spark, rows(0, 30), root, spec)
+    VersionedTable.append(spark, rows(30, 40), root, spec)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    drain(root, "snapshot", chk, out, batches)
+    assert(out.map(_._1).toSet == (0L until 40L).toSet &&
+      out.forall(_._3 == "insert"),
+      s"the snapshot batch must carry the full current content: ${out.size}")
+    assert(batches.size == 1, s"the snapshot is one indivisible batch: $batches")
+    // restart: only the NEW commit's window arrives — no re-snapshot
+    VersionedTable.append(spark, rows(40, 45), root, spec)
+    val out2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val b2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    drain(root, "snapshot", chk, out2, b2)
+    assert(out2.map(_._1).toSet == (40L until 45L).toSet,
+      s"restart must emit only post-snapshot windows: ${out2.size}")
+    Seq(root, chk).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+  }
+
   test("source schema evolution between drains: the next run picks up the evolved schema from its stream-start inference") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-fs-ev").toString
