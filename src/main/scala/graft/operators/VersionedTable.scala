@@ -1606,15 +1606,23 @@ object VersionedTable {
     * file, lazily maintained) plus `_META` for only never-indexed
     * versions — O(1) planning at 10⁵ commits, not O(versions).
     */
-  def readAsOfTs(s: SparkSession, root: String, ts: Long): DataFrame = {
+  def readAsOfTs(s: SparkSession, root: String, ts: Long): DataFrame =
+    readVersion(s, root, versionAsOfTs(root, ts))
+
+  /** The VERSION NAME the table had at instant `ts` — the
+    * [[readAsOfTs]] resolution exposed for consumers that need the
+    * name itself (the streaming source's `startingTimestamp`, a
+    * time-addressed clone/restore).
+    */
+  def versionAsOfTs(root: String, ts: Long): String = {
     val versions = publishedVersions(root)
     val idx = tsIndex(root, versions)
     val stamped = versions.flatMap(v => idx.getOrElse(v, None).map(t => (v, t)))
     require(stamped.nonEmpty,
-      s"readAsOfTs: no commit_ts-stamped versions under $root")
+      s"versionAsOfTs: no commit_ts-stamped versions under $root")
     val eligible = stamped.filter(_._2 <= ts)
     require(eligible.nonEmpty,
-      s"readAsOfTs: no version at or before ts=$ts " +
+      s"versionAsOfTs: no version at or before ts=$ts " +
         s"(earliest stamp ${stamped.map(_._2).min})")
     val winner = eligible.maxBy(_._2)
     // inheritance: unstamped commits after the winner but before the
@@ -1622,9 +1630,8 @@ object VersionedTable {
     // the winner's instant
     val nextStamped = stamped.filter(_._2 > ts).map(v => vNum(v._1))
       .sorted.headOption
-    val v = versions.filter(v => vNum(v) >= vNum(winner._1) &&
+    versions.filter(v => vNum(v) >= vNum(winner._1) &&
       nextStamped.forall(vNum(v) < _)).maxBy(vNum)
-    readVersion(s, root, v)
   }
 
   /** Row-level commit lineage (Delta CDF's `_commit_version` for

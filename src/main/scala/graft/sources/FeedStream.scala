@@ -39,6 +39,11 @@ import graft.operators.VersionedTable
   *    out-of-band bootstrap), then changes follow from that version.
   *    Default: the head at stream start — only NEW commits (the
   *    Kafka "latest" posture).
+  *  - `startingTimestamp` (exclusive with `startingVersion`): stream
+  *    changes AFTER the version the table had at this instant —
+  *    resolved through the writer-stamped `commit_ts` index (the
+  *    [[VersionedTable.readAsOfTs]] rule, unstamped commits inherit
+  *    the preceding stamp).
   *  - `maxVersionsPerTrigger`: back-pressure — each micro-batch ends
   *    at most this many versions past the previous one (the
   *    maxFilesPerTrigger analog; a backlogged stream catches up in
@@ -80,16 +85,30 @@ import graft.operators.VersionedTable
 class FeedStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-feed"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    require(!(options.containsKey("startingversion") &&
+        options.containsKey("startingtimestamp")),
+      "graft-feed: startingVersion and startingTimestamp are exclusive")
     FeedStream.feedSchema(FeedStream.rootOf(options))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new FeedStreamTable(schema, properties.get("root"),
-      Option(properties.get("startingversion"))
-        .orElse(Option(properties.get("startingVersion"))),
+                        properties: JMap[String, String]): Table = {
+    val startV = Option(properties.get("startingversion"))
+      .orElse(Option(properties.get("startingVersion")))
+    val startTs = Option(properties.get("startingtimestamp"))
+      .orElse(Option(properties.get("startingTimestamp"))).map(_.toLong)
+    require(startV.isEmpty || startTs.isEmpty,
+      "graft-feed: startingVersion and startingTimestamp are exclusive")
+    // startingTimestamp: stream changes AFTER the version the table
+    // had at that instant (the readAsOfTs resolution — writer-stamped
+    // commit_ts, unstamped commits inherit the preceding stamp)
+    val resolved = startTs.map(ts =>
+      VersionedTable.versionAsOfTs(properties.get("root"), ts)).orElse(startV)
+    new FeedStreamTable(schema, properties.get("root"), resolved,
       Option(properties.get("maxversionspertrigger"))
         .orElse(Option(properties.get("maxVersionsPerTrigger"))).map(_.toLong))
+  }
 }
 
 private[sources] object FeedStream {

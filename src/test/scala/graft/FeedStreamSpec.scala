@@ -210,6 +210,44 @@ class FeedStreamSpec extends SparkSpec {
       graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
   }
 
+  test("startingTimestamp streams changes after the version the table had at that instant") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fs-ts").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-fs-tsc").toString
+    VersionedTable.create(spark, rows(0, 10), root, spec,
+      extraMeta = Map("commit_ts" -> "100"))
+    VersionedTable.append(spark, rows(10, 20), root, spec,
+      extraMeta = Map("commit_ts" -> "200"))
+    VersionedTable.append(spark, rows(20, 30), root, spec,
+      extraMeta = Map("commit_ts" -> "300"))
+    // at ts=250 the table was v2 → the stream carries v2→head only
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+      .option("root", root).option("startingTimestamp", "250")
+      .load()
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        val got = b.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        synchronized { out ++= got; batches += id }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(out.map(_._1).toSet == (20L until 30L).toSet,
+      s"only commits after the as-of version must stream: ${out.size}")
+    // exclusivity refusal
+    val bad = scala.util.Try(spark.readStream
+      .format("graft.sources.FeedStreamProvider")
+      .option("root", root).option("startingTimestamp", "250")
+      .option("startingVersion", "v00001").load())
+    assert(bad.isFailure &&
+      bad.failed.get.getMessage.contains("exclusive"))
+    Seq(root, chk).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+  }
+
   test("startingVersion=snapshot: batch 0 is the current content as inserts; a restart never re-emits it") {
     val root = java.nio.file.Files.createTempDirectory("graft-fs-sn").toString
     val chk = java.nio.file.Files.createTempDirectory("graft-fs-snc").toString
