@@ -918,6 +918,32 @@ object VersionedTable {
   def manifest(s: SparkSession, root: String): DataFrame =
     Publish.read(s, manifestRoot(root))
 
+  /** Estimated bytes version `v` ADDED over its predecessor — the
+    * sizes of manifest files not referenced by the nearest RETAINED
+    * preceding version (planning inputs: two manifest file-lists, no
+    * data IO). A reclaimed immediate predecessor means the diff runs
+    * against an older base and over-counts — the safe direction for
+    * its consumer, the streaming source's `maxBytesPerTrigger`
+    * admission (batches get smaller, never larger). A version whose
+    * manifest is gone (tombstoned gap) contributes 0.
+    */
+  def versionAddedBytes(s: SparkSession, root: String, v: String): Long = {
+    val mroot = manifestRoot(root)
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(mroot).resolve(v))) return 0L
+    def filesOf(vn: String): Set[String] =
+      Publish.readVersion(s, mroot, vn).select("file")
+        .collect().map(_.getString(0)).toSet
+    val cur = filesOf(v)
+    val added = publishedVersions(root).filter(p => vNum(p) < vNum(v))
+      .sortBy(vNum).lastOption match {
+      case Some(p) => cur -- filesOf(p)
+      case None => cur
+    }
+    added.iterator.map(f => scala.util.Try(java.nio.file.Files.size(
+      java.nio.file.Paths.get(f.stripPrefix("file:")))).getOrElse(0L)).sum
+  }
+
   /** DESCRIBE HISTORY: the table's commit log as a queryable
     * DataFrame — one row per published version, oldest first:
     * (version, verb, commit_ts if the writer stamped one, and the

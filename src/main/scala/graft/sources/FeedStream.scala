@@ -49,6 +49,13 @@ import graft.operators.VersionedTable
   *    maxFilesPerTrigger analog; a backlogged stream catches up in
   *    bounded bites). The initial snapshot is always ONE batch — it
   *    is a content read at a single version, not a version window.
+  *  - `maxBytesPerTrigger`: byte-budget back-pressure (the Delta
+  *    option of the same name) — the window admits versions until
+  *    their ADDED bytes ([[VersionedTable.versionAddedBytes]], a
+  *    manifest-diff estimate, no data IO) would exceed the budget;
+  *    at least one version is always admitted (a single over-budget
+  *    commit cannot be split — offsets are versions). Composes with
+  *    `maxVersionsPerTrigger` (whichever cap bites first).
   *
   * Micro-batch planning materializes the window's feed ONCE into an
   * idempotent spool under `<root>/_stream/w_<a>_<b>` (keyed by the
@@ -107,7 +114,9 @@ class FeedStreamProvider extends TableProvider with DataSourceRegister {
       VersionedTable.versionAsOfTs(properties.get("root"), ts)).orElse(startV)
     new FeedStreamTable(schema, properties.get("root"), resolved,
       Option(properties.get("maxversionspertrigger"))
-        .orElse(Option(properties.get("maxVersionsPerTrigger"))).map(_.toLong))
+        .orElse(Option(properties.get("maxVersionsPerTrigger"))).map(_.toLong),
+      Option(properties.get("maxbytespertrigger"))
+        .orElse(Option(properties.get("maxBytesPerTrigger"))).map(_.toLong))
   }
 }
 
@@ -130,7 +139,8 @@ private[sources] object FeedStream {
 
 private[sources] class FeedStreamTable(feedSchema: StructType, root: String,
                                        startingVersion: Option[String],
-                                       maxVersionsPerTrigger: Option[Long])
+                                       maxVersionsPerTrigger: Option[Long],
+                                       maxBytesPerTrigger: Option[Long] = None)
   extends Table with SupportsRead {
   override def name(): String = s"graft_feed($root)"
   override def schema(): StructType = feedSchema
@@ -142,7 +152,7 @@ private[sources] class FeedStreamTable(feedSchema: StructType, root: String,
         override def readSchema(): StructType = feedSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new FeedMicroBatchStream(feedSchema, root, startingVersion,
-            maxVersionsPerTrigger)
+            maxVersionsPerTrigger, maxBytesPerTrigger)
       }
     }
 }
@@ -154,7 +164,8 @@ private[sources] case class FeedOffset(version: Long) extends Offset {
 
 private[sources] class FeedMicroBatchStream(schema: StructType, root: String,
                                             startingVersion: Option[String],
-                                            maxVersionsPerTrigger: Option[Long])
+                                            maxVersionsPerTrigger: Option[Long],
+                                            maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -197,10 +208,25 @@ private[sources] class FeedMicroBatchStream(schema: StructType, root: String,
     val from = start.asInstanceOf[FeedOffset].version
     val h = availableNowTarget.getOrElse(head())
     // the initial snapshot is one indivisible batch ending at the
-    // head: version-count back-pressure applies to change windows only
-    if (from == 0L) FeedOffset(h)
-    else FeedOffset(math.max(from,
-      maxVersionsPerTrigger.fold(h)(m => math.min(h, from + m))))
+    // head: back-pressure applies to change windows only
+    if (from == 0L) return FeedOffset(h)
+    val capV = maxVersionsPerTrigger.fold(h)(m => math.min(h, from + m))
+    val end = maxBytesPerTrigger match {
+      case None => capV
+      case Some(budget) =>
+        // admit versions until their added bytes would exceed the
+        // budget; always admit at least one (a commit cannot split)
+        var v = from
+        var bytes = 0L
+        var open = true
+        while (open && v < capV) {
+          val nb = VersionedTable.versionAddedBytes(spark, root, vName(v + 1))
+          if (v > from && bytes + nb > budget) open = false
+          else { bytes += nb; v += 1 }
+        }
+        v
+    }
+    FeedOffset(math.max(from, end))
   }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(

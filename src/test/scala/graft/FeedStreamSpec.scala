@@ -248,6 +248,46 @@ class FeedStreamSpec extends SparkSpec {
       graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
   }
 
+  test("maxBytesPerTrigger packs versions to the byte budget; a single over-budget commit still admits") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fs-by").toString
+    val v1 = VersionedTable.create(spark, rows(0, 50), root, spec)
+    VersionedTable.append(spark, rows(50, 60), root, spec)  // v2
+    VersionedTable.append(spark, rows(60, 70), root, spec)  // v3
+    VersionedTable.append(spark, rows(70, 120), root, spec) // v4
+    def drainBudget(budget: Long): Seq[Long] = {
+      val chk = java.nio.file.Files.createTempDirectory("graft-fs-byc").toString
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+        .option("root", root).option("startingVersion", v1)
+        .option("maxBytesPerTrigger", budget.toString)
+        .load()
+        .writeStream.option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val n = b.count()
+          synchronized { perBatch += n }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(chk))
+      perBatch.toSeq
+    }
+    val b2 = VersionedTable.versionAddedBytes(spark, root, "v00002")
+    val b3 = VersionedTable.versionAddedBytes(spark, root, "v00003")
+    assert(b2 > 0 && b3 > 0)
+    // budget = exactly v2+v3's bytes → batch 0 packs both, v4 waits
+    val packed = drainBudget(b2 + b3)
+    assert(packed == Seq(20L, 50L),
+      s"the budget must pack v2+v3 then carry v4 alone: $packed")
+    // a 1-byte budget still admits one version per batch (a commit
+    // cannot split), degenerating to maxVersionsPerTrigger=1
+    val strict = drainBudget(1L)
+    assert(strict == Seq(10L, 10L, 50L),
+      s"an over-budget commit must still admit, one per batch: $strict")
+    graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("startingVersion=snapshot: batch 0 is the current content as inserts; a restart never re-emits it") {
     val root = java.nio.file.Files.createTempDirectory("graft-fs-sn").toString
     val chk = java.nio.file.Files.createTempDirectory("graft-fs-snc").toString
