@@ -32,9 +32,23 @@ import graft.operators.VersionedTable
   *       code. Exactly-once by `applied_upto = v(batchId+1)`: a
   *       replica bootstrapped out-of-band stamps `applied_upto=v0`
   *       (the gate/t2t convention); an absent table bootstraps from
-  *       the first batch's inserts (the feed windows BEFORE stream
-  *       start are not replayed — bootstrap from a snapshot when the
-  *       source predates the stream).
+  *       the first batch's inserts (use the feed source's
+  *       `startingVersion=snapshot` when the source predates the
+  *       stream).
+  *     - `applySeq`: `apply` for RAW external CDC feeds — multiple
+  *       ops per key, late arrivals, shuffled order — resolved per
+  *       key by `option("sequenceBy", <col>)` before the fold
+  *       ([[VersionedTable.applyChangesSeq]]'s contract: highest
+  *       sequence wins, insert outranks delete at a tie).
+  *  - `autoOptimize` (`true`|`false`, default false): after each
+  *    commit the sink consults [[VersionedTable.maintenancePlan]]
+  *    (manifest rows + file sizes, zero data IO) and runs
+  *    `optimizeCompact` once ≥4 sub-target generations accumulate —
+  *    the E228 auto-compaction loop as a sink option; the `batchId` /
+  *    `applied_upto` watermarks inherit through the maintenance
+  *    commits, so exactly-once survives it.
+  *  - `autoOptimizeTargetBytes` (default 1 MiB): the small-file
+  *    threshold the auto-optimize consult uses.
   *
   * The incoming micro-batch frame is streaming-tagged, so it re-roots
   * through [[GraftSqlBridge.fromInternalRdd]] (the Delta sink's toRdd
@@ -64,16 +78,24 @@ class TableSinkProvider extends StreamSinkProvider with DataSourceRegister {
         .getOrElse(Nil),
       req("keyCol"),
       p.get("mbits").map(_.toInt).getOrElse(1 << 13))
-    val mode = p.getOrElse("mode", "append")
-    require(mode == "append" || mode == "apply",
-      s"graft-table sink mode must be append|apply, got $mode")
-    new GraftTableSink(req("root"), spec, mode)
+    val mode = p.getOrElse("mode", "append").toLowerCase
+    require(mode == "append" || mode == "apply" || mode == "applyseq",
+      s"graft-table sink mode must be append|apply|applySeq, got $mode")
+    val seqCol = p.get("sequenceby")
+    require(mode != "applyseq" || seqCol.isDefined,
+      "graft-table applySeq mode needs option('sequenceBy', <col>)")
+    new GraftTableSink(req("root"), spec, mode, seqCol,
+      p.get("autooptimize").exists(_.toBoolean),
+      p.get("autooptimizetargetbytes").map(_.toLong).getOrElse(1L << 20))
   }
 }
 
 private[sources] class GraftTableSink(root: String,
                                       spec: VersionedTable.Spec,
-                                      mode: String) extends Sink {
+                                      mode: String,
+                                      seqCol: Option[String] = None,
+                                      autoOptimize: Boolean = false,
+                                      targetBytes: Long = 1L << 20) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val s = data.sparkSession
     // the streaming frame can't be consumed by batch verbs directly —
@@ -85,18 +107,40 @@ private[sources] class GraftTableSink(root: String,
         graft.streaming.StreamingStage.appendVersionedTable(
           batch, root, spec, batchId)
         ()
-      case "apply" =>
+      case "apply" | "applyseq" =>
         require(batch.columns.contains("change_type"),
-          "graft-table apply mode: the batch must carry change_type " +
-            "(stream from graft-feed)")
+          s"graft-table $mode mode: the batch must carry change_type " +
+            "(stream from graft-feed, or shape the CDC feed)")
         val upTo = s"v${batchId + 1}"
-        if (VersionedTable.headVersion(root).isEmpty)
+        if (VersionedTable.headVersion(root).isEmpty) {
+          // bootstrap from the first window's inserts; a raw feed
+          // resolves its net op per key first (highest seq wins)
+          val net = seqCol match {
+            case Some(sc) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(spec.keyCol))
+                .orderBy(col(sc).desc, col("change_type").desc)
+              batch
+                .withColumn("__rn",
+                  org.apache.spark.sql.functions.row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn", sc)
+            case None => batch
+          }
           VersionedTable.create(s,
-            batch.filter(col("change_type") === "insert").drop("change_type"),
+            net.filter(col("change_type") === "insert").drop("change_type"),
             root, spec, extraMeta = Map("applied_upto" -> upTo))
-        else
-          VersionedTable.applyChanges(s, root, spec, batch, upTo)
+        } else seqCol match {
+          case Some(sc) =>
+            VersionedTable.applyChangesSeq(s, root, spec, batch, upTo, sc)
+          case None =>
+            VersionedTable.applyChanges(s, root, spec, batch, upTo)
+        }
         ()
+    }
+    if (autoOptimize) {
+      val due = VersionedTable.maintenancePlan(s, root, targetBytes)
+        .filter(col("action") === "optimize-compact").count()
+      if (due >= 4) { VersionedTable.optimizeCompact(s, root, spec, targetBytes); () }
     }
   }
 

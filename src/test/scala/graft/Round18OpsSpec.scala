@@ -165,6 +165,78 @@ class Round18OpsSpec extends SparkSpec {
       java.nio.file.Paths.get(replica).getParent)
   }
 
+  test("graft-table sink, applySeq mode: a raw out-of-order CDC feed resolves per key before folding") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft-tq-st").toString
+    val table = java.nio.file.Files.createTempDirectory("graft-tq-t").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-tq-c").toString
+    def drain(): Unit = {
+      val sch = spark.read.parquet(stage).schema
+      val q = spark.readStream.schema(sch).parquet(stage)
+        .writeStream.format("graft.sources.TableSinkProvider")
+        .option("root", table).option("keyCol", "k")
+        .option("mode", "applySeq").option("sequenceBy", "seq")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // wave 1 (bootstraps the replica): shuffled ops — k=1 nets to a
+    // delete (never lands), k=2's late insert outranks its delete,
+    // k=3 plain insert
+    Seq((1L, 10L, 2L, "delete"), (2L, 20L, 2L, "insert"), (3L, 30L, 1L, "insert"),
+        (1L, 10L, 1L, "insert"), (2L, 99L, 1L, "delete"))
+      .toDF("k", "n", "seq", "change_type")
+      .write.mode("append").parquet(stage)
+    drain()
+    def contents(): Map[Long, Long] =
+      VersionedTable.read(spark, table).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(contents() == Map(2L -> 20L, 3L -> 30L), s"${contents()}")
+    // wave 2: k=3 updates through an out-of-order pair, k=2 drains
+    Seq((3L, 31L, 5L, "insert"), (3L, 30L, 4L, "delete"), (2L, 20L, 9L, "delete"))
+      .toDF("k", "n", "seq", "change_type")
+      .write.mode("append").parquet(stage)
+    drain()
+    assert(contents() == Map(3L -> 31L), s"${contents()}")
+    // the transport-only sequence column never lands in the replica
+    assert(!VersionedTable.read(spark, table).columns.contains("seq"))
+    Seq(stage, table, chk).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+  }
+
+  test("graft-table sink, autoOptimize: compaction fires mid-stream and exactly-once survives it") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = java.nio.file.Files.createTempDirectory("graft-to-st").toString
+    val table = java.nio.file.Files.createTempDirectory("graft-to-t").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-to-c").toString
+    rows(1L to 60L: _*).repartitionByRange(6, org.apache.spark.sql.functions.col("k"))
+      .write.mode("overwrite").parquet(stage)
+    val sch = spark.read.parquet(stage).schema
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.format("graft.sources.TableSinkProvider")
+      .option("root", table).option("keyCol", "k").option("statCols", "n")
+      .option("autoOptimize", "true")
+      .option("autoOptimizeTargetBytes", (1L << 20).toString)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val verbs = VersionedTable.history(spark, table)
+      .select("verb").collect().map(_.getString(0)).toSeq
+    assert(verbs.contains("optimize-compact"),
+      s"auto-compaction must fire mid-stream: $verbs")
+    assert(VersionedTable.manifest(spark, table).count() < 6L,
+      "the head must carry fewer files than the batch count")
+    assert(keysOf(table) == (1L to 60L).toSet)
+    // redelivered batchId no-ops ACROSS the maintenance commits
+    val replayed = streaming.StreamingStage.appendVersionedTable(
+      rows(999L), table, spec, 0L)
+    assert(!replayed, "a stale batchId must no-op after auto-optimize")
+    Seq(stage, table, chk).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+  }
+
   test("gold MIN/MAX fold: an extremum-removing delete recomputes the runner-up; a drained group tombstones") {
     import spark.implicits._
     val sSpec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
