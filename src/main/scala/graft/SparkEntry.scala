@@ -376,6 +376,17 @@ object SparkEntry {
     // consumer needs no out-of-band bootstrap (the Delta posture)
     "streaming_feed_snapshot" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingFeedSnapshot(s, d)),
+    // r25: per-row commit metadata on the feed — commitVersions=true
+    // stamps every row with the version that committed it and its
+    // effective writer timestamp (Delta CDF's _commit_version/
+    // _commit_timestamp parity)
+    "streaming_feed_commit_versions" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingFeedCommitVersions(s, d)),
+    // r25: raw out-of-order external CDC through the declarative sink
+    // — applySeq resolves the net op per key (highest sequence wins)
+    // before each fold; late arrivals lose to the ops superseding them
+    "streaming_sink_applyseq" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingSinkApplySeq(s, d)),
     // r23: auto-OPTIMIZE inside the ingest loop — manifest-priced plan
     // consult per trigger, compaction absorbs the small generations,
     // batchId replay watermark inherits across maintenance commits
@@ -2028,6 +2039,35 @@ object SparkEntry {
         |SELECT '1_replica' AS slice, lang, n_docs, sum_ids, sum_chars FROM agg
         |UNION ALL
         |SELECT '2_source', lang, n_docs, sum_ids, sum_chars FROM agg""".stripMargin,
+    // per-row commit attribution: every feed row charged to the
+    // version that committed it, timestamps inheriting the preceding
+    // writer stamp — a row on the wrong commit, a lost pre-image, or
+    // a timestamp that failed to inherit all diverge the hash
+    "streaming_feed_commit_versions" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents)
+        |SELECT doc_id, lang, n_chars, 'insert' AS change_type,
+        |  'v00002' AS _commit_version,
+        |  CAST(1000 AS BIGINT) AS _commit_timestamp
+        |FROM base WHERE doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'delete', 'v00003', 3000
+        |FROM base WHERE doc_id % 11 = 0 AND doc_id % 3 < 2
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000, 'insert', 'v00003', 3000
+        |FROM base WHERE doc_id % 11 = 0 AND doc_id % 3 < 2
+        |UNION ALL
+        |SELECT doc_id, lang,
+        |  n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END,
+        |  'delete', 'v00004', 3000
+        |FROM base WHERE doc_id % 13 = 0 AND doc_id % 3 < 2""".stripMargin,
+    // raw out-of-order CDC net outcome: per key the highest sequence
+    // wins — stale deletes under a superseding insert, update pairs,
+    // and late re-inserts under a delete all resolve to this content
+    "streaming_sink_applyseq" ->
+      """SELECT doc_id, lang,
+        |  n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars
+        |FROM documents
+        |WHERE (doc_id % 3 = 0 OR doc_id % 11 = 0) AND doc_id % 13 <> 0""".stripMargin,
     // the merged profile equals the batch per-user aggregate no
     // matter how events split across micro-batches — the exactly-once
     // CDC-apply contract stated directly

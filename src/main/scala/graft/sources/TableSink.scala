@@ -29,12 +29,21 @@ import graft.operators.VersionedTable
   *       so `readStream.format("graft-feed") → writeStream
   *       .format("graft-table").option("mode","apply")` is a complete
   *       declarative table-to-table replication hop with zero user
-  *       code. Exactly-once by `applied_upto = v(batchId+1)`: a
-  *       replica bootstrapped out-of-band stamps `applied_upto=v0`
-  *       (the gate/t2t convention); an absent table bootstraps from
-  *       the first batch's inserts (use the feed source's
+  *       code. Exactly-once by `applied_upto` = the window's TRUE END
+  *       VERSION, read off the batch plan's DSv2 offset metadata
+  *       ([[GraftTableSink.feedWindowEnd]]) — a real SOURCE offset
+  *       under multi-version windows, `startingVersion > 0` and
+  *       `snapshot` bootstraps alike, so registering the replica as a
+  *       [[VersionedTable.vacuum]] consumer gives a version-true spool
+  *       custody floor and composes with out-of-band bootstraps that
+  *       stamp `applied_upto=vK`. An absent table bootstraps from the
+  *       first batch's inserts (use the feed source's
   *       `startingVersion=snapshot` when the source predates the
-  *       stream).
+  *       stream). A raw non-graft-feed CDC stream (no offset metadata
+  *       to read) falls back to the `v(batchId+1)` batch counter and
+  *       REFUSES a replica whose existing watermark is ahead of it —
+  *       the convention mismatch that would otherwise silently skip
+  *       windows.
   *     - `applySeq`: `apply` for RAW external CDC feeds — multiple
   *       ops per key, late arrivals, shuffled order — resolved per
   *       key by `option("sequenceBy", <col>)` before the fold
@@ -96,12 +105,44 @@ private[sources] class GraftTableSink(root: String,
                                       seqCol: Option[String] = None,
                                       autoOptimize: Boolean = false,
                                       targetBytes: Long = 1L << 20) extends Sink {
+
+  /** The TRUE SOURCE-VERSION end of this micro-batch's feed window,
+    * read off the batch plan's offset metadata (VERDICT r14 #1): the
+    * micro-batch planner hands the sink a plan whose
+    * [[org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation]]
+    * carries the exact (start, end] offsets it planned for each DSv2
+    * source — for a `graft-feed` source those ARE table version
+    * numbers. Stamping `applied_upto` from this (instead of the old
+    * `v(batchId+1)` batch counter) makes the sink's watermark a REAL
+    * source offset under every admission shape — multi-version
+    * windows (the default `allAvailable`!), `startingVersion > 0`,
+    * `snapshot` bootstrap — so vacuum's spool custody floor
+    * ([[VersionedTable.vacuum]]) is version-true and a caught-up
+    * sink releases every spool. Works for EMPTY windows too
+    * (property-only commits still advance the offset), which no
+    * per-row `_commit_version` max could. None when the plan has no
+    * unambiguous graft-feed source (raw external CDC into applySeq).
+    */
+  private def feedWindowEnd(data: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation
+    val ends = data.queryExecution.logical.collect {
+      case r: StreamingDataSourceV2ScanRelation
+          if r.stream.isInstanceOf[FeedMicroBatchStream] =>
+        r.endOffset.toSeq.collect { case o: FeedOffset => o.version }
+    }.flatten.distinct
+    if (ends.length == 1) Some(ends.head) else None
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val s = data.sparkSession
+    val windowEnd = feedWindowEnd(data)
     // the streaming frame can't be consumed by batch verbs directly —
     // re-root its physical rows as a batch frame (the Delta sink move)
-    val batch = GraftSqlBridge.fromInternalRdd(s,
+    val batch0 = GraftSqlBridge.fromInternalRdd(s,
       data.queryExecution.toRdd, data.schema)
+    // feed metadata columns are transport, not payload: a replica
+    // never stores another table's commit lineage
+    val batch = batch0.drop("_commit_version", "_commit_timestamp")
     mode match {
       case "append" =>
         graft.streaming.StreamingStage.appendVersionedTable(
@@ -111,7 +152,27 @@ private[sources] class GraftTableSink(root: String,
         require(batch.columns.contains("change_type"),
           s"graft-table $mode mode: the batch must carry change_type " +
             "(stream from graft-feed, or shape the CDC feed)")
-        val upTo = s"v${batchId + 1}"
+        val upTo = windowEnd match {
+          case Some(end) => "v%05d".format(end)
+          case None =>
+            // no graft-feed source in the plan (raw external CDC):
+            // fall back to the batch-counter convention — valid ONLY
+            // against a replica whose existing watermark follows it.
+            // A source-version bootstrap (applied_upto = vK from an
+            // out-of-band snapshot) under this convention would make
+            // every early batch read as already-applied and silently
+            // drop windows (ADVICE r14) — refuse loudly instead.
+            VersionedTable.headMeta(root, "applied_upto").foreach { a =>
+              require(a.drop(1).toLong <= batchId + 1,
+                s"graft-table $mode: replica $root carries applied_upto=$a, " +
+                  s"ahead of the batch-counter watermark v${batchId + 1}. " +
+                  "Without a graft-feed source the sink cannot derive " +
+                  "source-version offsets; a version-bootstrapped replica " +
+                  "must be driven from a graft-feed stream (whose window " +
+                  "offsets stamp applied_upto version-true)")
+            }
+            s"v${batchId + 1}"
+        }
         if (VersionedTable.headVersion(root).isEmpty) {
           // bootstrap from the first window's inserts; a raw feed
           // resolves its net op per key first (highest seq wins)

@@ -2036,11 +2036,17 @@ object StreamingStage {
     import graft.operators.VersionedTable
     def cs(df: DataFrame): DataFrame = df.groupBy("lang")
       .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("c"))
+    // the delta frame feeds FOUR jobs this trigger (the affected
+    // count, the fold join, the recompute semi-join, the drained
+    // anti-join) — persist for the trigger's scope so the batch
+    // groupBy runs once, not per consuming job (VERDICT r14 #3)
     val delta = cs(batch.filter(col("change_type") === "insert"))
       .select(col("lang"), col("n").as("ins_n"), col("c").as("ins_c"))
       .join(cs(batch.filter(col("change_type") === "delete"))
         .select(col("lang"), col("n").as("del_n"), col("c").as("del_c")),
         Seq("lang"), "full_outer")
+      .persist()
+    try {
     val affected = delta.count()
     // the replay watermark gates BEFORE the fold: a redelivered window
     // recomputed against gold's ALREADY-FOLDED head would fail its own
@@ -2081,7 +2087,18 @@ object StreamingStage {
     val survivors = folded.join(recomputed
         .select(col("lang"), col("min_chars"), col("max_chars")),
       Seq("lang"), "inner")
-    val drained = folded.join(recomputed.select("lang"), Seq("lang"), "left_anti")
+    val drained0 = folded.join(recomputed.select("lang"), Seq("lang"), "left_anti")
+    // the audit must cover DRAINED groups too (ADVICE r14): a group
+    // absent from the silver recompute is about to tombstone — its
+    // folded count/sum must have reached exactly 0, or a missed
+    // pre-image (the bug class this audit exists for) is silently
+    // DELETING a live gold row instead of failing loudly
+    val badDrain = drained0.filter(
+      col("n_docs") =!= 0L || col("sum_chars") =!= 0L)
+    require(badDrain.isEmpty,
+      "gold fold drained a group whose folded count/sum is nonzero — a " +
+        "missed pre-image in the window would silently delete the row")
+    val drained = drained0
       .withColumn("min_chars", lit(null).cast("long"))
       .withColumn("max_chars", lit(null).cast("long"))
     VersionedTable.applyChanges(spark, gold, gSpec,
@@ -2089,6 +2106,7 @@ object StreamingStage {
         .unionByName(drained.withColumn("change_type", lit("delete"))),
       watermark)
     affected
+    } finally { delta.unpersist(); () }
   }
 
   def streamingGoldAggMinMax(spark: SparkSession, dir: String): DataFrame = {
@@ -2161,6 +2179,170 @@ object StreamingStage {
       .unionByName(aggOf(VersionedTable.read(spark, silver))
         .select(lit("2_silver_head").as("slice"), col("lang"), col("n_docs"),
           col("sum_chars"), col("min_chars"), col("max_chars")))
+  }
+
+  private val feedCvSrcPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val feedCvOutPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val feedCvChkPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** PER-ROW COMMIT METADATA on the feed
+    * (`streaming_feed_commit_versions`, VERDICT r14 #1 — the Delta
+    * CDF `_commit_version`/`_commit_timestamp` parity gap): the
+    * four-verb source chain (create → append → MERGE update →
+    * DV-delete) streams through `graft-feed` with
+    * `commitVersions=true`, and every emitted row carries the VERSION
+    * THAT COMMITTED IT plus that version's effective writer stamp
+    * (v1 stamped 1000, v3 stamped 3000; v2/v4 INHERIT the preceding
+    * stamp — the [[graft.operators.VersionedTable.versionAsOfTs]]
+    * rule stated per row). The gate accumulates every micro-batch and
+    * hash-matches the full attributed feed against the DuckDB
+    * restatement: a row charged to the wrong commit, a delete missing
+    * its pre-image payload, or a timestamp that failed to inherit all
+    * diverge. Each batch is require()d to carry exactly one distinct
+    * `_commit_version` (1 version per trigger ⇒ 1 commit per batch).
+    *
+    * Scale shape (100 TB): attribution stamps ride the existing
+    * per-version feed planning ([[graft.operators.VersionedTable
+    * .changeFeedWithCommitVersions]] — one manifest diff per version,
+    * the changeFeed bill at its finest segmentation); no data-path
+    * cost beyond two literal columns in the spool.
+    */
+  def streamingFeedCommitVersions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = java.nio.file.Files.createTempDirectory("graft-fcv-src").toString
+    retirePrev(feedCvSrcPrev, src)
+    val out = java.nio.file.Files.createTempDirectory("graft-fcv-out").toString
+    retirePrev(feedCvOutPrev, out)
+    val chk = java.nio.file.Files.createTempDirectory("graft-fcv-chk").toString
+    retirePrev(feedCvChkPrev, chk)
+    val v1 = VersionedTable.create(spark, d.filter(col("doc_id") % 3 === 0),
+      src, spec, extraMeta = Map("commit_ts" -> "1000"))
+    VersionedTable.append(spark, d.filter(col("doc_id") % 3 === 1), src, spec)
+    VersionedTable.merge(spark, src, spec,
+      d.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars")),
+      matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+      insertNotMatched = false, extraMeta = Map("commit_ts" -> "3000"))
+    VersionedTable.deleteRosterDV(spark, src, spec,
+      d.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+    var nBatches = 0
+    val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+      .option("root", src)
+      .option("startingVersion", v1)
+      .option("maxVersionsPerTrigger", "1")
+      .option("commitVersions", "true")
+      .load()
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches += 1
+        val batch = b.toDF()
+        // one version per trigger ⇒ one commit per batch, stated by
+        // the rows themselves
+        val vs = batch.select("_commit_version").distinct().count()
+        require(vs <= 1L,
+          s"a 1-version window must attribute to one commit, got $vs")
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(nBatches >= 3,
+      s"one micro-batch per source commit expected, got $nBatches")
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("change_type"),
+        col("_commit_version"), col("_commit_timestamp"))
+  }
+
+  private val sinkSeqStagePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val sinkSeqTablePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val sinkSeqChkPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** RAW out-of-order CDC through the declarative sink
+    * (`streaming_sink_applyseq`, VERDICT r14 #6 — the spec-only
+    * applySeq mode under the oracle gate): a shuffled external CDC
+    * feed — multiple ops per key, late arrivals delivered after the
+    * op that supersedes them — staged as three waves and streamed
+    * into `writeStream.format("graft-table").option("mode",
+    * "applySeq").option("sequenceBy", "seq")`. Per batch the sink
+    * resolves the net op per key (highest `seq` wins) via
+    * [[graft.operators.VersionedTable.applyChangesSeq]], bootstrapping
+    * the replica from the first wave's net inserts. Wave 1 carries a
+    * stale delete UNDER the insert that supersedes it; wave 2 updates
+    * through a delete+insert pair; wave 3 deletes with a stale late
+    * re-insert that must lose. The gate hashes the replica's full
+    * content row-by-row against the DuckDB restatement of the net
+    * outcome.
+    *
+    * Scale shape (100 TB): per trigger one window shuffle over the
+    * feed rows (the row_number seq resolution) + the applyChanges
+    * bill (window rows + bloom-probed holders) — never table bytes.
+    */
+  def streamingSinkApplySeq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-sq-st").toString
+    retirePrev(sinkSeqStagePrev, stage)
+    val table = java.nio.file.Files.createTempDirectory("graft-sq-t").toString + "/t"
+    retirePrev(sinkSeqTablePrev, java.nio.file.Paths.get(table).getParent.toString)
+    val chk = java.nio.file.Files.createTempDirectory("graft-sq-c").toString
+    retirePrev(sinkSeqChkPrev, chk)
+    def cdc(df: DataFrame, seq: Long, op: String): DataFrame =
+      df.select(col("doc_id"), col("lang"), col("n_chars"),
+        lit(seq).as("seq"), lit(op).as("change_type"))
+    def drain(): Unit = {
+      val sch = spark.read.parquet(stage).schema
+      val q = spark.readStream.schema(sch).parquet(stage)
+        .writeStream.format("graft.sources.TableSinkProvider")
+        .option("root", table)
+        .option("keyCol", "doc_id")
+        .option("statCols", "n_chars")
+        .option("mode", "applySeq")
+        .option("sequenceBy", "seq")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // wave 1 (bootstraps the replica): inserts, shuffled with STALE
+    // deletes a higher-seq insert supersedes — they must lose in-batch
+    cdc(d.filter(col("doc_id") % 3 === 0), 1L, "insert")
+      .unionByName(cdc(
+        d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0),
+        0L, "delete"))
+      .repartition(4)
+      .write.mode("append").parquet(stage)
+    drain()
+    // wave 2: updates as out-of-order delete+insert pairs; keys new
+    // to the replica net-insert through the same resolution
+    cdc(d.filter(col("doc_id") % 11 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000), 3L, "insert")
+      .unionByName(cdc(d.filter(col("doc_id") % 11 === 0), 2L, "delete"))
+      .repartition(4)
+      .write.mode("append").parquet(stage)
+    drain()
+    // wave 3: deletes, with a LATE stale re-insert that must lose
+    cdc(d.filter(col("doc_id") % 13 === 0), 5L, "delete")
+      .unionByName(cdc(
+        d.filter(col("doc_id") % 13 === 0 && col("doc_id") % 2 === 0)
+          .withColumn("n_chars", col("n_chars") + 9999), 4L, "insert"))
+      .repartition(4)
+      .write.mode("append").parquet(stage)
+    drain()
+    // the transport-only sequence column never lands in the replica
+    require(!VersionedTable.read(spark, table).columns.contains("seq"),
+      "the sequenceBy column is transport, not payload")
+    VersionedTable.read(spark, table)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
   /** The versioned table as a STREAMING SOURCE

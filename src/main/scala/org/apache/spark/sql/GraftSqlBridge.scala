@@ -29,6 +29,15 @@ object GraftSqlBridge {
     * re-rooted; `localCheckpoint` also truncates but persists outside
     * the cache manager, so `Dataset.unpersist` cannot release it).
     */
+  /** A full state clone of the session (conf, temp views, listeners —
+    * `SparkSession.cloneSession` is `private[sql]`): lets a reader
+    * build set session-conf keys on a THROWAWAY copy instead of
+    * mutating shared session state under concurrent planners (the
+    * set/build/restore race ADVICE r14 flagged in the feed source).
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   def fromInternalRdd(spark: SparkSession,
                       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
                       schema: org.apache.spark.sql.types.StructType): DataFrame =
