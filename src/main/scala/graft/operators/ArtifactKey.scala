@@ -34,26 +34,22 @@ object ArtifactKey {
     * unchanged content; changes whenever a commit/rewrite lands.
     */
   def corpusKey(path: String): String = {
-    val p = java.nio.file.Paths.get(path)
+    val store = TableStore.get
     Publish.currentVersion(path) match {
       case Some(v) => s"pub:$v"
       case None =>
         val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-        def walk(f: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(f)) {
-            val s = java.nio.file.Files.list(f)
-            try s.forEach(walk(_)) finally s.close()
-          } else {
-            val name = p.relativize(f).toString
+        def walk(f: String): Unit = {
+          if (store.isDirectory(f)) store.listNames(f).foreach(n => walk(s"$f/$n"))
+          else {
+            val name = f.stripPrefix(path).stripPrefix("/")
             // skip commit markers/CRCs: identity is the data files
             if (!name.startsWith("_") && !name.startsWith(".")) {
-              val attrs = java.nio.file.Files.readAttributes(
-                f, classOf[java.nio.file.attribute.BasicFileAttributes])
-              entries += s"$name|${attrs.size}|${attrs.lastModifiedTime.toMillis}"
+              entries += s"$name|${store.size(f)}|${store.lastModifiedMs(f)}"
             }
           }
         }
-        walk(p)
+        walk(path)
         val md = java.security.MessageDigest.getInstance("MD5")
         entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
         md.digest().map("%02x".format(_)).mkString.take(16)

@@ -39,17 +39,12 @@ object Checkpoints {
 
   /** Recursive delete shared by every local-artifact lifecycle in the
     * engine (checkpoint roots here, retired stored indexes in
-    * ExtQueries, failed publish attempts in [[Publish]]) — one
-    * definition so a portability fix cannot silently miss a copy.
+    * ExtQueries, gate fixtures) — delegates to the [[TableStore]]
+    * facade so the one storage-IO seam owns the implementation; the
+    * storage layer itself calls `TableStore.get.deleteTree` directly.
     */
-  private[graft] def deleteTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      try s.forEach(deleteTree(_)) finally s.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-    ()
-  }
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit =
+    TableStore.get.deleteTree(p.toString)
 
   /** Point the context at the per-JVM root (idempotent — an existing
     * checkpoint dir, e.g. a streaming test's, is left alone).
@@ -69,10 +64,9 @@ object Checkpoints {
         case null => d
         case path => path
       })
-      if (p.startsWith(root) && java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.forEach(deleteTree(_)) finally s.close()
-      }
+      if (p.startsWith(root) && TableStore.get.isDirectory(p.toString))
+        TableStore.get.listNames(p.toString)
+          .foreach(n => TableStore.get.deleteTree(s"$p/$n"))
     }
   }
 
@@ -85,9 +79,8 @@ object Checkpoints {
         case null => d
         case path => path
       })
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.count() finally s.close()
-      } else 0L
+      if (TableStore.get.isDirectory(p.toString))
+        TableStore.get.listNames(p.toString).length.toLong
+      else 0L
     }.getOrElse(0L)
 }

@@ -379,7 +379,7 @@ object Multimodal {
       .map("%02x".format(_)).mkString.take(16)
     val outDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-video-phash-$key")
-    if (!java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))) {
+    if (!TableStore.get.exists(s"$outDir/_SUCCESS")) {
       videoFramePhashes(packTexturedVideo(docsWithShift)).toDF()
         .write.mode("overwrite").parquet(outDir.toString)
     }

@@ -18,8 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     a failure tombstones the attempt (`v<N>.failed`) and leaves the
   *     pointer untouched;
   *  3. PUBLISH by atomically swapping a single `_CURRENT` pointer file
-  *     (`ATOMIC_MOVE` of a staged tmp file — readers see the old
-  *     version or the new one, never a torn state).
+  *     ([[TableStore.atomicSwap]] of a staged tmp file — readers see
+  *     the old version or the new one, never a torn state).
   *
   * Crash contract: a failure anywhere before the pointer swap leaves
   * the previous published version fully intact and the next publish
@@ -27,9 +27,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * half-written or audit-failed versions are unreachable by
   * construction.
   *
-  * On a production cluster the version dirs live on the object store /
-  * HDFS and the pointer swap is the store's atomic rename (or a
-  * manifest commit in a catalog); local NIO `ATOMIC_MOVE` is the
+  * ALL control-plane IO routes through [[TableStore]] (VERDICT r14
+  * #7): on a production cluster the version dirs live on the object
+  * store / HDFS and the pointer swap is the store's atomic rename (or
+  * a manifest commit in a catalog) — swapping the store implementation
+  * is the whole porting surface; the local default is the
   * same-contract stand-in this container can execute.
   */
 object Publish {
@@ -37,17 +39,16 @@ object Publish {
   private val Pointer = "_CURRENT"
   private val Burned = "_BURNED"
 
-  private def root(path: String): java.nio.file.Path = java.nio.file.Paths.get(path)
+  private def store: TableStore = TableStore.get
 
   /** The compacted burned-number watermark (max version number whose
     * `.purged` markers were folded away by [[compactPurgedMarkers]]);
     * 0 if none.
     */
-  private def burnedWatermark(p: java.nio.file.Path): Long = {
-    val f = p.resolve(Burned)
-    if (!java.nio.file.Files.exists(f)) 0L
-    else new String(java.nio.file.Files.readAllBytes(f),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  private def burnedWatermark(rootPath: String): Long = {
+    val f = s"$rootPath/$Burned"
+    if (!store.exists(f)) 0L
+    else store.readString(f).trim.toLong
   }
 
   /** Every number ever attempted — live `v<N>` dirs, `v<N>.failed`
@@ -57,24 +58,17 @@ object Publish {
     * let one version string refer to two different contents across
     * time, breaking any observer that correlates by name).
     */
-  private def versionDirs(p: java.nio.file.Path): Seq[Long] =
-    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
-    else {
-      val s = java.nio.file.Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.matches("v\\d+(\\.failed|\\.purged)?") =>
-            n.drop(1).takeWhile(_.isDigit).toLong }
-          .toSeq :+ burnedWatermark(p)
-      } finally s.close()
-    }
+  private def versionDirs(rootPath: String): Seq[Long] =
+    if (!store.isDirectory(rootPath)) Seq.empty
+    else store.listNames(rootPath)
+      .collect { case n if n.matches("v\\d+(\\.failed|\\.purged)?") =>
+        n.drop(1).takeWhile(_.isDigit).toLong } :+ burnedWatermark(rootPath)
 
   /** MARKER COMPACTION — the janitor's janitor: `.purged` markers keep
     * numbers burned one file per reclaimed version, which is unbounded
     * at streaming-vacuum cadence (one marker per vacuumed micro-batch,
     * forever). Fold every marker into the single `_BURNED` watermark
-    * file (max marker number, monotone — staged write + ATOMIC_MOVE)
+    * file (max marker number, monotone — staged write + atomic swap)
     * and delete the markers. Burned-number accounting is preserved:
     * [[versionDirs]] reads the watermark alongside the surviving
     * markers, and numbers are allocated max+1, so burning "all numbers
@@ -91,27 +85,18 @@ object Publish {
     * @return the number of marker files folded away
     */
   def compactPurgedMarkers(rootPath: String): Int = {
-    val r = root(rootPath)
-    if (!java.nio.file.Files.isDirectory(r)) 0
+    if (!store.isDirectory(rootPath)) 0
     else {
-      val s = java.nio.file.Files.list(r)
-      val markers =
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.matches("v\\d+\\.purged")).toSeq
-        } finally s.close()
+      val markers = store.listNames(rootPath)
+        .filter(_.matches("v\\d+\\.purged"))
       if (markers.isEmpty) 0
       else {
         val hi = (markers.map(_.drop(1).takeWhile(_.isDigit).toLong)
-          :+ burnedWatermark(r)).max
-        val tmp = r.resolve(s"$Burned.tmp")
-        java.nio.file.Files.write(tmp,
-          hi.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp, r.resolve(Burned),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        markers.foreach(n => java.nio.file.Files.deleteIfExists(r.resolve(n)))
+          :+ burnedWatermark(rootPath)).max
+        val tmp = s"$rootPath/$Burned.tmp"
+        store.writeString(tmp, hi.toString)
+        store.atomicSwap(tmp, s"$rootPath/$Burned")
+        markers.foreach(n => store.deleteIfExists(s"$rootPath/$n"))
         markers.size
       }
     }
@@ -126,24 +111,20 @@ object Publish {
     * nothing): a reclaimed version DID commit content that is now
     * gone, so anything diffing across it must refuse, not skip.
     */
-  def isReclaimed(rootPath: String, version: String): Boolean = {
-    val r = root(rootPath)
-    java.nio.file.Files.exists(r.resolve(s"$version.purged")) ||
-      version.drop(1).takeWhile(_.isDigit).toLong <= burnedWatermark(r)
-  }
+  def isReclaimed(rootPath: String, version: String): Boolean =
+    store.exists(s"$rootPath/$version.purged") ||
+      version.drop(1).takeWhile(_.isDigit).toLong <= burnedWatermark(rootPath)
 
   /** True when `version` is a `.failed` tombstone (an attempt vetoed
     * before its pointer swap — it never held committed content).
     */
   def isFailedAttempt(rootPath: String, version: String): Boolean =
-    java.nio.file.Files.exists(root(rootPath).resolve(s"$version.failed"))
+    store.exists(s"$rootPath/$version.failed")
 
   /** The currently published version name, if any. */
   def currentVersion(rootPath: String): Option[String] = {
-    val ptr = root(rootPath).resolve(Pointer)
-    if (java.nio.file.Files.exists(ptr))
-      Some(new String(java.nio.file.Files.readAllBytes(ptr),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
+    val ptr = s"$rootPath/$Pointer"
+    if (store.exists(ptr)) Some(store.readString(ptr).trim)
     else None
   }
 
@@ -185,9 +166,9 @@ object Publish {
     * published meanwhile (lost update). The check runs after the
     * write+audit, immediately before the pointer swap; on a real
     * object store / catalog the swap itself is the conditional
-    * operation — local NIO gives us check-then-move, which is exact
-    * for cooperating writers in one JVM (the gate's shape) and the
-    * same-contract stand-in otherwise.
+    * operation — the local store gives us check-then-move, which is
+    * exact for cooperating writers in one JVM (the gate's shape) and
+    * the same-contract stand-in otherwise.
     */
   def publishIf(df: DataFrame, rootPath: String,
                 expectedHead: Option[String],
@@ -205,13 +186,12 @@ object Publish {
                              meta: Map[String, String],
                              headGuard: () => Unit): String = {
     val spark = df.sparkSession
-    val r = root(rootPath)
-    java.nio.file.Files.createDirectories(r)
+    store.createDirectories(rootPath)
     // max+1 over ALL attempted numbers, published, tombstoned or
     // orphaned — a failed attempt's number is burned, its tombstone
     // dead weight until a janitor removes it (never silently reused)
-    val version = "v%05d".format(versionDirs(r).foldLeft(0L)(math.max) + 1)
-    val dir = r.resolve(version)
+    val version = "v%05d".format(versionDirs(rootPath).foldLeft(0L)(math.max) + 1)
+    val dir = s"$rootPath/$version"
     try {
       // optional SHARDING: hive-style partition dirs inside the
       // immutable version (pack_group=N shard files for a corpus
@@ -219,17 +199,17 @@ object Publish {
       // is still the atom, _SUCCESS still lands at its root
       val w = df.write
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(dir.toString)
+        .parquet(dir)
       // AUDIT what landed on disk, not the plan that produced it
-      require(java.nio.file.Files.exists(dir.resolve("_SUCCESS")),
+      require(store.exists(s"$dir/_SUCCESS"),
         s"publish: $version write left no _SUCCESS marker")
-      val back = spark.read.parquet(dir.toString)
+      val back = spark.read.parquet(dir)
       require(back.count() > 0, s"publish: $version is empty")
       audit(back)
       if (meta.nonEmpty)
-        java.nio.file.Files.write(dir.resolve("_META"),
+        store.writeString(s"$dir/_META",
           meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
-            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .mkString("\n"))
       // CAS head check (publishIf): a moved head vetoes the commit the
       // same way a failed audit does — attempt tombstoned, no swap
       headGuard()
@@ -240,17 +220,14 @@ object Publish {
         // max+1 scan — deleting would hand the same version name to
         // the next publish with different content, confusing any
         // observer that saw (and logged) the failed attempt
-        try java.nio.file.Files.move(dir, r.resolve(s"$version.failed"))
-        catch { case _: java.io.IOException => Checkpoints.deleteTree(dir) }
+        try store.rename(dir, s"$rootPath/$version.failed")
+        catch { case _: java.io.IOException => store.deleteTree(dir) }
         throw e
     }
     // PUBLISH: stage the pointer, then one atomic move
-    val tmp = r.resolve(s"$Pointer.tmp")
-    java.nio.file.Files.write(tmp,
-      version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, r.resolve(Pointer),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val tmp = s"$rootPath/$Pointer.tmp"
+    store.writeString(tmp, version)
+    store.atomicSwap(tmp, s"$rootPath/$Pointer")
     version
   }
 
@@ -272,25 +249,16 @@ object Publish {
     * versions live — re-running is idempotent and completes the purge.
     */
   def retireHistory(rootPath: String): Seq[String] = {
-    val r = root(rootPath)
     val current = currentVersion(rootPath)
-    if (!java.nio.file.Files.isDirectory(r)) Seq.empty
+    if (!store.isDirectory(rootPath)) Seq.empty
     else {
-      val s = java.nio.file.Files.list(r)
-      val names =
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString)
-            .filter(n => n.matches("v\\d+(\\.failed)?") && !current.contains(n))
-            .toSeq
-        } finally s.close()
+      val names = store.listNames(rootPath)
+        .filter(n => n.matches("v\\d+(\\.failed)?") && !current.contains(n))
       names.sorted.map { n =>
-        val dir = r.resolve(n)
-        if (java.nio.file.Files.isDirectory(dir)) Checkpoints.deleteTree(dir)
-        else java.nio.file.Files.deleteIfExists(dir)
-        val marker = r.resolve(s"${n.stripSuffix(".failed")}.purged")
-        if (!java.nio.file.Files.exists(marker))
-          java.nio.file.Files.createFile(marker)
+        val dir = s"$rootPath/$n"
+        if (store.isDirectory(dir)) store.deleteTree(dir)
+        else store.deleteIfExists(dir)
+        store.createMarker(s"$rootPath/${n.stripSuffix(".failed")}.purged")
         n
       }
     }
@@ -320,29 +288,21 @@ object Publish {
   def vacuumRetain(rootPath: String, keepLast: Int,
                    alsoKeep: Set[String] = Set.empty): Seq[String] = {
     require(keepLast >= 1, s"vacuumRetain: keepLast must be >= 1, got $keepLast")
-    val r = root(rootPath)
     val current = currentVersion(rootPath)
-    if (!java.nio.file.Files.isDirectory(r)) Seq.empty
+    if (!store.isDirectory(rootPath)) Seq.empty
     else {
-      val s = java.nio.file.Files.list(r)
-      val names =
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.matches("v\\d+(\\.failed)?")).toSeq
-            // numeric order, not lexicographic: past v99999 the %05d
-            // padding overflows and "v100000" sorts before "v99999"
-            .sortBy(n => n.drop(1).takeWhile(_.isDigit).toLong)
-        } finally s.close()
+      val names = store.listNames(rootPath)
+        .filter(_.matches("v\\d+(\\.failed)?"))
+        // numeric order, not lexicographic: past v99999 the %05d
+        // padding overflows and "v100000" sorts before "v99999"
+        .sortBy(n => n.drop(1).takeWhile(_.isDigit).toLong)
       val retained = names.filter(_.matches("v\\d+")).takeRight(keepLast).toSet ++
         current ++ alsoKeep
       names.filterNot(retained.contains).map { n =>
-        val dir = r.resolve(n)
-        if (java.nio.file.Files.isDirectory(dir)) Checkpoints.deleteTree(dir)
-        else java.nio.file.Files.deleteIfExists(dir)
-        val marker = r.resolve(s"${n.stripSuffix(".failed")}.purged")
-        if (!java.nio.file.Files.exists(marker))
-          java.nio.file.Files.createFile(marker)
+        val dir = s"$rootPath/$n"
+        if (store.isDirectory(dir)) store.deleteTree(dir)
+        else store.deleteIfExists(dir)
+        store.createMarker(s"$rootPath/${n.stripSuffix(".failed")}.purged")
         n
       }
     }
@@ -354,18 +314,11 @@ object Publish {
     * reports otherwise has found data the purge missed.
     */
   def staleVersions(rootPath: String): Seq[String] = {
-    val r = root(rootPath)
     val current = currentVersion(rootPath)
-    if (!java.nio.file.Files.isDirectory(r)) Seq.empty
-    else {
-      val s = java.nio.file.Files.list(r)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.matches("v\\d+(\\.failed)?") && !current.contains(n))
-          .toSeq.sorted
-      } finally s.close()
-    }
+    if (!store.isDirectory(rootPath)) Seq.empty
+    else store.listNames(rootPath)
+      .filter(n => n.matches("v\\d+(\\.failed)?") && !current.contains(n))
+      .sorted
   }
 
   /** The published state — resolved ONLY through the pointer, so an
@@ -374,7 +327,7 @@ object Publish {
   def read(spark: SparkSession, rootPath: String): DataFrame = {
     val v = currentVersion(rootPath).getOrElse(
       throw new IllegalStateException(s"Publish.read: no published version under $rootPath"))
-    spark.read.parquet(root(rootPath).resolve(v).toString)
+    spark.read.parquet(s"$rootPath/$v")
   }
 
   /** The `_META` pairs a version was published with (empty map if the
@@ -382,10 +335,9 @@ object Publish {
     * attempt's provenance is still evidence.
     */
   def readMeta(rootPath: String, version: String): Map[String, String] = {
-    val f = root(rootPath).resolve(version).resolve("_META")
-    if (!java.nio.file.Files.exists(f)) Map.empty
-    else new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8)
+    val f = s"$rootPath/$version/_META"
+    if (!store.exists(f)) Map.empty
+    else store.readString(f)
       .linesIterator.filter(_.contains("="))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
       .toMap
@@ -404,9 +356,9 @@ object Publish {
   def readVersion(spark: SparkSession, rootPath: String, version: String): DataFrame = {
     require(version.matches("v\\d+"),
       s"Publish.readVersion: '$version' is not a live version name")
-    val dir = root(rootPath).resolve(version)
-    require(java.nio.file.Files.isDirectory(dir),
+    val dir = s"$rootPath/$version"
+    require(store.isDirectory(dir),
       s"Publish.readVersion: $version does not exist under $rootPath (retired or never written)")
-    spark.read.parquet(dir.toString)
+    spark.read.parquet(dir)
   }
 }

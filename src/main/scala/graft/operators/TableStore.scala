@@ -1,0 +1,158 @@
+package graft.operators
+
+/** CONTROL-PLANE storage facade for the table format (VERDICT r14 #7
+  * — the one non-plan portability seam): every manifest, pointer,
+  * `_META`, tag, marker, DV-sidecar and feed-spool listing/read/write/
+  * delete the storage layer performs routes through this ONE small
+  * interface, with the local-filesystem implementation as the default.
+  * The DATA PLANE (parquet reads/writes) already rides Spark's own
+  * Hadoop `FileSystem` abstraction and is untouched; what this facade
+  * buys is that a 100 TB deployment points the DRIVER-SIDE planning IO
+  * (version listings, pointer swaps, spool custody) at an object
+  * store / HDFS by swapping one implementation — instead of hunting
+  * `java.nio` calls across the storage layer.
+  *
+  * Path convention: plain strings, `/`-joined, exactly as the table
+  * roots the verbs receive. An implementation maps them onto its own
+  * namespace; the local default treats them as filesystem paths.
+  * Callers normalize Spark's `file:` URI prefix BEFORE calling (the
+  * data-file size probes) — a remote impl would translate schemes
+  * there instead.
+  *
+  * Contract notes an implementation must honor (the crash contracts
+  * upstream verbs are built on):
+  *  - [[atomicSwap]] is the pointer-publish primitive: readers see the
+  *    old or the new content, never a torn state (object-store
+  *    conditional put / HDFS atomic rename).
+  *  - [[rename]] is the tombstoning move and must FAIL (throw
+  *    `java.io.IOException`) rather than overwrite an existing target.
+  *  - [[listNames]] of a non-directory returns empty, never throws —
+  *    absence and emptiness are the same planning fact.
+  *
+  * Gate fixtures and the bench/verify harness keep their direct
+  * `java.nio` temp-dir management: they ARE local by definition; the
+  * facade covers the engine's storage layer, not the test rig.
+  */
+trait TableStore {
+  def exists(path: String): Boolean
+  def isDirectory(path: String): Boolean
+
+  /** Child FILE NAMES (not paths) of a directory; empty for a
+    * non-directory.
+    */
+  def listNames(path: String): Seq[String]
+
+  def readString(path: String): String
+  def writeString(path: String, content: String): Unit
+  def createDirectories(path: String): Unit
+
+  /** Create an empty marker file if absent (idempotent). */
+  def createMarker(path: String): Unit
+
+  /** Delete a file (or empty dir) if present; false when absent. */
+  def deleteIfExists(path: String): Boolean
+
+  /** Recursive delete of a file or directory tree (idempotent). */
+  def deleteTree(path: String): Unit
+
+  /** Atomically replace `dst` with the staged `tmp`. */
+  def atomicSwap(tmp: String, dst: String): Unit
+
+  /** Non-replacing rename; throws `java.io.IOException` when the
+    * target exists or the move fails.
+    */
+  def rename(src: String, dst: String): Unit
+
+  def size(path: String): Long
+  def lastModifiedMs(path: String): Long
+}
+
+object TableStore {
+  @volatile private var impl: TableStore = LocalTableStore
+
+  /** The active store — resolved per call so a deployment swap (or a
+    * spec's fault-injecting wrapper) takes effect everywhere at once.
+    */
+  def get: TableStore = impl
+
+  def set(s: TableStore): Unit = impl = s
+}
+
+/** The default local-filesystem implementation (java.nio), the only
+  * place in the storage layer that touches `java.nio.file.Files`.
+  */
+object LocalTableStore extends TableStore {
+  private def p(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path)
+
+  override def exists(path: String): Boolean =
+    java.nio.file.Files.exists(p(path))
+
+  override def isDirectory(path: String): Boolean =
+    java.nio.file.Files.isDirectory(p(path))
+
+  override def listNames(path: String): Seq[String] = {
+    if (!java.nio.file.Files.isDirectory(p(path))) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(p(path))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally s.close()
+    }
+  }
+
+  override def readString(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(p(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  override def writeString(path: String, content: String): Unit = {
+    java.nio.file.Files.write(p(path),
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  override def createDirectories(path: String): Unit = {
+    java.nio.file.Files.createDirectories(p(path))
+    ()
+  }
+
+  override def createMarker(path: String): Unit =
+    if (!java.nio.file.Files.exists(p(path))) {
+      java.nio.file.Files.createFile(p(path))
+      ()
+    }
+
+  override def deleteIfExists(path: String): Boolean =
+    java.nio.file.Files.deleteIfExists(p(path))
+
+  override def deleteTree(path: String): Unit = {
+    def walk(d: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(d)) {
+        val s = java.nio.file.Files.list(d)
+        try s.forEach(walk(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(d)
+      ()
+    }
+    walk(p(path))
+  }
+
+  override def atomicSwap(tmp: String, dst: String): Unit = {
+    java.nio.file.Files.move(p(tmp), p(dst),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  override def rename(src: String, dst: String): Unit = {
+    java.nio.file.Files.move(p(src), p(dst))
+    ()
+  }
+
+  override def size(path: String): Long =
+    java.nio.file.Files.size(p(path))
+
+  override def lastModifiedMs(path: String): Long =
+    java.nio.file.Files.getLastModifiedTime(p(path)).toMillis
+}

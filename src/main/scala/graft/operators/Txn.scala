@@ -48,10 +48,9 @@ object Txn {
     * a Publish artifact's versions live at `root/vNNNNN`, a
     * [[VersionedTable]]'s at `root/manifest/vNNNNN`.
     */
-  private def versionDir(root: String, v: String): Option[java.nio.file.Path] =
-    Seq(java.nio.file.Paths.get(root).resolve(v),
-      java.nio.file.Paths.get(root).resolve("manifest").resolve(v))
-      .find(java.nio.file.Files.isDirectory(_))
+  private def versionDir(root: String, v: String): Option[String] =
+    Seq(s"$root/$v", s"$root/manifest/$v")
+      .find(TableStore.get.isDirectory(_))
 
   /** Atomically pin `parts` (artifact → (root, version)) as the new
     * consistent set. `expectHead` is the coordinator head the caller
@@ -69,7 +68,7 @@ object Txn {
       val missing = back.select("artifact", "root", "version").collect()
         .filterNot { r =>
           versionDir(r.getString(1), r.getString(2))
-            .exists(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+            .exists(d => TableStore.get.exists(s"$d/_SUCCESS"))
         }
       require(missing.isEmpty,
         s"txn pins ${missing.length} missing/unfinished artifact version(s): " +

@@ -124,8 +124,7 @@ object VersionedTable {
     */
   private def auditFilesExist(back: DataFrame): Unit = {
     val missing = back.select("file").collect().map(_.getString(0))
-      .filterNot(f => java.nio.file.Files.exists(
-        java.nio.file.Paths.get(f.stripPrefix("file:"))))
+      .filterNot(f => TableStore.get.exists(f.stripPrefix("file:")))
     require(missing.isEmpty,
       s"versioned-table manifest names ${missing.length} missing file(s): " +
         missing.take(3).mkString(", "))
@@ -859,8 +858,7 @@ object VersionedTable {
     val hi = toV.drop(1).toLong
     require(lo < hi, s"changeFeed: $fromV must precede $toV")
     val steps = (lo + 1 to hi).map("v%05d".format(_)).flatMap { v =>
-      if (java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(mroot).resolve(v)))
+      if (TableStore.get.isDirectory(s"$mroot/$v"))
         Some((v, Publish.readMeta(mroot, v).getOrElse("verb", "?")))
       else if (Publish.isFailedAttempt(mroot, v)) None // never committed
       else {
@@ -998,8 +996,7 @@ object VersionedTable {
     */
   def versionAddedBytes(s: SparkSession, root: String, v: String): Long = {
     val mroot = manifestRoot(root)
-    if (!java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(mroot).resolve(v))) return 0L
+    if (!TableStore.get.isDirectory(s"$mroot/$v")) return 0L
     def filesOf(vn: String): Set[String] =
       Publish.readVersion(s, mroot, vn).select("file")
         .collect().map(_.getString(0)).toSet
@@ -1009,8 +1006,8 @@ object VersionedTable {
       case Some(p) => cur -- filesOf(p)
       case None => cur
     }
-    added.iterator.map(f => scala.util.Try(java.nio.file.Files.size(
-      java.nio.file.Paths.get(f.stripPrefix("file:")))).getOrElse(0L)).sum
+    added.iterator.map(f => scala.util.Try(
+      TableStore.get.size(f.stripPrefix("file:"))).getOrElse(0L)).sum
   }
 
   /** DESCRIBE HISTORY: the table's commit log as a queryable
@@ -1546,8 +1543,8 @@ object VersionedTable {
       }.reduce(_ || _)
     val rows = m.select(col("file"), col("dv_path"),
       coalesce(looseCond, lit(true)).as("__loose")).collect()
-    val sized = rows.map(r => r -> java.nio.file.Files.size(
-      java.nio.file.Paths.get(r.getString(0).stripPrefix("file:"))))
+    val sized = rows.map(r => r ->
+      TableStore.get.size(r.getString(0).stripPrefix("file:")))
     val nSmall = sized.count(_._2 < targetBytes)
     val plan = sized.flatMap { case (r, size) =>
       val f = r.getString(0)
@@ -1635,15 +1632,11 @@ object VersionedTable {
 
   def publishedVersions(root: String): Seq[String] =
     headVersion(root).map { head =>
-      val mroot = java.nio.file.Paths.get(manifestRoot(root))
-      val st = java.nio.file.Files.list(mroot)
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.map(_.getFileName.toString)
-          .filter(v => v.matches("v\\d+") && vNum(v) <= vNum(head) &&
-            java.nio.file.Files.exists(mroot.resolve(v).resolve("_SUCCESS")))
-          .toSeq.sortBy(vNum)
-      } finally st.close()
+      val mroot = manifestRoot(root)
+      TableStore.get.listNames(mroot)
+        .filter(v => v.matches("v\\d+") && vNum(v) <= vNum(head) &&
+          TableStore.get.exists(s"$mroot/$v/_SUCCESS"))
+        .sortBy(vNum)
     }.getOrElse(Seq.empty)
 
   /** Compacted version→commit_ts index (`manifest/_ts_index`): one
@@ -1660,10 +1653,10 @@ object VersionedTable {
     */
   private def tsIndex(root: String,
                       versions: Seq[String]): Map[String, Option[Long]] = {
-    val p = java.nio.file.Paths.get(manifestRoot(root)).resolve("_ts_index")
+    val p = s"${manifestRoot(root)}/_ts_index"
     val existing: Map[String, Option[Long]] =
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else java.nio.file.Files.readString(p).linesIterator
+      if (!TableStore.get.exists(p)) Map.empty
+      else TableStore.get.readString(p).linesIterator
         .filter(_.contains("=")).map { l =>
           val i = l.indexOf('=')
           val t = l.drop(i + 1)
@@ -1676,15 +1669,13 @@ object VersionedTable {
         Publish.readMeta(manifestRoot(root), v).get("commit_ts").map(_.toLong))
       val keep = versions.toSet
       val all = (existing ++ fresh).filter { case (v, _) => keep(v) }
-      val tmp = p.resolveSibling(
-        "_ts_index.tmp-" + java.util.UUID.randomUUID().toString.take(8))
-      java.nio.file.Files.writeString(tmp,
+      val tmp = s"${manifestRoot(root)}/_ts_index.tmp-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      TableStore.get.writeString(tmp,
         all.toSeq.sortBy(e => vNum(e._1))
           .map { case (v, t) => s"$v=${t.fold("-")(_.toString)}" }
           .mkString("\n"))
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      TableStore.get.atomicSwap(tmp, p)
       all
     }
   }
@@ -2318,25 +2309,19 @@ object VersionedTable {
     // pinning disk). A registered floor always wins: windows past it
     // are NEVER deleted, aged or not — retention bounds abandonment,
     // it must not break a live lagging consumer's replay.
-    val sdir = java.nio.file.Paths.get(root, "_stream")
+    val sdir = s"$root/_stream"
     val floor = consumerOffsets.minOption
     val spoolCutoff = spoolRetainMs.map(r => System.currentTimeMillis() - r)
     if ((floor.isDefined || spoolCutoff.isDefined) &&
-        java.nio.file.Files.isDirectory(sdir)) {
-      val st = java.nio.file.Files.list(sdir)
-      val spools =
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.toSeq
-        } finally st.close()
+        TableStore.get.isDirectory(sdir)) {
       val W = """w_v(\d+)_v(\d+)(_cv)?""".r
-      spools.foreach { p =>
-        p.getFileName.toString match {
+      TableStore.get.listNames(sdir).foreach { n =>
+        n match {
           case W(_, b, _) =>
             val consumed = floor.exists(b.toLong <= _)
             val aged = floor.isEmpty && spoolCutoff.exists(c =>
-              java.nio.file.Files.getLastModifiedTime(p).toMillis <= c)
-            if (consumed || aged) Checkpoints.deleteTree(p)
+              TableStore.get.lastModifiedMs(s"$sdir/$n") <= c)
+            if (consumed || aged) TableStore.get.deleteTree(s"$sdir/$n")
           case _ => ()
         }
       }
@@ -2346,58 +2331,39 @@ object VersionedTable {
     val retiredManifests = Publish.vacuumRetain(manifestRoot(root), keepLast,
       alsoKeep = tags(root).values.toSet ++ consumerNeeds)
     // referenced set across ALL manifest versions still on disk
-    val mroot = java.nio.file.Paths.get(manifestRoot(root))
-    val liveVersions = {
-      val st = java.nio.file.Files.list(mroot)
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.matches("v\\d+")).toSeq
-      } finally st.close()
-    }
+    val mroot = manifestRoot(root)
+    val liveVersions = TableStore.get.listNames(mroot).filter(_.matches("v\\d+"))
     def fsPath(uri: String): String =
       java.nio.file.Paths.get(uri.stripPrefix("file:")).toString
     val referenced = liveVersions.flatMap { v =>
-      Publish.readVersion(s, manifestRoot(root), v)
+      Publish.readVersion(s, mroot, v)
         .select("file", "dv_path").collect()
         .flatMap(r => Seq(Option(r.getString(0)), Option(r.getString(1))).flatten) ++
         // a live version's CDC sidecar is custody too: its feed rows
         // must outlive exactly as long as the commit is in a window a
         // retained consumer could still read
-        Publish.readMeta(manifestRoot(root), v).get("cdc_path")
+        Publish.readMeta(mroot, v).get("cdc_path")
     }.map(fsPath).toSet
     // a dv_path / cdc_path is a directory; its whole subtree is referenced
-    val fdir = java.nio.file.Paths.get(filesDir(root))
+    val fdir = filesDir(root)
     var nFiles = 0
     var nDvs = 0
-    if (java.nio.file.Files.isDirectory(fdir)) {
-      val st = java.nio.file.Files.list(fdir)
-      val children =
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.toSeq
-        } finally st.close()
-      children.foreach { child =>
-        val name = child.getFileName.toString
+    if (TableStore.get.isDirectory(fdir)) {
+      TableStore.get.listNames(fdir).foreach { name =>
+        val child = s"$fdir/$name"
         if (name.startsWith("dv-") || name.startsWith("cdc-")) {
-          if (!referenced.contains(child.toString)) {
-            Checkpoints.deleteTree(child); nDvs += 1
+          if (!referenced.contains(child)) {
+            TableStore.get.deleteTree(child); nDvs += 1
           }
-        } else if (java.nio.file.Files.isDirectory(child)) {
-          val gst = java.nio.file.Files.list(child)
-          val parts =
-            try {
-              import scala.jdk.CollectionConverters._
-              gst.iterator().asScala.toSeq
-            } finally gst.close()
-          val dataParts = parts.filter(_.toString.endsWith(".parquet"))
-          val (kept, doomed) =
-            dataParts.partition(p => referenced.contains(p.toString))
+        } else if (TableStore.get.isDirectory(child)) {
+          val dataParts = TableStore.get.listNames(child)
+            .filter(_.endsWith(".parquet")).map(n => s"$child/$n")
+          val (kept, doomed) = dataParts.partition(referenced.contains)
           doomed.foreach { p =>
-            java.nio.file.Files.deleteIfExists(p); nFiles += 1
+            TableStore.get.deleteIfExists(p); nFiles += 1
           }
           // a fully superseded generation goes entirely (markers too)
-          if (kept.isEmpty) Checkpoints.deleteTree(child)
+          if (kept.isEmpty) TableStore.get.deleteTree(child)
         }
       }
     }
@@ -2528,8 +2494,7 @@ object VersionedTable {
     val current = Publish.read(s, manifestRoot(root))
     val files = current.select("file").collect().map(_.getString(0))
     val sized = files.map(f =>
-      f -> java.nio.file.Files.size(
-        java.nio.file.Paths.get(f.stripPrefix("file:"))))
+      f -> TableStore.get.size(f.stripPrefix("file:")))
     val small = sized.filter(_._2 < targetBytes).map(_._1)
     if (small.length < 2)
       publishManifest(current, root, Map("verb" -> "optimize-noop"))
@@ -2589,35 +2554,25 @@ object VersionedTable {
     */
   def tag(root: String, name: String, v: String): Unit = {
     require(name.matches("[A-Za-z0-9._-]+"), s"bad tag name: $name")
-    val vdir = java.nio.file.Paths.get(manifestRoot(root)).resolve(v)
-    require(java.nio.file.Files.exists(vdir.resolve("_SUCCESS")),
+    require(TableStore.get.exists(s"${manifestRoot(root)}/$v/_SUCCESS"),
       s"tag $name: version $v is not a published version")
-    val refs = java.nio.file.Paths.get(manifestRoot(root)).resolve("_refs")
-    java.nio.file.Files.createDirectories(refs)
-    java.nio.file.Files.writeString(refs.resolve(name), v)
-    ()
+    val refs = s"${manifestRoot(root)}/_refs"
+    TableStore.get.createDirectories(refs)
+    TableStore.get.writeString(s"$refs/$name", v)
   }
 
   /** All tags (name → version). */
   def tags(root: String): Map[String, String] = {
-    val refs = java.nio.file.Paths.get(manifestRoot(root)).resolve("_refs")
-    if (!java.nio.file.Files.isDirectory(refs)) Map.empty
-    else {
-      val st = java.nio.file.Files.list(refs)
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.map(p =>
-          p.getFileName.toString ->
-            java.nio.file.Files.readString(p).trim).toMap
-      } finally st.close()
-    }
+    val refs = s"${manifestRoot(root)}/_refs"
+    if (!TableStore.get.isDirectory(refs)) Map.empty
+    else TableStore.get.listNames(refs)
+      .map(n => n -> TableStore.get.readString(s"$refs/$n").trim).toMap
   }
 
   /** Drop a tag (releases its vacuum custody). */
   def dropTag(root: String, name: String): Unit = {
-    val ref = java.nio.file.Paths.get(manifestRoot(root))
-      .resolve("_refs").resolve(name)
-    require(java.nio.file.Files.deleteIfExists(ref), s"no such tag: $name")
+    require(TableStore.get.deleteIfExists(s"${manifestRoot(root)}/_refs/$name"),
+      s"no such tag: $name")
     ()
   }
 

@@ -302,8 +302,8 @@ private[sources] class FeedMicroBatchStream(schema: StructType, root: String,
     // collide on one spool dir (different schemas, same window)
     val spool = s"$root/_stream/w_${vName(a)}_${vName(b)}" +
       (if (commitVersions) "_cv" else "")
-    val done = java.nio.file.Paths.get(spool, "_SUCCESS")
-    if (!java.nio.file.Files.exists(done)) {
+    val store = graft.operators.TableStore.get
+    if (!store.exists(s"$spool/_SUCCESS")) {
       // column order pinned to the declared schema so the spool's
       // parquet field layout is stable across replays. Window (0, b)
       // is the INITIAL SNAPSHOT: the content AT version b as inserts
@@ -337,16 +337,12 @@ private[sources] class FeedMicroBatchStream(schema: StructType, root: String,
       feed.select(schema.fieldNames.map(col).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(spool)
     }
-    val files = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(spool))
-      try st.iterator().asScala.map(_.toString)
-        .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).toArray
-      finally st.close()
-    }
+    val files = store.listNames(spool)
+      .filter(n => n.endsWith(".parquet") && !n.contains("_SUCCESS"))
+      .map(n => s"$spool/$n").toArray
     files.sorted.map { f =>
-      val p = java.nio.file.Paths.get(f)
-      val len = java.nio.file.Files.size(p)
-      val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      val len = store.size(f)
+      val mtime = store.lastModifiedMs(f)
       FeedInputPartition(PartitionedFile(
         InternalRow.empty,
         org.apache.spark.paths.SparkPath.fromPathString(f),

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{LocalTableStore, Publish, TableStore, VersionedTable}
+
+/** The control-plane storage facade (VERDICT r14 #7): contract tests
+  * for the local implementation, and the seam proof — a counting
+  * wrapper installed via [[TableStore.set]] observes every pointer
+  * read/swap a publish cycle performs, so the storage layer verifiably
+  * routes through the facade (a direct `java.nio` call would be
+  * invisible to the wrapper).
+  */
+class TableStoreSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-store").toString
+
+  test("local store contract: markers, swaps, renames, tree deletes") {
+    val s = LocalTableStore
+    val r = tmp()
+    assert(s.isDirectory(r) && s.listNames(r).isEmpty)
+    assert(s.listNames(s"$r/nope").isEmpty, "non-dir lists empty, never throws")
+    s.writeString(s"$r/a.txt", "hello")
+    assert(s.exists(s"$r/a.txt") && !s.isDirectory(s"$r/a.txt"))
+    assert(s.readString(s"$r/a.txt") == "hello")
+    assert(s.size(s"$r/a.txt") == 5L)
+    assert(s.lastModifiedMs(s"$r/a.txt") > 0L)
+    // markers are idempotent
+    s.createMarker(s"$r/m"); s.createMarker(s"$r/m")
+    assert(s.exists(s"$r/m"))
+    // atomic swap replaces; rename refuses an existing target
+    s.writeString(s"$r/ptr.tmp", "v2")
+    s.writeString(s"$r/ptr", "v1")
+    s.atomicSwap(s"$r/ptr.tmp", s"$r/ptr")
+    assert(s.readString(s"$r/ptr") == "v2" && !s.exists(s"$r/ptr.tmp"))
+    s.writeString(s"$r/x", "x"); s.writeString(s"$r/y", "y")
+    intercept[java.io.IOException] { s.rename(s"$r/x", s"$r/y") }
+    s.rename(s"$r/x", s"$r/z")
+    assert(!s.exists(s"$r/x") && s.readString(s"$r/z") == "x")
+    // nested tree delete, idempotent
+    s.createDirectories(s"$r/d/e")
+    s.writeString(s"$r/d/e/f.txt", "f")
+    s.deleteTree(s"$r/d"); s.deleteTree(s"$r/d")
+    assert(!s.exists(s"$r/d"))
+    assert(s.deleteIfExists(s"$r/z") && !s.deleteIfExists(s"$r/z"))
+    s.deleteTree(r)
+  }
+
+  test("the seam is real: a swapped store observes the publish cycle's pointer IO") {
+    import spark.implicits._
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    val swaps = new java.util.concurrent.atomic.AtomicLong
+    val counting = new TableStore {
+      private val d = LocalTableStore
+      override def exists(p: String) = d.exists(p)
+      override def isDirectory(p: String) = d.isDirectory(p)
+      override def listNames(p: String) = d.listNames(p)
+      override def readString(p: String) = {
+        if (p.endsWith("_CURRENT")) reads.incrementAndGet(); d.readString(p)
+      }
+      override def writeString(p: String, c: String) = d.writeString(p, c)
+      override def createDirectories(p: String) = d.createDirectories(p)
+      override def createMarker(p: String) = d.createMarker(p)
+      override def deleteIfExists(p: String) = d.deleteIfExists(p)
+      override def deleteTree(p: String) = d.deleteTree(p)
+      override def atomicSwap(t: String, p: String) = {
+        if (p.endsWith("_CURRENT")) swaps.incrementAndGet(); d.atomicSwap(t, p)
+      }
+      override def rename(a: String, b: String) = d.rename(a, b)
+      override def size(p: String) = d.size(p)
+      override def lastModifiedMs(p: String) = d.lastModifiedMs(p)
+    }
+    val root = tmp() + "/t"
+    TableStore.set(counting)
+    try {
+      val spec = VersionedTable.Spec(Seq("n"), "k", 1 << 13)
+      VersionedTable.create(spark,
+        (0L until 10L).map(i => (i, i)).toDF("k", "n"), root, spec)
+      VersionedTable.append(spark,
+        (10L until 15L).map(i => (i, i)).toDF("k", "n"), root, spec)
+      assert(VersionedTable.read(spark, root).count() == 15L)
+      assert(swaps.get() == 2L,
+        s"two commits = two pointer swaps through the facade, got ${swaps.get()}")
+      assert(reads.get() >= 2L, "head resolution must route through the facade")
+    } finally TableStore.set(LocalTableStore)
+    // back on the local store, the table reads unchanged
+    assert(VersionedTable.read(spark, root).count() == 15L)
+    LocalTableStore.deleteTree(java.nio.file.Paths.get(root).getParent.toString)
+  }
+}
