@@ -5666,6 +5666,54 @@ object ExtQueries {
       .unionByName(vtSlice("3_applied", applied))
   }
 
+  private val feedByTsPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** TIMESTAMP-ADDRESSED batch CDF (`layout_feed_by_timestamp`,
+    * [[graft.operators.VersionedTable.changeFeedByTimestamp]] — the
+    * Delta `table_changes(tbl, start_ts, end_ts)` parity verb): the
+    * change feed between the versions the table had at two INSTANTS,
+    * each bound resolved through the writer-stamped `commit_ts` index
+    * (the `versionAsOfTs` rule — changes strictly after the older
+    * instant's state). Four stamped commits (create@1000 →
+    * append@2000 → MERGE@3000 → DV-delete@4000); the gate pulls the
+    * (1500, 3500) window — which must resolve to (v1, v3] and carry
+    * the append's inserts plus the merge's delete+insert pairs with
+    * FINAL values netted through the window (a key born at v2 and
+    * updated at v3 emits one insert, no delete — CDF semantics) —
+    * and require()s the empty-range answer (two instants inside the
+    * same commit's reign return zero rows, not an error).
+    *
+    * Scale shape (100 TB): bound resolution is one `_ts_index` read;
+    * the feed pays the changeFeed bill (changed files + DV delta per
+    * segment), never table bytes.
+    */
+  def layoutFeedByTimestamp(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_feedts").toString
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec,
+      extraMeta = Map("commit_ts" -> "1000"))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec,
+      extraMeta = Map("commit_ts" -> "2000"))
+    VersionedTable.merge(s, root, spec,
+      d.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars")),
+      matchedUpdate = Map("n_chars" -> col("src_n_chars")),
+      insertNotMatched = false, extraMeta = Map("commit_ts" -> "3000"))
+    VersionedTable.deleteRosterDV(s, root, spec,
+      d.filter(col("doc_id") % 13 === 0).select(col("doc_id")),
+      extraMeta = Map("commit_ts" -> "4000"))
+    // two instants inside v3's reign: the empty range, not an error
+    require(VersionedTable.changeFeedByTimestamp(s, root, 3200L, 3800L).isEmpty,
+      "an empty timestamp range must return zero rows")
+    val feed = VersionedTable.changeFeedByTimestamp(s, root, 1500L, 3500L)
+    retirePrevDir(feedByTsPrev, root)
+    feed.select(col("doc_id"), col("lang"), col("n_chars"), col("change_type"))
+  }
+
   private val dvPurgeAuditPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

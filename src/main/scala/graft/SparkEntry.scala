@@ -387,6 +387,15 @@ object SparkEntry {
     // before each fold; late arrivals lose to the ops superseding them
     "streaming_sink_applyseq" ->
       ((s: SparkSession, d: String) => streaming.StreamingStage.streamingSinkApplySeq(s, d)),
+    // r25: DLT expectations on the sink — per-batch predicate split
+    // into bronze + a quarantine table, both exactly-once by the same
+    // batchId watermark (the curation funnel's streaming reject leg)
+    "streaming_sink_expectations" ->
+      ((s: SparkSession, d: String) => streaming.StreamingStage.streamingSinkExpectations(s, d)),
+    // r25: timestamp-addressed batch CDF — the change feed between
+    // the versions the table had at two instants (Delta table_changes
+    // by timestamp), bounds resolved through the commit_ts index
+    "layout_feed_by_timestamp" -> (ExtQueries.layoutFeedByTimestamp _),
     // r23: auto-OPTIMIZE inside the ingest loop — manifest-priced plan
     // consult per trigger, compaction absorbs the small generations,
     // batchId replay watermark inherits across maintenance commits
@@ -2068,6 +2077,31 @@ object SparkEntry {
         |  n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars
         |FROM documents
         |WHERE (doc_id % 3 = 0 OR doc_id % 11 = 0) AND doc_id % 13 <> 0""".stripMargin,
+    // the expectation split: every row lands on exactly one side of
+    // the predicate — a dropped rejection or a double-landed batch
+    // diverges either slice
+    "streaming_sink_expectations" ->
+      """SELECT '1_bronze' AS slice, doc_id, lang, n_chars
+        |FROM documents WHERE n_chars % 7 <> 0
+        |UNION ALL
+        |SELECT '2_quarantine', doc_id, lang, n_chars
+        |FROM documents WHERE n_chars % 7 = 0""".stripMargin,
+    // the (1500, 3500) window resolves to (v1, v3]: the append's
+    // inserts carry FINAL values netted through the window (a key
+    // born at v2 and updated at v3 emits one insert, no delete);
+    // the merge's updates on v1-resident keys emit delete+insert
+    "layout_feed_by_timestamp" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents)
+        |SELECT doc_id, lang,
+        |  n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END AS n_chars,
+        |  'insert' AS change_type
+        |FROM base WHERE doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000, 'insert'
+        |FROM base WHERE doc_id % 3 = 0 AND doc_id % 11 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'delete'
+        |FROM base WHERE doc_id % 3 = 0 AND doc_id % 11 = 0""".stripMargin,
     // the merged profile equals the batch per-user aggregate no
     // matter how events split across micro-batches — the exactly-once
     // CDC-apply contract stated directly

@@ -467,17 +467,45 @@ object VersionedTable {
         // ingest commits would otherwise erase the idempotence
         // high-water mark and a redelivered micro-batch would
         // re-append. An ingest commit's own explicit meta overrides.
-        k.startsWith(WidenPrefix) || k == "applied_upto" || k == "batchId"
+        k.startsWith(WidenPrefix) || k == "applied_upto" || k == "batchId" ||
+        // in-commit-timestamps is a table property: once on, every
+        // commit inherits the obligation to stamp itself
+        k == "ict"
     }).getOrElse(Map.empty)
 
   private def publishManifest(manifest: DataFrame, root: String,
                               meta: Map[String, String],
                               dropConstraints: Set[String] = Set.empty,
-                              dropMetaKeys: Set[String] = Set.empty): String =
+                              dropMetaKeys: Set[String] = Set.empty): String = {
+    val base = (inheritedMeta(root) -- dropConstraints.map(ConstraintPrefix + _)
+      -- dropMetaKeys) ++ meta
+    // IN-COMMIT TIMESTAMPS (the Delta ICT feature): with the `ict`
+    // property on, every commit auto-stamps `commit_ts` MONOTONE —
+    // max(predecessor's stamp + 1, wallclock) — so timestamp
+    // addressing (versionAsOfTs, startingTimestamp, vacuumOlderThan,
+    // changeFeedByTimestamp) works without writer cooperation and
+    // never sees time run backwards across commits (a clock-skewed
+    // writer still advances). An explicit caller stamp wins.
+    val stamped =
+      if (base.get("ict").contains("on") && !meta.contains("commit_ts")) {
+        val prev = headVersion(root)
+          .flatMap(v => metaAt(root, v).get("commit_ts")).map(_.toLong)
+          .getOrElse(0L)
+        base + ("commit_ts" ->
+          math.max(prev + 1, System.currentTimeMillis()).toString)
+      } else base
     Publish.publish(manifest, manifestRoot(root),
-      audit = auditFilesExist,
-      meta = (inheritedMeta(root) -- dropConstraints.map(ConstraintPrefix + _)
-        -- dropMetaKeys) ++ meta)
+      audit = auditFilesExist, meta = stamped)
+  }
+
+  /** Enable IN-COMMIT TIMESTAMPS: a property commit (content-
+    * identical, feed windows segment across it) that turns on
+    * monotone auto-stamping of `commit_ts` for this and every later
+    * commit — see [[publishManifest]]. Idempotent to re-enable.
+    */
+  def setInCommitTimestamps(s: SparkSession, root: String): String =
+    publishManifest(Publish.read(s, manifestRoot(root)), root,
+      Map("verb" -> "set-ict", "ict" -> "on"))
 
   /** Manifest ∪ batch-sidecar with a FAIL-FAST on stat-spec drift
     * (ADVICE r12): `allowMissingColumns = true` exists for the
@@ -725,7 +753,7 @@ object VersionedTable {
     "compact-dv", "compact-dv-noop", "delete-noop", "update-noop",
     "merge-noop", "delete-band-noop",
     "set-constraint", "drop-constraint", "rename-column", "drop-column",
-    "widen-column",
+    "widen-column", "set-ict",
     "evolve-partitioning", "recluster-where", "recluster-where-noop",
     "apply-changes-noop", "branch-rebase-noop")
 
@@ -963,6 +991,29 @@ object VersionedTable {
         "stable schema; use changeFeed across rename windows"))
     pieces.reduce(_.unionByName(_, allowMissingColumns = true))
       .select(finalCols.map(col): _*)
+  }
+
+  /** TIMESTAMP-ADDRESSED batch CDF (Delta's
+    * `table_changes(<tbl>, <start_ts>, <end_ts>)`): the change feed
+    * between the versions the table had at two instants — each bound
+    * resolved through [[versionAsOfTs]] (writer-stamped `commit_ts`,
+    * unstamped commits inherit the preceding stamp), so the window is
+    * (state at `fromTs`, state at `toTs`] — changes STRICTLY AFTER the
+    * older instant, exactly the streaming source's `startingTimestamp`
+    * rule in batch form. Two instants resolving to the same version
+    * return the empty typed frame (Delta's empty-range answer, not an
+    * error). Same refusals as [[changeFeed]] across vacuumed or
+    * CDC-less rewrite windows.
+    */
+  def changeFeedByTimestamp(s: SparkSession, root: String,
+                            fromTs: Long, toTs: Long): DataFrame = {
+    require(fromTs <= toTs,
+      s"changeFeedByTimestamp: fromTs=$fromTs is after toTs=$toTs")
+    val a = versionAsOfTs(root, fromTs)
+    val b = versionAsOfTs(root, toTs)
+    if (vNum(a) == vNum(b))
+      read(s, root).withColumn("change_type", lit("insert")).limit(0)
+    else changeFeed(s, root, a, b)
   }
 
   /** Effective (inherited) `commit_ts` per published version: a

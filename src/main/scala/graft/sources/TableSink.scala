@@ -58,6 +58,15 @@ import graft.operators.VersionedTable
   *    commits, so exactly-once survives it.
   *  - `autoOptimizeTargetBytes` (default 1 MiB): the small-file
   *    threshold the auto-optimize consult uses.
+  *  - `expect` + `onViolation` (`fail`|`drop`|`quarantine`, default
+  *    fail) + `quarantineRoot`: the DLT expectations trio as sink
+  *    options — `expect` is a SQL predicate a row must satisfy
+  *    (FALSE or NULL violates, the DLT rule); `fail` aborts the
+  *    batch before anything commits, `drop` discards violations,
+  *    `quarantine` lands them in a second versioned table
+  *    exactly-once by the same `batchId` watermark (the streaming
+  *    form of the curation funnel's reject leg — rejected rows stay
+  *    queryable, auditable, and replayable).
   *
   * The incoming micro-batch frame is streaming-tagged, so it re-roots
   * through [[GraftSqlBridge.fromInternalRdd]] (the Delta sink's toRdd
@@ -93,9 +102,17 @@ class TableSinkProvider extends StreamSinkProvider with DataSourceRegister {
     val seqCol = p.get("sequenceby")
     require(mode != "applyseq" || seqCol.isDefined,
       "graft-table applySeq mode needs option('sequenceBy', <col>)")
+    val onViolation = p.getOrElse("onviolation", "fail").toLowerCase
+    require(Set("fail", "drop", "quarantine").contains(onViolation),
+      s"graft-table onViolation must be fail|drop|quarantine, got $onViolation")
+    require(onViolation != "quarantine" || p.contains("quarantineroot"),
+      "graft-table onViolation=quarantine needs option('quarantineRoot', ...)")
+    require(p.contains("expect") || !p.contains("onviolation"),
+      "graft-table onViolation without option('expect', <predicate>)")
     new GraftTableSink(req("root"), spec, mode, seqCol,
       p.get("autooptimize").exists(_.toBoolean),
-      p.get("autooptimizetargetbytes").map(_.toLong).getOrElse(1L << 20))
+      p.get("autooptimizetargetbytes").map(_.toLong).getOrElse(1L << 20),
+      p.get("expect"), onViolation, p.get("quarantineroot"))
   }
 }
 
@@ -104,7 +121,11 @@ private[sources] class GraftTableSink(root: String,
                                       mode: String,
                                       seqCol: Option[String] = None,
                                       autoOptimize: Boolean = false,
-                                      targetBytes: Long = 1L << 20) extends Sink {
+                                      targetBytes: Long = 1L << 20,
+                                      expect: Option[String] = None,
+                                      onViolation: String = "fail",
+                                      quarantineRoot: Option[String] = None)
+  extends Sink {
 
   /** The TRUE SOURCE-VERSION end of this micro-batch's feed window,
     * read off the batch plan's offset metadata (VERDICT r14 #1): the
@@ -142,11 +163,45 @@ private[sources] class GraftTableSink(root: String,
       data.queryExecution.toRdd, data.schema)
     // feed metadata columns are transport, not payload: a replica
     // never stores another table's commit lineage
-    val batch = batch0.drop("_commit_version", "_commit_timestamp")
+    val full = batch0.drop("_commit_version", "_commit_timestamp")
+    // EXPECTATIONS (the DLT quality-gate trio): a row KEEPS only when
+    // the predicate is TRUE — false or NULL violates (the DLT rule).
+    // fail: any violation aborts the batch before anything commits;
+    // drop: violations vanish; quarantine: violations land in a
+    // SECOND versioned table exactly-once by the same batchId
+    // watermark, so the quality split replays idempotently with the
+    // main commit.
+    val batch = expect match {
+      case None => full
+      case Some(pred) =>
+        val keep = org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr(pred),
+          org.apache.spark.sql.functions.lit(false))
+        onViolation match {
+          case "fail" =>
+            val bad = full.filter(!keep).count()
+            require(bad == 0L,
+              s"graft-table expectation '$pred' failed for $bad row(s) " +
+                s"in batch $batchId (onViolation=fail)")
+            full
+          case "drop" => full.filter(keep)
+          case "quarantine" =>
+            val bad = full.filter(!keep)
+            if (!bad.isEmpty)
+              graft.streaming.StreamingStage.appendVersionedTable(
+                bad, quarantineRoot.get,
+                VersionedTable.Spec(Nil, spec.keyCol, spec.mBits), batchId)
+            full.filter(keep)
+        }
+    }
     mode match {
       case "append" =>
-        graft.streaming.StreamingStage.appendVersionedTable(
-          batch, root, spec, batchId)
+        // an all-quarantined batch leaves nothing to append (WAP
+        // audits refuse empty versions); replay stays consistent —
+        // the quarantine side no-ops by its own batchId watermark
+        if (expect.isEmpty || !batch.isEmpty)
+          graft.streaming.StreamingStage.appendVersionedTable(
+            batch, root, spec, batchId)
         ()
       case "apply" | "applyseq" =>
         require(batch.columns.contains("change_type"),

@@ -2260,6 +2260,81 @@ object StreamingStage {
         col("_commit_version"), col("_commit_timestamp"))
   }
 
+  private val sinkExpStagePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val sinkExpBronzePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val sinkExpQuarPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val sinkExpChkPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** EXPECTATIONS on the declarative sink
+    * (`streaming_sink_expectations` — the DLT quality-gate trio as
+    * sink options, the streaming form of the curation funnel's reject
+    * leg): a raw document stream lands through `graft-table` with
+    * `expect = <predicate>` and `onViolation = quarantine` — per
+    * micro-batch, rows satisfying the predicate append to bronze and
+    * violations land in a SECOND versioned table, BOTH exactly-once
+    * by the same `batchId` watermark (a replayed batch no-ops on both
+    * tables, so the quality split is idempotent, auditable, and never
+    * drops a rejected row on the floor the way a plain filter would).
+    * Two staged files under `maxFilesPerTrigger=1` force two batches
+    * (per-batch split require()d by the quarantine watermark); an
+    * empty redrain leaves both heads untouched. The gate hashes
+    * bronze + quarantine row-level against the DuckDB predicate
+    * split — one row on the wrong side diverges.
+    *
+    * Scale shape (100 TB): the split is one codegen'd filter over the
+    * batch; each side pays its own append (batch bytes + one manifest
+    * publish) — never table bytes; rejected rows stay a queryable
+    * versioned table for the funnel audit.
+    */
+  def streamingSinkExpectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-se-st").toString
+    retirePrev(sinkExpStagePrev, stage)
+    val bronze = java.nio.file.Files.createTempDirectory("graft-se-b").toString + "/t"
+    retirePrev(sinkExpBronzePrev, java.nio.file.Paths.get(bronze).getParent.toString)
+    val quar = java.nio.file.Files.createTempDirectory("graft-se-q").toString + "/t"
+    retirePrev(sinkExpQuarPrev, java.nio.file.Paths.get(quar).getParent.toString)
+    val chk = java.nio.file.Files.createTempDirectory("graft-se-c").toString
+    retirePrev(sinkExpChkPrev, chk)
+    d.repartitionByRange(2, col("doc_id"))
+      .write.mode("overwrite").parquet(stage)
+    def drain(): Unit = {
+      val sch = spark.read.parquet(stage).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.format("graft.sources.TableSinkProvider")
+        .option("root", bronze)
+        .option("keyCol", "doc_id")
+        .option("statCols", "n_chars")
+        .option("expect", "n_chars % 7 != 0")
+        .option("onViolation", "quarantine")
+        .option("quarantineRoot", quar)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // both legs carry the batchId watermark — the split is per-batch
+    // exactly-once, not a post-hoc filter
+    require(VersionedTable.headMeta(bronze, "batchId").isDefined &&
+      VersionedTable.headMeta(quar, "batchId").isDefined,
+      "both legs must ride the batchId watermark")
+    val heads = (VersionedTable.headVersion(bronze), VersionedTable.headVersion(quar))
+    drain() // empty redrain: neither table commits
+    require((VersionedTable.headVersion(bronze), VersionedTable.headVersion(quar)) == heads,
+      "an empty redrain must not commit to either leg")
+    def shaped(root: String, slice: String): DataFrame =
+      VersionedTable.read(spark, root)
+        .select(lit(slice).as("slice"), col("doc_id"), col("lang"), col("n_chars"))
+    shaped(bronze, "1_bronze").unionByName(shaped(quar, "2_quarantine"))
+  }
+
   private val sinkSeqStagePrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val sinkSeqTablePrev =

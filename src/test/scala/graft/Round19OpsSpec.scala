@@ -261,6 +261,84 @@ class Round19OpsSpec extends SparkSpec {
     graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("sink expectations: drop discards violations; fail aborts the batch before anything commits") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft-ex-st").toString
+    val table = java.nio.file.Files.createTempDirectory("graft-ex-t").toString + "/t"
+    val chk = java.nio.file.Files.createTempDirectory("graft-ex-c").toString
+    (0L until 20L).map(i => (i, i % 1000)).toDF("k", "n")
+      .write.mode("append").parquet(stage)
+    val sch = spark.read.parquet(stage).schema
+    def start(mode: String, chkDir: String, root: String) =
+      spark.readStream.schema(sch).parquet(stage)
+        .writeStream.format("graft.sources.TableSinkProvider")
+        .option("root", root).option("keyCol", "k")
+        .option("expect", "k % 4 != 0").option("onViolation", mode)
+        .option("checkpointLocation", chkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val q = start("drop", chk, table)
+    q.awaitTermination()
+    val kept = VersionedTable.read(spark, table).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == (0L until 20L).filter(_ % 4 != 0).toSet, s"$kept")
+    // fail: the violating batch aborts and NOTHING commits
+    val table2 = java.nio.file.Files.createTempDirectory("graft-ex-t2").toString + "/t"
+    val chk2 = java.nio.file.Files.createTempDirectory("graft-ex-c2").toString
+    val q2 = start("fail", chk2, table2)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    assert(VersionedTable.headVersion(table2).isEmpty,
+      "a failed expectation must abort before anything commits")
+    // expectations follow the DLT NULL rule: NULL violates
+    val stage3 = java.nio.file.Files.createTempDirectory("graft-ex-s3").toString
+    Seq((1L, Some(5L)), (2L, None), (3L, Some(8L)))
+      .toDF("k", "n").write.mode("append").parquet(stage3)
+    val table3 = java.nio.file.Files.createTempDirectory("graft-ex-t3").toString + "/t"
+    val chk3 = java.nio.file.Files.createTempDirectory("graft-ex-c3").toString
+    val q3 = spark.readStream.schema(spark.read.parquet(stage3).schema)
+      .parquet(stage3)
+      .writeStream.format("graft.sources.TableSinkProvider")
+      .option("root", table3).option("keyCol", "k")
+      .option("expect", "n > 0").option("onViolation", "drop")
+      .option("checkpointLocation", chk3)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    assert(VersionedTable.read(spark, table3).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L),
+      "a NULL predicate result must violate, not pass")
+    Seq(stage, chk, chk2, chk3, stage3).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+    Seq(table, table2, table3).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(
+        java.nio.file.Paths.get(p).getParent))
+  }
+
+  test("in-commit timestamps: commits auto-stamp monotonically; timestamp addressing works without writer stamps") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ict-t").toString
+    VersionedTable.create(spark, rows(0, 10), root, spec) // v1: unstamped
+    VersionedTable.setInCommitTimestamps(spark, root)     // v2: property, stamped
+    VersionedTable.append(spark, rows(10, 20), root, spec) // v3: auto-stamped
+    VersionedTable.append(spark, rows(20, 30), root, spec) // v4: auto-stamped
+    val stamps = VersionedTable.publishedVersions(root)
+      .map(v => v -> VersionedTable.versionMeta(root, v).get("commit_ts").map(_.toLong))
+    assert(stamps.head._2.isEmpty, "pre-ICT commits stay unstamped")
+    val on = stamps.drop(1).map(_._2)
+    assert(on.forall(_.isDefined), s"every post-ICT commit auto-stamps: $stamps")
+    assert(on.flatten == on.flatten.sorted && on.flatten.distinct == on.flatten,
+      s"stamps must be strictly monotone: $on")
+    // timestamp addressing rides the auto-stamps: as-of v3's instant
+    // reads exactly v3's content
+    val t3 = VersionedTable.versionMeta(root, "v00003")("commit_ts").toLong
+    assert(VersionedTable.versionAsOfTs(root, t3) == "v00003")
+    assert(VersionedTable.readAsOfTs(spark, root, t3).count() == 20L)
+    // the feed segments across the property commit: (v1, head] folds
+    val feed = VersionedTable.changeFeed(spark, root, "v00001",
+      VersionedTable.headVersion(root).get)
+    assert(feed.filter(col("change_type") === "insert").count() == 20L)
+    graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("commitVersions snapshot: batch 0 attributes each row to the retained version that introduced its file") {
     val root = java.nio.file.Files.createTempDirectory("graft-cs-t").toString
     val chk = java.nio.file.Files.createTempDirectory("graft-cs-c").toString
