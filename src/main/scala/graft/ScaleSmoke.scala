@@ -865,6 +865,7 @@ object TableVerbSmoke {
       // every scale) so the verb's own cost is measured: expected
       // FLAT across both decades (holders bloom-probed, match join
       // reads only the batch's band, no existing file rewritten)
+      val preMergeFixed = VersionedTable.headVersion(root).get
       rows += ((scale, "merge_fixed", timed {
         val idT = d.schema("doc_id").dataType
         val win = d.filter(col("doc_id") < 5000)
@@ -877,6 +878,15 @@ object TableVerbSmoke {
         VersionedTable.merge(spark, root, spec, src,
           matchedUpdate = Map("n_chars" -> col("src_n_chars")),
           layout = layout); ()
+      }))
+      // r15 verb: per-row commit attribution over a CONSTANT window
+      // (the merge_fixed commit alone) — per-version stepping pays
+      // that window's changed files + one manifest read per version,
+      // never table bytes. Expected FLAT across decades.
+      rows += ((scale, "feed_cv_fixed", timed {
+        VersionedTable.changeFeedWithCommitVersions(spark, root,
+          preMergeFixed, VersionedTable.headVersion(root).get)
+          .agg(count(lit(1))).head(); ()
       }))
       // r14 verb: branch REBASE onto a moved main with a CONSTANT
       // divergence window (the 1× namespace again, disjoint key
