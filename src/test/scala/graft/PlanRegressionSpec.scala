@@ -357,6 +357,35 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!ap.contains("CartesianProduct"), ap.take(3000))
   }
 
+  test("r15 ops: timestamp CDF plans no cartesian; attribution feed stamps literals without a join on change windows") {
+    // the ts-addressed feed is the changeFeed shape behind two index
+    // reads: DV deletes resolve by position joins / broadcasts, never
+    // a cartesian
+    val fts = staticPlan(ExtQueries.layoutFeedByTimestamp(spark, sfSmoke))
+    assert(!fts.contains("CartesianProduct"), fts.take(3000))
+    // per-row attribution on a CHANGE window is two literal columns —
+    // no join may appear beyond the changeFeed's own position/anti
+    // joins (the snapshot path's broadcast ts-join is a different,
+    // spool-planning-time shape)
+    import graft.operators.VersionedTable
+    import org.apache.spark.sql.functions.col
+    val spec = VersionedTable.Spec(Seq("n"), "k", 1 << 13)
+    val root = java.nio.file.Files.createTempDirectory("graft-pin-cv").toString
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, i % 7)).toDF("k", "n")
+    val v1 = VersionedTable.create(spark, df, root, spec)
+    VersionedTable.append(spark, df.select((col("k") + 100).as("k"), col("n")),
+      root, spec)
+    val plain = staticPlan(VersionedTable.changeFeed(spark, root, v1, "v00002"))
+    val cv = staticPlan(VersionedTable.changeFeedWithCommitVersions(
+      spark, root, v1, "v00002"))
+    assert(!cv.contains("CartesianProduct"), cv.take(3000))
+    assert(countExchanges(cv) == countExchanges(plain),
+      s"attribution must add no exchange: cv=${countExchanges(cv)} " +
+        s"plain=${countExchanges(plain)}")
+    graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("decayed score: bounded-heap top-k, one shuffle, no window") {
     val plan = staticPlan(ExtQueries.eventsDecayedScore(spark, sfSmoke))
     assert(plan.contains("TakeOrderedAndProject"),
