@@ -5714,6 +5714,57 @@ object ExtQueries {
     feed.select(col("doc_id"), col("lang"), col("n_chars"), col("change_type"))
   }
 
+  private val cloneAsOfPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val cloneAsOfDstPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** TIME-ADDRESSED clone + restore (`layout_clone_asof`,
+    * [[graft.operators.VersionedTable.shallowCloneAsOfTs]] /
+    * [[graft.operators.VersionedTable.restoreAsOfTs]] — Delta's
+    * `CLONE/RESTORE ... TIMESTAMP AS OF`): three stamped commits;
+    * a zero-copy clone cut AT an instant inside v2's reign (its v1
+    * manifest must reference exactly v2's files — `src@v00002`
+    * require()d), then the SOURCE restores to an instant inside v1's
+    * reign (a new commit republishing v1's manifest — history stays
+    * append-only and the pre-restore read, bound eagerly to its
+    * manifest, is unaffected). Slices: the clone (content@v2), the
+    * pre-restore source head (content@v3), the restored source
+    * (content@v1) — one wrong bound resolution diverges a slice.
+    *
+    * Scale shape (100 TB): both verbs are ONE manifest write each
+    * (zero data bytes moved); bound resolution is one `_ts_index`
+    * read.
+    */
+  def layoutCloneAsOf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_clonets").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_clonets_d").toString + "/c"
+    VersionedTable.create(s, d.filter(col("doc_id") % 3 === 0), root, spec,
+      extraMeta = Map("commit_ts" -> "1000"))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec,
+      extraMeta = Map("commit_ts" -> "2000"))
+    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 2), root, spec,
+      extraMeta = Map("commit_ts" -> "3000"))
+    VersionedTable.shallowCloneAsOfTs(s, root, dst, 2500L)
+    require(VersionedTable.versionMeta(dst, "v00001").get("src")
+      .exists(_.endsWith("@v00002")),
+      "the clone must reference the as-of version, not the head")
+    val headRead = VersionedTable.read(s, root) // binds v3's manifest eagerly
+    VersionedTable.restoreAsOfTs(s, root, 1500L) // v4 = content@v1
+    retirePrevDir(cloneAsOfPrev, root)
+    retirePrevDir(cloneAsOfDstPrev,
+      java.nio.file.Paths.get(dst).getParent.toString)
+    def slice(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("slice"), col("doc_id"), col("lang"), col("n_chars"))
+    slice("1_clone", VersionedTable.read(s, dst))
+      .unionByName(slice("2_pre_restore_head", headRead))
+      .unionByName(slice("3_restored", VersionedTable.read(s, root)))
+  }
+
   private val dvPurgeAuditPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

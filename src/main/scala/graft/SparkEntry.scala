@@ -396,6 +396,9 @@ object SparkEntry {
     // the versions the table had at two instants (Delta table_changes
     // by timestamp), bounds resolved through the commit_ts index
     "layout_feed_by_timestamp" -> (ExtQueries.layoutFeedByTimestamp _),
+    // r25: time-addressed zero-copy clone + append-only restore —
+    // CLONE/RESTORE ... TIMESTAMP AS OF, bounds via the commit_ts index
+    "layout_clone_asof" -> (ExtQueries.layoutCloneAsOf _),
     // r23: auto-OPTIMIZE inside the ingest loop — manifest-priced plan
     // consult per trigger, compaction absorbs the small generations,
     // batchId replay watermark inherits across maintenance commits
@@ -2102,6 +2105,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, 'delete'
         |FROM base WHERE doc_id % 3 = 0 AND doc_id % 11 = 0""".stripMargin,
+    // time-addressed clone/restore: the clone reads v2's content, the
+    // pre-restore head v3's, the restored source v1's — one wrong
+    // bound resolution diverges a slice
+    "layout_clone_asof" ->
+      """SELECT '1_clone' AS slice, doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 3 < 2
+        |UNION ALL
+        |SELECT '2_pre_restore_head', doc_id, lang, n_chars FROM documents
+        |UNION ALL
+        |SELECT '3_restored', doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     // the merged profile equals the batch per-user aggregate no
     // matter how events split across micro-batches — the exactly-once
     // CDC-apply contract stated directly

@@ -458,7 +458,13 @@ object VersionedTable {
     * the exactly-once contract.
     */
   private def inheritedMeta(root: String): Map[String, String] =
-    headVersion(root).map(v => metaAt(root, v).filter { case (k, _) =>
+    headVersion(root).map(v => inheritedMetaAt(root, v)).getOrElse(Map.empty)
+
+  /** The inheritable property set AS OF a named version — what a
+    * time-addressed clone carries (the policies in force THEN).
+    */
+  private def inheritedMetaAt(root: String, v: String): Map[String, String] =
+    Some(v).map(v => metaAt(root, v).filter { case (k, _) =>
       k.startsWith(ConstraintPrefix) || k.startsWith(ColmapPrefix) ||
         k.startsWith(DropPrefix) || k.startsWith(PtSpecPrefix) ||
         // both replay watermarks MUST inherit (the r12 applied_upto
@@ -2645,14 +2651,43 @@ object VersionedTable {
     * a clone that still references the files; retention windows are
     * the shared-custody contract).
     */
-  def shallowClone(s: SparkSession, srcRoot: String, dstRoot: String): String = {
-    val current = Publish.read(s, manifestRoot(srcRoot))
-    // table properties travel with the clone (Delta clone semantics):
-    // the clone's v1 carries the source's CHECK constraints
-    publishManifest(current, dstRoot,
-      inheritedMeta(srcRoot) ++ Map("verb" -> "clone",
-        "src" -> s"$srcRoot@${Publish.currentVersion(manifestRoot(srcRoot)).getOrElse("?")}"))
+  def shallowClone(s: SparkSession, srcRoot: String, dstRoot: String): String =
+    shallowCloneAt(s, srcRoot, dstRoot,
+      headVersion(srcRoot).getOrElse(throw new IllegalStateException(
+        s"shallowClone: no published version under $srcRoot")))
+
+  /** [[shallowClone]] of a NAMED source version (Delta
+    * `CLONE ... VERSION AS OF`): the clone's v1 references exactly
+    * that version's files and carries THAT version's table properties
+    * (constraints, column mapping, partition spec as they stood then
+    * — cloning yesterday's snapshot must not smuggle in today's
+    * schema policy). Same custody caveat as the head clone: the
+    * SOURCE's vacuum can reclaim files only an old version references
+    * — pin the version with a [[tag]] when the clone must outlive the
+    * source's retention window.
+    */
+  def shallowCloneAt(s: SparkSession, srcRoot: String, dstRoot: String,
+                     v: String): String = {
+    require(publishedVersions(srcRoot).contains(v),
+      s"shallowCloneAt: $v is not a published version under $srcRoot")
+    publishManifest(Publish.readVersion(s, manifestRoot(srcRoot), v), dstRoot,
+      inheritedMetaAt(srcRoot, v) ++ Map("verb" -> "clone",
+        "src" -> s"$srcRoot@$v"))
   }
+
+  /** [[shallowCloneAt]] of the version the source had AT an instant
+    * (Delta `CLONE ... TIMESTAMP AS OF` — the [[versionAsOfTs]]
+    * resolution over writer/ICT stamps).
+    */
+  def shallowCloneAsOfTs(s: SparkSession, srcRoot: String, dstRoot: String,
+                         ts: Long): String =
+    shallowCloneAt(s, srcRoot, dstRoot, versionAsOfTs(srcRoot, ts))
+
+  /** [[restore]] to the version the table had AT an instant (Delta
+    * `RESTORE ... TIMESTAMP AS OF`).
+    */
+  def restoreAsOfTs(s: SparkSession, root: String, ts: Long): String =
+    restore(s, root, versionAsOfTs(root, ts))
 
   /** BRANCH FAST-FORWARD (the Iceberg WAP refs contract on the clone
     * machinery): a BRANCH is a [[shallowClone]] — its v1 meta records
