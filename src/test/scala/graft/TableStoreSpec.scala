@@ -86,4 +86,54 @@ class TableStoreSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 15L)
     LocalTableStore.deleteTree(java.nio.file.Paths.get(root).getParent.toString)
   }
+
+  test("fault injection through the seam: a pointer-swap crash leaves the old head published and the next publish recovers") {
+    import spark.implicits._
+    // the facade makes the documented Iceberg-style orphan caveat
+    // TESTABLE: fail the _CURRENT swap once — the crash window
+    // strictly between audit pass and pointer swap
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val flaky = new TableStore {
+      private val d = LocalTableStore
+      override def exists(p: String) = d.exists(p)
+      override def isDirectory(p: String) = d.isDirectory(p)
+      override def listNames(p: String) = d.listNames(p)
+      override def readString(p: String) = d.readString(p)
+      override def writeString(p: String, c: String) = d.writeString(p, c)
+      override def createDirectories(p: String) = d.createDirectories(p)
+      override def createMarker(p: String) = d.createMarker(p)
+      override def deleteIfExists(p: String) = d.deleteIfExists(p)
+      override def deleteTree(p: String) = d.deleteTree(p)
+      override def atomicSwap(t: String, p: String) = {
+        if (p.endsWith("_CURRENT") && failOnce.compareAndSet(true, false))
+          throw new java.io.IOException("injected: swap lost")
+        d.atomicSwap(t, p)
+      }
+      override def rename(a: String, b: String) = d.rename(a, b)
+      override def size(p: String) = d.size(p)
+      override def lastModifiedMs(p: String) = d.lastModifiedMs(p)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-flaky").toString + "/t"
+    val spec = VersionedTable.Spec(Seq("n"), "k", 1 << 13)
+    def rows(lo: Long, hi: Long) = (lo until hi).map(i => (i, i)).toDF("k", "n")
+    VersionedTable.create(spark, rows(0, 10), root, spec) // v1, clean store
+    TableStore.set(flaky)
+    try {
+      intercept[java.io.IOException] {
+        VersionedTable.append(spark, rows(10, 20), root, spec)
+      }
+      // the old head is still published; the orphan version is
+      // audited-but-never-current (the documented caveat) and its
+      // number is burned
+      assert(VersionedTable.headVersion(root).contains("v00001"))
+      assert(VersionedTable.read(spark, root).count() == 10L)
+      // recovery needs no repair: the next publish takes a FRESH
+      // number and swaps clean
+      VersionedTable.append(spark, rows(10, 20), root, spec)
+      assert(VersionedTable.headVersion(root).contains("v00003"),
+        s"the orphan's number must stay burned: ${VersionedTable.headVersion(root)}")
+      assert(VersionedTable.read(spark, root).count() == 20L)
+    } finally TableStore.set(LocalTableStore)
+    LocalTableStore.deleteTree(java.nio.file.Paths.get(root).getParent.toString)
+  }
 }
