@@ -66,7 +66,12 @@ import graft.operators.VersionedTable
   *    `quarantine` lands them in a second versioned table
   *    exactly-once by the same `batchId` watermark (the streaming
   *    form of the curation funnel's reject leg — rejected rows stay
-  *    queryable, auditable, and replayable).
+  *    queryable, auditable, and replayable). In `apply`/`applySeq`
+  *    mode expectations evaluate CHANGE rows (the DLT APPLY CHANGES
+  *    semantics): dropping or quarantining a violating DELETE row
+  *    means the replica intentionally KEEPS a row the source removed
+  *    — state quality policy on a replication hop only when that
+  *    divergence is the intent.
   *
   * The incoming micro-batch frame is streaming-tagged, so it re-roots
   * through [[GraftSqlBridge.fromInternalRdd]] (the Delta sink's toRdd
@@ -198,10 +203,18 @@ private[sources] class GraftTableSink(root: String,
       case "append" =>
         // an all-quarantined batch leaves nothing to append (WAP
         // audits refuse empty versions); replay stays consistent —
-        // the quarantine side no-ops by its own batchId watermark
+        // the quarantine side no-ops by its own batchId watermark.
+        // A graft-feed-driven append log ALSO stamps applied_upto
+        // (the window's true end version) so registering it as a
+        // vacuum consumer gives the upstream spools a custody floor
+        // — the apply-mode contract extended to feed→append-log
+        // pipelines.
         if (expect.isEmpty || !batch.isEmpty)
           graft.streaming.StreamingStage.appendVersionedTable(
-            batch, root, spec, batchId)
+            batch, root, spec, batchId,
+            extraMeta = windowEnd
+              .map(e => Map("applied_upto" -> "v%05d".format(e)))
+              .getOrElse(Map.empty))
         ()
       case "apply" | "applyseq" =>
         require(batch.columns.contains("change_type"),

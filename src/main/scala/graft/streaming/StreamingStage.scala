@@ -1341,12 +1341,13 @@ object StreamingStage {
   def appendVersionedTable(batch: DataFrame, tableRoot: String,
                            spec: graft.operators.VersionedTable.Spec,
                            batchId: Long,
-                           layout: DataFrame => DataFrame = identity): Boolean = {
+                           layout: DataFrame => DataFrame = identity,
+                           extraMeta: Map[String, String] = Map.empty): Boolean = {
     import graft.operators.VersionedTable
     val last = VersionedTable.headMeta(tableRoot, "batchId").map(_.toLong)
     if (last.exists(_ >= batchId)) false
     else {
-      val meta = Map("batchId" -> batchId.toString)
+      val meta = Map("batchId" -> batchId.toString) ++ extraMeta
       if (VersionedTable.headVersion(tableRoot).isEmpty)
         VersionedTable.create(batch.sparkSession, batch, tableRoot, spec,
           layout = layout, extraMeta = meta)

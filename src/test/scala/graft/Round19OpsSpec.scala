@@ -108,6 +108,38 @@ class Round19OpsSpec extends SparkSpec {
       java.nio.file.Paths.get(replica).getParent)
   }
 
+  test("feed into an append-mode log stamps applied_upto too: the log registers as a spool custody floor") {
+    val src = java.nio.file.Files.createTempDirectory("graft-al-s").toString
+    val log = java.nio.file.Files.createTempDirectory("graft-al-l").toString + "/t"
+    val chk = java.nio.file.Files.createTempDirectory("graft-al-c").toString
+    val v1 = VersionedTable.create(spark, rows(0, 20), src, spec)
+    VersionedTable.append(spark, rows(20, 40), src, spec) // v2
+    VersionedTable.append(spark, rows(40, 60), src, spec) // v3
+    val q = spark.readStream.format("graft.sources.FeedStreamProvider")
+      .option("root", src).option("startingVersion", v1)
+      .load()
+      .writeStream.format("graft.sources.TableSinkProvider")
+      .option("root", log).option("keyCol", "k")
+      .option("checkpointLocation", chk) // mode=append (default)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the CDC log carries every feed row (change_type included)...
+    val logged = VersionedTable.read(spark, log)
+    assert(logged.columns.contains("change_type"))
+    assert(logged.count() == 40L)
+    // ...and its applied_upto is the window's true end version, so a
+    // consumer-registered vacuum reclaims the spools
+    assert(VersionedTable.headMeta(log, "applied_upto").contains("v00003"))
+    VersionedTable.vacuum(spark, src,
+      keepLast = VersionedTable.publishedVersions(src).size,
+      consumers = Seq(log))
+    assert(spools(src).isEmpty, s"${spools(src)}")
+    Seq(src, chk).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+    graft.operators.Checkpoints.deleteTree(
+      java.nio.file.Paths.get(log).getParent)
+  }
+
   test("raw-CDC fallback refuses a version-bootstrapped replica instead of silently skipping windows") {
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("graft-rf-st").toString
