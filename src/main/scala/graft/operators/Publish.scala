@@ -180,11 +180,34 @@ object Publish {
       if (found != expectedHead) throw new PublishConflict(expectedHead, found)
     })
 
+  /** Per-root commit lock: version allocation, the CAS head check and
+    * the pointer swap must be one critical section for CONCURRENT
+    * writers in this JVM — without it two writers can allocate the
+    * same max+1 number (colliding version dirs) or both pass the
+    * publishIf head check before either swaps (lost update). This is
+    * the single-JVM stand-in for the commit coordinator every
+    * object-store table format needs (Delta's S3 commit service,
+    * Iceberg's catalog conditional-put); a remote [[TableStore]] with
+    * a conditional [[TableStore.atomicSwap]] would narrow the section
+    * to the swap itself.
+    */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def publishGuarded(df: DataFrame, rootPath: String,
                              audit: DataFrame => Unit,
                              partitionBy: Seq[String],
                              meta: Map[String, String],
-                             headGuard: () => Unit): String = {
+                             headGuard: () => Unit): String =
+    rootLocks.computeIfAbsent(rootPath, _ => new Object).synchronized {
+      publishLocked(df, rootPath, audit, partitionBy, meta, headGuard)
+    }
+
+  private def publishLocked(df: DataFrame, rootPath: String,
+                            audit: DataFrame => Unit,
+                            partitionBy: Seq[String],
+                            meta: Map[String, String],
+                            headGuard: () => Unit): String = {
     val spark = df.sparkSession
     store.createDirectories(rootPath)
     // max+1 over ALL attempted numbers, published, tombstoned or

@@ -504,6 +504,41 @@ object VersionedTable {
       audit = auditFilesExist, meta = stamped)
   }
 
+  /** FSCK REPAIR (Delta `FSCK REPAIR TABLE`): drop manifest rows
+    * whose data files are GONE from storage — the emergency verb for
+    * a table someone's external cleanup corrupted (every read fails
+    * on the missing file until the references are removed). The
+    * repair is a manifest-only publish; the lost rows' PAYLOAD is
+    * unrecoverable (that is what "lost" means), so the commit carries
+    * no CDC and is deliberately filed in NONE of the feed verb
+    * classes — a [[changeFeed]] window spanning it refuses loudly,
+    * exactly right: downstream consumers must re-bootstrap, not
+    * silently miss deletes. Refuses to repair a table whose EVERY
+    * file is missing (that is not repair, that is data loss the
+    * caller must face). Returns (new version, dropped file count);
+    * no-ops (returning the head) when nothing is missing.
+    *
+    * Scale shape (100 TB): one existence probe per manifest row
+    * (control-plane IO through [[TableStore]]) + one manifest write —
+    * no data read or moved.
+    */
+  def repairMissingFiles(s: SparkSession, root: String): (String, Int) = {
+    val current = Publish.read(s, manifestRoot(root))
+    val entries = current.select("file").collect().map(_.getString(0))
+    val missing = entries.filterNot(f =>
+      TableStore.get.exists(f.stripPrefix("file:"))).toSet
+    if (missing.isEmpty) (headVersion(root).get, 0)
+    else {
+      require(missing.size < entries.length,
+        s"repairMissingFiles: every data file of $root is missing — " +
+          "refusing to publish an empty table as a 'repair'")
+      val repaired = current.filter(!col("file").isin(missing.toSeq: _*))
+      (publishManifest(repaired, root,
+        Map("verb" -> "fsck", "n_dropped" -> missing.size.toString)),
+        missing.size)
+    }
+  }
+
   /** Enable IN-COMMIT TIMESTAMPS: a property commit (content-
     * identical, feed windows segment across it) that turns on
     * monotone auto-stamping of `commit_ts` for this and every later

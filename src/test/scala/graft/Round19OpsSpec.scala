@@ -371,6 +371,71 @@ class Round19OpsSpec extends SparkSpec {
     graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("fsck repair: missing-file references drop in one manifest commit; the feed refuses across it; total loss refuses") {
+    import graft.operators.{LocalTableStore, VersionedTable => VT}
+    val root = java.nio.file.Files.createTempDirectory("graft-fsck").toString
+    val v1 = VT.create(spark, rows(0, 40).repartition(4), root, spec)
+    VT.append(spark, rows(40, 50), root, spec) // v2
+    // no-op repair returns the head untouched
+    assert(VT.repairMissingFiles(spark, root) == (VT.headVersion(root).get, 0))
+    // externally lose one v1 file
+    val victim = VT.manifest(spark, root).select("file").collect()
+      .map(_.getString(0)).sorted.head.stripPrefix("file:")
+    val victimRows = spark.read.parquet(victim).count()
+    LocalTableStore.deleteIfExists(victim)
+    intercept[Exception] { VT.read(spark, root).count() }
+    val (v3, dropped) = VT.repairMissingFiles(spark, root)
+    assert(dropped == 1 && v3 == "v00003")
+    assert(VT.read(spark, root).count() == 50L - victimRows)
+    // the lost rows have no recoverable payload: a feed window across
+    // the fsck refuses instead of silently missing deletes
+    val err = intercept[IllegalArgumentException] {
+      VT.changeFeed(spark, root, v1, v3).count()
+    }
+    assert(err.getMessage.contains("fsck") || err.getMessage.contains("rewrite"),
+      err.getMessage)
+    // total loss is not "repair"
+    VT.manifest(spark, root).select("file").collect().map(_.getString(0))
+      .foreach(f => LocalTableStore.deleteIfExists(f.stripPrefix("file:")))
+    val total = intercept[IllegalArgumentException] {
+      VT.repairMissingFiles(spark, root)
+    }
+    assert(total.getMessage.contains("every data file"), total.getMessage)
+    graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("multi-writer stress: 8 threads of appendOcc serialize with zero lost updates through the store facade") {
+    import graft.operators.{VersionedTable => VT}
+    val root = java.nio.file.Files.createTempDirectory("graft-occ8").toString
+    VT.create(spark, rows(0, 10), root, spec)
+    import spark.implicits._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 8).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          override def call(): Int = {
+            val df = Seq((1000L + w, w.toLong)).toDF("k", "n")
+            // worst case a writer rebases past all 7 rivals (plus
+            // jitter) — OCC needs retries ≥ contention, the same
+            // sizing rule Delta documents for concurrent writers
+            VT.appendOcc(spark, df, root, spec, maxAttempts = 24)._2
+          }
+        })
+      }
+      val attempts = tasks.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // every writer eventually lands (rebase-and-retry), and the
+      // total content shows zero lost updates
+      assert(attempts.forall(_ >= 1), s"$attempts")
+      val ks = VT.read(spark, root).select("k").collect().map(_.getLong(0)).toSet
+      assert(ks == ((0L until 10L) ++ (1000L until 1008L)).toSet,
+        s"lost update: ${ks.size} keys")
+      // heads are strictly serial: 1 create + 8 appends = 9 versions
+      assert(VT.publishedVersions(root).size == 9,
+        s"${VT.publishedVersions(root)}")
+    } finally pool.shutdownNow()
+    graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("commitVersions snapshot: batch 0 attributes each row to the retained version that introduced its file") {
     val root = java.nio.file.Files.createTempDirectory("graft-cs-t").toString
     val chk = java.nio.file.Files.createTempDirectory("graft-cs-c").toString
