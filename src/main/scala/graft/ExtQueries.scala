@@ -5765,6 +5765,64 @@ object ExtQueries {
       .unionByName(slice("3_restored", VersionedTable.read(s, root)))
   }
 
+  private val replaceWherePrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Transactional band overwrite (`layout_replace_where`,
+    * [[graft.operators.VersionedTable.replaceWhere]] — Delta's
+    * `replaceWhere` option): the daily-rebuild verb — every row whose
+    * `n_chars` lies in [300, 420] is replaced by a recomputed batch
+    * in ONE commit (fully-in-band files drop unread, straddlers
+    * deletion-vector their in-band positions, the batch appends — a
+    * two-commit deleteBand+append would expose a row-less band to
+    * concurrent readers and split the change across feed windows).
+    * The gate require()s real in-band file drops under the range
+    * layout, the out-of-band-batch refusal, and — the atomicity
+    * claim in feed form — applies the SINGLE v1→v2 feed window onto
+    * a replica of v1 and hashes it against the head: one window
+    * carries the whole replacement as delete(old)+insert(new).
+    *
+    * Scale shape (100 TB): cost ∝ band files + straddler scans +
+    * batch bytes, never table — the partition-rebuild economics.
+    */
+  def layoutReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_rplw").toString
+    val layout = (df: DataFrame) =>
+      df.repartitionByRange(16, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+    val v1 = VersionedTable.create(s, d, root, spec, layout)
+    // the recomputed band: same keys, reclassified lang
+    val batch = d.filter(col("n_chars").between(300, 420))
+      .select(col("doc_id"), lit("xx").as("lang"), col("n_chars"))
+    val v2 = VersionedTable.replaceWhere(s, root, spec,
+      "n_chars", 300, 420, batch, layout)
+    val meta = VersionedTable.versionMeta(root, v2)
+    require(meta("n_dropped_files").toInt >= 1,
+      s"the range layout must yield fully-in-band files to drop: $meta")
+    // the replaceWhere contract: an out-of-band batch row refuses
+    require(scala.util.Try(VersionedTable.replaceWhere(s, root, spec,
+      "n_chars", 300, 420,
+      d.filter(col("n_chars") > 450).limit(5), layout)).isFailure,
+      "an out-of-band batch must refuse")
+    // one feed window carries the whole replacement
+    val feed = VersionedTable.changeFeed(s, root, v1, v2)
+    val ins = feed.filter(col("change_type") === "insert").drop("change_type")
+    val del = feed.filter(col("change_type") === "delete")
+    val applied = VersionedTable.readVersion(s, root, v1)
+      .join(del.select(col("doc_id").as("__del_id")),
+        col("doc_id") === col("__del_id"), "left_anti")
+      .unionByName(ins)
+    retirePrevDir(replaceWherePrev, root)
+    def slice(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("slice"), col("doc_id"), col("lang"), col("n_chars"))
+    slice("1_head", VersionedTable.read(s, root))
+      .unionByName(slice("2_feed_applied", applied))
+  }
+
   private val dvPurgeAuditPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

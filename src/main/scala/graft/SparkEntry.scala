@@ -399,6 +399,10 @@ object SparkEntry {
     // r25: time-addressed zero-copy clone + append-only restore —
     // CLONE/RESTORE ... TIMESTAMP AS OF, bounds via the commit_ts index
     "layout_clone_asof" -> (ExtQueries.layoutCloneAsOf _),
+    // r25: transactional band overwrite (Delta replaceWhere) — drop +
+    // DV + append under ONE pointer swap; one feed window carries the
+    // whole replacement
+    "layout_replace_where" -> (ExtQueries.layoutReplaceWhere _),
     // r23: auto-OPTIMIZE inside the ingest loop — manifest-priced plan
     // consult per trigger, compaction absorbs the small generations,
     // batchId replay watermark inherits across maintenance commits
@@ -2116,6 +2120,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT '3_restored', doc_id, lang, n_chars
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // transactional band overwrite: the head and the one-window feed
+    // application state the SAME reclassified content — a torn
+    // replace (band dropped but batch lost, or a split window) would
+    // diverge a slice
+    "layout_replace_where" ->
+      """WITH final AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars BETWEEN 300 AND 420 THEN 'xx' ELSE lang END AS lang,
+        |    n_chars
+        |  FROM documents)
+        |SELECT '1_head' AS slice, doc_id, lang, n_chars FROM final
+        |UNION ALL
+        |SELECT '2_feed_applied', doc_id, lang, n_chars FROM final""".stripMargin,
     // the merged profile equals the batch per-user aggregate no
     // matter how events split across micro-batches — the exactly-once
     // CDC-apply contract stated directly

@@ -778,7 +778,9 @@ object VersionedTable {
     "create", "append", "append-occ", "delete-dv", "delete-dv-noop",
     "upsert-dv", "merge", "delete-band", "apply-changes",
     // the rebase replay is DV + append — the apply-changes shape
-    "branch-rebase")
+    "branch-rebase",
+    // file drop + DV + append in one commit — same diff algebra
+    "replace-where")
 
   /** CONTENT-IDENTICAL commits (Delta's `dataChange = false`): the
     * table's bytes-as-content before and after are equal — rewrites
@@ -2248,6 +2250,69 @@ object VersionedTable {
         "n_dropped_files" -> fullFiles.length.toString,
         "n_straddlers" -> stFiles.length.toString))
     }
+  }
+
+  /** TRANSACTIONAL BAND OVERWRITE (Delta's
+    * `df.write.option("replaceWhere", <pred>)`): replace every row
+    * whose `c` lies in [lo, hi] with `batch` as ONE atomic commit —
+    * the band's fully-contained files drop from the manifest unread,
+    * straddlers get their in-band positions deletion-vectored, and
+    * the batch lands as a new generation, all under a single pointer
+    * swap (the [[deleteBand]] + [[append]] composition that, done as
+    * two commits, would expose a row-less band to concurrent readers
+    * and split the change across two feed windows). Delta's
+    * replaceWhere contract is enforced: every batch row must satisfy
+    * the predicate (an out-of-band insert under a replace is a silent
+    * corruption, refused loudly). Feed-safe by construction (file
+    * drop + DV + append — `replace-where` is classified FeedSafe), so
+    * one [[changeFeed]] window carries the replacement as
+    * delete(old)+insert(new).
+    *
+    * Scale shape (100 TB): the backfill verb — cost ∝ band files
+    * (dropped by manifest filter, unread) + straddler scans + batch
+    * bytes, never table; the atomic form is what lets a daily
+    * partition rebuild run against live readers.
+    */
+  def replaceWhere(s: SparkSession, root: String, spec: Spec,
+                   c: String, lo: Any, hi: Any, batch: DataFrame,
+                   layout: DataFrame => DataFrame = identity): String = {
+    require(spec.statCols.contains(c),
+      s"replaceWhere: $c carries no min/max stats (statCols: ${spec.statCols})")
+    enforceSchema(s, root, batch, allowEvolution = false)
+    guardDropped(root, batch)
+    enforce(batch, constraints(root))
+    val outside =
+      batch.filter(!(col(c) >= lit(lo) && col(c) <= lit(hi))).count()
+    require(outside == 0L,
+      s"replaceWhere: $outside batch row(s) fall outside $c in [$lo, $hi] " +
+        "— a replace must only write rows the predicate claims")
+    val current = Publish.read(s, manifestRoot(root))
+    val inBand = col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi)
+    val overlaps = col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    val fullFiles = current.filter(inBand)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val stFiles = current.filter(overlaps && !inBand)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val afterDrop =
+      if (fullFiles.isEmpty) current
+      else current.filter(!col("file").isin(fullFiles: _*))
+    val base =
+      if (stFiles.isEmpty) afterDrop
+      else {
+        val fresh = s.read.parquet(stFiles: _*)
+          .select(col("_metadata.file_path").as("file"),
+            col("_metadata.row_index").as("pos"), col(c).as("__c"))
+          .filter(col("__c") >= lit(lo) && col("__c") <= lit(hi))
+          .select("file", "pos")
+        commitDv(s, afterDrop, root, fresh)
+      }
+    val gen = freshGen(root)
+    layout(toPhysical(batch, root)).write.parquet(gen)
+    publishManifest(
+      unionSidecar(base, sidecar(s, gen, spec, activeTransforms(root))),
+      root, Map("verb" -> "replace-where",
+        "n_dropped_files" -> fullFiles.length.toString,
+        "n_straddlers" -> stFiles.length.toString))
   }
 
   /** OPTIMISTIC-CONCURRENCY MERGE: [[merge]] with the conditional
