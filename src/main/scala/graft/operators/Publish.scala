@@ -189,7 +189,10 @@ object Publish {
     * object-store table format needs (Delta's S3 commit service,
     * Iceberg's catalog conditional-put); a remote [[TableStore]] with
     * a conditional [[TableStore.atomicSwap]] would narrow the section
-    * to the swap itself.
+    * to the swap itself. The map holds one permanent Object per
+    * distinct root this JVM ever published — table roots are few and
+    * long-lived; a service hammering ephemeral per-run roots should
+    * prefer scoped sessions over this driver-global map.
     */
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

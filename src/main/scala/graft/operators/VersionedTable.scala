@@ -464,7 +464,7 @@ object VersionedTable {
     * time-addressed clone carries (the policies in force THEN).
     */
   private def inheritedMetaAt(root: String, v: String): Map[String, String] =
-    Some(v).map(v => metaAt(root, v).filter { case (k, _) =>
+    metaAt(root, v).filter { case (k, _) =>
       k.startsWith(ConstraintPrefix) || k.startsWith(ColmapPrefix) ||
         k.startsWith(DropPrefix) || k.startsWith(PtSpecPrefix) ||
         // both replay watermarks MUST inherit (the r12 applied_upto
@@ -477,7 +477,7 @@ object VersionedTable {
         // in-commit-timestamps is a table property: once on, every
         // commit inherits the obligation to stamp itself
         k == "ict"
-    }).getOrElse(Map.empty)
+    }
 
   private def publishManifest(manifest: DataFrame, root: String,
                               meta: Map[String, String],
@@ -494,9 +494,12 @@ object VersionedTable {
     // writer still advances). An explicit caller stamp wins.
     val stamped =
       if (base.get("ict").contains("on") && !meta.contains("commit_ts")) {
-        val prev = headVersion(root)
-          .flatMap(v => metaAt(root, v).get("commit_ts")).map(_.toLong)
-          .getOrElse(0L)
+        // monotone against the MAX stamp anywhere in history, not just
+        // the head's own: a pre-ICT explicit stamp ahead of wallclock
+        // (clock-skewed writer) must not make time run backwards —
+        // versionAsOfTs's inheritance walk breaks on regression
+        val prev = effectiveCommitTs(root).values.flatten
+          .foldLeft(0L)(math.max)
         base + ("commit_ts" ->
           math.max(prev + 1, System.currentTimeMillis()).toString)
       } else base
@@ -1055,7 +1058,10 @@ object VersionedTable {
     val a = versionAsOfTs(root, fromTs)
     val b = versionAsOfTs(root, toTs)
     if (vNum(a) == vNum(b))
-      read(s, root).withColumn("change_type", lit("insert")).limit(0)
+      // empty under the WINDOW-END version's schema (a later rename
+      // must not leak head names into an old empty window)
+      readVersion(s, root, b)
+        .withColumn("change_type", lit("insert")).limit(0)
     else changeFeed(s, root, a, b)
   }
 
@@ -2281,11 +2287,15 @@ object VersionedTable {
     enforceSchema(s, root, batch, allowEvolution = false)
     guardDropped(root, batch)
     enforce(batch, constraints(root))
-    val outside =
-      batch.filter(!(col(c) >= lit(lo) && col(c) <= lit(hi))).count()
+    // NULL never matches a band (the stats-pruning rule) — so a NULL
+    // band value VIOLATES the replace contract rather than slipping
+    // past a bare negation (coalesce, the expectation-sink NULL rule)
+    val outside = batch.filter(!coalesce(
+      col(c) >= lit(lo) && col(c) <= lit(hi), lit(false))).count()
     require(outside == 0L,
       s"replaceWhere: $outside batch row(s) fall outside $c in [$lo, $hi] " +
-        "— a replace must only write rows the predicate claims")
+        "(NULL counts as outside) — a replace must only write rows the " +
+        "predicate claims")
     val current = Publish.read(s, manifestRoot(root))
     val inBand = col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi)
     val overlaps = col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
@@ -2501,20 +2511,25 @@ object VersionedTable {
         // retained consumer could still read
         Publish.readMeta(mroot, v).get("cdc_path")
     }.map(fsPath).toSet
-    // a dv_path / cdc_path is a directory; its whole subtree is referenced
+    // a dv_path / cdc_path is a directory; its whole subtree is referenced.
+    // LISTING-side keys normalize through the same Paths.get as the
+    // referenced set (fsPath): a trailing-slash or doubled-separator
+    // root must compare equal, or every live file reads unreferenced
+    // and vacuum deletes the table (the TableStore-port regression a
+    // self-review caught — the old nio listing normalized implicitly)
     val fdir = filesDir(root)
     var nFiles = 0
     var nDvs = 0
     if (TableStore.get.isDirectory(fdir)) {
       TableStore.get.listNames(fdir).foreach { name =>
-        val child = s"$fdir/$name"
+        val child = fsPath(s"$fdir/$name")
         if (name.startsWith("dv-") || name.startsWith("cdc-")) {
           if (!referenced.contains(child)) {
             TableStore.get.deleteTree(child); nDvs += 1
           }
         } else if (TableStore.get.isDirectory(child)) {
           val dataParts = TableStore.get.listNames(child)
-            .filter(_.endsWith(".parquet")).map(n => s"$child/$n")
+            .filter(_.endsWith(".parquet")).map(n => fsPath(s"$child/$n"))
           val (kept, doomed) = dataParts.partition(referenced.contains)
           doomed.foreach { p =>
             TableStore.get.deleteIfExists(p); nFiles += 1

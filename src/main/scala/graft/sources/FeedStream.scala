@@ -361,14 +361,18 @@ private[sources] class FeedMicroBatchStream(schema: StructType, root: String,
     * [[PartitionReader]] needs InternalRows — and spools are
     * feed-sized, so row-path decode cost is noise.
     */
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the vectorized pin lands on a THROWAWAY SESSION CLONE (ADVICE
-    // r14): mutating the shared conf — even set/restore — silently
-    // de-vectorizes concurrent planners in the window, and two
-    // interleaved restores can leave the key stuck. The clone copies
-    // the session's conf, takes the pin privately, and is discarded
-    // once the read function (a closure over its broadcast hadoop
-    // conf) is built.
+  /** Built ONCE per stream instance (schema and the conf pin are
+    * stream-constant — a per-trigger clone would pay a SessionState
+    * copy and leak an ExecutionListenerBus registration per batch).
+    * The vectorized pin lands on a THROWAWAY SESSION CLONE (ADVICE
+    * r14): mutating the shared conf — even set/restore — silently
+    * de-vectorizes concurrent planners in the window, and two
+    * interleaved restores can leave the key stuck. The clone copies
+    * the session's conf, takes the pin privately, and is discarded
+    * once the read function (a closure over its broadcast hadoop
+    * conf) is built.
+    */
+  private lazy val readerFactory: PartitionReaderFactory = {
     val s = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
     s.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
     val readFunc =
@@ -378,6 +382,8 @@ private[sources] class FeedMicroBatchStream(schema: StructType, root: String,
           s.sessionState.newHadoopConfWithOptions(Map.empty))
     new FeedReaderFactory(readFunc)
   }
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

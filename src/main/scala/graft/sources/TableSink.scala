@@ -112,6 +112,11 @@ class TableSinkProvider extends StreamSinkProvider with DataSourceRegister {
       s"graft-table onViolation must be fail|drop|quarantine, got $onViolation")
     require(onViolation != "quarantine" || p.contains("quarantineroot"),
       "graft-table onViolation=quarantine needs option('quarantineRoot', ...)")
+    require(onViolation != "quarantine" ||
+        !p.get("quarantineroot").contains(req("root")),
+      "graft-table quarantineRoot must differ from root: quarantining " +
+        "into the sink's own table consumes its batchId watermark and " +
+        "silently drops the batch's passing rows")
     require(p.contains("expect") || !p.contains("onviolation"),
       "graft-table onViolation without option('expect', <predicate>)")
     new GraftTableSink(req("root"), spec, mode, seqCol,
@@ -151,12 +156,16 @@ private[sources] class GraftTableSink(root: String,
     */
   private def feedWindowEnd(data: DataFrame): Option[Long] = {
     import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation
+    // one offset per RELATION, not distinct values: two feed sources
+    // that happen to sit at the same version number are still two
+    // sources — their coincident offset is meaningless as a watermark
     val ends = data.queryExecution.logical.collect {
       case r: StreamingDataSourceV2ScanRelation
           if r.stream.isInstanceOf[FeedMicroBatchStream] =>
         r.endOffset.toSeq.collect { case o: FeedOffset => o.version }
-    }.flatten.distinct
-    if (ends.length == 1) Some(ends.head) else None
+    }
+    if (ends.length == 1 && ends.head.length == 1) Some(ends.head.head)
+    else None
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {

@@ -22,13 +22,6 @@ object GraftSqlBridge {
   def expression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
-  /** Re-root a DataFrame's executed InternalRow RDD as a flat
-    * `LogicalRDD` plan — the lineage-truncation step iterative
-    * operators need (a round that references its predecessor k times
-    * grows a k^rounds-node LOGICAL plan unless each round is
-    * re-rooted; `localCheckpoint` also truncates but persists outside
-    * the cache manager, so `Dataset.unpersist` cannot release it).
-    */
   /** A full state clone of the session (conf, temp views, listeners —
     * `SparkSession.cloneSession` is `private[sql]`): lets a reader
     * build set session-conf keys on a THROWAWAY copy instead of
@@ -38,6 +31,13 @@ object GraftSqlBridge {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[classic.SparkSession].cloneSession()
 
+  /** Re-root a DataFrame's executed InternalRow RDD as a flat
+    * `LogicalRDD` plan — the lineage-truncation step iterative
+    * operators need (a round that references its predecessor k times
+    * grows a k^rounds-node LOGICAL plan unless each round is
+    * re-rooted; `localCheckpoint` also truncates but persists outside
+    * the cache manager, so `Dataset.unpersist` cannot release it).
+    */
   def fromInternalRdd(spark: SparkSession,
                       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
                       schema: org.apache.spark.sql.types.StructType): DataFrame =

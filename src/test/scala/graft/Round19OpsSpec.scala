@@ -436,6 +436,54 @@ class Round19OpsSpec extends SparkSpec {
     graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("review fixes: vacuum survives a trailing-slash root; NULL band values violate replaceWhere; self-quarantine refuses; ICT never regresses past a skewed stamp") {
+    import spark.implicits._
+    import graft.operators.{VersionedTable => VT}
+    // vacuum under a NON-normalized root: the referenced-set compare
+    // must normalize both sides or every live file reads unreferenced
+    val rootDir = java.nio.file.Files.createTempDirectory("graft-norm").toString
+    val root = rootDir + "/" // trailing slash, deliberately
+    VT.create(spark, rows(0, 30), root, spec)
+    VT.append(spark, rows(30, 40), root, spec)
+    val (_, nFiles, _) = VT.vacuum(spark, root, keepLast = 2)
+    assert(nFiles == 0, s"vacuum deleted $nFiles LIVE files under a trailing-slash root")
+    assert(VT.read(spark, root).count() == 40L)
+    // NULL band value = outside the band (never silently landed)
+    val nullBatch = Seq((900L, Option.empty[Long])).toDF("k", "n")
+    val err = intercept[IllegalArgumentException] {
+      VT.replaceWhere(spark, root, spec, "n", 0, 2000, nullBatch)
+    }
+    assert(err.getMessage.contains("outside"), err.getMessage)
+    // quarantining into the sink's own table refuses at construction
+    val bad = scala.util.Try {
+      spark.readStream.schema(rows(0, 1).schema)
+        .parquet(rootDir) // never started; createSink runs at start()
+        .writeStream.format("graft.sources.TableSinkProvider")
+        .option("root", root).option("keyCol", "k")
+        .option("expect", "n > 0").option("onViolation", "quarantine")
+        .option("quarantineRoot", root)
+        .option("checkpointLocation", rootDir + "-chk")
+        .start()
+    }
+    assert(bad.isFailure || { bad.get.stop(); false },
+      "self-quarantine must refuse")
+    // ICT: a pre-ICT stamp AHEAD of wallclock must not make later
+    // auto-stamps run backwards
+    val skew = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    val future = System.currentTimeMillis() + 10_000_000L
+    VT.create(spark, rows(0, 5), skew, spec,
+      extraMeta = Map("commit_ts" -> future.toString))
+    VT.setInCommitTimestamps(spark, skew)
+    VT.append(spark, rows(5, 10), skew, spec)
+    val stamps = VT.publishedVersions(skew)
+      .flatMap(v => VT.versionMeta(skew, v).get("commit_ts").map(_.toLong))
+    assert(stamps == stamps.sorted && stamps.distinct == stamps,
+      s"ICT must stay monotone past a skewed stamp: $stamps")
+    assert(VT.versionAsOfTs(skew, stamps.max) == VT.headVersion(skew).get)
+    Seq(rootDir, skew).foreach(p =>
+      graft.operators.Checkpoints.deleteTree(java.nio.file.Paths.get(p)))
+  }
+
   test("commitVersions snapshot: batch 0 attributes each row to the retained version that introduced its file") {
     val root = java.nio.file.Files.createTempDirectory("graft-cs-t").toString
     val chk = java.nio.file.Files.createTempDirectory("graft-cs-c").toString
