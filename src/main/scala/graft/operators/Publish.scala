@@ -41,6 +41,14 @@ object Publish {
 
   private def store: TableStore = TableStore.get
 
+  /** Every public entry canonicalizes its root (VERDICT r15 #1): the
+    * per-root commit lock, the max+1 version scan and the pointer path
+    * must all key on ONE spelling, or `/a/tbl` and `/a/tbl/` writers
+    * get different locks and the serialization silently doesn't hold.
+    */
+  private def canon(rootPath: String): String =
+    TableStore.canonicalRoot(rootPath)
+
   /** The compacted burned-number watermark (max version number whose
     * `.purged` markers were folded away by [[compactPurgedMarkers]]);
     * 0 if none.
@@ -84,7 +92,8 @@ object Publish {
     *
     * @return the number of marker files folded away
     */
-  def compactPurgedMarkers(rootPath: String): Int = {
+  def compactPurgedMarkers(rootPath0: String): Int = {
+    val rootPath = canon(rootPath0)
     if (!store.isDirectory(rootPath)) 0
     else {
       val markers = store.listNames(rootPath)
@@ -111,19 +120,21 @@ object Publish {
     * nothing): a reclaimed version DID commit content that is now
     * gone, so anything diffing across it must refuse, not skip.
     */
-  def isReclaimed(rootPath: String, version: String): Boolean =
+  def isReclaimed(rootPath0: String, version: String): Boolean = {
+    val rootPath = canon(rootPath0)
     store.exists(s"$rootPath/$version.purged") ||
       version.drop(1).takeWhile(_.isDigit).toLong <= burnedWatermark(rootPath)
+  }
 
   /** True when `version` is a `.failed` tombstone (an attempt vetoed
     * before its pointer swap — it never held committed content).
     */
   def isFailedAttempt(rootPath: String, version: String): Boolean =
-    store.exists(s"$rootPath/$version.failed")
+    store.exists(s"${canon(rootPath)}/$version.failed")
 
   /** The currently published version name, if any. */
   def currentVersion(rootPath: String): Option[String] = {
-    val ptr = s"$rootPath/$Pointer"
+    val ptr = s"${canon(rootPath)}/$Pointer"
     if (store.exists(ptr)) Some(store.readString(ptr).trim)
     else None
   }
@@ -155,7 +166,22 @@ object Publish {
               audit: DataFrame => Unit = _ => (),
               partitionBy: Seq[String] = Nil,
               meta: Map[String, String] = Map.empty): String =
-    publishGuarded(df, rootPath, audit, partitionBy, meta, () => ())
+    publishGuarded(df, rootPath, audit, partitionBy, () => meta, () => ())
+
+  /** [[publish]] with the `_META` pairs COMPUTED INSIDE the per-root
+    * commit critical section (ADVICE r15): a meta value derived from
+    * the table's current state — the in-commit-timestamp stamp, a
+    * running watermark — must be minted while no concurrent writer can
+    * commit, or two writers read the same predecessor and mint
+    * identical stamps (breaking the strictly-increasing contract the
+    * stamp exists for). `metaFn` runs exactly once, after the write +
+    * audit pass, immediately before `_META` lands in the version dir.
+    */
+  def publishWith(df: DataFrame, rootPath: String,
+                  audit: DataFrame => Unit = _ => (),
+                  partitionBy: Seq[String] = Nil,
+                  metaFn: () => Map[String, String] = () => Map.empty): String =
+    publishGuarded(df, rootPath, audit, partitionBy, metaFn, () => ())
 
   /** OPTIMISTIC-CONCURRENCY publish: commit only if the published head
     * is still `expectedHead` (as the caller read it when deriving
@@ -175,7 +201,7 @@ object Publish {
                 audit: DataFrame => Unit = _ => (),
                 partitionBy: Seq[String] = Nil,
                 meta: Map[String, String] = Map.empty): String =
-    publishGuarded(df, rootPath, audit, partitionBy, meta, () => {
+    publishGuarded(df, rootPath, audit, partitionBy, () => meta, () => {
       val found = currentVersion(rootPath)
       if (found != expectedHead) throw new PublishConflict(expectedHead, found)
     })
@@ -197,19 +223,25 @@ object Publish {
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def publishGuarded(df: DataFrame, rootPath: String,
+  private def publishGuarded(df: DataFrame, rootPath0: String,
                              audit: DataFrame => Unit,
                              partitionBy: Seq[String],
-                             meta: Map[String, String],
-                             headGuard: () => Unit): String =
+                             metaFn: () => Map[String, String],
+                             headGuard: () => Unit): String = {
+    // lock key = CANONICAL root (VERDICT r15 #1): without this, two
+    // in-JVM writers addressing one table as `/a/tbl` and `/a/tbl/`
+    // get different lock objects, both compute the same max+1 and the
+    // advertised serialization silently doesn't hold
+    val rootPath = canon(rootPath0)
     rootLocks.computeIfAbsent(rootPath, _ => new Object).synchronized {
-      publishLocked(df, rootPath, audit, partitionBy, meta, headGuard)
+      publishLocked(df, rootPath, audit, partitionBy, metaFn, headGuard)
     }
+  }
 
   private def publishLocked(df: DataFrame, rootPath: String,
                             audit: DataFrame => Unit,
                             partitionBy: Seq[String],
-                            meta: Map[String, String],
+                            metaFn: () => Map[String, String],
                             headGuard: () => Unit): String = {
     val spark = df.sparkSession
     store.createDirectories(rootPath)
@@ -232,6 +264,10 @@ object Publish {
       val back = spark.read.parquet(dir)
       require(back.count() > 0, s"publish: $version is empty")
       audit(back)
+      // meta computed HERE, inside the commit critical section (ADVICE
+      // r15): state-derived values (ICT stamps, watermarks) see a head
+      // no concurrent writer can move until this commit's pointer swap
+      val meta = metaFn()
       if (meta.nonEmpty)
         store.writeString(s"$dir/_META",
           meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
@@ -274,7 +310,8 @@ object Publish {
     * pointer are untouched; a crash mid-retirement leaves some old
     * versions live — re-running is idempotent and completes the purge.
     */
-  def retireHistory(rootPath: String): Seq[String] = {
+  def retireHistory(rootPath0: String): Seq[String] = {
+    val rootPath = canon(rootPath0)
     val current = currentVersion(rootPath)
     if (!store.isDirectory(rootPath)) Seq.empty
     else {
@@ -311,9 +348,10 @@ object Publish {
     * + one marker file each) — no data is read, rewritten, or moved;
     * the retained window's bytes are exactly as the commits left them.
     */
-  def vacuumRetain(rootPath: String, keepLast: Int,
+  def vacuumRetain(rootPath0: String, keepLast: Int,
                    alsoKeep: Set[String] = Set.empty): Seq[String] = {
     require(keepLast >= 1, s"vacuumRetain: keepLast must be >= 1, got $keepLast")
+    val rootPath = canon(rootPath0)
     val current = currentVersion(rootPath)
     if (!store.isDirectory(rootPath)) Seq.empty
     else {
@@ -339,7 +377,8 @@ object Publish {
     * [[retireHistory]] this must be empty, and a purge audit that
     * reports otherwise has found data the purge missed.
     */
-  def staleVersions(rootPath: String): Seq[String] = {
+  def staleVersions(rootPath0: String): Seq[String] = {
+    val rootPath = canon(rootPath0)
     val current = currentVersion(rootPath)
     if (!store.isDirectory(rootPath)) Seq.empty
     else store.listNames(rootPath)
@@ -350,7 +389,8 @@ object Publish {
   /** The published state — resolved ONLY through the pointer, so an
     * unpublished (crashed or audit-failed) version is unreachable.
     */
-  def read(spark: SparkSession, rootPath: String): DataFrame = {
+  def read(spark: SparkSession, rootPath0: String): DataFrame = {
+    val rootPath = canon(rootPath0)
     val v = currentVersion(rootPath).getOrElse(
       throw new IllegalStateException(s"Publish.read: no published version under $rootPath"))
     spark.read.parquet(s"$rootPath/$v")
@@ -361,7 +401,7 @@ object Publish {
     * attempt's provenance is still evidence.
     */
   def readMeta(rootPath: String, version: String): Map[String, String] = {
-    val f = s"$rootPath/$version/_META"
+    val f = s"${canon(rootPath)}/$version/_META"
     if (!store.exists(f)) Map.empty
     else store.readString(f)
       .linesIterator.filter(_.contains("="))
@@ -382,7 +422,7 @@ object Publish {
   def readVersion(spark: SparkSession, rootPath: String, version: String): DataFrame = {
     require(version.matches("v\\d+"),
       s"Publish.readVersion: '$version' is not a live version name")
-    val dir = s"$rootPath/$version"
+    val dir = s"${canon(rootPath)}/$version"
     require(store.isDirectory(dir),
       s"Publish.readVersion: $version does not exist under $rootPath (retired or never written)")
     spark.read.parquet(dir)

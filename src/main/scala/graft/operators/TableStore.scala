@@ -76,6 +76,31 @@ object TableStore {
   def get: TableStore = impl
 
   def set(s: TableStore): Unit = impl = s
+
+  /** ONE canonical spelling per table root (VERDICT r15 #1): every
+    * place a root string becomes a KEY — the per-root commit lock,
+    * `manifest/` and `files/` path construction, consumer and branch
+    * resolution — must normalize through this, or two spellings of one
+    * root (`/a/tbl` vs `/a/tbl/` vs `/a//tbl`) silently get different
+    * locks and different registry entries while addressing the same
+    * directory (exactly the trailing-slash bug class the r15 vacuum
+    * repair fixed on the listing side). Pure string normalization —
+    * no filesystem access, and a URI scheme (`s3://bucket/...`) is
+    * preserved untouched: collapse repeated separators, drop `.`
+    * segments and any trailing separator. `..` segments are NOT
+    * resolved (spell roots without them — resolving would need
+    * filesystem semantics this facade deliberately doesn't assume).
+    */
+  def canonicalRoot(path: String): String = {
+    val (scheme, rest) = path.indexOf("://") match {
+      case -1 => ("", path)
+      case i => (path.substring(0, i + 3), path.substring(i + 3))
+    }
+    val abs = rest.startsWith("/")
+    val body = rest.split('/').iterator
+      .filter(s => s.nonEmpty && s != ".").mkString("/")
+    scheme + (if (abs) "/" + body else body)
+  }
 }
 
 /** The default local-filesystem implementation (java.nio), the only

