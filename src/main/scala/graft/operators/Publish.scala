@@ -61,15 +61,17 @@ object Publish {
 
   /** Every number ever attempted — live `v<N>` dirs, `v<N>.failed`
     * tombstones, `v<N>.purged` markers (a vacuumed tombstone's number
-    * stays burned through its marker) AND the compacted `_BURNED`
-    * watermark — so max+1 never reuses a number (a reused name would
-    * let one version string refer to two different contents across
-    * time, breaking any observer that correlates by name).
+    * stays burned through its marker), `v<N>.claim` allocation markers
+    * (a crashed process's claim keeps its number burned) AND the
+    * compacted `_BURNED` watermark — so max+1 never reuses a number (a
+    * reused name would let one version string refer to two different
+    * contents across time, breaking any observer that correlates by
+    * name).
     */
   private def versionDirs(rootPath: String): Seq[Long] =
     if (!store.isDirectory(rootPath)) Seq.empty
     else store.listNames(rootPath)
-      .collect { case n if n.matches("v\\d+(\\.failed|\\.purged)?") =>
+      .collect { case n if n.matches("v\\d+(\\.failed|\\.purged|\\.claim)?") =>
         n.drop(1).takeWhile(_.isDigit).toLong } :+ burnedWatermark(rootPath)
 
   /** MARKER COMPACTION — the janitor's janitor: `.purged` markers keep
@@ -190,11 +192,11 @@ object Publish {
     * Delta/Iceberg commit: a writer that derived its new version from
     * head N must not swap the pointer over a head N+1 someone else
     * published meanwhile (lost update). The check runs after the
-    * write+audit, immediately before the pointer swap; on a real
-    * object store / catalog the swap itself is the conditional
-    * operation — the local store gives us check-then-move, which is
-    * exact for cooperating writers in one JVM (the gate's shape) and
-    * the same-contract stand-in otherwise.
+    * write+audit, immediately before the pointer swap — and the swap
+    * itself is ADDITIONALLY conditional on the head observed at
+    * allocation ([[TableStore.swapIfContentIs]]), so a foreign
+    * PROCESS's commit the in-JVM check cannot see also loses loudly
+    * instead of overwriting.
     */
   def publishIf(df: DataFrame, rootPath: String,
                 expectedHead: Option[String],
@@ -213,9 +215,13 @@ object Publish {
     * publishIf head check before either swaps (lost update). This is
     * the single-JVM stand-in for the commit coordinator every
     * object-store table format needs (Delta's S3 commit service,
-    * Iceberg's catalog conditional-put); a remote [[TableStore]] with
-    * a conditional [[TableStore.atomicSwap]] would narrow the section
-    * to the swap itself. The map holds one permanent Object per
+    * Iceberg's catalog conditional-put); ACROSS processes the lock is
+    * complemented by the claim-file number allocation and the
+    * conditional pointer swap ([[TableStore.createExclusive]] /
+    * [[TableStore.swapIfContentIs]]) — two drivers on one table either
+    * commit serial versions or one loses loudly with
+    * [[PublishConflict]], never a torn dir or a lost update. The map
+    * holds one permanent Object per
     * distinct root this JVM ever published — table roots are few and
     * long-lived; a service hammering ephemeral per-run roots should
     * prefer scoped sessions over this driver-global map.
@@ -245,11 +251,34 @@ object Publish {
                             headGuard: () => Unit): String = {
     val spark = df.sparkSession
     store.createDirectories(rootPath)
-    // max+1 over ALL attempted numbers, published, tombstoned or
-    // orphaned — a failed attempt's number is burned, its tombstone
-    // dead weight until a janitor removes it (never silently reused)
-    val version = "v%05d".format(versionDirs(rootPath).foldLeft(0L)(math.max) + 1)
+    // head observed at allocation: the CONDITIONAL pointer swap below
+    // re-checks it, so a FOREIGN PROCESS committing between here and
+    // the swap makes exactly one of the two commits lose loudly —
+    // never both winning one head, never a torn pointer (VERDICT r15
+    // #2; the in-JVM lock cannot see another driver)
+    val headAtAlloc = currentVersion(rootPath)
+    // max+1 over ALL attempted numbers, published, tombstoned,
+    // orphaned or claimed — a failed attempt's number is burned, its
+    // tombstone dead weight until a janitor removes it (never silently
+    // reused). The number is then CLAIMED with an atomic create-new
+    // marker, so two PROCESSES can never write one version dir: a
+    // foreign claimer just forces the next number (serial versions).
+    var n = versionDirs(rootPath).foldLeft(0L)(math.max) + 1
+    while (!store.createExclusive(s"$rootPath/" + "v%05d.claim".format(n)))
+      n += 1
+    val version = "v%05d".format(n)
+    val claim = s"$rootPath/$version.claim"
     val dir = s"$rootPath/$version"
+    // tombstone, don't delete: renaming to `.failed` makes the attempt
+    // unreadable by name while KEEPING its number in the max+1 scan
+    // (the claim marker then has no job left and is dropped); if even
+    // the rename fails, the claim marker stays as the number's burner
+    def tombstone(): Unit =
+      try {
+        store.rename(dir, s"$rootPath/$version.failed")
+        store.deleteIfExists(claim)
+        ()
+      } catch { case _: java.io.IOException => store.deleteTree(dir) }
     try {
       // optional SHARDING: hive-style partition dirs inside the
       // immutable version (pack_group=N shard files for a corpus
@@ -277,19 +306,21 @@ object Publish {
       headGuard()
     } catch {
       case e: Throwable =>
-        // tombstone, don't delete: renaming to `.failed` makes the
-        // attempt unreadable by name while KEEPING its number in the
-        // max+1 scan — deleting would hand the same version name to
-        // the next publish with different content, confusing any
-        // observer that saw (and logged) the failed attempt
-        try store.rename(dir, s"$rootPath/$version.failed")
-        catch { case _: java.io.IOException => store.deleteTree(dir) }
+        tombstone()
         throw e
     }
-    // PUBLISH: stage the pointer, then one atomic move
-    val tmp = s"$rootPath/$Pointer.tmp"
+    // PUBLISH: stage the pointer (a per-attempt name — two processes
+    // staging simultaneously must not collide), then ONE conditional
+    // atomic move. The compare half detects a foreign process's commit
+    // since allocation and vetoes this one loudly — the same
+    // tombstone-and-conflict a failed publishIf head check takes.
+    val tmp = s"$rootPath/$Pointer.tmp-$version"
     store.writeString(tmp, version)
-    store.atomicSwap(tmp, s"$rootPath/$Pointer")
+    if (!store.swapIfContentIs(tmp, s"$rootPath/$Pointer", headAtAlloc)) {
+      tombstone()
+      throw new PublishConflict(headAtAlloc, currentVersion(rootPath))
+    }
+    store.deleteIfExists(claim)
     version
   }
 

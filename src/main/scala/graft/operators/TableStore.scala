@@ -58,12 +58,56 @@ trait TableStore {
   /** Atomically replace `dst` with the staged `tmp`. */
   def atomicSwap(tmp: String, dst: String): Unit
 
+  /** Atomic CREATE-NEW of an empty file: true when this call created
+    * it, false when it already existed — the cross-process CLAIM
+    * primitive (version-number allocation: two driver processes can
+    * never both win one number). The default composes exists +
+    * createMarker under a JVM-wide monitor and is therefore atomic
+    * only against cooperating callers in THIS process; a deployment
+    * overrides it with the store's own atomic create (`O_EXCL`, an
+    * if-none-match put), as the local impl does.
+    */
+  def createExclusive(path: String): Boolean =
+    TableStore.jvmCas.synchronized {
+      if (exists(path)) false else { createMarker(path); true }
+    }
+
+  /** COMPARE-AND-SWAP pointer publish (VERDICT r15 #2): atomically
+    * replace `dst` with the staged `tmp` ONLY IF dst's current content
+    * (trimmed) equals `expected` (None = dst must not exist yet).
+    * Returns whether the swap happened; on refusal the staged tmp is
+    * deleted. Unlike [[atomicSwap]], the compare and the move are ONE
+    * atom ACROSS PROCESSES — this is Delta's LogStore putIfAbsent / an
+    * object store's conditional put (ETag compare-and-set) / a
+    * catalog's conditional commit, the primitive the in-JVM commit
+    * lock cannot substitute for when two DRIVERS share one table. The
+    * default composes read + swap under a JVM-wide monitor (in-JVM
+    * atomic only — fine for fault-injecting spec wrappers); the local
+    * impl holds an OS file lock so two processes on one filesystem
+    * cannot both win.
+    */
+  def swapIfContentIs(tmp: String, dst: String,
+                      expected: Option[String]): Boolean =
+    TableStore.jvmCas.synchronized {
+      val found = if (exists(dst)) Some(readString(dst).trim) else None
+      if (found != expected) { deleteIfExists(tmp); false }
+      else { atomicSwap(tmp, dst); true }
+    }
+
   /** Non-replacing rename; throws `java.io.IOException` when the
     * target exists or the move fails.
     */
   def rename(src: String, dst: String): Unit
 
   def size(path: String): Long
+
+  /** Last-modified instant, epoch millis. Contract (ADVICE r15):
+    * meaningful for FILES only — implementations need not maintain
+    * directory mtimes (object stores have no directory entries at
+    * all), so age-based policies must derive a directory's age from
+    * the max over its CHILDREN's mtimes, never from the directory
+    * entry itself.
+    */
   def lastModifiedMs(path: String): Long
 }
 
@@ -76,6 +120,13 @@ object TableStore {
   def get: TableStore = impl
 
   def set(s: TableStore): Unit = impl = s
+
+  /** JVM-wide monitor backing the trait's DEFAULT (in-process-only)
+    * [[TableStore.createExclusive]] / [[TableStore.swapIfContentIs]]
+    * compositions — coarse but correct for the control-plane's short,
+    * rare critical sections.
+    */
+  private[operators] val jvmCas = new Object
 
   /** ONE canonical spelling per table root (VERDICT r15 #1): every
     * place a root string becomes a KEY — the per-root commit lock,
@@ -169,6 +220,37 @@ object LocalTableStore extends TableStore {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  override def createExclusive(path: String): Boolean =
+    try { java.nio.file.Files.createFile(p(path)); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  private val casMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Cross-PROCESS CAS: an OS advisory file lock on `dst + ".lock"`
+    * makes the compare and the move one atom across drivers sharing a
+    * filesystem. Same-JVM threads serialize on a monitor FIRST — file
+    * locks are held per-process, and an overlapping same-JVM
+    * acquisition throws rather than blocks.
+    */
+  override def swapIfContentIs(tmp: String, dst: String,
+                               expected: Option[String]): Boolean =
+    casMonitors.computeIfAbsent(dst, _ => new Object).synchronized {
+      val ch = java.nio.channels.FileChannel.open(p(dst + ".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try {
+          val found =
+            if (java.nio.file.Files.exists(p(dst))) Some(readString(dst).trim)
+            else None
+          if (found != expected) { deleteIfExists(tmp); false }
+          else { atomicSwap(tmp, dst); true }
+        } finally { lk.release() }
+      } finally ch.close()
+    }
 
   override def rename(src: String, dst: String): Unit = {
     java.nio.file.Files.move(p(src), p(dst))

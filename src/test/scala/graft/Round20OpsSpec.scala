@@ -163,6 +163,103 @@ class Round20OpsSpec extends SparkSpec {
     LocalTableStore.deleteTree(base)
   }
 
+  test("store CAS contract: swapIfContentIs is a one-atom compare-and-move; createExclusive claims exactly once") {
+    val s = LocalTableStore
+    val r = java.nio.file.Files.createTempDirectory("graft-cas").toString
+    // claim: first caller wins, second reads false
+    assert(s.createExclusive(s"$r/v00001.claim"))
+    assert(!s.createExclusive(s"$r/v00001.claim"))
+    // CAS against an absent pointer (None = must not exist)
+    s.writeString(s"$r/ptr.tmp1", "v00001")
+    assert(s.swapIfContentIs(s"$r/ptr.tmp1", s"$r/ptr", None))
+    assert(s.readString(s"$r/ptr") == "v00001")
+    // CAS with the right expectation swaps; tmp consumed
+    s.writeString(s"$r/ptr.tmp2", "v00002")
+    assert(s.swapIfContentIs(s"$r/ptr.tmp2", s"$r/ptr", Some("v00001")))
+    assert(s.readString(s"$r/ptr") == "v00002" && !s.exists(s"$r/ptr.tmp2"))
+    // CAS with a stale expectation refuses AND deletes the staged tmp
+    s.writeString(s"$r/ptr.tmp3", "v00003")
+    assert(!s.swapIfContentIs(s"$r/ptr.tmp3", s"$r/ptr", Some("v00001")))
+    assert(s.readString(s"$r/ptr") == "v00002", "a refused CAS must not move the pointer")
+    assert(!s.exists(s"$r/ptr.tmp3"), "a refused CAS must consume its staged tmp")
+    // None-expectation against an existing pointer refuses
+    s.writeString(s"$r/ptr.tmp4", "v00004")
+    assert(!s.swapIfContentIs(s"$r/ptr.tmp4", s"$r/ptr", None))
+    s.deleteTree(r)
+  }
+
+  test("cross-process fence: a foreign commit inside the swap window loses exactly one writer, never tears the table") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-xproc").toString
+    val root = s"$base/t"
+    Publish.publish(Seq((1, 1)).toDF("a", "b"), root) // v1
+    // simulate a FOREIGN PROCESS committing between this JVM's version
+    // allocation and its pointer swap: the injection fires inside the
+    // commit critical section (where the in-JVM lock is already held,
+    // so only raw store ops can model the other driver), claiming the
+    // next number, landing a version dir with _SUCCESS and moving the
+    // pointer — exactly what a second driver's publishLocked does
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val foreign = new Forward(LocalTableStore) {
+      override def writeString(p: String, c: String) = {
+        if (p.contains("_CURRENT.tmp-") && injected.compareAndSet(false, true)) {
+          val d = LocalTableStore
+          assert(!d.createExclusive(s"$root/v00002.claim"),
+            "the local writer must already hold the claim for its number")
+          assert(d.createExclusive(s"$root/v00003.claim"))
+          d.createDirectories(s"$root/v00003")
+          d.createMarker(s"$root/v00003/_SUCCESS")
+          d.writeString(s"$root/_CURRENT.tmp-foreign", "v00003")
+          assert(d.swapIfContentIs(s"$root/_CURRENT.tmp-foreign",
+            s"$root/_CURRENT", Some("v00001")))
+          d.deleteIfExists(s"$root/v00003.claim")
+          ()
+        }
+        super.writeString(p, c)
+      }
+    }
+    TableStore.set(foreign)
+    val conflict =
+      try intercept[Publish.PublishConflict] {
+        Publish.publish(Seq((2, 2)).toDF("a", "b"), root)
+      } finally TableStore.set(LocalTableStore)
+    assert(conflict.expectedHead.contains("v00001") &&
+      conflict.foundHead.contains("v00003"))
+    // the foreign winner IS the head; the local loser is tombstoned,
+    // its number burned; nothing is torn
+    assert(Publish.currentVersion(root).contains("v00003"))
+    assert(LocalTableStore.exists(s"$root/v00002.failed"))
+    assert(!LocalTableStore.isDirectory(s"$root/v00002"))
+    // the next publish recovers cleanly past both numbers
+    Publish.publish(Seq((3, 3)).toDF("a", "b"), root)
+    assert(Publish.currentVersion(root).contains("v00004"))
+    LocalTableStore.deleteTree(base)
+  }
+
+  test("foreign claim forces the next number: two processes can never write one version dir") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-claim").toString
+    val root = s"$base/t"
+    Publish.publish(Seq((1, 1)).toDF("a", "b"), root) // v1
+    // a foreign process mid-commit holds the claim for v2 (and has
+    // started writing its dir — torn, no _SUCCESS yet)
+    assert(LocalTableStore.createExclusive(s"$root/v00002.claim"))
+    LocalTableStore.createDirectories(s"$root/v00002")
+    LocalTableStore.writeString(s"$root/v00002/part-half-written", "x")
+    // this JVM's publish skips to v3 — the foreign dir is untouched
+    val v = Publish.publish(Seq((2, 2)).toDF("a", "b"), root)
+    assert(v == "v00003", s"a claimed number must be skipped, got $v")
+    assert(Publish.currentVersion(root).contains("v00003"))
+    assert(LocalTableStore.exists(s"$root/v00002/part-half-written"),
+      "the foreign writer's in-flight dir must not be touched")
+    assert(LocalTableStore.exists(s"$root/v00002.claim"),
+      "the foreign claim is the foreign writer's to release")
+    // a crashed foreign claim keeps its number burned forever
+    Publish.publish(Seq((3, 3)).toDF("a", "b"), root)
+    assert(Publish.currentVersion(root).contains("v00004"))
+    LocalTableStore.deleteTree(base)
+  }
+
   test("_ts_max advances past explicit stamps: a later auto-stamp never mints below history") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-icte").toString
