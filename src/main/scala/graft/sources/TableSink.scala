@@ -151,33 +151,67 @@ private[sources] class GraftTableSink(root: String,
     * ([[VersionedTable.vacuum]]) is version-true and a caught-up
     * sink releases every spool. Works for EMPTY windows too
     * (property-only commits still advance the offset), which no
-    * per-row `_commit_version` max could. None when the plan has no
-    * unambiguous graft-feed source (raw external CDC into applySeq).
+    * per-row `_commit_version` max could. Empty when the plan has no
+    * graft-feed source (raw external CDC into applySeq); one entry
+    * PER FEED RELATION when it has several (a union stream) —
+    * resolved per mode (VERDICT r15 #4): `apply`/`applySeq` REFUSE a
+    * multi-feed plan (one `applied_upto` watermark cannot be
+    * exactly-once for two independently-advancing sources — the
+    * min would re-apply the ahead source's redelivered windows),
+    * while `append` stamps the MIN end (batchId carries replay
+    * idempotence there, so `applied_upto` is purely a custody floor,
+    * and a floor at-or-below each source's true end only ever retains
+    * MORE — both spools still drain once both sources catch up).
     */
-  private def feedWindowEnd(data: DataFrame): Option[Long] = {
+  private def feedWindowEnds(data: DataFrame): Seq[Long] = {
     import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation
     // one offset per RELATION, not distinct values: two feed sources
     // that happen to sit at the same version number are still two
     // sources — their coincident offset is meaningless as a watermark
-    val ends = data.queryExecution.logical.collect {
+    data.queryExecution.logical.collect {
       case r: StreamingDataSourceV2ScanRelation
           if r.stream.isInstanceOf[FeedMicroBatchStream] =>
         r.endOffset.toSeq.collect { case o: FeedOffset => o.version }
-    }
-    if (ends.length == 1 && ends.head.length == 1) Some(ends.head.head)
-    else None
+    }.collect { case Seq(v) => v }
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val s = data.sparkSession
-    val windowEnd = feedWindowEnd(data)
+    val ends = feedWindowEnds(data)
+    val windowEnd = ends match {
+      case Seq(one) => Some(one)
+      case Seq() => None
+      case many =>
+        // a UNION of graft-feeds: no single source-version watermark
+        // exists for the apply modes' exactly-once contract — refuse
+        // loudly rather than silently degrade to the batch counter
+        // (VERDICT r15 #4); append mode takes the MIN as a
+        // conservative custody floor (≤ each source's true end, so
+        // vacuum only ever retains more, never tears a spool a
+        // restart still needs)
+        require(mode == "append",
+          s"graft-table $mode: the micro-batch plan carries " +
+            s"${many.length} graft-feed sources — one applied_upto " +
+            "watermark cannot be exactly-once for independently-" +
+            "advancing sources (the min would re-apply the ahead " +
+            "source's redelivered windows). Replicate each source " +
+            "through its own stream, or union into an append-mode log")
+        Some(many.min)
+    }
     // the streaming frame can't be consumed by batch verbs directly —
     // re-root its physical rows as a batch frame (the Delta sink move)
     val batch0 = GraftSqlBridge.fromInternalRdd(s,
       data.queryExecution.toRdd, data.schema)
     // feed metadata columns are transport, not payload: a replica
     // never stores another table's commit lineage
-    val full = batch0.drop("_commit_version", "_commit_timestamp")
+    val full0 = batch0.drop("_commit_version", "_commit_version_num",
+      "_commit_timestamp")
+    // with expectations, the re-rooted batch is consumed 2–3× (the
+    // violation probe plus the keep-side commit, plus the quarantine
+    // leg) — persist for the scope of this addBatch (ADVICE r15), or
+    // every pass recomputes the micro-batch plan from the source
+    val full = if (expect.isDefined) full0.persist() else full0
+    try {
     // EXPECTATIONS (the DLT quality-gate trio): a row KEEPS only when
     // the predicate is TRUE — false or NULL violates (the DLT rule).
     // fail: any violation aborts the batch before anything commits;
@@ -280,6 +314,7 @@ private[sources] class GraftTableSink(root: String,
         .filter(col("action") === "optimize-compact").count()
       if (due >= 4) { VersionedTable.optimizeCompact(s, root, spec, targetBytes); () }
     }
+    } finally { if (expect.isDefined) { full.unpersist(); () } }
   }
 
   override def toString: String = s"GraftTableSink($root, mode=$mode)"

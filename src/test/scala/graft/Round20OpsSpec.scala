@@ -260,6 +260,69 @@ class Round20OpsSpec extends SparkSpec {
     LocalTableStore.deleteTree(base)
   }
 
+  test("two-feed union custody (VERDICT r15 #4): apply refuses loudly; append stamps the min end and both spools drain at catch-up") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    def rows(ks: Long*) = ks.map(k => (k, k * 10)).toDF("k", "n")
+    val spec = VersionedTable.Spec(Seq("n"), "k", 1 << 10)
+    val base = java.nio.file.Files.createTempDirectory("graft-2feed").toString
+    val srcA = s"$base/a"
+    val srcB = s"$base/b"
+    val replica = s"$base/r"
+    VersionedTable.create(spark, rows(1, 2), srcA, spec) // A v1
+    VersionedTable.append(spark, rows(3), srcA, spec) // A v2
+    VersionedTable.create(spark, rows(101, 102), srcB, spec) // B v1
+    VersionedTable.append(spark, rows(103), srcB, spec) // B v2
+    VersionedTable.append(spark, rows(104), srcB, spec) // B v3 — ahead of A
+    def feed(src: String) = spark.readStream
+      .format("graft.sources.FeedStreamProvider")
+      .option("root", src).option("startingVersion", "snapshot").load()
+    def drain(mode: String, chk: String): Unit = {
+      val q = feed(srcA).unionByName(feed(srcB))
+        .writeStream.format("graft.sources.TableSinkProvider")
+        .option("root", replica).option("keyCol", "k").option("statCols", "n")
+        .option("mode", mode)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // apply mode: a union of two graft-feeds has NO single
+    // source-version watermark — the sink must refuse, not silently
+    // degrade to the batch counter
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain("apply", s"$base/chk-apply")
+    }
+    assert(Option(ex.getCause).exists(_.getMessage.contains("graft-feed sources")),
+      s"the refusal must name the multi-feed plan: ${ex.getCause}")
+    assert(VersionedTable.headVersion(replica).isEmpty,
+      "a refused apply must commit nothing")
+    // append mode: min(endA=2, endB=3) is a conservative custody floor
+    drain("append", s"$base/chk-append")
+    assert(VersionedTable.read(spark, replica).count() == 7L)
+    assert(VersionedTable.headMeta(replica, "applied_upto").contains("v00002"),
+      s"min across feed ends expected, got " +
+        s"${VersionedTable.headMeta(replica, "applied_upto")}")
+    // vacuum with the replica registered: A (end 2 ≤ floor 2) drains
+    // fully; B keeps its v3 snapshot spool (floor 2 < 3 — retained,
+    // the safe direction)
+    VersionedTable.vacuum(spark, srcA, keepLast = 10, consumers = Seq(replica))
+    VersionedTable.vacuum(spark, srcB, keepLast = 10, consumers = Seq(replica))
+    def spools(src: String): Seq[String] =
+      LocalTableStore.listNames(s"$src/_stream").filter(_.startsWith("w_"))
+    assert(spools(srcA).isEmpty, s"A caught up — spools must drain: ${spools(srcA)}")
+    assert(spools(srcB).nonEmpty, "B is ahead of the min floor — its spool must survive")
+    // A catches up to v3 → the floor advances to min(3,3)=3 and BOTH
+    // sources' spools are reclaimed (the 'Done' shape)
+    VersionedTable.append(spark, rows(4), srcA, spec) // A v3
+    drain("append", s"$base/chk-append")
+    assert(VersionedTable.headMeta(replica, "applied_upto").contains("v00003"))
+    VersionedTable.vacuum(spark, srcA, keepLast = 10, consumers = Seq(replica))
+    VersionedTable.vacuum(spark, srcB, keepLast = 10, consumers = Seq(replica))
+    assert(spools(srcA).isEmpty && spools(srcB).isEmpty,
+      s"both sources caught up — all spools drain: ${spools(srcA)} / ${spools(srcB)}")
+    LocalTableStore.deleteTree(base)
+  }
+
   test("_ts_max advances past explicit stamps: a later auto-stamp never mints below history") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-icte").toString
