@@ -323,6 +323,37 @@ class Round20OpsSpec extends SparkSpec {
     LocalTableStore.deleteTree(base)
   }
 
+  test("commitBatch/readCommitted route through the TableStore facade (VERDICT r15 #5), replay-idempotent across spellings") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-eo-fac").toString
+    val root = s"$base/out"
+    val swaps = new java.util.concurrent.atomic.AtomicLong(0)
+    val lists = new java.util.concurrent.atomic.AtomicLong(0)
+    val counting = new Forward(LocalTableStore) {
+      override def atomicSwap(t: String, p: String) = {
+        if (p.endsWith("_COMMITTED")) swaps.incrementAndGet()
+        super.atomicSwap(t, p)
+      }
+      override def listNames(p: String) = {
+        lists.incrementAndGet(); super.listNames(p)
+      }
+    }
+    TableStore.set(counting)
+    try {
+      val st = graft.streaming.StreamingStage
+      assert(st.commitBatch(Seq((1, 1)).toDF("a", "b"), root, 0))
+      // a replayed batchId is SKIPPED — even through another spelling
+      assert(!st.commitBatch(Seq((9, 9)).toDF("a", "b"), root + "/", 0))
+      assert(st.commitBatch(Seq((2, 2)).toDF("a", "b"), root, 1))
+      assert(swaps.get() == 2L,
+        s"each real commit is one marker swap THROUGH the facade, got ${swaps.get()}")
+      val back = graft.streaming.StreamingStage.readCommitted(spark, root)
+      assert(back.collect().map(_.getInt(0)).toSet == Set(2))
+      assert(lists.get() >= 1L, "committed-batch resolution must route through the facade")
+    } finally TableStore.set(LocalTableStore)
+    LocalTableStore.deleteTree(base)
+  }
+
   test("_ts_max advances past explicit stamps: a later auto-stamp never mints below history") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-icte").toString
