@@ -2063,18 +2063,19 @@ object SparkEntry {
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents)
         |SELECT doc_id, lang, n_chars, 'insert' AS change_type,
         |  'v00002' AS _commit_version,
-        |  CAST(1000 AS BIGINT) AS _commit_timestamp
+        |  CAST(1000 AS BIGINT) AS _commit_timestamp,
+        |  CAST(2 AS BIGINT) AS _commit_version_num
         |FROM base WHERE doc_id % 3 = 1
         |UNION ALL
-        |SELECT doc_id, lang, n_chars, 'delete', 'v00003', 3000
+        |SELECT doc_id, lang, n_chars, 'delete', 'v00003', 3000, 3
         |FROM base WHERE doc_id % 11 = 0 AND doc_id % 3 < 2
         |UNION ALL
-        |SELECT doc_id, lang, n_chars + 1000, 'insert', 'v00003', 3000
+        |SELECT doc_id, lang, n_chars + 1000, 'insert', 'v00003', 3000, 3
         |FROM base WHERE doc_id % 11 = 0 AND doc_id % 3 < 2
         |UNION ALL
         |SELECT doc_id, lang,
         |  n_chars + CASE WHEN doc_id % 11 = 0 THEN 1000 ELSE 0 END,
-        |  'delete', 'v00004', 3000
+        |  'delete', 'v00004', 3000, 4
         |FROM base WHERE doc_id % 13 = 0 AND doc_id % 3 < 2""".stripMargin,
     // raw out-of-order CDC net outcome: per key the highest sequence
     // wins — stale deletes under a superseding insert, update pairs,

@@ -1048,8 +1048,11 @@ object VersionedTable {
   }
 
   /** [[changeFeed]] with PER-ROW COMMIT ATTRIBUTION — Delta CDF's
-    * `_commit_version` / `_commit_timestamp` metadata columns (VERDICT
-    * r14 frontier gap #1). The window is stepped per PUBLISHED version
+    * `_commit_version` / `_commit_timestamp` / `_commit_version_num`
+    * metadata columns (VERDICT r14 frontier gap #1; the numeric twin
+    * exists because Delta CDF types `_commit_version` as LONG where
+    * this repo stamps the version NAME). The window is stepped per
+    * PUBLISHED version
     * (the finest segmentation [[changeFeed]]'s own content-identical/
     * CDC splitting already converges to) and each step's rows are
     * stamped with the version that committed them plus that version's
@@ -1089,6 +1092,11 @@ object VersionedTable {
         .withColumn("_commit_timestamp",
           lit(ts.getOrElse(b, None).map(java.lang.Long.valueOf).orNull)
             .cast("long"))
+        // numeric twin (ADVICE r15): Delta CDF emits _commit_version
+        // as a LONG; this repo's primary stamp is the version NAME
+        // (the repo-wide version identity) — consumers ported from
+        // Delta read the number here instead of parsing the name
+        .withColumn("_commit_version_num", lit(vNum(b)))
     }.toSeq
     val finalCols = pieces.last.columns.toSeq
     pieces.foreach(p => require(p.columns.forall(finalCols.contains),
@@ -2547,8 +2555,18 @@ object VersionedTable {
         n match {
           case W(_, b, _) =>
             val consumed = floor.exists(b.toLong <= _)
-            val aged = floor.isEmpty && spoolCutoff.exists(c =>
-              TableStore.get.lastModifiedMs(s"$sdir/$n") <= c)
+            // age by the max over the spool's CHILDREN (ADVICE r15):
+            // the TableStore contract guarantees mtimes for FILES
+            // only — object stores have no directory entries, so a
+            // directory mtime there reads absent/epoch-zero and every
+            // spool would count as aged. An empty (torn-creation)
+            // spool is left for its writer to overwrite.
+            val aged = floor.isEmpty && spoolCutoff.exists { c =>
+              val kids = TableStore.get.listNames(s"$sdir/$n")
+              kids.nonEmpty &&
+                kids.map(k => TableStore.get.lastModifiedMs(s"$sdir/$n/$k"))
+                  .max <= c
+            }
             if (consumed || aged) TableStore.get.deleteTree(s"$sdir/$n")
           case _ => ()
         }

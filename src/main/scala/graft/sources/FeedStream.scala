@@ -148,10 +148,15 @@ private[graft] object FeedStream {
   /** head logical schema + change_type — the [[VersionedTable.changeFeed]]
     * output shape. Any Spark SQL column type streams: the spool is
     * ordinary parquet read back through Spark's own reader. With
-    * `commitVersions`, two metadata columns follow (the Delta CDF
-    * shape): `_commit_version` (the version that committed the row)
-    * and `_commit_timestamp` (its effective writer stamp, null before
-    * the first stamped commit).
+    * `commitVersions`, three metadata columns follow (the Delta CDF
+    * shape): `_commit_version` (the version that committed the row),
+    * `_commit_timestamp` (its effective writer stamp, null before
+    * the first stamped commit) and `_commit_version_num` — the numeric
+    * twin of the version stamp. Divergence note (ADVICE r15): Delta
+    * CDF types `_commit_version` as a LONG; here the primary stamp is
+    * the version NAME (the string identity every other verb in this
+    * repo correlates by), and a consumer ported from Delta reads the
+    * long from `_commit_version_num` instead of parsing the name.
     */
   def feedSchema(root: String, commitVersions: Boolean = false): StructType = {
     val base = VersionedTable.read(SparkSession.active, root).schema
@@ -161,7 +166,8 @@ private[graft] object FeedStream {
       if (!commitVersions) withCt
       else withCt ++ Seq(
         StructField("_commit_version", StringType, nullable = false),
-        StructField("_commit_timestamp", LongType, nullable = true)))
+        StructField("_commit_timestamp", LongType, nullable = true),
+        StructField("_commit_version_num", LongType, nullable = false)))
   }
 
   /** Manifest-diff byte estimates actually COMPUTED (memo misses) —
@@ -327,6 +333,9 @@ private[sources] class FeedMicroBatchStream(schema: StructType, root: String,
               VersionedTable.readVersionWithCommitVersion(spark, root, vName(b))
                 .join(org.apache.spark.sql.functions.broadcast(tsDf),
                   Seq("_commit_version"), "left")
+                .withColumn("_commit_version_num",
+                  org.apache.spark.sql.functions.expr(
+                    "CAST(substring(_commit_version, 2) AS BIGINT)"))
             } else VersionedTable.readVersion(spark, root, vName(b))
           snap.withColumn("change_type",
             org.apache.spark.sql.functions.lit("insert"))

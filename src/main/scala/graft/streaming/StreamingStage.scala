@@ -2258,7 +2258,8 @@ object StreamingStage {
       s"one micro-batch per source commit expected, got $nBatches")
     spark.read.parquet(out)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("change_type"),
-        col("_commit_version"), col("_commit_timestamp"))
+        col("_commit_version"), col("_commit_timestamp"),
+        col("_commit_version_num"))
   }
 
   private val sinkExpStagePrev =

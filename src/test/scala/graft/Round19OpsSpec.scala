@@ -220,12 +220,15 @@ class Round19OpsSpec extends SparkSpec {
     drain(chk)
     assert(spools(root) == Set("w_v00001_v00002", "w_v00002_v00003"))
     def backdate(): Unit = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(root, "_stream"))
+      // aging keys on the spools' CHILDREN (ADVICE r15: no
+      // directory-mtime contract) — backdate every file in the tree
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10 * 60 * 1000L)
+      val st = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(root, "_stream"))
       try { import scala.jdk.CollectionConverters._
         st.iterator().asScala.foreach(p =>
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() - 10 * 60 * 1000L)))
+          java.nio.file.Files.setLastModifiedTime(p, old))
       } finally st.close()
     }
     backdate()
@@ -278,7 +281,11 @@ class Round19OpsSpec extends SparkSpec {
     val evolved = VersionedTable.changeFeedWithCommitVersions(
       spark, root, "v00002", "v00004")
     assert(evolved.columns.toSeq ==
-      Seq("k", "n", "x", "change_type", "_commit_version", "_commit_timestamp"))
+      Seq("k", "n", "x", "change_type", "_commit_version",
+        "_commit_timestamp", "_commit_version_num"))
+    // the numeric twin agrees with the name stamp, row by row
+    assert(evolved.collect().forall(r =>
+      r.getLong(6) == r.getString(4).drop(1).toLong))
     val byV = evolved.collect().groupBy(_.getString(4))
     assert(byV("v00003").forall(_.isNullAt(2)),
       "pre-evolution rows must backfill null on the added column")
