@@ -5823,6 +5823,62 @@ object ExtQueries {
       .unionByName(slice("2_feed_applied", applied))
   }
 
+  private val fsckRepairPrev =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Emergency dangling-reference repair (`layout_fsck_repair`,
+    * [[graft.operators.VersionedTable.repairMissingFiles]] — Delta's
+    * `FSCK REPAIR TABLE`): an EXTERNAL cleanup deletes data files out
+    * from under the manifest, and every read fails on the missing
+    * files until the dangling references are dropped. The gate appends
+    * the `de` slice as its own generation (per-commit generation dirs
+    * make the lost file set value-determined, so the oracle can
+    * restate the survivors), deletes exactly that generation's files
+    * through the storage facade, and require()s the full contract:
+    * the broken table refuses to read; the repair drops exactly the
+    * dangling references (manifest-only — the payload is
+    * unrecoverable, that is what "lost" means); a second repair
+    * no-ops at the head; and a change-feed window SPANNING the fsck
+    * commit refuses loudly (the repair carries no CDC — it is filed
+    * in no feed verb class by design, so downstream consumers
+    * re-bootstrap instead of silently missing the disappearance).
+    * Output: the repaired head — the oracle restates the survivor
+    * rows.
+    *
+    * Scale shape (100 TB): one existence probe per manifest row
+    * (control-plane IO through [[graft.operators.TableStore]]) + one
+    * manifest publish — no data read or moved.
+    */
+  def layoutFsckRepair(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Publish, TableStore, VersionedTable}
+    val spec = VersionedTable.Spec(Seq("n_chars"), "doc_id", 1 << 13)
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_fsck").toString
+    val v1 = VersionedTable.create(s, d.filter(col("lang") =!= "de"), root, spec)
+    val v2 = VersionedTable.append(s, d.filter(col("lang") === "de"), root, spec)
+    val mroot = s"$root/manifest"
+    def filesOf(v: String): Set[String] = Publish.readVersion(s, mroot, v)
+      .select("file").collect().map(_.getString(0)).toSet
+    val lost = filesOf(v2) -- filesOf(v1)
+    require(lost.nonEmpty, "the appended generation must own files")
+    // the external cleanup: the de generation's bytes vanish
+    lost.foreach(f => TableStore.get.deleteIfExists(f.stripPrefix("file:")))
+    require(scala.util.Try(VersionedTable.read(s, root).count()).isFailure,
+      "a table referencing missing files must fail to read before repair")
+    val (v3, nDropped) = VersionedTable.repairMissingFiles(s, root)
+    require(nDropped == lost.size,
+      s"repair must drop exactly the dangling references: $nDropped vs ${lost.size}")
+    require(VersionedTable.repairMissingFiles(s, root) == ((v3, 0)),
+      "a second repair must no-op at the repaired head")
+    require(scala.util.Try(
+      VersionedTable.changeFeed(s, root, v2, v3).collect()).isFailure,
+      "a change-feed window across an fsck repair must refuse")
+    retirePrevDir(fsckRepairPrev, root)
+    VersionedTable.read(s, root)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   private val dvPurgeAuditPrev =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

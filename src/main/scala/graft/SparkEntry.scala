@@ -403,6 +403,10 @@ object SparkEntry {
     // DV + append under ONE pointer swap; one feed window carries the
     // whole replacement
     "layout_replace_where" -> (ExtQueries.layoutReplaceWhere _),
+    // r26: FSCK repair — drop manifest references to externally
+    // deleted files; reads refuse before, survivors after, feed
+    // windows across the repair refuse (no CDC for data loss)
+    "layout_fsck_repair" -> (ExtQueries.layoutFsckRepair _),
     // r23: auto-OPTIMIZE inside the ingest loop — manifest-priced plan
     // consult per trigger, compaction absorbs the small generations,
     // batchId replay watermark inherits across maintenance commits
@@ -2134,6 +2138,12 @@ object SparkEntry {
         |SELECT '1_head' AS slice, doc_id, lang, n_chars FROM final
         |UNION ALL
         |SELECT '2_feed_applied', doc_id, lang, n_chars FROM final""".stripMargin,
+    // FSCK repair: after the de generation's files are externally
+    // deleted and the references repaired away, the head is exactly
+    // the survivor rows — one row resurrected or over-dropped
+    // diverges the hash
+    "layout_fsck_repair" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'de'",
     // the merged profile equals the batch per-user aggregate no
     // matter how events split across micro-batches — the exactly-once
     // CDC-apply contract stated directly
