@@ -951,3 +951,86 @@ object TableVerbSmoke {
     spark.stop()
   }
 }
+
+/** ICT COMMIT-COST smoke (VERDICT r15 #3): per-stamped-commit
+  * control-plane reads and wall time at three commit-history depths —
+  * 5, 50, 500 — on one `ict=on` table. The r15 shape re-derived the
+  * all-history max stamp on every commit (every version's `_SUCCESS`
+  * probed, the whole `_ts_index` parsed: O(history) per commit,
+  * O(history²) cumulative); the `_ts_max` running-max line makes the
+  * stamp read O(1), and this smoke states it as counted store ops at
+  * a 500-commit table: expect ZERO `_ts_index` reads, ONE `_ts_max`
+  * read, and `_META`/exists counts that do not grow with depth.
+  *
+  * Usage: `sbt "runMain graft.IctCommitSmoke"`.
+  */
+object IctCommitSmoke {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.{LocalTableStore, TableStore, VersionedTable}
+    val spark = Sessions.local("graft-ict-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ict-smoke").toString + "/t"
+    val spec = VersionedTable.Spec(Seq("n"), "k", 1 << 10)
+    VersionedTable.create(spark,
+      (0L until 16L).map(i => (i, i)).toDF("k", "n"), root, spec)
+    VersionedTable.setInCommitTimestamps(spark, root)
+    val tsIndexReads = new java.util.concurrent.atomic.AtomicLong(0)
+    val tsMaxReads = new java.util.concurrent.atomic.AtomicLong(0)
+    val metaReads = new java.util.concurrent.atomic.AtomicLong(0)
+    val existsCalls = new java.util.concurrent.atomic.AtomicLong(0)
+    val counting = new TableStore {
+      private val d = LocalTableStore
+      override def exists(p: String) = {
+        existsCalls.incrementAndGet(); d.exists(p)
+      }
+      override def isDirectory(p: String) = d.isDirectory(p)
+      override def listNames(p: String) = d.listNames(p)
+      override def readString(p: String) = {
+        if (p.endsWith("_ts_index")) tsIndexReads.incrementAndGet()
+        if (p.endsWith("_ts_max")) tsMaxReads.incrementAndGet()
+        if (p.endsWith("_META")) metaReads.incrementAndGet()
+        d.readString(p)
+      }
+      override def writeString(p: String, c: String) = d.writeString(p, c)
+      override def createDirectories(p: String) = d.createDirectories(p)
+      override def createMarker(p: String) = d.createMarker(p)
+      override def deleteIfExists(p: String) = d.deleteIfExists(p)
+      override def deleteTree(p: String) = d.deleteTree(p)
+      override def atomicSwap(t: String, p: String) = d.atomicSwap(t, p)
+      override def rename(a: String, b: String) = d.rename(a, b)
+      override def size(p: String) = d.size(p)
+      override def lastModifiedMs(p: String) = d.lastModifiedMs(p)
+      override def createExclusive(p: String) = d.createExclusive(p)
+      override def swapIfContentIs(t: String, p: String, e: Option[String]) =
+        d.swapIfContentIs(t, p, e)
+    }
+    var committed = 2 // create + set-ict
+    println("history  commit_s  ts_index_reads  ts_max_reads  meta_reads  exists_calls")
+    Seq(5, 50, 500).foreach { target =>
+      while (committed < target) {
+        VersionedTable.setInCommitTimestamps(spark, root); committed += 1
+      }
+      TableStore.set(counting)
+      try {
+        tsIndexReads.set(0); tsMaxReads.set(0)
+        metaReads.set(0); existsCalls.set(0)
+        val t0 = System.nanoTime()
+        VersionedTable.setInCommitTimestamps(spark, root)
+        committed += 1
+        println(f"$target%7d  ${(System.nanoTime() - t0) / 1e9}%8.3f  " +
+          f"${tsIndexReads.get()}%14d  ${tsMaxReads.get()}%12d  " +
+          f"${metaReads.get()}%10d  ${existsCalls.get()}%12d")
+      } finally TableStore.set(LocalTableStore)
+    }
+    // end-to-end sanity: stamps remain strictly increasing at depth 500
+    val stamps = VersionedTable.publishedVersions(root)
+      .flatMap(v => VersionedTable.versionMeta(root, v).get("commit_ts"))
+      .map(_.toLong)
+    require(stamps.sliding(2).forall { case Seq(a, b) => a < b; case _ => true },
+      "stamps must be strictly increasing")
+    println(s"stamped=${stamps.length} strictly_increasing=true")
+    spark.stop()
+  }
+}
