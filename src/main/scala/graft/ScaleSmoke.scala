@@ -980,31 +980,20 @@ object IctCommitSmoke {
     val tsMaxReads = new java.util.concurrent.atomic.AtomicLong(0)
     val metaReads = new java.util.concurrent.atomic.AtomicLong(0)
     val existsCalls = new java.util.concurrent.atomic.AtomicLong(0)
-    val counting = new TableStore {
-      private val d = LocalTableStore
+    // the shared forwarder (graft.operators.ForwardingTableStore)
+    // keeps this probe and the spec-side wrappers on ONE delegation
+    // surface — a hand-rolled copy had already drifted from the specs'
+    // on the cross-process CAS methods
+    val counting = new graft.operators.ForwardingTableStore(LocalTableStore) {
       override def exists(p: String) = {
-        existsCalls.incrementAndGet(); d.exists(p)
+        existsCalls.incrementAndGet(); super.exists(p)
       }
-      override def isDirectory(p: String) = d.isDirectory(p)
-      override def listNames(p: String) = d.listNames(p)
       override def readString(p: String) = {
         if (p.endsWith("_ts_index")) tsIndexReads.incrementAndGet()
         if (p.endsWith("_ts_max")) tsMaxReads.incrementAndGet()
         if (p.endsWith("_META")) metaReads.incrementAndGet()
-        d.readString(p)
+        super.readString(p)
       }
-      override def writeString(p: String, c: String) = d.writeString(p, c)
-      override def createDirectories(p: String) = d.createDirectories(p)
-      override def createMarker(p: String) = d.createMarker(p)
-      override def deleteIfExists(p: String) = d.deleteIfExists(p)
-      override def deleteTree(p: String) = d.deleteTree(p)
-      override def atomicSwap(t: String, p: String) = d.atomicSwap(t, p)
-      override def rename(a: String, b: String) = d.rename(a, b)
-      override def size(p: String) = d.size(p)
-      override def lastModifiedMs(p: String) = d.lastModifiedMs(p)
-      override def createExclusive(p: String) = d.createExclusive(p)
-      override def swapIfContentIs(t: String, p: String, e: Option[String]) =
-        d.swapIfContentIs(t, p, e)
     }
     var committed = 2 // create + set-ict
     println("history  commit_s  ts_index_reads  ts_max_reads  meta_reads  exists_calls")

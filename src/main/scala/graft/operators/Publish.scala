@@ -134,6 +134,27 @@ object Publish {
   def isFailedAttempt(rootPath: String, version: String): Boolean =
     store.exists(s"${canon(rootPath)}/$version.failed")
 
+  /** True while `version`'s `.claim` marker is outstanding and the
+    * pointer does not name it: an UNDECIDED attempt. Claims are
+    * released only AFTER a successful pointer swap, so a live-named
+    * dir with its claim still up has NOT committed — even with
+    * `_SUCCESS` and `_META` fully written (the attempt is merely
+    * pre-swap, or doomed: once the head has moved past its number,
+    * its conditional swap — conditioned on the head observed at
+    * allocation — can never succeed). Readers enumerating history
+    * MUST skip such versions or they serve a commit that never
+    * happened and may yet tombstone. The converse hazard (a COMMITTED
+    * version whose claim-release crashed reading as 'undecided') is
+    * closed by the healing step in [[publishLocked]]: the current
+    * head's lingering claim is deleted before any successor can move
+    * the head past it, so claim+below-head always means never-committed.
+    */
+  def isPendingClaim(rootPath0: String, version: String): Boolean = {
+    val rootPath = canon(rootPath0)
+    store.exists(s"$rootPath/$version.claim") &&
+      !currentVersion(rootPath).contains(version)
+  }
+
   /** The currently published version name, if any. */
   def currentVersion(rootPath: String): Option[String] = {
     val ptr = s"${canon(rootPath)}/$Pointer"
@@ -257,6 +278,12 @@ object Publish {
     // never both winning one head, never a torn pointer (VERDICT r15
     // #2; the in-JVM lock cannot see another driver)
     val headAtAlloc = currentVersion(rootPath)
+    // HEAL a predecessor's crashed claim-release: the pointer names
+    // it, so it IS committed — deleting its lingering claim here,
+    // BEFORE this commit can move the head past it, preserves the
+    // reader invariant "claim outstanding below head = never
+    // committed" ([[isPendingClaim]]) across that crash window
+    headAtAlloc.foreach(h => store.deleteIfExists(s"$rootPath/$h.claim"))
     // max+1 over ALL attempted numbers, published, tombstoned,
     // orphaned or claimed — a failed attempt's number is burned, its
     // tombstone dead weight until a janitor removes it (never silently
@@ -313,10 +340,21 @@ object Publish {
     // staging simultaneously must not collide), then ONE conditional
     // atomic move. The compare half detects a foreign process's commit
     // since allocation and vetoes this one loudly — the same
-    // tombstone-and-conflict a failed publishIf head check takes.
-    val tmp = s"$rootPath/$Pointer.tmp-$version"
-    store.writeString(tmp, version)
-    if (!store.swapIfContentIs(tmp, s"$rootPath/$Pointer", headAtAlloc)) {
+    // tombstone-and-conflict a failed publishIf head check takes. An
+    // EXCEPTION here (staging IO, lock-file IO) tombstones too: the
+    // fully-written live-named dir would otherwise read as committed
+    // history once a later publish raises the head past it.
+    val swapped =
+      try {
+        val tmp = s"$rootPath/$Pointer.tmp-$version"
+        store.writeString(tmp, version)
+        store.swapIfContentIs(tmp, s"$rootPath/$Pointer", headAtAlloc)
+      } catch {
+        case e: Throwable =>
+          tombstone()
+          throw e
+      }
+    if (!swapped) {
       tombstone()
       throw new PublishConflict(headAtAlloc, currentVersion(rootPath))
     }
@@ -345,15 +383,44 @@ object Publish {
     val rootPath = canon(rootPath0)
     val current = currentVersion(rootPath)
     if (!store.isDirectory(rootPath)) Seq.empty
-    else {
-      val names = store.listNames(rootPath)
+    else reclaim(rootPath, current,
+      store.listNames(rootPath)
         .filter(n => n.matches("v\\d+(\\.failed)?") && !current.contains(n))
-      names.sorted.map { n =>
-        val dir = s"$rootPath/$n"
+        .sorted)
+  }
+
+  /** Claim-aware physical reclaim shared by the janitors. An
+    * outstanding `.claim` on a live-named victim marks an attempt the
+    * janitor must adjudicate, not blindly delete:
+    *
+    *  - number AT-OR-ABOVE the head (or no head yet): UNDECIDED — a
+    *    foreign writer may be mid-commit and its conditional swap may
+    *    still succeed; deleting its dir would tear that commit. SKIP.
+    *  - number BELOW the head: provably DEAD (its swap was conditioned
+    *    on a head the pointer has already moved past — it can never
+    *    commit; see [[isPendingClaim]]). Delete the dir but write NO
+    *    `.purged` marker — nothing ever committed at that number, and
+    *    a lying marker would make [[graft.operators.VersionedTable.changeFeed]]
+    *    refuse windows that are actually safe gaps. The claim file
+    *    stays as the number's burner.
+    *
+    * Committed versions and `.failed` tombstones (claim already
+    * released) reclaim as before, with their `.purged` marker.
+    */
+  private def reclaim(rootPath: String, current: Option[String],
+                      names: Seq[String]): Seq[String] = {
+    val headNum = current.map(v => v.drop(1).takeWhile(_.isDigit).toLong)
+    names.flatMap { n =>
+      val dir = s"$rootPath/$n"
+      val claimed = n.matches("v\\d+") && store.exists(s"$dir.claim")
+      val num = n.drop(1).takeWhile(_.isDigit).toLong
+      if (claimed && !headNum.exists(num < _)) None // undecided in-flight
+      else {
         if (store.isDirectory(dir)) store.deleteTree(dir)
         else store.deleteIfExists(dir)
-        store.createMarker(s"$rootPath/${n.stripSuffix(".failed")}.purged")
-        n
+        if (!claimed)
+          store.createMarker(s"$rootPath/${n.stripSuffix(".failed")}.purged")
+        Some(n)
       }
     }
   }
@@ -391,15 +458,13 @@ object Publish {
         // numeric order, not lexicographic: past v99999 the %05d
         // padding overflows and "v100000" sorts before "v99999"
         .sortBy(n => n.drop(1).takeWhile(_.isDigit).toLong)
-      val retained = names.filter(_.matches("v\\d+")).takeRight(keepLast).toSet ++
-        current ++ alsoKeep
-      names.filterNot(retained.contains).map { n =>
-        val dir = s"$rootPath/$n"
-        if (store.isDirectory(dir)) store.deleteTree(dir)
-        else store.deleteIfExists(dir)
-        store.createMarker(s"$rootPath/${n.stripSuffix(".failed")}.purged")
-        n
-      }
+      // retention slots count COMMITTED versions only: a claim-marked
+      // live dir is an attempt, not a version — letting it occupy a
+      // slot would silently shrink the time-travel window it displaces
+      val retained = names.filter(n => n.matches("v\\d+") &&
+          !store.exists(s"$rootPath/$n.claim"))
+        .takeRight(keepLast).toSet ++ current ++ alsoKeep
+      reclaim(rootPath, current, names.filterNot(retained.contains))
     }
   }
 

@@ -136,22 +136,69 @@ object TableStore {
     * locks and different registry entries while addressing the same
     * directory (exactly the trailing-slash bug class the r15 vacuum
     * repair fixed on the listing side). Pure string normalization —
-    * no filesystem access, and a URI scheme (`s3://bucket/...`) is
-    * preserved untouched: collapse repeated separators, drop `.`
-    * segments and any trailing separator. `..` segments are NOT
-    * resolved (spell roots without them — resolving would need
-    * filesystem semantics this facade deliberately doesn't assume).
+    * no filesystem access. Scheme-LESS (local filesystem) paths
+    * collapse repeated separators and drop `.` segments and any
+    * trailing separator. A scheme-qualified root (`s3://bucket/...`)
+    * only drops trailing separators (what this facade's own
+    * `/`-joining would otherwise double): on an object store the
+    * "path" is an opaque KEY where empty segments are SIGNIFICANT —
+    * `bucket//x/t` and `bucket/x/t` are DIFFERENT keys, and collapsing
+    * them would silently read/write a different location than named.
+    * `..` segments are NOT resolved (spell roots without them —
+    * resolving would need filesystem semantics this facade
+    * deliberately doesn't assume).
     */
   def canonicalRoot(path: String): String = {
     val (scheme, rest) = path.indexOf("://") match {
       case -1 => ("", path)
       case i => (path.substring(0, i + 3), path.substring(i + 3))
     }
-    val abs = rest.startsWith("/")
-    val body = rest.split('/').iterator
-      .filter(s => s.nonEmpty && s != ".").mkString("/")
-    scheme + (if (abs) "/" + body else body)
+    if (scheme.nonEmpty) scheme + rest.reverse.dropWhile(_ == '/').reverse
+    else {
+      val abs = rest.startsWith("/")
+      val body = rest.split('/').iterator
+        .filter(s => s.nonEmpty && s != ".").mkString("/")
+      if (abs) "/" + body else body
+    }
   }
+}
+
+/** Forwarding base for store wrappers (fault injection, counting
+  * probes, smoke instrumentation): delegates EVERY trait method —
+  * including [[TableStore.createExclusive]] and
+  * [[TableStore.swapIfContentIs]], which the trait's in-JVM default
+  * compositions would otherwise silently substitute for the
+  * delegate's cross-process implementations — so a wrapper overrides
+  * exactly the methods it instruments and everything else keeps the
+  * delegate's semantics. (Two hand-rolled forwarders had already
+  * drifted on exactly those two methods.)
+  */
+class ForwardingTableStore(protected val delegate: TableStore)
+  extends TableStore {
+  override def exists(path: String): Boolean = delegate.exists(path)
+  override def isDirectory(path: String): Boolean = delegate.isDirectory(path)
+  override def listNames(path: String): Seq[String] = delegate.listNames(path)
+  override def readString(path: String): String = delegate.readString(path)
+  override def writeString(path: String, content: String): Unit =
+    delegate.writeString(path, content)
+  override def createDirectories(path: String): Unit =
+    delegate.createDirectories(path)
+  override def createMarker(path: String): Unit = delegate.createMarker(path)
+  override def deleteIfExists(path: String): Boolean =
+    delegate.deleteIfExists(path)
+  override def deleteTree(path: String): Unit = delegate.deleteTree(path)
+  override def atomicSwap(tmp: String, dst: String): Unit =
+    delegate.atomicSwap(tmp, dst)
+  override def createExclusive(path: String): Boolean =
+    delegate.createExclusive(path)
+  override def swapIfContentIs(tmp: String, dst: String,
+                               expected: Option[String]): Boolean =
+    delegate.swapIfContentIs(tmp, dst, expected)
+  override def rename(src: String, dst: String): Unit =
+    delegate.rename(src, dst)
+  override def size(path: String): Long = delegate.size(path)
+  override def lastModifiedMs(path: String): Long =
+    delegate.lastModifiedMs(path)
 }
 
 /** The default local-filesystem implementation (java.nio), the only

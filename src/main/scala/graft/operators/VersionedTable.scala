@@ -517,17 +517,47 @@ object VersionedTable {
     */
   private def tsMaxPath(root: String) = s"${manifestRoot(root)}/_ts_max"
 
-  private def readTsMax(root: String): Option[Long] = {
+  private def readTsMaxRaw(root: String): Option[String] = {
     val p = tsMaxPath(root)
     if (!TableStore.get.exists(p)) None
-    else Some(TableStore.get.readString(p).trim.toLong)
+    else Some(TableStore.get.readString(p).trim)
   }
 
-  private def writeTsMax(root: String, v: Long): Unit = {
-    val tmp = tsMaxPath(root) + ".tmp-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    TableStore.get.writeString(tmp, v.toString)
-    TableStore.get.atomicSwap(tmp, tsMaxPath(root))
+  private def readTsMax(root: String): Option[Long] =
+    readTsMaxRaw(root).map(_.toLong)
+
+  /** ADVANCE `_ts_max` to at least `v` — a compare-and-swap loop,
+    * never a blind overwrite: the in-JVM commit lock serializes this
+    * JVM's writers, but a SECOND DRIVER races through the store, and a
+    * last-writer-wins swap would let its stale smaller write REGRESS
+    * the running max below a stamp history already carries (the next
+    * auto-stamp would then mint below a published `commit_ts`,
+    * breaking versionAsOfTs resolution). A lost CAS re-reads and
+    * retries; a current value already ≥ `v` ends the loop with no
+    * write — the max is monotone under any interleaving.
+    */
+  private def advanceTsMax(root: String, v: Long,
+                           known0: Option[Option[String]] = None): Unit = {
+    val p = tsMaxPath(root)
+    // `known0` = the raw content the caller JUST read (the stamp path
+    // already paid that read; re-reading here would double the
+    // one-read-per-commit cost the O(1) contract pins). Used for the
+    // first CAS attempt only — a lost race re-reads.
+    var known = known0
+    var done = false
+    while (!done) {
+      // expected = the RAW stored string (what the CAS compares),
+      // not a re-rendered long — a formatting mismatch would refuse
+      // every swap and livelock the loop
+      val raw = known.getOrElse(readTsMaxRaw(root))
+      known = None
+      if (raw.exists(_.toLong >= v)) done = true
+      else {
+        val tmp = p + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+        TableStore.get.writeString(tmp, v.toString)
+        done = TableStore.get.swapIfContentIs(tmp, p, raw)
+      }
+    }
   }
 
   /** IN-COMMIT TIMESTAMPS (the Delta ICT feature): with the `ict`
@@ -549,21 +579,23 @@ object VersionedTable {
   private def stampCommitTs(root: String, base: Map[String, String],
                             explicit: Boolean): Map[String, String] =
     if (base.get("ict").contains("on") && !explicit) {
-      val prev = readTsMax(root).getOrElse {
+      val raw = readTsMaxRaw(root) // the ONE _ts_max read per commit
+      val prev = raw.map(_.toLong).getOrElse {
         val seeded = effectiveCommitTs(root).values.flatten
           .foldLeft(0L)(math.max)
-        writeTsMax(root, seeded)
+        advanceTsMax(root, seeded, known0 = Some(None))
         seeded
       }
       val stamp = math.max(prev + 1, System.currentTimeMillis())
-      writeTsMax(root, stamp)
+      advanceTsMax(root, stamp,
+        known0 = Some(raw.orElse(Some(prev.toString))))
       base + ("commit_ts" -> stamp.toString)
     } else {
       // an explicit stamp larger than the running max must ADVANCE it,
       // or the next auto-stamp could mint below this commit's instant
       base.get("commit_ts").flatMap(t => scala.util.Try(t.toLong).toOption)
         .foreach { t =>
-          readTsMax(root).foreach(m => if (t > m) writeTsMax(root, t))
+          readTsMax(root).foreach(m => if (t > m) advanceTsMax(root, t))
         }
       base
     }
@@ -993,9 +1025,16 @@ object VersionedTable {
     val hi = toV.drop(1).toLong
     require(lo < hi, s"changeFeed: $fromV must precede $toV")
     val steps = (lo + 1 to hi).map("v%05d".format(_)).flatMap { v =>
-      if (TableStore.get.isDirectory(s"$mroot/$v"))
+      // a live-named dir with its `.claim` still outstanding (and the
+      // pointer not naming it) is an UNDECIDED attempt — a stalled
+      // writer the window's winner has already doomed — never a
+      // committed step: serving it would feed rows that may yet
+      // tombstone (Publish.isPendingClaim)
+      if (TableStore.get.isDirectory(s"$mroot/$v") &&
+          !Publish.isPendingClaim(mroot, v))
         Some((v, Publish.readMeta(mroot, v).getOrElse("verb", "?")))
-      else if (Publish.isFailedAttempt(mroot, v)) None // never committed
+      else if (Publish.isFailedAttempt(mroot, v) ||
+               Publish.isPendingClaim(mroot, v)) None // never committed
       else {
         // a plain gap (crashed attempt that left nothing) is safe to
         // skip; a RECLAIMED commit is not — its content diff is gone
@@ -1802,9 +1841,19 @@ object VersionedTable {
   def publishedVersions(root: String): Seq[String] =
     headVersion(root).map { head =>
       val mroot = manifestRoot(root)
-      TableStore.get.listNames(mroot)
+      val names = TableStore.get.listNames(mroot)
+      val nameSet = names.toSet
+      names
         .filter(v => v.matches("v\\d+") && vNum(v) <= vNum(head) &&
-          TableStore.get.exists(s"$mroot/$v/_SUCCESS"))
+          TableStore.get.exists(s"$mroot/$v/_SUCCESS") &&
+          // an outstanding `.claim` below the head marks an UNDECIDED
+          // attempt a concurrent winner has already doomed (its
+          // conditional swap can never succeed) — a PHANTOM, not
+          // history, even with `_SUCCESS` fully written
+          // (Publish.isPendingClaim; membership checked against the
+          // one listing, no extra store IO). The head itself is
+          // committed by definition (claims release after the swap).
+          (v == head || !nameSet.contains(s"$v.claim")))
         .sortBy(vNum)
     }.getOrElse(Seq.empty)
 

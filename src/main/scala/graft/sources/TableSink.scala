@@ -163,41 +163,30 @@ private[sources] class GraftTableSink(root: String,
     * and a floor at-or-below each source's true end only ever retains
     * MORE — both spools still drain once both sources catch up).
     */
-  private def feedWindowEnds(data: DataFrame): Seq[Long] = {
+  private def feedWindowEnds(data: DataFrame): Seq[Option[Long]] = {
     import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation
-    // one offset per RELATION, not distinct values: two feed sources
-    // that happen to sit at the same version number are still two
-    // sources — their coincident offset is meaningless as a watermark
+    // ONE ENTRY PER RELATION, not per extracted offset: a feed
+    // relation whose end offset is missing or foreign-typed must
+    // still COUNT (as None — it forces the safe fallback or the
+    // multi-feed refusal below), never silently vanish. Dropping it
+    // would let a two-feed plan with one offset-less relation
+    // masquerade as single-feed and stamp applied_upto from the
+    // surviving source — the exactly-once violation the refusal
+    // exists to prevent. Two sources that happen to sit at the same
+    // version number are likewise still two entries.
     data.queryExecution.logical.collect {
       case r: StreamingDataSourceV2ScanRelation
           if r.stream.isInstanceOf[FeedMicroBatchStream] =>
-        r.endOffset.toSeq.collect { case o: FeedOffset => o.version }
-    }.collect { case Seq(v) => v }
+        r.endOffset.toSeq.collect { case o: FeedOffset => o.version } match {
+          case Seq(v) => Some(v)
+          case _ => None
+        }
+    }
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val s = data.sparkSession
-    val ends = feedWindowEnds(data)
-    val windowEnd = ends match {
-      case Seq(one) => Some(one)
-      case Seq() => None
-      case many =>
-        // a UNION of graft-feeds: no single source-version watermark
-        // exists for the apply modes' exactly-once contract — refuse
-        // loudly rather than silently degrade to the batch counter
-        // (VERDICT r15 #4); append mode takes the MIN as a
-        // conservative custody floor (≤ each source's true end, so
-        // vacuum only ever retains more, never tears a spool a
-        // restart still needs)
-        require(mode == "append",
-          s"graft-table $mode: the micro-batch plan carries " +
-            s"${many.length} graft-feed sources — one applied_upto " +
-            "watermark cannot be exactly-once for independently-" +
-            "advancing sources (the min would re-apply the ahead " +
-            "source's redelivered windows). Replicate each source " +
-            "through its own stream, or union into an append-mode log")
-        Some(many.min)
-    }
+    val windowEnd = GraftTableSink.resolveWindowEnd(mode, feedWindowEnds(data))
     // the streaming frame can't be consumed by batch verbs directly —
     // re-root its physical rows as a batch frame (the Delta sink move)
     val batch0 = GraftSqlBridge.fromInternalRdd(s,
@@ -318,4 +307,39 @@ private[sources] class GraftTableSink(root: String,
   }
 
   override def toString: String = s"GraftTableSink($root, mode=$mode)"
+}
+
+private[graft] object GraftTableSink {
+
+  /** Resolve the batch's custody watermark from the per-relation feed
+    * ends ([[GraftTableSink.feedWindowEnds]]; `None` = a feed relation
+    * whose end offset the plan didn't carry). Pure so the resolution
+    * table is unit-testable without fabricating DSv2 plans:
+    *
+    *  - no feed relations → None (batch-counter fallback, guarded by
+    *    the bootstrap `require` at the use site);
+    *  - one relation → its end (or None, same fallback);
+    *  - several relations → `apply`/`applySeq` REFUSE (one
+    *    `applied_upto` watermark cannot be exactly-once for two
+    *    independently-advancing sources — the min would re-apply the
+    *    ahead source's redelivered windows, VERDICT r15 #4); `append`
+    *    stamps min(ends) as a conservative custody floor — but ONLY
+    *    when every relation's end is known (a floor computed over a
+    *    subset is not at-or-below the missing source's true end, so an
+    *    unknown end claims NO floor: vacuum just retains more).
+    */
+  def resolveWindowEnd(mode: String, ends: Seq[Option[Long]]): Option[Long] =
+    ends match {
+      case Seq() => None
+      case Seq(one) => one
+      case many =>
+        require(mode == "append",
+          s"graft-table $mode: the micro-batch plan carries " +
+            s"${many.length} graft-feed sources — one applied_upto " +
+            "watermark cannot be exactly-once for independently-" +
+            "advancing sources (the min would re-apply the ahead " +
+            "source's redelivered windows). Replicate each source " +
+            "through its own stream, or union into an append-mode log")
+        if (many.forall(_.isDefined)) Some(many.flatten.min) else None
+    }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{LocalTableStore, Publish, TableStore, VersionedTable}
+import graft.operators.{ForwardingTableStore, LocalTableStore, Publish, TableStore, VersionedTable}
 
 /** Round-16 control-plane hardening (VERDICT r15 #1–#3 + ADVICE r15):
   * one canonical spelling per table root wherever a root becomes a
@@ -9,32 +9,28 @@ import graft.operators.{LocalTableStore, Publish, TableStore, VersionedTable}
   */
 class Round20OpsSpec extends SparkSpec {
 
-  /** Forwarding wrapper — specs override just the methods they count
-    * or fault-inject.
+  /** Shared forwarding wrapper (graft.operators.ForwardingTableStore):
+    * delegates the FULL trait — including createExclusive and
+    * swapIfContentIs, so fault injection exercises the same
+    * cross-process CAS production runs, not the weaker in-JVM trait
+    * defaults a partial hand-rolled forwarder would silently fall
+    * back to. Specs override just the methods they count or inject.
     */
-  private class Forward(d: TableStore) extends TableStore {
-    override def exists(p: String) = d.exists(p)
-    override def isDirectory(p: String) = d.isDirectory(p)
-    override def listNames(p: String) = d.listNames(p)
-    override def readString(p: String) = d.readString(p)
-    override def writeString(p: String, c: String) = d.writeString(p, c)
-    override def createDirectories(p: String) = d.createDirectories(p)
-    override def createMarker(p: String) = d.createMarker(p)
-    override def deleteIfExists(p: String) = d.deleteIfExists(p)
-    override def deleteTree(p: String) = d.deleteTree(p)
-    override def atomicSwap(t: String, p: String) = d.atomicSwap(t, p)
-    override def rename(a: String, b: String) = d.rename(a, b)
-    override def size(p: String) = d.size(p)
-    override def lastModifiedMs(p: String) = d.lastModifiedMs(p)
-  }
+  private class Forward(d: TableStore) extends ForwardingTableStore(d)
 
-  test("canonicalRoot: separators collapse, trailing slash and dot segments drop, schemes survive") {
+  test("canonicalRoot: separators collapse, trailing slash and dot segments drop, scheme keys stay opaque") {
     assert(TableStore.canonicalRoot("/a/tbl") == "/a/tbl")
     assert(TableStore.canonicalRoot("/a/tbl/") == "/a/tbl")
     assert(TableStore.canonicalRoot("/a//tbl") == "/a/tbl")
     assert(TableStore.canonicalRoot("/a/./tbl/") == "/a/tbl")
     assert(TableStore.canonicalRoot("rel/t/") == "rel/t")
-    assert(TableStore.canonicalRoot("s3://bucket//x/t/") == "s3://bucket/x/t")
+    // scheme-qualified roots: only the trailing separator drops —
+    // on an object store the path is an opaque KEY where empty
+    // segments are SIGNIFICANT (s3 'bucket//x' ≠ 'bucket/x');
+    // collapsing would silently alias two distinct tables AND
+    // rewrite the IO paths built from the canonical string
+    assert(TableStore.canonicalRoot("s3://bucket/x/t/") == "s3://bucket/x/t")
+    assert(TableStore.canonicalRoot("s3://bucket//x/./t") == "s3://bucket//x/./t")
   }
 
   test("canonical lock key: concurrent commits through four spellings of one root are gap-free, every dir committed") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{LocalTableStore, Publish, TableStore, VersionedTable}
+import graft.operators.{ForwardingTableStore, LocalTableStore, Publish, TableStore, VersionedTable}
 
 /** The control-plane storage facade (VERDICT r14 #7): contract tests
   * for the local implementation, and the seam proof — a counting
@@ -49,25 +49,18 @@ class TableStoreSpec extends SparkSpec {
     import spark.implicits._
     val reads = new java.util.concurrent.atomic.AtomicLong
     val swaps = new java.util.concurrent.atomic.AtomicLong
-    val counting = new TableStore {
-      private val d = LocalTableStore
-      override def exists(p: String) = d.exists(p)
-      override def isDirectory(p: String) = d.isDirectory(p)
-      override def listNames(p: String) = d.listNames(p)
+    // the shared forwarder delegates the full trait (incl. the
+    // cross-process CAS the pointer publish actually uses — counting
+    // atomicSwap would miss it, since the production swap is
+    // swapIfContentIs end to end)
+    val counting = new ForwardingTableStore(LocalTableStore) {
       override def readString(p: String) = {
-        if (p.endsWith("_CURRENT")) reads.incrementAndGet(); d.readString(p)
+        if (p.endsWith("_CURRENT")) reads.incrementAndGet(); super.readString(p)
       }
-      override def writeString(p: String, c: String) = d.writeString(p, c)
-      override def createDirectories(p: String) = d.createDirectories(p)
-      override def createMarker(p: String) = d.createMarker(p)
-      override def deleteIfExists(p: String) = d.deleteIfExists(p)
-      override def deleteTree(p: String) = d.deleteTree(p)
-      override def atomicSwap(t: String, p: String) = {
-        if (p.endsWith("_CURRENT")) swaps.incrementAndGet(); d.atomicSwap(t, p)
+      override def swapIfContentIs(t: String, p: String, e: Option[String]) = {
+        if (p.endsWith("_CURRENT")) swaps.incrementAndGet()
+        super.swapIfContentIs(t, p, e)
       }
-      override def rename(a: String, b: String) = d.rename(a, b)
-      override def size(p: String) = d.size(p)
-      override def lastModifiedMs(p: String) = d.lastModifiedMs(p)
     }
     val root = tmp() + "/t"
     TableStore.set(counting)
@@ -93,25 +86,12 @@ class TableStoreSpec extends SparkSpec {
     // TESTABLE: fail the _CURRENT swap once — the crash window
     // strictly between audit pass and pointer swap
     val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
-    val flaky = new TableStore {
-      private val d = LocalTableStore
-      override def exists(p: String) = d.exists(p)
-      override def isDirectory(p: String) = d.isDirectory(p)
-      override def listNames(p: String) = d.listNames(p)
-      override def readString(p: String) = d.readString(p)
-      override def writeString(p: String, c: String) = d.writeString(p, c)
-      override def createDirectories(p: String) = d.createDirectories(p)
-      override def createMarker(p: String) = d.createMarker(p)
-      override def deleteIfExists(p: String) = d.deleteIfExists(p)
-      override def deleteTree(p: String) = d.deleteTree(p)
-      override def atomicSwap(t: String, p: String) = {
+    val flaky = new ForwardingTableStore(LocalTableStore) {
+      override def swapIfContentIs(t: String, p: String, e: Option[String]) = {
         if (p.endsWith("_CURRENT") && failOnce.compareAndSet(true, false))
           throw new java.io.IOException("injected: swap lost")
-        d.atomicSwap(t, p)
+        super.swapIfContentIs(t, p, e)
       }
-      override def rename(a: String, b: String) = d.rename(a, b)
-      override def size(p: String) = d.size(p)
-      override def lastModifiedMs(p: String) = d.lastModifiedMs(p)
     }
     val root = java.nio.file.Files.createTempDirectory("graft-flaky").toString + "/t"
     val spec = VersionedTable.Spec(Seq("n"), "k", 1 << 13)
@@ -122,11 +102,16 @@ class TableStoreSpec extends SparkSpec {
       intercept[java.io.IOException] {
         VersionedTable.append(spark, rows(10, 20), root, spec)
       }
-      // the old head is still published; the orphan version is
-      // audited-but-never-current (the documented caveat) and its
-      // number is burned
+      // the old head is still published; the attempt is TOMBSTONED
+      // (an exception in the publish section must not leave a
+      // fully-written live-named dir that later reads as committed
+      // history once the head passes it) and its number is burned
       assert(VersionedTable.headVersion(root).contains("v00001"))
       assert(VersionedTable.read(spark, root).count() == 10L)
+      val mroot = s"$root/manifest"
+      assert(LocalTableStore.exists(s"$mroot/v00002.failed") &&
+        !LocalTableStore.isDirectory(s"$mroot/v00002"),
+        "a swap-path exception must tombstone the attempt, not orphan it live-named")
       // recovery needs no repair: the next publish takes a FRESH
       // number and swaps clean
       VersionedTable.append(spark, rows(10, 20), root, spec)
