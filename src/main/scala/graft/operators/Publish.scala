@@ -510,10 +510,10 @@ object Publish {
     * audit, so a superseded version reads back byte-identical to what
     * its publish committed — the Delta/Iceberg `VERSION AS OF` verb.
     * Audit-failed tombstones (`v<N>.failed`) and purged markers are
-    * refused by name. Caveat shared with Iceberg's orphaned-but-valid
-    * snapshots: a crash strictly between audit pass and pointer swap
-    * leaves an audited version that was never current readable here
-    * until a janitor ([[retireHistory]]) expires it.
+    * refused by name, and so is an UNDECIDED attempt (live-named dir
+    * whose `.claim` is still outstanding — a crash strictly between
+    * audit pass and pointer swap leaves one; its claim marks it as
+    * never-committed until a janitor reclaims it).
     */
   def readVersion(spark: SparkSession, rootPath: String, version: String): DataFrame = {
     require(version.matches("v\\d+"),
@@ -521,6 +521,10 @@ object Publish {
     val dir = s"${canon(rootPath)}/$version"
     require(store.isDirectory(dir),
       s"Publish.readVersion: $version does not exist under $rootPath (retired or never written)")
+    require(!isPendingClaim(rootPath, version),
+      s"Publish.readVersion: $version is an UNDECIDED attempt (its claim " +
+        "is outstanding and the pointer does not name it) — a stalled or " +
+        "doomed writer's dir, not committed history")
     spark.read.parquet(dir)
   }
 }

@@ -62,6 +62,11 @@ class Round21OpsSpec extends SparkSpec {
       .select("_commit_version").distinct().collect().map(_.getString(0)).toSet
     assert(attributed == Set("v00002", "v00004"),
       s"attribution must name committed versions only, got $attributed")
+    // time travel by name refuses the phantom too
+    val tex = intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, root, "v00003").count()
+    }
+    assert(tex.getMessage.contains("UNDECIDED"))
     // the stalled writer wakes, loses its CAS and tombstones — the
     // reader view is unchanged
     LocalTableStore.rename(s"$mroot/v00003", s"$mroot/v00003.failed")
