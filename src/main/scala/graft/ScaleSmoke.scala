@@ -980,6 +980,7 @@ object IctCommitSmoke {
     val tsMaxReads = new java.util.concurrent.atomic.AtomicLong(0)
     val metaReads = new java.util.concurrent.atomic.AtomicLong(0)
     val existsCalls = new java.util.concurrent.atomic.AtomicLong(0)
+    val listCalls = new java.util.concurrent.atomic.AtomicLong(0)
     // the shared forwarder (graft.operators.ForwardingTableStore)
     // keeps this probe and the spec-side wrappers on ONE delegation
     // surface — a hand-rolled copy had already drifted from the specs'
@@ -994,9 +995,16 @@ object IctCommitSmoke {
         if (p.endsWith("_META")) metaReads.incrementAndGet()
         super.readString(p)
       }
+      // the OTHER O(history) commit cost (VERDICT r15 missing #2):
+      // version allocation used to LIST the whole manifest root per
+      // commit; the `_NEXT` watermark makes it two point reads, so a
+      // stamped commit at depth 500 must LIST nothing at all
+      override def listNames(p: String) = {
+        listCalls.incrementAndGet(); super.listNames(p)
+      }
     }
     var committed = 2 // create + set-ict
-    println("history  commit_s  ts_index_reads  ts_max_reads  meta_reads  exists_calls")
+    println("history  commit_s  ts_index_reads  ts_max_reads  meta_reads  exists_calls  list_calls")
     Seq(5, 50, 500).foreach { target =>
       while (committed < target) {
         VersionedTable.setInCommitTimestamps(spark, root); committed += 1
@@ -1004,13 +1012,14 @@ object IctCommitSmoke {
       TableStore.set(counting)
       try {
         tsIndexReads.set(0); tsMaxReads.set(0)
-        metaReads.set(0); existsCalls.set(0)
+        metaReads.set(0); existsCalls.set(0); listCalls.set(0)
         val t0 = System.nanoTime()
         VersionedTable.setInCommitTimestamps(spark, root)
         committed += 1
         println(f"$target%7d  ${(System.nanoTime() - t0) / 1e9}%8.3f  " +
           f"${tsIndexReads.get()}%14d  ${tsMaxReads.get()}%12d  " +
-          f"${metaReads.get()}%10d  ${existsCalls.get()}%12d")
+          f"${metaReads.get()}%10d  ${existsCalls.get()}%12d  " +
+          f"${listCalls.get()}%10d")
       } finally TableStore.set(LocalTableStore)
     }
     // end-to-end sanity: stamps remain strictly increasing at depth 500

@@ -38,6 +38,7 @@ object Publish {
 
   private val Pointer = "_CURRENT"
   private val Burned = "_BURNED"
+  private val Next = "_NEXT"
 
   private def store: TableStore = TableStore.get
 
@@ -73,6 +74,65 @@ object Publish {
     else store.listNames(rootPath)
       .collect { case n if n.matches("v\\d+(\\.failed|\\.purged|\\.claim)?") =>
         n.drop(1).takeWhile(_.isDigit).toLong } :+ burnedWatermark(rootPath)
+
+  /** ALLOCATION WATERMARK (`_NEXT`) — the checkpoint that makes a
+    * commit's version allocation O(1) instead of O(history). Without
+    * it every publish LISTS the whole root to compute max+1
+    * ([[versionDirs]]): one paginated LIST per commit on an object
+    * store, O(n) entries at n commits, O(n²) cumulative — exactly the
+    * unbounded-in-commits cost Delta bounds with `_last_checkpoint`.
+    *
+    * Invariant: once an attempt's allocation completes, every number
+    * ever attempted on this root is < the stored value. Maintained by
+    * advancing the watermark to n+1 (CAS advance-if-greater,
+    * cross-process — the `_ts_max` shape) IMMEDIATELY after claiming
+    * number n and BEFORE anything is written under `v<n>`; if the
+    * advance fails the claim is released and the attempt aborts while
+    * the number is still artifact-free (reuse of a number nothing was
+    * ever written or read under is harmless — the no-reuse contract
+    * protects NAMES that held content). Allocation then starts probing
+    * at the watermark and never looks below it, so a tombstoned
+    * attempt's number stays burned by the watermark itself even after
+    * its `.claim` is dropped, with no listing.
+    *
+    * A missing `_NEXT` (table predating the watermark, or a foreign
+    * old-code writer's commits since ours) falls back to the full
+    * [[versionDirs]] scan ONCE and seeds the file — after which every
+    * commit allocates with two point reads (pointer + watermark), one
+    * claim create and one CAS advance, independent of history depth.
+    * Crash between claim and advance leaves a stale watermark: the
+    * next allocator probes the claimed number, collides on the claim
+    * file and moves up — correctness never rests on the hint.
+    */
+  private def nextHint(rootPath: String): Option[Long] = {
+    val f = s"$rootPath/$Next"
+    if (!store.exists(f)) None
+    else Some(store.readString(f).trim.toLong)
+  }
+
+  /** CAS advance-if-greater of the `_NEXT` watermark (never regresses
+    * under a foreign racer's stale write — lesson: every shared
+    * mutable watermark needs CAS, not last-writer-wins). `attempt`
+    * names the staged tmp uniquely: claim allocation already
+    * guarantees no two live attempts share a number, in-process or
+    * across drivers.
+    */
+  private def advanceNext(rootPath: String, to: Long, attempt: String): Unit = {
+    val f = s"$rootPath/$Next"
+    var done = false
+    while (!done) {
+      // expected = the RAW stored string (trimmed exactly as the CAS
+      // compare reads it) — a re-rendered value that didn't match the
+      // stored bytes would refuse every swap and livelock
+      val cur = if (store.exists(f)) Some(store.readString(f).trim) else None
+      if (cur.exists(_.toLong >= to)) done = true
+      else {
+        val tmp = s"$rootPath/$Next.tmp-$attempt"
+        store.writeString(tmp, to.toString)
+        done = store.swapIfContentIs(tmp, f, cur)
+      }
+    }
+  }
 
   /** MARKER COMPACTION — the janitor's janitor: `.purged` markers keep
     * numbers burned one file per reclaimed version, which is unbounded
@@ -284,17 +344,33 @@ object Publish {
     // reader invariant "claim outstanding below head = never
     // committed" ([[isPendingClaim]]) across that crash window
     headAtAlloc.foreach(h => store.deleteIfExists(s"$rootPath/$h.claim"))
-    // max+1 over ALL attempted numbers, published, tombstoned,
-    // orphaned or claimed — a failed attempt's number is burned, its
-    // tombstone dead weight until a janitor removes it (never silently
-    // reused). The number is then CLAIMED with an atomic create-new
-    // marker, so two PROCESSES can never write one version dir: a
-    // foreign claimer just forces the next number (serial versions).
-    var n = versionDirs(rootPath).foldLeft(0L)(math.max) + 1
+    // ALLOCATE: start at the `_NEXT` watermark (O(1); the one-time
+    // fallback scan covers pre-watermark history — max+1 over ALL
+    // attempted numbers, published, tombstoned, orphaned or claimed).
+    // The number is then CLAIMED with an atomic create-new marker, so
+    // two PROCESSES can never write one version dir: a foreign claimer
+    // just forces the next number (serial versions). The watermark
+    // advances BEFORE any write lands under the claimed name, keeping
+    // the allocation floor ahead of every number that ever held an
+    // artifact — see [[nextHint]] for the full invariant.
+    val floor = nextHint(rootPath)
+      .getOrElse(versionDirs(rootPath).foldLeft(0L)(math.max) + 1)
+    var n = math.max(floor,
+      headAtAlloc.map(h => h.drop(1).takeWhile(_.isDigit).toLong + 1)
+        .getOrElse(1L))
     while (!store.createExclusive(s"$rootPath/" + "v%05d.claim".format(n)))
       n += 1
     val version = "v%05d".format(n)
     val claim = s"$rootPath/$version.claim"
+    try advanceNext(rootPath, n + 1, version)
+    catch {
+      case e: Throwable =>
+        // nothing exists under v<n> yet — releasing the claim while
+        // the watermark may still sit at-or-below n is safe exactly
+        // because the number is artifact-free
+        store.deleteIfExists(claim)
+        throw e
+    }
     val dir = s"$rootPath/$version"
     // tombstone, don't delete: renaming to `.failed` makes the attempt
     // unreadable by name while KEEPING its number in the max+1 scan
