@@ -358,7 +358,18 @@ object Publish {
     var n = math.max(floor,
       headAtAlloc.map(h => h.drop(1).takeWhile(_.isDigit).toLong + 1)
         .getOrElse(1L))
-    while (!store.createExclusive(s"$rootPath/" + "v%05d.claim".format(n)))
+    // a number can be taken by an ARTIFACT the watermark never saw — an
+    // out-of-band orphan dir (a crashed pre-watermark writer, a manual
+    // copy) violates the `_NEXT` invariant from outside the protocol,
+    // and claiming it would make the version write collide with the
+    // torn dir. Probe the artifact names alongside the claim marker;
+    // both probes are point reads, so allocation stays O(1).
+    def numberTaken(n: Long): Boolean = {
+      val d = s"$rootPath/" + "v%05d".format(n)
+      store.exists(d) || store.exists(s"$d.failed") || store.exists(s"$d.purged")
+    }
+    while (numberTaken(n) ||
+        !store.createExclusive(s"$rootPath/" + "v%05d.claim".format(n)))
       n += 1
     val version = "v%05d".format(n)
     val claim = s"$rootPath/$version.claim"
