@@ -922,10 +922,9 @@ object ExtQueries {
     // just to explain it) runs the events aggregation at construction
     // time. That is the price of the single-scan guarantee; callers that
     // only want the plan should expect the job.
-    graft.operators.Checkpoints.ensure(s.sparkContext)
-    val counts = Tables.load(s, dir, "events")
-      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n_rows"))
-      .checkpoint()
+    val counts = graft.operators.Checkpoints.materialize(
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n_rows")))
     val tot = counts.agg(sum(col("n_rows")).as("__t"), count(lit(1)).as("__k"))
     counts.orderBy(col("n_rows").desc_nulls_last, col("key").asc_nulls_first)
       .limit(10)
@@ -1634,23 +1633,34 @@ object ExtQueries {
     val nd = withNearDups(docs(s, dir))
     val isBatch = col("doc_id") % 7 === 0
     val corpus = nd.filter(!isBatch)
+    // PERSISTED for the invocation (r16 measure-first finding; the
+    // delete-propagation gate's lesson-24 pattern): the banded frame
+    // feeds BOTH the yesterday-labels pair derivation and the stored
+    // band state behind today's batch pairs — uncached, the shingle +
+    // minhash HOF cascade re-ran once per consumer. Both consumers are
+    // drained eagerly inside this call (solveAuto collects;
+    // mergeClusters solves its quotient graph), so the returned frame
+    // has no lineage into the cache and the finally releases it.
     val corpusBanded = minhashBanded(corpus)
-    // "yesterday's stored labels": converged components over the
-    // corpus-only pairs (the full detector ≡ pairsAgainst with an
-    // empty state — every doc is "new")
-    val corpusPairs = IncrementalDedup.pairsAgainst(
-      IncrementalDedup.bandState(corpusBanded.limit(0)), corpusBanded)
-    // solveAuto: the harness's "yesterday" labels go through the same
-    // bounded solver the increment uses (driver union-find at this
-    // scale, runStar past the bound) — the stored artifact's provenance
-    // is whichever path produced it, and both are gate-equal
-    val labels0 = ConnectedComponents.solveAuto(
-      corpus.select(col("doc_id").as("id")),
-      corpusPairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
-    val newPairs = IncrementalDedup.pairsAgainst(
-      IncrementalDedup.bandState(corpusBanded), minhashBanded(nd.filter(isBatch)))
-    IncrementalDedup.mergeClusters(labels0,
-      nd.filter(isBatch).select(col("doc_id").as("id")), newPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // "yesterday's stored labels": converged components over the
+      // corpus-only pairs (the full detector ≡ pairsAgainst with an
+      // empty state — every doc is "new")
+      val corpusPairs = IncrementalDedup.pairsAgainst(
+        IncrementalDedup.bandState(corpusBanded.limit(0)), corpusBanded)
+      // solveAuto: the harness's "yesterday" labels go through the same
+      // bounded solver the increment uses (driver union-find at this
+      // scale, runStar past the bound) — the stored artifact's provenance
+      // is whichever path produced it, and both are gate-equal
+      val labels0 = ConnectedComponents.solveAuto(
+        corpus.select(col("doc_id").as("id")),
+        corpusPairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+      val newPairs = IncrementalDedup.pairsAgainst(
+        IncrementalDedup.bandState(corpusBanded), minhashBanded(nd.filter(isBatch)))
+      IncrementalDedup.mergeClusters(labels0,
+        nd.filter(isBatch).select(col("doc_id").as("id")), newPairs)
+    } finally { corpusBanded.unpersist(); () }
   }
 
   /** Soft-dedup weights computed OFF THE INCREMENTAL LABELS — the
@@ -2041,11 +2051,17 @@ object ExtQueries {
                                 pred: Column = lit(true)): DataFrame = {
     val orders = Tables.load(s, dir, "orders").filter(pred)
     val lineitem = Tables.load(s, dir, "lineitem")
+    // distinct on the RAW key pair (two longs), then concat the string
+    // ids (r16, guide §2.3 narrower types): the dedup exchange carries
+    // 16 fixed-width bytes per row instead of two strings, and the
+    // prefixed rendering is injective per side so the distinct pair
+    // set — and every downstream row — is unchanged.
     val cs = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
+      .select(concat(lit("c"), col("ck")).as("a"),
+        concat(lit("s"), col("sk")).as("b"))
     cs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(cs.select(col("b").as("src"), col("a").as("dst")))
   }
@@ -3486,11 +3502,10 @@ object ExtQueries {
     // NOTE: Dataset.checkpoint() is EAGER — constructing this frame runs
     // the roster scan immediately (the price of the single-scan
     // guarantee); plan-only callers should expect the job.
-    graft.operators.Checkpoints.ensure(s.sparkContext)
-    val roster = Tables.events(s, dir)
-      .select(col("user_id")).distinct()
-      .filter(col("user_id") % 97 === 0)
-      .checkpoint()
+    val roster = graft.operators.Checkpoints.materialize(
+      Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .filter(col("user_id") % 97 === 0))
     val layers = Seq(
       "events" -> Tables.events(s, dir)
         .select(col("user_id").cast("string").as("subject_key")),
@@ -3939,8 +3954,7 @@ object ExtQueries {
     // managed checkpoint stops Catalyst re-running the shingle/minhash
     // HOF pipeline per consumer (PLANS.md lesson 24). NOTE: eager — the
     // signature job runs at construction time.
-    graft.operators.Checkpoints.ensure(s.sparkContext)
-    val banded = minhashBanded(nd).checkpoint()
+    val banded = graft.operators.Checkpoints.materialize(minhashBanded(nd))
     Publish.publish(IncrementalDedup.bandState(banded), roots("band"))
     val bv1 = Publish.read(s, roots("band"))
     Publish.publish(
@@ -6920,10 +6934,9 @@ object ExtQueries {
     * x < y < z) with no orientation.
     */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    graft.operators.Checkpoints.ensure(s.sparkContext)
-    val pairs = dedupMinhashLsh(s, dir)
-      .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
-      .checkpoint()
+    val pairs = graft.operators.Checkpoints.materialize(
+      dedupMinhashLsh(s, dir)
+        .select(col("doc_id_1").as("a"), col("doc_id_2").as("b")))
     graft.operators.Triangles.census(pairs)
   }
 
@@ -6937,10 +6950,9 @@ object ExtQueries {
     * integer, so the ratio hash-gates (`div` ≡ DuckDB `//`).
     */
   def graphTransitivity(s: SparkSession, dir: String): DataFrame = {
-    graft.operators.Checkpoints.ensure(s.sparkContext)
-    val pairs = dedupMinhashLsh(s, dir)
-      .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
-      .checkpoint()
+    val pairs = graft.operators.Checkpoints.materialize(
+      dedupMinhashLsh(s, dir)
+        .select(col("doc_id_1").as("a"), col("doc_id_2").as("b")))
     val tri = graft.operators.Triangles.census(pairs)
       .filter(col("node") === -1L).select(col("n_tri"))
     val wedges = pairs.select(col("a").as("node"))

@@ -47,8 +47,10 @@ object BpeTrainer {
     // and the per-round job touches the vocabulary (≪ corpus), not the
     // token stream. Checkpointed so the 10 rounds re-read a flat file,
     // not the corpus scan. (Measured: 39.7 s → ~4 s at sf0.1.)
-    Checkpoints.ensure(words.sparkSession.sparkContext)
-    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt")).checkpoint()
+    // materialize (persist-bracketed): a bare checkpoint() paid the
+    // corpus tokenize+groupBy twice — count, then checkpoint write (r16)
+    val vocab = Checkpoints.materialize(
+      words.groupBy("w").agg(count(lit(1)).as("cnt")))
     var merges = Vector.empty[(String, String)]
     var learned = Vector.empty[(String, String, Long)]
     for (_ <- 1 to rounds) {

@@ -70,6 +70,24 @@ object Checkpoints {
     }
   }
 
+  /** Reliable-checkpoint a frame WITHOUT the double computation (r16,
+    * guide §1 measure-first finding): `Dataset.checkpoint()` runs the
+    * plan once for its eager count and then AGAIN inside
+    * `doCheckpoint()` when the checkpoint files are written — Spark's
+    * own RDD.checkpoint scaladoc says to persist first. For the
+    * iterative operators that was the whole superstep cascade twice
+    * per invocation (PageRank's three rounds, the BPE vocab scan, the
+    * minhash pair pipelines). The persist bracket makes the checkpoint
+    * write read cached blocks; the returned frame is backed by the
+    * checkpoint files (NOT the cache), so the bracket releases
+    * immediately and the caller's lifetime contract is unchanged.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensure(df.sparkSession.sparkContext)
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try cached.checkpoint() finally { cached.unpersist(); () }
+  }
+
   /** Number of live checkpoint directories under the context's
     * checkpoint dir — the observable the hygiene spec bounds.
     */

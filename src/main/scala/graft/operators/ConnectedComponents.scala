@@ -224,7 +224,26 @@ object ConnectedComponents {
     */
   def solveAuto(vertices: DataFrame, edges: DataFrame,
                 maxCollected: Long = 1000000L): DataFrame = {
+    // PERSIST the edge projection for the scope of the solve (r16
+    // measure-first finding): the routing count and the union-find
+    // collect are two separate materializations — uncached, EACH
+    // re-ran the caller's whole pair-derivation cascade (minhash
+    // banding + bucket expansion for the dedup-incremental gates:
+    // 1.8 s count + 1.7 s collect of identical work at sf0.1).
+    // Bounded: the collect path is ≤ maxCollected rows by
+    // construction; the fallback path pays one edge materialization
+    // before runStar re-derives (the fallback is the rare,
+    // already-expensive branch). Released in the finally — both exits
+    // return frames with no lineage into `es` (the driver path
+    // returns a local frame; runStar checkpoints).
     val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try { solveAutoOn(vertices, edges, es, maxCollected) }
+    finally { es.unpersist(); () }
+  }
+
+  private def solveAutoOn(vertices: DataFrame, edges: DataFrame,
+                          es: DataFrame, maxCollected: Long): DataFrame = {
     val ne = es.count()
     if (ne > maxCollected) { starFallbacks.incrementAndGet(); runStar(vertices, edges) }
     else {

@@ -267,8 +267,9 @@ object GraphIndex {
     try {
       val n = out.count()
       val result = PageRank.supersteps(eo, out, n, iterations, dampingPct)
-      Checkpoints.ensure(result.sparkSession.sparkContext)
-      result.checkpoint()
+      // persist-bracketed checkpoint: a bare checkpoint() re-ran the
+      // supersteps twice (once to count, once to write — r16)
+      Checkpoints.materialize(result)
     } finally { eo.unpersist(); out.unpersist(); () }
   }
 
@@ -309,8 +310,8 @@ object GraphIndex {
         .select(col("node"),
           coalesce(col("rank_fp"), lit(PageRank.Scale / n)).as("rank_fp"))
       val result = PageRank.iterate(eo, out, n, init, iterations, dampingPct)
-      Checkpoints.ensure(result.sparkSession.sparkContext)
-      result.checkpoint()
+      // persist-bracketed checkpoint (see ranks — same double-compute)
+      Checkpoints.materialize(result)
     } finally { eo.unpersist(); out.unpersist(); () }
   }
 

@@ -97,9 +97,10 @@ object PageRank {
       // Materialize the result PAST the caches before releasing them: a
       // reliable checkpoint writes the |V|-row result once and truncates
       // lineage, so the frame we return references neither eo nor out
-      // and the finally can unpersist both immediately.
-      Checkpoints.ensure(result.sparkSession.sparkContext)
-      result.checkpoint()
+      // and the finally can unpersist both immediately. materialize
+      // (persist-bracketed) — a bare checkpoint() re-ran all three
+      // supersteps a second time for the checkpoint write (r16).
+      Checkpoints.materialize(result)
     } finally { eo.unpersist(); out.unpersist(); e.unpersist(); () }
   }
 

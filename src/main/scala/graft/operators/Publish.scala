@@ -405,7 +405,10 @@ object Publish {
       require(store.exists(s"$dir/_SUCCESS"),
         s"publish: $version write left no _SUCCESS marker")
       val back = spark.read.parquet(dir)
-      require(back.count() > 0, s"publish: $version is empty")
+      // non-emptiness via isEmpty (a limit-1 probe), not count(): the
+      // read-back count scanned every footer of every publish on the
+      // commit path — same veto semantics, strictly less IO (r16)
+      require(!back.isEmpty, s"publish: $version is empty")
       audit(back)
       // meta computed HERE, inside the commit critical section (ADVICE
       // r15): state-derived values (ICT stamps, watermarks) see a head

@@ -497,7 +497,14 @@ object VersionedTable {
     // concurrent same-table writers read the same predecessor and stamp
     // identical timestamps (non-strict monotonicity); under the lock
     // the stamp is STRICTLY increasing across this JVM's writers
-    Publish.publishWith(manifest, manifestRoot(root),
+    // ONE parquet file per manifest version (r16, guide §6 small-files):
+    // a manifest holds one row per data file and is re-read by every
+    // verb, every readVersion and every feed segment — writing it
+    // multi-task scattered a row-per-file table over shuffle-partition
+    // many tiny files, charging every later manifest scan the per-file
+    // open cost. coalesce (no exchange) collapses the write to one task;
+    // the Delta/Iceberg posture (one commit artifact per version).
+    Publish.publishWith(manifest.coalesce(1), manifestRoot(root),
       audit = auditFilesExist, metaFn = () => {
         val base = (inheritedMeta(root) -- dropConstraints.map(ConstraintPrefix + _)
           -- dropMetaKeys) ++ meta
