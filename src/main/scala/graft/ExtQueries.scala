@@ -1427,7 +1427,12 @@ object ExtQueries {
   def minhashBanded(d: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val mb = call_function("minhash_bands",
       array_distinct(TextFunctions.shingles(col("words"), 3)), lit(k), lit(bands))
-    d.select(col("doc_id"), mb.as("mb"))
+    // fan the shingle+minhash stage out to cluster width (r16): the
+    // one-file bench corpus plans a single input split, so the whole
+    // signature pass ran on one core before the band exchange; a no-op
+    // at production file counts (see operators.FanOut)
+    graft.operators.FanOut.widen(d)
+      .select(col("doc_id"), mb.as("mb"))
       .select(col("doc_id"), slice(col("mb"), 1, k).as("sigs"),
         explode(slice(col("mb"), k + 1, bands)).as("band"))
   }
@@ -4201,7 +4206,9 @@ object ExtQueries {
     def toks(df: DataFrame, idAs: String): DataFrame =
       df.select(col("doc_id").as(idAs),
         explode(array_distinct(split(col("text"), " "))).as("word"))
-    val overlap = toks(d, "cand_id")
+    // candidate leg fanned to cluster width (r16): the tokenize-explode
+    // + map-side pair counting ran on the one-file scan's single split
+    val overlap = toks(graft.operators.FanOut.widen(d), "cand_id")
       .join(broadcast(toks(d.filter(col("doc_id") % 25 === 0
         && docPred), "query_id")), "word")
       .filter(col("query_id") =!= col("cand_id"))
@@ -4369,6 +4376,12 @@ object ExtQueries {
       .select(col("doc_id")).distinct()
       .withColumn("f_contam", lit(true))
 
+    // NOT checkpointed (r16, measured): the three consumers (stage
+    // agg, dedup count, quota count) sit inside ONE action, where AQE
+    // exchange reuse already materializes the shared subtree once — an
+    // eager checkpoint split the plan into two executions and measured
+    // SLOWER (3.3 s vs 2.3 s); lesson 24 applies to consumers in
+    // separate actions, not branches of one plan
     val flags = d.select(col("doc_id"), col("source"),
         md5(col("text").cast("binary")).as("digest"),
         fQual.as("f_qual"), (col("doc_id") % 50 =!= 0).as("not_eval"))

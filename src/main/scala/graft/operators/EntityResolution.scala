@@ -85,14 +85,24 @@ object EntityResolution {
       .join(cn, Seq("c_name"))
       .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
       .filter(col("dist") <= maxDist)
+    // best match as min over a PACKED LONG, not min(struct) (r16, guide
+    // §4 codegen): a struct-typed min has no hash-aggregate buffer, so
+    // the best-match groupBy planned as Sort + SortAggregate over the
+    // whole scored pair stream (~60× the name count). dist ≤ maxDist
+    // (a small int) and registry keys are non-negative and < 10^12
+    // (the packing modulus), so min(dist·10^12 + key) is exactly the
+    // lexicographic min(struct(dist, key)) — same winner, same
+    // tie-break — and the agg runs as a codegen HashAggregate with
+    // map-side partials, no sort.
+    val Pack = 1000000000000L
     val best = scored.groupBy("d_name").agg(
-      min(struct(col("dist"), col("min_key"))).as("best"),
+      min(col("dist").cast("long") * Pack + col("min_key")).as("packed"),
       sum(col("cnt")).as("n_cand"))
     dirty.select(col("dirty_id"), col("name").as("d_name"))
       .join(best, Seq("d_name"), "left")
       .select(col("dirty_id"),
-        col("best.min_key").as("matched_key"),
-        col("best.dist").as("dist"),
+        (col("packed") % Pack).as("matched_key"),
+        expr(s"CAST(packed DIV ${Pack}L AS INT)").as("dist"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"))
   }
 }

@@ -76,7 +76,7 @@ object Multimodal {
     * this codec-less container's missing source images.
     */
   def packDocuments(docs: DataFrame): Dataset[MediaRecord] =
-    docs.select(col("doc_id"), col("text"))
+    FanOut.widen(docs.select(col("doc_id"), col("text")))
       .as(Encoders.product[Doc])
       .map { d =>
         val payload = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -216,7 +216,7 @@ object Multimodal {
 
   /** (doc_id, text, shift) rows → textured-PNG binary column. */
   def packTextured(docsWithShift: DataFrame): Dataset[PhashRecord] =
-    docsWithShift.select(col("doc_id"), col("text"), col("shift"))
+    FanOut.widen(docsWithShift.select(col("doc_id"), col("text"), col("shift")))
       .as(Encoders.product[PhashDoc])
       .map { d =>
         PhashRecord(d.doc_id,
@@ -307,6 +307,9 @@ object Multimodal {
   }
 
   def packTexturedVideo(docsWithShift: DataFrame): Dataset[VideoPhashRecord] =
+    // NO FanOut here (r16): measured 2x SLOWER fanned out — the
+    // per-frame javax codec path serializes on the static ImageIO
+    // registry under concurrency, so single-split execution wins
     docsWithShift.select(col("doc_id"), col("text"), col("shift"))
       .as(Encoders.product[PhashDoc])
       .map { d =>
@@ -431,6 +434,8 @@ object Multimodal {
   }
 
   def packAudio(docs: DataFrame): Dataset[AudioRecord] =
+    // NO FanOut here (r16): measured SLOWER fanned out — javax.sound's
+    // AudioSystem service registry serializes concurrent codec lookups
     docs.select(col("doc_id"), col("text"))
       .as(Encoders.product[Doc])
       .map { d =>
@@ -528,6 +533,9 @@ object Multimodal {
   }
 
   def packTexturedAudio(docsWithAmp: DataFrame): Dataset[AudioPhashRecord] =
+    // NO FanOut here (r16): measured 2.4x SLOWER fanned out (1.1 s ->
+    // 2.7 s) — javax.sound's AudioSystem registry serializes
+    // concurrent codec lookups, turning width into lock contention
     docsWithAmp.select(col("doc_id"), col("text"), col("amp"))
       .as(Encoders.product[AudioPhashDoc])
       .map { d =>
@@ -641,7 +649,7 @@ object Multimodal {
   }
 
   def packVideo(docs: DataFrame): Dataset[VideoRecord] =
-    docs.select(col("doc_id"), col("text"))
+    FanOut.widen(docs.select(col("doc_id"), col("text")))
       .as(Encoders.product[Doc])
       .map { d =>
         val payload = d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -66,7 +66,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // fan the corpus side out to cluster width (r16): the exact-cosine
+    // scoring against every broadcast query ran on the one-file bench
+    // scan's single split; no-op at production file counts
+    val c = FanOut.widen(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
     LatestPerKey.topKRanked(scored, k, Seq(col("query_id")),
@@ -410,8 +414,12 @@ object Similarity {
                    bands: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(bands > 0 && nBits % bands == 0, "nearDupPairs: bands must divide nBits")
-    val banded = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(hyperplaneBands(col(vecCol), bands, nBits / bands)).as("band"))
+    // fan the hyperplane-signature stage out to cluster width (r16):
+    // single-split bench scans ran it on one core; no-op at scale
+    val banded = FanOut.widen(
+        vectors.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        explode(hyperplaneBands(col("vec"), bands, nBits / bands)).as("band"))
     Buckets.boundedMembers(banded, col("band"), struct(col("id"), col("vec")))
       .select(explode(expr(
         """flatten(transform(members, a ->
