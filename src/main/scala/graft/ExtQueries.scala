@@ -3929,85 +3929,115 @@ object ExtQueries {
       .map(n => n -> java.nio.file.Files.createTempDirectory(s"graft_prg_$n").toString)
       .toMap
 
-    // --- digest state ---
-    val all = withExactDups(docs(s, dir))
-    Publish.publish(IncrementalDedup.digestState(all), roots("digest"))
-    val dv1 = Publish.read(s, roots("digest"))
-    val docRoster = all.filter(purgeRule()).select(col("doc_id").as("id"))
-    val survivors = all.filter(!purgeRule())
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
-    Publish.publish(
-      StatePurge.purgeDigestState(dv1, survivors, docRoster), roots("digest"),
-      st => require(st.filter(purgeRule("canonical_id")).isEmpty,
-        "purge audit: roster id survived as canonical_id"))
-    // v1-side counts BEFORE history retirement physically deletes v1
-    val dBefore = dv1.count()
-    val dRefs = dv1.join(broadcast(docRoster.select(col("id").as("canonical_id"))),
-      Seq("canonical_id"), "left_semi").count()
-    Publish.retireHistory(roots("digest"))
-    val dv2 = Publish.read(s, roots("digest"))
-    val digestRow = (
-      "digest_state", dBefore, dv2.count(), dRefs,
-      dv2.filter(purgeRule("canonical_id")).count(),
-      Publish.staleVersions(roots("digest")).size.toLong)
-
-    // --- band state ---
     val nd = withNearDups(docs(s, dir))
     val ndRoster = nd.filter(purgeRule()).select(col("doc_id").as("id"))
     // the banded frame feeds TWO artifact builds (band state, and the
     // pair stream behind the cluster labels) — signature it once; the
     // managed checkpoint stops Catalyst re-running the shingle/minhash
     // HOF pipeline per consumer (PLANS.md lesson 24). NOTE: eager — the
-    // signature job runs at construction time.
+    // signature job runs at construction time, BEFORE the family
+    // threads fork (both consume the checkpointed files).
     val banded = graft.operators.Checkpoints.materialize(minhashBanded(nd))
-    Publish.publish(IncrementalDedup.bandState(banded), roots("band"))
-    val bv1 = Publish.read(s, roots("band"))
-    Publish.publish(
-      StatePurge.purgeBandState(bv1, ndRoster), roots("band"),
-      st => require(st.select(explode(col("members")).as("m"))
-          .filter(purgeRule("m.doc_id")).isEmpty,
-        "purge audit: roster id survived in band members"))
-    def memberEntries(st: DataFrame): Long =
-      st.agg(coalesce(sum(size(col("members"))), lit(0)).cast("long")).head().getLong(0)
-    // v1-side counts BEFORE history retirement physically deletes v1
-    val bBefore = bv1.count()
-    val bEntries1 = memberEntries(bv1)
-    Publish.retireHistory(roots("band"))
-    val bv2 = Publish.read(s, roots("band"))
-    val bandRow = (
-      "band_state", bBefore, bv2.count(),
-      bEntries1 - memberEntries(bv2),
-      bv2.select(explode(col("members")).as("m")).filter(purgeRule("m.doc_id")).count(),
-      Publish.staleVersions(roots("band")).size.toLong)
+
+    // --- digest state ---
+    def digestFamily(): (String, Long, Long, Long, Long, Long) = {
+      val all = withExactDups(docs(s, dir))
+      Publish.publish(IncrementalDedup.digestState(all), roots("digest"))
+      val dv1 = Publish.read(s, roots("digest"))
+      val docRoster = all.filter(purgeRule()).select(col("doc_id").as("id"))
+      val survivors = all.filter(!purgeRule())
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      Publish.publish(
+        StatePurge.purgeDigestState(dv1, survivors, docRoster), roots("digest"),
+        st => require(st.filter(purgeRule("canonical_id")).isEmpty,
+          "purge audit: roster id survived as canonical_id"))
+      // v1-side counts BEFORE history retirement physically deletes v1
+      val dBefore = dv1.count()
+      val dRefs = dv1.join(broadcast(docRoster.select(col("id").as("canonical_id"))),
+        Seq("canonical_id"), "left_semi").count()
+      Publish.retireHistory(roots("digest"))
+      val dv2 = Publish.read(s, roots("digest"))
+      ("digest_state", dBefore, dv2.count(), dRefs,
+        dv2.filter(purgeRule("canonical_id")).count(),
+        Publish.staleVersions(roots("digest")).size.toLong)
+    }
+
+    // --- band state ---
+    def bandFamily(): (String, Long, Long, Long, Long, Long) = {
+      Publish.publish(IncrementalDedup.bandState(banded), roots("band"))
+      val bv1 = Publish.read(s, roots("band"))
+      Publish.publish(
+        StatePurge.purgeBandState(bv1, ndRoster), roots("band"),
+        st => require(st.select(explode(col("members")).as("m"))
+            .filter(purgeRule("m.doc_id")).isEmpty,
+          "purge audit: roster id survived in band members"))
+      def memberEntries(st: DataFrame): Long =
+        st.agg(coalesce(sum(size(col("members"))), lit(0)).cast("long")).head().getLong(0)
+      // v1-side counts BEFORE history retirement physically deletes v1
+      val bBefore = bv1.count()
+      val bEntries1 = memberEntries(bv1)
+      Publish.retireHistory(roots("band"))
+      val bv2 = Publish.read(s, roots("band"))
+      ("band_state", bBefore, bv2.count(),
+        bEntries1 - memberEntries(bv2),
+        bv2.select(explode(col("members")).as("m")).filter(purgeRule("m.doc_id")).count(),
+        Publish.staleVersions(roots("band")).size.toLong)
+    }
 
     // --- cluster labels ---
-    val pairs = IncrementalDedup.pairsAgainst(
-      IncrementalDedup.bandState(banded.limit(0)), banded)
-    val labels = ConnectedComponents.solveAuto(
-      nd.select(col("doc_id").as("id")),
-      pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
-    Publish.publish(labels, roots("labels"))
-    val lv1 = Publish.read(s, roots("labels"))
-    Publish.publish(
-      StatePurge.purgeClusters(lv1, ndRoster, ndPairsAmong(nd)), roots("labels"),
-      st => require(st.filter(purgeRule("id") || purgeRule("component")).isEmpty,
-        "purge audit: roster id survived in labels"))
-    // v1-side counts BEFORE history retirement physically deletes v1
-    val lBefore = lv1.count()
-    val lRefs = lv1.join(broadcast(ndRoster), Seq("id"), "left_semi").count()
-    Publish.retireHistory(roots("labels"))
-    val lv2 = Publish.read(s, roots("labels"))
-    val labelsRow = (
-      "cluster_labels", lBefore, lv2.count(), lRefs,
-      lv2.filter(purgeRule("id") || purgeRule("component")).count(),
-      Publish.staleVersions(roots("labels")).size.toLong)
+    def labelsFamily(): (String, Long, Long, Long, Long, Long) = {
+      val pairs = IncrementalDedup.pairsAgainst(
+        IncrementalDedup.bandState(banded.limit(0)), banded)
+      val labels = ConnectedComponents.solveAuto(
+        nd.select(col("doc_id").as("id")),
+        pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst")))
+      Publish.publish(labels, roots("labels"))
+      val lv1 = Publish.read(s, roots("labels"))
+      Publish.publish(
+        StatePurge.purgeClusters(lv1, ndRoster, ndPairsAmong(nd)), roots("labels"),
+        st => require(st.filter(purgeRule("id") || purgeRule("component")).isEmpty,
+          "purge audit: roster id survived in labels"))
+      // v1-side counts BEFORE history retirement physically deletes v1
+      val lBefore = lv1.count()
+      val lRefs = lv1.join(broadcast(ndRoster), Seq("id"), "left_semi").count()
+      Publish.retireHistory(roots("labels"))
+      val lv2 = Publish.read(s, roots("labels"))
+      ("cluster_labels", lBefore, lv2.count(), lRefs,
+        lv2.filter(purgeRule("id") || purgeRule("component")).count(),
+        Publish.staleVersions(roots("labels")).size.toLong)
+    }
+
+    // The three artifact families are INDEPENDENT commit chains on
+    // disjoint roots (guide §2.6 "overlap independent jobs"): run them
+    // from a small driver pool so one family's action tails and
+    // control-plane gaps back-fill with another family's tasks.
+    // Values are unchanged by construction — each family computes its
+    // own row from its own roots; only wall-clock overlaps. Row order
+    // is fixed by the sequence below, not by completion order.
+    val rows = runConcurrently(Seq(
+      () => digestFamily(), () => bandFamily(), () => labelsFamily()))
 
     Option(purgeStatePrev.getAndSet(roots.values.toSeq)).foreach(
       _.foreach(p => deleteTree(java.nio.file.Paths.get(p))))
     import s.implicits._
-    Seq(digestRow, bandRow, labelsRow)
-      .toDF("artifact", "n_before", "n_after", "n_refs_purged", "n_leaked",
+    rows.toDF("artifact", "n_before", "n_after", "n_refs_purged", "n_leaked",
         "n_stale_versions")
+  }
+
+  /** Run independent driver thunks concurrently (guide §2.6), returning
+    * results in INPUT order. Spark job submission is thread-safe and
+    * FIFO-scheduled: later thunks' tasks back-fill executor slots freed
+    * by earlier thunks' stragglers and driver-side gaps. Failures
+    * propagate (first exception rethrown), matching sequential
+    * semantics for the oracle-gated audits inside the thunks.
+    */
+  private def runConcurrently[T](thunks: Seq[() => T]): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      val futures = thunks.map(t => pool.submit(
+        new java.util.concurrent.Callable[T] { def call(): T = t() }))
+      futures.map(_.get())
+    } finally { pool.shutdown(); () }
   }
 
   // ===== driver r8: trained classifier (rule distillation) =====
