@@ -4040,6 +4040,12 @@ object ExtQueries {
     } finally { pool.shutdown(); () }
   }
 
+  /** Two-armed [[runConcurrently]] with independent result types. */
+  private def runPair[A, B](a: () => A, b: () => B): (A, B) = {
+    val r = runConcurrently[Any](Seq(() => a(), () => b()))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B])
+  }
+
   // ===== driver r8: trained classifier (rule distillation) =====
 
   /** TRAINED linear text classifier — the centroid (Rocchio) form, the
@@ -6042,12 +6048,20 @@ object ExtQueries {
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
     val base = java.nio.file.Files.createTempDirectory("graft_idxfeed_a").toString
     val tbl = s"graft_idxfeed_$suffix"
-    val idx0 = Bm25Index.build(s,
-      VersionedTable.readVersion(s, root, v1).select(col("doc_id"), col("text")),
-      tbl, base)
-    VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
-    val v3 = VersionedTable.deleteRosterDV(s, root, spec,
-      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    // the index seed (reads only v1's immutable file set) and the
+    // table's writer side (append + DV-delete commits on the table
+    // root) share no state beyond committed v1 — overlap them (guide
+    // §2.6) so the build's scoring jobs back-fill the commits'
+    // control-plane gaps
+    val (idx0, v3) = runPair(
+      () => Bm25Index.build(s,
+        VersionedTable.readVersion(s, root, v1).select(col("doc_id"), col("text")),
+        tbl, base),
+      () => {
+        VersionedTable.append(s, d.filter(col("doc_id") % 3 === 1), root, spec, layout)
+        VersionedTable.deleteRosterDV(s, root, spec,
+          d.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+      })
     // one feed window, two consumers (insert fold + delete purge):
     // persist it so the manifest diff runs once, not per fold
     val feed = VersionedTable.changeFeed(s, root, v1, v3)
@@ -6113,11 +6127,18 @@ object ExtQueries {
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
     val base = java.nio.file.Files.createTempDirectory("graft_ivffeed_a").toString
     val tbl = s"graft_ivffeed_$suffix"
-    val idx0 = IvfIndex.build(s, VersionedTable.readVersion(s, root, v1),
-      k = 8, iterations = 3, tbl, base)
-    VersionedTable.append(s, all.filter(col("vec_id") % 3 === 1), root, spec, layout)
-    val v3 = VersionedTable.deleteRosterDV(s, root, spec,
-      all.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+    // the quantizer training (reads only v1's immutable file set) and
+    // the table's writer side (append + DV-delete commits) share no
+    // state beyond committed v1 — overlap them (guide §2.6): the
+    // k-means collect rounds' driver gaps back-fill with commit tasks
+    val (idx0, v3) = runPair(
+      () => IvfIndex.build(s, VersionedTable.readVersion(s, root, v1),
+        k = 8, iterations = 3, tbl, base),
+      () => {
+        VersionedTable.append(s, all.filter(col("vec_id") % 3 === 1), root, spec, layout)
+        VersionedTable.deleteRosterDV(s, root, spec,
+          all.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+      })
     // one feed window, two consumers (insert fold + delete purge):
     // persist it so the manifest diff runs once, not per fold
     val feed = VersionedTable.changeFeed(s, root, v1, v3)
