@@ -32,9 +32,21 @@ object FanOut {
     // its micro-batch parallelism is the trigger's business — pass it
     // through untouched
     if (df.isStreaming) df
-    else {
+    else if (df.queryExecution.sparkPlan.find {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+        case _ => false
+      }.isDefined) {
+      // an upstream shuffle already redistributes to full width — and,
+      // critically, probing df.rdd on a plan WITH exchanges makes AQE
+      // MATERIALIZE those stages (real jobs, re-run again by the
+      // actual query since stage reuse does not cross executions);
+      // measured: +0.26 s on sim_quantized_topk's pre-repartitioned
+      // codes before this guard (r16)
+      df
+    } else {
       val par = df.sparkSession.sparkContext.defaultParallelism
-      // planned partitions of the physical scan — no job is run
+      // planned partitions of the physical scan — exchange-free plan,
+      // so the RDD is built statically and no job is run
       val cur = df.rdd.getNumPartitions
       if (cur >= par) df else df.repartition(par)
     }
