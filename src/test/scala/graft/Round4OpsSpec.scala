@@ -153,14 +153,16 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.find(_._1 == 3L).get._2.isEmpty, "no-shingle doc must yield null")
   }
 
-  test("dedup_minhash_lsh plan evaluates minhash_bands once per union branch") {
-    // projection pushdown clones the expression into each of the two
-    // corpus union branches (base + planted near-dups); within a branch
-    // it must appear exactly once — a second copy would mean
-    // CollapseProject inlined it into multiple consumers
+  test("dedup_minhash_lsh plan evaluates minhash_bands exactly once") {
+    // r16 FanOut places a round-robin repartition between the corpus
+    // union and the banding projection, so the expression is no longer
+    // pushdown-cloned into each union branch: it must appear EXACTLY
+    // once, above the fan-out — a second copy would mean
+    // CollapseProject inlined it into multiple consumers (the
+    // double-evaluation this pin exists to forbid)
     val plan = ExtQueries.dedupMinhashLsh(spark, sfSmoke)
       .queryExecution.optimizedPlan.toString
-    assert("minhash_bands".r.findAllIn(plan).size == 2, plan.take(4000))
+    assert("minhash_bands".r.findAllIn(plan).size == 1, plan.take(4000))
   }
 
   test("streaming outer interval join equals the batch LEFT JOIN (sentinel flushes the tail)") {
